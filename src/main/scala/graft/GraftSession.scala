@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central place for session configuration so Verify/Bench/tests all run
+  * with identical semantics (UTC, AQE on, nanos-parquet readable).
+  *
+  * Scale posture: shuffle partitions default to the local core count here,
+  * but on a real cluster these settings are safe — AQE coalesces and
+  * re-plans skewed joins at runtime.
+  */
+object GraftSession {
+
+  /** Apply graft's standard configuration to a builder. */
+  def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
+    b.master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // events.parquet stores INT64 TIMESTAMP(NANOS) which Spark's parquet
+      // reader rejects by default; read the raw long and convert ourselves
+      // (Tables.scala).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val spark = configure(SparkSession.builder(), cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,10 @@
+package graft.queries
+
+/** All verifiable queries, one per implemented operator family
+  * (SURVEY.md §2 + the LLM-data-pipeline extensions).
+  */
+object Registry {
+  val all: Seq[Q] = RelationalQueries.all
+
+  def byName(name: String): Q = all.find(_.name == name).get
+}
