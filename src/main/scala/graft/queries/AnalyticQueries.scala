@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.sources.Tables
+
+/** The reference's analytic/serving surface (SURVEY.md §2.4-§2.7, §3.2,
+  * §3.3): moving averages, pivots, grand totals, positional zip join,
+  * preference-array fanout join, TTL dedup, rendering, set ops, ranking.
+  */
+object AnalyticQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val dec = DecimalType(18, 2)
+
+  /** A6/W5 — frame-based moving mean (5 observations), the reference's
+    * DescriptiveStatistics(5) positivity-rate average
+    * (Visualizer.java:298-319). Determinism: frame sum is DECIMAL
+    * (exact), single double division at the end. */
+  val movingAvg: Q = Q(
+    "q13_moving_avg",
+    """WITH d AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |         sum(CAST(value AS DECIMAL(18,2))) AS total
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, event_type, total,
+      |       CAST(sum(total) OVER w AS DOUBLE) / count(*) OVER w AS ma5
+      |FROM d
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin
+  ) { (s, dir) =>
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(sum(col("value").cast(dec)).as("total"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-4, 0)
+    daily.withColumn("ma5",
+      sum(col("total")).over(w).cast("double") / count(lit(1)).over(w))
+  }
+
+  /** §3.3 — pivot-by-key time series (Visualizer.java:217-231 builds
+    * state→series maps by hand; Spark's groupBy().pivot() is the native
+    * form). Absent combinations stay NULL in both engines (sum of empty). */
+  val pivotSeries: Q = Q(
+    "q14_pivot_series",
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |       sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click')    AS click,
+      |       sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view')     AS view,
+      |       sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |       sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'signup')   AS signup,
+      |       sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error')    AS error
+      |FROM events GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(sum(col("value").cast(dec)))
+  }
+
+  /** A7 — grand-total pseudo-key via rollup (bot/BotUtils.java:293-318
+    * renders a "Total" row; the reference trusts an upstream Total row,
+    * we compute it). */
+  val rollupTotal: Q = Q(
+    "q15_rollup_total",
+    """SELECT coalesce(event_type, 'Total') AS event_type,
+      |       count(*) AS n_events,
+      |       sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      |FROM events GROUP BY ROLLUP(event_type)""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "events")
+      .rollup(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value").cast(dec)).as("sum_value"))
+      .select(coalesce(col("event_type"), lit("Total")).as("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** J4 — positional zip join (Utils.java:17-28 pairs i-th delta with
+    * i-th daily): rank both sides, equi-join on rank. Note: a global
+    * row_number sorts through one partition — acceptable for dimension-
+    * sized sides (the reference zips ≤39 states); large sides should
+    * carry a partitioned rank. */
+  val zipJoin: Q = Q(
+    "q16_zip_join",
+    """WITH c AS (SELECT c_name, c_acctbal,
+      |             row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |           FROM customer),
+      |s AS (SELECT s_name, s_acctbal,
+      |        row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rn
+      |      FROM supplier)
+      |SELECT c.rn AS rn, c_name, c_acctbal, s_name, s_acctbal
+      |FROM c JOIN s USING (rn)""".stripMargin
+  ) { (s, dir) =>
+    val wc = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val ws = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    val c = t(s, dir, "customer")
+      .withColumn("rn", row_number().over(wc))
+    val sup = t(s, dir, "supplier")
+      .withColumn("rn", row_number().over(ws))
+    c.join(sup, Seq("rn"))
+      .select("rn", "c_name", "c_acctbal", "s_name", "s_acctbal")
+  }
+
+  /** J2/P6 — per-user preference fanout: user's preference array matched
+    * against incoming keys (bot KafkaStreamsConfig.java:164-188 scans
+    * prefs per alert; Spark-first form is explode + equi-join, which
+    * scales where a crossJoin+array_contains would not). */
+  val prefsArrayJoin: Q = Q(
+    "q17_prefs_array_join",
+    """SELECT o_orderpriority AS priority,
+      |       count(DISTINCT o_custkey) AS n_subscribers
+      |FROM orders GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(collect_set(col("o_orderpriority")).as("prefs"))
+      .select(explode(col("prefs")).as("priority"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_subscribers"))
+  }
+
+  /** ST3 — dedup-with-TTL-refresh, batch analog: an event within TTL of
+    * the previous event of its key is a duplicate AND extends the TTL
+    * (DeduplicationTransformer.java:62-86); survivors are exactly the
+    * chain starters (gap > TTL). TTL here: 1 day. */
+  val dedupTtl: Q = Q(
+    "q18_dedup_ttl",
+    """SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms FROM (
+      |  SELECT user_id, event_type, event_id, ts,
+      |         lag(epoch_ns(ts)) OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS prev_ns
+      |  FROM events) t
+      |WHERE prev_ns IS NULL OR epoch_ns(ts) - prev_ns > 86400000000000""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    t(s, dir, "events")
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+      .filter(col("prev_ns").isNull ||
+        col("ts_ns") - col("prev_ns") > lit(86400000000000L))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts_ns div 1000000").as("ts_ms"))
+  }
+
+  /** §2.7 — string/date rendering: padded summary line + dd/MM/yyyy
+    * re-key (bot/BotUtils.java:196-209,307-319; Covid19Stats.java:70).
+    * Rendering uses pad/concat (not %f formatting, whose rounding mode
+    * differs across runtimes). */
+  val renderSummary: Q = Q(
+    "q19_render_summary",
+    """SELECT o_orderkey,
+      |       strftime(o_orderdate, '%d/%m/%Y') AS order_date,
+      |       concat(rpad(o_orderpriority, 15, ' '), '|',
+      |              lpad(CAST(o_orderkey AS VARCHAR), 12, ' '), '|',
+      |              CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)) AS line,
+      |       upper(o_orderstatus) AS status,
+      |       CASE WHEN o_totalprice >= 200000 THEN 'high'
+      |            WHEN o_totalprice >= 100000 THEN 'mid'
+      |            ELSE 'low' END AS bucket
+      |FROM orders""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "dd/MM/yyyy").as("order_date"),
+      concat(
+        rpad(col("o_orderpriority"), 15, " "), lit("|"),
+        lpad(col("o_orderkey").cast("string"), 12, " "), lit("|"),
+        col("o_totalprice").cast(dec).cast("string")).as("line"),
+      upper(col("o_orderstatus")).as("status"),
+      when(col("o_totalprice") >= 200000, "high")
+        .when(col("o_totalprice") >= 100000, "mid")
+        .otherwise("low").as("bucket"))
+  }
+
+  /** §3.2 — the /stats serving query: lifetime totals + last-day slice +
+    * doubling rate + rank, one declarative plan instead of the
+    * reference's store point-gets (UserRequestConsumer.java:87-142,
+    * StateStoresManager.java:121-186). */
+  val summaryServe: Q = Q(
+    "q20_summary_serve",
+    """WITH totals AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |         sum(CAST(value AS DECIMAL(18,2))) AS total_value
+      |  FROM events GROUP BY 1),
+      |today AS (
+      |  SELECT user_id, count(*) AS today_n,
+      |         sum(CAST(value AS DECIMAL(18,2))) AS today_value
+      |  FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-30' GROUP BY 1),
+      |j AS (
+      |  SELECT totals.user_id, totals.n_events, totals.total_value,
+      |         coalesce(today.today_n, 0) AS today_n,
+      |         coalesce(today.today_value, CAST(0 AS DECIMAL(18,2))) AS today_value
+      |  FROM totals LEFT JOIN today USING (user_id))
+      |SELECT user_id, n_events, total_value, today_n, today_value,
+      |       CASE WHEN today_value = 0 OR total_value = 0 THEN 0
+      |            ELSE CAST(round(70.0 * CAST(total_value AS DOUBLE)
+      |                 / (100.0 * CAST(today_value AS DOUBLE))) AS BIGINT)
+      |       END AS doubling_rate,
+      |       row_number() OVER (ORDER BY total_value DESC, user_id) AS rnk
+      |FROM j""".stripMargin
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val totals = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("value").cast(dec)).as("total_value"))
+    val today = ev.filter(to_date(col("ts")) === lit("2024-01-30").cast("date"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("today_n"), sum(col("value").cast(dec)).as("today_value"))
+    val j = totals.join(today, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"), col("total_value"),
+        coalesce(col("today_n"), lit(0L)).as("today_n"),
+        coalesce(col("today_value"), lit(0).cast(dec)).as("today_value"))
+    j.withColumn("doubling_rate",
+        when(col("today_value") === 0 || col("total_value") === 0, lit(0L))
+          .otherwise(round(lit(70.0) * col("total_value").cast("double")
+            / (lit(100.0) * col("today_value").cast("double"))).cast(LongType)))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("total_value").desc, col("user_id"))))
+  }
+
+  /** §2.6 set ops — intersect/except/union (the reference only has
+    * Stream.concat ≈ union; we provide the full family). */
+  val setOps: Q = Q(
+    "q21_set_ops",
+    """WITH b AS (SELECT c_custkey AS ck FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |u AS (SELECT DISTINCT o_custkey AS ck FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT 'both' AS tag, ck FROM (SELECT ck FROM b INTERSECT SELECT ck FROM u) t1
+      |UNION ALL
+      |SELECT 'building_only' AS tag, ck FROM (SELECT ck FROM b EXCEPT SELECT ck FROM u) t2""".stripMargin
+  ) { (s, dir) =>
+    val b = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("ck"))
+    val u = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("ck")).distinct()
+    b.intersect(u).select(lit("both").as("tag"), col("ck"))
+      .unionAll(b.except(u).select(lit("building_only").as("tag"), col("ck")))
+  }
+
+  /** §2.5 — ranking/analytic family beyond the reference's sorts:
+    * dense_rank, ntile, lead (SURVEY.md §2.5 "absent: built-in if
+    * needed" — provided here). */
+  val rankingSuite: Q = Q(
+    "q22_ranking_suite",
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |       dense_rank() OVER (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC) AS drnk,
+      |       ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS quartile,
+      |       lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_orderkey
+      |FROM orders""".stripMargin
+  ) { (s, dir) =>
+    val byPrice = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").cast(dec).desc)
+    val byKey = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      dense_rank().over(byPrice).as("drnk"),
+      ntile(4).over(byKey).as("quartile"),
+      lead(col("o_orderkey"), 1).over(byKey).as("next_orderkey"))
+  }
+
+  /** §2.7 array ops — collect_set / sort / join (UserPrefs.myStates
+    * handling, bot/Covid19Bot.java:713,1092-1101). Arrays are sorted
+    * before rendering so output is deterministic. */
+  val arrayOps: Q = Q(
+    "q23_array_ops",
+    """SELECT o_custkey AS custkey,
+      |       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS prios,
+      |       count(*) AS n_orders
+      |FROM orders GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("prios"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  val all: Seq[Q] = Seq(movingAvg, pivotSeries, rollupTotal, zipJoin,
+    prefsArrayJoin, dedupTtl, renderSummary, summaryServe, setOps,
+    rankingSuite, arrayOps)
+}
