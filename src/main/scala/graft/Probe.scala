@@ -1,37 +1,30 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Dev-only scratch: timing/plan experiments. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("8")
-    val dir = "/root/testdata/sf0.1"
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"$label%-30s ${(System.nanoTime() - t0) / 1e9}%8.3f s  ($n rows)")
-    }
-    val ev = graft.sources.Tables.load(spark, dir, "events")
-    val dec = DecimalType(18, 2)
-    for (_ <- 1 to 3) {
-      time("window1day+groupBy") {
-        ev.groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("s"))
-          .count()
-      }
-      time("to_date+groupBy") {
-        ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("s"))
-          .count()
-      }
-      time("to_date+groupBy nodecimal") {
-        ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
-          .count()
-      }
-      time("plain count") { ev.count() }
-    }
+    val sf = "/root/testdata/sf0.001"
+    import graft.functions.{TextFunctions => T}
+    // simhash signatures for all docs
+    val tok = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), explode(array_distinct(T.words(col("text")))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val sig = tok
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("sign", when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1))
+      .groupBy("doc_id", "bit").agg(sum(col("sign")).as("bsum"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("bsum") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash"))
+    val exact = graft.queries.Registry.byName("q27_ngram_jaccard").fn(spark, sf)
+      .select("doc_a", "doc_b", "jaccard")
+    exact.join(sig.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), "doc_b")
+      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      .orderBy(desc("hamming"))
+      .show(30, truncate = false)
     spark.stop()
   }
 }

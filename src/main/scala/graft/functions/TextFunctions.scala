@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline surface
+  * (BASELINE.json north star): tokenization, shingling, quality metrics,
+  * fingerprinting. All pure `org.apache.spark.sql.functions` compositions
+  * — codegen-friendly, no UDFs.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (documents are single-space separated). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles (n=3), the unit for Jaccard/MinHash
+    * dedup. Guarded for texts shorter than n tokens. Spark SQL array
+    * indexing is 0-based (DuckDB's is 1-based — oracles adjust).
+    */
+  def shingles3(wordsCol: Column): Column =
+    when(size(wordsCol) >= 3,
+      array_distinct(transform(
+        sequence(lit(0), size(wordsCol) - 3),
+        i => concat_ws(" ",
+          get(wordsCol, i),
+          get(wordsCol, i + 1),
+          get(wordsCol, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Tokens matching a fixed marker list (language-ID / stopword score). */
+  def markerCount(wordsCol: Column, markers: Seq[String]): Column =
+    size(filter(wordsCol, w => w.isin(markers: _*)))
+
+  /** Canonical-form fingerprint: md5 of the lowercased, punctuation-
+    * stripped, whitespace-collapsed text. Equal fingerprints = exact
+    * dups modulo formatting. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
+
+  /** Bag-of-words fingerprint: md5 over the sorted distinct token set —
+    * order-insensitive near-dup canonical form. */
+  def bagFingerprint(wordsCol: Column): Column =
+    md5(array_join(array_sort(array_distinct(wordsCol)), " "))
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import scala.util.hashing.MurmurHash3
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed metadata extracted from an opaque media payload. */
+final case class MediaMeta(
+    doc_id: Long,
+    n_bytes: Int,
+    mime: String,
+    width: Int,
+    height: Int,
+    n_frames: Int)
+
+/** Multimodal-column plumbing for the training-data pipeline: media
+  * travels as an opaque `binary` column + typed metadata struct; decode /
+  * feature-extract runs partition-wise so a real codec would amortize
+  * per-batch model/library setup.
+  *
+  * NOTE: this container ships no image/audio codecs, so `decodeMeta`'s
+  * pixel-level decode is a clearly-marked deterministic STUB (dimensions
+  * derived from a payload hash). The Spark-side plumbing — binary
+  * column, partition-wise batch decode, typed output schema, pushdown-
+  * friendly projections — is real and tested.
+  */
+object Multimodal {
+
+  /** Attach an opaque payload column (here: utf-8 text bytes standing in
+    * for image/audio bytes) plus cheap byte-level metadata. */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      octet_length(col("text")).as("n_bytes"))
+
+  /** Partition-wise "decode": one iterator pass per partition, the shape
+    * a real codec integration needs (open codec once per partition,
+    * stream records through it). STUB: dimensions are a deterministic
+    * function of the payload hash, standing in for a real decoder. */
+  def decodeMeta(spark: SparkSession, payloads: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real impl: val codec = Codec.open() once per partition
+        it.map { case (id, bytes) =>
+          val h = MurmurHash3.bytesHash(bytes, 42)
+          val w = 160 * (1 + math.floorMod(h, 8))
+          MediaMeta(
+            doc_id = id,
+            n_bytes = bytes.length,
+            mime = if (math.floorMod(h, 3) == 0) "image/png" else "video/mp4",
+            width = w,
+            height = w * 9 / 16,
+            n_frames = 1 + math.floorMod(h >> 8, 240))
+        }
+      }
+  }
+
+  /** Frame-sampling plan for video payloads: every k-th frame index,
+    * computed declaratively so Catalyst can prune/push the rest. */
+  def sampleFrames(meta: DataFrame, stride: Int): DataFrame =
+    meta.withColumn("sampled_frames",
+      sequence(lit(0), col("n_frames") - 1, lit(stride)))
+}

@@ -1,0 +1,336 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.operators.Multimodal
+import graft.sources.Tables
+
+/** The LLM-training-data pipeline operators (BASELINE.json north star):
+  * text analysis, document dedup (exact / n-gram Jaccard / MinHash-LSH /
+  * SimHash), embedding similarity search (brute-force + LSH), multimodal
+  * column plumbing. Probabilistic operators (MinHash, SimHash, LSH) have
+  * rows-only driver checks but are property-tested against their exact
+  * counterparts in ScalaTest.
+  */
+object LlmQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val stopWords = Seq("the", "a", "of", "and", "to")
+
+  /** Quantized embeddings with exact integer squared norms (see
+    * VectorFunctions for the determinism argument). */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), V.quantize(col("embedding")).as("qv"))
+      .withColumn("nsq", V.normSqQ(col("qv")))
+
+  /** Text quality metrics: token/char counts, stopword ratio, average
+    * token length, quality bucket. */
+  val textStats: Q = Q(
+    "q24_text_stats",
+    """SELECT doc_id,
+      |       len(string_split(text, ' ')) AS n_tokens,
+      |       length(text) AS n_chars,
+      |       len(list_filter(string_split(text, ' '),
+      |           w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+      |       CAST(len(list_filter(string_split(text, ' '),
+      |           w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+      |         / len(string_split(text, ' ')) AS stop_ratio,
+      |       CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+      |         / len(string_split(text, ' ')) AS avg_token_len,
+      |       CASE WHEN len(string_split(text, ' ')) >= 50 THEN 'long'
+      |            WHEN len(string_split(text, ' ')) >= 20 THEN 'ok'
+      |            ELSE 'short' END AS quality_bucket
+      |FROM documents""".stripMargin
+  ) { (s, dir) =>
+    val ws = T.words(col("text"))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(ws).as("n_tokens"),
+      length(col("text")).as("n_chars"),
+      T.markerCount(ws, stopWords).as("n_stop"),
+      (T.markerCount(ws, stopWords).cast("double") / size(ws)).as("stop_ratio"),
+      ((length(col("text")) - size(ws) + 1).cast("double") / size(ws))
+        .as("avg_token_len"),
+      when(size(ws) >= 50, "long").when(size(ws) >= 20, "ok")
+        .otherwise("short").as("quality_bucket"))
+  }
+
+  /** Keyword-profile language/domain ID — the n-gram-heuristic shape of
+    * a langid model, deterministic marker scoring + priority argmax. */
+  val langId: Q = {
+    val m1 = Seq("join", "filter", "agg", "query", "group", "sort")
+    val m2 = Seq("table", "column", "row", "batch", "scan", "part")
+    val m3 = Seq("stream", "window", "spark", "vector", "dup", "hash")
+    def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
+    Q(
+      "q25_lang_id",
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |         len(list_filter(string_split(text,' '), w -> w IN (${inList(m1)}))) AS s_sql,
+         |         len(list_filter(string_split(text,' '), w -> w IN (${inList(m2)}))) AS s_storage,
+         |         len(list_filter(string_split(text,' '), w -> w IN (${inList(m3)}))) AS s_stream
+         |  FROM documents)
+         |SELECT doc_id, lang, s_sql, s_storage, s_stream,
+         |       CASE WHEN s_sql >= s_storage AND s_sql >= s_stream THEN 'sql'
+         |            WHEN s_storage >= s_stream THEN 'storage'
+         |            ELSE 'stream' END AS domain_guess
+         |FROM s""".stripMargin
+    ) { (s, dir) =>
+      val ws = T.words(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          T.markerCount(ws, m1).as("s_sql"),
+          T.markerCount(ws, m2).as("s_storage"),
+          T.markerCount(ws, m3).as("s_stream"))
+        .withColumn("domain_guess",
+          when(col("s_sql") >= col("s_storage") && col("s_sql") >= col("s_stream"), "sql")
+            .when(col("s_storage") >= col("s_stream"), "storage")
+            .otherwise("stream"))
+    }
+  }
+
+  /** Document fingerprinting: normalized-text md5 + order-insensitive
+    * bag-of-words md5. */
+  val fingerprintQ: Q = Q(
+    "q26_fingerprint",
+    """SELECT doc_id,
+      |       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+      |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp
+      |FROM documents""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      T.fingerprint(col("text")).as("fp"),
+      T.bagFingerprint(T.words(col("text"))).as("bag_fp"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) — the oracle-
+    * exact ground truth that the MinHash path (q28) approximates.
+    * Candidate generation via shared-shingle equi-join: only docs with a
+    * common 3-gram ever meet, so no O(n²) cross product. */
+  val ngramJaccard: Q = Q(
+    "q27_ngram_jaccard",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      |       FROM w WHERE len(ws) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS uni,
+      |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5""".stripMargin
+  ) { (s, dir) =>
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), explode(T.shingles3(T.words(col("text")))).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** MinHash + banded LSH near-dup detection (the 100 TB-scale path:
+    * signature per doc computed without a shuffle, candidates from band
+    * buckets, exact Jaccard verify on candidates only). K=64 hashes,
+    * 16 bands × 4 rows. Probabilistic candidate set ⇒ rows-only driver
+    * check; recall vs q27 is asserted in ScalaTest. */
+  val minhashLsh: Q = {
+    val K = 64
+    val bandRows = 4
+    val nBands = K / bandRows
+    Q.rowsOnly("q28_minhash_lsh") { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), T.shingles3(T.words(col("text"))).as("shs"))
+        .filter(size(col("shs")) > 0)
+      // K minhashes per doc, no shuffle: min over a per-row transform.
+      val minhashes: Seq[Column] = (0 until K).map { i =>
+        array_min(transform(col("shs"), sh => xxhash64(lit(i), sh))).as(s"mh$i")
+      }
+      val sigs = docs.select((col("doc_id") +: col("shs").as("shs") +: minhashes): _*)
+      // band key = hash of the band's minhash slice
+      val bands = (0 until nBands).map { b =>
+        val slice = (0 until bandRows).map(r => col(s"mh${b * bandRows + r}"))
+        struct(lit(b).as("band"), xxhash64(slice: _*).as("key"))
+      }
+      val buckets = sigs
+        .select(col("doc_id"), col("shs"), explode(array(bands: _*)).as("bk"))
+        .select(col("doc_id"), col("shs"), col("bk.band"), col("bk.key"))
+      val cands = buckets.as("a")
+        .join(buckets.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.shs").as("sha"), col("b.shs").as("shb"))
+        .dropDuplicates("doc_a", "doc_b")
+      // exact verify on candidates only
+      cands
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
+        .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "inter", "uni", "jaccard")
+    }
+  }
+
+  /** SimHash near-dup detection: 64-bit signatures from token hashes,
+    * banded prefilter on 16-bit chunks, Hamming-distance verify.
+    * Probabilistic ⇒ rows-only; unit-tested. */
+  val simhash: Q = Q.rowsOnly("q29_simhash") { (s, dir) =>
+    // frequency-weighted (textbook) simhash: explode without distinct so
+    // each occurrence votes — separates docs sharing a small vocabulary.
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(T.words(col("text"))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val sig = tok
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("sign", when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1))
+      .groupBy("doc_id", "bit").agg(sum(col("sign")).as("bsum"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("bsum") > 0, expr("shiftleft(1L, bit)")).otherwise(0L))
+        .as("simhash"))
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("chunk", expr("(simhash >> (band * 16)) & 65535"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= 8)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Embedding near-dup pairs: exact cosine ≥ 0.4 over all pairs,
+    * bit-deterministic via integer quantization. */
+  val embeddingNeardup: Q = Q(
+    "q30_embedding_neardup",
+    """WITH q AS (SELECT vec_id,
+      |             list_transform(embedding, x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, qv,
+      |        CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS BIGINT) AS nsq
+      |      FROM q),
+      |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |        CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS DOUBLE)
+      |          / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
+      |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.4""".stripMargin
+  ) { (s, dir) =>
+    val n = quantized(s, dir)
+    n.as("a")
+      .join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        V.cosineFrom(V.dotQ(col("a.qv"), col("b.qv")), col("a.nsq"), col("b.nsq"))
+          .as("cosine"))
+      .filter(col("cosine") >= 0.4)
+  }
+
+  /** Brute-force cosine top-k (k=10) for a query set — the exact
+    * baseline for ANN. Query side is broadcast; the corpus side streams
+    * — at cluster scale this is one pass over the corpus, no shuffle. */
+  val knnCosine: Q = Q(
+    "q31_knn_cosine",
+    """WITH qz AS (SELECT vec_id,
+      |              list_transform(embedding, x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv
+      |            FROM embeddings),
+      |n AS (SELECT vec_id, qv,
+      |        CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS BIGINT) AS nsq
+      |      FROM qz),
+      |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |        CAST(CAST(list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.qv[i])) AS BIGINT) AS DOUBLE)
+      |          / (sqrt(q.nsq) * sqrt(c.nsq)) AS cosine
+      |      FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id)
+      |SELECT query_id, neighbor_id, cosine, rn FROM (
+      |  SELECT query_id, neighbor_id, cosine,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      |  FROM s) t
+      |WHERE rn <= 10""".stripMargin
+  ) { (s, dir) =>
+    val n = quantized(s, dir)
+    val q = n.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("nsq").as("qnsq"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    n.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        V.cosineFrom(V.dotQ(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
+          .as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+  }
+
+  /** LSH-bucketed approximate nearest neighbor (the scale path for ANN):
+    * sign-bit bucket per vector, candidates restricted to the query's
+    * bucket, exact cosine re-rank. Probabilistic ⇒ rows-only; recall vs
+    * q31 asserted in ScalaTest. */
+  val annLsh: Q = Q.rowsOnly("q32_ann_lsh") { (s, dir) =>
+    val n = quantized(s, dir)
+      .withColumn("bucket", V.lshBucket(col("qv"), nBits = 8, dims = 64))
+    val q = n.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("nsq").as("qnsq"), col("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    n.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        V.cosineFrom(V.dotQ(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
+          .as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+  }
+
+  /** Multimodal: opaque binary payload + byte-level metadata (oracle-
+    * checkable part — octet length, digest, kind bucket). */
+  val binaryMeta: Q = Q(
+    "q33_binary_meta",
+    """SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS digest,
+      |       CASE WHEN strlen(text) >= 400 THEN 'large'
+      |            WHEN strlen(text) >= 150 THEN 'medium'
+      |            ELSE 'small' END AS kind
+      |FROM documents""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      octet_length(col("text")).as("n_bytes"),
+      md5(col("text")).as("digest"),
+      when(octet_length(col("text")) >= 400, "large")
+        .when(octet_length(col("text")) >= 150, "medium")
+        .otherwise("small").as("kind"))
+  }
+
+  /** Multimodal decode plumbing (STUB codec — see Multimodal.scala):
+    * partition-wise decode to a typed schema + declarative frame
+    * sampling. Rows-only (the stub is JVM-hash-based). */
+  val multimodalDecode: Q = Q.rowsOnly("q34_multimodal_decode") { (s, dir) =>
+    val meta = Multimodal.decodeMeta(s, Multimodal.withPayload(t(s, dir, "documents")))
+    Multimodal.sampleFrames(meta.toDF(), stride = 24)
+      .select(col("doc_id"), col("n_bytes"), col("mime"), col("width"),
+        col("height"), col("n_frames"), size(col("sampled_frames")).as("n_sampled"))
+  }
+
+  val all: Seq[Q] = Seq(textStats, langId, fingerprintQ, ngramJaccard,
+    minhashLsh, simhash, embeddingNeardup, knnCosine, annLsh, binaryMeta,
+    multimodalDecode)
+}

@@ -4,7 +4,7 @@ package graft.queries
   * (SURVEY.md §2 + the LLM-data-pipeline extensions).
   */
 object Registry {
-  val all: Seq[Q] = RelationalQueries.all ++ AnalyticQueries.all
+  val all: Seq[Q] = RelationalQueries.all ++ AnalyticQueries.all ++ LlmQueries.all
 
   def byName(name: String): Q = all.find(_.name == name).get
 }

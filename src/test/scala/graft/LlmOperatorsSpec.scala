@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.queries.{LlmQueries, Registry}
+
+/** Property tests tying the probabilistic operators (MinHash-LSH,
+  * SimHash, ANN-LSH) to their exact counterparts, plus the multimodal
+  * plumbing contract. */
+class LlmOperatorsSpec extends SparkSpec {
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    Registry.byName(name).fn(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash-LSH candidates recover all exact-Jaccard>=0.5 pairs") {
+    val exact = pairs("q27_ngram_jaccard")
+    val approx = pairs("q28_minhash_lsh")
+    assert(exact.nonEmpty)
+    // 16 bands x 4 rows: P[miss | j>=0.5] = (1-j^4)^16 <= 1.2% per pair;
+    // on the planted dupes (j>=0.8) it is < 1e-8 — require full recall.
+    assert(exact.subsetOf(approx),
+      s"missed pairs: ${exact.diff(approx).take(5)}")
+  }
+
+  test("minhash-LSH emits only verified pairs (jaccard >= 0.5)") {
+    val bad = Registry.byName("q28_minhash_lsh").fn(spark, sf)
+      .filter(col("jaccard") < 0.5).count()
+    assert(bad == 0)
+  }
+
+  test("simhash near-dup pairs cover the planted (jaccard>=0.8) dupes") {
+    val exact = pairs("q27_ngram_jaccard")
+    val sim = pairs("q29_simhash")
+    // simhash is approximate and this corpus draws from a ~40-word
+    // vocabulary (high baseline similarity): require 75% recall on the
+    // planted dupes rather than exactness.
+    val recall = exact.count(sim.contains).toDouble / exact.size
+    assert(recall >= 0.75, s"simhash recall $recall")
+  }
+
+  test("ANN-LSH cosines agree with brute-force values for shared pairs") {
+    val exact = Registry.byName("q31_knn_cosine").fn(spark, sf)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val approx = Registry.byName("q32_ann_lsh").fn(spark, sf)
+      .select("query_id", "neighbor_id", "cosine").collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      exact.get(k).foreach { c =>
+        assert(c == r.getDouble(2), s"cosine mismatch at $k")
+      }
+    }
+  }
+
+  test("multimodal decode is deterministic, typed, and frame-sampled") {
+    val run1 = Registry.byName("q34_multimodal_decode").fn(spark, sf).collect()
+    val run2 = Registry.byName("q34_multimodal_decode").fn(spark, sf).collect()
+    assert(run1.toSet == run2.toSet)
+    run1.foreach { r: Row =>
+      val frames = r.getAs[Int]("n_frames")
+      val sampled = r.getAs[Int]("n_sampled")
+      assert(sampled == (frames + 23) / 24,
+        s"doc ${r.getAs[Long]("doc_id")}: $frames frames, $sampled sampled")
+      assert(r.getAs[Int]("width") % 160 == 0)
+    }
+  }
+
+  test("payload metadata matches the source text bytes") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val bad = Multimodal.withPayload(docs)
+      .filter(octet_length(col("payload")) =!= col("n_bytes")).count()
+    assert(bad == 0)
+  }
+
+  test("quantized cosine is symmetric and self-similarity is 1") {
+    import graft.functions.{VectorFunctions => V}
+    val e = graft.sources.Tables.load(spark, sf, "embeddings").limit(50)
+      .select(col("vec_id"), V.quantize(col("embedding")).as("qv"))
+      .withColumn("nsq", V.normSqQ(col("qv")))
+    val selfSim = e.select(
+      V.cosineFrom(V.dotQ(col("qv"), col("qv")), col("nsq"), col("nsq")).as("c"))
+      .filter(abs(col("c") - 1.0) > 1e-12).count()
+    assert(selfSim == 0)
+  }
+}
