@@ -1,0 +1,61 @@
+package graft.state
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** S1 / §1.1 — the "KTable" layer: latest-value-per-key views of a
+  * record stream, the load-bearing piece that lets interactive queries
+  * run over materialized state (SURVEY.md §7.4.3).
+  *
+  * Batch form: one `max_by(struct(*), ts)` aggregation — a single
+  * shuffle on the key, no per-key point-get loops. Streaming form: the
+  * same expression in update mode, materialized per micro-batch via
+  * `foreachBatch` into a queryable view.
+  */
+object MaterializedViews {
+
+  /** Latest row per key, ordered by `tsCol` (ties broken by the struct's
+    * remaining field order — pass a monotone ts for full determinism). */
+  def latestPerKey(df: DataFrame, keyCols: Seq[String], tsCol: String): DataFrame = {
+    val others = df.columns.filterNot(keyCols.contains)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*), col(tsCol)).as("r"))
+      .select(keyCols.map(col) ++ others.map(c => col(s"r.$c")): _*)
+  }
+
+  /** J6 — as-of view: latest row per key at or before `cutoff`, looking
+    * back at most `lookbackDays` (StateStoresManager.java:212-229 probes
+    * day-by-day; this is one ranked scan). */
+  def asOf(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      cutoff: java.sql.Timestamp, lookbackDays: Int): DataFrame = {
+    val lo = new java.sql.Timestamp(
+      cutoff.getTime - lookbackDays * 86400000L)
+    latestPerKey(
+      df.filter(col(tsCol) <= lit(cutoff) && col(tsCol) >= lit(lo)),
+      keyCols, tsCol)
+  }
+
+  /** Register a (streaming) DataFrame as a continuously-maintained
+    * queryable view: every micro-batch folds into a GLOBAL temp view
+    * (`global_temp.<viewName>`; foreachBatch runs in a cloned session,
+    * so a plain temp view would be invisible to the serving session) —
+    * the Structured-Streaming analog of the reference's interactive-
+    * query state stores (bot StateStoresManager.java). */
+  def serveAsView(streaming: DataFrame, keyCols: Seq[String], tsCol: String,
+      viewName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val qualified = s"global_temp.$viewName"
+        val prev =
+          if (spark.catalog.tableExists(qualified)) Some(spark.table(qualified))
+          else None
+        val all = prev.map(_.unionByName(batch)).getOrElse(batch)
+        latestPerKey(all, keyCols, tsCol)
+          .localCheckpoint(eager = true) // cut lineage across batches
+          .createOrReplaceGlobalTempView(viewName)
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.core.StampedDelta
+
+/** A3/A4/A5/P4 — the reference's 1-day tumbling-window daily topology
+  * (Covid19Stats.java:137-167,244-270): sum the deltas per window, carry
+  * the latest currents, re-key by (state, window-start dd/MM/yyyy), and
+  * derive the doubling rate.
+  *
+  * Declarative Spark form: `window($"eventTime","1 day")` + built-in
+  * aggregates (map-side partial aggregation for free; the reference's
+  * per-partition single-phase aggregate can't do that). `max_by` carries
+  * the newest currents — the typed UDAF the reference hand-writes.
+  * Works for batch and (update-mode) streaming alike.
+  */
+object DailyAgg {
+
+  /** Daily windowed aggregate over statewise deltas. */
+  def statewiseDaily(in: Dataset[StampedDelta]): DataFrame =
+    in.toDF()
+      .groupBy(window(col("eventTime"), "1 day").as("w"), col("delta.state").as("state"))
+      .agg(
+        sum(col("delta.deltaConfirmed")).as("deltaConfirmed"),
+        sum(col("delta.deltaRecovered")).as("deltaRecovered"),
+        sum(col("delta.deltaDeaths")).as("deltaDeaths"),
+        max_by(col("delta.currentConfirmed"), col("eventTime")).as("currentConfirmed"),
+        max_by(col("delta.currentRecovered"), col("eventTime")).as("currentRecovered"),
+        max_by(col("delta.currentDeaths"), col("eventTime")).as("currentDeaths"),
+        max_by(col("delta.lastUpdatedTime"), col("eventTime")).as("lastUpdatedTime"))
+      // A5: windowed key → (state, dd/MM/yyyy date) composite
+      .select(col("state"),
+        date_format(col("w.start"), "dd/MM/yyyy").as("date"),
+        col("deltaConfirmed"), col("deltaRecovered"), col("deltaDeaths"),
+        col("currentConfirmed"), col("currentRecovered"), col("currentDeaths"),
+        col("lastUpdatedTime"))
+
+  /** P4 — doubling-rate projection (Covid19Stats.java:196-203):
+    * "0" when delta or current is 0, else
+    * DecimalFormat("0").format(Math.round(70.0 / growthPercent)).
+    * Math.round(x) = floor(x + 0.5) — replicated exactly. */
+  def doublingRate(deltaConfirmed: Column, currentConfirmed: Column): Column =
+    when(deltaConfirmed === 0L || currentConfirmed === 0L, lit("0"))
+      .otherwise(
+        floor(lit(70.0) / (lit(100.0) * deltaConfirmed / currentConfirmed) + lit(0.5))
+          .cast("string"))
+
+  /** The `doubling-rate` topic analog: (state, date) → rate string. */
+  def doublingRates(daily: DataFrame): DataFrame =
+    daily.select(col("state"), col("date"),
+      doublingRate(col("deltaConfirmed"), col("currentConfirmed")).as("doublingRate"))
+}

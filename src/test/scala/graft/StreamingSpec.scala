@@ -1,0 +1,181 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.state.MaterializedViews
+import graft.streaming.{DailyAgg, DeltaTracker, NewsDedup}
+
+/** The reference's streaming topologies under MemoryStream — covering
+  * what its own tests leave untested (SURVEY.md §5.2). Golden numbers
+  * from FIXTURES.md §1 (AlertTextTests fixtures). */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val snap1 = StatewiseStats("4729", "5341", "157", "455",
+    "Total", "TT", "08/04/2020 00:04:28")
+  private val snap2 = StatewiseStats("4745", "5372", "160", "463",
+    "Total", "TT", "08/04/2020 06:00:00")
+  private val t1 = ts("2020-04-08 00:04:28")
+  private val t2 = ts("2020-04-08 06:00:00")
+
+  test("delta tracker: first snapshot deltas = totals, second = diffs (golden)") {
+    import spark.implicits._
+    val in = Seq(StampedStats(t1, snap1), StampedStats(t2, snap2)).toDS()
+    val out = DeltaTracker.statewise(in).collect().sortBy(_.eventTime.getTime)
+    assert(out.length == 2)
+    val d1 = out(0).delta
+    assert((d1.deltaConfirmed, d1.deltaDeaths, d1.deltaRecovered) == ((5341L, 157L, 455L)))
+    val d2 = out(1).delta
+    assert((d2.deltaConfirmed, d2.deltaDeaths, d2.deltaRecovered) == ((31L, 3L, 8L)))
+    assert(d2.currentConfirmed == 5372L && d2.lastUpdatedTime == "08/04/2020 06:00:00")
+  }
+
+  test("delta tracker: state persists across micro-batches (streaming)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[StampedStats]
+    val q = DeltaTracker.statewise(ms.toDS())
+      .writeStream.format("memory").queryName("deltas_t")
+      .outputMode("append").start()
+    try {
+      ms.addData(StampedStats(t1, snap1))
+      q.processAllAvailable()
+      ms.addData(StampedStats(t2, snap2))
+      q.processAllAvailable()
+      val rows = spark.table("deltas_t").as[StampedDelta]
+        .collect().sortBy(_.eventTime.getTime)
+      assert(rows.length == 2)
+      assert(rows(1).delta.deltaConfirmed == 31L)
+      assert(rows(1).delta.deltaRecovered == 8L)
+      assert(rows(1).delta.deltaDeaths == 3L)
+    } finally q.stop()
+  }
+
+  test("district tracker: composite key, string-typed numerics") {
+    import spark.implicits._
+    val d1 = DistrictwiseData("Maharashtra", "Mumbai", confirmed = "100",
+      recovered = "20", deceased = "5")
+    val d2 = DistrictwiseData("Maharashtra", "Mumbai", confirmed = "130",
+      recovered = "26", deceased = "6")
+    val in = Seq(StampedDistrict(t1, d1), StampedDistrict(t2, d2)).toDS()
+    val out = DeltaTracker.districtwise(in).collect().sortBy(_.eventTime.getTime)
+    assert(out(0).data.deltaConfirmed == "100")
+    assert(out(1).data.deltaConfirmed == "30")
+    assert(out(1).data.deltaRecovered == "6")
+    assert(out(1).data.deltaDeceased == "1")
+    assert(out(1).data.confirmed == "130")
+  }
+
+  test("daily agg: window sums deltas, carries latest currents, dd/MM/yyyy key") {
+    import spark.implicits._
+    val deltas = DeltaTracker.statewise(
+      Seq(StampedStats(t1, snap1), StampedStats(t2, snap2)).toDS())
+    val daily = DailyAgg.statewiseDaily(deltas).collect()
+    assert(daily.length == 1)
+    val r = daily(0)
+    assert(r.getAs[String]("date") == "08/04/2020")
+    assert(r.getAs[Long]("deltaConfirmed") == 5372L) // 5341 + 31
+    assert(r.getAs[Long]("deltaDeaths") == 160L)
+    assert(r.getAs[Long]("currentConfirmed") == 5372L)
+    assert(r.getAs[String]("lastUpdatedTime") == "08/04/2020 06:00:00")
+  }
+
+  test("doubling rate matches DecimalFormat(0).format(Math.round(70/growth))") {
+    import spark.implicits._
+    // growth = 100*31/5372 = 0.577%, 70/0.577 = 121.3 -> "121"
+    val df = Seq((31L, 5372L), (0L, 100L), (100L, 0L), (5372L, 5372L)).toDF("d", "c")
+    val got = df.select(DailyAgg.doublingRate(col("d"), col("c")).as("r"))
+      .as[String].collect().toSeq
+    assert(got == Seq("121", "0", "0", "1"))
+  }
+
+  test("dedup with TTL refresh: duplicates keep suppressing (ST3)") {
+    import spark.implicits._
+    def p(src: String) = PatientInfo(currentstatus = "Hospitalized",
+      detectedstate = "Assam", source1 = src)
+    val day = 86400000L
+    def at(d: Int) = new Timestamp(ts("2020-04-01 00:00:00").getTime + d * day)
+    // ttl 7d -> dup window = ttl/2 = 3.5d around last seen
+    val in = Seq(
+      StampedPatient(at(0), p("srcA")),   // emit (first)
+      StampedPatient(at(1), p("srcA")),   // dup, refreshes
+      StampedPatient(at(4), p("srcA")),   // 3d after refresh -> still dup, refreshes
+      StampedPatient(at(10), p("srcA")),  // 6d after refresh -> emit
+      StampedPatient(at(2), p("srcB"))    // different id -> emit
+    ).toDS()
+    val out = NewsDedup.dedupWithTtl(in, ttlMs = 7 * day).collect()
+    val times = out.filter(r => NewsDedup.bestNewsSource(r.patient) == "srcA")
+      .map(_.eventTime).sortBy(_.getTime)
+    assert(times.toSeq == Seq(at(0), at(10)))
+    assert(out.count(r => NewsDedup.bestNewsSource(r.patient) == "srcB") == 1)
+  }
+
+  test("news-sources pipeline: clean, recency window, best source, re-key") {
+    import spark.implicits._
+    val today = java.time.LocalDate.of(2020, 4, 8)
+    val in = Seq(
+      StampedPatient(t1, PatientInfo(dateannounced = "08/04/2020",
+        detectedstate = "Assam", currentstatus = "Recovered",
+        source1 = "s1", source3 = "s3")),
+      StampedPatient(t1, PatientInfo(dateannounced = "02/04/2020",
+        detectedstate = "Delhi", currentstatus = "Hospitalized",
+        source2 = "s2")),                                    // 6d ago: inside
+      StampedPatient(t1, PatientInfo(dateannounced = "01/04/2020",
+        detectedstate = "Kerala", currentstatus = "Hospitalized",
+        source1 = "s1")),                                    // 7d ago: outside
+      StampedPatient(t1, PatientInfo(dateannounced = "08/04/2020",
+        detectedstate = "Goa", currentstatus = "",
+        source1 = "sX"))                                     // unclean
+    ).toDS()
+    val out = NewsDedup.newsSources(in, ttlMs = 7 * 86400000L, today)
+      .collect().toSet
+    assert(out == Set(("Assam", "s3"), ("Delhi", "s2")))
+  }
+
+  test("latestPerKey equals ranked-scan as-of on real data") {
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select("user_id", "event_id", "ts", "value")
+    val got = MaterializedViews.latestPerKey(ev, Seq("user_id"), "event_id")
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val exp = ev.groupBy("user_id").agg(max("event_id").as("m")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == exp)
+  }
+
+  test("serveAsView maintains a queryable latest-per-key view across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[StampedStats]
+    val q = MaterializedViews.serveAsView(
+      DeltaTracker.statewise(ms.toDS()).toDF()
+        .select(col("eventTime"), col("delta.*")),
+      Seq("state"), "eventTime", "delta_view")
+    try {
+      ms.addData(StampedStats(t1, snap1))
+      q.processAllAvailable()
+      ms.addData(StampedStats(t2, snap2))
+      q.processAllAvailable()
+      val rows = spark.table("global_temp.delta_view").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Long]("currentConfirmed") == 5372L)
+      assert(rows(0).getAs[Long]("deltaConfirmed") == 31L)
+    } finally q.stop()
+  }
+
+  test("UserPrefs JSON round-trip (serde fidelity)") {
+    import spark.implicits._
+    val prefs = Seq(UserPrefs("u1", Seq("Assam", "Delhi"), subscribed = true))
+    val json = prefs.toDS().select(to_json(struct(col("*"))).as("j"))
+      .as[String].collect().head
+    val back = spark.read.json(spark.createDataset(Seq(json)))
+      .select(col("userId"), col("myStates"), col("subscribed"))
+      .as[UserPrefs].collect().head
+    assert(back == prefs.head)
+  }
+}
