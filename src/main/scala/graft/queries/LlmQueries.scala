@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.functions.expressions.GraftExpressions.{dotQFast, minhashSig}
 import graft.operators.Multimodal
 import graft.sources.Tables
 
@@ -23,11 +24,12 @@ object LlmQueries {
   private val stopWords = Seq("the", "a", "of", "and", "to")
 
   /** Quantized embeddings with exact integer squared norms (see
-    * VectorFunctions for the determinism argument). */
+    * VectorFunctions for the determinism argument; DotProductL for the
+    * codegen hot path — same integer math, so oracles are unaffected). */
   private def quantized(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"), V.quantize(col("embedding")).as("qv"))
-      .withColumn("nsq", V.normSqQ(col("qv")))
+      .withColumn("nsq", dotQFast(col("qv"), col("qv")))
 
   /** Text quality metrics: token/char counts, stopword ratio, average
     * token length, quality bucket. */
@@ -132,11 +134,18 @@ object LlmQueries {
       |JOIN sizes sb ON doc_b = sb.doc_id
       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5""".stripMargin
   ) { (s, dir) =>
+    // shuffle/join on 8-byte shingle hashes, not ~20-char strings
+    // (xxhash64 collision odds over ~10^5 distinct shingles: ~1e-9)
+    // materialize the token array before shingling: subexpressions
+    // inside array lambdas are re-evaluated per element (no CSE), so an
+    // inlined split(text) would rerun once per shingle per access.
     val sh = t(s, dir, "documents")
-      .select(col("doc_id"), explode(T.shingles3(T.words(col("text")))).as("s"))
+      .select(col("doc_id"), T.words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(T.shingles3(col("ws"))).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     pairs
@@ -159,29 +168,39 @@ object LlmQueries {
     val bandRows = 4
     val nBands = K / bandRows
     Q.rowsOnly("q28_minhash_lsh") { (s, dir) =>
+      // persist the shingle projection: it feeds signature generation AND
+      // both verify-side joins — without it the shingling runs 3x (at
+      // cluster scale this would be a persisted intermediate table).
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"), T.shingles3(T.words(col("text"))).as("shs"))
+        .select(col("doc_id"), T.words(col("text")).as("ws"))
+        .select(col("doc_id"), T.shingles3(col("ws")).as("shs"))
         .filter(size(col("shs")) > 0)
-      // K minhashes per doc, no shuffle: min over a per-row transform.
-      val minhashes: Seq[Column] = (0 until K).map { i =>
-        array_min(transform(col("shs"), sh => xxhash64(lit(i), sh))).as(s"mh$i")
-      }
-      val sigs = docs.select((col("doc_id") +: col("shs").as("shs") +: minhashes): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // K minhashes per doc, no shuffle: one MinHashSig eval per row
+      // (native expression — k×n hashing in a tight loop, not k
+      // interpreted transforms).
+      val sigs = docs.select(col("doc_id"), col("shs"),
+        minhashSig(col("shs"), K).as("sig"))
       // band key = hash of the band's minhash slice
       val bands = (0 until nBands).map { b =>
-        val slice = (0 until bandRows).map(r => col(s"mh${b * bandRows + r}"))
+        val slice = (0 until bandRows).map(r => col("sig").getItem(b * bandRows + r))
         struct(lit(b).as("band"), xxhash64(slice: _*).as("key"))
       }
+      // buckets stay narrow (doc_id, band, key) — the band self-join
+      // shuffles 24 bytes/row, not the shingle arrays; shingles are
+      // re-attached only for the (few) surviving candidate pairs.
       val buckets = sigs
-        .select(col("doc_id"), col("shs"), explode(array(bands: _*)).as("bk"))
-        .select(col("doc_id"), col("shs"), col("bk.band"), col("bk.key"))
-      val cands = buckets.as("a")
+        .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.key"))
+      val candIds = buckets.as("a")
         .join(buckets.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.shs").as("sha"), col("b.shs").as("shb"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .dropDuplicates("doc_a", "doc_b")
+      val cands = candIds
+        .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("sha")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("shb")), "doc_b")
       // exact verify on candidates only
       cands
         .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
@@ -196,18 +215,14 @@ object LlmQueries {
     * banded prefilter on 16-bit chunks, Hamming-distance verify.
     * Probabilistic ⇒ rows-only; unit-tested. */
   val simhash: Q = Q.rowsOnly("q29_simhash") { (s, dir) =>
-    // frequency-weighted (textbook) simhash: explode without distinct so
-    // each occurrence votes — separates docs sharing a small vocabulary.
-    val tok = t(s, dir, "documents")
-      .select(col("doc_id"), explode(T.words(col("text"))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val sig = tok
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(63))).as("bit"))
-      .withColumn("sign", when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1))
-      .groupBy("doc_id", "bit").agg(sum(col("sign")).as("bsum"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("bsum") > 0, expr("shiftleft(1L, bit)")).otherwise(0L))
-        .as("simhash"))
+    // frequency-weighted (textbook) simhash — every token occurrence
+    // votes ±1 per bit. One native-expression pass per doc; the naive
+    // plan (explode 64 bits per token + two groupBys) shuffles 64x the
+    // corpus.
+    import graft.functions.expressions.GraftExpressions.simhashSig
+    val sig = t(s, dir, "documents")
+      .select(col("doc_id"), T.words(col("text")).as("ws"))
+      .select(col("doc_id"), simhashSig(col("ws")).as("simhash"))
     val bands = sig.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("chunk", expr("(simhash >> (band * 16)) & 65535"))
@@ -243,7 +258,7 @@ object LlmQueries {
     n.as("a")
       .join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        V.cosineFrom(V.dotQ(col("a.qv"), col("b.qv")), col("a.nsq"), col("b.nsq"))
+        V.cosineFrom(dotQFast(col("a.qv"), col("b.qv")), col("a.nsq"), col("b.nsq"))
           .as("cosine"))
       .filter(col("cosine") >= 0.4)
   }
@@ -275,7 +290,7 @@ object LlmQueries {
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     n.join(broadcast(q), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        V.cosineFrom(V.dotQ(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
+        V.cosineFrom(dotQFast(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
           .as("cosine"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
@@ -295,7 +310,7 @@ object LlmQueries {
     n.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        V.cosineFrom(V.dotQ(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
+        V.cosineFrom(dotQFast(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
           .as("cosine"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)

@@ -77,6 +77,36 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("DotProductL (codegen) equals the declarative zip_with/aggregate dot") {
+    import graft.functions.{VectorFunctions => V}
+    import graft.functions.expressions.GraftExpressions.dotQFast
+    val e = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), V.quantize(col("embedding")).as("qv"))
+    val a = e.as("a")
+    val b = e.as("b")
+    val mismatches = a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .filter(col("a.vec_id") < 30 && col("b.vec_id") < 60)
+      .select(
+        V.dotQ(col("a.qv"), col("b.qv")).as("slow"),
+        dotQFast(col("a.qv"), col("b.qv")).as("fast"))
+      .filter(col("slow") =!= col("fast")).count()
+    assert(mismatches == 0)
+  }
+
+  test("MinHashSig: length k, identical inputs share signatures, estimates Jaccard") {
+    import graft.functions.{TextFunctions => T}
+    import graft.functions.expressions.GraftExpressions.minhashSig
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), T.shingles3(T.words(col("text"))).as("shs"))
+      .withColumn("sig", minhashSig(col("shs"), 64))
+    assert(d.filter(size(col("sig")) =!= 64).count() == 0)
+    // a doc joined to itself: all 64 positions equal => estimate 1.0
+    val self = d.as("a").join(d.as("b"), col("a.doc_id") === col("b.doc_id"))
+      .select(size(array_intersect(col("a.sig"), col("b.sig"))).as("eq")).limit(5)
+      .collect()
+    assert(self.forall(_.getInt(0) == 64))
+  }
+
   test("quantized cosine is symmetric and self-similarity is 1") {
     import graft.functions.{VectorFunctions => V}
     val e = graft.sources.Tables.load(spark, sf, "embeddings").limit(50)
