@@ -65,6 +65,18 @@ final case class PatientInfo(
   * instead of tombstones). */
 final case class UserPrefs(userId: String, myStates: Seq[String], subscribed: Boolean)
 
+/** Testing metrics per state — the fields the alert renderer touches
+  * (StatewiseTestData.java:14-33, all String). */
+final case class StatewiseTestData(
+    negative: String = "",
+    positive: String = "",
+    totaltested: String = "",
+    unconfirmed: String = "",
+    updatedon: String = "",
+    testreportedtoday: String = "",
+    positivereportedtoday: String = "",
+    state: String = "")
+
 /** Event-time-stamped wrappers for the streaming topologies (the Kafka
   * record timestamp in the reference, ST1). */
 final case class StampedStats(eventTime: Timestamp, stats: StatewiseStats)

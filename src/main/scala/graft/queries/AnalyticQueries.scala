@@ -276,7 +276,57 @@ object AnalyticQueries {
         count(lit(1)).as("n_orders"))
   }
 
+  /** ST5 — sessionization (absent in the reference; SURVEY.md §2.8 lists
+    * it as the available extension): 30-minute-gap sessions per user.
+    * Expressed as gap→flag→cumulative-sum so the DuckDB oracle can state
+    * identical semantics; `session_window()` is the streaming form. */
+  val sessionize: Q = Q(
+    "q35_sessionize",
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+      |         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+      |                OVER (PARTITION BY user_id ORDER BY event_id) > 1800000
+      |              OR lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_id, ts_ms,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |       min(ts_ms) AS session_start_ms,
+      |       max(ts_ms) - min(ts_ms) AS duration_ms
+      |FROM s GROUP BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000000").as("ts_ms"))
+      .withColumn("new_session",
+        when(col("ts_ms") - lag(col("ts_ms"), 1).over(w) > 1800000L ||
+          lag(col("ts_ms"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("session_start_ms"),
+        (max(col("ts_ms")) - min(col("ts_ms"))).as("duration_ms"))
+  }
+
+  /** HLL approximate distinct (SURVEY.md §2.4 "absent: distinct-count,
+    * HLL … available if we extend"). Sketch values differ per
+    * implementation ⇒ rows-only; the <5% error bound is unit-tested. */
+  val approxDistinct: Q = Q.rowsOnly("q36_approx_distinct") { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+  }
+
   val all: Seq[Q] = Seq(movingAvg, pivotSeries, rollupTotal, zipJoin,
     prefsArrayJoin, dedupTtl, renderSummary, summaryServe, setOps,
-    rankingSuite, arrayOps)
+    rankingSuite, arrayOps, sessionize, approxDistinct)
 }

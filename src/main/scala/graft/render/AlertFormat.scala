@@ -1,0 +1,101 @@
+package graft.render
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.core.{DistrictwiseData, StatewiseDelta, StatewiseTestData}
+
+/** Golden-compatible alert rendering (bot/BotUtils.java:160-343,
+  * district/DistrictAlertUtils.java:12-55) — byte-identical to the
+  * reference's output, proven by the mirrored AlertTextTests goldens.
+  * Rendering is a serving-edge concern: the row-level functions run
+  * driver-side on collected query results; `deltaAlertLineCol` is the
+  * distributed Column form for rendering inside a plan at scale.
+  */
+object AlertFormat {
+
+  private def positivityFormatter = new java.text.DecimalFormat("0.00")
+
+  private def plural(n: Long, one: String, many: String): String =
+    if (n == 1L) one else many
+
+  /** "15 new cases, 4 deaths in Delhi\n"; empty for Total / all-zero
+    * (BotUtils.java:250-284). */
+  def deltaAlertLine(d: StatewiseDelta): String =
+    if (d.state.equalsIgnoreCase("total")) ""
+    else {
+      val parts = Seq(
+        Option.when(d.deltaConfirmed > 0L)(
+          s"${d.deltaConfirmed} new ${plural(d.deltaConfirmed, "case", "cases")}"),
+        Option.when(d.deltaDeaths > 0L)(
+          s"${d.deltaDeaths} ${plural(d.deltaDeaths, "death", "deaths")}"),
+        Option.when(d.deltaRecovered > 0L)(
+          s"${d.deltaRecovered} ${plural(d.deltaRecovered, "recovery", "recoveries")}")
+      ).flatten
+      if (parts.isEmpty) "" else parts.mkString(", ") + s" in ${d.state}\n"
+    }
+
+  /** District variant, keyed by district name and string-typed numerics
+    * (DistrictAlertUtils.java:25-55). */
+  def districtDeltaAlertLine(d: DistrictwiseData): String = {
+    val dc = d.deltaConfirmed.toLong
+    val dd = d.deltaDeceased.toLong
+    val dr = d.deltaRecovered.toLong
+    val parts = Seq(
+      Option.when(dc > 0L)(s"${d.deltaConfirmed} new ${plural(dc, "case", "cases")}"),
+      Option.when(dd > 0L)(s"${d.deltaDeceased} ${plural(dd, "death", "deaths")}"),
+      Option.when(dr > 0L)(s"${d.deltaRecovered} ${plural(dr, "recovery", "recoveries")}")
+    ).flatten
+    if (parts.isEmpty) "" else parts.mkString(", ") + s" in ${d.district}\n"
+  }
+
+  /** Per-state summary block (BotUtils.java:193-216). */
+  def summaryBlock(delta: StatewiseDelta, daily: StatewiseDelta,
+      doublingRate: String): String =
+    s"\n<b>${delta.state}</b>\n<pre>\n" +
+      s"Total cases  : (↑${daily.deltaConfirmed}) ${delta.currentConfirmed}\n" +
+      s"Active       : (↑${daily.deltaConfirmed - daily.deltaRecovered - daily.deltaDeaths}) " +
+      s"${delta.currentConfirmed - delta.currentRecovered - delta.currentDeaths}\n" +
+      s"Recovered    : (↑${daily.deltaRecovered}) ${delta.currentRecovered}\n" +
+      s"Deaths       : (↑${daily.deltaDeaths}) ${delta.currentDeaths}\n" +
+      s"Doubling rate: $doublingRate days\n</pre>"
+
+  /** Testing-data block incl. positivity rate = 100·positive/tested
+    * rendered DecimalFormat("0.00") (BotUtils.java:218-247). */
+  def testingBlock(t: StatewiseTestData): String = {
+    val positivity =
+      if (t.positive.isEmpty || t.totaltested.isEmpty) "0"
+      else positivityFormatter.format(100.0 * t.positive.toLong / t.totaltested.toLong)
+    "\n<pre>" +
+      s"Total tested   : (↑${if (t.testreportedtoday.isEmpty) "?" else t.testreportedtoday}) ${t.totaltested}\n" +
+      s"Positive       : (↑${if (t.positivereportedtoday.isEmpty) "?" else t.positivereportedtoday}) ${t.positive}\n" +
+      s"Negative       : ${if (t.negative == null) "N/A" else t.negative}\n" +
+      s"Unconfirmed    : ${if (t.unconfirmed == null) "N/A" else t.unconfirmed}\n" +
+      s"Positivity rate: $positivity%\n" +
+      s"Last updated   : ${t.updatedon}\n" +
+      "</pre>\n"
+  }
+
+  /** Full summary = block + optional testing block, per state pair
+    * (BotUtils.java:190-239 zip of deltas × dailies). */
+  def summaryAlert(delta: StatewiseDelta, daily: StatewiseDelta,
+      doublingRate: String, testing: Option[StatewiseTestData]): String =
+    summaryBlock(delta, daily, doublingRate) +
+      testing.map(testingBlock).getOrElse("")
+
+  /** Distributed Column form of deltaAlertLine: render alert lines
+    * inside the plan (no collect) for fanout at scale. `concat_ws`
+    * skips NULL segments, which reproduces the reference's conditional
+    * comma-joining exactly. */
+  def deltaAlertLineCol(dc: Column, dd: Column, dr: Column, state: Column): Column = {
+    def seg(n: Column, infix: String, one: String, many: String): Column =
+      when(n > 0L, concat(n.cast("string"), lit(infix),
+        when(n === 1L, one).otherwise(many)))
+    val joined = concat_ws(", ",
+      seg(dc, " new ", "case", "cases"),
+      seg(dd, " ", "death", "deaths"),
+      seg(dr, " ", "recovery", "recoveries"))
+    when(lower(state) === "total" || joined === "", lit(""))
+      .otherwise(concat(joined, lit(" in "), state, lit("\n")))
+  }
+}

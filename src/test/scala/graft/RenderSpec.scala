@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.core.{DistrictwiseData, StatewiseDelta, StatewiseTestData}
+import graft.render.AlertFormat
+
+/** Byte-identical goldens mirrored from the reference's own test suite
+  * (AlertTextTests.java, DistrictAlertUtilsTest.java — FIXTURES.md). */
+class RenderSpec extends SparkSpec {
+
+  private def delta(dr: Long, dd: Long, dc: Long, cr: Long = 0, cd: Long = 0,
+      cc: Long = 0, state: String): StatewiseDelta =
+    StatewiseDelta(dr, dd, dc, cr, cd, cc, "", state)
+
+  test("delta alert lines (AlertTextTests:23-64 goldens)") {
+    assert(AlertFormat.deltaAlertLine(delta(0, 0, 1, state = "Delhi"))
+      == "1 new case in Delhi\n")
+    assert(AlertFormat.deltaAlertLine(delta(0, 0, 10, state = "Delhi"))
+      == "10 new cases in Delhi\n")
+    assert(AlertFormat.deltaAlertLine(delta(9, 0, 15, state = "Maharashtra"))
+      == "15 new cases, 9 recoveries in Maharashtra\n")
+    assert(AlertFormat.deltaAlertLine(delta(0, 4, 15, state = "Delhi"))
+      == "15 new cases, 4 deaths in Delhi\n")
+    assert(AlertFormat.deltaAlertLine(delta(9, 3, 0, state = "Delhi"))
+      == "3 deaths, 9 recoveries in Delhi\n")
+    assert(AlertFormat.deltaAlertLine(delta(9, 3, 5, state = "Total")) == "")
+    assert(AlertFormat.deltaAlertLine(delta(0, 0, 0, state = "Delhi")) == "")
+  }
+
+  test("summary block (AlertTextTests:66-85 golden)") {
+    val golden = "\n<b>Total</b>\n<pre>\n" +
+      "Total cases  : (↑15) 5341\n" +
+      "Active       : (↑2) 4729\n" +
+      "Recovered    : (↑9) 455\n" +
+      "Deaths       : (↑4) 157\n" +
+      "Doubling rate: 250 days\n</pre>"
+    val d = StatewiseDelta(9L, 4L, 15L, 455L, 157L, 5341L, "", "Total")
+    val daily = StatewiseDelta(9L, 4L, 15L, 0L, 0L, 0L, "", "Total")
+    assert(AlertFormat.summaryBlock(d, daily, "250") == golden)
+  }
+
+  test("summary block with testing data (AlertTextTests:87-116 golden, positivity 3.05%)") {
+    val golden = "\n<b>Delhi</b>\n<pre>\n" +
+      "Total cases  : (↑15) 5341\n" +
+      "Active       : (↑2) 4729\n" +
+      "Recovered    : (↑9) 455\n" +
+      "Deaths       : (↑4) 157\n" +
+      "Doubling rate: 250 days\n</pre>" +
+      "\n<pre>" +
+      "Total tested   : (↑19462) 53166\n" +
+      "Positive       : (↑38) 1621\n" +
+      "Negative       : 51161\n" +
+      "Unconfirmed    : 384\n" +
+      "Positivity rate: 3.05%\n" +
+      "Last updated   : 26/04/2020\n" +
+      "</pre>\n"
+    val d = StatewiseDelta(9L, 4L, 15L, 455L, 157L, 5341L, "", "Delhi")
+    val daily = StatewiseDelta(9L, 4L, 15L, 0L, 0L, 0L, "", "Delhi")
+    val t = StatewiseTestData(negative = "51161", positive = "1621",
+      totaltested = "53166", unconfirmed = "384", updatedon = "26/04/2020",
+      testreportedtoday = "19462", positivereportedtoday = "38", state = "Delhi")
+    assert(AlertFormat.summaryAlert(d, daily, "250", Some(t)) == golden)
+  }
+
+  test("district alert line (DistrictAlertUtilsTest golden)") {
+    val d = DistrictwiseData("Maharashtra", "Mumbai", "120", "90", "5", "9",
+      "12", "3", "1", "")
+    assert(AlertFormat.districtDeltaAlertLine(d)
+      == "12 new cases, 1 death, 3 recoveries in Mumbai\n")
+  }
+
+  test("distributed Column renderer matches the driver-side renderer") {
+    import spark.implicits._
+    val cases = Seq(
+      (0L, 0L, 1L, "Delhi"), (0L, 0L, 10L, "Delhi"),
+      (9L, 0L, 15L, "Maharashtra"), (0L, 4L, 15L, "Delhi"),
+      (9L, 3L, 0L, "Delhi"), (9L, 3L, 5L, "Total"), (0L, 0L, 0L, "Delhi"))
+    val df = cases.toDF("dr", "dd", "dc", "state")
+    val got = df.select(AlertFormat.deltaAlertLineCol(
+      col("dc"), col("dd"), col("dr"), col("state")).as("line"))
+      .as[String].collect().toSeq
+    val exp = cases.map { case (dr, dd, dc, st) =>
+      AlertFormat.deltaAlertLine(StatewiseDelta(dr, dd, dc, 0, 0, 0, "", st))
+    }
+    assert(got == exp)
+  }
+}
