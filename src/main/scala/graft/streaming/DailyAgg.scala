@@ -37,6 +37,26 @@ object DailyAgg {
         col("currentConfirmed"), col("currentRecovered"), col("currentDeaths"),
         col("lastUpdatedTime"))
 
+  /** Streaming form (ST2/ST4): same aggregate behind a watermark. The
+    * reference retains windows 365 days and accepts late data up to
+    * retention (Covid19Stats.java:123,147); the watermark delay is the
+    * explicit knob here — late rows beyond it are dropped and their
+    * window state evicted. Run in update mode to reproduce the
+    * caching-disabled emit-per-update cadence at trigger granularity
+    * (SURVEY.md §7.4.2). */
+  def statewiseDailyStreaming(in: Dataset[StampedDelta], watermark: String): DataFrame =
+    in.toDF()
+      .withWatermark("eventTime", watermark)
+      .groupBy(window(col("eventTime"), "1 day").as("w"), col("delta.state").as("state"))
+      .agg(
+        sum(col("delta.deltaConfirmed")).as("deltaConfirmed"),
+        sum(col("delta.deltaRecovered")).as("deltaRecovered"),
+        sum(col("delta.deltaDeaths")).as("deltaDeaths"),
+        max_by(col("delta.currentConfirmed"), col("eventTime")).as("currentConfirmed"))
+      .select(col("state"), date_format(col("w.start"), "dd/MM/yyyy").as("date"),
+        col("deltaConfirmed"), col("deltaRecovered"), col("deltaDeaths"),
+        col("currentConfirmed"))
+
   /** P4 — doubling-rate projection (Covid19Stats.java:196-203):
     * "0" when delta or current is 0, else
     * DecimalFormat("0").format(Math.round(70.0 / growthPercent)).

@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.serve.AlertPipeline
+import graft.streaming.DeltaTracker
+
+/** End-to-end alert fanout: snapshots → delta tracker → relevance filter
+  * → preference join → rendered per-user alerts (the reference's full
+  * bot loop, minus Telegram). */
+class AlertPipelineSpec extends SparkSpec {
+
+  private def snap(state: String, confirmed: String, ts: String) =
+    StampedStats(Timestamp.valueOf(ts),
+      StatewiseStats("0", confirmed, "0", "0", state, "XX", ""))
+
+  test("fanout joins alerts to subscribed users' preferred states only") {
+    import spark.implicits._
+    val deltas = Seq(
+      StatewiseDelta(0, 0, 5, 0, 0, 100, "", "Assam"),
+      StatewiseDelta(0, 0, 0, 0, 0, 50, "", "Delhi"),   // irrelevant (P12)
+      StatewiseDelta(2, 1, 3, 0, 0, 80, "", "Kerala")
+    ).toDF()
+    val prefs = Seq(
+      UserPrefs("u1", Seq("Assam", "Delhi"), subscribed = true),
+      UserPrefs("u2", Seq("Kerala"), subscribed = true),
+      UserPrefs("u3", Seq("Assam"), subscribed = false)  // unsubscribed
+    ).toDS()
+    val got = AlertPipeline.fanout(deltas, prefs)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(got == Set(
+      ("u1", "5 new cases in Assam\n"),
+      ("u2", "3 new cases, 1 death, 2 recoveries in Kerala\n")))
+  }
+
+  test("streaming end-to-end: snapshots through tracker to per-user sends") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sent = mutable.Buffer[(String, String)]()
+    val ms = MemoryStream[StampedStats]
+    val deltaStream = DeltaTracker.statewise(ms.toDS()).toDF()
+      .select(col("eventTime"), col("delta.*"))
+    val prefs = Seq(UserPrefs("u1", Seq("Assam"), subscribed = true)).toDS()
+    val q = AlertPipeline.run(deltaStream, prefs,
+      (user, text) => sent.synchronized { sent += ((user, text)); () })
+    try {
+      ms.addData(snap("Assam", "10", "2020-04-08 00:00:00"))
+      q.processAllAvailable()
+      ms.addData(snap("Assam", "17", "2020-04-08 06:00:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(sent.toList == List(
+      ("u1", "10 new cases in Assam\n"),
+      ("u1", "7 new cases in Assam\n")))
+  }
+}

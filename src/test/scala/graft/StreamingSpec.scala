@@ -168,6 +168,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST2/ST4: watermarked daily agg drops late data beyond the delay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[StampedDelta]
+    val q = DailyAgg.statewiseDailyStreaming(ms.toDS(), "1 day")
+      .writeStream.format("memory").queryName("daily_wm")
+      .outputMode("update").start()
+    def delta(t: String, dc: Long) = StampedDelta(ts(t),
+      StatewiseDelta(0, 0, dc, 0, 0, 100, "", "Assam"))
+    try {
+      ms.addData(delta("2020-04-01 10:00:00", 5))
+      q.processAllAvailable()
+      // advance event time (and thus the watermark) far past day 1
+      ms.addData(delta("2020-04-10 10:00:00", 7))
+      q.processAllAvailable()
+      // late arrival for day 1, 9 days late with a 1-day delay: dropped
+      ms.addData(delta("2020-04-01 12:00:00", 100))
+      q.processAllAvailable()
+      val day1 = spark.table("daily_wm")
+        .filter(col("date") === "01/04/2020")
+        .select("deltaConfirmed").as[Long].collect().toSet
+      assert(day1 == Set(5L), s"late row leaked into day-1 state: $day1")
+    } finally q.stop()
+  }
+
   test("UserPrefs JSON round-trip (serde fidelity)") {
     import spark.implicits._
     val prefs = Seq(UserPrefs("u1", Seq("Assam", "Delhi"), subscribed = true))
