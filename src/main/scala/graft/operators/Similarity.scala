@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorFunctions => V}
+import graft.functions.expressions.GraftExpressions.dotQFast
+
+/** Embedding similarity-search operators (north-star surface). All
+  * cosine math runs on integer-quantized vectors (VectorFunctions) via
+  * the codegen DotProductL — bit-deterministic and whole-stage-compiled.
+  *
+  * Scale shape: the query side is broadcast; the corpus side streams
+  * through one pass (brute force) or an LSH-bucketed fraction (ANN).
+  * At 100 TB the corpus stays partitioned; nothing here shuffles it.
+  */
+object Similarity {
+
+  /** Add quantized vector + exact squared norm columns. */
+  def quantize(df: DataFrame, vecCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("vec_id"), V.quantize(col(vecCol)).as("qv"))
+      .withColumn("nsq", dotQFast(col("qv"), col("qv")))
+
+  /** Exact brute-force top-k: one corpus pass per query batch. */
+  def knnTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+      col("nsq").as("qnsq"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    corpus.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        V.cosineFrom(dotQFast(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
+          .as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** Approximate top-k: sign-bit LSH buckets, multi-probe (all buckets
+    * within Hamming distance 1 of the query's bucket), exact re-rank.
+    * Scans ~(nBits+1)/2^nBits of the corpus per query. Recall depends on
+    * true neighbor closeness (P[bit flip] = θ/π): near-duplicates
+    * (cos≈1) are found with ≈99% probability; uniform-random "nearest"
+    * points (cos≈0.4) are not meaningfully near and recall is
+    * correspondingly low — asserted on planted dupes in tests. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nBits: Int = 8, dims: Int = 64): DataFrame = {
+    val bucketed = corpus.withColumn("bucket",
+      V.lshBucket(col("qv"), nBits = nBits, dims = dims))
+    val probes = array((lit(0L) +: (0 until nBits).map(b => lit(1L << b))): _*)
+    val q = queries
+      .withColumn("bucket", V.lshBucket(col("qv"), nBits = nBits, dims = dims))
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("nsq").as("qnsq"),
+        explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    bucketed.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        V.cosineFrom(dotQFast(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
+          .as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+}

@@ -285,35 +285,18 @@ object LlmQueries {
       |WHERE rn <= 10""".stripMargin
   ) { (s, dir) =>
     val n = quantized(s, dir)
-    val q = n.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("nsq").as("qnsq"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    n.join(broadcast(q), col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        V.cosineFrom(dotQFast(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
-          .as("cosine"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
+    graft.operators.Similarity.knnTopK(n, n.filter(col("vec_id") < 20), k = 10)
   }
 
   /** LSH-bucketed approximate nearest neighbor (the scale path for ANN):
-    * sign-bit bucket per vector, candidates restricted to the query's
-    * bucket, exact cosine re-rank. Probabilistic ⇒ rows-only; recall vs
+    * sign-bit bucket per vector; MULTI-PROBE on the query side — the
+    * query also probes every bucket one bit-flip away (the standard
+    * recall/cost knob: 9/256 of the corpus scanned instead of 1/256),
+    * then exact cosine re-rank. Probabilistic ⇒ rows-only; recall@1 vs
     * q31 asserted in ScalaTest. */
   val annLsh: Q = Q.rowsOnly("q32_ann_lsh") { (s, dir) =>
     val n = quantized(s, dir)
-      .withColumn("bucket", V.lshBucket(col("qv"), nBits = 8, dims = 64))
-    val q = n.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
-        col("nsq").as("qnsq"), col("bucket"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    n.join(broadcast(q), Seq("bucket"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        V.cosineFrom(dotQFast(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
-          .as("cosine"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+    graft.operators.Similarity.annTopK(n, n.filter(col("vec_id") < 20), k = 5)
   }
 
   /** Multimodal: opaque binary payload + byte-level metadata (oracle-

@@ -57,6 +57,25 @@ class LlmOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("ANN-LSH finds planted near-duplicates (recall on cos≈1 neighbors)") {
+    import graft.operators.Similarity
+    val base = graft.sources.Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") < 30)
+    val corpus = Similarity.quantize(
+      graft.sources.Tables.load(spark, sf, "embeddings"), "embedding", "vec_id")
+    // plant: copies of the base vectors with one component nudged — the
+    // quantized cosine is ≈1, the realistic near-dup-search workload
+    val planted = Similarity.quantize(
+      base.select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i = 0, x + float(0.001), x))")
+          .as("embedding")), "embedding", "vec_id")
+    val found = Similarity.annTopK(corpus, planted, k = 1)
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0 until 30).count(i => found.get(i + 100000L).contains(i.toLong))
+    assert(hits >= 27, s"planted-dup recall $hits/30")
+  }
+
   test("multimodal decode is deterministic, typed, and frame-sampled") {
     val run1 = Registry.byName("q34_multimodal_decode").fn(spark, sf).collect()
     val run2 = Registry.byName("q34_multimodal_decode").fn(spark, sf).collect()

@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.core._
+import graft.streaming.{DailyAgg, DeltaTracker, NewsDedup}
+
+/** ScalaCheck invariants from SURVEY.md §5.4: delta-tracker conservation,
+  * dedup idempotence, window-sum equivalence. Generators are small (each
+  * case runs Spark jobs) but seeds vary across the configured runs. */
+class PropertySpec extends SparkSpec {
+
+  private def check(prop: Prop, runs: Int = 10): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(runs), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val day = 86400000L
+  private val t0 = 1585699200000L // 2020-04-01T00:00:00Z (epoch, TZ-independent)
+
+  private val snapshotsGen: Gen[List[(String, List[Long])]] = for {
+    states <- Gen.someOf(Seq("Assam", "Delhi", "Kerala", "Goa")).map(_.toList)
+      .suchThat(_.nonEmpty)
+    perState <- Gen.listOfN(states.size, Gen.listOfN(4, Gen.chooseNum(0L, 10000L)))
+  } yield states.zip(perState.map(_.sorted)) // totals are monotone snapshots
+
+  test("delta tracker conserves totals: sum of deltas = final total per key") {
+    import spark.implicits._
+    check(Prop.forAll(snapshotsGen) { snaps =>
+      val rows = for {
+        (state, totals) <- snaps
+        (total, i) <- totals.zipWithIndex
+      } yield StampedStats(new Timestamp(t0 + i * 3600000L),
+        StatewiseStats("0", total.toString, "0", "0", state, "XX", s"t$i"))
+      val out = DeltaTracker.statewise(rows.toDS()).collect()
+      snaps.forall { case (state, totals) =>
+        val deltas = out.filter(_.delta.state == state).map(_.delta.deltaConfirmed)
+        deltas.length == totals.length && deltas.sum == totals.last
+      }
+    })
+  }
+
+  private val eventTimesGen: Gen[List[Long]] =
+    Gen.listOf(Gen.chooseNum(0L, 20L * day)).map(_.distinct.sorted)
+      .suchThat(_.nonEmpty)
+
+  test("TTL dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    import spark.implicits._
+    val ttl = 7 * day
+    check(Prop.forAll(eventTimesGen) { times =>
+      val p = PatientInfo(currentstatus = "H", detectedstate = "Assam", source1 = "s")
+      val in = times.map(t => StampedPatient(new Timestamp(t0 + t), p)).toDS()
+      val once = NewsDedup.dedupWithTtl(in, ttl).collect().toSet
+      val twice = NewsDedup.dedupWithTtl(
+        spark.createDataset(once.toSeq), ttl).collect().toSet
+      twice == once
+    }, runs = 8)
+  }
+
+  test("windowed daily agg equals a batch groupBy-by-date over the same deltas") {
+    import spark.implicits._
+    check(Prop.forAll(eventTimesGen) { times =>
+      val deltas = times.zipWithIndex.map { case (t, i) =>
+        StampedDelta(new Timestamp(t0 + t),
+          StatewiseDelta(deltaConfirmed = i + 1L, currentConfirmed = 100L + i,
+            state = "Assam"))
+      }
+      val windowed = DailyAgg.statewiseDaily(deltas.toDS())
+        .select("date", "deltaConfirmed").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = deltas
+        .groupBy { d =>
+          val sdf = new java.text.SimpleDateFormat("dd/MM/yyyy")
+          sdf.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+          sdf.format(new java.util.Date(d.eventTime.getTime))
+        }
+        .view.mapValues(_.map(_.delta.deltaConfirmed).sum).toMap
+      windowed == expected
+    }, runs = 8)
+  }
+}
