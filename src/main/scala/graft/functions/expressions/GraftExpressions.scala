@@ -20,19 +20,31 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Exact integer dot product of two `array<bigint>` columns (the
   * quantized-embedding hot path of q30/q31/q32). Whole-stage codegen:
-  * one fused loop, no per-element virtual calls. */
+  * one fused loop, no per-element virtual calls.
+  *
+  * Null semantics MATCH the declarative
+  * `aggregate(zip_with(a,b,(x,y)=>x*y), 0L, (acc,x)=>acc+x)` form —
+  * null result on length mismatch or any null element — so
+  * `RewriteDotProduct` may substitute this expression soundly. */
 case class DotProductL(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     s
   }
 
@@ -42,10 +54,15 @@ case class DotProductL(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getLong($i) * $b.getLong($i);
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getLong($i) * $b.getLong($i);
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -50,6 +50,24 @@ class PlanSpec extends SparkSpec {
       "custom expression missing from plan")
   }
 
+  test("RewriteDotProduct: declarative HOF dot product is rewritten to DotProductL") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{VectorFunctions => V}
+    val df = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(V.quantize(col("embedding")).as("qv"))
+      .select(V.dotQ(col("qv"), col("qv")).as("nsq"))     // declarative form
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.toLowerCase.contains("dotproductl"), p.take(1500))
+    assert(!p.contains("aggregate(zip_with"), "HOF survived the rewrite")
+    // and it computes the same values as the unrewritten interpreter path
+    val direct = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(V.quantize(col("embedding")).as("qv"))
+      .select(graft.functions.expressions.GraftExpressions
+        .dotQFast(col("qv"), col("qv")).as("nsq"))
+    assert(df.collect().map(_.getLong(0)).toSeq ==
+      direct.collect().map(_.getLong(0)).toSeq)
+  }
+
   test("q02: window delta shuffles once on the partition key") {
     val p = plan("q02_running_delta")
     assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p.take(2000))
