@@ -25,6 +25,10 @@ object GraftSession {
       // (Tables.scala).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // production streaming state backend (spillable, incremental
+      // checkpoints) — the analog of the reference's RocksDB stores
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
 
   /** Default parallelism: the driver environment's CPU count (capped at

@@ -83,6 +83,81 @@ object AlertFormat {
     summaryBlock(delta, daily, doublingRate) +
       testing.map(testingBlock).getOrElse("")
 
+  /** Zone → emoji mapping (BotUtils.java:387-403). */
+  def zoneSmiley(zone: String): String = zone.toUpperCase match {
+    case "GREEN"  => "💚"
+    case "RED"    => "🔴"
+    case "ORANGE" => "🔶"
+    case _        => "❓"
+  }
+
+  /** District zone listing (BotUtils.java:379-385). The reference
+    * iterates a HashMap (arbitrary order); we take caller-ordered rows. */
+  def districtZoneText(state: String, districtZones: Seq[(String, String)]): String =
+    s"<b>Districts of $state</b>\n\n" +
+      districtZones.map { case (d, z) => s"${zoneSmiley(z)}   $d\n" }.mkString +
+      "\nhttps://twitter.com/pib_india/status/1256468081896878080"
+
+  /** `d/MM/yyyy HH:mm:ss` → "MMMM dd, hh:mm a" (Utils.java:30-38;
+    * single-digit-day lenient). Locale pinned for determinism. */
+  def friendlyTime(lastUpdated: String): String =
+    try {
+      java.time.LocalDateTime
+        .parse(lastUpdated, java.time.format.DateTimeFormatter
+          .ofPattern("d/MM/yyyy HH:mm:ss", java.util.Locale.US))
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("MMMM dd, hh:mm a", java.util.Locale.US))
+    } catch { case _: java.time.format.DateTimeParseException => null }
+
+  /** State code abbreviations for the summary table (Utils.java:41-84). */
+  val stateCodes: Map[String, String] = Map(
+    "Total" -> "Total", "Andhra Pradesh" -> "AP", "Arunachal Pradesh" -> "AR",
+    "Assam" -> "Assam", "Bihar" -> "Bihar", "Chhattisgarh" -> "CT",
+    "Goa" -> "Goa", "Gujarat" -> "Guja", "Haryana" -> "HR",
+    "Himachal Pradesh" -> "HP", "Jharkhand" -> "JH", "Karnataka" -> "KA",
+    "Kerala" -> "Ker", "Madhya Pradesh" -> "MP", "Maharashtra" -> "Mah",
+    "Manipur" -> "Mani", "Meghalaya" -> "Megh", "Mizoram" -> "Mizo",
+    "Nagaland" -> "Naga", "Odisha" -> "Odis", "Punjab" -> "Punj",
+    "Rajasthan" -> "Raj", "Sikkim" -> "Sikk", "Tamil Nadu" -> "TN",
+    "Telangana" -> "Telg", "Tripura" -> "Trip", "Uttarakhand" -> "UT",
+    "Uttar Pradesh" -> "UP", "West Bengal" -> "WB",
+    "Andaman and Nicobar Islands" -> "A&N", "Chandigarh" -> "CH",
+    "Dadra and Nagar Haveli" -> "DNH", "Daman and Diu" -> "DD",
+    "Delhi" -> "Delhi", "Jammu and Kashmir" -> "J&K", "Ladakh" -> "LDK",
+    "Lakshadweep" -> "LDWP", "Puducherry" -> "Pudu",
+    "State Unassigned" -> "Unass")
+
+  /** Fixed-width state summary table (BotUtils.java:286-321): skip
+    * zero rows, Total rendered last. `daily` picks delta vs current
+    * columns. */
+  def stateSummaryTable(sortedStats: Seq[StatewiseDelta], lastUpdated: String,
+      daily: Boolean): String = {
+    def row(s: StatewiseDelta): String = {
+      val (c, r, d) =
+        if (daily) (s.deltaConfirmed, s.deltaRecovered, s.deltaDeaths)
+        else (s.currentConfirmed, s.currentRecovered, s.currentDeaths)
+      f"${stateCodes.getOrElse(s.state, s.state)}%-5s|$c%7s|$r%7s|$d%6s\n"
+    }
+    val total = sortedStats.find(_.state.equalsIgnoreCase("Total"))
+      .getOrElse(StatewiseDelta())
+    val body = sortedStats
+      .filterNot(_.state.equalsIgnoreCase("Total"))
+      .filterNot { s =>
+        if (daily) s.deltaConfirmed == 0L && s.deltaRecovered == 0L && s.deltaDeaths == 0L
+        else s.currentConfirmed < 1L && s.currentRecovered < 1L && s.currentDeaths < 1L
+      }
+      .map(row).mkString
+    s"<i>${friendlyTime(lastUpdated)}</i>\n\n" +
+      "Summary of all affected Indian States\n\n" +
+      "<pre>\n" +
+      "State|   Conf|   Rec.|  Died\n" +
+      "----------------------------\n" +
+      body +
+      "----------------------------\n" +
+      row(total) +
+      "</pre>"
+  }
+
   /** Distributed Column form of deltaAlertLine: render alert lines
     * inside the plan (no collect) for fanout at scale. `concat_ws`
     * skips NULL segments, which reproduces the reference's conditional

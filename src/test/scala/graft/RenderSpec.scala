@@ -70,6 +70,39 @@ class RenderSpec extends SparkSpec {
       == "12 new cases, 1 death, 3 recoveries in Mumbai\n")
   }
 
+  test("district zone text (BotUtilsTest golden, caller-ordered)") {
+    val golden = "<b>Districts of Maharashtra</b>\n\n" +
+      "❓   Chandrapur\n" +
+      "🔴   Nagpur\n" +
+      "🔶   Pune\n" +
+      "💚   Mumbai\n" +
+      "\nhttps://twitter.com/pib_india/status/1256468081896878080"
+    val got = AlertFormat.districtZoneText("Maharashtra", Seq(
+      "Chandrapur" -> "Unknown", "Nagpur" -> "Red",
+      "Pune" -> "Orange", "Mumbai" -> "Green"))
+    assert(got == golden)
+  }
+
+  test("friendlyTime parses single- and double-digit days (BotUtilsTest golden)") {
+    assert(AlertFormat.friendlyTime("05/12/2020 00:15:03") == "December 05, 12:15 AM")
+    assert(AlertFormat.friendlyTime("5/12/2020 00:15:03") == "December 05, 12:15 AM")
+    assert(AlertFormat.friendlyTime("garbage") == null)
+  }
+
+  test("state summary table: fixed columns, zero rows skipped, Total last") {
+    val stats = Seq(
+      StatewiseDelta(9, 4, 15, 455, 157, 5341, "", "Total"),
+      StatewiseDelta(0, 0, 0, 100, 5, 300, "", "Kerala"),
+      StatewiseDelta(0, 0, 0, 0, 0, 0, "", "Goa")) // all-zero: skipped
+    val got = AlertFormat.stateSummaryTable(stats, "05/12/2020 00:15:03", daily = false)
+    assert(got.contains("<i>December 05, 12:15 AM</i>"))
+    assert(got.contains("State|   Conf|   Rec.|  Died\n"))
+    assert(got.contains("Ker  |    300|    100|     5\n"))
+    assert(!got.contains("Goa  |"))
+    val lines = got.split("\n")
+    assert(lines(lines.length - 2) == "Total|   5341|    455|   157")
+  }
+
   test("distributed Column renderer matches the driver-side renderer") {
     import spark.implicits._
     val cases = Seq(
