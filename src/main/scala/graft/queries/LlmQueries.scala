@@ -134,28 +134,9 @@ object LlmQueries {
       |JOIN sizes sb ON doc_b = sb.doc_id
       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5""".stripMargin
   ) { (s, dir) =>
-    // shuffle/join on 8-byte shingle hashes, not ~20-char strings
-    // (xxhash64 collision odds over ~10^5 distinct shingles: ~1e-9)
-    // materialize the token array before shingling: subexpressions
-    // inside array lambdas are re-evaluated per element (no CSE), so an
-    // inlined split(text) would rerun once per shingle per access.
-    val sh = t(s, dir, "documents")
-      .select(col("doc_id"), T.words(col("text")).as("ws"))
-      .select(col("doc_id"), explode(T.shingles3(col("ws"))).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("inter"),
-        (col("na") + col("nb") - col("inter")).as("uni"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+    graft.operators.Dedup.jaccardPairs(
+      graft.operators.Dedup.shingleProjection(t(s, dir, "documents"), "text", "doc_id"),
+      threshold = 0.5)
   }
 
   /** MinHash + banded LSH near-dup detection (the 100 TB-scale path:
@@ -163,79 +144,19 @@ object LlmQueries {
     * buckets, exact Jaccard verify on candidates only). K=64 hashes,
     * 16 bands × 4 rows. Probabilistic candidate set ⇒ rows-only driver
     * check; recall vs q27 is asserted in ScalaTest. */
-  val minhashLsh: Q = {
-    val K = 64
-    val bandRows = 4
-    val nBands = K / bandRows
+  val minhashLsh: Q =
     Q.rowsOnly("q28_minhash_lsh") { (s, dir) =>
-      // persist the shingle projection: it feeds signature generation AND
-      // both verify-side joins — without it the shingling runs 3x (at
-      // cluster scale this would be a persisted intermediate table).
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), T.words(col("text")).as("ws"))
-        .select(col("doc_id"), T.shingles3(col("ws")).as("shs"))
-        .filter(size(col("shs")) > 0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // K minhashes per doc, no shuffle: one MinHashSig eval per row
-      // (native expression — k×n hashing in a tight loop, not k
-      // interpreted transforms).
-      val sigs = docs.select(col("doc_id"), col("shs"),
-        minhashSig(col("shs"), K).as("sig"))
-      // band key = hash of the band's minhash slice
-      val bands = (0 until nBands).map { b =>
-        val slice = (0 until bandRows).map(r => col("sig").getItem(b * bandRows + r))
-        struct(lit(b).as("band"), xxhash64(slice: _*).as("key"))
-      }
-      // buckets stay narrow (doc_id, band, key) — the band self-join
-      // shuffles 24 bytes/row, not the shingle arrays; shingles are
-      // re-attached only for the (few) surviving candidate pairs.
-      val buckets = sigs
-        .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band"), col("bk.key"))
-      val candIds = buckets.as("a")
-        .join(buckets.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .dropDuplicates("doc_a", "doc_b")
-      val cands = candIds
-        .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("sha")), "doc_a")
-        .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("shb")), "doc_b")
-      // exact verify on candidates only
-      cands
-        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-        .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
-        .withColumn("jaccard", col("inter").cast("double") / col("uni"))
-        .filter(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "inter", "uni", "jaccard")
+      graft.operators.Dedup.minhashLshPairs(
+        graft.operators.Dedup.shingleProjection(t(s, dir, "documents"), "text", "doc_id"),
+        threshold = 0.5)
     }
-  }
 
-  /** SimHash near-dup detection: 64-bit signatures from token hashes,
-    * banded prefilter on 16-bit chunks, Hamming-distance verify.
+  /** SimHash near-dup detection: single-pass frequency-weighted 64-bit
+    * signatures, banded prefilter on 16-bit chunks, Hamming verify.
     * Probabilistic ⇒ rows-only; unit-tested. */
   val simhash: Q = Q.rowsOnly("q29_simhash") { (s, dir) =>
-    // frequency-weighted (textbook) simhash — every token occurrence
-    // votes ±1 per bit. One native-expression pass per doc; the naive
-    // plan (explode 64 bits per token + two groupBys) shuffles 64x the
-    // corpus.
-    import graft.functions.expressions.GraftExpressions.simhashSig
-    val sig = t(s, dir, "documents")
-      .select(col("doc_id"), T.words(col("text")).as("ws"))
-      .select(col("doc_id"), simhashSig(col("ws")).as("simhash"))
-    val bands = sig.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("chunk", expr("(simhash >> (band * 16)) & 65535"))
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
-      .filter(col("hamming") <= 8)
-      .select("doc_a", "doc_b", "hamming")
+    graft.operators.Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+      maxHamming = 8)
   }
 
   /** Embedding near-dup pairs: exact cosine ≥ 0.4 over all pairs,
