@@ -1,19 +1,14 @@
 package graft
 
-import org.apache.spark.sql.functions._
-
 /** Dev-only scratch: timing/plan experiments. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("8")
-    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-      val exactTop1 = graft.queries.Registry.byName("q31_knn_cosine").fn(spark, sf)
-        .filter(col("rn") === 1)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val annSet = graft.queries.Registry.byName("q32_ann_lsh").fn(spark, sf)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val hits = exactTop1.count { case (q, n) => annSet.contains((q, n)) }
-      println(s"[probe] $sf recall@1 = $hits/${exactTop1.size}")
+    val dir = "/root/testdata/sf0.1"
+    for (i <- 1 to 4) {
+      val t0 = System.nanoTime()
+      val n = graft.queries.Registry.byName("q27_ngram_jaccard").fn(spark, dir).count()
+      println(f"[probe] q27 run$i ${(System.nanoTime() - t0) / 1e9}%6.2f s ($n rows)")
     }
     spark.stop()
   }

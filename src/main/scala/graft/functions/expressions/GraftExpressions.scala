@@ -73,6 +73,52 @@ case class DotProductL(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Distinct hashed word n-gram shingles of an `array<string>` token
+  * list, as `array<bigint>` (sorted). One pass per row: each word is
+  * XXH64-hashed once, each n-window identity is a seed-chained hash of
+  * its word hashes — no shingle strings are ever materialized. Replaces
+  * an interpreted transform+concat lambda that cost ~50× (collision
+  * odds over ~10^5 shingles: ~1e-9, irrelevant to set semantics). */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val words = v.asInstanceOf[ArrayData]
+    val m = words.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val wh = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val s = words.getUTF8String(i)
+      wh(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    val out = new Array[Long](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      var acc = 42L
+      var j = 0
+      while (j < n) { acc = XXH64.hashLong(wh(i + j), acc); j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // sorted distinct
+    var w = 0
+    i = 0
+    while (i < out.length) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** MinHash signature of an `array<string>` shingle set: k independent
   * hash functions derived from one XXH64 base hash per shingle +
   * splitmix64 finalizers — k×n hashing in one eval call per row instead
@@ -85,14 +131,23 @@ case class MinHashSig(child: Expression, k: Int)
   private lazy val seeds: Array[Long] =
     Array.tabulate(k)(j => MinHashSig.mix(j.toLong * 0x9e3779b97f4a7c15L + 1L))
 
+  private lazy val elementsAreHashes: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val sig = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val base =
+        if (elementsAreHashes) arr.getLong(i)
+        else {
+          val s = arr.getUTF8String(i)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        }
       var j = 0
       while (j < k) {
         val h = MinHashSig.mix(base ^ seeds(j))
@@ -166,6 +221,9 @@ object GraftExpressions {
 
   def simhashSig(tokens: Column): Column =
     ColumnBridge.column(SimHashSig(ColumnBridge.expression(tokens)))
+
+  def shingleHashes(words: Column, n: Int = 3): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(words), n))
 
   /** Register for SQL use (`SELECT graft_dot_q(a, b)`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

