@@ -83,6 +83,33 @@ object AlertFormat {
     summaryBlock(delta, daily, doublingRate) +
       testing.map(testingBlock).getOrElse("")
 
+  /** Full statewise alert assembly (BotUtils.java:157-188): delta lines,
+    * optional district breakup, then the positionally-zipped (J4)
+    * summary blocks; empty when nothing moved. */
+  def statewiseAlertText(
+      lastUpdated: String,
+      deltas: Seq[StatewiseDelta],
+      dailies: Seq[StatewiseDelta],
+      testing: Map[String, StatewiseTestData],
+      doublingRates: Map[String, String],
+      districtDeltas: Seq[DistrictwiseData]): String = {
+    val relevantDistricts = districtDeltas.exists(d =>
+      d.deltaConfirmed.toLong > 0L || d.deltaRecovered.toLong > 0L ||
+        d.deltaDeceased.toLong > 0L)
+    val body = deltas.map(deltaAlertLine).mkString +
+      (if (relevantDistricts) "\n<b>District-wise breakup</b>\n" else "") +
+      districtDeltas.map(districtDeltaAlertLine).mkString
+    if (body.isEmpty || body == "\n") ""
+    else {
+      val blocks = deltas.zip(dailies).map { case (delta, daily) =>
+        summaryAlert(delta, daily,
+          doublingRates.getOrElse(delta.state, "null"),
+          testing.get(delta.state))
+      }.mkString
+      s"<i>$lastUpdated</i>\n\n$body$blocks"
+    }
+  }
+
   /** Zone → emoji mapping (BotUtils.java:387-403). */
   def zoneSmiley(zone: String): String = zone.toUpperCase match {
     case "GREEN"  => "💚"

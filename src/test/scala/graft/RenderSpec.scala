@@ -70,6 +70,64 @@ class RenderSpec extends SparkSpec {
       == "12 new cases, 1 death, 3 recoveries in Mumbai\n")
   }
 
+  test("final multi-state alert (AlertTextTests:155-208 golden)") {
+    val golden = "<i>April 08, 12:04 AM</i>\n\n" +
+      "1 new case in Assam\n" +
+      "9 new cases in Himachal Pradesh\n" +
+      "\n<b>Assam</b>\n<pre>\n" +
+      "Total cases  : (↑1) 28\nActive       : (↑1) 28\n" +
+      "Recovered    : (↑0) 0\nDeaths       : (↑0) 0\n" +
+      "Doubling rate: 19.44 days\n</pre>" +
+      "\n<b>Himachal Pradesh</b>\n<pre>\n" +
+      "Total cases  : (↑9) 27\nActive       : (↑9) 24\n" +
+      "Recovered    : (↑0) 1\nDeaths       : (↑0) 2\n" +
+      "Doubling rate: 2.10 days\n</pre>" +
+      "\n<b>Total</b>\n<pre>\n" +
+      "Total cases  : (↑31) 5341\nActive       : (↑20) 4729\n" +
+      "Recovered    : (↑8) 455\nDeaths       : (↑3) 157\n" +
+      "Doubling rate: 116 days\n</pre>"
+    val dailies = Seq(
+      StatewiseDelta(0, 0, 1, 0, 0, 0, "08/04/2020 23:41:35", "Assam"),
+      StatewiseDelta(0, 0, 9, 0, 0, 0, "08/04/2020 00:04:28", "Himachal Pradesh"),
+      StatewiseDelta(8, 3, 31, 0, 0, 0, "08/04/2020 00:04:28", "Total"))
+    val deltas = Seq(
+      StatewiseDelta(0, 0, 1, 0, 0, 28, "08/04/2020 23:41:35", "Assam"),
+      StatewiseDelta(0, 0, 9, 1, 2, 27, "08/04/2020 00:04:28", "Himachal Pradesh"),
+      StatewiseDelta(0, 0, 9, 455, 157, 5341, "08/04/2020 00:04:28", "Total"))
+    val rates = Map("Assam" -> "19.44", "Himachal Pradesh" -> "2.10", "Total" -> "116")
+    val got = AlertFormat.statewiseAlertText("April 08, 12:04 AM",
+      deltas, dailies, Map.empty, rates, Seq.empty)
+    assert(got == golden)
+  }
+
+  test("statewise alert with district breakup (AlertTextTests:210-253 golden)") {
+    val golden = "<i>April 08, 12:04 AM</i>\n\n" +
+      "1 new case in Maharashtra\n\n" +
+      "<b>District-wise breakup</b>\n" +
+      "1 new case in Mumbai\n" +
+      "\n<b>Total</b>\n<pre>\n" +
+      "Total cases  : (↑31) 5341\nActive       : (↑20) 4729\n" +
+      "Recovered    : (↑8) 455\nDeaths       : (↑3) 157\n" +
+      "Doubling rate: 116 days\n</pre>" +
+      "\n<b>Maharashtra</b>\n<pre>\n" +
+      "Total cases  : (↑1) 28\nActive       : (↑1) 28\n" +
+      "Recovered    : (↑0) 0\nDeaths       : (↑0) 0\n" +
+      "Doubling rate: 19.44 days\n</pre>"
+    val dailies = Seq(
+      StatewiseDelta(8, 3, 31, 0, 0, 0, "08/04/2020 00:04:28", "Total"),
+      StatewiseDelta(0, 0, 1, 0, 0, 0, "08/04/2020 23:41:35", "Maharashtra"))
+    val deltas = Seq(
+      StatewiseDelta(0, 0, 9, 455, 157, 5341, "08/04/2020 00:04:28", "Total"),
+      StatewiseDelta(0, 0, 1, 0, 0, 28, "08/04/2020 23:41:35", "Maharashtra"))
+    val districts = Seq(
+      DistrictwiseData("Maharashtra", "Mumbai", "28", "28", "0", "0", "1", "0", "0", ""),
+      DistrictwiseData("Maharashtra", "Nagpur", "17", "13", "0", "2", "0", "0", "0", ""))
+    val got = AlertFormat.statewiseAlertText("April 08, 12:04 AM",
+      deltas, dailies, Map.empty,
+      Map("Total" -> "116", "Maharashtra" -> "19.44"), districts)
+    assert(got == golden)
+  }
+
   test("district zone text (BotUtilsTest golden, caller-ordered)") {
     val golden = "<b>Districts of Maharashtra</b>\n\n" +
       "❓   Chandrapur\n" +
