@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.ingest.Codecs
+import graft.render.AlertFormat
+import graft.state.MaterializedViews
+import graft.streaming.{DailyAgg, DeltaTracker}
+
+/** Capstone: the complete reference pipeline in one flow — wire-format
+  * JSON frames → codec → running-delta tracker → daily window aggregate
+  * → doubling rate → materialized serving views → a /stats-style query →
+  * byte-golden alert rendering. A reference user's whole workload, end
+  * to end on this engine. */
+class EndToEndSpec extends SparkSpec {
+
+  private def frame(ts: String, json: String): (Timestamp, String) =
+    (Timestamp.valueOf(ts), json)
+
+  test("statewise-data JSON → deltas → daily → doubling rate → rendered alert") {
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx = spark.sqlContext
+
+    // 1. wire format: the FIXTURES.md §1 snapshots, as Kafka-style frames
+    val frames = Seq(
+      frame("2020-04-08 00:04:28",
+        """{"active":"4729","confirmed":"5341","deaths":"157","recovered":"455",
+          |"state":"Total","statecode":"TT","lastupdatedtime":"08/04/2020 00:04:28"}"""
+          .stripMargin.replace("\n", "")),
+      frame("2020-04-08 06:00:00",
+        """{"active":"4745","confirmed":"5372","deaths":"160","recovered":"463",
+          |"state":"Total","statecode":"TT","lastupdatedtime":"08/04/2020 06:00:00"}"""
+          .stripMargin.replace("\n", ""))
+    )
+
+    // 2. codec: decode value-JSON into the typed record + event time
+    val ms = MemoryStream[(Timestamp, String)]
+    val decoded = ms.toDF().toDF("eventTime", "value")
+      .select(col("eventTime"),
+        from_json(col("value"), Codecs.statewiseStatsSchema).as("stats"))
+      .as[StampedStats]
+
+    // 3-4. topology: running deltas feeding the daily window aggregate —
+    // ONE DAG (the reference relays via a changelog topic, ST7)
+    val deltas = DeltaTracker.statewise(decoded)
+
+    // 5. materialized serving views (the "KTable" layer)
+    val q1 = MaterializedViews.serveAsView(
+      deltas.toDF().select(col("eventTime"), col("delta.*")),
+      Seq("state"), "eventTime", "e2e_delta")
+    val q2 = deltas.toDF()
+      .select(col("eventTime"), col("delta.*"))
+      .writeStream.format("memory").queryName("e2e_delta_log")
+      .outputMode("append").start()
+    try {
+      ms.addData(frames.head)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      ms.addData(frames.last)
+      q1.processAllAvailable(); q2.processAllAvailable()
+
+      // 6. serving query over the views: daily agg + doubling rate (batch
+      // over the append log — same operators as the streaming form)
+      val log = spark.table("e2e_delta_log")
+      val daily = DailyAgg.statewiseDaily(
+        log.select(col("eventTime"),
+          struct(log.columns.filter(_ != "eventTime").map(col): _*).as("delta"))
+          .as[StampedDelta])
+      val rates = DailyAgg.doublingRates(daily)
+
+      val latest = spark.table("global_temp.e2e_delta").collect().head
+      val dailyRow = daily.collect().head
+      val rateRow = rates.collect().head
+
+      // latest-per-key view holds the second snapshot's delta
+      assert(latest.getAs[Long]("deltaConfirmed") == 31L)
+      assert(latest.getAs[Long]("currentConfirmed") == 5372L)
+      // daily window sums both deltas of the day
+      assert(dailyRow.getAs[Long]("deltaConfirmed") == 5372L)
+      assert(dailyRow.getAs[String]("date") == "08/04/2020")
+      // doubling rate: growth = 100*5372/5372 = 100% → 70/100 → "1"
+      assert(rateRow.getAs[String]("doublingRate") == "1")
+
+      // 7. render the alert exactly as the reference bot would
+      val delta = StatewiseDelta(
+        latest.getAs[Long]("deltaRecovered"), latest.getAs[Long]("deltaDeaths"),
+        latest.getAs[Long]("deltaConfirmed"), latest.getAs[Long]("currentRecovered"),
+        latest.getAs[Long]("currentDeaths"), latest.getAs[Long]("currentConfirmed"),
+        latest.getAs[String]("lastUpdatedTime"), "Assam") // non-Total to render
+      val dailyDelta = StatewiseDelta(
+        dailyRow.getAs[Long]("deltaRecovered"), dailyRow.getAs[Long]("deltaDeaths"),
+        dailyRow.getAs[Long]("deltaConfirmed"), 0, 0, 0, "", "Assam")
+      val alert = AlertFormat.statewiseAlertText(
+        AlertFormat.friendlyTime(delta.lastUpdatedTime),
+        Seq(delta), Seq(dailyDelta), Map.empty,
+        Map("Assam" -> rateRow.getAs[String]("doublingRate")), Seq.empty)
+      assert(alert.startsWith("<i>April 08, 06:00 AM</i>\n\n"))
+      assert(alert.contains("31 new cases, 3 deaths, 8 recoveries in Assam\n"))
+      assert(alert.contains("Doubling rate: 1 days\n"))
+    } finally { q1.stop(); q2.stop() }
+  }
+}
