@@ -344,7 +344,30 @@ object AnalyticQueries {
         percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"))
   }
 
+  /** Token counting, BPE-ish: subword-class segmentation (letter runs /
+    * digit runs / punctuation runs — the GPT-2 pre-tokenizer shape)
+    * alongside whitespace tokens; \p classes behave identically in Java
+    * regex (Spark) and RE2 (DuckDB) for these inputs. */
+  val tokenCount: Q = Q(
+    "q38_token_count",
+    """SELECT doc_id,
+      |       len(string_split(text, ' ')) AS ws_tokens,
+      |       len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+')) AS bpe_tokens,
+      |       CAST(strlen(text) AS DOUBLE)
+      |         / len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+')) AS bytes_per_token
+      |FROM documents""".stripMargin
+  ) { (s, dir) =>
+    val pat = """\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+"""
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("bpe_tokens"),
+      (octet_length(col("text")).cast("double")
+        / size(regexp_extract_all(col("text"), lit(pat), lit(0)))).as("bytes_per_token"))
+  }
+
   val all: Seq[Q] = Seq(movingAvg, pivotSeries, rollupTotal, zipJoin,
     prefsArrayJoin, dedupTtl, renderSummary, summaryServe, setOps,
-    rankingSuite, arrayOps, sessionize, approxDistinct, percentiles)
+    rankingSuite, arrayOps, sessionize, approxDistinct, percentiles,
+    tokenCount)
 }
