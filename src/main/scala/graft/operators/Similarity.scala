@@ -35,6 +35,73 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Deterministic k-means (Lloyd's) over quantized vectors: init =
+    * first k vectors by id, `iters` assign/update rounds. Centroids are
+    * re-quantized each round so assignment reuses the codegen
+    * DotProductL. Returns (vec_id, qv, nsq, cluster) — the IVF inverted
+    * index. Centroid set is model-sized (broadcast); the corpus is never
+    * shuffled, only scanned. */
+  def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = corpus.orderBy("vec_id").limit(k)
+      .withColumn("cluster", row_number().over(Window.orderBy("vec_id")) - 1)
+      .select(col("cluster"), col("qv").as("cqv"), col("nsq").as("cnsq"))
+    val wBest = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cluster"))
+    def assign(c: DataFrame): DataFrame =
+      corpus.crossJoin(broadcast(c))
+        .withColumn("sim",
+          V.cosineFrom(dotQFast(col("qv"), col("cqv")), col("nsq"), col("cnsq")))
+        .withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("qv"), col("nsq"), col("cluster"))
+    var assigned = assign(cents)
+    for (_ <- 1 to iters) {
+      val newCents = assigned
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cluster"),
+          expr("transform(pm, x -> CAST(round(x.m) AS BIGINT))").as("cqv"))
+        .withColumn("cnsq", dotQFast(col("cqv"), col("cqv")))
+      cents = newCents
+      assigned = assign(cents)
+    }
+    assigned
+  }
+
+  /** IVF approximate top-k: score queries against the centroid model
+    * (broadcast), probe the nProbe nearest inverted lists, exact re-rank
+    * within them. Complements the LSH path — better recall when the
+    * corpus is clusterable; ~nProbe/k of the corpus scanned. */
+  def annIvfTopK(indexed: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
+    val cents = indexed
+      .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos").agg(avg(col("v")).as("m"))
+      .groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cluster"),
+        expr("transform(pm, x -> CAST(round(x.m) AS BIGINT))").as("cqv"))
+      .withColumn("cnsq", dotQFast(col("cqv"), col("cqv")))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cluster"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("nsq").as("qnsq"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim",
+        V.cosineFrom(dotQFast(col("qqv"), col("cqv")), col("qnsq"), col("cnsq")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("qqv"), col("qnsq"), col("cluster"))
+    val wBest = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    indexed.join(broadcast(probes), Seq("cluster"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        V.cosineFrom(dotQFast(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
+          .as("cosine"))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") <= k)
+  }
+
   /** Approximate top-k: sign-bit LSH buckets, multi-probe (all buckets
     * within Hamming distance 1 of the query's bucket), exact re-rank.
     * Scans ~(nBits+1)/2^nBits of the corpus per query. Recall depends on

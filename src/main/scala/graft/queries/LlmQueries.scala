@@ -220,6 +220,18 @@ object LlmQueries {
     graft.operators.Similarity.annTopK(n, n.filter(col("vec_id") < 20), k = 5)
   }
 
+  /** IVF ANN (the clusterable-corpus scale path; complements q32's LSH):
+    * deterministic k-means inverted index, nProbe-list probing, exact
+    * re-rank. Probabilistic ⇒ rows-only; planted-dup recall in spec. */
+  val annIvf: Q = Q.rowsOnly("q39_ann_ivf") { (s, dir) =>
+    val n = quantized(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = graft.operators.Similarity.kmeansAssign(n, k = 16, iters = 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.Similarity.annIvfTopK(
+      indexed, n.filter(col("vec_id") < 20), k = 5, nProbe = 4)
+  }
+
   /** Multimodal: opaque binary payload + byte-level metadata (oracle-
     * checkable part — octet length, digest, kind bucket). */
   val binaryMeta: Q = Q(
@@ -250,6 +262,6 @@ object LlmQueries {
   }
 
   val all: Seq[Q] = Seq(textStats, langId, fingerprintQ, ngramJaccard,
-    minhashLsh, simhash, embeddingNeardup, knnCosine, annLsh, binaryMeta,
-    multimodalDecode)
+    minhashLsh, simhash, embeddingNeardup, knnCosine, annLsh, annIvf,
+    binaryMeta, multimodalDecode)
 }

@@ -76,6 +76,25 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(hits >= 27, s"planted-dup recall $hits/30")
   }
 
+  test("IVF ANN finds planted near-duplicates (recall on cos≈1 neighbors)") {
+    import graft.operators.Similarity
+    val corpus = Similarity.quantize(
+      graft.sources.Tables.load(spark, sf, "embeddings"), "embedding", "vec_id")
+    val planted = Similarity.quantize(
+      graft.sources.Tables.load(spark, sf, "embeddings").filter(col("vec_id") < 30)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          expr("transform(embedding, (x, i) -> IF(i = 0, x + float(0.001), x))")
+            .as("embedding")), "embedding", "vec_id")
+    val indexed = Similarity.kmeansAssign(corpus, k = 16, iters = 2)
+    val found = Similarity.annIvfTopK(indexed, planted, k = 1, nProbe = 4)
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0 until 30).count(i => found.get(i + 100000L).contains(i.toLong))
+    // the planted dup's vector lands in (or within nProbe of) the base
+    // vector's cluster — near-certain for cos≈1
+    assert(hits >= 27, s"IVF planted-dup recall $hits/30")
+  }
+
   test("multimodal decode is deterministic, typed, and frame-sampled") {
     val run1 = Registry.byName("q34_multimodal_decode").fn(spark, sf).collect()
     val run2 = Registry.byName("q34_multimodal_decode").fn(spark, sf).collect()
