@@ -79,7 +79,7 @@ case class DotProductL(left: Expression, right: Expression)
   * its word hashes — no shingle strings are ever materialized. Replaces
   * an interpreted transform+concat lambda that cost ~50× (collision
   * odds over ~10^5 shingles: ~1e-9, irrelevant to set semantics). */
-case class ShingleHashes(child: Expression, n: Int)
+case class ShingleHashes(child: Expression, n: Int, ordered: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -104,8 +104,10 @@ case class ShingleHashes(child: Expression, n: Int)
       out(i) = acc
       i += 1
     }
+    // ordered = document-position order (winnowing input);
+    // default = sorted distinct (set semantics for Jaccard/MinHash)
+    if (ordered) return new GenericArrayData(out)
     java.util.Arrays.sort(out)
-    // sorted distinct
     var w = 0
     i = 0
     while (i < out.length) {
@@ -222,8 +224,8 @@ object GraftExpressions {
   def simhashSig(tokens: Column): Column =
     ColumnBridge.column(SimHashSig(ColumnBridge.expression(tokens)))
 
-  def shingleHashes(words: Column, n: Int = 3): Column =
-    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(words), n))
+  def shingleHashes(words: Column, n: Int = 3, ordered: Boolean = false): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(words), n, ordered))
 
   /** Register for SQL use (`SELECT graft_dot_q(a, b)`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

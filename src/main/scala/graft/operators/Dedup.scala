@@ -92,6 +92,35 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "uni", "jaccard")
   }
 
+  /** Winnowing document sketch (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the standard rolling-hash fingerprint): position-ordered shingle
+    * hashes, min per sliding window of `w`, distinct mins = the sketch.
+    * Guarantees any shared run of ≥ w+n−1 tokens yields a shared
+    * fingerprint. Returns (doc_id, fp) exploded sketch rows. */
+  def winnowSketch(docs: DataFrame, textCol: String, idCol: String,
+      w: Int = 8): DataFrame =
+    docs.select(col(idCol).as("doc_id"), T.words(col(textCol)).as("ws"))
+      .select(col("doc_id"),
+        graft.functions.expressions.GraftExpressions
+          .shingleHashes(col("ws"), 3, ordered = true).as("hs"))
+      .filter(size(col("hs")) >= w)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("hs")) - (w - 1)),
+          i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
+
+  /** Near-dup candidates by shared winnowing fingerprints: pairs ranked
+    * by how many sketch fingerprints they share. */
+  def winnowPairs(docs: DataFrame, textCol: String, idCol: String,
+      w: Int = 8, minShared: Int = 2): DataFrame = {
+    val sk = winnowSketch(docs, textCol, idCol, w)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sk.as("a")
+      .join(sk.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** SimHash near-dup pairs: single-pass frequency-weighted 64-bit
     * signatures, banded 16-bit-chunk prefilter, Hamming verify. */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,

@@ -261,7 +261,14 @@ object LlmQueries {
         col("height"), col("n_frames"), size(col("sampled_frames")).as("n_sampled"))
   }
 
+  /** Winnowing rolling-hash fingerprints (SIGMOD'03): near-dup
+    * candidates by shared sketch fingerprints. Hash-valued ⇒ rows-only;
+    * planted-dup coverage in spec. */
+  val winnow: Q = Q.rowsOnly("q40_winnow_dedup") { (s, dir) =>
+    graft.operators.Dedup.winnowPairs(t(s, dir, "documents"), "text", "doc_id")
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, fingerprintQ, ngramJaccard,
     minhashLsh, simhash, embeddingNeardup, knnCosine, annLsh, annIvf,
-    binaryMeta, multimodalDecode)
+    binaryMeta, multimodalDecode, winnow)
 }

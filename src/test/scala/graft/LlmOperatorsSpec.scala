@@ -76,6 +76,14 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(hits >= 27, s"planted-dup recall $hits/30")
   }
 
+  test("winnowing sketch covers the planted text dupes") {
+    val exact = pairs("q27_ngram_jaccard")
+    val win = pairs("q40_winnow_dedup")
+    // j>=0.8 pairs share long runs => shared window minima guaranteed
+    val recall = exact.count(win.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"winnow recall $recall")
+  }
+
   test("IVF ANN finds planted near-duplicates (recall on cos≈1 neighbors)") {
     import graft.operators.Similarity
     val corpus = Similarity.quantize(
