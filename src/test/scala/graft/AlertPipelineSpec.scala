@@ -39,6 +39,19 @@ class AlertPipelineSpec extends SparkSpec {
       ("u2", "3 new cases, 1 death, 2 recoveries in Kerala\n")))
   }
 
+  test("P8 observability: Observation metrics ride the fanout plan (peek analog)") {
+    import spark.implicits._
+    val deltas = Seq(
+      StatewiseDelta(0, 0, 5, 0, 0, 100, "", "Assam"),
+      StatewiseDelta(2, 1, 3, 0, 0, 80, "", "Kerala")).toDF()
+    val prefs = Seq(
+      UserPrefs("u1", Seq("Assam", "Kerala"), subscribed = true)).toDS()
+    val obs = org.apache.spark.sql.Observation("fanout_metrics")
+    AlertPipeline.fanout(deltas, prefs)
+      .observe(obs, count(lit(1)).as("n_alerts")).collect()
+    assert(obs.get("n_alerts") == 2L)
+  }
+
   test("streaming end-to-end: snapshots through tracker to per-user sends") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
