@@ -65,9 +65,11 @@ object Dedup {
   def minhashLshPairs(shingled: DataFrame, threshold: Double,
       k: Int = 64, bandRows: Int = 4): DataFrame = {
     val nBands = k / bandRows
-    // the projection feeds signature generation AND both verify joins —
-    // persist it (at cluster scale: a persisted intermediate table)
-    val docs = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    // the projection feeds signature generation AND both verify joins;
+    // ShingleHashes is one cheap native pass, so recomputing it thrice
+    // beats cache materialization + eviction variance at these sizes (at
+    // cluster scale a persisted intermediate table wins instead)
+    val docs = shingled
     val sigs = docs.select(col("doc_id"), minhashSig(col("shs"), k).as("sig"))
     val bands = (0 until nBands).map { b =>
       val slice = (0 until bandRows).map(r => col("sig").getItem(b * bandRows + r))
