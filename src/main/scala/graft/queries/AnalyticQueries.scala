@@ -26,7 +26,7 @@ object AnalyticQueries {
     "q13_moving_avg",
     """WITH d AS (
       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
-      |         sum(CAST(value AS DECIMAL(18,2))) AS total
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
       |  FROM events GROUP BY 1, 2)
       |SELECT day, event_type, total,
       |       CAST(sum(total) OVER w AS DOUBLE) / count(*) OVER w AS ma5
@@ -36,7 +36,9 @@ object AnalyticQueries {
   ) { (s, dir) =>
     val daily = t(s, dir, "events")
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-      .agg(sum(col("value").cast(dec)).as("total"))
+      // Output cast pins DECIMAL(18,2) on both engines (DuckDB promotes
+      // sum(DECIMAL(18,2)) to DECIMAL(38,2), Spark to DECIMAL(28,2)).
+      .agg(sum(col("value").cast(dec)).cast(dec).as("total"))
     val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-4, 0)
     daily.withColumn("ma5",
       sum(col("total")).over(w).cast("double") / count(lit(1)).over(w))
@@ -48,17 +50,19 @@ object AnalyticQueries {
   val pivotSeries: Q = Q(
     "q14_pivot_series",
     """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-      |       sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click')    AS click,
-      |       sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view')     AS view,
-      |       sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS purchase,
-      |       sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'signup')   AS signup,
-      |       sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error')    AS error
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click')    AS DECIMAL(18,2)) AS click,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view')     AS DECIMAL(18,2)) AS view,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DECIMAL(18,2)) AS purchase,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'signup')   AS DECIMAL(18,2)) AS signup,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error')    AS DECIMAL(18,2)) AS error
       |FROM events GROUP BY 1""".stripMargin
   ) { (s, dir) =>
+    val types = Seq("click", "view", "purchase", "signup", "error")
     t(s, dir, "events")
       .groupBy(to_date(col("ts")).as("day"))
-      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .pivot("event_type", types)
       .agg(sum(col("value").cast(dec)))
+      .select(col("day") +: types.map(c => col(c).cast(dec).as(c)): _*)
   }
 
   /** A7 — grand-total pseudo-key via rollup (bot/BotUtils.java:293-318
@@ -68,12 +72,12 @@ object AnalyticQueries {
     "q15_rollup_total",
     """SELECT coalesce(event_type, 'Total') AS event_type,
       |       count(*) AS n_events,
-      |       sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
       |FROM events GROUP BY ROLLUP(event_type)""".stripMargin
   ) { (s, dir) =>
     t(s, dir, "events")
       .rollup(col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value").cast(dec)).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value").cast(dec)).cast(dec).as("sum_value"))
       .select(coalesce(col("event_type"), lit("Total")).as("event_type"),
         col("n_events"), col("sum_value"))
   }
@@ -181,16 +185,16 @@ object AnalyticQueries {
     "q20_summary_serve",
     """WITH totals AS (
       |  SELECT user_id, count(*) AS n_events,
-      |         sum(CAST(value AS DECIMAL(18,2))) AS total_value
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
       |  FROM events GROUP BY 1),
       |today AS (
       |  SELECT user_id, count(*) AS today_n,
-      |         sum(CAST(value AS DECIMAL(18,2))) AS today_value
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS today_value
       |  FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-30' GROUP BY 1),
       |j AS (
       |  SELECT totals.user_id, totals.n_events, totals.total_value,
       |         coalesce(today.today_n, 0) AS today_n,
-      |         coalesce(today.today_value, CAST(0 AS DECIMAL(18,2))) AS today_value
+      |         CAST(coalesce(today.today_value, 0) AS DECIMAL(18,2)) AS today_value
       |  FROM totals LEFT JOIN today USING (user_id))
       |SELECT user_id, n_events, total_value, today_n, today_value,
       |       CASE WHEN today_value = 0 OR total_value = 0 THEN 0
@@ -202,14 +206,14 @@ object AnalyticQueries {
   ) { (s, dir) =>
     val ev = t(s, dir, "events")
     val totals = ev.groupBy("user_id")
-      .agg(count(lit(1)).as("n_events"), sum(col("value").cast(dec)).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value").cast(dec)).cast(dec).as("total_value"))
     val today = ev.filter(to_date(col("ts")) === lit("2024-01-30").cast("date"))
       .groupBy("user_id")
-      .agg(count(lit(1)).as("today_n"), sum(col("value").cast(dec)).as("today_value"))
+      .agg(count(lit(1)).as("today_n"), sum(col("value").cast(dec)).cast(dec).as("today_value"))
     val j = totals.join(today, Seq("user_id"), "left")
       .select(col("user_id"), col("n_events"), col("total_value"),
         coalesce(col("today_n"), lit(0L)).as("today_n"),
-        coalesce(col("today_value"), lit(0).cast(dec)).as("today_value"))
+        coalesce(col("today_value"), lit(0).cast(dec)).cast(dec).as("today_value"))
     j.withColumn("doubling_rate",
         when(col("today_value") === 0 || col("total_value") === 0, lit(0L))
           .otherwise(round(lit(70.0) * col("total_value").cast("double")
@@ -291,8 +295,8 @@ object AnalyticQueries {
       |  FROM events),
       |s AS (
       |  SELECT user_id, event_id, ts_ms,
-      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
-      |                                ROWS UNBOUNDED PRECEDING) AS session_id
+      |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+      |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |  FROM g)
       |SELECT user_id, session_id, count(*) AS n_events,
       |       min(ts_ms) AS session_start_ms,

@@ -70,7 +70,7 @@ object RelationalQueries {
     "q03_daily_agg",
     """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
       |       count(*) AS n_events,
-      |       sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value,
       |       max(value) AS max_value
       |FROM events GROUP BY 1, 2""".stripMargin
   ) { (s, dir) =>
@@ -78,7 +78,10 @@ object RelationalQueries {
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(dec)).as("sum_value"),
+        // Explicit output cast: DuckDB promotes sum(DECIMAL(18,2)) to
+        // DECIMAL(38,2), Spark to DECIMAL(28,2) — the driver hash is
+        // representation-sensitive, so both sides pin DECIMAL(18,2).
+        sum(col("value").cast(dec)).cast(dec).as("sum_value"),
         max(col("value")).as("max_value"))
       .select(to_date(col("w.start")).as("day"), col("event_type"),
         col("n_events"), col("sum_value"), col("max_value"))
@@ -91,7 +94,7 @@ object RelationalQueries {
     "q04_daily_agg_user",
     """SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
       |       count(*) AS n_events,
-      |       sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value,
       |       max_by(value, event_id) AS last_value
       |FROM events GROUP BY 1, 2""".stripMargin
   ) { (s, dir) =>
@@ -99,7 +102,7 @@ object RelationalQueries {
       .groupBy(col("user_id"), window(col("ts"), "1 day").as("w"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(dec)).as("sum_value"),
+        sum(col("value").cast(dec)).cast(dec).as("sum_value"),
         max_by(col("value"), col("event_id")).as("last_value"))
       .select(col("user_id"), to_date(col("w.start")).as("day"),
         col("n_events"), col("sum_value"), col("last_value"))
@@ -112,11 +115,11 @@ object RelationalQueries {
     "q05_doubling_rate",
     """WITH d AS (
       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
-      |         sum(CAST(value AS DECIMAL(18,2))) AS total
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
       |  FROM events GROUP BY 1, 2),
       |dd AS (
       |  SELECT day, event_type, total,
-      |         total - coalesce(lag(total) OVER (PARTITION BY event_type ORDER BY day), 0) AS delta
+      |         CAST(total - coalesce(lag(total) OVER (PARTITION BY event_type ORDER BY day), 0) AS DECIMAL(18,2)) AS delta
       |  FROM d)
       |SELECT day, event_type, total, delta,
       |       CASE WHEN delta = 0 OR total = 0 THEN 0
@@ -126,11 +129,11 @@ object RelationalQueries {
   ) { (s, dir) =>
     val daily = t(s, dir, "events")
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-      .agg(sum(col("value").cast(dec)).as("total"))
+      .agg(sum(col("value").cast(dec)).cast(dec).as("total"))
     val w = Window.partitionBy("event_type").orderBy("day")
     daily
       .withColumn("delta",
-        col("total") - coalesce(lag(col("total"), 1).over(w), lit(0).cast(dec)))
+        (col("total") - coalesce(lag(col("total"), 1).over(w), lit(0).cast(dec))).cast(dec))
       .withColumn("doubling_rate",
         when(col("delta") === 0 || col("total") === 0, lit(0L))
           .otherwise(round(lit(70.0) * col("total").cast("double")
@@ -164,7 +167,7 @@ object RelationalQueries {
     "q07_join_enrich",
     """SELECT n_name AS nation, r_name AS region,
       |       count(*) AS n_lineitems,
-      |       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
       |FROM lineitem
       |JOIN orders   ON l_orderkey  = o_orderkey
       |JOIN customer ON o_custkey   = c_custkey
@@ -179,7 +182,7 @@ object RelationalQueries {
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name").as("nation"), col("r_name").as("region"))
       .agg(count(lit(1)).as("n_lineitems"),
-        sum(col("l_extendedprice").cast(dec)).as("sum_price"))
+        sum(col("l_extendedprice").cast(dec)).cast(dec).as("sum_price"))
   }
 
   /** J3 — composite-key lookup join: per-(user,type) daily activity
@@ -239,10 +242,10 @@ object RelationalQueries {
       |                  CAST(max(o_orderdate) AS DATE) AS d1 FROM orders),
       |dates AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
       |daily AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
-      |                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+      |                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
       |          FROM orders GROUP BY 1)
       |SELECT dates.day, coalesce(daily.n_orders, 0) AS n_orders,
-      |       coalesce(daily.sum_price, CAST(0 AS DECIMAL(18,2))) AS sum_price
+      |       CAST(coalesce(daily.sum_price, 0) AS DECIMAL(18,2)) AS sum_price
       |FROM dates LEFT JOIN daily USING (day)""".stripMargin
   ) { (s, dir) =>
     val o = t(s, dir, "orders").withColumn("day", to_date(col("o_orderdate")))
@@ -250,11 +253,11 @@ object RelationalQueries {
     val dates = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
     val daily = o.groupBy("day")
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast(dec)).as("sum_price"))
+        sum(col("o_totalprice").cast(dec)).cast(dec).as("sum_price"))
     dates.join(daily, Seq("day"), "left")
       .select(col("day"),
         coalesce(col("n_orders"), lit(0L)).as("n_orders"),
-        coalesce(col("sum_price"), lit(0).cast(dec)).as("sum_price"))
+        coalesce(col("sum_price"), lit(0).cast(dec)).cast(dec).as("sum_price"))
   }
 
   /** Exact dedup — hash-groupBy canonicalization (north-star operator;

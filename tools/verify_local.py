@@ -10,6 +10,7 @@ import glob
 import json
 import math
 import sys
+from decimal import Decimal
 
 import duckdb
 import pandas as pd
@@ -28,24 +29,26 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def cells_equal(a, b) -> bool:
+    """Driver-strict compare: the driver hashes value representations, so
+    Decimal('123.40') vs float 123.4, or int vs float, must NOT match.
+    Type identity is required; Decimals compare scale-sensitively."""
     if a is None and b is None:
         return True
     try:
-        if pd.isna(a) and pd.isna(b):
-            return True
+        a_na, b_na = bool(pd.isna(a)), bool(pd.isna(b))
+        if a_na or b_na:
+            return a_na and b_na
     except (TypeError, ValueError):
         pass
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return False
-        if math.isnan(fa) and math.isnan(fb):
-            return True
-        return fa == fb
-    if isinstance(a, pd.Timestamp) or isinstance(b, pd.Timestamp):
-        return pd.Timestamp(a) == pd.Timestamp(b)
-    return str(a) == str(b)
+    if type(a) is not type(b):
+        return False
+    if isinstance(a, Decimal):
+        return str(a) == str(b)
+    if isinstance(a, float):
+        return (math.isnan(a) and math.isnan(b)) or a == b
+    if isinstance(a, pd.Timestamp):
+        return a == b
+    return a == b
 
 
 def main():
@@ -71,6 +74,27 @@ def main():
             continue
         got = con.execute(
             f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        # Declared-type check: fetchdf erases decimal precision (38,2 and
+        # 28,2 both become scale-2 Decimals), but the driver hashes the
+        # declared type — exactly the r1 failure mode. Compare DESCRIBE
+        # output, folding plain integer widths (driver-accepted) while
+        # keeping HUGEINT and DECIMAL(p,s) distinct.
+        def tsig(t):
+            t = t.upper()
+            return "INT" if t in ("TINYINT", "SMALLINT", "INTEGER",
+                                  "BIGINT") else t
+        exp_t = dict(con.execute(f"DESCRIBE {sql}").fetchdf()
+                     [["column_name", "column_type"]].values)
+        got_t = dict(con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchdf()
+            [["column_name", "column_type"]].values)
+        t_bad = [(c, exp_t.get(c), got_t.get(c))
+                 for c in sorted(set(exp_t) | set(got_t))
+                 if tsig(exp_t.get(c, "?")) != tsig(got_t.get(c, "?"))]
+        if t_bad:
+            print(f"FAIL {name}: declared-type mismatch {t_bad}")
+            n_fail += 1
+            continue
         exp, got = norm(exp), norm(got)
         if list(exp.columns) != list(got.columns):
             print(f"FAIL {name}: columns exp={list(exp.columns)} "
@@ -79,6 +103,18 @@ def main():
             continue
         if len(exp) != len(got):
             print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
+            n_fail += 1
+            continue
+        # Driver evidence (r1): int32 vs int64 hash-equal (q06/q16/q22/...
+        # all green), while Decimal scale and int-vs-float do not. So
+        # compare dtype KINDS, folding integer widths together.
+        def dkind(dt):
+            return "i" if dt.kind in "iu" else str(dt)
+        dt_bad = [(c, str(exp[c].dtype), str(got[c].dtype))
+                  for c in exp.columns
+                  if dkind(exp[c].dtype) != dkind(got[c].dtype)]
+        if dt_bad:
+            print(f"FAIL {name}: dtype mismatch {dt_bad}")
             n_fail += 1
             continue
         bad = []
