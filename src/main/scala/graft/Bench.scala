@@ -1,32 +1,67 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR
-  * and prints one JSON line for the driver (BENCH_r{N}.json). */
+  * and emits ONE JSON line for the driver (BENCH_r{N}.json).
+  *
+  * Output contract: stdout carries exactly one line — the JSON — and the
+  * same JSON is written to bench_out.json (cwd) so the driver can parse
+  * it even if the launcher decorates stdout. All progress goes to stderr.
+  *
+  * Each query is driven through a `noop`-format write, not `count()`:
+  * count lets Catalyst prune projection-only work (rendering columns,
+  * text metrics would never be evaluated), understating real cost.
+  * Failures are not swallowed: a failed query reports -1 with its error
+  * in an `errors` map and the process exits non-zero.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = GraftSession.defaultCpus
     val spark = GraftSession.configure(SparkSession.builder(), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+
     // Per-query warmup run, then best-of-two measured runs: at these
     // scale factors Catalyst analysis + whole-stage-codegen JIT dominates
     // a cold first execution, and this box's scheduler is noisy — the
     // minimum steady-state run is what reflects the plan.
+    var errors = Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val t = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.min
+      System.err.println(s"[bench] $name")
+      val t =
+        try {
+          runOnce(fn)
+          (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            runOnce(fn)
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        } catch {
+          case e: Throwable =>
+            errors += name -> e.toString.replaceAll("[\"\\n\\r]", " ").take(200)
+            -1.0
+        }
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    Files.write(Paths.get("bench_out.json"),
+      (json + "\n").getBytes(StandardCharsets.UTF_8))
+    println(json)
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }
