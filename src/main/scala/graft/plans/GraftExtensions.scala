@@ -26,18 +26,30 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** (x, y) -> x * y with the operands bound to EXACTLY the lambda's two
+    * declared variables, one each. Without the exprId binding, adjacent
+    * forms like (x, y) -> x * x would be silently rewritten to a dot
+    * product — computing sum(a_i*b_i) instead of sum(a_i^2). */
   private object MulLambda {
     def unapply(e: Expression): Boolean = e match {
-      case LambdaFunction(Multiply(_: NamedLambdaVariable, _: NamedLambdaVariable, _),
-        _, _) => true
+      case LambdaFunction(
+            Multiply(l: NamedLambdaVariable, r: NamedLambdaVariable, _),
+            Seq(v1: NamedLambdaVariable, v2: NamedLambdaVariable), _) =>
+        Set(l.exprId, r.exprId) == Set(v1.exprId, v2.exprId) &&
+          l.exprId != r.exprId
       case _ => false
     }
   }
 
+  /** (acc, x) -> acc + x, operands bound to exactly {acc, x} — rejects
+    * (acc, x) -> acc + acc and lambdas referencing outer variables. */
   private object AddLambda {
     def unapply(e: Expression): Boolean = e match {
-      case LambdaFunction(Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _),
-        _, _) => true
+      case LambdaFunction(
+            Add(l: NamedLambdaVariable, r: NamedLambdaVariable, _),
+            Seq(v1: NamedLambdaVariable, v2: NamedLambdaVariable), _) =>
+        Set(l.exprId, r.exprId) == Set(v1.exprId, v2.exprId) &&
+          l.exprId != r.exprId
       case _ => false
     }
   }

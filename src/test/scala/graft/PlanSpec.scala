@@ -68,6 +68,40 @@ class PlanSpec extends SparkSpec {
       direct.collect().map(_.getLong(0)).toSeq)
   }
 
+  test("RewriteDotProduct: adjacent-but-different lambdas are NOT rewritten") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{VectorFunctions => V}
+    // a and b differ, so a wrong rewrite to DotProductL(a, b) changes values
+    val base = graft.sources.Tables.load(spark, sf, "embeddings")
+      .limit(5)
+      .select(V.quantize(col("embedding")).as("a"))
+      .withColumn("b", expr("transform(a, x -> x + 1L)"))
+
+    // (x, y) -> x * x: sum of squares of a, NOT dot(a, b)
+    val sq = base.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> x * x), 0L, (acc, x) -> acc + x)").as("v"))
+    assert(!sq.queryExecution.optimizedPlan.toString.toLowerCase.contains("dotproductl"),
+      "x*x lambda was wrongly rewritten to a dot product")
+    // oracle: same sum of squares without zip_with (never rewriteable)
+    val sqOracle = base.select(expr(
+      "aggregate(transform(a, x -> x * x), 0L, (acc, x) -> acc + x)").as("v"))
+    assert(sq.collect().map(_.getLong(0)).toSeq ==
+      sqOracle.collect().map(_.getLong(0)).toSeq)
+
+    // (acc, x) -> acc + acc: folds to 0, NOT the dot product
+    val dbl = base.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, x) -> acc + acc)").as("v"))
+    assert(!dbl.queryExecution.optimizedPlan.toString.toLowerCase.contains("dotproductl"),
+      "acc+acc lambda was wrongly rewritten to a dot product")
+    assert(dbl.collect().forall(_.getLong(0) == 0L))
+
+    // the canonical form still rewrites (guard against over-tightening)
+    val ok = base.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)").as("v"))
+    assert(ok.queryExecution.optimizedPlan.toString.toLowerCase.contains("dotproductl"),
+      ok.queryExecution.optimizedPlan.toString.take(1500))
+  }
+
   test("q02: window delta shuffles once on the partition key") {
     val p = plan("q02_running_delta")
     assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p.take(2000))
