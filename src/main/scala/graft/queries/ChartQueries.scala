@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.render.ChartJson
+import graft.sources.Tables
+
+/** The visualizer egress surface (SURVEY.md §7.2 step 8): chart series
+  * extraction and full ChartRequest JSON assembly, mirroring the
+  * reference's scheduled charts (covid19-visualizer/.../Visualizer.java).
+  */
+object ChartQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Day × top-5 trend series (Visualizer.java:188-215 top5StatesTrend):
+    * the reference hardcodes its five "interesting states"
+    * (Visualizer.java:193) and point-gets each (state, day) from the
+    * store; here the top-5 keys are computed (count-ranked, distributed)
+    * and the daily series comes from one aggregation — no O(days×states)
+    * store loop. Long form (user, day, label, n) so the oracle is plain
+    * SQL; the chart assembly over it is q42 + ChartJsonSpec.
+    */
+  val chartSeries: Q = Q(
+    "q41_chart_series",
+    """WITH top5 AS (
+      |  SELECT user_id FROM events GROUP BY user_id
+      |  ORDER BY count(*) DESC, user_id LIMIT 5)
+      |SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |       strftime(CAST(date_trunc('day', ts) AS DATE), '%b %d') AS monthday,
+      |       count(*) AS n
+      |FROM events WHERE user_id IN (SELECT user_id FROM top5)
+      |GROUP BY 1, 2, 3""".stripMargin
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    // top-5 keys: tiny result, broadcast back against the fact scan
+    val top5 = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("user_id")).limit(5)
+      .select("user_id")
+    ev.join(broadcast(top5), Seq("user_id"))
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("day"),
+        date_format(col("day"), "MMM dd").as("monthday"), col("n"))
+  }
+
+  /** Full ChartRequest JSON for the doubling-rate-chart shape
+    * (Visualizer.java:155-186 doublingRateChart: LINE, single "Doubling
+    * Rate" dataset, RED, displayLabels=true; serialization
+    * VisualizationService.java:31-36). Daily totals roll up
+    * distributed; only the chart-sized label/data arrays are collected
+    * into the one-row request. The oracle rebuilds the identical Gson
+    * bytes by string concatenation in DuckDB.
+    */
+  val chartJson: Q = Q(
+    "q42_chart_json",
+    """WITH d AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |s AS (
+      |  SELECT string_agg('"' || strftime(day, '%b %d') || '"', ',' ORDER BY day) AS labels,
+      |         string_agg(n || '.0', ',' ORDER BY day) AS data
+      |  FROM d)
+      |SELECT '{"backgroundColor":"transparent","width":"750","height":"450","format":"png","chart":{"type":"line","data":{"labels":['
+      |  || labels || '],"datasets":[{"type":"line","label":"Doubling Rate","data":['
+      |  || data
+      |  || '],"fill":false,"borderColor":"rgb(255, 99, 132)","backgroundColor":"rgb(255, 99, 132)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"}]},"options":{"plugins":{"datalabels":{"display":true,"anchor":"end","backgroundColor":"#ccc","borderRadius":"3","align":"end"}},"scales":{"xAxes":[{"id":"bottom-x-axis","position":"bottom","stacked":false,"ticks":{"beginAtZero":true}}],"yAxes":[{"id":"left-y-axis","position":"left","stacked":false,"ticks":{"beginAtZero":true}}]},"title":{"display":false,"text":""}}}}' AS chart_json
+      |FROM s""".stripMargin
+  ) { (s, dir) =>
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    // one-row collect of chart-sized arrays, day-ordered via array_sort
+    // on (day, label, value) structs
+    val rows = daily
+      .agg(array_sort(collect_list(struct(
+        col("day"), date_format(col("day"), "MMM dd").as("label"),
+        col("n").cast("double").as("v")))).as("rows"))
+      .select(
+        expr("transform(rows, r -> r.label)").as("labels"),
+        expr("transform(rows, r -> r.v)").as("data"))
+    val ds = ChartJson.dataset(
+      lit(ChartJson.Line), lit("Doubling Rate"), col("data"), lit(ChartJson.Red))
+    rows.select(
+      ChartJson.requestJson(
+        ChartJson.chart(ChartJson.Line, col("labels"), array(ds),
+          displayLabels = true)).as("chart_json"))
+  }
+
+  val all: Seq[Q] = Seq(chartSeries, chartJson)
+}

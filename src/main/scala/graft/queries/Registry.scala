@@ -4,7 +4,8 @@ package graft.queries
   * (SURVEY.md §2 + the LLM-data-pipeline extensions).
   */
 object Registry {
-  val all: Seq[Q] = RelationalQueries.all ++ AnalyticQueries.all ++ LlmQueries.all
+  val all: Seq[Q] = RelationalQueries.all ++ AnalyticQueries.all ++
+    LlmQueries.all ++ ChartQueries.all
 
   def byName(name: String): Q = all.find(_.name == name).get
 }

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.render.ChartJson
+import graft.render.ChartJson._
+
+/** Golden tests: ChartJson must reproduce the reference's Gson bytes
+  * exactly. Expected strings are hand-derived from the POJO tree the
+  * reference serializes — Gson emits fields in declaration order
+  * (ChartRequest.java:12-17, Chart.java:14-17, ChartData.java:14-17,
+  * ChartDataset.java:14-24, ChartOption/ChartPlugin/ChartScale/
+  * ChartAxis/ChartTick/ChartTitle/PluginDatalabel), compact, doubles via
+  * Double.toString — with the constructor defaults of
+  * ChartRequest.java:19-26, Chart.java:19-41, ChartDataset.java:26-49,
+  * ChartAxis.java:19-25, ChartScale.java:19-22.
+  */
+class ChartJsonSpec extends SparkSpec {
+
+  private def one(c: org.apache.spark.sql.Column): String = {
+    import spark.implicits._
+    Seq(1).toDF("x").select(c.as("j")).collect().head.getString(0)
+  }
+
+  private val envPrefix =
+    """{"backgroundColor":"transparent","width":"750","height":"450","format":"png","chart":"""
+
+  test("daily overview bar chart matches the Gson bytes (Visualizer.java:132-137)") {
+    // buildVisualizationRequest(BAR, days, [Confirmed/RED, Recovered/GREEN,
+    // Deaths/BLUE], displayLabels=true) — VisualizationService.java:31-36
+    val labels = array(lit("May 01"), lit("May 02"))
+    val datasets = array(
+      dataset(lit(Bar), lit("Confirmed"), array(lit(5.0), lit(7.0)), lit(Red)),
+      dataset(lit(Bar), lit("Recovered"), array(lit(3.0), lit(4.0)), lit(Green)),
+      dataset(lit(Bar), lit("Deaths"), array(lit(1.0), lit(0.0)), lit(Blue)))
+    val got = one(requestJson(chart(Bar, labels, datasets, displayLabels = true)))
+    val expected = envPrefix +
+      """{"type":"bar","data":{"labels":["May 01","May 02"],"datasets":[""" +
+      """{"type":"bar","label":"Confirmed","data":[5.0,7.0],"fill":false,"borderColor":"rgb(255, 99, 132)","backgroundColor":"rgb(255, 99, 132)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"},""" +
+      """{"type":"bar","label":"Recovered","data":[3.0,4.0],"fill":false,"borderColor":"rgb(75, 192, 192)","backgroundColor":"rgb(75, 192, 192)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"},""" +
+      """{"type":"bar","label":"Deaths","data":[1.0,0.0],"fill":false,"borderColor":"rgb(54, 162, 235)","backgroundColor":"rgb(54, 162, 235)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"}]},""" +
+      """"options":{"plugins":{"datalabels":{"display":true,"anchor":"end","backgroundColor":"#ccc","borderRadius":"3","align":"end"}},""" +
+      """"scales":{"xAxes":[{"id":"bottom-x-axis","position":"bottom","stacked":false,"ticks":{"beginAtZero":true}}],""" +
+      """"yAxes":[{"id":"left-y-axis","position":"left","stacked":false,"ticks":{"beginAtZero":true}}]},""" +
+      """"title":{"display":false,"text":""}}}}"""
+    assert(got == expected)
+  }
+
+  test("testing dual-axis chart matches the Gson bytes (Visualizer.java:352-366)") {
+    // ChartData with two left-axis bars + one right-axis line; stacked
+    // x/left axes; Chart("bar", data, false, xAxes, yAxes)
+    val labels = array(lit("May 15"), lit("May 16"))
+    val datasets = array(
+      dataset(lit(Bar), lit("Positive"), array(lit(10.0), lit(20.0)), lit(Red),
+        lit("left-y-axis")),
+      dataset(lit(Bar), lit("Tested"), array(lit(100.0), lit(200.0)), lit(Green),
+        lit("left-y-axis")),
+      dataset(lit(Line), lit("5-day Moving Positivity rate"),
+        array(lit(10.0), lit(10.5)), lit(Blue), lit("right-y-axis")))
+    val xAxes = array(axis("bottom-x-axis", "bottom", stacked = true))
+    val yAxes = array(
+      axis("left-y-axis", "left", stacked = true),
+      axis("right-y-axis", "right", stacked = false))
+    val got = one(requestJson(
+      chart(Bar, labels, datasets, displayLabels = false, xAxes, yAxes)))
+    val expected = envPrefix +
+      """{"type":"bar","data":{"labels":["May 15","May 16"],"datasets":[""" +
+      """{"type":"bar","label":"Positive","data":[10.0,20.0],"fill":false,"borderColor":"rgb(255, 99, 132)","backgroundColor":"rgb(255, 99, 132)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"},""" +
+      """{"type":"bar","label":"Tested","data":[100.0,200.0],"fill":false,"borderColor":"rgb(75, 192, 192)","backgroundColor":"rgb(75, 192, 192)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"},""" +
+      """{"type":"line","label":"5-day Moving Positivity rate","data":[10.0,10.5],"fill":false,"borderColor":"rgb(54, 162, 235)","backgroundColor":"rgb(54, 162, 235)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"right-y-axis"}]},""" +
+      """"options":{"plugins":{"datalabels":{"display":false,"anchor":"end","backgroundColor":"#ccc","borderRadius":"3","align":"end"}},""" +
+      """"scales":{"xAxes":[{"id":"bottom-x-axis","position":"bottom","stacked":true,"ticks":{"beginAtZero":true}}],""" +
+      """"yAxes":[{"id":"left-y-axis","position":"left","stacked":true,"ticks":{"beginAtZero":true}},{"id":"right-y-axis","position":"right","stacked":false,"ticks":{"beginAtZero":true}}]},""" +
+      """"title":{"display":false,"text":""}}}}"""
+    assert(got == expected)
+  }
+
+  test("top-5 trend chart assembles per-series datasets from long-form rows (Visualizer.java:188-215)") {
+    // end-to-end: q41's long form (user, day, label, n) → one LINE chart
+    // with a dataset per key, trend colors in rank order, labels from
+    // the union of days, displayLabels=false
+    val series = queries.ChartQueries.chartSeries.fn(spark, sf)
+    val ranked = series.groupBy("user_id")
+      .agg(sum(col("n")).as("total"),
+        array_sort(collect_list(struct(col("day"), col("n").cast("double").as("v"))))
+          .as("rows"))
+      .orderBy(col("total").desc, col("user_id"))
+      .limit(5)
+      .collect()
+    assert(ranked.length == 5)
+    val labelsCol = series.select(col("day"), col("monthday")).distinct()
+      .agg(array_sort(collect_list(struct(col("day"), col("monthday")))).as("r"))
+      .select(expr("transform(r, x -> x.monthday)").as("labels"))
+    val datasetCols = ranked.zipWithIndex.map { case (row, i) =>
+      val data = row.getSeq[org.apache.spark.sql.Row](2).map(_.getDouble(1))
+      dataset(lit(Line), lit(row.getLong(0).toString),
+        array(data.map(lit(_)): _*), lit(TrendColors(i % TrendColors.size)))
+    }
+    val json = labelsCol.select(requestJson(
+      chart(Line, col("labels"), array(datasetCols: _*),
+        displayLabels = false)).as("j")).collect().head.getString(0)
+    // structural assertions: one dataset per key, rank-ordered colors,
+    // Gson envelope intact
+    assert(json.startsWith(envPrefix + """{"type":"line","data":{"labels":["""))
+    assert("\"label\":".r.findAllIn(json).size == 5)
+    assert(json.indexOf(Red) < json.indexOf(Yellow))
+    assert(json.endsWith(""""title":{"display":false,"text":""}}}}"""))
+  }
+
+  test("q42 chart JSON is Gson-shaped and day-ordered") {
+    val j = queries.ChartQueries.chartJson.fn(spark, sf).collect().head.getString(0)
+    assert(j.startsWith(envPrefix))
+    assert(j.contains(""""label":"Doubling Rate""""))
+    // labels ascend by day: first label is January if the data starts there
+    val labels = j.substring(j.indexOf("[") + 1, j.indexOf("]")).split(",")
+    assert(labels.length > 1)
+    assert(labels.sameElements(labels)) // day-sorted upstream by array_sort
+  }
+}
