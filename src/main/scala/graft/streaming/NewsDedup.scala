@@ -42,28 +42,54 @@ object NewsDedup {
   }
 
   /** ST3 — dedup on an extracted id with TTL refresh. Records whose id
-    * is null bypass the dedup (reference behavior). */
+    * is null bypass the dedup (reference behavior).
+    *
+    * State retention mirrors the reference's bounded window store
+    * (Covid19PatientAnalyzer.java:66-71 retains 7 days): each key's
+    * state carries an event-time timeout at lastSeen + ttl, and when the
+    * watermark passes it the key is evicted (`gs.remove()`), so state
+    * size tracks the live-key set instead of growing forever. The
+    * watermark also bounds how late a refresh can arrive
+    * (`watermarkDelay`); in batch mode timeouts never fire and the
+    * state is discarded with the job.
+    */
   def dedupWithTtl(
       in: Dataset[StampedPatient],
-      ttlMs: Long): Dataset[StampedPatient] = {
+      ttlMs: Long,
+      watermarkDelay: String = "1 day"): Dataset[StampedPatient] = {
     val spark = in.sparkSession
     import spark.implicits._
-    val keyed = in.filter((r: StampedPatient) => bestNewsSource(r.patient) != null)
-    val passthrough = in.filter((r: StampedPatient) => bestNewsSource(r.patient) == null)
+    val streaming = in.isStreaming
+    val marked = in.withWatermark("eventTime", watermarkDelay)
+    val keyed = marked.filter((r: StampedPatient) => bestNewsSource(r.patient) != null)
+    val passthrough = marked.filter((r: StampedPatient) => bestNewsSource(r.patient) == null)
     val deduped = keyed
       .groupByKey(r => bestNewsSource(r.patient))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: String, rows: Iterator[StampedPatient], gs: GroupState[Long]) =>
-          var lastSeen = gs.getOption.getOrElse(Long.MinValue)
-          val out = rows.toSeq.sortBy(_.eventTime.getTime).flatMap { r =>
-            val ts = r.eventTime.getTime
-            val dup = lastSeen != Long.MinValue && math.abs(ts - lastSeen) <= ttlMs / 2
-            // seen-or-duplicate both refresh the remembered timestamp
-            lastSeen = ts
-            if (dup) None else Some(r)
+          if (gs.hasTimedOut) {
+            // watermark passed lastSeen + ttl with no refresh: evict
+            gs.remove()
+            Iterator.empty
+          } else {
+            var lastSeen = gs.getOption.getOrElse(Long.MinValue)
+            val out = rows.toSeq.sortBy(_.eventTime.getTime).flatMap { r =>
+              val ts = r.eventTime.getTime
+              val dup = lastSeen != Long.MinValue && math.abs(ts - lastSeen) <= ttlMs / 2
+              // seen-or-duplicate both refresh the remembered timestamp
+              lastSeen = ts
+              if (dup) None else Some(r)
+            }
+            gs.update(lastSeen)
+            if (streaming) {
+              // a very late row may put lastSeen+ttl behind the watermark;
+              // clamp so the eviction lands on the next batch instead of
+              // throwing
+              gs.setTimeoutTimestamp(
+                math.max(lastSeen + ttlMs, gs.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
           }
-          gs.update(lastSeen)
-          out.iterator
       }
     deduped.union(passthrough)
   }

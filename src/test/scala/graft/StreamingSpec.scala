@@ -115,6 +115,33 @@ class StreamingSpec extends SparkSpec {
     assert(out.count(r => NewsDedup.bestNewsSource(r.patient) == "srcB") == 1)
   }
 
+  test("dedup TTL state is evicted once the watermark passes lastSeen+ttl (ST3)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def p(src: String) = PatientInfo(currentstatus = "Hospitalized",
+      detectedstate = "Assam", source1 = src)
+    val day = 86400000L
+    def at(d: Int) = new Timestamp(ts("2020-04-01 00:00:00").getTime + d * day)
+    val ms = MemoryStream[StampedPatient]
+    val q = NewsDedup.dedupWithTtl(ms.toDS(), ttlMs = 7 * day)
+      .writeStream.format("memory").queryName("dedup_ttl_t")
+      .outputMode("append").start()
+    def stateRows: Long = q.lastProgress.stateOperators(0).numRowsTotal
+    try {
+      ms.addData(StampedPatient(at(0), p("srcA")), StampedPatient(at(0), p("srcB")))
+      q.processAllAvailable()
+      assert(stateRows == 2, s"expected 2 live keys, got $stateRows")
+      // srcB refreshes at day 20 -> watermark (1d delay) lands at day 19,
+      // far past srcA's timeout of day 7
+      ms.addData(StampedPatient(at(20), p("srcB")))
+      q.processAllAvailable()
+      // next batch runs with watermark=day19 and fires srcA's timeout
+      ms.addData(StampedPatient(at(21), p("srcB")))
+      q.processAllAvailable()
+      assert(stateRows == 1, s"srcA state not evicted: $stateRows rows")
+    } finally q.stop()
+  }
+
   test("news-sources pipeline: clean, recency window, best source, re-key") {
     import spark.implicits._
     val today = java.time.LocalDate.of(2020, 4, 8)
