@@ -175,6 +175,52 @@ object MinHashSig {
   }
 }
 
+/** Distinct sliding-window minima of an `array<bigint>` (the winnowing
+  * sketch inner loop, SIGMOD'03): minimum of every length-`w` window in
+  * position order, deduplicated keeping first occurrence. Semantically
+  * identical to `array_distinct(transform(sequence(1, n-w+1), i ->
+  * array_min(slice(hs, i, w))))` but one O(n) monotonic-deque pass per
+  * row instead of an interpreted O(n·w) HOF chain (the q40 hot path). */
+case class WinnowMins(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Long])
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) { arr(i) = hs.getLong(i); i += 1 }
+    val mins = new Array[Long](n - w + 1)
+    val dq = new Array[Int](n) // monotonic deque of indices, values increasing
+    var head = 0
+    var tail = 0
+    i = 0
+    while (i < n) {
+      while (tail > head && arr(dq(tail - 1)) >= arr(i)) tail -= 1
+      dq(tail) = i
+      tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) mins(i - w + 1) = arr(dq(head))
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long](mins.length * 2)
+    val res = new Array[Long](mins.length)
+    var k = 0
+    i = 0
+    while (i < mins.length) {
+      if (seen.add(mins(i))) { res(k) = mins(i); k += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(res, k))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Frequency-weighted 64-bit SimHash of an `array<string>` token list:
   * every occurrence votes ±1 per bit position, signature bit = sign of
   * the tally — one pass per row instead of a 64×-explode + two shuffles
@@ -226,6 +272,9 @@ object GraftExpressions {
 
   def shingleHashes(words: Column, n: Int = 3, ordered: Boolean = false): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(words), n, ordered))
+
+  def winnowMins(hashes: Column, w: Int): Column =
+    ColumnBridge.column(WinnowMins(ColumnBridge.expression(hashes), w))
 
   /** Register for SQL use (`SELECT graft_dot_q(a, b)`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

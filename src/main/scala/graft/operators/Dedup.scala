@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.functions.{TextFunctions => T}
 import graft.functions.expressions.GraftExpressions.{minhashSig, simhashSig}
@@ -37,12 +36,29 @@ object Dedup {
 
   /** Exact n-gram Jaccard pairs ≥ threshold. Candidates via shared-
     * shingle equi-join on the 8-byte hashes; only docs sharing a 3-gram
-    * ever meet. The projection feeds three consumers (sizes + both join
-    * sides) — persisted so shingling runs once. */
-  def jaccardPairs(shingled: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingled
-      .select(col("doc_id"), explode(col("shs")).as("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    * ever meet.
+    *
+    * `maxDf` is the hot-key guard the join needs at scale: a shingle
+    * shared by d documents contributes d² join rows, so one stop-phrase
+    * 3-gram shared by 10⁶ docs explodes quadratically. Shingles with
+    * document frequency > maxDf are dropped from the REPRESENTATION
+    * (sizes and intersections both — Jaccard over the capped sets stays
+    * exact), the standard df-cap from the dedup literature. The hot set
+    * is stop-phrase-sized, so it broadcasts into a left-anti join.
+    *
+    * The projection feeds multiple consumers; `ShingleHashes` is one
+    * cheap native pass, so recomputing beats cache materialization +
+    * eviction variance (measured in r1; at cluster scale persist a
+    * shingle table instead). */
+  def jaccardPairs(shingled: DataFrame, threshold: Double,
+      maxDf: Int = 0): DataFrame = {
+    val exploded = shingled.select(col("doc_id"), explode(col("shs")).as("h"))
+    val sh =
+      if (maxDf > 0) {
+        val hot = exploded.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("h")
+        exploded.join(broadcast(hot), Seq("h"), "left_anti")
+      } else exploded
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -106,16 +122,23 @@ object Dedup {
         graft.functions.expressions.GraftExpressions
           .shingleHashes(col("ws"), 3, ordered = true).as("hs"))
       .filter(size(col("hs")) >= w)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(1), size(col("hs")) - (w - 1)),
-          i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
+      .select(col("doc_id"), explode(
+        graft.functions.expressions.GraftExpressions.winnowMins(col("hs"), w))
+        .as("fp"))
 
   /** Near-dup candidates by shared winnowing fingerprints: pairs ranked
-    * by how many sketch fingerprints they share. */
+    * by how many sketch fingerprints they share. `maxDf` caps
+    * hot-fingerprint document frequency before the self-join (same
+    * quadratic-blowup guard as [[jaccardPairs]]). */
   def winnowPairs(docs: DataFrame, textCol: String, idCol: String,
-      w: Int = 8, minShared: Int = 2): DataFrame = {
-    val sk = winnowSketch(docs, textCol, idCol, w)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      w: Int = 8, minShared: Int = 2, maxDf: Int = 0): DataFrame = {
+    val sketch = winnowSketch(docs, textCol, idCol, w)
+    val sk =
+      if (maxDf > 0) {
+        val hot = sketch.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("fp")
+        sketch.join(broadcast(hot), Seq("fp"), "left_anti")
+      } else sketch
     sk.as("a")
       .join(sk.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -35,16 +35,36 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Centroid model of an assigned index: per-cluster mean, re-quantized
+    * so downstream scoring reuses the codegen DotProductL. */
+  private def centroidsOf(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos").agg(avg(col("v")).as("m"))
+      .groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cluster"),
+        expr("transform(pm, x -> CAST(round(x.m) AS BIGINT))").as("cqv"))
+      .withColumn("cnsq", dotQFast(col("cqv"), col("cqv")))
+
+  /** Centroids are model-sized (k rows), so each Lloyd's round collects
+    * them to the driver and restarts the next round from a local
+    * relation — the per-iteration lineage chain is cut (no re-execution
+    * of earlier rounds downstream) exactly the way MLlib keeps k-means
+    * centroids driver-side. */
+  private def materializeCentroids(c: DataFrame): DataFrame = {
+    val spark = c.sparkSession
+    val rows = java.util.Arrays.asList(c.collect(): _*)
+    spark.createDataFrame(rows, c.schema)
+  }
+
   /** Deterministic k-means (Lloyd's) over quantized vectors: init =
-    * first k vectors by id, `iters` assign/update rounds. Centroids are
-    * re-quantized each round so assignment reuses the codegen
-    * DotProductL. Returns (vec_id, qv, nsq, cluster) — the IVF inverted
-    * index. Centroid set is model-sized (broadcast); the corpus is never
-    * shuffled, only scanned. */
-  def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cents = corpus.orderBy("vec_id").limit(k)
-      .withColumn("cluster", row_number().over(Window.orderBy("vec_id")) - 1)
-      .select(col("cluster"), col("qv").as("cqv"), col("nsq").as("cnsq"))
+    * first k vectors by id, `iters` assign/update rounds. Returns
+    * (inverted index: vec_id, qv, nsq, cluster; centroid model:
+    * cluster, cqv, cnsq). The centroid set is broadcast at every use;
+    * the corpus is never shuffled, only scanned (iters+1 passes). */
+  def kmeansIndex(corpus: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
     val wBest = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cluster"))
     def assign(c: DataFrame): DataFrame =
       corpus.crossJoin(broadcast(c))
@@ -53,36 +73,37 @@ object Similarity {
         .withColumn("rn", row_number().over(wBest))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("qv"), col("nsq"), col("cluster"))
-    var assigned = assign(cents)
-    for (_ <- 1 to iters) {
-      val newCents = assigned
-        .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
-        .groupBy("cluster", "pos").agg(avg(col("v")).as("m"))
-        .groupBy("cluster")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cluster"),
-          expr("transform(pm, x -> CAST(round(x.m) AS BIGINT))").as("cqv"))
-        .withColumn("cnsq", dotQFast(col("cqv"), col("cqv")))
-      cents = newCents
-      assigned = assign(cents)
+    // init: first k vectors by id, cluster ids assigned driver-side (the
+    // frame is k rows by construction — no global-window ranking needed)
+    val initRows = corpus.orderBy("vec_id").limit(k)
+      .select(col("qv"), col("nsq")).collect()
+    val initCents = initRows.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(i, r.get(0), r.getLong(1))
     }
-    assigned
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cqv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false)),
+      org.apache.spark.sql.types.StructField("cnsq",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    var cents = spark.createDataFrame(
+      java.util.Arrays.asList(initCents: _*), centSchema)
+    for (_ <- 1 to iters)
+      cents = materializeCentroids(centroidsOf(assign(cents)))
+    (assign(cents), cents)
   }
 
   /** IVF approximate top-k: score queries against the centroid model
     * (broadcast), probe the nProbe nearest inverted lists, exact re-rank
     * within them. Complements the LSH path — better recall when the
-    * corpus is clusterable; ~nProbe/k of the corpus scanned. */
-  def annIvfTopK(indexed: DataFrame, queries: DataFrame, k: Int,
-      nProbe: Int): DataFrame = {
-    val cents = indexed
-      .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
-      .groupBy("cluster", "pos").agg(avg(col("v")).as("m"))
-      .groupBy("cluster")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cluster"),
-        expr("transform(pm, x -> CAST(round(x.m) AS BIGINT))").as("cqv"))
-      .withColumn("cnsq", dotQFast(col("cqv"), col("cqv")))
+    * corpus is clusterable; ~nProbe/k of the corpus scanned. Takes the
+    * centroid model from [[kmeansIndex]] — no re-derivation from the
+    * index (which would cost an extra corpus-wide posexplode + two
+    * aggregations). */
+  def annIvfTopK(indexed: DataFrame, cents: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
     val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cluster"))
     val probes = queries
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("nsq").as("qnsq"))

@@ -83,10 +83,10 @@ object AnalyticQueries {
   }
 
   /** J4 — positional zip join (Utils.java:17-28 pairs i-th delta with
-    * i-th daily): rank both sides, equi-join on rank. Note: a global
-    * row_number sorts through one partition — acceptable for dimension-
-    * sized sides (the reference zips ≤39 states); large sides should
-    * carry a partitioned rank. */
+    * i-th daily): rank both sides, equi-join on rank. Both ranks are
+    * two-phase partitioned ranks (Ranks.globalRowNumber) — no
+    * single-partition global window, so the operator survives sides far
+    * larger than the reference's 39-state zip. */
   val zipJoin: Q = Q(
     "q16_zip_join",
     """WITH c AS (SELECT c_name, c_acctbal,
@@ -98,12 +98,11 @@ object AnalyticQueries {
       |SELECT c.rn AS rn, c_name, c_acctbal, s_name, s_acctbal
       |FROM c JOIN s USING (rn)""".stripMargin
   ) { (s, dir) =>
-    val wc = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-    val ws = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
-    val c = t(s, dir, "customer")
-      .withColumn("rn", row_number().over(wc))
-    val sup = t(s, dir, "supplier")
-      .withColumn("rn", row_number().over(ws))
+    import graft.operators.Ranks
+    val c = Ranks.globalRowNumber(t(s, dir, "customer"),
+      Seq(col("c_acctbal").desc, col("c_custkey")), "rn")
+    val sup = Ranks.globalRowNumber(t(s, dir, "supplier"),
+      Seq(col("s_acctbal").desc, col("s_suppkey")), "rn")
     c.join(sup, Seq("rn"))
       .select("rn", "c_name", "c_acctbal", "s_name", "s_acctbal")
   }
@@ -214,12 +213,13 @@ object AnalyticQueries {
       .select(col("user_id"), col("n_events"), col("total_value"),
         coalesce(col("today_n"), lit(0L)).as("today_n"),
         coalesce(col("today_value"), lit(0).cast(dec)).cast(dec).as("today_value"))
-    j.withColumn("doubling_rate",
-        when(col("today_value") === 0 || col("total_value") === 0, lit(0L))
-          .otherwise(round(lit(70.0) * col("total_value").cast("double")
-            / (lit(100.0) * col("today_value").cast("double"))).cast(LongType)))
-      .withColumn("rnk",
-        row_number().over(Window.orderBy(col("total_value").desc, col("user_id"))))
+    val withRate = j.withColumn("doubling_rate",
+      when(col("today_value") === 0 || col("total_value") === 0, lit(0L))
+        .otherwise(round(lit(70.0) * col("total_value").cast("double")
+          / (lit(100.0) * col("today_value").cast("double"))).cast(LongType)))
+    // serving rank: two-phase partitioned rank, no global window
+    graft.operators.Ranks.globalRowNumber(withRate,
+      Seq(col("total_value").desc, col("user_id")), "rnk")
   }
 
   /** §2.6 set ops — intersect/except/union (the reference only has

@@ -119,10 +119,12 @@ object LlmQueries {
   val ngramJaccard: Q = Q(
     "q27_ngram_jaccard",
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |sh AS (SELECT doc_id,
+      |sh0 AS (SELECT doc_id,
       |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
       |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
       |       FROM w WHERE len(ws) >= 3),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -136,7 +138,7 @@ object LlmQueries {
   ) { (s, dir) =>
     graft.operators.Dedup.jaccardPairs(
       graft.operators.Dedup.shingleProjection(t(s, dir, "documents"), "text", "doc_id"),
-      threshold = 0.5)
+      threshold = 0.5, maxDf = 1000)
   }
 
   /** MinHash + banded LSH near-dup detection (the 100 TB-scale path:
@@ -222,14 +224,16 @@ object LlmQueries {
 
   /** IVF ANN (the clusterable-corpus scale path; complements q32's LSH):
     * deterministic k-means inverted index, nProbe-list probing, exact
-    * re-rank. Probabilistic ⇒ rows-only; planted-dup recall in spec. */
+    * re-rank. Centroids come back from kmeansIndex (driver-materialized,
+    * model-sized) so the probe phase re-derives nothing; the quantize
+    * pass is a cheap native expression, recomputed per scan rather than
+    * cached (at cluster scale, persist the quantized table once).
+    * Probabilistic ⇒ rows-only; planted-dup recall in spec. */
   val annIvf: Q = Q.rowsOnly("q39_ann_ivf") { (s, dir) =>
     val n = quantized(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val indexed = graft.operators.Similarity.kmeansAssign(n, k = 16, iters = 2)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (indexed, cents) = graft.operators.Similarity.kmeansIndex(n, k = 16, iters = 2)
     graft.operators.Similarity.annIvfTopK(
-      indexed, n.filter(col("vec_id") < 20), k = 5, nProbe = 4)
+      indexed, cents, n.filter(col("vec_id") < 20), k = 5, nProbe = 4)
   }
 
   /** Multimodal: opaque binary payload + byte-level metadata (oracle-
@@ -265,7 +269,8 @@ object LlmQueries {
     * candidates by shared sketch fingerprints. Hash-valued ⇒ rows-only;
     * planted-dup coverage in spec. */
   val winnow: Q = Q.rowsOnly("q40_winnow_dedup") { (s, dir) =>
-    graft.operators.Dedup.winnowPairs(t(s, dir, "documents"), "text", "doc_id")
+    graft.operators.Dedup.winnowPairs(t(s, dir, "documents"), "text", "doc_id",
+      maxDf = 1000)
   }
 
   val all: Seq[Q] = Seq(textStats, langId, fingerprintQ, ngramJaccard,

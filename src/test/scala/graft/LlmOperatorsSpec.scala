@@ -93,8 +93,8 @@ class LlmOperatorsSpec extends SparkSpec {
         .select((col("vec_id") + 100000).as("vec_id"),
           expr("transform(embedding, (x, i) -> IF(i = 0, x + float(0.001), x))")
             .as("embedding")), "embedding", "vec_id")
-    val indexed = Similarity.kmeansAssign(corpus, k = 16, iters = 2)
-    val found = Similarity.annIvfTopK(indexed, planted, k = 1, nProbe = 4)
+    val (indexed, cents) = Similarity.kmeansIndex(corpus, k = 16, iters = 2)
+    val found = Similarity.annIvfTopK(indexed, cents, planted, k = 1, nProbe = 4)
       .filter(col("rn") === 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val hits = (0 until 30).count(i => found.get(i + 100000L).contains(i.toLong))

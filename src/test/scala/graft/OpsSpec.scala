@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Ranks}
+
+/** Operator-level unit tests for the scale-path rework: partitioned
+  * global rank, dedup df-cap skew guard, native winnowing window. */
+class OpsSpec extends SparkSpec {
+
+  test("globalRowNumber equals a single-partition row_number") {
+    val c = graft.sources.Tables.load(spark, sf, "customer")
+    val order = Seq(col("c_acctbal").desc, col("c_custkey"))
+    val got = Ranks.globalRowNumber(c, order, "rn")
+      .select("c_custkey", "rn").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val exp = c.withColumn("rn", row_number().over(
+        Window.orderBy(order: _*)))
+      .select("c_custkey", "rn").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == exp)
+  }
+
+  test("globalRowNumber plan carries no partition-less window") {
+    val c = graft.sources.Tables.load(spark, sf, "customer")
+    val df = Ranks.globalRowNumber(c, Seq(col("c_acctbal").desc, col("c_custkey")), "rn")
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, "found a global (single-partition) window")
+  }
+
+  test("df-cap drops hot-shingle pairs but keeps true near-dups") {
+    import spark.implicits._
+    // 40 docs sharing one stop-phrase 3-gram + one planted near-dup pair
+    val stop = "the quick brown"
+    val docs = (0 until 40).map(i => (i.toLong, s"$stop unique$i word$i tail$i")) ++
+      Seq((100L, "alpha beta gamma delta epsilon zeta"),
+        (101L, "alpha beta gamma delta epsilon eta"))
+    val df = docs.toDF("doc_id", "text")
+    val shingled = Dedup.shingleProjection(df, "text", "doc_id")
+    val capped = Dedup.jaccardPairs(shingled, threshold = 0.3, maxDf = 10)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the planted pair survives (its overlap shingles are df=2)
+    assert(capped.contains((100L, 101L)), s"planted pair missing: $capped")
+    // no pair whose only shared shingle is the hot stop-phrase
+    assert(capped.forall { case (a, b) => a >= 100L && b >= 100L },
+      s"hot-shingle-only pairs leaked: $capped")
+  }
+
+  test("native WinnowMins equals the HOF sliding-min formula") {
+    import spark.implicits._
+    val w = 8
+    val docs = graft.sources.Tables.load(spark, sf, "documents").limit(50)
+    val hs = docs.select(col("doc_id"),
+      graft.functions.expressions.GraftExpressions.shingleHashes(
+        graft.functions.TextFunctions.words(col("text")), 3, ordered = true).as("hs"))
+      .filter(size(col("hs")) >= w)
+    val native = hs.select(col("doc_id"),
+      graft.functions.expressions.GraftExpressions.winnowMins(col("hs"), w).as("fp"))
+    val hof = hs.select(col("doc_id"), array_distinct(
+      transform(sequence(lit(1), size(col("hs")) - (w - 1)),
+        i => array_min(slice(col("hs"), i, lit(w))))).as("fp"))
+    val n = native.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val h = hof.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(n == h)
+  }
+}

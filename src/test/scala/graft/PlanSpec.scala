@@ -102,6 +102,18 @@ class PlanSpec extends SparkSpec {
       ok.queryExecution.optimizedPlan.toString.take(1500))
   }
 
+  test("no registered query funnels data through a partition-less window") {
+    val offenders = Registry.all.flatMap { q =>
+      val df = q.fn(spark, sf)
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => q.name
+      }
+    }.distinct
+    assert(offenders.isEmpty,
+      s"single-partition global windows in: ${offenders.mkString(", ")}")
+  }
+
   test("q02: window delta shuffles once on the partition key") {
     val p = plan("q02_running_delta")
     assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p.take(2000))
