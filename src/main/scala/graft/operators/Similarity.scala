@@ -22,6 +22,52 @@ object Similarity {
     df.select(col(idCol).as("vec_id"), V.quantize(col(vecCol)).as("qv"))
       .withColumn("nsq", dotQFast(col("qv"), col("qv")))
 
+  /** Exact all-pairs near-dup pairs (cosine ≥ threshold) — ORACLE/TEST
+    * DUTY ONLY. The non-equi self-join is a BroadcastNestedLoopJoin
+    * doing O(n²) comparisons: correct as ground truth at test scale,
+    * a cartesian scale-killer as a product operator (100× the data does
+    * 10,000× the work). The row-count guard makes the misuse loud;
+    * [[neardupPairsLsh]] is the operator to ship. */
+  def exactNeardupPairs(corpus: DataFrame, threshold: Double,
+      maxRows: Long = 200000L): DataFrame = {
+    val n = corpus.count()
+    require(n <= maxRows,
+      s"exactNeardupPairs is the O(n^2) oracle path ($n rows > $maxRows cap); " +
+        "use neardupPairsLsh for production near-dup detection")
+    corpus.as("a")
+      .join(corpus.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        V.cosineFrom(dotQFast(col("a.qv"), col("b.qv")), col("a.nsq"), col("b.nsq"))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Near-dup pairs at scale: sign-bit LSH bucket candidates
+    * (multi-probe — each vector also probes every bucket one bit-flip
+    * away, so pairs within Hamming distance 1 collide), exact cosine
+    * verify on candidates only. The candidate join is a shuffled
+    * equi-join on the bucket key — no cross product anywhere. Recall is
+    * governed by P[bit flip] = θ/π per bit: near-duplicates (cos ≈ 1)
+    * collide with ≈99% probability; size nBits ≈ log2(n) to hold bucket
+    * occupancy (and thus per-bucket pair count) constant as the corpus
+    * grows. */
+  def neardupPairsLsh(corpus: DataFrame, threshold: Double,
+      nBits: Int = 8, dims: Int = 64): DataFrame = {
+    val bucketed = corpus.withColumn("bucket",
+      V.lshBucket(col("qv"), nBits = nBits, dims = dims))
+    val probes = array((lit(0L) +: (0 until nBits).map(b => lit(1L << b))): _*)
+    val probing = bucketed.select(col("vec_id").as("vec_a"),
+      col("qv").as("qva"), col("nsq").as("nsqa"),
+      explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("bucket"))
+    probing.join(bucketed, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_id"))
+      .select(col("vec_a"), col("vec_id").as("vec_b"),
+        V.cosineFrom(dotQFast(col("qva"), col("qv")), col("nsqa"), col("nsq"))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .dropDuplicates("vec_a", "vec_b")
+  }
+
   /** Exact brute-force top-k: one corpus pass per query batch. */
   def knnTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("qv").as("qqv"),

@@ -162,7 +162,10 @@ object LlmQueries {
   }
 
   /** Embedding near-dup pairs: exact cosine ≥ 0.4 over all pairs,
-    * bit-deterministic via integer quantization. */
+    * bit-deterministic via integer quantization. ORACLE GROUND TRUTH —
+    * the all-pairs plan is O(n²) by design (input-size-guarded in
+    * Similarity.exactNeardupPairs); q43 is the LSH-bucketed operator a
+    * pipeline runs at scale. */
   val embeddingNeardup: Q = Q(
     "q30_embedding_neardup",
     """WITH q AS (SELECT vec_id,
@@ -177,13 +180,15 @@ object LlmQueries {
       |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
       |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.4""".stripMargin
   ) { (s, dir) =>
-    val n = quantized(s, dir)
-    n.as("a")
-      .join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        V.cosineFrom(dotQFast(col("a.qv"), col("b.qv")), col("a.nsq"), col("b.nsq"))
-          .as("cosine"))
-      .filter(col("cosine") >= 0.4)
+    graft.operators.Similarity.exactNeardupPairs(quantized(s, dir), threshold = 0.4)
+  }
+
+  /** Embedding near-dup at scale (the production path for q30's
+    * semantics): multi-probe sign-LSH candidate buckets + exact cosine
+    * verify — equi-join on the bucket key, no cross product.
+    * Probabilistic candidates ⇒ rows-only; planted-dup recall in spec. */
+  val embeddingNeardupLsh: Q = Q.rowsOnly("q43_embedding_neardup_lsh") { (s, dir) =>
+    graft.operators.Similarity.neardupPairsLsh(quantized(s, dir), threshold = 0.4)
   }
 
   /** Brute-force cosine top-k (k=10) for a query set — the exact
@@ -274,6 +279,6 @@ object LlmQueries {
   }
 
   val all: Seq[Q] = Seq(textStats, langId, fingerprintQ, ngramJaccard,
-    minhashLsh, simhash, embeddingNeardup, knnCosine, annLsh, annIvf,
-    binaryMeta, multimodalDecode, winnow)
+    minhashLsh, simhash, embeddingNeardup, embeddingNeardupLsh, knnCosine,
+    annLsh, annIvf, binaryMeta, multimodalDecode, winnow)
 }

@@ -76,6 +76,26 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(hits >= 27, s"planted-dup recall $hits/30")
   }
 
+  test("LSH near-dup pairs find planted dupes; exact all-pairs path is size-guarded") {
+    import graft.operators.Similarity
+    val base = graft.sources.Tables.load(spark, sf, "embeddings")
+    val nudged = base.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i = 0, x + float(0.001), x))")
+          .as("embedding"))
+    val corpus = Similarity.quantize(
+      base.select("vec_id", "embedding").unionAll(nudged), "embedding", "vec_id")
+    val found = Similarity.neardupPairsLsh(corpus, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = (0 until 30).count(i => found.contains((i.toLong, i + 100000L)))
+    assert(hits >= 27, s"LSH near-dup recall $hits/30")
+    // and the exact path refuses production-sized input
+    val e = intercept[IllegalArgumentException] {
+      Similarity.exactNeardupPairs(corpus, threshold = 0.4, maxRows = 10).collect()
+    }
+    assert(e.getMessage.contains("oracle path"))
+  }
+
   test("winnowing sketch covers the planted text dupes") {
     val exact = pairs("q27_ngram_jaccard")
     val win = pairs("q40_winnow_dedup")
