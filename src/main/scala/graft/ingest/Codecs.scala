@@ -49,6 +49,18 @@ object Codecs {
       .option("startingOffsets", startingOffsets)
       .load()
 
+  /** S4 — batch producer, the `KafkaTemplate.send` analog
+    * (bot/Covid19Bot.java:122,134; visualizations/ChartsProducer.java:
+    * 29-45): write already-encoded (key, value) frames to a topic in one
+    * batch write. Wiring-only in this environment (connector jar
+    * absent); the frame encoding itself is [[encode]], golden-tested. */
+  def toKafkaBatch(frames: DataFrame, servers: String, topic: String): Unit =
+    frames.write
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .save()
+
   /** Kafka sink (S3): keyed JSON records to a topic. */
   def toKafka(df: DataFrame, servers: String, topic: String,
       checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

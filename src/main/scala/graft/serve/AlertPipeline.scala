@@ -42,15 +42,37 @@ object AlertPipeline {
 
   /** Streaming entry: one foreachBatch per micro-batch; `send` is the
     * side-effecting sink boundary (Telegram adapter in the reference —
-    * out of engine scope, injected for testability). */
+    * out of engine scope, injected for testability).
+    *
+    * The send runs in `foreachPartition` ON THE EXECUTORS — no
+    * driver-side collect funnel, so fanout volume scales with the
+    * cluster; any rate limiting belongs in the sink adapter (`send`),
+    * next to the external service it protects. `send` must therefore be
+    * serializable and executor-safe.
+    *
+    * P8 observability (the reference's peek at
+    * Covid19PatientAnalyzer.java:88 and the bot's logging peeks at
+    * KafkaStreamsConfig.java:162-163): an `Observation` rides the fanout
+    * plan itself — zero extra passes — and reports per-batch metrics to
+    * `onMetrics`. */
   def run(deltaStream: DataFrame, prefs: Dataset[UserPrefs],
-      send: (String, String) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      send: (String, String) => Unit,
+      onMetrics: (Long, Map[String, Any]) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
     deltaStream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        fanout(batch, prefs).collect().foreach { r =>
-          send(r.getAs[String]("userId"), r.getAs[String]("alertText"))
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val obs = org.apache.spark.sql.Observation(s"alert_fanout_$batchId")
+        val out = fanout(batch, prefs)
+          .observe(obs,
+            count(lit(1)).as("n_alerts"),
+            approx_count_distinct(col("userId")).as("n_users"),
+            approx_count_distinct(col("state")).as("n_states"))
+        out.select(col("userId"), col("alertText"))
+          .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+            rows.foreach(r => send(r.getString(0), r.getString(1)))
+          }
+        onMetrics(batchId, obs.get)
       }
       .start()
 }

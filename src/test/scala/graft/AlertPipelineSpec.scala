@@ -52,24 +52,40 @@ class AlertPipelineSpec extends SparkSpec {
     assert(obs.get("n_alerts") == 2L)
   }
 
-  test("streaming end-to-end: snapshots through tracker to per-user sends") {
+  test("streaming end-to-end: snapshots through tracker to executor-side sends + metrics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val sent = mutable.Buffer[(String, String)]()
+    SendProbe.clear()
+    val metrics = mutable.Buffer[(Long, Map[String, Any])]()
     val ms = MemoryStream[StampedStats]
     val deltaStream = DeltaTracker.statewise(ms.toDS()).toDF()
       .select(col("eventTime"), col("delta.*"))
     val prefs = Seq(UserPrefs("u1", Seq("Assam"), subscribed = true)).toDS()
-    val q = AlertPipeline.run(deltaStream, prefs,
-      (user, text) => sent.synchronized { sent += ((user, text)); () })
+    // send runs in foreachPartition on executors: the probe is an object
+    // singleton (shared JVM in local mode), not a captured closure buffer
+    val q = AlertPipeline.run(deltaStream, prefs, SendProbe.send,
+      (id, m) => metrics.synchronized { metrics += ((id, m)); () })
     try {
       ms.addData(snap("Assam", "10", "2020-04-08 00:00:00"))
       q.processAllAvailable()
       ms.addData(snap("Assam", "17", "2020-04-08 06:00:00"))
       q.processAllAvailable()
     } finally q.stop()
-    assert(sent.toList == List(
+    assert(SendProbe.all.toList == List(
       ("u1", "10 new cases in Assam\n"),
       ("u1", "7 new cases in Assam\n")))
+    // P8: per-batch Observation metrics rode the production plan
+    val byBatch = metrics.toMap
+    assert(byBatch(0L)("n_alerts") == 1L && byBatch(1L)("n_alerts") == 1L)
+    assert(byBatch(0L)("n_users") == 1L && byBatch(0L)("n_states") == 1L)
   }
+}
+
+/** Executor-visible send collector (local-mode JVM singleton). */
+object SendProbe {
+  private val buf = mutable.Buffer[(String, String)]()
+  def send(user: String, text: String): Unit =
+    buf.synchronized { buf += ((user, text)); () }
+  def all: Seq[(String, String)] = buf.synchronized { buf.toList }
+  def clear(): Unit = buf.synchronized { buf.clear() }
 }

@@ -24,6 +24,19 @@ class CodecsSpec extends SparkSpec {
       "08/04/2020 00:04:28"))
   }
 
+  test("S4 batch producer is wired through the kafka batch write path") {
+    import spark.implicits._
+    val frames = Codecs.encode(
+      Seq(StatewiseStats("1", "2", "3", "4", "Assam", "AS", "t")).toDS(), "state")
+    // the connector jar is absent in this environment: the write must
+    // reach DataSource resolution of "kafka" (proving df.write.format
+    // wiring), not fail earlier for any other reason
+    val e = intercept[Exception] {
+      Codecs.toKafkaBatch(frames, "localhost:9092", "t")
+    }
+    assert(e.getMessage.toLowerCase.contains("kafka"), e.getMessage)
+  }
+
   test("encode -> decode round trip preserves the record") {
     import spark.implicits._
     implicit val s = spark
