@@ -156,14 +156,17 @@ object AlertFormat {
 
   /** Fixed-width state summary table (BotUtils.java:286-321): skip
     * zero rows, Total rendered last. `daily` picks delta vs current
-    * columns. */
+    * columns. Byte-identical to the reference INCLUDING the edge case:
+    * `stateCodes.get(state)` on a state missing from the map (or a
+    * default Total row with an empty state) formats Java's null as the
+    * literal "null" (BotUtils.java:308,316). */
   def stateSummaryTable(sortedStats: Seq[StatewiseDelta], lastUpdated: String,
       daily: Boolean): String = {
     def row(s: StatewiseDelta): String = {
       val (c, r, d) =
         if (daily) (s.deltaConfirmed, s.deltaRecovered, s.deltaDeaths)
         else (s.currentConfirmed, s.currentRecovered, s.currentDeaths)
-      f"${stateCodes.getOrElse(s.state, s.state)}%-5s|$c%7s|$r%7s|$d%6s\n"
+      f"${stateCodes.getOrElse(s.state, "null")}%-5s|$c%7s|$r%7s|$d%6s\n"
     }
     val total = sortedStats.find(_.state.equalsIgnoreCase("Total"))
       .getOrElse(StatewiseDelta())

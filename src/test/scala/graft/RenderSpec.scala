@@ -151,11 +151,15 @@ class RenderSpec extends SparkSpec {
     val stats = Seq(
       StatewiseDelta(9, 4, 15, 455, 157, 5341, "", "Total"),
       StatewiseDelta(0, 0, 0, 100, 5, 300, "", "Kerala"),
+      StatewiseDelta(0, 0, 0, 7, 1, 20, "", "Atlantis"), // not in stateCodes
       StatewiseDelta(0, 0, 0, 0, 0, 0, "", "Goa")) // all-zero: skipped
     val got = AlertFormat.stateSummaryTable(stats, "05/12/2020 00:15:03", daily = false)
     assert(got.contains("<i>December 05, 12:15 AM</i>"))
     assert(got.contains("State|   Conf|   Rec.|  Died\n"))
     assert(got.contains("Ker  |    300|    100|     5\n"))
+    // reference renders HashMap.get(unknown)=null as the literal "null"
+    // (BotUtils.java:308) — byte-identical includes this edge
+    assert(got.contains("null |     20|      7|     1\n"))
     assert(!got.contains("Goa  |"))
     val lines = got.split("\n")
     assert(lines(lines.length - 2) == "Total|   5341|    455|   157")
