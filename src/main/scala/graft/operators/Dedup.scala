@@ -52,21 +52,28 @@ object Dedup {
     * shingle table instead). */
   def jaccardPairs(shingled: DataFrame, threshold: Double,
       maxDf: Int = 0): DataFrame = {
-    val exploded = shingled.select(col("doc_id"), explode(col("shs")).as("h"))
-    val sh =
+    // per-doc set size rides the exploded rows into the join and group
+    // keys — no sizes re-attach joins, one fewer projection recompute.
+    // Uncapped, n comes straight off the array (shuffle-free); capped,
+    // it's a per-doc count over the anti-join survivors.
+    val sized =
       if (maxDf > 0) {
+        val exploded = shingled.select(col("doc_id"), explode(col("shs")).as("h"))
         val hot = exploded.groupBy("h").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDf).select("h")
         exploded.join(broadcast(hot), Seq("h"), "left_anti")
-      } else exploded
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      } else {
+        shingled.select(col("doc_id"), size(col("shs")).cast("long").as("n"),
+          explode(col("shs")).as("h"))
+      }
+    val pairs = sized.as("a")
+      .join(sized.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
     pairs
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("uni"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
