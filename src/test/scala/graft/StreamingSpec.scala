@@ -220,6 +220,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ST5 streaming: session_window merges within gap, splits across it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp)]
+    val q = graft.streaming.Sessionize.sessions(
+        ms.toDS().toDF("user_id", "ts"), "user_id", "ts",
+        gap = "30 minutes", delay = "1 minute")
+      .writeStream.format("memory").queryName("sessions_t")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        (1L, ts("2024-01-01 10:00:00")),
+        (1L, ts("2024-01-01 10:10:00")), // same session (gap 10m < 30m)
+        (1L, ts("2024-01-01 12:00:00")), // new session
+        (2L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // flush: advance the watermark far past every session's end+gap
+      ms.addData((9L, ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      ms.addData((9L, ts("2024-01-03 00:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_t")
+        .select("user_id", "session_start", "n_events")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(rows.contains((1L, ts("2024-01-01 10:00:00"), 2L)),
+        s"merged session missing: $rows")
+      assert(rows.contains((1L, ts("2024-01-01 12:00:00"), 1L)))
+      assert(rows.contains((2L, ts("2024-01-01 10:05:00"), 1L)))
+    } finally q.stop()
+  }
+
   test("UserPrefs JSON round-trip (serde fidelity)") {
     import spark.implicits._
     val prefs = Seq(UserPrefs("u1", Seq("Assam", "Delhi"), subscribed = true))
