@@ -175,14 +175,24 @@ object RelationalQueries {
       |JOIN region   ON n_regionkey = r_regionkey
       |GROUP BY 1, 2""".stripMargin
   ) { (s, dir) =>
-    t(s, dir, "lineitem")
+    // partial-aggregation pushdown below the join (an eager-agg rewrite
+    // Catalyst does not apply): collapse lineitem to one row per
+    // orderkey before joining — every downstream shuffle then carries
+    // |orders| rows instead of |lineitem| (~4×), and the orderkey
+    // partitioning from this aggregation is reused by the join exchange.
+    // Decimal partial sums re-sum exactly, so the oracle is unaffected.
+    val perOrder = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("li_cnt"),
+        sum(col("l_extendedprice").cast(dec)).as("li_sum"))
+    perOrder
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name").as("nation"), col("r_name").as("region"))
-      .agg(count(lit(1)).as("n_lineitems"),
-        sum(col("l_extendedprice").cast(dec)).cast(dec).as("sum_price"))
+      .agg(sum(col("li_cnt")).as("n_lineitems"),
+        sum(col("li_sum")).cast(dec).as("sum_price"))
   }
 
   /** J3 — composite-key lookup join: per-(user,type) daily activity
