@@ -153,6 +153,41 @@ object Dedup {
       .filter(col("shared_fps") >= minShared)
   }
 
+  /** Dedup resolution: connected components over a near-dup pair graph,
+    * canonical id = minimum doc_id in each component. The keep-first
+    * pass every candidate-pair generator here feeds (q27/q28/q29/q40).
+    *
+    * Iterative min-label propagation: each round joins the symmetric
+    * edge list against current labels and keeps the per-vertex minimum;
+    * converges in O(component diameter) rounds. Each round
+    * `localCheckpoint`s the label frame — the lineage chain is cut per
+    * iteration (re-execution would otherwise grow quadratically) — and
+    * the loop exits early once a round changes nothing. All rounds are
+    * joins/aggregations on (id, label) pairs: fully distributed, no
+    * driver-side graph. */
+  def resolve(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val propagated = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionAll(propagated)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
+
   /** SimHash near-dup pairs: single-pass frequency-weighted 64-bit
     * signatures, banded 16-bit-chunk prefilter, Hamming verify. */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,

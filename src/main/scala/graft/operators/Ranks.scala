@@ -26,8 +26,15 @@ object Ranks {
     val parts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    // MUST materialize: repartitionByRange samples nondeterministically,
+    // so the counts branch and the rank branch would otherwise recompute
+    // DIFFERENT partition boundaries — offsets then disagree with actual
+    // partition sizes and global ranks duplicate (seen at sf0.1). The
+    // localCheckpoint pins one partitioning for both consumers and cuts
+    // the lineage, at the cost of materializing the input once.
     val ranged = df.repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
     // running offset per partition id: triangular join over the
     // parts-row count table (broadcast × broadcast, no window)

@@ -278,7 +278,45 @@ object LlmQueries {
       maxDf = 1000)
   }
 
+  /** Dedup resolution: connected components over the exact near-dup
+    * pair graph (q27's pairs), canonical = min doc_id per component —
+    * the keep-first pass a dedup pipeline runs after candidate
+    * generation. Oracle: recursive-CTE transitive closure in DuckDB;
+    * Spark: distributed min-label propagation with per-iteration
+    * lineage checkpoints (Dedup.resolve). */
+  val dedupResolve: Q = Q(
+    "q44_dedup_resolve",
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      |       FROM w WHERE len(ws) >= 3),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jp AS (SELECT doc_a, doc_b FROM pairs
+      |       JOIN sizes sa ON doc_a = sa.doc_id
+      |       JOIN sizes sb ON doc_b = sb.doc_id
+      |       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+      |      UNION SELECT doc_b, doc_a FROM jp),
+      |reach AS (
+      |  SELECT a AS id, b AS r FROM e
+      |  UNION
+      |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a)
+      |SELECT id AS doc_id, least(id, min(r)) AS canonical_id
+      |FROM reach GROUP BY id""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Dedup.resolve(
+      graft.operators.Dedup.jaccardPairs(
+        graft.operators.Dedup.shingleProjection(t(s, dir, "documents"), "text", "doc_id"),
+        threshold = 0.5, maxDf = 1000))
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, fingerprintQ, ngramJaccard,
     minhashLsh, simhash, embeddingNeardup, embeddingNeardupLsh, knnCosine,
-    annLsh, annIvf, binaryMeta, multimodalDecode, winnow)
+    annLsh, annIvf, binaryMeta, multimodalDecode, winnow, dedupResolve)
 }

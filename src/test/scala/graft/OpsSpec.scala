@@ -10,7 +10,9 @@ import graft.operators.{Dedup, Ranks}
 class OpsSpec extends SparkSpec {
 
   test("globalRowNumber equals a single-partition row_number") {
-    val c = graft.sources.Tables.load(spark, sf, "customer")
+    // sf0.1 (15k rows): large enough that unstable range-partitioner
+    // sampling across recomputations would produce duplicate ranks
+    val c = graft.sources.Tables.load(spark, "/root/testdata/sf0.1", "customer")
     val order = Seq(col("c_acctbal").desc, col("c_custkey"))
     val got = Ranks.globalRowNumber(c, order, "rn")
       .select("c_custkey", "rn").collect()
@@ -49,6 +51,18 @@ class OpsSpec extends SparkSpec {
     // no pair whose only shared shingle is the hot stop-phrase
     assert(capped.forall { case (a, b) => a >= 100L && b >= 100L },
       s"hot-shingle-only pairs leaked: $capped")
+  }
+
+  test("resolve assigns min-id canonicals across transitive chains") {
+    import spark.implicits._
+    // chain 1-2-3 (transitive, no direct 1-3 edge), pair 10-11,
+    // triangle 5-6-7
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 6L), (6L, 7L), (5L, 7L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.resolve(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
   test("native WinnowMins equals the HOF sliding-min formula") {
