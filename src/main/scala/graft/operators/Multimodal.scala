@@ -63,4 +63,44 @@ object Multimodal {
   def sampleFrames(meta: DataFrame, stride: Int): DataFrame =
     meta.withColumn("sampled_frames",
       sequence(lit(0), col("n_frames") - 1, lit(stride)))
+
+  /** Partition-wise feature extraction: payload bytes → unit-norm
+    * `array<float>` embedding, the column the similarity/dedup stack
+    * (Similarity.quantize → kNN/ANN/near-dup) consumes. Partition-wise
+    * so a real encoder loads its model once per partition and streams
+    * records through it — the mapInPandas batch shape, in Scala.
+    *
+    * The feature itself is a hashed byte-4-gram profile (feature
+    * hashing over sliding byte windows, L2-normalized): deterministic,
+    * codec-free, and a legitimate binary fingerprint — identical
+    * payloads embed identically (cosine 1) and near-duplicate payloads
+    * land close, so the downstream near-dup operators find both. A
+    * learned vision/audio encoder would drop into the same
+    * mapPartitions slot unchanged. */
+  def embedStub(spark: SparkSession, payloads: DataFrame,
+      dims: Int = 64): DataFrame = {
+    import spark.implicits._
+    import graft.functions.expressions.MinHashSig.mix
+    payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real impl: val encoder = Encoder.load() once per partition
+        it.map { case (id, bytes) =>
+          val acc = new Array[Double](dims)
+          var i = 0
+          while (i + 4 <= bytes.length) {
+            var h = 0L
+            var j = 0
+            while (j < 4) { h = h * 257L + (bytes(i + j) & 0xffL); j += 1 }
+            val m = mix(h)
+            acc(math.floorMod(m, dims).toInt) += (if (m < 0) -1.0 else 1.0)
+            i += 1
+          }
+          val norm = math.sqrt(acc.map(x => x * x).sum)
+          val emb =
+            if (norm == 0.0) { val e = new Array[Float](dims); e(0) = 1.0f; e }
+            else acc.map(x => (x / norm).toFloat)
+          (id, emb)
+        }
+      }.toDF("doc_id", "embedding")
+  }
 }

@@ -316,7 +316,22 @@ object LlmQueries {
         threshold = 0.5, maxDf = 1000))
   }
 
+  /** Multimodal near-dup pipeline end-to-end: payload bytes →
+    * partition-wise feature extraction (hashed byte-4-gram profile;
+    * a learned encoder drops into the same slot) → quantized
+    * embeddings → LSH-bucketed near-dup pairs. The media analog of
+    * text dedup; near-dup payloads land close, identical ones at
+    * cosine 1. Hash-derived features ⇒ rows-only; planted-dup recall
+    * in spec. */
+  val multimodalNeardup: Q = Q.rowsOnly("q45_multimodal_neardup") { (s, dir) =>
+    val emb = Multimodal.embedStub(s, Multimodal.withPayload(t(s, dir, "documents")))
+    graft.operators.Similarity.neardupPairsLsh(
+      graft.operators.Similarity.quantize(emb, "embedding", "doc_id"),
+      threshold = 0.9)
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, fingerprintQ, ngramJaccard,
     minhashLsh, simhash, embeddingNeardup, embeddingNeardupLsh, knnCosine,
-    annLsh, annIvf, binaryMeta, multimodalDecode, winnow, dedupResolve)
+    annLsh, annIvf, binaryMeta, multimodalDecode, winnow, dedupResolve,
+    multimodalNeardup)
 }

@@ -123,6 +123,28 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(hits >= 27, s"IVF planted-dup recall $hits/30")
   }
 
+  test("multimodal near-dup finds planted payload duplicates end-to-end") {
+    import graft.operators.{Multimodal, Similarity}
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text")
+    // plant: byte-identical copies under new ids — identical payloads
+    // must produce identical stub embeddings, hence cosine-1 pairs
+    val planted = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val emb = Multimodal.embedStub(spark,
+      Multimodal.withPayload(docs.unionAll(planted)))
+    // determinism: same payload, same embedding across runs
+    val e1 = emb.filter(col("doc_id") === 0).collect().head.getSeq[Float](1)
+    val e2 = Multimodal.embedStub(spark, Multimodal.withPayload(docs))
+      .filter(col("doc_id") === 0).collect().head.getSeq[Float](1)
+    assert(e1 == e2)
+    val found = Similarity.neardupPairsLsh(
+        Similarity.quantize(emb, "embedding", "doc_id"), threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = (0 until 20).count(i => found.contains((i.toLong, i + 100000L)))
+    assert(hits == 20, s"multimodal near-dup recall $hits/20: cosine-1 pairs share buckets")
+  }
+
   test("multimodal decode is deterministic, typed, and frame-sampled") {
     val run1 = Registry.byName("q34_multimodal_decode").fn(spark, sf).collect()
     val run2 = Registry.byName("q34_multimodal_decode").fn(spark, sf).collect()
