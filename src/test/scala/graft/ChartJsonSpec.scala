@@ -107,6 +107,46 @@ class ChartJsonSpec extends SparkSpec {
     assert(json.endsWith(""""title":{"display":false,"text":""}}}}"""))
   }
 
+  test("chart pipeline emits keyed Gson-shaped frames for both chart shapes") {
+    import spark.implicits._
+    // single-series: doubling-rate shape
+    val daily = Seq(
+      (java.sql.Date.valueOf("2020-05-01"), "May 01", 10L),
+      (java.sql.Date.valueOf("2020-05-02"), "May 02", 12L))
+      .toDF("day", "label", "value")
+    val single = graft.serve.ChartPipeline
+      .singleSeries(daily, "doublingrate", "Doubling Rate")
+      .collect().head
+    assert(single.getString(0) == "doublingrate")
+    assert(single.getString(1) == envPrefix +
+      """{"type":"line","data":{"labels":["May 01","May 02"],"datasets":[""" +
+      """{"type":"line","label":"Doubling Rate","data":[10.0,12.0],"fill":false,"borderColor":"rgb(255, 99, 132)","backgroundColor":"rgb(255, 99, 132)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"}]},""" +
+      """"options":{"plugins":{"datalabels":{"display":true,"anchor":"end","backgroundColor":"#ccc","borderRadius":"3","align":"end"}},""" +
+      """"scales":{"xAxes":[{"id":"bottom-x-axis","position":"bottom","stacked":false,"ticks":{"beginAtZero":true}}],""" +
+      """"yAxes":[{"id":"left-y-axis","position":"left","stacked":false,"ticks":{"beginAtZero":true}}]},""" +
+      """"title":{"display":false,"text":""}}}}""")
+
+    // multi-series: top-states-trend shape; B has the larger total and
+    // must take the first trend color (RED), A the second (YELLOW)
+    val longForm = Seq(
+      ("A", java.sql.Date.valueOf("2020-05-01"), "May 01", 5L),
+      ("A", java.sql.Date.valueOf("2020-05-02"), "May 02", 6L),
+      ("B", java.sql.Date.valueOf("2020-05-01"), "May 01", 50L),
+      ("B", java.sql.Date.valueOf("2020-05-02"), "May 02", 60L))
+      .toDF("series", "day", "label", "value")
+    val multi = graft.serve.ChartPipeline
+      .multiSeries(longForm, "top5statestrend")
+      .collect().head
+    assert(multi.getString(0) == "top5statestrend")
+    val json = multi.getString(1)
+    assert(json.contains(""""labels":["May 01","May 02"]"""))
+    assert(json.contains(""""label":"B","data":[50.0,60.0]""") &&
+      json.contains(""""label":"A","data":[5.0,6.0]"""))
+    assert(json.indexOf(""""label":"B"""") < json.indexOf(""""label":"A""""))
+    assert(json.indexOf(Red) < json.indexOf(Yellow))
+    assert(json.endsWith(""""title":{"display":false,"text":""}}}}"""))
+  }
+
   test("q42 chart JSON is Gson-shaped and day-ordered") {
     val j = queries.ChartQueries.chartJson.fn(spark, sf).collect().head.getString(0)
     assert(j.startsWith(envPrefix))
