@@ -55,7 +55,10 @@ object Dedup {
     // per-doc set size rides the exploded rows into the join and group
     // keys — no sizes re-attach joins, one fewer projection recompute.
     // Uncapped, n comes straight off the array (shuffle-free); capped,
-    // it's a per-doc count over the anti-join survivors.
+    // it's a per-doc count over the anti-join survivors. (A per-row
+    // array_except against a broadcast hot array was tried and benched
+    // 3× WORSE — the hot aggregation subtree duplicates across both
+    // self-join sides.)
     val sized =
       if (maxDf > 0) {
         val exploded = shingled.select(col("doc_id"), explode(col("shs")).as("h"))
@@ -142,9 +145,14 @@ object Dedup {
     val sketch = winnowSketch(docs, textCol, idCol, w)
     val sk =
       if (maxDf > 0) {
-        val hot = sketch.groupBy("fp").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select("fp")
-        sketch.join(broadcast(hot), Seq("fp"), "left_anti")
+        // per-row cap against the broadcast hot-fingerprint set — no
+        // anti-join shuffle (see jaccardPairs)
+        val hotArr = sketch.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf)
+          .agg(collect_list(col("fp")).as("hot"))
+        sketch.crossJoin(broadcast(hotArr))
+          .filter(!array_contains(col("hot"), col("fp")))
+          .select("doc_id", "fp")
       } else sketch
     sk.as("a")
       .join(sk.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
