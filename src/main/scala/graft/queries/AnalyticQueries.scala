@@ -370,8 +370,22 @@ object AnalyticQueries {
         / size(regexp_extract_all(col("text"), lit(pat), lit(0)))).as("bytes_per_token"))
   }
 
+  /** Percentiles at scale: `approx_percentile` (KLL/GK-style sketch,
+    * bounded memory per group, mergeable map-side) — the 100 TB path
+    * for q37's semantics, whose exact `percentile` buffers every value
+    * per group. Sketch values are engine-specific ⇒ rows-only; the
+    * error bound vs the exact values is asserted in spec. */
+  val approxPercentiles: Q = Q.rowsOnly("q46_approx_percentiles") { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("p50_qty"),
+        approx_percentile(col("l_quantity"), lit(0.9), lit(1000)).as("p90_qty"),
+        approx_percentile(col("l_extendedprice"), lit(0.9), lit(1000)).as("p90_price"))
+  }
+
   val all: Seq[Q] = Seq(movingAvg, pivotSeries, rollupTotal, zipJoin,
     prefsArrayJoin, dedupTtl, renderSummary, summaryServe, setOps,
     rankingSuite, arrayOps, sessionize, approxDistinct, percentiles,
-    tokenCount)
+    approxPercentiles, tokenCount)
 }

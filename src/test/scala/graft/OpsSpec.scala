@@ -65,6 +65,20 @@ class OpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
+  test("approx percentiles track the exact ones within 5% relative error") {
+    val exact = graft.queries.Registry.byName("q37_percentiles").fn(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = graft.queries.Registry.byName("q46_approx_percentiles").fn(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, (a50, a90, ap90)) =>
+      val (e50, e90, ep90) = exact(k)
+      def close(a: Double, e: Double) = math.abs(a - e) <= 0.05 * math.abs(e)
+      assert(close(a50, e50) && close(a90, e90) && close(ap90, ep90),
+        s"$k: approx ($a50,$a90,$ap90) vs exact ($e50,$e90,$ep90)")
+    }
+  }
+
   test("native WinnowMins equals the HOF sliding-min formula") {
     import spark.implicits._
     val w = 8
