@@ -24,6 +24,14 @@ class CodecsSpec extends SparkSpec {
       "08/04/2020 00:04:28"))
   }
 
+  test("S2/ST8 stream source wiring reaches kafka resolution with offset control") {
+    val e = intercept[Exception] {
+      Codecs.fromKafka(spark, "localhost:9092", "topic",
+        startingOffsets = "latest").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("kafka"), e.getMessage)
+  }
+
   test("S4 batch producer is wired through the kafka batch write path") {
     import spark.implicits._
     val frames = Codecs.encode(
