@@ -32,6 +32,17 @@ class CodecsSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("kafka"), e.getMessage)
   }
 
+  test("S3 streaming sink wiring reaches kafka resolution") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val e = intercept[Exception] {
+      Codecs.toKafka(ms.toDS().toDF("key", "value"),
+        "localhost:9092", "topic", "/tmp/ckpt_s3_test").start()
+    }
+    assert(e.getMessage.toLowerCase.contains("kafka"), e.getMessage)
+  }
+
   test("S4 batch producer is wired through the kafka batch write path") {
     import spark.implicits._
     val frames = Codecs.encode(

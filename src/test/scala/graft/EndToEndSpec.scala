@@ -101,6 +101,20 @@ class EndToEndSpec extends SparkSpec {
       assert(alert.startsWith("<i>April 08, 06:00 AM</i>\n\n"))
       assert(alert.contains("31 new cases, 3 deaths, 8 recoveries in Assam\n"))
       assert(alert.contains("Doubling rate: 1 days\n"))
+
+      // 8. visualizer egress: the same daily frame → keyed chart-request
+      // frame, ready for the batch Kafka producer (Visualizer.java:141)
+      val chartFrame = graft.serve.ChartPipeline.singleSeries(
+        daily.select(
+          to_date(col("date"), "dd/MM/yyyy").as("day"),
+          date_format(to_date(col("date"), "dd/MM/yyyy"), "MMM dd").as("label"),
+          col("deltaConfirmed").as("value")),
+        "last7daysoverview", "Confirmed").collect().head
+      assert(chartFrame.getString(0) == "last7daysoverview")
+      val chartJson = chartFrame.getString(1)
+      assert(chartJson.contains(""""labels":["Apr 08"]"""), chartJson.take(300))
+      assert(chartJson.contains(""""label":"Confirmed","data":[5372.0]"""))
+      assert(chartJson.startsWith("""{"backgroundColor":"transparent""""))
     } finally { q1.stop(); q2.stop() }
   }
 }
