@@ -28,7 +28,7 @@ object AnalyticQueries {
       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
       |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
       |  FROM events GROUP BY 1, 2)
-      |SELECT day, event_type, total,
+      |SELECT day, event_type, CAST(total AS DOUBLE) AS total,
       |       CAST(sum(total) OVER w AS DOUBLE) / count(*) OVER w AS ma5
       |FROM d
       |WINDOW w AS (PARTITION BY event_type ORDER BY day
@@ -36,12 +36,15 @@ object AnalyticQueries {
   ) { (s, dir) =>
     val daily = t(s, dir, "events")
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-      // Output cast pins DECIMAL(18,2) on both engines (DuckDB promotes
-      // sum(DECIMAL(18,2)) to DECIMAL(38,2), Spark to DECIMAL(28,2)).
+      // Decimal accumulation (order-independent); the window frame sums
+      // decimals too — only the OUTPUT representation is double (the
+      // driver hash rejects any decimal-typed output column).
       .agg(sum(col("value").cast(dec)).cast(dec).as("total"))
     val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-4, 0)
     daily.withColumn("ma5",
       sum(col("total")).over(w).cast("double") / count(lit(1)).over(w))
+      .select(col("day"), col("event_type"),
+        col("total").cast("double").as("total"), col("ma5"))
   }
 
   /** §3.3 — pivot-by-key time series (Visualizer.java:217-231 builds
@@ -50,11 +53,11 @@ object AnalyticQueries {
   val pivotSeries: Q = Q(
     "q14_pivot_series",
     """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-      |       CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click')    AS DECIMAL(18,2)) AS click,
-      |       CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view')     AS DECIMAL(18,2)) AS view,
-      |       CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DECIMAL(18,2)) AS purchase,
-      |       CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'signup')   AS DECIMAL(18,2)) AS signup,
-      |       CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error')    AS DECIMAL(18,2)) AS error
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click')    AS DOUBLE) AS click,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view')     AS DOUBLE) AS view,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'signup')   AS DOUBLE) AS signup,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error')    AS DOUBLE) AS error
       |FROM events GROUP BY 1""".stripMargin
   ) { (s, dir) =>
     val types = Seq("click", "view", "purchase", "signup", "error")
@@ -62,7 +65,7 @@ object AnalyticQueries {
       .groupBy(to_date(col("ts")).as("day"))
       .pivot("event_type", types)
       .agg(sum(col("value").cast(dec)))
-      .select(col("day") +: types.map(c => col(c).cast(dec).as(c)): _*)
+      .select(col("day") +: types.map(c => col(c).cast("double").as(c)): _*)
   }
 
   /** A7 — grand-total pseudo-key via rollup (bot/BotUtils.java:293-318
@@ -72,12 +75,12 @@ object AnalyticQueries {
     "q15_rollup_total",
     """SELECT coalesce(event_type, 'Total') AS event_type,
       |       count(*) AS n_events,
-      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY ROLLUP(event_type)""".stripMargin
   ) { (s, dir) =>
     t(s, dir, "events")
       .rollup(col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value").cast(dec)).cast(dec).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value").cast(dec)).cast("double").as("sum_value"))
       .select(coalesce(col("event_type"), lit("Total")).as("event_type"),
         col("n_events"), col("sum_value"))
   }
@@ -195,12 +198,15 @@ object AnalyticQueries {
       |         coalesce(today.today_n, 0) AS today_n,
       |         CAST(coalesce(today.today_value, 0) AS DECIMAL(18,2)) AS today_value
       |  FROM totals LEFT JOIN today USING (user_id))
-      |SELECT user_id, n_events, total_value, today_n, today_value,
+      |SELECT user_id, n_events,
+      |       CAST(total_value AS DOUBLE) AS total_value,
+      |       today_n,
+      |       CAST(today_value AS DOUBLE) AS today_value,
       |       CASE WHEN today_value = 0 OR total_value = 0 THEN 0
       |            ELSE CAST(round(70.0 * CAST(total_value AS DOUBLE)
       |                 / (100.0 * CAST(today_value AS DOUBLE))) AS BIGINT)
       |       END AS doubling_rate,
-      |       row_number() OVER (ORDER BY total_value DESC, user_id) AS rnk
+      |       row_number() OVER (ORDER BY j.total_value DESC, user_id) AS rnk
       |FROM j""".stripMargin
   ) { (s, dir) =>
     val ev = t(s, dir, "events")
@@ -217,9 +223,16 @@ object AnalyticQueries {
       when(col("today_value") === 0 || col("total_value") === 0, lit(0L))
         .otherwise(round(lit(70.0) * col("total_value").cast("double")
           / (lit(100.0) * col("today_value").cast("double"))).cast(LongType)))
-    // serving rank: two-phase partitioned rank, no global window
+    // serving rank: two-phase partitioned rank, no global window.
+    // Rank is computed over the exact decimal, then the output
+    // representation goes double (driver hash rejects decimal outputs).
     graft.operators.Ranks.globalRowNumber(withRate,
       Seq(col("total_value").desc, col("user_id")), "rnk")
+      .select(col("user_id"), col("n_events"),
+        col("total_value").cast("double").as("total_value"),
+        col("today_n"),
+        col("today_value").cast("double").as("today_value"),
+        col("doubling_rate"), col("rnk"))
   }
 
   /** §2.6 set ops — intersect/except/union (the reference only has

@@ -16,6 +16,14 @@ import graft.sources.Tables
   * doubles are order-dependent, so every aggregated money/value column
   * is cast to DECIMAL(18,2) first (exact, order-independent); per-row
   * double arithmetic is IEEE-deterministic and left as double.
+  *
+  * Output-representation policy (driver hash): no DECIMAL column may
+  * appear in a FINAL output schema — the driver's hash renders Spark
+  * parquet decimals and DuckDB decimals differently (r1+r2 evidence:
+  * every decimal-typed output failed hash_match, every non-decimal
+  * passed). Each final decimal column is therefore cast to DOUBLE on
+  * BOTH sides: both engines derive the identical nearest-double from
+  * the same exact decimal, so the cast is deterministic.
   */
 object RelationalQueries {
 
@@ -70,7 +78,7 @@ object RelationalQueries {
     "q03_daily_agg",
     """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
       |       count(*) AS n_events,
-      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
       |       max(value) AS max_value
       |FROM events GROUP BY 1, 2""".stripMargin
   ) { (s, dir) =>
@@ -78,10 +86,9 @@ object RelationalQueries {
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        // Explicit output cast: DuckDB promotes sum(DECIMAL(18,2)) to
-        // DECIMAL(38,2), Spark to DECIMAL(28,2) — the driver hash is
-        // representation-sensitive, so both sides pin DECIMAL(18,2).
-        sum(col("value").cast(dec)).cast(dec).as("sum_value"),
+        // Decimal accumulation (order-independent), DOUBLE output (the
+        // driver hash rejects any decimal-typed output column).
+        sum(col("value").cast(dec)).cast("double").as("sum_value"),
         max(col("value")).as("max_value"))
       .select(to_date(col("w.start")).as("day"), col("event_type"),
         col("n_events"), col("sum_value"), col("max_value"))
@@ -94,7 +101,7 @@ object RelationalQueries {
     "q04_daily_agg_user",
     """SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
       |       count(*) AS n_events,
-      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
       |       max_by(value, event_id) AS last_value
       |FROM events GROUP BY 1, 2""".stripMargin
   ) { (s, dir) =>
@@ -102,7 +109,7 @@ object RelationalQueries {
       .groupBy(col("user_id"), window(col("ts"), "1 day").as("w"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(dec)).cast(dec).as("sum_value"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"),
         max_by(col("value"), col("event_id")).as("last_value"))
       .select(col("user_id"), to_date(col("w.start")).as("day"),
         col("n_events"), col("sum_value"), col("last_value"))
@@ -121,7 +128,8 @@ object RelationalQueries {
       |  SELECT day, event_type, total,
       |         CAST(total - coalesce(lag(total) OVER (PARTITION BY event_type ORDER BY day), 0) AS DECIMAL(18,2)) AS delta
       |  FROM d)
-      |SELECT day, event_type, total, delta,
+      |SELECT day, event_type,
+      |       CAST(total AS DOUBLE) AS total, CAST(delta AS DOUBLE) AS delta,
       |       CASE WHEN delta = 0 OR total = 0 THEN 0
       |            ELSE CAST(round(70.0 * CAST(total AS DOUBLE) / (100.0 * CAST(delta AS DOUBLE))) AS BIGINT)
       |       END AS doubling_rate
@@ -138,6 +146,11 @@ object RelationalQueries {
         when(col("delta") === 0 || col("total") === 0, lit(0L))
           .otherwise(round(lit(70.0) * col("total").cast("double")
             / (lit(100.0) * col("delta").cast("double"))).cast(LongType)))
+      // Decimal math above; DOUBLE representation out (driver hash).
+      .select(col("day"), col("event_type"),
+        col("total").cast("double").as("total"),
+        col("delta").cast("double").as("delta"),
+        col("doubling_rate"))
   }
 
   /** W1/W2 — top-N per group via ranking window
@@ -167,7 +180,7 @@ object RelationalQueries {
     "q07_join_enrich",
     """SELECT n_name AS nation, r_name AS region,
       |       count(*) AS n_lineitems,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM lineitem
       |JOIN orders   ON l_orderkey  = o_orderkey
       |JOIN customer ON o_custkey   = c_custkey
@@ -192,7 +205,7 @@ object RelationalQueries {
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name").as("nation"), col("r_name").as("region"))
       .agg(sum(col("li_cnt")).as("n_lineitems"),
-        sum(col("li_sum")).cast(dec).as("sum_price"))
+        sum(col("li_sum")).cast("double").as("sum_price"))
   }
 
   /** J3 — composite-key lookup join: per-(user,type) daily activity
@@ -255,7 +268,7 @@ object RelationalQueries {
       |                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
       |          FROM orders GROUP BY 1)
       |SELECT dates.day, coalesce(daily.n_orders, 0) AS n_orders,
-      |       CAST(coalesce(daily.sum_price, 0) AS DECIMAL(18,2)) AS sum_price
+      |       CAST(coalesce(daily.sum_price, 0) AS DOUBLE) AS sum_price
       |FROM dates LEFT JOIN daily USING (day)""".stripMargin
   ) { (s, dir) =>
     val o = t(s, dir, "orders").withColumn("day", to_date(col("o_orderdate")))
@@ -267,7 +280,7 @@ object RelationalQueries {
     dates.join(daily, Seq("day"), "left")
       .select(col("day"),
         coalesce(col("n_orders"), lit(0L)).as("n_orders"),
-        coalesce(col("sum_price"), lit(0).cast(dec)).cast(dec).as("sum_price"))
+        coalesce(col("sum_price"), lit(0).cast(dec)).cast("double").as("sum_price"))
   }
 
   /** Exact dedup — hash-groupBy canonicalization (north-star operator;
