@@ -27,9 +27,12 @@ object TextFunctions {
           get(wordsCol, i + 2)))))
       .otherwise(array().cast("array<string>"))
 
-  /** Tokens matching a fixed marker list (language-ID / stopword score). */
+  /** Occurrences of tokens from a fixed marker list (language-ID /
+    * stopword score). Native expression: the declarative
+    * `size(filter(ws, w -> w.isin(...)))` is an interpreted HOF costing
+    * ~50× the scan (CodegenFallback + per-token In over the literals). */
   def markerCount(wordsCol: Column, markers: Seq[String]): Column =
-    size(filter(wordsCol, w => w.isin(markers: _*)))
+    expressions.GraftExpressions.markerCount(wordsCol, markers)
 
   /** Canonical-form fingerprint: md5 of the lowercased, punctuation-
     * stripped, whitespace-collapsed text. Equal fingerprints = exact

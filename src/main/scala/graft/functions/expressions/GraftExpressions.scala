@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the similarity/dedup hot paths.
   *
@@ -221,6 +222,39 @@ case class WinnowMins(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** Occurrences of any of a fixed marker set in an `array<string>` token
+  * list (language-ID scores, stopword counts — the q24/q25 hot path).
+  * Counts OCCURRENCES, not distinct markers (stopwords repeat), exactly
+  * like `size(filter(ws, w -> w.isin(markers)))` — which is an
+  * interpreted per-element HOF running an `In` over the marker literals
+  * per token (~50× the scan cost). One hash-set probe per token here. */
+case class MarkerCount(child: Expression, markers: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  private lazy val markerSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](markers.size * 2)
+    markers.foreach(m => s.add(UTF8String.fromString(m)))
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && markerSet.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Frequency-weighted 64-bit SimHash of an `array<string>` token list:
   * every occurrence votes ±1 per bit position, signature bit = sign of
   * the tally — one pass per row instead of a 64×-explode + two shuffles
@@ -275,6 +309,9 @@ object GraftExpressions {
 
   def winnowMins(hashes: Column, w: Int): Column =
     ColumnBridge.column(WinnowMins(ColumnBridge.expression(hashes), w))
+
+  def markerCount(words: Column, markers: Seq[String]): Column =
+    ColumnBridge.column(MarkerCount(ColumnBridge.expression(words), markers))
 
   /** Register for SQL use (`SELECT graft_dot_q(a, b)`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

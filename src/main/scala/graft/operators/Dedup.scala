@@ -170,7 +170,11 @@ object Dedup {
     * converges in O(component diameter) rounds. Each round
     * `localCheckpoint`s the label frame — the lineage chain is cut per
     * iteration (re-execution would otherwise grow quadratically) — and
-    * the loop exits early once a round changes nothing. All rounds are
+    * the loop exits early once a round changes nothing. Convergence is
+    * read off the SAME materialized round (the previous label rides the
+    * aggregation as `min(label) over own rows`, and the changed-count
+    * is a cheap scan of the checkpointed frame) — no separate
+    * convergence join/action per iteration. All rounds are
     * joins/aggregations on (id, label) pairs: fully distributed, no
     * driver-side graph. */
   def resolve(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
@@ -189,12 +193,17 @@ object Dedup {
       val propagated = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("label"))
-      val next = labels.unionAll(propagated)
-        .groupBy("id").agg(min("label").as("label"))
+      // `own` tags the vertex's current label; min over own rows IS the
+      // previous label (labels has one row per id), so the new and old
+      // label land in the same aggregated, checkpointed frame.
+      val next = labels.withColumn("own", lit(true))
+        .unionAll(propagated.withColumn("own", lit(false)))
+        .groupBy("id")
+        .agg(min("label").as("label"),
+          min(when(col("own"), col("label"))).as("prev"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") =!= col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      labels = next.select("id", "label")
       iter += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))

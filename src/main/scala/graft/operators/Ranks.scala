@@ -1,20 +1,30 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 
 /** Distributed global ranking. A bare `row_number() OVER (ORDER BY …)`
   * moves every row through ONE task (Spark warns "Moving all data to a
   * single partition") — fine for a 39-state dimension, dead at 100 TB.
   *
   * [[globalRowNumber]] is the two-phase form: range-partition on the
-  * sort key, rank locally inside each range, then add per-partition
-  * offsets. The offset table is one row per shuffle partition
-  * (metadata-sized), joined back via broadcast after a triangular
-  * self-join computes the running offsets — no global window anywhere
-  * in the plan. Costs one extra counting pass over the input; every
-  * stage is fully parallel.
+  * sort key, sort within partitions, then `zipWithIndex` — partition i
+  * holds keys strictly below partition i+1, so partition-ordered local
+  * indices + per-partition offsets ARE the global rank. zipWithIndex
+  * computes the offsets with one lightweight counting job; both that
+  * job and the indexing pass run over the SAME RDD graph, so the range
+  * exchange executes once and its shuffle files are reused — the
+  * nondeterministic re-sampling of `repartitionByRange` (which
+  * produced duplicate ranks at sf0.1 when two separate plans consumed
+  * the same ranged frame) cannot occur by construction, with no eager
+  * materialization and no cache to manage.
+  *
+  * This is one of the rare justified RDD drops: the operator is
+  * genuinely positional-per-partition, which Catalyst has no operator
+  * for, and the alternative (two DataFrame consumers of one exchange)
+  * needs an eager checkpoint to stay deterministic — measured 20×
+  * slower at sf0.1 than the single-pass form.
   */
 object Ranks {
 
@@ -23,30 +33,16 @@ object Ranks {
     * output). Result column `out` is IntegerType like `row_number`. */
   def globalRowNumber(df: DataFrame, order: Seq[Column], out: String,
       numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
-      else df.sparkSession.sessionState.conf.numShufflePartitions
-    // MUST materialize: repartitionByRange samples nondeterministically,
-    // so the counts branch and the rank branch would otherwise recompute
-    // DIFFERENT partition boundaries — offsets then disagree with actual
-    // partition sizes and global ranks duplicate (seen at sf0.1). The
-    // localCheckpoint pins one partitioning for both consumers and cuts
-    // the lineage, at the cost of materializing the input once.
-    val ranged = df.repartitionByRange(parts, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
-    // running offset per partition id: triangular join over the
-    // parts-row count table (broadcast × broadcast, no window)
-    val offsets = counts.as("x")
-      .join(broadcast(counts.as("y")), col("y.__pid") < col("x.__pid"), "left")
-      .groupBy(col("x.__pid").as("__pid"))
-      .agg(coalesce(sum(col("y.__n")), lit(0L)).as("__off"))
-    val local = Window.partitionBy("__pid").orderBy(order: _*)
-    ranged
-      .withColumn("__lrn", row_number().over(local))
-      .join(broadcast(offsets), Seq("__pid"))
-      .withColumn(out, (col("__off") + col("__lrn")).cast("int"))
-      .drop("__pid", "__lrn", "__off")
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ (idx + 1).toInt)
+    }
+    spark.createDataFrame(indexed,
+      sorted.schema.add(out, IntegerType, nullable = false))
   }
 }
