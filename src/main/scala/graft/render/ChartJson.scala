@@ -42,6 +42,8 @@ object ChartJson {
 
   val Line = "line"
   val Bar = "bar"
+  /** The today/yesterday delta charts (Visualizer.java:426-525). */
+  val HorizontalBar = "horizontalBar"
 
   /** One dataset — ChartDataset.java:14-24 field order, constructor
     * defaults from ChartDataset.java:26-37 (fill=false, background =
@@ -108,16 +110,20 @@ object ChartJson {
           lit(title.getOrElse("")).as("text")).as("title")).as("options"))
 
   /** Request envelope — ChartRequest.java:12-17 with the defaults from
-    * ChartRequest.java:19-26. */
-  def request(chartNode: Column): Column =
+    * ChartRequest.java:19-26; the today/yesterday bar charts pass an
+    * explicit 1000×600 (Visualizer.java:470,519). */
+  def request(chartNode: Column, width: String = "750",
+      height: String = "450"): Column =
     struct(
       lit("transparent").as("backgroundColor"),
-      lit("750").as("width"),
-      lit("450").as("height"),
+      lit(width).as("width"),
+      lit(height).as("height"),
       lit("png").as("format"),
       chartNode.as("chart"))
 
   /** Gson-equivalent JSON string of a full chart request
     * (VisualizationService.java:31-36). */
-  def requestJson(chartNode: Column): Column = to_json(request(chartNode))
+  def requestJson(chartNode: Column, width: String = "750",
+      height: String = "450"): Column =
+    to_json(request(chartNode, width, height))
 }

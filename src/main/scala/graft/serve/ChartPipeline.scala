@@ -38,6 +38,57 @@ object ChartPipeline {
           displayLabels)).as("value"))
   }
 
+  /** Today/yesterday delta bar chart (Visualizer.java:426-475,477-525):
+    * one day's statewise deltas → a "horizontalBar" chart with three
+    * stacked per-state series — Active (grey), Recovered (blue), Deaths
+    * (red) — states sorted by deltaConfirmed descending, negative/
+    * not-yet-updated states dropped, active clamped at 0, stacked x and
+    * y axes, a "MMM dd" title, and the bar charts' explicit 1000×600
+    * request size. Input frame: (state, deltaConfirmed, deltaRecovered,
+    * deltaDeaths) for ONE day. Emits one (key, value) row. */
+  def barChart(deltas: DataFrame, chartKey: String, titleText: String): DataFrame = {
+    val clean = deltas
+      // isNegative(delta) — Visualizer.java:528-530
+      .filter(col("deltaConfirmed") >= 0 && col("deltaRecovered") >= 0 &&
+        col("deltaDeaths") >= 0)
+      // notYetUpdated(delta) — Visualizer.java:536-538
+      .filter(!(col("deltaConfirmed") === 0 && col("deltaRecovered") === 0 &&
+        col("deltaDeaths") === 0))
+      .select(col("state"),
+        col("deltaConfirmed").cast("long").as("dc"),
+        col("deltaRecovered").cast("long").as("dr"),
+        col("deltaDeaths").cast("long").as("dd"))
+      // active(delta) clamped at 0 — Visualizer.java:455,532-534
+      .withColumn("act",
+        greatest(col("dc") - col("dr") - col("dd"), lit(0L)))
+    val rows = clean
+      .agg(array_sort(collect_list(struct(
+        (-col("dc")).as("neg"), col("state"),
+        col("act").cast("double").as("a"),
+        col("dr").cast("double").as("r"),
+        col("dd").cast("double").as("d")))).as("rows"))
+      .select(
+        expr("transform(rows, x -> x.state)").as("labels"),
+        expr("transform(rows, x -> x.a)").as("act"),
+        expr("transform(rows, x -> x.r)").as("rec"),
+        expr("transform(rows, x -> x.d)").as("dth"))
+    val dsets = array(
+      ChartJson.dataset(lit(ChartJson.HorizontalBar), lit("Active"),
+        col("act"), lit(ChartJson.Grey)),
+      ChartJson.dataset(lit(ChartJson.HorizontalBar), lit("Recovered"),
+        col("rec"), lit(ChartJson.Blue)),
+      ChartJson.dataset(lit(ChartJson.HorizontalBar), lit("Deaths"),
+        col("dth"), lit(ChartJson.Red)))
+    val xAxes = array(ChartJson.axis("bottom-x-axis", "bottom", stacked = true))
+    val yAxes = array(ChartJson.axis("left-y-axis", "left", stacked = true))
+    rows.select(
+      lit(chartKey).as("key"),
+      ChartJson.requestJson(
+        ChartJson.chart(ChartJson.HorizontalBar, col("labels"), dsets,
+          displayLabels = false, xAxes, yAxes, Some(titleText)),
+        width = "1000", height = "600").as("value"))
+  }
+
   /** Multi-series trend chart over a long-form (series, day, label,
     * value) frame — the top-5-states-trend shape (Visualizer.java:
     * 188-215). Series are ordered by total value descending (the

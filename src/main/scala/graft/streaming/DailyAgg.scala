@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-import graft.core.StampedDelta
+import graft.core.{StampedDelta, StampedDistrict}
 
 /** A3/A4/A5/P4 — the reference's 1-day tumbling-window daily topology
   * (Covid19Stats.java:137-167,244-270): sum the deltas per window, carry
@@ -56,6 +56,48 @@ object DailyAgg {
       .select(col("state"), date_format(col("w.start"), "dd/MM/yyyy").as("date"),
         col("deltaConfirmed"), col("deltaRecovered"), col("deltaDeaths"),
         col("currentConfirmed"))
+
+  /** A4 — districtwise daily: the same 1-day tumbling window over the
+    * COMPOSITE (state, district) key (Covid19Stats.java:114-123,
+    * calculateDistrictDaily at 244-256): delta fields sum, cumulative
+    * fields carry the newest snapshot. The reference keeps numerics as
+    * strings — deltas are parsed for the sum and re-emitted as longs;
+    * cumulative fields stay strings like the reference's records. */
+  def districtwiseDaily(in: Dataset[StampedDistrict]): DataFrame =
+    in.toDF()
+      .groupBy(window(col("eventTime"), "1 day").as("w"),
+        col("data.state").as("state"), col("data.district").as("district"))
+      .agg(
+        sum(col("data.deltaConfirmed").cast("long")).as("deltaConfirmed"),
+        sum(col("data.deltaRecovered").cast("long")).as("deltaRecovered"),
+        sum(col("data.deltaDeceased").cast("long")).as("deltaDeceased"),
+        max_by(col("data.confirmed"), col("eventTime")).as("confirmed"),
+        max_by(col("data.recovered"), col("eventTime")).as("recovered"),
+        max_by(col("data.deceased"), col("eventTime")).as("deceased"))
+      // the daily-district-count re-key: (date, state, district)
+      .select(date_format(col("w.start"), "dd/MM/yyyy").as("date"),
+        col("state"), col("district"),
+        col("deltaConfirmed"), col("deltaRecovered"), col("deltaDeceased"),
+        col("confirmed"), col("recovered"), col("deceased"))
+
+  /** Streaming districtwise daily (ST2/ST4 composite-key form), update
+    * mode behind a watermark — the missing streaming analog of the
+    * batch q04/q08 composite-key aggregates. */
+  def districtwiseDailyStreaming(in: Dataset[StampedDistrict],
+      watermark: String): DataFrame =
+    in.toDF()
+      .withWatermark("eventTime", watermark)
+      .groupBy(window(col("eventTime"), "1 day").as("w"),
+        col("data.state").as("state"), col("data.district").as("district"))
+      .agg(
+        sum(col("data.deltaConfirmed").cast("long")).as("deltaConfirmed"),
+        sum(col("data.deltaRecovered").cast("long")).as("deltaRecovered"),
+        sum(col("data.deltaDeceased").cast("long")).as("deltaDeceased"),
+        max_by(col("data.confirmed"), col("eventTime")).as("confirmed"))
+      .select(date_format(col("w.start"), "dd/MM/yyyy").as("date"),
+        col("state"), col("district"),
+        col("deltaConfirmed"), col("deltaRecovered"), col("deltaDeceased"),
+        col("confirmed"))
 
   /** P4 — doubling-rate projection (Covid19Stats.java:196-203):
     * "0" when delta or current is 0, else

@@ -147,6 +147,31 @@ class ChartJsonSpec extends SparkSpec {
     assert(json.endsWith(""""title":{"display":false,"text":""}}}}"""))
   }
 
+  test("today/yesterday bar chart matches the Gson bytes (Visualizer.java:426-475)") {
+    import spark.implicits._
+    val deltas = Seq(
+      // sorted output: Maharashtra (dc=50) first, then Kerala (dc=10)
+      ("Kerala", 10L, 2L, 1L),
+      ("Maharashtra", 50L, 60L, 5L),      // active 50-60-5 < 0 -> clamped to 0.0
+      ("Negative", -1L, 0L, 0L),          // isNegative -> dropped
+      ("Sleepy", 0L, 0L, 0L))             // notYetUpdated -> dropped
+      .toDF("state", "deltaConfirmed", "deltaRecovered", "deltaDeaths")
+    val row = graft.serve.ChartPipeline
+      .barChart(deltas, "today", "May 01").collect().head
+    assert(row.getString(0) == "today")
+    val expected =
+      """{"backgroundColor":"transparent","width":"1000","height":"600","format":"png","chart":""" +
+      """{"type":"horizontalBar","data":{"labels":["Maharashtra","Kerala"],"datasets":[""" +
+      """{"type":"horizontalBar","label":"Active","data":[0.0,7.0],"fill":false,"borderColor":"rgb(201, 203, 207)","backgroundColor":"rgb(201, 203, 207)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"},""" +
+      """{"type":"horizontalBar","label":"Recovered","data":[60.0,2.0],"fill":false,"borderColor":"rgb(54, 162, 235)","backgroundColor":"rgb(54, 162, 235)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"},""" +
+      """{"type":"horizontalBar","label":"Deaths","data":[5.0,1.0],"fill":false,"borderColor":"rgb(255, 99, 132)","backgroundColor":"rgb(255, 99, 132)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"}]},""" +
+      """"options":{"plugins":{"datalabels":{"display":false,"anchor":"end","backgroundColor":"#ccc","borderRadius":"3","align":"end"}},""" +
+      """"scales":{"xAxes":[{"id":"bottom-x-axis","position":"bottom","stacked":true,"ticks":{"beginAtZero":true}}],""" +
+      """"yAxes":[{"id":"left-y-axis","position":"left","stacked":true,"ticks":{"beginAtZero":true}}]},""" +
+      """"title":{"display":true,"text":"May 01"}}}}"""
+    assert(row.getString(1) == expected)
+  }
+
   test("q42 chart JSON is Gson-shaped and day-ordered") {
     val j = queries.ChartQueries.chartJson.fn(spark, sf).collect().head.getString(0)
     assert(j.startsWith(envPrefix))

@@ -85,6 +85,58 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[String]("lastUpdatedTime") == "08/04/2020 06:00:00")
   }
 
+  test("districtwise daily: composite key sums deltas, carries latest cumulative") {
+    import spark.implicits._
+    val rows = Seq(
+      StampedDistrict(t1, DistrictwiseData("Maharashtra", "Mumbai",
+        confirmed = "100", deltaConfirmed = "100", deltaRecovered = "20",
+        deltaDeceased = "5")),
+      StampedDistrict(t2, DistrictwiseData("Maharashtra", "Mumbai",
+        confirmed = "130", deltaConfirmed = "30", deltaRecovered = "6",
+        deltaDeceased = "1")),
+      StampedDistrict(t2, DistrictwiseData("Maharashtra", "Pune",
+        confirmed = "40", deltaConfirmed = "40"))).toDS()
+    val daily = DailyAgg.districtwiseDaily(rows).collect()
+      .map(r => (r.getAs[String]("district"), r)).toMap
+    assert(daily.size == 2)
+    val mum = daily("Mumbai")
+    assert(mum.getAs[String]("date") == "08/04/2020")
+    assert(mum.getAs[Long]("deltaConfirmed") == 130L)
+    assert(mum.getAs[Long]("deltaRecovered") == 26L)
+    assert(mum.getAs[Long]("deltaDeceased") == 6L)
+    assert(mum.getAs[String]("confirmed") == "130")
+    assert(daily("Pune").getAs[Long]("deltaConfirmed") == 40L)
+  }
+
+  test("districtwise daily streaming: composite-key windows behind a watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[StampedDistrict]
+    val q = DailyAgg.districtwiseDailyStreaming(ms.toDS(), "1 day")
+      .writeStream.format("memory").queryName("district_daily_wm")
+      .outputMode("update").start()
+    def d(t: Timestamp, district: String, dc: String, conf: String) =
+      StampedDistrict(t, DistrictwiseData("Maharashtra", district,
+        confirmed = conf, deltaConfirmed = dc))
+    try {
+      ms.addData(d(t1, "Mumbai", "100", "100"), d(t1, "Pune", "10", "10"))
+      q.processAllAvailable()
+      ms.addData(d(t2, "Mumbai", "30", "130"))
+      q.processAllAvailable()
+      // late row beyond the 1-day watermark delay: dropped from the window
+      ms.addData(d(ts("2020-04-20 00:00:00"), "Nagpur", "1", "1"))
+      q.processAllAvailable()
+      ms.addData(d(ts("2020-04-08 01:00:00"), "Mumbai", "999", "999"))
+      q.processAllAvailable()
+      val mum = spark.table("district_daily_wm")
+        .filter(col("district") === "Mumbai" && col("date") === "08/04/2020")
+        .select("deltaConfirmed", "confirmed").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(mum.contains((130L, "130")), s"window sum wrong: $mum")
+      assert(!mum.exists(_._1 > 130L), s"late row leaked: $mum")
+    } finally q.stop()
+  }
+
   test("doubling rate matches DecimalFormat(0).format(Math.round(70/growth))") {
     import spark.implicits._
     // growth = 100*31/5372 = 0.577%, 70/0.577 = 121.3 -> "121"
