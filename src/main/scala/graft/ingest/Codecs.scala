@@ -69,4 +69,33 @@ object Codecs {
       .option("kafka.bootstrap.servers", servers)
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
+
+  /** The Kafka frame contract: what the connector's source emits and
+    * its sink consumes (key, value, record timestamp). */
+  val frameSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("key",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("timestamp",
+      org.apache.spark.sql.types.TimestampType)))
+
+  /** File-backed stand-in for [[fromKafka]] with the SAME frame contract
+    * — a directory of JSON frame files plays the topic. The connector
+    * jar is absent in this environment, so this is the executable edge:
+    * the whole source → decode → topology → encode → sink DAG runs under
+    * `Trigger.AvailableNow` exactly as it would against a broker, with
+    * offsets tracked in the checkpoint (restart resumes incrementally,
+    * Kafka-style). Swapping in the real connector changes ONLY the
+    * format("kafka") calls above. */
+  def fromFrameFiles(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(frameSchema).json(dir)
+
+  /** File-backed stand-in for [[toKafka]] (checkpointed frame sink). */
+  def toFrameFiles(df: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .format("json")
+      .option("path", dir)
+      .option("checkpointLocation", checkpoint)
 }

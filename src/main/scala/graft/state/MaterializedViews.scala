@@ -36,26 +36,43 @@ object MaterializedViews {
   }
 
   /** Register a (streaming) DataFrame as a continuously-maintained
-    * queryable view: every micro-batch folds into a GLOBAL temp view
+    * queryable view: the latest-per-key aggregation runs INSIDE the
+    * streaming engine (update mode, state-store-backed — per-batch cost
+    * proportional to the batch, not to history), so each micro-batch
+    * hands `foreachBatch` only the keys whose latest value CHANGED.
+    * Those are upserted into a GLOBAL temp view via anti-join + union
     * (`global_temp.<viewName>`; foreachBatch runs in a cloned session,
     * so a plain temp view would be invisible to the serving session) —
     * the Structured-Streaming analog of the reference's interactive-
-    * query state stores (bot StateStoresManager.java). */
+    * query state stores (bot StateStoresManager.java).
+    *
+    * Scale posture: the engine-side state is incremental forever; the
+    * view-merge leg rewrites the |keys|-row snapshot per batch, which
+    * is fine for serving-store cardinalities (the reference's stores
+    * are state×date sized). At data-table cardinalities, replace the
+    * view leg with a keyed mutable sink (Delta MERGE) — the changed-
+    * rows contract here is exactly what a MERGE consumes. */
   def serveAsView(streaming: DataFrame, keyCols: Seq[String], tsCol: String,
-      viewName: String): org.apache.spark.sql.streaming.StreamingQuery =
-    streaming.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
+      viewName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val others = streaming.columns.filterNot(keyCols.contains)
+    val latest = streaming
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*), col(tsCol)).as("r"))
+      .select(keyCols.map(col) ++ others.map(c => col(s"r.$c")): _*)
+    latest.writeStream
+      .outputMode("update")
+      .foreachBatch { (changed: DataFrame, _: Long) =>
+        val spark = changed.sparkSession
         val qualified = s"global_temp.$viewName"
-        val prev =
-          if (spark.catalog.tableExists(qualified)) Some(spark.table(qualified))
-          else None
-        val all = prev.map(_.unionByName(batch)).getOrElse(batch)
-        latestPerKey(all, keyCols, tsCol)
-          .localCheckpoint(eager = true) // cut lineage across batches
+        val next =
+          if (spark.catalog.tableExists(qualified))
+            spark.table(qualified).join(changed, keyCols, "left_anti")
+              .unionByName(changed)
+          else changed
+        next.localCheckpoint(eager = true) // cut lineage across batches
           .createOrReplaceGlobalTempView(viewName)
         ()
       }
       .start()
+  }
 }

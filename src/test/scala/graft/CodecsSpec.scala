@@ -56,6 +56,64 @@ class CodecsSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("kafka"), e.getMessage)
   }
 
+  test("S2->A1->S3 executed round-trip: frame source -> delta topology -> checkpointed sink") {
+    import spark.implicits._
+    implicit val s = spark
+    val base = java.nio.file.Files.createTempDirectory("kafka_rt_").toString
+    val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    new java.io.File(inDir).mkdirs()
+
+    // write frame files the way a topic would carry them
+    def writeFrames(file: String, rows: Seq[(String, String, String)]): Unit = {
+      val w = new java.io.PrintWriter(s"$inDir/$file")
+      rows.foreach { case (k, v, ts) =>
+        w.println(s"""{"key":"$k","value":${
+          com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+            .writeValueAsString(v)},"timestamp":"$ts"}""")
+      }
+      w.close()
+    }
+    val snap1Json =
+      """{"active":"4729","confirmed":"5341","deaths":"157","recovered":"455","state":"Total","statecode":"TT","lastupdatedtime":"08/04/2020 00:04:28"}"""
+    val snap2Json =
+      """{"active":"4745","confirmed":"5372","deaths":"160","recovered":"463","state":"Total","statecode":"TT","lastupdatedtime":"08/04/2020 06:00:00"}"""
+    writeFrames("b0.json", Seq(
+      ("Total", snap1Json, "2020-04-08T00:04:28.000Z"),
+      ("Total", snap2Json, "2020-04-08T06:00:00.000Z")))
+
+    def runOnce(): Unit = {
+      val frames = Codecs.fromFrameFiles(spark, inDir)
+      val stamped = frames
+        .select(col("timestamp").as("eventTime"),
+          from_json(col("value"), Codecs.statewiseStatsSchema).as("stats"))
+        .as[graft.core.StampedStats]
+      val deltas = graft.streaming.DeltaTracker.statewise(stamped)
+      val q = Codecs.toFrameFiles(
+          Codecs.encode(deltas.map(_.delta), "state"), outDir, ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    def readOut() = Codecs.decode[graft.core.StatewiseDelta](
+      spark.read.schema("key string, value string").json(outDir)
+        .select("key", "value"), Codecs.statewiseDeltaSchema).collect()
+    val out1 = readOut().sortBy(_.lastUpdatedTime)
+    assert(out1.length == 2)
+    assert(out1(1).deltaConfirmed == 31L && out1(1).deltaRecovered == 8L &&
+      out1(1).deltaDeaths == 3L && out1(1).currentConfirmed == 5372L)
+
+    // append a third frame and re-run on the SAME checkpoint: only the
+    // new offset is consumed (Kafka-style resume), output grows by one
+    writeFrames("b1.json", Seq(("Total",
+      """{"active":"4800","confirmed":"5400","deaths":"161","recovered":"470","state":"Total","statecode":"TT","lastupdatedtime":"08/04/2020 12:00:00"}""",
+      "2020-04-08T12:00:00.000Z")))
+    runOnce()
+    val out2 = readOut().sortBy(_.lastUpdatedTime)
+    assert(out2.length == 3, s"checkpoint resume reprocessed: ${out2.length}")
+    assert(out2(2).deltaConfirmed == 28L) // 5400 - 5372
+  }
+
   test("encode -> decode round trip preserves the record") {
     import spark.implicits._
     implicit val s = spark

@@ -247,6 +247,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("view catalog declares the bot's 11 KTables with distinct names/topics") {
+    import graft.state.ViewCatalog
+    assert(ViewCatalog.all.size == 11)
+    assert(ViewCatalog.all.map(_.view).distinct.size == 11)
+    assert(ViewCatalog.all.map(_.topic).distinct.size == 11)
+    // composite keys mirror the reference serdes
+    assert(ViewCatalog.zones.keyCols == Seq("state", "district"))
+    assert(ViewCatalog.doublingRate.keyCols == Seq("date", "state"))
+  }
+
+  test("catalog view: per-batch state update cost tracks the batch, not history") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(String, String, String, Timestamp)]
+    val q = graft.state.ViewCatalog.serve(graft.state.ViewCatalog.doublingRate,
+      ms.toDS().toDF("date", "state", "doublingRate", "eventTime"))
+    try {
+      ms.addData((0 until 50).map(i =>
+        ("08/04/2020", s"State$i", "100", t1)): _*)
+      q.processAllAvailable()
+      assert(spark.table("global_temp.doubling_rate").count() == 50)
+      // one changed key: the stateful agg updates 1 state row, not 50
+      ms.addData(("08/04/2020", "State7", "121", t2))
+      q.processAllAvailable()
+      val oneRowBatches = q.recentProgress
+        .filter(_.numInputRows == 1).flatMap(_.stateOperators.headOption)
+      assert(oneRowBatches.nonEmpty, "no 1-row batch in progress history")
+      // the engine reports up to 2 state writes for the one changed key
+      // (partial + final) — the claim under test is that updates track
+      // the BATCH (≤2 writes), not the 50-key history
+      assert(oneRowBatches.forall(_.numRowsUpdated <= 2),
+        s"state updates scaled with history, not batch: " +
+          s"${oneRowBatches.map(_.numRowsUpdated).toSeq}")
+      val view = spark.table("global_temp.doubling_rate")
+      assert(view.count() == 50)
+      assert(view.filter(col("state") === "State7")
+        .select("doublingRate").as[String].collect().toSeq == Seq("121"))
+    } finally q.stop()
+  }
+
   test("ST2/ST4: watermarked daily agg drops late data beyond the delay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
