@@ -77,6 +77,16 @@ final case class StatewiseTestData(
     positivereportedtoday: String = "",
     state: String = "")
 
+/** A serving request produced by the bot edge
+  * (UserRequest.java: chatId + requested view, keyed by chatId —
+  * bot/Covid19Bot.java:134-164). */
+final case class UserRequest(chatId: String, state: String)
+
+/** A shared-location record produced by the bot edge
+  * (location/UserLocation.java, keyed by chatId —
+  * bot/Covid19Bot.java:122). */
+final case class UserLocation(latitude: String, longitude: String)
+
 /** Event-time-stamped wrappers for the streaming topologies (the Kafka
   * record timestamp in the reference, ST1). */
 final case class StampedStats(eventTime: Timestamp, stats: StatewiseStats)

@@ -222,6 +222,35 @@ case class WinnowMins(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** Highest multiplicity of any element in an `array<bigint>` — the
+  * repetition-score inner loop (max n-gram count per document, the
+  * Gopher/C4 duplicate-n-gram quality signal). One hashmap pass per
+  * row; 0 for an empty array. The declarative form would be an
+  * explode + two shuffles or an interpreted O(n²) HOF. */
+case class MaxMultiplicity(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    val counts = new java.util.HashMap[java.lang.Long, Int](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      val c = counts.merge(arr.getLong(i), 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best.toLong
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Occurrences of any of a fixed marker set in an `array<string>` token
   * list (language-ID scores, stopword counts — the q24/q25 hot path).
   * Counts OCCURRENCES, not distinct markers (stopwords repeat), exactly
@@ -312,6 +341,9 @@ object GraftExpressions {
 
   def markerCount(words: Column, markers: Seq[String]): Column =
     ColumnBridge.column(MarkerCount(ColumnBridge.expression(words), markers))
+
+  def maxMultiplicity(hashes: Column): Column =
+    ColumnBridge.column(MaxMultiplicity(ColumnBridge.expression(hashes)))
 
   /** Register for SQL use (`SELECT graft_dot_q(a, b)`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

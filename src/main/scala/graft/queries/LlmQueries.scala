@@ -330,8 +330,93 @@ object LlmQueries {
       threshold = 0.9)
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
+    * standard pretraining-corpus filter): token-count band, mean word
+    * length band, symbol-to-word ratio, minimum stopword evidence —
+    * each rule a deterministic integer count or a single IEEE division,
+    * so the keep decision hash-matches the oracle exactly. */
+  val qualityFilter: Q = Q(
+    "q47_quality_filter",
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         len(string_split(text, ' ')) AS n_tokens,
+      |         CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+      |           / len(string_split(text, ' ')) AS mean_word_len,
+      |         length(text) - length(regexp_replace(text, '[#…@*]', '', 'g')) AS n_symbols,
+      |         len(list_filter(string_split(text, ' '),
+      |             w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, mean_word_len, n_symbols, n_stop,
+      |       CAST(n_symbols AS DOUBLE) / n_tokens AS symbol_ratio,
+      |       CAST(CASE WHEN n_tokens BETWEEN 50 AND 100000
+      |                  AND mean_word_len BETWEEN 3 AND 10
+      |                  AND CAST(n_symbols AS DOUBLE) / n_tokens < 0.1
+      |                  AND n_stop >= 2
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM m""".stripMargin
+  ) { (s, dir) =>
+    val ws = T.words(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(ws).as("n_tokens"),
+        ((length(col("text")) - size(ws) + 1).cast("double") / size(ws))
+          .as("mean_word_len"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[#…@*]", ""))).as("n_symbols"),
+        T.markerCount(ws, stopWords).as("n_stop"))
+      .withColumn("symbol_ratio",
+        col("n_symbols").cast("double") / col("n_tokens"))
+      .withColumn("keep",
+        when(col("n_tokens").between(50, 100000) &&
+          col("mean_word_len").between(3, 10) &&
+          col("symbol_ratio") < 0.1 &&
+          col("n_stop") >= 2, 1L).otherwise(0L))
+  }
+
+  /** Repetition metrics (the Gopher duplicate-n-gram signals):
+    * distinct-token ratio and top-bigram fraction. The per-doc inner
+    * loop is native (`ShingleHashes(ordered)` position bigram hashes +
+    * `MaxMultiplicity` hashmap pass); the oracle counts the bigram
+    * STRINGS — equality holds because the 64-bit hash is
+    * collision-free at these cardinalities (~1e-10/doc). */
+  val repetition: Q = Q(
+    "q48_repetition",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |b AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |                        i -> ws[i] || ' ' || ws[i + 1])) AS bg
+      |  FROM w WHERE len(ws) >= 2),
+      |c AS (SELECT doc_id, max(n) AS top_bigram_n FROM
+      |        (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY 1, 2) t
+      |      GROUP BY 1)
+      |SELECT w.doc_id,
+      |       len(ws) AS n_tokens,
+      |       len(list_distinct(ws)) AS n_distinct,
+      |       CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_ratio,
+      |       coalesce(c.top_bigram_n, 0) AS top_bigram_n,
+      |       CASE WHEN len(ws) < 2 THEN 0.0
+      |            ELSE CAST(coalesce(c.top_bigram_n, 0) AS DOUBLE) / (len(ws) - 1)
+      |       END AS top_bigram_frac
+      |FROM w LEFT JOIN c ON w.doc_id = c.doc_id""".stripMargin
+  ) { (s, dir) =>
+    import graft.functions.expressions.GraftExpressions.{maxMultiplicity, shingleHashes}
+    val ws = T.words(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), ws.as("ws"))
+      .withColumn("bgs", shingleHashes(col("ws"), 2, ordered = true))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_tokens"),
+        size(array_distinct(col("ws"))).as("n_distinct"),
+        (size(array_distinct(col("ws"))).cast("double") / size(col("ws")))
+          .as("distinct_ratio"),
+        maxMultiplicity(col("bgs")).as("top_bigram_n"),
+        when(size(col("ws")) < 2, lit(0.0))
+          .otherwise(maxMultiplicity(col("bgs")).cast("double")
+            / (size(col("ws")) - 1)).as("top_bigram_frac"))
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, fingerprintQ, ngramJaccard,
     minhashLsh, simhash, embeddingNeardup, embeddingNeardupLsh, knnCosine,
     annLsh, annIvf, binaryMeta, multimodalDecode, winnow, dedupResolve,
-    multimodalNeardup)
+    multimodalNeardup, qualityFilter, repetition)
 }

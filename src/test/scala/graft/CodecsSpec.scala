@@ -135,6 +135,29 @@ class CodecsSpec extends SparkSpec {
     assert((0 until got.length).forall(got.isNullAt))
   }
 
+  test("bot produce paths: prefs/request/location frames keyed like the reference") {
+    import spark.implicits._
+    implicit val s = spark
+    import graft.core.{UserLocation, UserRequest}
+    import graft.serve.Producers
+    val prefs = Producers.userPrefsFrames(
+      Seq(UserPrefs("12345", Seq("Assam"), subscribed = true)).toDS())
+      .collect().head
+    assert(prefs.getString(0) == "12345")
+    assert(prefs.getString(1).contains(""""myStates":["Assam"]"""))
+
+    val req = Producers.userRequestFrames(
+      Seq(UserRequest("777", "Today")).toDS()).collect().head
+    assert(req.getString(0) == "777")
+    assert(req.getString(1) == """{"chatId":"777","state":"Today"}""")
+
+    val loc = Producers.userLocationFrames(spark,
+      Seq(("777", UserLocation("26.14", "91.73")))).collect().head
+    assert(loc.getString(0) == "777")
+    // the key is not a value field in the reference record
+    assert(loc.getString(1) == """{"latitude":"26.14","longitude":"91.73"}""")
+  }
+
   test("user-prefs codec handles the array field") {
     import spark.implicits._
     implicit val s = spark

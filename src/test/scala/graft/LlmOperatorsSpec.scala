@@ -195,6 +195,41 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(self.forall(_.getInt(0) == 64))
   }
 
+  test("MaxMultiplicity counts the densest element in one pass") {
+    import spark.implicits._
+    import graft.functions.expressions.GraftExpressions.maxMultiplicity
+    val got = Seq(
+      (1L, Seq(7L, 7L, 7L, 1L, 2L)),
+      (2L, Seq(1L, 2L, 3L)),
+      (3L, Seq.empty[Long]))
+      .toDF("id", "xs")
+      .select(col("id"), maxMultiplicity(col("xs")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("quality filter keep flag implies every Gopher rule holds") {
+    val df = Registry.byName("q47_quality_filter").fn(spark, sf)
+    val kept = df.filter(col("keep") === 1L)
+    assert(kept.count() > 0, "no documents pass the quality filter")
+    val violations = kept.filter(
+      !col("n_tokens").between(50, 100000) ||
+        !col("mean_word_len").between(3, 10) ||
+        col("symbol_ratio") >= 0.1 || col("n_stop") < 2).count()
+    assert(violations == 0)
+  }
+
+  test("repetition metrics are well-formed ratios") {
+    val df = Registry.byName("q48_repetition").fn(spark, sf)
+    assert(df.filter(col("distinct_ratio") <= 0.0 ||
+      col("distinct_ratio") > 1.0).count() == 0)
+    assert(df.filter(col("top_bigram_frac") < 0.0 ||
+      col("top_bigram_frac") > 1.0).count() == 0)
+    // a repeated bigram can't exceed the doc's bigram count
+    assert(df.filter(col("top_bigram_n") > col("n_tokens") - 1 &&
+      col("n_tokens") >= 2).count() == 0)
+  }
+
   test("quantized cosine is symmetric and self-similarity is 1") {
     import graft.functions.{VectorFunctions => V}
     val e = graft.sources.Tables.load(spark, sf, "embeddings").limit(50)
