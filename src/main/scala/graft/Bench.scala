@@ -32,8 +32,13 @@ object Bench {
     // scale factors Catalyst analysis + whole-stage-codegen JIT dominates
     // a cold first execution, and this box's scheduler is noisy — the
     // minimum steady-state run is what reflects the plan.
+    // dev-only focus filter (unset for driver runs = all queries)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     var errors = Map.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       System.err.println(s"[bench] $name")
       val t =
         try {
