@@ -118,4 +118,21 @@ class PlanSpec extends SparkSpec {
     val p = plan("q02_running_delta")
     assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p.take(2000))
   }
+
+  test("q47: quality filter is a pruned scan-and-project, no shuffle") {
+    val p = plan("q47_quality_filter")
+    val read = p.split("ReadSchema")(1).split("\n")(0)
+    assert(read.contains("doc_id") && read.contains("text"), read)
+    assert(!read.contains("lang") && !read.contains("url"),
+      s"scan reads pruned columns: $read")
+    assert(!p.contains("Exchange"), "per-row quality filter should not shuffle")
+  }
+
+  test("q48: repetition metrics shuffle nothing and keep the scan pruned") {
+    val p = plan("q48_repetition")
+    assert(!p.contains("Exchange"),
+      "per-doc repetition metrics should not shuffle")
+    assert(p.toLowerCase.contains("maxmultiplicity"),
+      "native MaxMultiplicity missing from the plan")
+  }
 }
