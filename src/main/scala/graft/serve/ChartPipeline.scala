@@ -89,6 +89,45 @@ object ChartPipeline {
         width = "1000", height = "600").as("value"))
   }
 
+  /** Statewise-total chart fanout (Visualizer.java:371-424): one
+    * stacked "bar" chart PER STATE — last-month cumulative Active
+    * (grey) / Deaths (red) / Recovered (blue) by day, keyed
+    * `<state>-statewisetotal` for the visualizations topic. The
+    * reference loops states on the driver with per-day store point-gets
+    * and a 1 s sleep between charts; here the whole fanout is ONE
+    * grouped plan emitting a keyed row per state. Input long form:
+    * (state, day, label, active, recovered, deceased). */
+  def statewiseTotalCharts(daily: DataFrame): DataFrame = {
+    val perState = daily
+      .groupBy("state")
+      .agg(array_sort(collect_list(struct(col("day"), col("label"),
+        col("active").cast("double").as("a"),
+        col("recovered").cast("double").as("r"),
+        col("deceased").cast("double").as("d")))).as("rows"))
+      .select(col("state"),
+        expr("transform(rows, x -> x.label)").as("labels"),
+        expr("transform(rows, x -> x.a)").as("act"),
+        expr("transform(rows, x -> x.d)").as("dth"),
+        expr("transform(rows, x -> x.r)").as("rec"))
+    // dataset order is Active, Deaths, Recovered here (Visualizer.java:
+    // 402-404) — unlike the today/yesterday charts — and active is the
+    // UNclamped cumulative difference.
+    val dsets = array(
+      ChartJson.dataset(lit(ChartJson.Bar), lit("Active"),
+        col("act"), lit(ChartJson.Grey)),
+      ChartJson.dataset(lit(ChartJson.Bar), lit("Deaths"),
+        col("dth"), lit(ChartJson.Red)),
+      ChartJson.dataset(lit(ChartJson.Bar), lit("Recovered"),
+        col("rec"), lit(ChartJson.Blue)))
+    val xAxes = array(ChartJson.axis("bottom-x-axis", "bottom", stacked = true))
+    val yAxes = array(ChartJson.axis("left-y-axis", "left", stacked = true))
+    perState.select(
+      concat(col("state"), lit("-statewisetotal")).as("key"),
+      ChartJson.requestJson(
+        ChartJson.chart(ChartJson.Bar, col("labels"), dsets,
+          displayLabels = false, xAxes, yAxes)).as("value"))
+  }
+
   /** Multi-series trend chart over a long-form (series, day, label,
     * value) frame — the top-5-states-trend shape (Visualizer.java:
     * 188-215). Series are ordered by total value descending (the

@@ -172,6 +172,28 @@ class ChartJsonSpec extends SparkSpec {
     assert(row.getString(1) == expected)
   }
 
+  test("statewise-total fanout: one keyed stacked-bar chart per state (Visualizer.java:371-424)") {
+    import spark.implicits._
+    val daily = Seq(
+      ("Assam", java.sql.Date.valueOf("2020-05-02"), "May 02", 90L, 20L, 5L),
+      ("Assam", java.sql.Date.valueOf("2020-05-01"), "May 01", 80L, 15L, 4L),
+      ("Delhi", java.sql.Date.valueOf("2020-05-01"), "May 01", 500L, 100L, 20L))
+      .toDF("state", "day", "label", "active", "recovered", "deceased")
+    val rows = graft.serve.ChartPipeline.statewiseTotalCharts(daily)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(rows.keySet == Set("Assam-statewisetotal", "Delhi-statewisetotal"))
+    val expected = envPrefix +
+      """{"type":"bar","data":{"labels":["May 01","May 02"],"datasets":[""" +
+      """{"type":"bar","label":"Active","data":[80.0,90.0],"fill":false,"borderColor":"rgb(201, 203, 207)","backgroundColor":"rgb(201, 203, 207)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"},""" +
+      """{"type":"bar","label":"Deaths","data":[4.0,5.0],"fill":false,"borderColor":"rgb(255, 99, 132)","backgroundColor":"rgb(255, 99, 132)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"},""" +
+      """{"type":"bar","label":"Recovered","data":[15.0,20.0],"fill":false,"borderColor":"rgb(54, 162, 235)","backgroundColor":"rgb(54, 162, 235)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"}]},""" +
+      """"options":{"plugins":{"datalabels":{"display":false,"anchor":"end","backgroundColor":"#ccc","borderRadius":"3","align":"end"}},""" +
+      """"scales":{"xAxes":[{"id":"bottom-x-axis","position":"bottom","stacked":true,"ticks":{"beginAtZero":true}}],""" +
+      """"yAxes":[{"id":"left-y-axis","position":"left","stacked":true,"ticks":{"beginAtZero":true}}]},""" +
+      """"title":{"display":false,"text":""}}}}"""
+    assert(rows("Assam-statewisetotal") == expected)
+  }
+
   test("q42 chart JSON is Gson-shaped and day-ordered") {
     val j = queries.ChartQueries.chartJson.fn(spark, sf).collect().head.getString(0)
     assert(j.startsWith(envPrefix))
