@@ -64,6 +64,35 @@ object Multimodal {
     meta.withColumn("sampled_frames",
       sequence(lit(0), col("n_frames") - 1, lit(stride)))
 
+  /** Partition-wise resize: payload → re-encoded payload at a target
+    * width, the standard image-normalization step before feature
+    * extraction. STUB re-encode (deterministic byte resampling at the
+    * pixel-count ratio — no codec in this container), but the batch
+    * shape is the real one: open the codec once per partition, stream
+    * payloads through it, emit the new payload + updated dimensions so
+    * downstream metadata stays truthful. */
+  def resizeStub(spark: SparkSession, payloads: DataFrame,
+      targetWidth: Int): DataFrame = {
+    import spark.implicits._
+    payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real impl: val codec = Codec.open() once per partition
+        it.map { case (id, bytes) =>
+          val h = MurmurHash3.bytesHash(bytes, 42)
+          val w = 160 * (1 + math.floorMod(h, 8))
+          val scale = targetWidth.toDouble / w
+          val outLen = math.max(1, math.round(bytes.length * scale * scale).toInt)
+          val out = new Array[Byte](outLen)
+          var i = 0
+          while (i < outLen) {
+            out(i) = bytes(math.min(bytes.length - 1, (i / (scale * scale)).toInt))
+            i += 1
+          }
+          (id, out, targetWidth, targetWidth * 9 / 16)
+        }
+      }.toDF("doc_id", "payload", "width", "height")
+  }
+
   /** Partition-wise feature extraction: payload bytes → unit-norm
     * `array<float>` embedding, the column the similarity/dedup stack
     * (Similarity.quantize → kNN/ANN/near-dup) consumes. Partition-wise

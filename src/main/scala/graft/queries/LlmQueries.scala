@@ -415,8 +415,23 @@ object LlmQueries {
             / (size(col("ws")) - 1)).as("top_bigram_frac"))
   }
 
+  /** End-to-end embedding dedup: sign-LSH near-dup candidate pairs →
+    * exact cosine verify → connected-components resolution → canonical
+    * vector per cluster. The full embedding-level dedup pipeline
+    * (candidates, verify, resolve) composed into one plan — what a
+    * training-data pipeline runs to collapse semantic duplicates.
+    * LSH-derived ⇒ rows-only; component sanity (canonical = component
+    * minimum, pair endpoints share a canonical) asserted in spec. */
+  val embeddingDedup: Q = Q.rowsOnly("q49_embedding_dedup") { (s, dir) =>
+    val pairs = graft.operators.Similarity
+      .neardupPairsLsh(quantized(s, dir), threshold = 0.4)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    graft.operators.Dedup.resolve(pairs)
+      .select(col("doc_id").as("vec_id"), col("canonical_id"))
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, fingerprintQ, ngramJaccard,
     minhashLsh, simhash, embeddingNeardup, embeddingNeardupLsh, knnCosine,
     annLsh, annIvf, binaryMeta, multimodalDecode, winnow, dedupResolve,
-    multimodalNeardup, qualityFilter, repetition)
+    multimodalNeardup, qualityFilter, repetition, embeddingDedup)
 }

@@ -195,6 +195,23 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(self.forall(_.getInt(0) == 64))
   }
 
+  test("multimodal resize slot: deterministic, scaled payload, truthful dims") {
+    import graft.operators.Multimodal
+    val payloads = Multimodal.withPayload(
+      graft.sources.Tables.load(spark, sf, "documents").limit(50))
+    val resized = Multimodal.resizeStub(spark, payloads, targetWidth = 320)
+    val rows = resized.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.getAs[Int]("width") == 320))
+    assert(rows.forall(_.getAs[Int]("height") == 180))
+    assert(rows.forall(_.getAs[Array[Byte]]("payload").nonEmpty))
+    // deterministic: same input, same bytes
+    val again = Multimodal.resizeStub(spark, payloads, targetWidth = 320)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload").toSeq)).toMap
+    assert(rows.forall(r =>
+      again(r.getLong(0)) == r.getAs[Array[Byte]]("payload").toSeq))
+  }
+
   test("MaxMultiplicity counts the densest element in one pass") {
     import spark.implicits._
     import graft.functions.expressions.GraftExpressions.maxMultiplicity
@@ -228,6 +245,21 @@ class LlmOperatorsSpec extends SparkSpec {
     // a repeated bigram can't exceed the doc's bigram count
     assert(df.filter(col("top_bigram_n") > col("n_tokens") - 1 &&
       col("n_tokens") >= 2).count() == 0)
+  }
+
+  test("embedding dedup end-to-end: canonicals are component minima over the pair graph") {
+    val resolved = Registry.byName("q49_embedding_dedup").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(resolved.nonEmpty, "no near-dup components found")
+    // canonical never exceeds the member id (min-label semantics)
+    assert(resolved.forall { case (v, c) => c <= v })
+    // both endpoints of every verified pair resolve to the same canonical
+    val pairs = Registry.byName("q43_embedding_neardup_lsh").fn(spark, sf)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => resolved(a) == resolved(b) },
+      "pair endpoints landed in different components")
   }
 
   test("quantized cosine is symmetric and self-similarity is 1") {
