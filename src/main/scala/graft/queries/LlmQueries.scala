@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
 import graft.functions.expressions.GraftExpressions.{dotQFast, minhashSig}
@@ -430,8 +431,79 @@ object LlmQueries {
       .select(col("doc_id").as("vec_id"), col("canonical_id"))
   }
 
+  /** BM25 relevance scoring (Robertson/Spärck Jones; k1=1.2, b=0.75)
+    * of every document against a fixed query-term set — the standard
+    * quality/relevance ranking a training-data pipeline uses for
+    * targeted corpus selection. Determinism: tf/df/dl are integers,
+    * avgdl is one division, each per-term score is an identical IEEE
+    * expression tree, and the final score sums the terms in FIXED
+    * textual order on both sides (a 6-operand `+` chain, not a
+    * reorderable aggregate). ln() is the one step libm implementations
+    * disagree on (measured: 1-ulp differences between the JVM and
+    * DuckDB), so the verified output is the score in integer MICROS —
+    * `floor(bm25 * 1e6)` on both sides — which absorbs ulp-level
+    * divergence (a flip needs the scaled score within ~1e-10 of an
+    * integer boundary) while still checking the full formula to 1e-6. */
+  val bm25: Q = {
+    val terms = Seq("join", "filter", "agg", "query", "group", "sort")
+    val k1 = "1.2"
+    val b = "0.75"
+    def sqlTermScore(i: Int, t: String): String =
+      s"""ln((CAST(n_docs AS DOUBLE) - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+         |  * (tf_$i * ($k1 + 1.0))
+         |  / (tf_$i + $k1 * (1.0 - $b + $b * dl / avgdl))""".stripMargin
+        .replace("\n", " ")
+    Q(
+      "q50_bm25",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |tf AS (
+         |  SELECT doc_id, len(ws) AS dl,
+         |         ${terms.zipWithIndex.map { case (t, i) =>
+                      s"len(list_filter(ws, x -> x = '$t')) AS tf_$i" }
+                      .mkString(",\n         |         ")}
+         |  FROM w),
+         |stats AS (
+         |  SELECT count(*) AS n_docs,
+         |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         |         ${terms.indices.map(i =>
+                      s"count(*) FILTER (WHERE tf_$i > 0) AS df_$i")
+                      .mkString(",\n         |         ")}
+         |  FROM tf)
+         |SELECT doc_id, dl,
+         |       ${terms.indices.map(i => s"tf_$i").mkString(", ")},
+         |       CAST(floor((${sqlTermScore(0, terms(0))}
+         |       ${terms.indices.drop(1).map(i => s"+ ${sqlTermScore(i, terms(i))}")
+                    .mkString("\n         |       ")}) * 1000000.0) AS BIGINT) AS bm25_micro
+         |FROM tf CROSS JOIN stats""".stripMargin
+    ) { (s, dir) =>
+      val ws = T.words(col("text"))
+      val tf = t(s, dir, "documents").select(
+        (col("doc_id") +: size(ws).as("dl") +:
+          terms.zipWithIndex.map { case (tm, i) =>
+            T.markerCount(ws, Seq(tm)).as(s"tf_$i") }): _*)
+      val stats = tf.agg(
+        count(lit(1)).as("n_docs"),
+        ((sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
+          terms.indices.map(i =>
+            count(when(col(s"tf_$i") > 0, 1)).as(s"df_$i"))): _*)
+      def termScore(i: Int) =
+        log((col("n_docs").cast("double") - col(s"df_$i") + lit(0.5))
+            / (col(s"df_$i") + lit(0.5)) + lit(1.0)) *
+          (col(s"tf_$i") * (lit(1.2) + lit(1.0))) /
+          (col(s"tf_$i") + lit(1.2) *
+            (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+      tf.crossJoin(broadcast(stats))
+        .select(
+          (col("doc_id") +: col("dl") +:
+            terms.indices.map(i => col(s"tf_$i")) :+
+            floor(terms.indices.drop(1)
+              .foldLeft(termScore(0))((acc, i) => acc + termScore(i))
+              * lit(1000000.0)).cast(LongType).as("bm25_micro")): _*)
+    }
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, fingerprintQ, ngramJaccard,
     minhashLsh, simhash, embeddingNeardup, embeddingNeardupLsh, knnCosine,
     annLsh, annIvf, binaryMeta, multimodalDecode, winnow, dedupResolve,
-    multimodalNeardup, qualityFilter, repetition, embeddingDedup)
+    multimodalNeardup, qualityFilter, repetition, embeddingDedup, bm25)
 }
