@@ -117,4 +117,49 @@ class EndToEndSpec extends SparkSpec {
       assert(chartJson.startsWith("""{"backgroundColor":"transparent""""))
     } finally { q1.stop(); q2.stop() }
   }
+
+  test("catalog view feeds the today bar chart (state-store → visualizer flow)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.state.ViewCatalog
+
+    // deltas stream into the daily-states-count store analog, keyed
+    // (date, state) like the reference's StateAndDate serde
+    val ms = MemoryStream[StampedDelta]
+    val keyed = ms.toDS().toDF()
+      .select(col("eventTime"),
+        date_format(col("eventTime"), "dd/MM/yyyy").as("date"),
+        col("delta.state").as("state"),
+        col("delta.deltaConfirmed"), col("delta.deltaRecovered"),
+        col("delta.deltaDeaths"))
+    val q = ViewCatalog.serve(ViewCatalog.dailyStatesCount, keyed)
+    def d(ts: String, state: String, dc: Long, dr: Long, dd: Long) =
+      StampedDelta(Timestamp.valueOf(ts),
+        StatewiseDelta(dr, dd, dc, 0, 0, 0, "", state))
+    try {
+      ms.addData(
+        d("2020-04-08 06:00:00", "Assam", 10L, 2L, 1L),
+        d("2020-04-08 07:00:00", "Delhi", 50L, 5L, 2L),
+        d("2020-04-07 07:00:00", "Assam", 99L, 0L, 0L)) // yesterday: other key
+      q.processAllAvailable()
+      // upsert: Assam's today count refreshes in place
+      ms.addData(d("2020-04-08 09:00:00", "Assam", 12L, 3L, 1L))
+      q.processAllAvailable()
+
+      // the visualizer's today() reads dailyCountFor(state, today) per
+      // state; here it is one filter over the catalog view snapshot
+      val today = spark.table("global_temp.daily_states_count")
+        .filter(col("date") === "08/04/2020")
+        .select("state", "deltaConfirmed", "deltaRecovered", "deltaDeaths")
+      val chart = graft.serve.ChartPipeline
+        .barChart(today, "today", "Apr 08").collect().head
+      assert(chart.getString(0) == "today")
+      val json = chart.getString(1)
+      // Delhi (50) sorts before the refreshed Assam (12); yesterday's row
+      // stays out of the chart
+      assert(json.contains(""""labels":["Delhi","Assam"]"""), json.take(400))
+      assert(json.contains(""""label":"Deaths","data":[2.0,1.0]"""))
+      assert(!json.contains("99.0")) // yesterday's 99-count never charted
+    } finally q.stop()
+  }
 }
