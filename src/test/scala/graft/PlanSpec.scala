@@ -128,6 +128,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "per-row quality filter should not shuffle")
   }
 
+  test("q50: corpus stats broadcast into the per-doc BM25 projection") {
+    val p = plan("q50_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    val read = p.split("ReadSchema")(1).split("\n")(0)
+    assert(!read.contains("lang"), s"scan reads pruned columns: $read")
+  }
+
   test("q48: repetition metrics shuffle nothing and keep the scan pruned") {
     val p = plan("q48_repetition")
     assert(!p.contains("Exchange"),

@@ -378,6 +378,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming windowed HLL: constant-size state tracks per-window distincts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Long)]
+    val q = graft.streaming.StreamSketch.windowedApproxDistinct(
+        ms.toDS().toDF("ts", "etype", "uid"),
+        "ts", "etype", "uid", window = "1 hour", watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("sketch_t")
+      .outputMode("update").start()
+    try {
+      // 40 distinct users ×2 duplicate events each in one window — the
+      // estimate must land within the 5% rsd bound and dedupe the
+      // duplicates (raw count is 80)
+      val base = ts("2024-01-01 10:00:00").getTime
+      ms.addData((0 until 80).map(i =>
+        (new Timestamp(base + i * 1000L), "click", (i % 40).toLong)): _*)
+      q.processAllAvailable()
+      val row = spark.table("sketch_t")
+        .filter(col("etype") === "click").collect().last
+      val est = row.getAs[Long]("approx_distinct")
+      assert(est >= 36L && est <= 44L, s"estimate $est outside 40±10%")
+      assert(row.getAs[Long]("n_events") == 80L)
+      // second window for the same key: independent sketch state
+      ms.addData((new Timestamp(base + 2 * 3600000L), "click", 7L))
+      q.processAllAvailable()
+      val windows = spark.table("sketch_t")
+        .filter(col("etype") === "click")
+        .select("window_start").distinct().count()
+      assert(windows == 2)
+    } finally q.stop()
+  }
+
   test("UserPrefs JSON round-trip (serde fidelity)") {
     import spark.implicits._
     val prefs = Seq(UserPrefs("u1", Seq("Assam", "Delhi"), subscribed = true))
