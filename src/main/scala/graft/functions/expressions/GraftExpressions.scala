@@ -226,7 +226,8 @@ case class WinnowMins(child: Expression, w: Int)
   * repetition-score inner loop (max n-gram count per document, the
   * Gopher/C4 duplicate-n-gram quality signal). One hashmap pass per
   * row; 0 for an empty array. The declarative form would be an
-  * explode + two shuffles or an interpreted O(n²) HOF. */
+  * explode + two shuffles or an interpreted O(n²) HOF. Null elements
+  * are skipped (not counted as 0). */
 case class MaxMultiplicity(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -240,8 +241,10 @@ case class MaxMultiplicity(child: Expression)
     var best = 0
     var i = 0
     while (i < n) {
-      val c = counts.merge(arr.getLong(i), 1, (a, b) => a + b)
-      if (c > best) best = c
+      if (!arr.isNullAt(i)) {
+        val c = counts.merge(arr.getLong(i), 1, (a, b) => a + b)
+        if (c > best) best = c
+      }
       i += 1
     }
     best.toLong

@@ -77,9 +77,12 @@ object Dedup {
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
+      // no broadcast hint: sizes is |docs| rows — small enough to
+      // broadcast at test scale but not at corpus scale; AQE picks
+      // broadcast when the runtime size allows and shuffles otherwise.
       pairs
-        .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
-        .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
         .select(col("doc_a"), col("doc_b"), col("inter"),
           (col("na") + col("nb") - col("inter")).as("uni"),
           (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))

@@ -17,8 +17,12 @@ import org.apache.spark.sql.types.IntegerType
   * exchange executes once and its shuffle files are reused — the
   * nondeterministic re-sampling of `repartitionByRange` (which
   * produced duplicate ranks at sf0.1 when two separate plans consumed
-  * the same ranged frame) cannot occur by construction, with no eager
-  * materialization and no cache to manage.
+  * the same ranged frame) cannot occur by construction, with no
+  * full-data materialization and no cache to manage. One caveat:
+  * `zipWithIndex` computes its per-partition offsets EAGERLY (a
+  * lightweight counting job runs when this function is CALLED, not at
+  * the first downstream action), so construct the frame only when the
+  * rank is actually wanted.
   *
   * This is one of the rare justified RDD drops: the operator is
   * genuinely positional-per-partition, which Catalyst has no operator

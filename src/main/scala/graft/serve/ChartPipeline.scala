@@ -45,7 +45,13 @@ object ChartPipeline {
     * not-yet-updated states dropped, active clamped at 0, stacked x and
     * y axes, a "MMM dd" title, and the bar charts' explicit 1000×600
     * request size. Input frame: (state, deltaConfirmed, deltaRecovered,
-    * deltaDeaths) for ONE day. Emits one (key, value) row. */
+    * deltaDeaths) for ONE day. Emits one (key, value) row.
+    *
+    * Tie order: equal-deltaConfirmed states sort by state name here;
+    * the reference's stable sort keeps its INDIAN_STATES input order
+    * for ties — an order a distributed groupBy has no analog of, so
+    * byte-identity holds for distinct delta values and ties take the
+    * deterministic lexicographic order instead. */
   def barChart(deltas: DataFrame, chartKey: String, titleText: String): DataFrame = {
     val clean = deltas
       // isNegative(delta) — Visualizer.java:528-530

@@ -65,10 +65,15 @@ object MaterializedViews {
         val spark = changed.sparkSession
         val qualified = s"global_temp.$viewName"
         val next =
-          if (spark.catalog.tableExists(qualified))
-            spark.table(qualified).join(changed, keyCols, "left_anti")
-              .unionByName(changed)
-          else changed
+          if (spark.catalog.tableExists(qualified)) {
+            val prev = spark.table(qualified)
+            // null-safe key equality: a null-keyed group (e.g. from a
+            // malformed frame decoded to null fields) must UPSERT like
+            // any other key, not accumulate a duplicate per batch
+            // (plain left_anti never matches NULL = NULL).
+            val cond = keyCols.map(k => prev(k) <=> changed(k)).reduce(_ && _)
+            prev.join(changed, cond, "left_anti").unionByName(changed)
+          } else changed
         next.localCheckpoint(eager = true) // cut lineage across batches
           .createOrReplaceGlobalTempView(viewName)
         ()

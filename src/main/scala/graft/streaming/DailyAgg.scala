@@ -68,9 +68,15 @@ object DailyAgg {
       .groupBy(window(col("eventTime"), "1 day").as("w"),
         col("data.state").as("state"), col("data.district").as("district"))
       .agg(
-        sum(col("data.deltaConfirmed").cast("long")).as("deltaConfirmed"),
-        sum(col("data.deltaRecovered").cast("long")).as("deltaRecovered"),
-        sum(col("data.deltaDeceased").cast("long")).as("deltaDeceased"),
+        // coalesce: a malformed delta string casts to null; the sum
+        // must still come out 0 (the reference's records default "0"),
+        // not null — null would surface as a JSON null in chart data.
+        coalesce(sum(col("data.deltaConfirmed").cast("long")), lit(0L))
+          .as("deltaConfirmed"),
+        coalesce(sum(col("data.deltaRecovered").cast("long")), lit(0L))
+          .as("deltaRecovered"),
+        coalesce(sum(col("data.deltaDeceased").cast("long")), lit(0L))
+          .as("deltaDeceased"),
         max_by(col("data.confirmed"), col("eventTime")).as("confirmed"),
         max_by(col("data.recovered"), col("eventTime")).as("recovered"),
         max_by(col("data.deceased"), col("eventTime")).as("deceased"))
@@ -90,9 +96,12 @@ object DailyAgg {
       .groupBy(window(col("eventTime"), "1 day").as("w"),
         col("data.state").as("state"), col("data.district").as("district"))
       .agg(
-        sum(col("data.deltaConfirmed").cast("long")).as("deltaConfirmed"),
-        sum(col("data.deltaRecovered").cast("long")).as("deltaRecovered"),
-        sum(col("data.deltaDeceased").cast("long")).as("deltaDeceased"),
+        coalesce(sum(col("data.deltaConfirmed").cast("long")), lit(0L))
+          .as("deltaConfirmed"),
+        coalesce(sum(col("data.deltaRecovered").cast("long")), lit(0L))
+          .as("deltaRecovered"),
+        coalesce(sum(col("data.deltaDeceased").cast("long")), lit(0L))
+          .as("deltaDeceased"),
         max_by(col("data.confirmed"), col("eventTime")).as("confirmed"))
       .select(date_format(col("w.start"), "dd/MM/yyyy").as("date"),
         col("state"), col("district"),

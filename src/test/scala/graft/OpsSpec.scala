@@ -24,14 +24,29 @@ class OpsSpec extends SparkSpec {
     assert(got == exp)
   }
 
-  test("globalRowNumber plan carries no partition-less window") {
-    val c = graft.sources.Tables.load(spark, sf, "customer")
-    val df = Ranks.globalRowNumber(c, Seq(col("c_acctbal").desc, col("c_custkey")), "rn")
-    val bad = df.queryExecution.optimizedPlan.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window
-          if w.partitionSpec.isEmpty => w
-    }
-    assert(bad.isEmpty, "found a global (single-partition) window")
+  test("globalRowNumber never funnels rows through one task") {
+    // The zipWithIndex form returns a LogicalRDD, so a logical-plan
+    // Window scan cannot observe the ranking machinery (the registry-
+    // wide PlanSpec window assertion covers every query's visible
+    // plan). Assert the PHYSICAL property instead: the ranked output
+    // keeps the input's range partitioning — many non-empty partitions,
+    // each holding a contiguous, correctly-offset rank run.
+    val c = graft.sources.Tables.load(spark, "/root/testdata/sf0.1", "customer")
+    val df = Ranks.globalRowNumber(c,
+      Seq(col("c_acctbal").desc, col("c_custkey")), "rn")
+    val perPartition = df.select("rn").rdd
+      .mapPartitions(it => Iterator.single(it.map(_.getInt(0)).toSeq))
+      .collect().filter(_.nonEmpty)
+    assert(perPartition.length > 1,
+      s"all ${df.count()} rows landed in ${perPartition.length} partition(s)")
+    // contiguous global numbering across partition boundaries
+    val runs = perPartition.map(p => (p.min, p.max, p.size)).sortBy(_._1)
+    assert(runs.forall { case (lo, hi, n) => hi - lo + 1 == n },
+      s"non-contiguous rank run: $runs")
+    assert(runs.sliding(2).forall {
+      case Array((_, hi, _), (lo2, _, _)) => lo2 == hi + 1
+      case _ => true
+    }, s"partition offsets disagree: $runs")
   }
 
   test("df-cap drops hot-shingle pairs but keeps true near-dups") {

@@ -42,7 +42,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def render(v):
     """Type-sensitive canonical rendering. Two cells hash equal iff the
     driver's hash would consider them equal."""
-    if v is None:
+    if v is None or v is pd.NaT:
+        # NaT: a NULL in a datetime64 column (oracle-side DATE NULLs
+        # surface as NaT, Spark-side parquet nulls as None/NaT) — both
+        # must render as null, not as a "NaT" timestamp string.
         return ("null", "")
     if isinstance(v, float) or isinstance(v, np.floating):
         f = float(v)
