@@ -90,5 +90,53 @@ object ChartQueries {
           displayLabels = true)).as("chart_json"))
   }
 
-  val all: Seq[Q] = Seq(chartSeries, chartJson)
+  /** Per-key chart FANOUT (Visualizer.java:371-424 statewiseTotal): one
+    * stacked-bar ChartRequest JSON row per key from a single grouped
+    * plan — the reference loops keys on the driver with store point-gets
+    * and a sleep per chart. Keys here are event types standing in for
+    * states; the three series are deterministic integer counts so the
+    * oracle can rebuild the identical Gson bytes per key by string
+    * concatenation (the q42 technique, per group). */
+  val chartFanout: Q = {
+    val dsTail = ""","fill":false,"borderColor":"COLOR","backgroundColor":"COLOR","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"}"""
+    def ds(label: String, dataExpr: String, color: String): String =
+      s"""'{"type":"bar","label":"$label","data":[' || $dataExpr || ']' ||
+         |'${dsTail.replace("COLOR", color)}'""".stripMargin.replace("\n", " ")
+    Q(
+      "q51_chart_fanout",
+      s"""WITH d AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |         count(*) AS a,
+         |         count(*) FILTER (WHERE value >= 0.5) AS r,
+         |         count(*) FILTER (WHERE value < 0.1) AS dd
+         |  FROM events GROUP BY 1, 2),
+         |s AS (
+         |  SELECT event_type,
+         |         string_agg('"' || strftime(day, '%b %d') || '"', ',' ORDER BY day) AS labels,
+         |         string_agg(a || '.0', ',' ORDER BY day) AS act,
+         |         string_agg(dd || '.0', ',' ORDER BY day) AS dth,
+         |         string_agg(r || '.0', ',' ORDER BY day) AS rec
+         |  FROM d GROUP BY 1)
+         |SELECT event_type || '-statewisetotal' AS key,
+         |  '{"backgroundColor":"transparent","width":"750","height":"450","format":"png","chart":{"type":"bar","data":{"labels":['
+         |  || labels || '],"datasets":['
+         |  || ${ds("Active", "act", "rgb(201, 203, 207)")}
+         |  || ',' || ${ds("Deaths", "dth", "rgb(255, 99, 132)")}
+         |  || ',' || ${ds("Recovered", "rec", "rgb(54, 162, 235)")}
+         |  || ']},"options":{"plugins":{"datalabels":{"display":false,"anchor":"end","backgroundColor":"#ccc","borderRadius":"3","align":"end"}},"scales":{"xAxes":[{"id":"bottom-x-axis","position":"bottom","stacked":true,"ticks":{"beginAtZero":true}}],"yAxes":[{"id":"left-y-axis","position":"left","stacked":true,"ticks":{"beginAtZero":true}}]},"title":{"display":false,"text":""}}}}'
+         |  AS value
+         |FROM s""".stripMargin
+    ) { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type").as("state"), to_date(col("ts")).as("day"))
+        .agg(
+          count(lit(1)).as("active"),
+          count(when(col("value") >= 0.5, 1)).as("recovered"),
+          count(when(col("value") < 0.1, 1)).as("deceased"))
+        .withColumn("label", date_format(col("day"), "MMM dd"))
+      graft.serve.ChartPipeline.statewiseTotalCharts(daily)
+    }
+  }
+
+  val all: Seq[Q] = Seq(chartSeries, chartJson, chartFanout)
 }
