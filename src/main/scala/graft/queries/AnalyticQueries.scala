@@ -397,8 +397,48 @@ object AnalyticQueries {
         approx_percentile(col("l_extendedprice"), lit(0.9), lit(1000)).as("p90_price"))
   }
 
+  /** P11/§2.7 — the bot's distributed alert-line rendering as a
+    * driver-checked query (AlertTextTests:23-64 semantics: skip-zero
+    * segments comma-joined, singular/plural words, Total suppressed,
+    * all-zero rows render empty). The per-key "deltas" are
+    * deterministic event counts; `concat_ws` skips NULL segments
+    * identically in both engines. */
+  val alertLines: Q = Q(
+    "q52_alert_lines",
+    """WITH d AS (
+      |  SELECT user_id,
+      |         count(*) FILTER (WHERE event_type = 'click')    AS dc,
+      |         count(*) FILTER (WHERE event_type = 'error')    AS dd,
+      |         count(*) FILTER (WHERE event_type = 'purchase') AS dr
+      |  FROM events GROUP BY 1)
+      |SELECT user_id, dc, dd, dr,
+      |       CASE WHEN concat_ws(', ',
+      |              CASE WHEN dc > 0 THEN dc || ' new ' || (CASE WHEN dc = 1 THEN 'case' ELSE 'cases' END) END,
+      |              CASE WHEN dd > 0 THEN dd || ' '     || (CASE WHEN dd = 1 THEN 'death' ELSE 'deaths' END) END,
+      |              CASE WHEN dr > 0 THEN dr || ' '     || (CASE WHEN dr = 1 THEN 'recovery' ELSE 'recoveries' END) END) = ''
+      |            THEN ''
+      |            ELSE concat_ws(', ',
+      |              CASE WHEN dc > 0 THEN dc || ' new ' || (CASE WHEN dc = 1 THEN 'case' ELSE 'cases' END) END,
+      |              CASE WHEN dd > 0 THEN dd || ' '     || (CASE WHEN dd = 1 THEN 'death' ELSE 'deaths' END) END,
+      |              CASE WHEN dr > 0 THEN dr || ' '     || (CASE WHEN dr = 1 THEN 'recovery' ELSE 'recoveries' END) END)
+      |              || ' in u' || user_id || chr(10)
+      |       END AS alert_line
+      |FROM d""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("event_type") === "click", 1)).as("dc"),
+        count(when(col("event_type") === "error", 1)).as("dd"),
+        count(when(col("event_type") === "purchase", 1)).as("dr"))
+      .withColumn("alert_line",
+        graft.render.AlertFormat.deltaAlertLineCol(
+          col("dc"), col("dd"), col("dr"),
+          concat(lit("u"), col("user_id").cast("string"))))
+  }
+
   val all: Seq[Q] = Seq(movingAvg, pivotSeries, rollupTotal, zipJoin,
     prefsArrayJoin, dedupTtl, renderSummary, summaryServe, setOps,
     rankingSuite, arrayOps, sessionize, approxDistinct, percentiles,
-    approxPercentiles, tokenCount)
+    approxPercentiles, tokenCount, alertLines)
 }
