@@ -85,6 +85,32 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[String]("lastUpdatedTime") == "08/04/2020 06:00:00")
   }
 
+  test("district tracker: composite-key state persists across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[StampedDistrict]
+    val q = DeltaTracker.districtwise(ms.toDS())
+      .writeStream.format("memory").queryName("district_deltas_t")
+      .outputMode("append").start()
+    try {
+      ms.addData(StampedDistrict(t1, DistrictwiseData("Maharashtra", "Mumbai",
+        confirmed = "100", recovered = "20", deceased = "5")))
+      q.processAllAvailable()
+      ms.addData(
+        StampedDistrict(t2, DistrictwiseData("Maharashtra", "Mumbai",
+          confirmed = "130", recovered = "26", deceased = "6")),
+        StampedDistrict(t2, DistrictwiseData("Maharashtra", "Pune",
+          confirmed = "40")))
+      q.processAllAvailable()
+      val rows = spark.table("district_deltas_t").as[StampedDistrict]
+        .collect().map(r => ((r.data.state, r.data.district, r.eventTime),
+          r.data.deltaConfirmed)).toMap
+      // Mumbai's second batch diffs against batch-1 state; Pune is fresh
+      assert(rows((("Maharashtra"), "Mumbai", t2)) == "30")
+      assert(rows((("Maharashtra"), "Pune", t2)) == "40")
+    } finally q.stop()
+  }
+
   test("districtwise daily: composite key sums deltas, carries latest cumulative") {
     import spark.implicits._
     val rows = Seq(
