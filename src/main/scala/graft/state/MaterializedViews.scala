@@ -49,9 +49,11 @@ object MaterializedViews {
     * Scale posture: the engine-side state is incremental forever; the
     * view-merge leg rewrites the |keys|-row snapshot per batch, which
     * is fine for serving-store cardinalities (the reference's stores
-    * are state×date sized). At data-table cardinalities, replace the
-    * view leg with a keyed mutable sink (Delta MERGE) — the changed-
-    * rows contract here is exactly what a MERGE consumes. */
+    * are state×date sized) and keeps the view a zero-IO in-memory
+    * lookup. At data-table cardinalities — or whenever serving state
+    * must survive a restart — use [[KeyedStore.serveToStore]] instead:
+    * same changed-rows contract, consumed by a partition-pruned
+    * changed-bucket upsert into durable parquet. */
   def serveAsView(streaming: DataFrame, keyCols: Seq[String], tsCol: String,
       viewName: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val others = streaming.columns.filterNot(keyCols.contains)

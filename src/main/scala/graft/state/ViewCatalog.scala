@@ -81,4 +81,13 @@ object ViewCatalog {
   /** Batch (table-duality) snapshot of the same view. */
   def snapshot(spec: ViewSpec, df: DataFrame): DataFrame =
     MaterializedViews.latestPerKey(df, spec.keyCols, spec.tsCol)
+
+  /** Durable form: maintain the view as a [[KeyedStore]] bucketed
+    * parquet table instead of a global temp view — restart-recoverable
+    * like the reference's changelog-backed stores, and per-batch cost
+    * independent of unchanged-key cardinality. */
+  def serveDurable(spec: ViewSpec, stream: DataFrame, basePath: String,
+      checkpointLocation: Option[String] = None): StreamingQuery =
+    KeyedStore.serveToStore(stream, spec.keyCols, spec.tsCol, basePath,
+      checkpointLocation)
 }

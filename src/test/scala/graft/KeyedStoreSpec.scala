@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.state.KeyedStore
+
+/** The durable serving sink (VERDICT r3 #1): partition-pruned
+  * changed-bucket upsert into bucketed parquet, replacing the
+  * full-snapshot view rewrite at data-table cardinality. Asserts the
+  * two "done" criteria: (a) a batch touching one key rewrites only that
+  * key's bucket — unchanged buckets' files are not even opened, so
+  * per-batch cost is independent of unchanged-key cardinality and of
+  * batch index; (b) store contents survive a session restart. */
+class KeyedStoreSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  /** (bucketDir -> sorted data-file names) fingerprint of the store. */
+  private def layout(base: String): Map[String, Seq[String]] = {
+    val root = new java.io.File(base)
+    root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("kbucket="))
+      .map { d =>
+        d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).sorted.toSeq
+      }.toMap
+  }
+
+  test("upsert rewrites only the changed key's bucket; others untouched on disk") {
+    import spark.implicits._
+    val base = tmp("kstore")
+    val seed = (0 until 500).map(i => (s"key$i", i.toLong, "v1")).toDF("k", "n", "v")
+    KeyedStore.upsert(seed, Seq("k"), base)
+    val before = layout(base)
+    assert(before.size > 1, s"want several bucket dirs, got ${before.keySet}")
+
+    val change = Seq(("key7", 7L, "v2")).toDF("k", "n", "v")
+    KeyedStore.upsert(change, Seq("k"), base)
+    val after = layout(base)
+
+    val touched = spark.range(1).select(
+      pmod(hash(lit("key7")), lit(KeyedStore.DefaultBuckets))).first().getInt(0)
+    val touchedDir = s"kbucket=$touched"
+    assert(after(touchedDir) != before(touchedDir), "changed bucket not rewritten")
+    (before.keySet - touchedDir).foreach { d =>
+      assert(after(d) == before(d), s"unchanged bucket $d was rewritten")
+    }
+
+    // contents: 500 keys, key7 updated, everything else v1
+    val got = KeyedStore.read(spark, base)
+    assert(got.count() == 500)
+    assert(got.filter($"k" === "key7").select("v").as[String].head() == "v2")
+    assert(got.filter($"v" === "v1").count() == 499)
+  }
+
+  test("null-keyed rows upsert like any key (no per-batch duplication)") {
+    import spark.implicits._
+    val base = tmp("kstore-null")
+    val seed = Seq((Some("a"), "v1"), (None, "v1")).toDF("k", "v")
+    KeyedStore.upsert(seed, Seq("k"), base)
+    KeyedStore.upsert(Seq((None: Option[String], "v2")).toDF("k", "v"), Seq("k"), base)
+    val got = KeyedStore.read(spark, base)
+    assert(got.count() == 2)
+    assert(got.filter($"k".isNull).select("v").as[String].head() == "v2")
+  }
+
+  test("lookup prunes to the key's single bucket partition") {
+    import spark.implicits._
+    val base = tmp("kstore-lkp")
+    val seed = (0 until 200).map(i => (s"key$i", i.toLong)).toDF("k", "n")
+    KeyedStore.upsert(seed, Seq("k"), base)
+    val hit = KeyedStore.lookup(spark, base, Seq("k"), Seq("key42"))
+    assert(hit.select("n").as[Long].collect().toSeq == Seq(42L))
+    val p = hit.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters") && p.contains(KeyedStore.BucketColName),
+      p.take(2000))
+  }
+
+  test("serveToStore: durable across query restart and session restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmp("kstore-stream")
+    val ckpt = tmp("kstore-ckpt")
+    val t1 = Timestamp.valueOf("2020-04-08 00:00:00")
+    val t2 = Timestamp.valueOf("2020-04-08 06:00:00")
+    val t3 = Timestamp.valueOf("2020-04-08 12:00:00")
+
+    val ms = MemoryStream[(String, String, Timestamp)]
+    def start() = KeyedStore.serveToStore(
+      ms.toDS().toDF("state", "doublingRate", "eventTime"),
+      Seq("state"), "eventTime", base, checkpointLocation = Some(ckpt))
+
+    val q1 = start()
+    try {
+      ms.addData((0 until 50).map(i => (s"State$i", "100", t1)): _*)
+      q1.processAllAvailable()
+      ms.addData(("State7", "121", t2))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // store survives with the query stopped; a fresh session reads it
+    val fresh = spark.newSession()
+    val afterStop = KeyedStore.read(fresh, base)
+    assert(afterStop.count() == 50)
+    assert(afterStop.filter(col("state") === "State7")
+      .select("doublingRate").as[String](fresh.implicits.newStringEncoder)
+      .head() == "121")
+
+    // restart from the same checkpoint: engine state resumes, upserts continue
+    val q2 = start()
+    try {
+      ms.addData(("State7", "133", t3))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val afterRestart = KeyedStore.read(spark, base)
+    assert(afterRestart.count() == 50)
+    assert(afterRestart.filter(col("state") === "State7")
+      .select("doublingRate").as[String].head() == "133")
+    // stale-ts writes do not regress the store (engine max_by keeps t3)
+    val q3 = start()
+    try {
+      ms.addData(("State7", "999", t1))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(KeyedStore.read(spark, base).filter(col("state") === "State7")
+      .select("doublingRate").as[String].head() == "133")
+  }
+}
