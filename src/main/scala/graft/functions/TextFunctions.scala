@@ -45,4 +45,15 @@ object TextFunctions {
     * order-insensitive near-dup canonical form. */
   def bagFingerprint(wordsCol: Column): Column =
     md5(array_join(array_sort(array_distinct(wordsCol)), " "))
+
+  /** Both fingerprints from ONE scan of the text: struct(fp, bag_fp).
+    * Semantically identical to
+    * `struct(fingerprint(text), bagFingerprint(words(text)))`, but the
+    * chained-regex + tokenize/sort/join passes are fused into a single
+    * native evaluation per row (the q26 hot path — each regexp pass
+    * re-reads every byte). md5 remains the codegen'd builtin. */
+  def fingerprintPair(text: Column): Column = {
+    val c = expressions.GraftExpressions.canonicalForms(text)
+    struct(md5(c.getField("norm")).as("fp"), md5(c.getField("bag")).as("bag_fp"))
+  }
 }

@@ -2,11 +2,12 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the similarity/dedup hot paths.
@@ -323,6 +324,152 @@ case class SimHashSig(child: Expression) extends UnaryExpression with CodegenFal
     copy(child = newChild)
 }
 
+/** Both document-fingerprint canonical forms in one pass over the text
+  * (the q26 hot path — previously two chained regexp_replace scans plus
+  * a separate tokenize→distinct→sort→join pass, each re-reading every
+  * byte with regex machinery):
+  *
+  *  - `norm`: lowercased, non-[a-z0-9 ] stripped, spaces collapsed,
+  *    trimmed — byte-identical to
+  *    `trim(regexp_replace(regexp_replace(lower(t),"[^a-z0-9 ]",("")," +"," "))`;
+  *  - `bag`: sorted distinct raw space-split tokens joined by " " —
+  *    byte-identical to `array_join(array_sort(array_distinct(split(t," ")))," ")`
+  *    (empty tokens from consecutive spaces included, binary UTF8 sort).
+  *
+  * md5 stays outside (codegen'd builtin). Single struct output so the
+  * text is scanned once even when both forms are consumed. */
+case class CanonicalForms(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("norm", StringType, nullable = false),
+    StructField("bag", StringType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any = {
+    val lowered = v.asInstanceOf[UTF8String].toLowerCase
+    val bytes = lowered.getBytes
+    val n = bytes.length
+    // norm: keep [a-z0-9], collapse space runs, trim — one forward pass.
+    // Non-ASCII bytes (>= 0x80) are dropped exactly like the regex does
+    // (any lowered char outside [a-z0-9 ] is stripped).
+    val norm = new Array[Byte](n)
+    var w = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      val keep = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+      if (keep) {
+        if (pendingSpace) { norm(w) = ' '; w += 1; pendingSpace = false }
+        norm(w) = b
+        w += 1
+      } else if (b == ' ' && w > 0) pendingSpace = true
+      i += 1
+    }
+    val normStr = UTF8String.fromBytes(java.util.Arrays.copyOf(norm, w))
+    // bag: raw split on single spaces (empties kept), distinct, binary
+    // sort, single-space join — TreeSet gives sorted-distinct in one go.
+    val raw = v.asInstanceOf[UTF8String]
+    val tokens = new java.util.TreeSet[UTF8String]()
+    raw.split(UTF8String.fromString(" "), -1).foreach(tokens.add)
+    val bagStr = UTF8String.concatWs(UTF8String.fromString(" "),
+      tokens.toArray(new Array[UTF8String](tokens.size)): _*)
+    org.apache.spark.sql.catalyst.InternalRow(normStr, bagStr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Bounded top-k aggregate over (score, id) pairs: keeps only the k
+  * best per group in a size-k heap, so the aggregation is PARTIAL —
+  * each map task ships at most k pairs per group instead of every
+  * scored row crossing the shuffle (the q31/q32/q39 re-rank path; a
+  * `row_number().over(partitionBy(key))` window shuffles ALL n×q scored
+  * rows to rank them). Order: score descending, id ascending on ties —
+  * the exact `ORDER BY cosine DESC, neighbor_id` semantics of the
+  * window form, reproduced deterministically. Null score/id inputs are
+  * skipped. Output: `array<struct<score:double, id:bigint>>` best-first.
+  */
+case class TopKByScore(scoreExpr: Expression, idExpr: Expression, k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.PriorityQueue[(Double, Long)]] {
+
+  require(k > 0, s"top-k needs k > 0, got $k")
+
+  override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", org.apache.spark.sql.types.DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+
+  // heap head = WORST of the kept k, so eviction is O(log k)
+  private def worseFirst = new java.util.Comparator[(Double, Long)] {
+    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val s = java.lang.Double.compare(a._1, b._1)
+      if (s != 0) s else java.lang.Long.compare(b._2, a._2)
+    }
+  }
+
+  override def createAggregationBuffer(): java.util.PriorityQueue[(Double, Long)] =
+    new java.util.PriorityQueue[(Double, Long)](k + 1, worseFirst)
+
+  private def offer(buf: java.util.PriorityQueue[(Double, Long)],
+      s: Double, id: Long): Unit = {
+    buf.add((s, id))
+    if (buf.size > k) buf.poll()
+    ()
+  }
+
+  override def update(buf: java.util.PriorityQueue[(Double, Long)],
+      input: org.apache.spark.sql.catalyst.InternalRow): java.util.PriorityQueue[(Double, Long)] = {
+    val s = scoreExpr.eval(input)
+    val id = idExpr.eval(input)
+    if (s != null && id != null)
+      offer(buf, s.asInstanceOf[Double], id.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: java.util.PriorityQueue[(Double, Long)],
+      other: java.util.PriorityQueue[(Double, Long)]): java.util.PriorityQueue[(Double, Long)] = {
+    other.forEach(p => offer(buf, p._1, p._2))
+    buf
+  }
+
+  override def eval(buf: java.util.PriorityQueue[(Double, Long)]): Any = {
+    val arr = buf.toArray(new Array[(Double, Long)](buf.size))
+    // best-first: score desc, id asc
+    java.util.Arrays.sort(arr, worseFirst.reversed())
+    new GenericArrayData(arr.map(p =>
+      org.apache.spark.sql.catalyst.InternalRow(p._1, p._2): Any))
+  }
+
+  override def serialize(buf: java.util.PriorityQueue[(Double, Long)]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    buf.forEach { p => bb.putDouble(p._1); bb.putLong(p._2) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[(Double, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { offer(buf, bb.getDouble, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(scoreExpr = newChildren(0), idExpr = newChildren(1))
+}
+
 /** Column-level entry points. */
 object GraftExpressions {
 
@@ -347,6 +494,13 @@ object GraftExpressions {
 
   def maxMultiplicity(hashes: Column): Column =
     ColumnBridge.column(MaxMultiplicity(ColumnBridge.expression(hashes)))
+
+  def canonicalForms(text: Column): Column =
+    ColumnBridge.column(CanonicalForms(ColumnBridge.expression(text)))
+
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(TopKByScore(ColumnBridge.expression(score),
+      ColumnBridge.expression(id), k).toAggregateExpression())
 
   /** Register for SQL use (`SELECT graft_dot_q(a, b)`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{VectorFunctions => V}
@@ -68,17 +67,30 @@ object Similarity {
       .dropDuplicates("vec_a", "vec_b")
   }
 
+  /** Finish a scored (query_id, neighbor_id, cosine) frame into ranked
+    * top-k rows via the bounded TopKByScore aggregate: map-side partial
+    * aggregation ships ≤k pairs per query per task, where the previous
+    * `row_number` window shuffled EVERY scored row into query partitions
+    * to rank them (n×q rows — the residual shuffle flagged in round 3).
+    * Order semantics identical: cosine desc, neighbor_id asc. */
+  private def topKFinish(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.expressions.GraftExpressions
+        .topKByScore(col("cosine"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        col("p.score").as("cosine"), (col("pos") + 1).as("rn"))
+
   /** Exact brute-force top-k: one corpus pass per query batch. */
   def knnTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("qv").as("qqv"),
       col("nsq").as("qnsq"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    corpus.join(broadcast(q), col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        V.cosineFrom(dotQFast(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
-          .as("cosine"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    topKFinish(
+      corpus.join(broadcast(q), col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          V.cosineFrom(dotQFast(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
+            .as("cosine")),
+      k)
   }
 
   /** Centroid model of an assigned index: per-cluster mean, re-quantized
@@ -111,14 +123,20 @@ object Similarity {
     * the corpus is never shuffled, only scanned (iters+1 passes). */
   def kmeansIndex(corpus: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
-    val wBest = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cluster"))
+    // argmax as an AGGREGATE, not a window: max_by gets a map-side
+    // partial phase, so the shuffle moves n assigned rows instead of all
+    // n×k scored rows (round-3 finding). Tie-break: highest sim, then
+    // LOWEST cluster id (the window's `orderBy(sim desc, cluster)`),
+    // encoded as max over struct(sim, -cluster).
     def assign(c: DataFrame): DataFrame =
       corpus.crossJoin(broadcast(c))
         .withColumn("sim",
           V.cosineFrom(dotQFast(col("qv"), col("cqv")), col("nsq"), col("cnsq")))
-        .withColumn("rn", row_number().over(wBest))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("qv"), col("nsq"), col("cluster"))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("qv"), col("nsq"), col("cluster")),
+          struct(col("sim"), -col("cluster"))).as("b"))
+        .select(col("vec_id"), col("b.qv").as("qv"), col("b.nsq").as("nsq"),
+          col("b.cluster").as("cluster"))
     // init: first k vectors by id, cluster ids assigned driver-side (the
     // frame is k rows by construction — no global-window ranking needed)
     val initRows = corpus.orderBy("vec_id").limit(k)
@@ -150,23 +168,29 @@ object Similarity {
     * aggregations). */
   def annIvfTopK(indexed: DataFrame, cents: DataFrame, queries: DataFrame,
       k: Int, nProbe: Int): DataFrame = {
-    val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cluster"))
+    // nProbe nearest lists per query via the bounded top-k aggregate
+    // (partial phase; ≤nProbe clusters per query cross the shuffle);
+    // qqv/qnsq ride along with first() — constant per query_id.
     val probes = queries
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("nsq").as("qnsq"))
       .crossJoin(broadcast(cents))
       .withColumn("csim",
         V.cosineFrom(dotQFast(col("qqv"), col("cqv")), col("qnsq"), col("cnsq")))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nProbe)
-      .select(col("query_id"), col("qqv"), col("qnsq"), col("cluster"))
-    val wBest = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    indexed.join(broadcast(probes), Seq("cluster"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        V.cosineFrom(dotQFast(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
-          .as("cosine"))
-      .withColumn("rn", row_number().over(wBest))
-      .filter(col("rn") <= k)
+      .groupBy("query_id")
+      .agg(first(col("qqv")).as("qqv"), first(col("qnsq")).as("qnsq"),
+        graft.functions.expressions.GraftExpressions
+          .topKByScore(col("csim"), col("cluster").cast("long"), nProbe).as("pc"))
+      .select(col("query_id"), col("qqv"), col("qnsq"),
+        explode(col("pc.id")).as("clusterL"))
+      .select(col("query_id"), col("qqv"), col("qnsq"),
+        col("clusterL").cast("int").as("cluster"))
+    topKFinish(
+      indexed.join(broadcast(probes), Seq("cluster"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          V.cosineFrom(dotQFast(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
+            .as("cosine")),
+      k)
   }
 
   /** Approximate top-k: sign-bit LSH buckets, multi-probe (all buckets
@@ -185,14 +209,13 @@ object Similarity {
       .withColumn("bucket", V.lshBucket(col("qv"), nBits = nBits, dims = dims))
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("nsq").as("qnsq"),
         explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("bucket"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    bucketed.join(broadcast(q), Seq("bucket"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        V.cosineFrom(dotQFast(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
-          .as("cosine"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    topKFinish(
+      bucketed.join(broadcast(q), Seq("bucket"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          V.cosineFrom(dotQFast(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
+            .as("cosine"))
+        .dropDuplicates("query_id", "neighbor_id"),
+      k)
   }
 }

@@ -107,10 +107,9 @@ object LlmQueries {
       |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp
       |FROM documents""".stripMargin
   ) { (s, dir) =>
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      T.fingerprint(col("text")).as("fp"),
-      T.bagFingerprint(T.words(col("text"))).as("bag_fp"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), T.fingerprintPair(col("text")).as("p"))
+      .select(col("doc_id"), col("p.fp").as("fp"), col("p.bag_fp").as("bag_fp"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) — the oracle-
@@ -440,10 +439,13 @@ object LlmQueries {
     * textual order on both sides (a 6-operand `+` chain, not a
     * reorderable aggregate). ln() is the one step libm implementations
     * disagree on (measured: 1-ulp differences between the JVM and
-    * DuckDB), so the verified output is the score in integer MICROS —
-    * `floor(bm25 * 1e6)` on both sides — which absorbs ulp-level
-    * divergence (a flip needs the scaled score within ~1e-10 of an
-    * integer boundary) while still checking the full formula to 1e-6. */
+    * DuckDB), so the verified output quantizes the score to 1e-4 quanta
+    * — `round(bm25 * 1e4)` on both sides (round, not floor: a floor
+    * flips whenever the ulp error straddles an integer boundary from
+    * above; half-up rounding of a positive score agrees across both
+    * engines and pushes the flip window to a .5 boundary ~1e-11 wide
+    * relative to quanta spacing) while still checking the full formula
+    * to 1e-4. */
   val bm25: Q = {
     val terms = Seq("join", "filter", "agg", "query", "group", "sort")
     val k1 = "1.2"
@@ -471,9 +473,9 @@ object LlmQueries {
          |  FROM tf)
          |SELECT doc_id, dl,
          |       ${terms.indices.map(i => s"tf_$i").mkString(", ")},
-         |       CAST(floor((${sqlTermScore(0, terms(0))}
+         |       CAST(round((${sqlTermScore(0, terms(0))}
          |       ${terms.indices.drop(1).map(i => s"+ ${sqlTermScore(i, terms(i))}")
-                    .mkString("\n         |       ")}) * 1000000.0) AS BIGINT) AS bm25_micro
+                    .mkString("\n         |       ")}) * 10000.0) AS BIGINT) AS bm25_q4
          |FROM tf CROSS JOIN stats""".stripMargin
     ) { (s, dir) =>
       val ws = T.words(col("text"))
@@ -496,9 +498,9 @@ object LlmQueries {
         .select(
           (col("doc_id") +: col("dl") +:
             terms.indices.map(i => col(s"tf_$i")) :+
-            floor(terms.indices.drop(1)
+            round(terms.indices.drop(1)
               .foldLeft(termScore(0))((acc, i) => acc + termScore(i))
-              * lit(1000000.0)).cast(LongType).as("bm25_micro")): _*)
+              * lit(10000.0)).cast(LongType).as("bm25_q4")): _*)
     }
   }
 

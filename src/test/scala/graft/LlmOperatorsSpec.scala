@@ -210,6 +210,13 @@ class LlmOperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload").toSeq)).toMap
     assert(rows.forall(r =>
       again(r.getLong(0)) == r.getAs[Array[Byte]]("payload").toSeq))
+    // empty payload passes through instead of indexing bytes(-1)
+    import spark.implicits._
+    val empty = Multimodal.resizeStub(spark,
+      Seq((99L, Array.empty[Byte])).toDF("doc_id", "payload"), targetWidth = 320)
+      .collect()
+    assert(empty.length == 1 &&
+      empty(0).getAs[Array[Byte]]("payload").isEmpty)
   }
 
   test("MaxMultiplicity counts the densest element in one pass") {
@@ -271,5 +278,44 @@ class LlmOperatorsSpec extends SparkSpec {
       V.cosineFrom(V.dotQ(col("qv"), col("qv")), col("nsq"), col("nsq")).as("c"))
       .filter(abs(col("c") - 1.0) > 1e-12).count()
     assert(selfSim == 0)
+  }
+
+  test("bounded top-k aggregate == row_number window ranking (ties included)") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val corpus = Similarity.quantize(
+      graft.sources.Tables.load(spark, sf, "embeddings"), "embedding", "vec_id")
+    val got = Similarity.knnTopK(corpus, corpus.filter(col("vec_id") < 20), k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    // reference: the window form this aggregate replaced
+    val q = corpus.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("nsq").as("qnsq"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    val ref = corpus.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.VectorFunctions.cosineFrom(
+          graft.functions.expressions.GraftExpressions.dotQFast(col("qqv"), col("qv")),
+          col("qnsq"), col("nsq")).as("cosine"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == ref)
+  }
+
+  test("fused fingerprintPair == declarative fingerprint/bagFingerprint (all docs + edges)") {
+    import spark.implicits._
+    import graft.functions.{TextFunctions => T}
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("text"))
+      .unionAll(Seq("", " ", "  a  b ", "A.B,c!  D", "Ärger épée ß 42",
+        "a\tb\nc", "same same same", "  ").toDF("text"))
+    val mismatches = docs.select(
+      T.fingerprintPair(col("text")).as("p"),
+      T.fingerprint(col("text")).as("fp0"),
+      T.bagFingerprint(T.words(col("text"))).as("bag0"))
+      .filter(col("p.fp") =!= col("fp0") || col("p.bag_fp") =!= col("bag0"))
+    assert(mismatches.count() == 0,
+      mismatches.take(3).mkString("; "))
   }
 }

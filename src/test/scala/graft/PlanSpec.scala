@@ -142,4 +142,25 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("maxmultiplicity"),
       "native MaxMultiplicity missing from the plan")
   }
+
+  test("q39: IVF ranks via partial aggregation, not row_number windows") {
+    val p = plan("q39_ann_ivf")
+    // kmeans assign: max_by argmax with a map-side partial phase
+    // (shuffles n assigned rows, not n×k scored rows)
+    assert(p.contains("partial_max_by"), p.take(2000))
+    // probe selection + final re-rank: bounded top-k aggregate
+    // (ObjectHashAggregate, partial mode ships ≤k pairs per group)
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(p.contains("partial_topkbyscore"),
+      "TopKByScore aggregate lost its partial phase")
+    assert(!p.contains("Window"),
+      "a row_number window survived in the IVF path")
+  }
+
+  test("q31: brute-force knn re-ranks via the bounded top-k aggregate") {
+    val p = plan("q31_knn_cosine")
+    assert(p.contains("partial_topkbyscore"), p.take(2000))
+    assert(!p.contains("Window"),
+      "q31 still ranks with a window over all scored rows")
+  }
 }
