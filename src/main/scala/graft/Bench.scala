@@ -61,8 +61,16 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // a leaked dev-only filter must never read as a full-suite total:
+    // tag the JSON and shout on stderr (ADVICE r3)
+    val filteredTag = if (only.isDefined) {
+      System.err.println(
+        s"[bench] WARNING: SPARK_GRAFT_ONLY is set — this is a " +
+          s"${results.size}-query SUBSET, not the full suite")
+      ""","filtered":true"""
+    } else ""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson$filteredTag,"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_out.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
     println(json)

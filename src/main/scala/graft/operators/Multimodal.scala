@@ -78,17 +78,23 @@ object Multimodal {
       .mapPartitions { it =>
         // real impl: val codec = Codec.open() once per partition
         it.map { case (id, bytes) =>
-          val h = MurmurHash3.bytesHash(bytes, 42)
-          val w = 160 * (1 + math.floorMod(h, 8))
-          val scale = targetWidth.toDouble / w
-          val outLen = math.max(1, math.round(bytes.length * scale * scale).toInt)
-          val out = new Array[Byte](outLen)
-          var i = 0
-          while (i < outLen) {
-            out(i) = bytes(math.min(bytes.length - 1, (i / (scale * scale)).toInt))
-            i += 1
+          if (bytes.isEmpty) {
+            // empty payload: nothing to sample from — pass it through
+            // (outLen=1 would index bytes(-1))
+            (id, bytes, targetWidth, targetWidth * 9 / 16)
+          } else {
+            val h = MurmurHash3.bytesHash(bytes, 42)
+            val w = 160 * (1 + math.floorMod(h, 8))
+            val scale = targetWidth.toDouble / w
+            val outLen = math.max(1, math.round(bytes.length * scale * scale).toInt)
+            val out = new Array[Byte](outLen)
+            var i = 0
+            while (i < outLen) {
+              out(i) = bytes(math.min(bytes.length - 1, (i / (scale * scale)).toInt))
+              i += 1
+            }
+            (id, out, targetWidth, targetWidth * 9 / 16)
           }
-          (id, out, targetWidth, targetWidth * 9 / 16)
         }
       }.toDF("doc_id", "payload", "width", "height")
   }

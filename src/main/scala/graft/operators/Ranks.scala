@@ -44,6 +44,11 @@ object Ranks {
     val sorted = df.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
     val indexed = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      // IntegerType output mirrors row_number; past 2^31-1 rows the
+      // rank would silently wrap negative — fail loudly instead (emit
+      // LongType ranks from a widened variant if that scale ever lands)
+      require(idx + 1 <= Int.MaxValue,
+        s"globalRowNumber overflows IntegerType at row ${idx + 1}")
       Row.fromSeq(row.toSeq :+ (idx + 1).toInt)
     }
     spark.createDataFrame(indexed,

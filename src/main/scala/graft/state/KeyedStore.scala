@@ -122,11 +122,7 @@ object KeyedStore {
   def serveToStore(streaming: DataFrame, keyCols: Seq[String], tsCol: String,
       basePath: String, checkpointLocation: Option[String] = None,
       numBuckets: Int = DefaultBuckets): StreamingQuery = {
-    val others = streaming.columns.filterNot(keyCols.contains)
-    val latest = streaming
-      .groupBy(keyCols.map(col): _*)
-      .agg(max_by(struct(others.map(col): _*), col(tsCol)).as("r"))
-      .select(keyCols.map(col) ++ others.map(c => col(s"r.$c")): _*)
+    val latest = MaterializedViews.latestPerKey(streaming, keyCols, tsCol)
     val w = latest.writeStream.outputMode("update")
     checkpointLocation.foreach(c => w.option("checkpointLocation", c))
     w.foreachBatch { (changed: DataFrame, _: Long) =>

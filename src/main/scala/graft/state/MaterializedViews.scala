@@ -14,12 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object MaterializedViews {
 
-  /** Latest row per key, ordered by `tsCol` (ties broken by the struct's
-    * remaining field order — pass a monotone ts for full determinism). */
+  /** Latest row per key, ordered by `tsCol`; equal-`tsCol` ties break
+    * DETERMINISTICALLY by the remaining columns' values (largest wins),
+    * making the result independent of scan/partition order. The
+    * reference's same-timestamp semantics are Kafka-log-order
+    * latest-write-wins — when that order matters, pass the log offset
+    * (or a monotone sequence) as `tsCol`. All non-key columns must be
+    * orderable (no map columns). */
   def latestPerKey(df: DataFrame, keyCols: Seq[String], tsCol: String): DataFrame = {
     val others = df.columns.filterNot(keyCols.contains)
+    val ties = others.filterNot(_ == tsCol)
     df.groupBy(keyCols.map(col): _*)
-      .agg(max_by(struct(others.map(col): _*), col(tsCol)).as("r"))
+      .agg(max_by(struct(others.map(col): _*),
+        struct((col(tsCol) +: ties.map(col)): _*)).as("r"))
       .select(keyCols.map(col) ++ others.map(c => col(s"r.$c")): _*)
   }
 
@@ -56,11 +63,7 @@ object MaterializedViews {
     * changed-bucket upsert into durable parquet. */
   def serveAsView(streaming: DataFrame, keyCols: Seq[String], tsCol: String,
       viewName: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val others = streaming.columns.filterNot(keyCols.contains)
-    val latest = streaming
-      .groupBy(keyCols.map(col): _*)
-      .agg(max_by(struct(others.map(col): _*), col(tsCol)).as("r"))
-      .select(keyCols.map(col) ++ others.map(c => col(s"r.$c")): _*)
+    val latest = latestPerKey(streaming, keyCols, tsCol)
     latest.writeStream
       .outputMode("update")
       .foreachBatch { (changed: DataFrame, _: Long) =>

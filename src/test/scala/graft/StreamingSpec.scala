@@ -253,6 +253,20 @@ class StreamingSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("latestPerKey breaks equal-timestamp ties deterministically") {
+    import spark.implicits._
+    // same key, same ts, different payload, shuffled input order — the
+    // winner must not depend on scan/partition order (ADVICE r3: plain
+    // max_by on the ts alone is nondeterministic on ties)
+    val rowsA = Seq(("k", "v1", t1), ("k", "v9", t1), ("k", "v5", t1))
+    val winners = Seq(rowsA, rowsA.reverse, rowsA.sortBy(_._2)).map { rs =>
+      MaterializedViews.latestPerKey(
+        rs.toDF("state", "v", "eventTime").repartition(3), Seq("state"), "eventTime")
+        .select("v").as[String].head()
+    }
+    assert(winners.toSet == Set("v9"), s"tie winners varied: $winners")
+  }
+
   test("serveAsView maintains a queryable latest-per-key view across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
