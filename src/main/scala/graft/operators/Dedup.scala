@@ -186,9 +186,14 @@ object Dedup {
     * canonical id = minimum doc_id in each component. The keep-first
     * pass every candidate-pair generator here feeds (q27/q28/q29/q40).
     *
-    * Iterative min-label propagation: each round joins the symmetric
-    * edge list against current labels and keeps the per-vertex minimum;
-    * converges in O(component diameter) rounds. Each round
+    * Iterative min-label propagation WITH pointer doubling: each round
+    * joins the symmetric edge list against current labels, adds every
+    * vertex's label's-label (`label(label(v))` — the shortcut that
+    * contracts label chains geometrically), and keeps the per-vertex
+    * minimum; converges in O(log diameter) rounds where plain
+    * neighbor propagation needs O(diameter) (chain-shaped components —
+    * exactly the near-dup case of many copies of one document — are the
+    * worst case the doubling fixes). Each round
     * `localCheckpoint`s the label frame — the lineage chain is cut per
     * iteration (re-execution would otherwise grow quadratically) — and
     * the loop exits early once a round changes nothing. Convergence is
@@ -214,11 +219,23 @@ object Dedup {
       val propagated = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("label"))
+      // pointer doubling: v also adopts its label's current label —
+      // labels always name component members, so the minimum is
+      // preserved while chains halve every round. Round 0 is skipped:
+      // labels are still the identity there, making the jump a no-op
+      // self-join.
+      val jumped =
+        if (iter == 0) None
+        else Some(labels.as("x")
+          .join(labels.as("y"), col("x.label") === col("y.id"))
+          .select(col("x.id").as("id"), col("y.label").as("label")))
       // `own` tags the vertex's current label; min over own rows IS the
       // previous label (labels has one row per id), so the new and old
       // label land in the same aggregated, checkpointed frame.
-      val next = labels.withColumn("own", lit(true))
-        .unionAll(propagated.withColumn("own", lit(false)))
+      val next = jumped.foldLeft(
+        labels.withColumn("own", lit(true))
+          .unionAll(propagated.withColumn("own", lit(false))))(
+        (acc, j) => acc.unionAll(j.withColumn("own", lit(false))))
         .groupBy("id")
         .agg(min("label").as("label"),
           min(when(col("own"), col("label"))).as("prev"))

@@ -80,6 +80,19 @@ class OpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
+  test("resolve converges on a 64-node chain within the round cap (pointer doubling)") {
+    import spark.implicits._
+    // worst-case diameter: a path graph. Plain neighbor propagation
+    // moves the min label ONE hop per round (63 rounds > maxIters);
+    // pointer doubling contracts the chain in O(log n) rounds.
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.resolve(chain, maxIters = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 64)
+    assert(got.values.forall(_ == 0L),
+      s"unconverged labels: ${got.filter(_._2 != 0L).take(5)}")
+  }
+
   test("approx percentiles track the exact ones within 5% relative error") {
     val exact = graft.queries.Registry.byName("q37_percentiles").fn(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
