@@ -138,5 +138,76 @@ object ChartQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(chartSeries, chartJson, chartFanout)
+  /** Since-origin cumulative history trend (Visualizer.java:241-287
+    * historyTrend): four LINE series of running totals per day — the
+    * reference walks every date since 30/01/2020 with a store point-get
+    * per day; here the daily roll-up is one distributed aggregation and
+    * the running totals are computed inside the one-row chart-sized
+    * array (an O(days²) HOF on ≤ a few thousand elements — NOT a
+    * partition-less window funneling the frame through one task, the
+    * repo-wide plan invariant). Series derivations mirror q51's
+    * deterministic integer counts so the oracle rebuilds the identical
+    * Gson bytes by string concatenation (DuckDB uses window sums — fine
+    * there, the oracle is single-node by definition). */
+  val historyChart: Q = {
+    val dsTail = ""","fill":false,"borderColor":"COLOR","backgroundColor":"COLOR","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"}"""
+    def ds(label: String, dataExpr: String, color: String): String =
+      s"""'{"type":"line","label":"$label","data":[' || $dataExpr || ']' ||
+         |'${dsTail.replace("COLOR", color)}'""".stripMargin.replace("\n", " ")
+    Q(
+      "q53_history_chart",
+      s"""WITH d AS (
+         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         |         count(*) AS a,
+         |         count(*) FILTER (WHERE value >= 0.5) AS r,
+         |         count(*) FILTER (WHERE value < 0.1) AS dd
+         |  FROM events GROUP BY 1),
+         |c AS (
+         |  SELECT day, strftime(day, '%b %d') AS label,
+         |         sum(a) OVER (ORDER BY day) AS ca,
+         |         sum(r) OVER (ORDER BY day) AS cr,
+         |         sum(dd) OVER (ORDER BY day) AS cd
+         |  FROM d),
+         |s AS (
+         |  SELECT string_agg('"' || label || '"', ',' ORDER BY day) AS labels,
+         |         string_agg(ca || '.0', ',' ORDER BY day) AS total,
+         |         string_agg((ca - cr - cd) || '.0', ',' ORDER BY day) AS act,
+         |         string_agg(cr || '.0', ',' ORDER BY day) AS rec,
+         |         string_agg(cd || '.0', ',' ORDER BY day) AS dec
+         |  FROM c)
+         |SELECT 'historytrend' AS key,
+         |  '{"backgroundColor":"transparent","width":"750","height":"450","format":"png","chart":{"type":"line","data":{"labels":['
+         |  || labels || '],"datasets":['
+         |  || ${ds("Total Cases", "total", "rgb(54, 162, 235)")}
+         |  || ',' || ${ds("Active", "act", "rgb(255, 205, 86)")}
+         |  || ',' || ${ds("Recovered", "rec", "rgb(75, 192, 192)")}
+         |  || ',' || ${ds("Deceased", "dec", "rgb(255, 99, 132)")}
+         |  || ']},"options":{"plugins":{"datalabels":{"display":false,"anchor":"end","backgroundColor":"#ccc","borderRadius":"3","align":"end"}},"scales":{"xAxes":[{"id":"bottom-x-axis","position":"bottom","stacked":false,"ticks":{"beginAtZero":true}}],"yAxes":[{"id":"left-y-axis","position":"left","stacked":false,"ticks":{"beginAtZero":true}}]},"title":{"display":false,"text":""}}}}'
+         |  AS value
+         |FROM s""".stripMargin
+    ) { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          count(lit(1)).as("a"),
+          count(when(col("value") >= 0.5, 1)).as("r"),
+          count(when(col("value") < 0.1, 1)).as("d"))
+        .withColumn("label", date_format(col("day"), "MMM dd"))
+      def cum(e: String) =
+        s"transform(sequence(1, size(rows)), i -> " +
+          s"CAST(aggregate(slice(rows, 1, i), 0L, (acc, x) -> acc + ($e)) AS DOUBLE))"
+      val arrays = daily
+        .agg(array_sort(collect_list(struct(
+          col("day"), col("label"), col("a"), col("r"), col("d")))).as("rows"))
+        .select(
+          expr("transform(rows, x -> x.label)").as("labels"),
+          expr(cum("x.a")).as("total"),
+          expr(cum("x.a - x.r - x.d")).as("act"),
+          expr(cum("x.r")).as("rec"),
+          expr(cum("x.d")).as("dec"))
+      graft.serve.ChartPipeline.historyTrendFromArrays(arrays, "historytrend")
+    }
+  }
+
+  val all: Seq[Q] = Seq(chartSeries, chartJson, chartFanout, historyChart)
 }

@@ -134,6 +134,115 @@ object ChartPipeline {
           displayLabels = false, xAxes, yAxes)).as("value"))
   }
 
+  /** Since-origin history trend (Visualizer.java:241-287 historyTrend):
+    * four LINE series of the CURRENT totals per day — "Total Cases"
+    * (blue) = currentConfirmed, "Active" (yellow) = confirmed −
+    * recovered − deceased (unclamped, Visualizer.java:270), "Recovered"
+    * (green), "Deceased" (red) — labels "MMM dd", displayLabels=false,
+    * default axes/size. The reference walks every date since 30/01/2020
+    * with a store point-get per day and SKIPS null-delta days entirely
+    * (Visualizer.java:264-274); here absent days are simply rows absent
+    * from the input frame. Input: (day, label, confirmed, recovered,
+    * deceased) current totals per day. Emits one (key, value) row. */
+  def historyTrendChart(daily: DataFrame, chartKey: String): DataFrame =
+    historyTrendFromArrays(daily
+      .agg(array_sort(collect_list(struct(col("day"), col("label"),
+        col("confirmed").cast("long").as("c"),
+        col("recovered").cast("long").as("r"),
+        col("deceased").cast("long").as("d")))).as("rows"))
+      .select(
+        expr("transform(rows, x -> x.label)").as("labels"),
+        expr("transform(rows, x -> CAST(x.c AS DOUBLE))").as("total"),
+        expr("transform(rows, x -> CAST(x.c - x.r - x.d AS DOUBLE))").as("act"),
+        expr("transform(rows, x -> CAST(x.r AS DOUBLE))").as("rec"),
+        expr("transform(rows, x -> CAST(x.d AS DOUBLE))").as("dec")),
+      chartKey)
+
+  /** Assembly half of [[historyTrendChart]] over a one-row
+    * (labels, total, act, rec, dec) array frame — shared with q53,
+    * which derives its arrays as running totals instead of reading
+    * current totals off the input. Dataset order + colors:
+    * Visualizer.java:276-281. */
+  private[graft] def historyTrendFromArrays(arrays: DataFrame,
+      chartKey: String): DataFrame = {
+    val dsets = array(
+      ChartJson.dataset(lit(ChartJson.Line), lit("Total Cases"),
+        col("total"), lit(ChartJson.Blue)),
+      ChartJson.dataset(lit(ChartJson.Line), lit("Active"),
+        col("act"), lit(ChartJson.Yellow)),
+      ChartJson.dataset(lit(ChartJson.Line), lit("Recovered"),
+        col("rec"), lit(ChartJson.Green)),
+      ChartJson.dataset(lit(ChartJson.Line), lit("Deceased"),
+        col("dec"), lit(ChartJson.Red)))
+    arrays.select(
+      lit(chartKey).as("key"),
+      ChartJson.requestJson(
+        ChartJson.chart(ChartJson.Line, col("labels"), dsets,
+          displayLabels = false)).as("value"))
+  }
+
+  /** Dual-axis testing trend (Visualizer.java:289-368 testingTrend):
+    * per-day Positive (red bar, left axis) and Tested (green bar, left
+    * axis) with a 5-day moving positivity-rate line (blue, right axis).
+    *
+    * Faithful to the reference's quirks:
+    *  - a day with null tested data contributes 0.0 to ALL data arrays
+    *    but is SKIPPED in the labels list (Visualizer.java:326-339 adds
+    *    the day only inside the non-null branch) — arrays legitimately
+    *    run longer than labels;
+    *  - the moving average (DescriptiveStatistics(5), Visualizer.java:
+    *    303-320) ingests a rate only on days where BOTH tested and
+    *    positive exist, and every day records the mean of the values
+    *    ingested so far (last ≤5); before any value it is NaN, rendered
+    *    0.0 (Visualizer.java:344-347);
+    *  - the recorded mean is formatted `DecimalFormat("0.00")` and
+    *    parsed back (Visualizer.java:346) — replicated with half-even
+    *    `bround(_, 2)` (same shortest-digits basis as DecimalFormat).
+    *    The mean itself is a fixed-order sum/n over the ≤5-value day-
+    *    ordered window (commons-math's corrected mean agrees for the
+    *    magnitudes a rate chart carries, and the 2-decimal rounding
+    *    absorbs the ulp).
+    *
+    * Input: (day, label, tested, positive), tested/positive nullable.
+    * Emits one (key, value) row. */
+  def testingTrendChart(daily: DataFrame, chartKey: String): DataFrame = {
+    // valid positivity rates among days 1..i (1-based slice), last ≤5
+    val valid = "filter(transform(slice(rows, 1, i + 1), " +
+      "x -> IF(x.t IS NOT NULL AND x.p IS NOT NULL, " +
+      "x.p / x.t * 100.0D, CAST(NULL AS DOUBLE))), y -> y IS NOT NULL)"
+    val w = s"slice($valid, greatest(size($valid) - 4, 1), 5)"
+    val ma = "transform(sequence(0, size(rows) - 1), i -> " +
+      s"IF(size($w) = 0, 0.0D, " +
+      s"bround(aggregate($w, 0.0D, (acc, x) -> acc + x) / size($w), 2)))"
+    val rows = daily
+      .agg(array_sort(collect_list(struct(col("day"), col("label"),
+        col("tested").cast("double").as("t"),
+        col("positive").cast("double").as("p")))).as("rows"))
+      .select(
+        expr("transform(filter(rows, x -> x.t IS NOT NULL), x -> x.label)")
+          .as("labels"),
+        expr("transform(rows, x -> coalesce(x.p, 0.0D))").as("pos"),
+        expr("transform(rows, x -> coalesce(x.t, 0.0D))").as("tst"),
+        expr(ma).as("ma"))
+    // datasets + axes: Visualizer.java:349-360
+    val dsets = array(
+      ChartJson.dataset(lit(ChartJson.Bar), lit("Positive"),
+        col("pos"), lit(ChartJson.Red), lit("left-y-axis")),
+      ChartJson.dataset(lit(ChartJson.Bar), lit("Tested"),
+        col("tst"), lit(ChartJson.Green), lit("left-y-axis")),
+      ChartJson.dataset(lit(ChartJson.Line), lit("5-day Moving Positivity rate"),
+        col("ma"), lit(ChartJson.Blue), lit("right-y-axis")))
+    val xAxes = array(ChartJson.axis("bottom-x-axis", "bottom", stacked = true))
+    val yAxes = array(
+      ChartJson.axis("left-y-axis", "left", stacked = true),
+      ChartJson.axis("right-y-axis", "right", stacked = false))
+    rows.select(
+      lit(chartKey).as("key"),
+      ChartJson.requestJson(
+        ChartJson.chart(ChartJson.Bar, col("labels"), dsets,
+          displayLabels = false, xAxes, yAxes)).as("value"))
+  }
+
   /** Multi-series trend chart over a long-form (series, day, label,
     * value) frame — the top-5-states-trend shape (Visualizer.java:
     * 188-215). Series are ordered by total value descending (the

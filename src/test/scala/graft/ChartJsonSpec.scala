@@ -194,6 +194,64 @@ class ChartJsonSpec extends SparkSpec {
     assert(rows("Assam-statewisetotal") == expected)
   }
 
+  test("history trend chart matches the Gson bytes (Visualizer.java:241-287)") {
+    import spark.implicits._
+    val daily = Seq(
+      (java.sql.Date.valueOf("2020-05-02"), "May 02", 150L, 30L, 8L),
+      (java.sql.Date.valueOf("2020-05-01"), "May 01", 100L, 20L, 5L))
+      .toDF("day", "label", "confirmed", "recovered", "deceased")
+    val row = graft.serve.ChartPipeline
+      .historyTrendChart(daily, "historytrend").collect().head
+    assert(row.getString(0) == "historytrend")
+    val expected = envPrefix +
+      """{"type":"line","data":{"labels":["May 01","May 02"],"datasets":[""" +
+      """{"type":"line","label":"Total Cases","data":[100.0,150.0],"fill":false,"borderColor":"rgb(54, 162, 235)","backgroundColor":"rgb(54, 162, 235)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"},""" +
+      """{"type":"line","label":"Active","data":[75.0,112.0],"fill":false,"borderColor":"rgb(255, 205, 86)","backgroundColor":"rgb(255, 205, 86)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"},""" +
+      """{"type":"line","label":"Recovered","data":[20.0,30.0],"fill":false,"borderColor":"rgb(75, 192, 192)","backgroundColor":"rgb(75, 192, 192)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"},""" +
+      """{"type":"line","label":"Deceased","data":[5.0,8.0],"fill":false,"borderColor":"rgb(255, 99, 132)","backgroundColor":"rgb(255, 99, 132)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"}]},""" +
+      """"options":{"plugins":{"datalabels":{"display":false,"anchor":"end","backgroundColor":"#ccc","borderRadius":"3","align":"end"}},""" +
+      """"scales":{"xAxes":[{"id":"bottom-x-axis","position":"bottom","stacked":false,"ticks":{"beginAtZero":true}}],""" +
+      """"yAxes":[{"id":"left-y-axis","position":"left","stacked":false,"ticks":{"beginAtZero":true}}]},""" +
+      """"title":{"display":false,"text":""}}}}"""
+    assert(row.getString(1) == expected)
+  }
+
+  test("testing trend chart matches the Gson bytes incl. null-day quirks (Visualizer.java:289-368)") {
+    import spark.implicits._
+    // May 16 has no test data: 0.0 lands in every data array but the
+    // label is skipped, and the moving average carries the prior window.
+    // MA window: 10.0 | (carry) | mean(10,15)=12.5 | mean(10,15,19.25)=14.75
+    val daily = Seq(
+      (java.sql.Date.valueOf("2020-05-15"), "May 15", Some(100.0), Some(10L)),
+      (java.sql.Date.valueOf("2020-05-16"), "May 16", None, None),
+      (java.sql.Date.valueOf("2020-05-17"), "May 17", Some(200.0), Some(30L)),
+      (java.sql.Date.valueOf("2020-05-18"), "May 18", Some(400.0), Some(77L)))
+      .toDF("day", "label", "tested", "positive")
+    val row = graft.serve.ChartPipeline
+      .testingTrendChart(daily, "testingtrend").collect().head
+    assert(row.getString(0) == "testingtrend")
+    val expected = envPrefix +
+      """{"type":"bar","data":{"labels":["May 15","May 17","May 18"],"datasets":[""" +
+      """{"type":"bar","label":"Positive","data":[10.0,0.0,30.0,77.0],"fill":false,"borderColor":"rgb(255, 99, 132)","backgroundColor":"rgb(255, 99, 132)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"},""" +
+      """{"type":"bar","label":"Tested","data":[100.0,0.0,200.0,400.0],"fill":false,"borderColor":"rgb(75, 192, 192)","backgroundColor":"rgb(75, 192, 192)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"},""" +
+      """{"type":"line","label":"5-day Moving Positivity rate","data":[10.0,10.0,12.5,14.75],"fill":false,"borderColor":"rgb(54, 162, 235)","backgroundColor":"rgb(54, 162, 235)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"right-y-axis"}]},""" +
+      """"options":{"plugins":{"datalabels":{"display":false,"anchor":"end","backgroundColor":"#ccc","borderRadius":"3","align":"end"}},""" +
+      """"scales":{"xAxes":[{"id":"bottom-x-axis","position":"bottom","stacked":true,"ticks":{"beginAtZero":true}}],""" +
+      """"yAxes":[{"id":"left-y-axis","position":"left","stacked":true,"ticks":{"beginAtZero":true}},{"id":"right-y-axis","position":"right","stacked":false,"ticks":{"beginAtZero":true}}]},""" +
+      """"title":{"display":false,"text":""}}}}"""
+    assert(row.getString(1) == expected)
+    // pre-data NaN renders 0.0: drop May 15 so the first window is empty
+    val noData = Seq(
+      (java.sql.Date.valueOf("2020-05-16"), "May 16", None: Option[Double],
+        None: Option[Long]),
+      (java.sql.Date.valueOf("2020-05-17"), "May 17", Some(200.0), Some(30L)))
+      .toDF("day", "label", "tested", "positive")
+    val j2 = graft.serve.ChartPipeline
+      .testingTrendChart(noData, "testingtrend").collect().head.getString(1)
+    assert(j2.contains(""""label":"5-day Moving Positivity rate","data":[0.0,15.0]"""))
+    assert(j2.contains(""""labels":["May 17"]"""))
+  }
+
   test("q42 chart JSON is Gson-shaped and day-ordered") {
     val j = queries.ChartQueries.chartJson.fn(spark, sf).collect().head.getString(0)
     assert(j.startsWith(envPrefix))
