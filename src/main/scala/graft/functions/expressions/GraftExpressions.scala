@@ -81,8 +81,8 @@ case class DotProductL(left: Expression, right: Expression)
   * its word hashes — no shingle strings are ever materialized. Replaces
   * an interpreted transform+concat lambda that cost ~50× (collision
   * odds over ~10^5 shingles: ~1e-9, irrelevant to set semantics). */
-case class ShingleHashes(child: Expression, n: Int, ordered: Boolean = false)
-    extends UnaryExpression with CodegenFallback {
+case class ShingleHashes(child: Expression, n: Int, ordered: Boolean = false,
+    poly: Boolean = false) extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -90,22 +90,28 @@ case class ShingleHashes(child: Expression, n: Int, ordered: Boolean = false)
     val words = v.asInstanceOf[ArrayData]
     val m = words.numElements()
     if (m < n) return new GenericArrayData(Array.empty[Long])
-    val wh = new Array[Long](m)
+    val out =
+      if (poly) polyWindowHashes(words, m)
+      else {
+        val wh = new Array[Long](m)
+        var i = 0
+        while (i < m) {
+          val s = words.getUTF8String(i)
+          wh(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+          i += 1
+        }
+        val o = new Array[Long](m - n + 1)
+        i = 0
+        while (i <= m - n) {
+          var acc = 42L
+          var j = 0
+          while (j < n) { acc = XXH64.hashLong(wh(i + j), acc); j += 1 }
+          o(i) = acc
+          i += 1
+        }
+        o
+      }
     var i = 0
-    while (i < m) {
-      val s = words.getUTF8String(i)
-      wh(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-      i += 1
-    }
-    val out = new Array[Long](m - n + 1)
-    i = 0
-    while (i <= m - n) {
-      var acc = 42L
-      var j = 0
-      while (j < n) { acc = XXH64.hashLong(wh(i + j), acc); j += 1 }
-      out(i) = acc
-      i += 1
-    }
     // ordered = document-position order (winnowing input);
     // default = sorted distinct (set semantics for Jaccard/MinHash)
     if (ordered) return new GenericArrayData(out)
@@ -119,8 +125,53 @@ case class ShingleHashes(child: Expression, n: Int, ordered: Boolean = false)
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
 
+  /** Oracle-replicable mode: per-window polynomial codepoint hash of
+    * the shingle STRING "w1 w2 … wn" — `acc = (acc*131 + cp) mod P`
+    * from acc=7 over every codepoint including the joining spaces, with
+    * P = 35184372088777 (< 2^45, so `acc*131 + cp` < 2^53 never
+    * overflows a BIGINT in any engine). DuckDB computes the identical
+    * value with `list_reduce(list_prepend(7, codepoints), …)`, making
+    * winnowing sketches over these hashes exactly checkable end-to-end
+    * (XXH64 stays the production default — faster, better avalanche). */
+  private def polyWindowHashes(words: ArrayData, m: Int): Array[Long] = {
+    val ws = new Array[String](m)
+    var i = 0
+    while (i < m) { ws(i) = words.getUTF8String(i).toString; i += 1 }
+    val out = new Array[Long](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      var acc = 7L
+      var j = 0
+      while (j < n) {
+        if (j > 0) acc = (acc * 131 + 32) % ShingleHashes.PolyMod
+        acc = ShingleHashes.polyFold(acc, ws(i + j))
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object ShingleHashes {
+  /** Prime modulus < 2^45: keeps the fold exact in 64-bit signed
+    * arithmetic on every engine (no overflow, DuckDB errors on it). */
+  val PolyMod = 35184372088777L
+
+  private[expressions] def polyFold(acc0: Long, s: String): Long = {
+    var acc = acc0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 131 + cp) % PolyMod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
 }
 
 /** MinHash signature of an `array<string>` shingle set: k independent
@@ -483,8 +534,9 @@ object GraftExpressions {
   def simhashSig(tokens: Column): Column =
     ColumnBridge.column(SimHashSig(ColumnBridge.expression(tokens)))
 
-  def shingleHashes(words: Column, n: Int = 3, ordered: Boolean = false): Column =
-    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(words), n, ordered))
+  def shingleHashes(words: Column, n: Int = 3, ordered: Boolean = false,
+      poly: Boolean = false): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(words), n, ordered, poly))
 
   def winnowMins(hashes: Column, w: Int): Column =
     ColumnBridge.column(WinnowMins(ColumnBridge.expression(hashes), w))

@@ -145,13 +145,16 @@ object Dedup {
     * the standard rolling-hash fingerprint): position-ordered shingle
     * hashes, min per sliding window of `w`, distinct mins = the sketch.
     * Guarantees any shared run of ≥ w+n−1 tokens yields a shared
-    * fingerprint. Returns (doc_id, fp) exploded sketch rows. */
+    * fingerprint. Returns (doc_id, fp) exploded sketch rows.
+    * `poly = true` swaps XXH64 for the oracle-replicable polynomial
+    * codepoint hash (ShingleHashes.PolyMod) — same sketch guarantees,
+    * exactly checkable against a SQL oracle. */
   def winnowSketch(docs: DataFrame, textCol: String, idCol: String,
-      w: Int = 8): DataFrame =
+      w: Int = 8, poly: Boolean = false): DataFrame =
     docs.select(col(idCol).as("doc_id"), T.words(col(textCol)).as("ws"))
       .select(col("doc_id"),
         graft.functions.expressions.GraftExpressions
-          .shingleHashes(col("ws"), 3, ordered = true).as("hs"))
+          .shingleHashes(col("ws"), 3, ordered = true, poly = poly).as("hs"))
       .filter(size(col("hs")) >= w)
       .select(col("doc_id"), explode(
         graft.functions.expressions.GraftExpressions.winnowMins(col("hs"), w))
@@ -162,8 +165,9 @@ object Dedup {
     * hot-fingerprint document frequency before the self-join (same
     * quadratic-blowup guard as [[jaccardPairs]]). */
   def winnowPairs(docs: DataFrame, textCol: String, idCol: String,
-      w: Int = 8, minShared: Int = 2, maxDf: Int = 0): DataFrame = {
-    val sketch = winnowSketch(docs, textCol, idCol, w)
+      w: Int = 8, minShared: Int = 2, maxDf: Int = 0,
+      poly: Boolean = false): DataFrame = {
+    val sketch = winnowSketch(docs, textCol, idCol, w, poly)
     val sk =
       if (maxDf > 0) {
         // per-row cap against the broadcast hot-fingerprint set — no

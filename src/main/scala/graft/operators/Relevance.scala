@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** Corpus-selection relevance scoring (north-star surface): BM25
+  * (Robertson/Spärck Jones; the q50 formula) generalized from a fixed
+  * literal term set to a QUERY TABLE — the shape a real targeted-
+  * selection pipeline runs, scoring the corpus against many queries in
+  * one pass.
+  *
+  * Scale shape: the query workload is tiny relative to the corpus, so
+  * the distinct term set broadcasts into the exploded token stream —
+  * the corpus is scanned once and never shuffled at token granularity;
+  * the only shuffles key on (term, doc) postings (already filtered to
+  * query terms) and on (query, doc) score groups. df/avgdl stats are
+  * one scalar row, broadcast.
+  */
+object Relevance {
+
+  /** BM25 scores of every document matching ≥1 term of each query.
+    *
+    * `docs`: (doc_id, text); `queries`: (query_id, term) long form —
+    * one row per query term (explode an array column upstream).
+    * Returns (query_id, doc_id, score), docs with no matching term
+    * omitted (their score is 0). Scores sum per-term contributions in
+    * aggregation order — bit-identical to q50's fixed-order chain is
+    * not guaranteed (q50 remains the oracled instance; spec asserts
+    * 1e-9 relative agreement on its 6-term query).
+    */
+  def bm25(docs: DataFrame, queries: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val lens = docs.select(col("doc_id"), T.words(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("dl"), col("ws"))
+    val toks = lens.select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+    val terms = queries.select("term").distinct()
+    // postings restricted to query terms before any shuffle
+    val postings = toks.join(broadcast(terms), Seq("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    val stats = lens.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = postings
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    scored.join(broadcast(queries.select("query_id", "term")), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("term_score")).as("score"))
+  }
+}

@@ -278,6 +278,42 @@ object LlmQueries {
       maxDf = 1000)
   }
 
+  /** Winnowing, ORACLE-EXACT: identical sketch algorithm (3-gram
+    * hashes → w=8 sliding minima → distinct → df-capped shared-fp
+    * pairs) with the per-shingle hash swapped for the polynomial
+    * codepoint fold both engines compute bit-identically
+    * (ShingleHashes.PolyMod; DuckDB `list_reduce` over codepoints) —
+    * the full winnowing pipeline becomes hash-checkable, where q40's
+    * XXH64 form is rows-only. */
+  val winnowOracle: Q = Q(
+    "q54_winnow_oracle",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id,
+      |        list_transform(range(1, len(ws) - 1),
+      |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS grams
+      |      FROM w WHERE len(ws) >= 3),
+      |h AS (SELECT doc_id,
+      |        list_transform(grams, s -> list_reduce(
+      |          list_prepend(CAST(7 AS BIGINT),
+      |            list_transform(range(1, length(s) + 1),
+      |              i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+      |          (acc, c) -> (acc * 131 + c) % 35184372088777)) AS hs
+      |      FROM g),
+      |f AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(1, len(hs) - 6),
+      |          i -> list_min(hs[i:i+7]))) AS fps
+      |      FROM h WHERE len(hs) >= 8),
+      |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+      |hot AS (SELECT fp FROM e GROUP BY fp HAVING count(*) > 1000),
+      |s AS (SELECT * FROM e WHERE fp NOT IN (SELECT fp FROM hot))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+      |FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Dedup.winnowPairs(t(s, dir, "documents"), "text", "doc_id",
+      maxDf = 1000, poly = true)
+  }
+
   /** Dedup resolution: connected components over the exact near-dup
     * pair graph (q27's pairs), canonical = min doc_id per component —
     * the keep-first pass a dedup pipeline runs after candidate
@@ -506,6 +542,7 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(textStats, langId, fingerprintQ, ngramJaccard,
     minhashLsh, simhash, embeddingNeardup, embeddingNeardupLsh, knnCosine,
-    annLsh, annIvf, binaryMeta, multimodalDecode, winnow, dedupResolve,
-    multimodalNeardup, qualityFilter, repetition, embeddingDedup, bm25)
+    annLsh, annIvf, binaryMeta, multimodalDecode, winnow, winnowOracle,
+    dedupResolve, multimodalNeardup, qualityFilter, repetition,
+    embeddingDedup, bm25)
 }

@@ -280,6 +280,42 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(selfSim == 0)
   }
 
+  test("bm25 over a query table matches q50's fixed-term scores") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val q50terms = Seq("join", "filter", "agg", "query", "group", "sort")
+    val queries = q50terms.map(("relevance", _)).toDF("query_id", "term")
+    val got = graft.operators.Relevance.bm25(docs, queries)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    val expected = Registry.byName("q50_bm25").fn(spark, sf)
+      .select("doc_id", "bm25_q4").collect()
+      .map(r => r.getLong(0) -> r.getLong(1) / 10000.0).toMap
+    assert(got.nonEmpty)
+    // every nonzero q50 score is reproduced (1e-9 rel: the operator sums
+    // per-term scores in aggregation order, q50 in fixed textual order);
+    // docs with no matching term are legitimately absent (score 0)
+    expected.foreach { case (doc, e) =>
+      if (e != 0.0) {
+        val g = got.getOrElse(doc, 0.0)
+        assert(math.abs(g - e) <= math.max(1e-9 * math.abs(e), 5e-5),
+          s"doc $doc: got $g, q50 $e")
+      }
+    }
+    got.keys.foreach(doc => assert(expected.contains(doc)))
+
+    // multi-query: a second query over disjoint terms scores independently
+    val two = graft.operators.Relevance.bm25(docs,
+      (q50terms.map(("a", _)) ++ Seq(("b", "join"))).toDF("query_id", "term"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bOnly = two.collect { case (("b", d), s) => d -> s }
+    assert(bOnly.nonEmpty)
+    // query b's scores are exactly the "join"-term component — always
+    // <= the full 6-term score for the same doc
+    bOnly.foreach { case (d, s) =>
+      assert(s <= two(("a", d)) + 1e-12, s"doc $d: single-term $s > multi")
+    }
+  }
+
   test("bounded top-k aggregate == row_number window ranking (ties included)") {
     import graft.operators.Similarity
     import org.apache.spark.sql.expressions.Window
