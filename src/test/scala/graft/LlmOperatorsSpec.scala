@@ -316,6 +316,30 @@ class LlmOperatorsSpec extends SparkSpec {
     }
   }
 
+  test("TopKByScore buffer contract: bounded, order-exact, shuffle-roundtrip-safe") {
+    import graft.functions.expressions.TopKByScore
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = TopKByScore(Literal(0.0), Literal(0L), k = 3)
+    val buf = agg.createAggregationBuffer()
+    // feed via merge of singleton buffers (the update path needs bound
+    // input rows; merge exercises the same offer logic)
+    def feed(pairs: (Double, Long)*): Unit = pairs.foreach { case (s, id) =>
+      val one = agg.createAggregationBuffer(); one.add((s, id))
+      agg.merge(buf, one)
+    }
+    feed((0.5, 10L), (0.9, 3L), (0.9, 1L), (0.1, 7L), (0.7, 2L), (0.9, 5L))
+    assert(buf.size == 3, "buffer exceeded k")
+    // serialize -> deserialize (the partial->final shuffle path)
+    val restored = agg.deserialize(agg.serialize(buf))
+    val out = agg.eval(restored)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val rows = (0 until out.numElements()).map { i =>
+      val r = out.getStruct(i, 2); (r.getDouble(0), r.getLong(1))
+    }
+    // best-first: score desc, id asc on ties — 0.9@1, 0.9@3, 0.9@5
+    assert(rows == Seq((0.9, 1L), (0.9, 3L), (0.9, 5L)), rows.toString)
+  }
+
   test("bounded top-k aggregate == row_number window ranking (ties included)") {
     import graft.operators.Similarity
     import org.apache.spark.sql.expressions.Window
