@@ -209,5 +209,67 @@ object ChartQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(chartSeries, chartJson, chartFanout, historyChart)
+  /** Long-form testing-trend series (Visualizer.java:289-368 math,
+    * minus the Gson rendering — that part is byte-golden in
+    * ChartJsonSpec): per-day tested/positive with the CONDITIONAL
+    * 5-day moving positivity window — only days where both values
+    * exist ingest a rate, every day reports the mean of the last ≤5
+    * ingested, 0 before any data. Null days are synthesized
+    * deterministically (day-of-month rules) so the skip/carry
+    * semantics are exercised under the oracle. The mean is quantized
+    * to 1e-4 (`round(ma*1e4)` both sides): DuckDB's windowed avg may
+    * combine the frame in segment-tree order vs the engine's
+    * sequential fold — ulp-level divergence the quantization absorbs
+    * (the q50 ln() treatment). */
+  val testingSeries: Q = Q(
+    "q55_testing_series",
+    """WITH d0 AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         count(*) AS t_raw,
+      |         count(*) FILTER (WHERE value >= 0.8) AS p_raw
+      |  FROM events GROUP BY 1),
+      |d AS (
+      |  SELECT day,
+      |         CASE WHEN date_part('day', day) % 7 = 0 THEN NULL ELSE t_raw END AS tested,
+      |         CASE WHEN date_part('day', day) % 5 = 0 THEN NULL ELSE p_raw END AS positive
+      |  FROM d0),
+      |v AS (
+      |  SELECT day, CAST(positive AS DOUBLE) / tested * 100.0 AS rate
+      |  FROM d WHERE tested IS NOT NULL AND positive IS NOT NULL),
+      |m AS (
+      |  SELECT day,
+      |         avg(rate) OVER (ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma
+      |  FROM v)
+      |SELECT d.day, d.tested, d.positive,
+      |       COALESCE(CAST(round(
+      |         (SELECT m.ma FROM m WHERE m.day <= d.day
+      |          ORDER BY m.day DESC LIMIT 1) * 10000.0) AS BIGINT), 0) AS ma_q4
+      |FROM d""".stripMargin
+  ) { (s, dir) =>
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("t_raw"),
+        count(when(col("value") >= 0.8, 1)).as("p_raw"))
+      .select(col("day"),
+        when(dayofmonth(col("day")) % 7 === 0, lit(null)).otherwise(col("t_raw"))
+          .as("tested"),
+        when(dayofmonth(col("day")) % 5 === 0, lit(null)).otherwise(col("p_raw"))
+          .as("positive"))
+    val rows1 = daily
+      .agg(array_sort(collect_list(struct(col("day"),
+        col("tested").as("tl"), col("positive").as("pl"),
+        col("tested").cast("double").as("t"),
+        col("positive").cast("double").as("p")))).as("rows"))
+      .select(col("rows"),
+        expr(graft.serve.ChartPipeline.positivityMaExpr(round2 = false)).as("ma"))
+    rows1
+      .select(posexplode(col("rows")).as(Seq("pos", "r")), col("ma"))
+      .select(col("r.day").as("day"), col("r.tl").as("tested"),
+        col("r.pl").as("positive"),
+        round(element_at(col("ma"), col("pos") + 1) * lit(10000.0))
+          .cast("long").as("ma_q4"))
+  }
+
+  val all: Seq[Q] = Seq(chartSeries, chartJson, chartFanout, historyChart,
+    testingSeries)
 }

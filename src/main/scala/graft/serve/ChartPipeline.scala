@@ -205,15 +205,27 @@ object ChartPipeline {
     *
     * Input: (day, label, tested, positive), tested/positive nullable.
     * Emits one (key, value) row. */
-  def testingTrendChart(daily: DataFrame, chartKey: String): DataFrame = {
+  /** SQL expression: per-day mean of the last ≤5 VALID positivity
+    * rates over a day-sorted `rows` array<struct<…, t, p>> column —
+    * the DescriptiveStatistics(5) window of Visualizer.java:303-320
+    * (only days with both tested and positive ingest a value; every
+    * day reports the current mean; 0.0 before any data). `round2`
+    * applies the chart's DecimalFormat("0.00") half-even rendering;
+    * raw means feed the oracled q55 series (quantized there). */
+  private[graft] def positivityMaExpr(round2: Boolean): String = {
     // valid positivity rates among days 1..i (1-based slice), last ≤5
     val valid = "filter(transform(slice(rows, 1, i + 1), " +
       "x -> IF(x.t IS NOT NULL AND x.p IS NOT NULL, " +
       "x.p / x.t * 100.0D, CAST(NULL AS DOUBLE))), y -> y IS NOT NULL)"
     val w = s"slice($valid, greatest(size($valid) - 4, 1), 5)"
-    val ma = "transform(sequence(0, size(rows) - 1), i -> " +
-      s"IF(size($w) = 0, 0.0D, " +
-      s"bround(aggregate($w, 0.0D, (acc, x) -> acc + x) / size($w), 2)))"
+    val mean = s"aggregate($w, 0.0D, (acc, x) -> acc + x) / size($w)"
+    val rendered = if (round2) s"bround($mean, 2)" else mean
+    "transform(sequence(0, size(rows) - 1), i -> " +
+      s"IF(size($w) = 0, 0.0D, $rendered))"
+  }
+
+  def testingTrendChart(daily: DataFrame, chartKey: String): DataFrame = {
+    val ma = positivityMaExpr(round2 = true)
     val rows = daily
       .agg(array_sort(collect_list(struct(col("day"), col("label"),
         col("tested").cast("double").as("t"),
