@@ -121,12 +121,21 @@ object KeyedStore {
     * engine state from RocksDB, serving state from the table itself. */
   def serveToStore(streaming: DataFrame, keyCols: Seq[String], tsCol: String,
       basePath: String, checkpointLocation: Option[String] = None,
-      numBuckets: Int = DefaultBuckets): StreamingQuery = {
+      numBuckets: Int = DefaultBuckets,
+      viewName: Option[String] = None): StreamingQuery = {
     val latest = MaterializedViews.latestPerKey(streaming, keyCols, tsCol)
     val w = latest.writeStream.outputMode("update")
     checkpointLocation.foreach(c => w.option("checkpointLocation", c))
     w.foreachBatch { (changed: DataFrame, _: Long) =>
         upsert(changed, keyCols, basePath, numBuckets)
+        // optionally serve the table as `global_temp.<name>` — a LAZY
+        // alias over the parquet (re-registered per batch only so the
+        // scan picks up the new file listing; nothing materializes),
+        // unlike serveAsView's per-batch snapshot rebuild. Global temp
+        // views are shared across sessions, so registration from the
+        // cloned foreachBatch session is visible to the serving session.
+        viewName.foreach(v =>
+          read(changed.sparkSession, basePath).createOrReplaceGlobalTempView(v))
         ()
       }
       .start()

@@ -83,11 +83,14 @@ object ViewCatalog {
     MaterializedViews.latestPerKey(df, spec.keyCols, spec.tsCol)
 
   /** Durable form: maintain the view as a [[KeyedStore]] bucketed
-    * parquet table instead of a global temp view — restart-recoverable
-    * like the reference's changelog-backed stores, and per-batch cost
-    * independent of unchanged-key cardinality. */
+    * parquet table — restart-recoverable like the reference's
+    * changelog-backed stores, per-batch cost independent of
+    * unchanged-key cardinality — AND serve it under the same
+    * `global_temp.<view>` name as [[serve]], as a lazy alias over the
+    * table (interactive queries keep working unchanged; nothing
+    * snapshots per batch). */
   def serveDurable(spec: ViewSpec, stream: DataFrame, basePath: String,
       checkpointLocation: Option[String] = None): StreamingQuery =
     KeyedStore.serveToStore(stream, spec.keyCols, spec.tsCol, basePath,
-      checkpointLocation)
+      checkpointLocation, viewName = Some(spec.view))
 }

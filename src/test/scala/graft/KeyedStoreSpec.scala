@@ -81,6 +81,33 @@ class KeyedStoreSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("serveDurable: global view is a lazy alias over the store, not a snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = tmp("kstore-view")
+    val t1 = Timestamp.valueOf("2020-04-08 00:00:00")
+    val t2 = Timestamp.valueOf("2020-04-08 06:00:00")
+    val ms = MemoryStream[(String, String, String, Timestamp)]
+    val q = graft.state.ViewCatalog.serveDurable(
+      graft.state.ViewCatalog.doublingRate,
+      ms.toDS().toDF("date", "state", "doublingRate", "eventTime"), base)
+    try {
+      ms.addData((0 until 20).map(i => ("08/04/2020", s"State$i", "100", t1)): _*)
+      q.processAllAvailable()
+      assert(spark.table("global_temp.doubling_rate").count() == 20)
+      ms.addData(("08/04/2020", "State7", "121", t2))
+      q.processAllAvailable()
+      val view = spark.table("global_temp.doubling_rate")
+      assert(view.count() == 20)
+      assert(view.filter(col("state") === "State7")
+        .select("doublingRate").as[String].head() == "121")
+      // the view's plan is a parquet scan of the store — no cached
+      // snapshot relation
+      assert(view.queryExecution.optimizedPlan.toString.toLowerCase
+        .contains("parquet"), view.queryExecution.optimizedPlan.toString)
+    } finally q.stop()
+  }
+
   test("serveToStore: durable across query restart and session restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
