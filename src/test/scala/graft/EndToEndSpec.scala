@@ -118,6 +118,58 @@ class EndToEndSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("durable serving: JSON frames → deltas → KeyedStore, queryable after restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.state.{KeyedStore, ViewCatalog}
+    val base = java.nio.file.Files.createTempDirectory("e2e-kstore")
+      .toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("e2e-ckpt")
+      .toFile.getAbsolutePath
+
+    val ms = MemoryStream[(Timestamp, String)]
+    val decoded = ms.toDF().toDF("eventTime", "value")
+      .select(col("eventTime"),
+        from_json(col("value"), Codecs.statewiseStatsSchema).as("stats"))
+      .as[StampedStats]
+    val deltas = DeltaTracker.statewise(decoded).toDF()
+      .select(col("eventTime"), col("delta.*"))
+    def start() = ViewCatalog.serveDurable(ViewCatalog.statewiseDeltaStats,
+      deltas, base, Some(ckpt))
+
+    val q1 = start()
+    try {
+      ms.addData(frame("2020-04-08 00:04:28",
+        """{"active":"4729","confirmed":"5341","deaths":"157","recovered":"455","state":"Total","statecode":"TT","lastupdatedtime":"08/04/2020 00:04:28"}"""))
+      q1.processAllAvailable()
+      ms.addData(frame("2020-04-08 06:00:00",
+        """{"active":"4745","confirmed":"5372","deaths":"160","recovered":"463","state":"Total","statecode":"TT","lastupdatedtime":"08/04/2020 06:00:00"}"""))
+      q1.processAllAvailable()
+      // interactive query through the catalog view name (lazy alias)
+      val row = spark.table("global_temp.statewise_delta_stats").collect().head
+      assert(row.getAs[Long]("deltaConfirmed") == 31L)
+      assert(row.getAs[Long]("currentConfirmed") == 5372L)
+    } finally q1.stop()
+
+    // serving state survives with the stream down: fresh session, no view
+    val fresh = spark.newSession()
+    val persisted = KeyedStore.read(fresh, base).collect().head
+    assert(persisted.getAs[Long]("deltaConfirmed") == 31L)
+
+    // resume from checkpoint: the tracker's RocksDB state restores, so
+    // the NEXT snapshot's delta is relative to the pre-restart total
+    val q2 = start()
+    try {
+      ms.addData(frame("2020-04-08 12:00:00",
+        """{"active":"4800","confirmed":"5400","deaths":"162","recovered":"470","state":"Total","statecode":"TT","lastupdatedtime":"08/04/2020 12:00:00"}"""))
+      q2.processAllAvailable()
+      val row = spark.table("global_temp.statewise_delta_stats").collect().head
+      assert(row.getAs[Long]("deltaConfirmed") == 28L, // 5400 - 5372
+        s"delta after restart: ${row.getAs[Long]("deltaConfirmed")}")
+      assert(row.getAs[Long]("currentConfirmed") == 5400L)
+    } finally q2.stop()
+  }
+
   test("catalog view feeds the today bar chart (state-store → visualizer flow)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
