@@ -220,8 +220,12 @@ object ChartPipeline {
     val w = s"slice($valid, greatest(size($valid) - 4, 1), 5)"
     val mean = s"aggregate($w, 0.0D, (acc, x) -> acc + x) / size($w)"
     val rendered = if (round2) s"bround($mean, 2)" else mean
-    "transform(sequence(0, size(rows) - 1), i -> " +
-      s"IF(size($w) = 0, 0.0D, $rendered))"
+    // empty-frame guard: sequence(0, -1) would yield [0, -1] (Spark
+    // defaults to step -1 when start > stop) — the reference emits
+    // empty arrays for an empty day range
+    "IF(size(rows) = 0, CAST(array() AS ARRAY<DOUBLE>), " +
+      "transform(sequence(0, size(rows) - 1), i -> " +
+      s"IF(size($w) = 0, 0.0D, $rendered)))"
   }
 
   def testingTrendChart(daily: DataFrame, chartKey: String): DataFrame = {

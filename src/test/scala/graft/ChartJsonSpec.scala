@@ -250,6 +250,12 @@ class ChartJsonSpec extends SparkSpec {
       .testingTrendChart(noData, "testingtrend").collect().head.getString(1)
     assert(j2.contains(""""label":"5-day Moving Positivity rate","data":[0.0,15.0]"""))
     assert(j2.contains(""""labels":["May 17"]"""))
+    // empty input: all arrays empty (no phantom MA entries from the
+    // sequence(0,-1) descending default)
+    val j3 = graft.serve.ChartPipeline
+      .testingTrendChart(noData.limit(0), "testingtrend").collect().head.getString(1)
+    assert(j3.contains(""""labels":[],"datasets":[{"type":"bar","label":"Positive","data":[]"""))
+    assert(j3.contains(""""label":"5-day Moving Positivity rate","data":[]"""))
   }
 
   test("q42 chart JSON is Gson-shaped and day-ordered") {
