@@ -134,6 +134,11 @@ object KeyedStore {
         // unlike serveAsView's per-batch snapshot rebuild. Global temp
         // views are shared across sessions, so registration from the
         // cloned foreachBatch session is visible to the serving session.
+        // Caveat: a query that starts mid-overwrite of a bucket it
+        // reads can hit a vanished file (the alias captures the file
+        // listing at registration); set spark.sql.files.ignoreMissingFiles
+        // or retry — the window is one bucket rewrite, and the reading
+        // view is refreshed right after every batch.
         viewName.foreach(v =>
           read(changed.sparkSession, basePath).createOrReplaceGlobalTempView(v))
         ()
