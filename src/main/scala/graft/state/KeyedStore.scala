@@ -63,7 +63,13 @@ object KeyedStore {
   }
 
   /** Upsert `changed` (one row per key) into the store at `basePath`,
-    * rewriting only the buckets that contain changed keys. */
+    * rewriting only the buckets that contain changed keys.
+    *
+    * Idempotent per batch: foreachBatch delivers at-least-once on
+    * failure recovery, and replaying the same changed rows converges
+    * to the identical table (same keys replaced with the same latest
+    * values) — the store needs no transaction log for exactly-once
+    * CONTENTS, only the streaming checkpoint for offsets. */
   def upsert(changed: DataFrame, keyCols: Seq[String], basePath: String,
       numBuckets: Int = DefaultBuckets): Unit = {
     val spark = changed.sparkSession
@@ -92,6 +98,18 @@ object KeyedStore {
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(basePath)
     }
+  }
+
+  /** Re-bucket a store into `destPath` with a new bucket count — the
+    * one-pass migration for when key cardinality outgrows the layout
+    * (buckets are fixed at write time, like any bucketed table; size
+    * them so a bucket stays a few hundred MB). */
+  def rebucket(spark: SparkSession, basePath: String, keyCols: Seq[String],
+      destPath: String, newBuckets: Int): Unit = {
+    require(destPath != basePath, "rebucket writes to a NEW path")
+    bucketed(read(spark, basePath), keyCols, newBuckets)
+      .repartition(col(BucketCol))
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(destPath)
   }
 
   /** Current store contents (bucket column dropped). Partition pruning

@@ -58,6 +58,31 @@ class KeyedStoreSpec extends SparkSpec {
     assert(got.filter($"v" === "v1").count() == 499)
   }
 
+  test("upsert is idempotent under batch replay; rebucket preserves contents") {
+    import spark.implicits._
+    val base = tmp("kstore-idem")
+    val seed = (0 until 100).map(i => (s"key$i", i.toLong)).toDF("k", "n")
+    KeyedStore.upsert(seed, Seq("k"), base)
+    val change = Seq(("key7", 700L)).toDF("k", "n")
+    KeyedStore.upsert(change, Seq("k"), base)
+    val once = KeyedStore.read(spark, base).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // foreachBatch is at-least-once: replaying the same batch must
+    // converge to the identical table
+    KeyedStore.upsert(change, Seq("k"), base)
+    val twice = KeyedStore.read(spark, base).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(twice == once && once("key7") == 700L && once.size == 100)
+    // migrate to a wider layout: contents identical, lookups still work
+    val dest = tmp("kstore-wide")
+    KeyedStore.rebucket(spark, base, Seq("k"), dest, newBuckets = 32)
+    val wide = KeyedStore.read(spark, dest).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide == once)
+    assert(KeyedStore.lookup(spark, dest, Seq("k"), Seq("key7"), numBuckets = 32)
+      .select("n").as[Long].head() == 700L)
+  }
+
   test("null-keyed rows upsert like any key (no per-batch duplication)") {
     import spark.implicits._
     val base = tmp("kstore-null")
