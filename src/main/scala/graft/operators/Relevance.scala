@@ -13,10 +13,15 @@ import graft.functions.{TextFunctions => T}
   *
   * Scale shape: the query workload is tiny relative to the corpus, so
   * the distinct term set broadcasts into the exploded token stream —
-  * the corpus is scanned once and never shuffled at token granularity;
-  * the only shuffles key on (term, doc) postings (already filtered to
-  * query terms) and on (query, doc) score groups. df/avgdl stats are
-  * one scalar row, broadcast.
+  * the corpus is never shuffled at token granularity; the only
+  * shuffles key on (term, doc) postings (already filtered to query
+  * terms) and on (query, doc) score groups. df/avgdl stats are one
+  * scalar row, broadcast. Two corpus passes run: the posting pass
+  * (tokens) and a pruned stats pass that materializes only per-doc
+  * lengths (n_docs/avgdl must cover ALL docs, matched or not). A
+  * recurring-workload deployment persists the (doc_id, dl) side table
+  * and the postings once per corpus snapshot — the same persisted-
+  * intermediate note as Dedup's shingle table.
   */
 object Relevance {
 
@@ -32,14 +37,15 @@ object Relevance {
     */
   def bm25(docs: DataFrame, queries: DataFrame,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val lens = docs.select(col("doc_id"), T.words(col("text")).as("ws"))
-      .select(col("doc_id"), size(col("ws")).as("dl"), col("ws"))
-    val toks = lens.select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+    val toks = docs
+      .select(col("doc_id"), T.words(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("dl"), explode(col("ws")).as("term"))
     val terms = queries.select("term").distinct()
     // postings restricted to query terms before any shuffle
     val postings = toks.join(broadcast(terms), Seq("term"))
       .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-    val stats = lens.agg(
+    // stats pass materializes only the per-doc length, not the tokens
+    val stats = docs.select(size(T.words(col("text"))).as("dl")).agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))

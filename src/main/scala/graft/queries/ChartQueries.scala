@@ -193,9 +193,19 @@ object ChartQueries {
           count(when(col("value") >= 0.5, 1)).as("r"),
           count(when(col("value") < 0.1, 1)).as("d"))
         .withColumn("label", date_format(col("day"), "MMM dd"))
+      // empty-range guard: sequence(1, 0) would yield [1, 0] (step
+      // defaults to -1 when start > stop) — two phantom points where
+      // the oracle's string_agg over zero rows yields NULL.
+      // Oracle-domain bound: data values render via Double.toString,
+      // which matches the reference's Gson exactly (both switch to
+      // scientific notation at 1e7) but diverges from the oracle's
+      // digit concatenation there — valid while cumulative totals stay
+      // below 1e7 (driver SFs peak at 1e5; at sf10+ the oracle, not
+      // the engine, would need the scientific rendering).
       def cum(e: String) =
-        s"transform(sequence(1, size(rows)), i -> " +
-          s"CAST(aggregate(slice(rows, 1, i), 0L, (acc, x) -> acc + ($e)) AS DOUBLE))"
+        "IF(size(rows) = 0, CAST(array() AS ARRAY<DOUBLE>), " +
+          "transform(sequence(1, size(rows)), i -> " +
+          s"CAST(aggregate(slice(rows, 1, i), 0L, (acc, x) -> acc + ($e)) AS DOUBLE)))"
       val arrays = daily
         .agg(array_sort(collect_list(struct(
           col("day"), col("label"), col("a"), col("r"), col("d")))).as("rows"))

@@ -62,25 +62,68 @@ object KeyedStore {
       s.getPath.getName.startsWith(s"$BucketCol="))
   }
 
+  private val MetaFile = "_graft_buckets"
+
+  private def writeBucketMeta(spark: SparkSession, basePath: String,
+      numBuckets: Int): Unit = {
+    val p = new Path(basePath, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(numBuckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The table's bucket count as written — the layout is a property of
+    * the TABLE, not of the caller: every reader/writer derives it from
+    * this marker, so a caller passing a stale count cannot silently
+    * probe (or upsert against) the wrong bucket. Falls back to the
+    * passed default only when the marker is absent (pre-existing
+    * tables). */
+  def bucketCountOf(spark: SparkSession, basePath: String,
+      fallback: Int = DefaultBuckets): Int = {
+    val p = new Path(basePath, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) fallback
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), "UTF-8").trim.toInt
+      } finally in.close()
+    }
+  }
+
   /** Upsert `changed` (one row per key) into the store at `basePath`,
     * rewriting only the buckets that contain changed keys.
+    * `numBuckets` applies only when the call CREATES the table; an
+    * existing table's recorded layout always wins (see [[bucketCountOf]]).
     *
-    * Idempotent per batch: foreachBatch delivers at-least-once on
-    * failure recovery, and replaying the same changed rows converges
-    * to the identical table (same keys replaced with the same latest
-    * values) — the store needs no transaction log for exactly-once
-    * CONTENTS, only the streaming checkpoint for offsets. */
+    * Idempotent per batch REPLAY: foreachBatch delivers at-least-once
+    * on failure recovery, and re-applying the same changed rows to any
+    * consistent table state converges to the identical table (same
+    * keys replaced with the same latest values) — exactly-once
+    * CONTENTS without a transaction log for every crash OUTSIDE the
+    * file-commit window. The honest caveat: the parquet dynamic
+    * overwrite itself is not atomic — a crash inside commitJob (old
+    * bucket files deleted, staged ones not yet moved) can tear a
+    * touched bucket, and the replayed batch carries only changed keys,
+    * not the bucket's unchanged rows. Deployments needing atomic
+    * commits put a Delta/Iceberg MERGE behind this same changed-rows
+    * contract; this store keeps the offline-capable parquet form. */
   def upsert(changed: DataFrame, keyCols: Seq[String], basePath: String,
       numBuckets: Int = DefaultBuckets): Unit = {
     val spark = changed.sparkSession
-    // changed is batch-small (update-mode output: only keys whose latest
-    // value changed this trigger); pin it once — it feeds the bucket
-    // list, the anti-join and the union.
-    val ch = bucketed(changed, keyCols, numBuckets).localCheckpoint(eager = true)
     if (!exists(spark, basePath)) {
+      val ch = bucketed(changed, keyCols, numBuckets).localCheckpoint(eager = true)
       ch.repartition(col(BucketCol))
         .write.partitionBy(BucketCol).mode("overwrite").parquet(basePath)
+      writeBucketMeta(spark, basePath, numBuckets)
     } else {
+      val b = bucketCountOf(spark, basePath, numBuckets)
+      // changed is batch-small (update-mode output: only keys whose
+      // latest value changed this trigger); pin it once — it feeds the
+      // bucket list, the anti-join and the union.
+      val ch = bucketed(changed, keyCols, b).localCheckpoint(eager = true)
       // driver-side list of touched buckets: ≤ numBuckets ints, model-sized
       val touched = ch.select(BucketCol).distinct().collect().map(_.getInt(0))
       val prev = spark.read.parquet(basePath)
@@ -110,6 +153,7 @@ object KeyedStore {
     bucketed(read(spark, basePath), keyCols, newBuckets)
       .repartition(col(BucketCol))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(destPath)
+    writeBucketMeta(spark, destPath, newBuckets)
   }
 
   /** Current store contents (bucket column dropped). Partition pruning
@@ -119,11 +163,13 @@ object KeyedStore {
 
   /** Point lookup: prunes to the single bucket directory holding the
     * key before filtering — the store-scan analog of the reference
-    * bot's `store.get(key)`. */
+    * bot's `store.get(key)`. The bucket count comes from the table's
+    * own marker; `numBuckets` is only the fallback for tables without
+    * one. */
   def lookup(spark: SparkSession, basePath: String, keyCols: Seq[String],
       keyVals: Seq[Any], numBuckets: Int = DefaultBuckets): DataFrame = {
     val keyLits = keyVals.map(lit)
-    val b = pmod(hash(keyLits: _*), lit(numBuckets))
+    val b = pmod(hash(keyLits: _*), lit(bucketCountOf(spark, basePath, numBuckets)))
     spark.read.parquet(basePath)
       .filter(col(BucketCol) === b)
       .filter(keyCols.zip(keyLits).map { case (k, v) => col(k) <=> v }

@@ -73,13 +73,23 @@ class KeyedStoreSpec extends SparkSpec {
     val twice = KeyedStore.read(spark, base).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(twice == once && once("key7") == 700L && once.size == 100)
-    // migrate to a wider layout: contents identical, lookups still work
+    // a caller passing a stale bucket count cannot corrupt the table:
+    // the recorded layout wins over the parameter
+    KeyedStore.upsert(Seq(("key9", 900L)).toDF("k", "n"), Seq("k"), base,
+      numBuckets = 64)
+    val afterStale = KeyedStore.read(spark, base).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(afterStale.size == 100 && afterStale("key9") == 900L,
+      s"stale-count upsert duplicated or lost keys: ${afterStale.size}")
+    // migrate to a wider layout: contents identical; lookup discovers
+    // the new count from the table's own marker (no parameter)
     val dest = tmp("kstore-wide")
     KeyedStore.rebucket(spark, base, Seq("k"), dest, newBuckets = 32)
+    assert(KeyedStore.bucketCountOf(spark, dest) == 32)
     val wide = KeyedStore.read(spark, dest).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(wide == once)
-    assert(KeyedStore.lookup(spark, dest, Seq("k"), Seq("key7"), numBuckets = 32)
+    assert(wide == afterStale)
+    assert(KeyedStore.lookup(spark, dest, Seq("k"), Seq("key7"))
       .select("n").as[Long].head() == 700L)
   }
 
