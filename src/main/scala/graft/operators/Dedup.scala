@@ -214,8 +214,13 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // initialization fuses the first propagation round: label(v) =
+    // min(v, min neighbor) straight off the edge aggregation (the
+    // identity-label round it replaces cost a full join+agg pass and
+    // made the first jump a no-op).
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
@@ -225,21 +230,17 @@ object Dedup {
         .select(col("dst").as("id"), col("label"))
       // pointer doubling: v also adopts its label's current label —
       // labels always name component members, so the minimum is
-      // preserved while chains halve every round. Round 0 is skipped:
-      // labels are still the identity there, making the jump a no-op
-      // self-join.
-      val jumped =
-        if (iter == 0) None
-        else Some(labels.as("x")
-          .join(labels.as("y"), col("x.label") === col("y.id"))
-          .select(col("x.id").as("id"), col("y.label").as("label")))
+      // preserved while chains halve every round (non-identity from
+      // the fused init, so the jump is useful immediately).
+      val jumped = labels.as("x")
+        .join(labels.as("y"), col("x.label") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.label").as("label"))
       // `own` tags the vertex's current label; min over own rows IS the
       // previous label (labels has one row per id), so the new and old
       // label land in the same aggregated, checkpointed frame.
-      val next = jumped.foldLeft(
-        labels.withColumn("own", lit(true))
-          .unionAll(propagated.withColumn("own", lit(false))))(
-        (acc, j) => acc.unionAll(j.withColumn("own", lit(false))))
+      val next = labels.withColumn("own", lit(true))
+        .unionAll(propagated.withColumn("own", lit(false)))
+        .unionAll(jumped.withColumn("own", lit(false)))
         .groupBy("id")
         .agg(min("label").as("label"),
           min(when(col("own"), col("label"))).as("prev"))
