@@ -59,7 +59,10 @@ object Relevance {
         col("idf") * (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) *
             (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-    scored.join(broadcast(queries.select("query_id", "term")), Seq("term"))
+    // distinct: a duplicated (query_id, term) input row must not
+    // double-count that term's contribution (scores are per-term sums,
+    // not query-term-frequency-weighted)
+    scored.join(broadcast(queries.select("query_id", "term").distinct()), Seq("term"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("term_score")).as("score"))
   }

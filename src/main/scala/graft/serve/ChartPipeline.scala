@@ -211,7 +211,16 @@ object ChartPipeline {
     * (only days with both tested and positive ingest a value; every
     * day reports the current mean; 0.0 before any data). `round2`
     * applies the chart's DecimalFormat("0.00") half-even rendering;
-    * raw means feed the oracled q55 series (quantized there). */
+    * raw means feed the oracled q55 series (quantized there).
+    *
+    * Deliberate divergence on tested = 0: Spark double division by
+    * zero yields NULL, so a zero-tested day is skipped like a missing
+    * one. The reference's Java division (Visualizer.java:313) would
+    * ingest Infinity/NaN into DescriptiveStatistics — and then CRASH
+    * when `Double.valueOf(DecimalFormat.format(mean))` meets "∞"
+    * (Visualizer.java:346), so there is no well-defined reference
+    * output to replicate; treating the day as data-absent is the sane
+    * total behavior. */
   private[graft] def positivityMaExpr(round2: Boolean): String = {
     // valid positivity rates among days 1..i (1-based slice), last ≤5
     val valid = "filter(transform(slice(rows, 1, i + 1), " +

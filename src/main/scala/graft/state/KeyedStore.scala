@@ -67,9 +67,14 @@ object KeyedStore {
   private def writeBucketMeta(spark: SparkSession, basePath: String,
       numBuckets: Int): Unit = {
     val p = new Path(basePath, MetaFile)
+    val tmp = new Path(basePath, MetaFile + ".tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    // stage + rename so a crash mid-write can't leave a torn marker at
+    // the canonical name (readers of a missing/empty marker fall back)
+    val out = fs.create(tmp, true)
     try out.write(numBuckets.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    fs.rename(tmp, p)
   }
 
   /** The table's bucket count as written — the layout is a property of
@@ -86,9 +91,16 @@ object KeyedStore {
     else {
       val in = fs.open(p)
       try {
-        val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0), "UTF-8").trim.toInt
+        // read to EOF — a single read() may legally return fewer bytes
+        // than available, which would silently truncate the count
+        val acc = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64)
+        var n = in.read(buf)
+        while (n >= 0) { acc.write(buf, 0, n); n = in.read(buf) }
+        val s = new String(acc.toByteArray, "UTF-8").trim
+        // an empty/garbled marker (crash between create and write of a
+        // pre-rename-era table) must not brick the store — fall back
+        scala.util.Try(s.toInt).filter(_ > 0).getOrElse(fallback)
       } finally in.close()
     }
   }
@@ -120,10 +132,18 @@ object KeyedStore {
       writeBucketMeta(spark, basePath, numBuckets)
     } else {
       val b = bucketCountOf(spark, basePath, numBuckets)
+      // hash() is type-sensitive (hash(7: Int) != hash(7L)): align the
+      // batch's key columns to the TABLE's key types before bucketing,
+      // or a caller handing an Int batch to a Long-keyed store would
+      // write rows into buckets lookup never probes
+      val tableSchema = spark.read.parquet(basePath).schema
+      val aligned = keyCols.foldLeft(changed) { (df, k) =>
+        df.withColumn(k, col(k).cast(tableSchema(k).dataType))
+      }
       // changed is batch-small (update-mode output: only keys whose
       // latest value changed this trigger); pin it once — it feeds the
       // bucket list, the anti-join and the union.
-      val ch = bucketed(changed, keyCols, b).localCheckpoint(eager = true)
+      val ch = bucketed(aligned, keyCols, b).localCheckpoint(eager = true)
       // driver-side list of touched buckets: ≤ numBuckets ints, model-sized
       val touched = ch.select(BucketCol).distinct().collect().map(_.getInt(0))
       val prev = spark.read.parquet(basePath)
@@ -168,9 +188,16 @@ object KeyedStore {
     * one. */
   def lookup(spark: SparkSession, basePath: String, keyCols: Seq[String],
       keyVals: Seq[Any], numBuckets: Int = DefaultBuckets): DataFrame = {
-    val keyLits = keyVals.map(lit)
+    val table = spark.read.parquet(basePath)
+    // hash() is type-sensitive: cast each probe literal to the stored
+    // key column's type, else an Int probe against a Long key computes
+    // a different bucket and the pruning filter silently misses a row
+    // the <=> filter alone would have matched
+    val keyLits = keyCols.zip(keyVals).map { case (k, v) =>
+      lit(v).cast(table.schema(k).dataType)
+    }
     val b = pmod(hash(keyLits: _*), lit(bucketCountOf(spark, basePath, numBuckets)))
-    spark.read.parquet(basePath)
+    table
       .filter(col(BucketCol) === b)
       .filter(keyCols.zip(keyLits).map { case (k, v) => col(k) <=> v }
         .reduce(_ && _))

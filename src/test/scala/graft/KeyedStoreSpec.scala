@@ -93,6 +93,43 @@ class KeyedStoreSpec extends SparkSpec {
       .select("n").as[Long].head() == 700L)
   }
 
+  test("probe/batch key types are aligned to the table's key type before hashing") {
+    import spark.implicits._
+    val base = tmp("kstore-type")
+    // Long-keyed store
+    val seed = (0 until 200).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    KeyedStore.upsert(seed, Seq("id"), base)
+    // Int probe against the Long key: hash(42: Int) != hash(42L), so an
+    // unaligned bucket filter would prune to the wrong directory and
+    // return empty even though the row exists
+    val hit = KeyedStore.lookup(spark, base, Seq("id"), Seq(42))
+    assert(hit.select("v").as[String].collect().toSeq == Seq("v42"))
+    // Int-typed BATCH against the Long-keyed table: rows must land in
+    // the bucket a Long probe computes, and replace (not duplicate) them
+    KeyedStore.upsert(Seq((7, "v2")).toDF("id", "v"), Seq("id"), base)
+    val got = KeyedStore.read(spark, base)
+    assert(got.count() == 200)
+    assert(KeyedStore.lookup(spark, base, Seq("id"), Seq(7L))
+      .select("v").as[String].head() == "v2")
+  }
+
+  test("empty/garbled bucket marker falls back instead of bricking the store") {
+    import spark.implicits._
+    val base = tmp("kstore-meta")
+    val seed = (0 until 50).map(i => (s"key$i", i.toLong)).toDF("k", "n")
+    KeyedStore.upsert(seed, Seq("k"), base)
+    // simulate a crash between create and write of the marker
+    val p = new org.apache.hadoop.fs.Path(base, "_graft_buckets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(p, true).close()
+    assert(KeyedStore.bucketCountOf(spark, base) == KeyedStore.DefaultBuckets)
+    // upsert/lookup keep working on the fallback layout
+    KeyedStore.upsert(Seq(("key7", 700L)).toDF("k", "n"), Seq("k"), base)
+    assert(KeyedStore.lookup(spark, base, Seq("k"), Seq("key7"))
+      .select("n").as[Long].head() == 700L)
+    assert(KeyedStore.read(spark, base).count() == 50)
+  }
+
   test("null-keyed rows upsert like any key (no per-batch duplication)") {
     import spark.implicits._
     val base = tmp("kstore-null")

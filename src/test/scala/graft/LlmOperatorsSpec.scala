@@ -314,6 +314,13 @@ class LlmOperatorsSpec extends SparkSpec {
     bOnly.foreach { case (d, s) =>
       assert(s <= two(("a", d)) + 1e-12, s"doc $d: single-term $s > multi")
     }
+
+    // a duplicated (query_id, term) input row must not double-count the
+    // term (scores are per-term sums, not qtf-weighted)
+    val dup = graft.operators.Relevance.bm25(docs,
+      (q50terms ++ Seq("join", "join")).map(("relevance", _)).toDF("query_id", "term"))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(dup == got, "duplicate query-term rows changed scores")
   }
 
   test("TopKByScore buffer contract: bounded, order-exact, shuffle-roundtrip-safe") {
