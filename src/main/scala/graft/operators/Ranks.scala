@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Distributed global ranking. A bare `row_number() OVER (ORDER BY …)`
   * moves every row through ONE task (Spark warns "Moving all data to a
@@ -53,5 +53,49 @@ object Ranks {
     }
     spark.createDataFrame(indexed,
       sorted.schema.add(out, IntegerType, nullable = false))
+  }
+
+  /** Global inclusive running sum of `value` (null counts as 0) in
+    * `order` — the prefix-sum sibling of [[globalRowNumber]], and the
+    * scalable form of `sum(v) OVER (ORDER BY …)`, which Spark executes
+    * in ONE task. Same two-phase construction: range-partition on the
+    * sort key, sort within partitions, then (job 1) per-partition
+    * subtotals — one Long per partition, collected to the driver —
+    * become exclusive partition offsets, and (job 2) a streaming
+    * accumulation pass adds them back. Both jobs run over the SAME RDD
+    * graph, so the range exchange's shuffle files are computed once and
+    * reused — `repartitionByRange`'s nondeterministic re-sampling
+    * cannot split the two passes (the q16 lesson). Like zipWithIndex,
+    * the subtotal job runs EAGERLY at call time.
+    *
+    * `order` must be a total order for a deterministic result. Output
+    * column `out` is LongType; sums must stay within Long range. */
+  def globalRunningSum(df: DataFrame, order: Seq[Column], value: Column,
+      out: String, numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val v = "__grs_v"
+    val sorted = df.withColumn(v, value.cast(LongType))
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    val vIdx = sorted.schema.fieldIndex(v)
+    val rdd = sorted.rdd
+    val subtotals = rdd.mapPartitionsWithIndex({ (i, it) =>
+      var s = 0L
+      it.foreach(r => if (!r.isNullAt(vIdx)) s = Math.addExact(s, r.getLong(vIdx)))
+      Iterator((i, s))
+    }, preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
+    val offsets = subtotals.scanLeft(0L)(Math.addExact).dropRight(1)
+    val summed = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { r =>
+        if (!r.isNullAt(vIdx)) acc = Math.addExact(acc, r.getLong(vIdx))
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    spark.createDataFrame(summed,
+      sorted.schema.add(out, LongType, nullable = false)).drop(v)
   }
 }

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.{TextFunctions => T}
+import graft.operators.{Decontaminate, Sampling, Sharding}
+import graft.sources.Tables
+
+/** Corpus-assembly pipeline stages (the steps between cleaning/dedup
+  * and the trainer): benchmark decontamination, deterministic splits,
+  * weighted mixture sampling, per-domain quotas, and token-budget shard
+  * packing. All five are exactly SQL-expressible, so each has a full
+  * DuckDB oracle — including the hash-based ones, which run on the
+  * engine-portable md5 hash of [[Sampling.portableHash]] rather than
+  * Spark's Murmur3.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Shared with the oracle: the held-out "benchmark" slice is every
+    * 20th document; everything else is the training corpus. */
+  private val BenchMod = 20
+  private val NgramN = 4
+
+  /** Benchmark n-gram decontamination (GPT-3 appendix C shape): which
+    * corpus docs share a word 4-gram with the held-out set, and how
+    * many distinct grams leak. */
+  val decontaminate: Q = Q(
+    "q56_decontaminate",
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g0 AS (SELECT doc_id,
+       |              unnest(list_transform(range(1, len(w) - ${NgramN - 2}),
+       |                     i -> array_to_string(w[i:i+${NgramN - 1}], ' '))) AS g
+       |       FROM tok WHERE len(w) >= $NgramN),
+       |bng AS (SELECT DISTINCT g FROM g0 WHERE doc_id % $BenchMod = 0),
+       |cng AS (SELECT DISTINCT doc_id, g FROM g0 WHERE doc_id % $BenchMod <> 0)
+       |SELECT doc_id, count(*) AS n_hits
+       |FROM cng JOIN bng USING (g)
+       |GROUP BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    Decontaminate.ngramHits(
+      docs.filter(col("doc_id") % BenchMod =!= 0),
+      docs.filter(col("doc_id") % BenchMod === 0),
+      NgramN)
+  }
+
+  /** Deterministic stratified-auditable train/valid/test split: pure
+    * function of doc_id via the portable md5 hash — stable under
+    * corpus growth, reproducible outside Spark (the oracle IS the
+    * reproduction). */
+  val hashSplit: Q = Q(
+    "q57_hash_split",
+    """SELECT doc_id, lang,
+      |       CASE WHEN b < 80 THEN 'train'
+      |            WHEN b < 90 THEN 'valid'
+      |            ELSE 'test' END AS split
+      |FROM (SELECT doc_id, lang,
+      |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |                  AS BIGINT) % 100 AS b
+      |      FROM documents) t""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      Sampling.splitColumn(col("doc_id")).as("split"))
+  }
+
+  /** Source weights for the mixture query, in basis points of 1e4;
+    * sources not listed sample at the 1000 bp default. */
+  private val MixWeights =
+    Seq(("src0", 10000L), ("src1", 7500L), ("src2", 5000L), ("src3", 2500L))
+
+  /** Weighted data mixture: re-sample each source toward target rates
+    * (broadcast weights dim, membership a pure function of doc_id,
+    * salted independently of the q57 split hash). */
+  val mixtureSample: Q = Q(
+    "q58_mixture_sample",
+    """WITH w(source, w_bp) AS (VALUES ('src0', 10000), ('src1', 7500),
+      |                                ('src2', 5000), ('src3', 2500)),
+      |d AS (SELECT doc_id, source,
+      |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)
+      |                  AS BIGINT) % 10000 AS b
+      |      FROM documents)
+      |SELECT doc_id, source FROM d LEFT JOIN w USING (source)
+      |WHERE b < coalesce(w_bp, 1000)""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    Sampling.mixtureSample(
+      t(s, dir, "documents").select("doc_id", "source"),
+      MixWeights.toDF("source", "w_bp"),
+      "source", col("doc_id"))
+      .select("doc_id", "source")
+  }
+
+  /** Token-budget shard packing in doc_id order: 2000-token shards via
+    * the distributed prefix sum (a single-task global window in naive
+    * SQL — the oracle's form — but two lightweight passes here). */
+  val shardPack: Q = Q(
+    "q59_shard_pack",
+    """WITH d AS (SELECT doc_id,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |           FROM documents),
+      |c AS (SELECT doc_id, n_tok,
+      |             CAST(sum(n_tok) OVER (ORDER BY doc_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                  AS BIGINT) AS cum_tok
+      |      FROM d)
+      |SELECT doc_id, n_tok, cum_tok, (cum_tok - n_tok) // 2000 AS shard
+      |FROM c""".stripMargin
+  ) { (s, dir) =>
+    Sharding.packByBudget(
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(T.words(col("text"))).cast(LongType).as("n_tok")),
+      Seq(col("doc_id")), "n_tok", budget = 2000L)
+      .select("doc_id", "n_tok", "cum_tok", "shard")
+  }
+
+  /** Per-domain quota: the 5 longest documents of each source (score
+    * desc, doc_id asc), on the bounded heap aggregate — k rows per
+    * group per task cross the wire, not the group. */
+  val domainQuota: Q = Q(
+    "q60_domain_quota",
+    """SELECT source, doc_id, score, rn FROM (
+      |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS score,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |              ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 5""".stripMargin
+  ) { (s, dir) =>
+    Sampling.quotaPerGroup(
+      t(s, dir, "documents"),
+      Seq("source"), col("n_chars").cast("double"), col("doc_id"), k = 5)
+      .select(col("source"), col("id").as("doc_id"),
+        col("score").cast(LongType).as("score"), col("rn"))
+  }
+
+  val all: Seq[Q] =
+    Seq(decontaminate, hashSplit, mixtureSample, shardPack, domainQuota)
+}

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Decontaminate, Ranks, Sampling, Sharding}
+
+/** Corpus-assembly operators (q56-q60): properties the oracle can't
+  * state — split stability under corpus growth, mixture determinism,
+  * prefix-sum equivalence with the single-task window form, packing
+  * invariants, decontamination distinct-count semantics. */
+class PipelineOpsSpec extends SparkSpec {
+
+  private def docs = graft.sources.Tables.load(spark, sf, "documents")
+
+  test("splitColumn: membership is a pure function of the id (stable under growth)") {
+    import spark.implicits._
+    val full = docs.select(col("doc_id"),
+      Sampling.splitColumn(col("doc_id")).as("split"))
+      .as[(Long, String)].collect().toMap
+    // recompute on an arbitrary subset: shared ids keep their assignment
+    val subset = docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), Sampling.splitColumn(col("doc_id")).as("split"))
+      .as[(Long, String)].collect().toMap
+    subset.foreach { case (id, s) => assert(full(id) == s, s"doc $id reassigned") }
+    // rough proportions hold (80/10/10 target; md5 on small n is noisy)
+    val n = full.size.toDouble
+    val train = full.values.count(_ == "train") / n
+    assert(train > 0.7 && train < 0.9, s"train fraction $train")
+    assert(full.values.toSet.subsetOf(Set("train", "valid", "test")))
+  }
+
+  test("mixtureSample: 10000 bp keeps all, 0 bp keeps none, reruns are identical") {
+    import spark.implicits._
+    val d = docs.select("doc_id", "source")
+    val w = Seq(("src0", 10000L), ("src1", 0L)).toDF("source", "w_bp")
+    val kept = Sampling.mixtureSample(d, w, "source", col("doc_id"))
+    val bySrc = kept.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val total = d.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("src0") == total("src0"), "full-weight source lost rows")
+    assert(!bySrc.contains("src1"), "zero-weight source sampled rows")
+    // unlisted sources sample at the 1000 bp default: strictly partial
+    val others = bySrc.filterKeys(s => s != "src0" && s != "src1").values.sum
+    val othersTotal = total.filterKeys(s => s != "src0" && s != "src1").values.sum
+    assert(others > 0 && others < othersTotal, s"default rate kept $others/$othersTotal")
+    // determinism: a second run selects the identical set
+    val again = Sampling.mixtureSample(d, w, "source", col("doc_id"))
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ==
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("quotaPerGroup == row_number window ranking (score desc, id asc)") {
+    import spark.implicits._
+    val got = Sampling.quotaPerGroup(docs, Seq("source"),
+      col("n_chars").cast("double"), col("doc_id"), k = 3)
+      .select(col("source"), col("id"), col("rn"))
+      .as[(String, Long, Long)].collect().toSet
+    val ref = docs
+      .withColumn("rn", row_number().over(Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .filter(col("rn") <= 3)
+      .select(col("source"), col("doc_id"), col("rn").cast("long"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == ref)
+  }
+
+  test("globalRunningSum == single-task window sum; nulls count as 0") {
+    import spark.implicits._
+    val d = Seq[(Long, Option[Long])]((1L, Some(10L)), (2L, None), (3L, Some(5L)),
+      (4L, Some(0L)), (5L, None), (6L, Some(7L)))
+      .toDF("id", "v")
+    val got = Ranks.globalRunningSum(d, Seq(col("id")), col("v"), "cum")
+      .select(col("id"), col("cum")).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 2L -> 10L, 3L -> 15L, 4L -> 15L,
+      5L -> 15L, 6L -> 22L))
+    // and at table size against the window form
+    val base = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    val ref = base.withColumn("cum",
+      sum(col("n")).over(Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("cum")).as[(Long, Long)].collect().toMap
+    val dist = Ranks.globalRunningSum(base, Seq(col("doc_id")), col("n"), "cum")
+      .select(col("doc_id"), col("cum")).as[(Long, Long)].collect().toMap
+    assert(dist == ref)
+  }
+
+  test("packByBudget invariants: monotone shards, every shard starts under budget") {
+    import spark.implicits._
+    val budget = 500L
+    val packed = Sharding.packByBudget(
+      docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")),
+      Seq(col("doc_id")), "n_tok", budget)
+      .select(col("doc_id"), col("n_tok"), col("cum_tok"), col("shard"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // shard = position of the doc's FIRST token: monotone, 0-based, and
+    // each doc starts strictly inside its shard's budget span
+    packed.foreach { case (id, n, cum, s) =>
+      val start = cum - n
+      assert(s == start / budget, s"doc $id: shard $s, start $start")
+    }
+    assert(packed.map(_._4).toSeq == packed.map(_._4).sorted.toSeq)
+    assert(packed.head._4 == 0L)
+    // no shard is skipped (docs overflow a boundary, never jump one):
+    // every doc is shorter than the budget here
+    val shards = packed.map(_._4).distinct
+    assert(shards.toSeq == (0L to shards.max).toSeq)
+    // shard totals stay within budget + one overflowing document
+    val maxDoc = packed.map(_._2).max
+    packed.groupBy(_._4).values.foreach { rows =>
+      assert(rows.map(_._2).sum <= budget + maxDoc)
+    }
+  }
+
+  test("decontamination counts DISTINCT shared grams; short docs produce none") {
+    import spark.implicits._
+    val bench = Seq((0L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares "alpha beta gamma delta" AND "beta gamma delta epsilon",
+      // and repeats the first — counted once
+      (1L, "alpha beta gamma delta epsilon x alpha beta gamma delta"),
+      (2L, "zeta eta theta iota kappa"),            // clean
+      (3L, "alpha beta gamma")                      // shorter than n=4
+    ).toDF("doc_id", "text")
+    val hits = Decontaminate.ngramHits(corpus, bench, n = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 2L), s"got $hits")
+    // wordNgrams: empty for short inputs, positional join otherwise
+    val g = Seq(("a b c d e", "a b c")).toDF("t1", "t2")
+      .select(
+        Decontaminate.wordNgrams(split(col("t1"), " "), 4).as("g1"),
+        Decontaminate.wordNgrams(split(col("t2"), " "), 4).as("g2"))
+      .as[(Seq[String], Seq[String])].head()
+    assert(g._1 == Seq("a b c d", "b c d e") && g._2.isEmpty)
+  }
+}

@@ -163,4 +163,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"),
       "q31 still ranks with a window over all scored rows")
   }
+
+  test("q56: benchmark gram set broadcasts; corpus side is never shuffled pre-join") {
+    val p = plan("q56_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // final per-doc count keeps its map-side partial phase
+    assert("partial_count".r.findAllIn(p).nonEmpty, p.take(2000))
+  }
+
+  test("q58: mixture weights broadcast and the text column never leaves the scan") {
+    val p = plan("q58_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val read = p.split("ReadSchema")(1).split("\n")(0)
+    assert(!read.contains("text"), s"scan reads pruned column text: $read")
+  }
+
+  test("q60: per-domain quota ranks via the bounded top-k aggregate, not a window") {
+    val p = plan("q60_domain_quota")
+    assert(p.contains("partial_topkbyscore"), p.take(2000))
+    assert(!p.contains("Window"),
+      "q60 still ranks with a window over every group row")
+  }
 }
