@@ -252,6 +252,30 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** SimHash's deterministic core on the engine-portable polynomial
+    * word hash: 45-bit frequency-weighted signatures (per-bit ±1 votes
+    * over word occurrences, bit set iff the vote is positive). The
+    * exactly-oracled twin of [[simhashPairs]]'s signature stage (q61);
+    * production keeps the 64-bit XXH64 form. One shuffle: the 45
+    * conditional vote sums aggregate map-side per doc — the bit
+    * dimension lives in columns, never in rows. */
+  def polySimhash45(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val hashed = docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.expressions.GraftExpressions
+          .shingleHashes(T.words(col(textCol)), 1, ordered = true, poly = true)
+          .as("hs"))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val votes = (0 until 45).map(b =>
+      sum(expr(s"((h >> $b) & 1) * 2 - 1")).as(s"v$b"))
+    hashed.groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 45).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).cast("long").as("simhash45"))
+  }
+
   /** SimHash near-dup pairs: single-pass frequency-weighted 64-bit
     * signatures, banded 16-bit-chunk prefilter, Hamming verify. */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,

@@ -161,6 +161,36 @@ object LlmQueries {
       maxHamming = 8)
   }
 
+  /** SimHash's deterministic core, exactly oracled (the q54 technique
+    * extended from winnowing): 45-bit frequency-weighted signatures
+    * over the engine-portable polynomial word hash — per-bit votes
+    * sum +1/-1 across word occurrences, bit set iff the vote is
+    * positive. q29 stays the production operator (64-bit XXH64
+    * signatures + banded pair search, rows-only because banding is a
+    * recall heuristic); this twin proves the signature math end-to-end
+    * against DuckDB. One shuffle: 45 conditional sums aggregate
+    * map-side per doc — the bit dimension never explodes into rows. */
+  val simhashOracle: Q = Q(
+    "q61_simhash_oracle",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |h AS (SELECT doc_id,
+      |        unnest(list_transform(ws, s -> list_reduce(
+      |          list_prepend(CAST(7 AS BIGINT),
+      |            list_transform(range(1, length(s) + 1),
+      |              i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+      |          (acc, c) -> (acc * 131 + c) % 35184372088777))) AS h
+      |      FROM w),
+      |v AS (SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS vote
+      |      FROM h, (SELECT unnest(range(0, 45)) AS b) bits
+      |      GROUP BY 1, 2)
+      |SELECT doc_id,
+      |       CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << b
+      |                     ELSE 0 END) AS BIGINT) AS simhash45
+      |FROM v GROUP BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Dedup.polySimhash45(t(s, dir, "documents"), "text", "doc_id")
+  }
+
   /** Embedding near-dup pairs: exact cosine ≥ 0.4 over all pairs,
     * bit-deterministic via integer quantization. ORACLE GROUND TRUTH —
     * the all-pairs plan is O(n²) by design (input-size-guarded in
@@ -541,8 +571,8 @@ object LlmQueries {
   }
 
   val all: Seq[Q] = Seq(textStats, langId, fingerprintQ, ngramJaccard,
-    minhashLsh, simhash, embeddingNeardup, embeddingNeardupLsh, knnCosine,
-    annLsh, annIvf, binaryMeta, multimodalDecode, winnow, winnowOracle,
-    dedupResolve, multimodalNeardup, qualityFilter, repetition,
+    minhashLsh, simhash, simhashOracle, embeddingNeardup, embeddingNeardupLsh,
+    knnCosine, annLsh, annIvf, binaryMeta, multimodalDecode, winnow,
+    winnowOracle, dedupResolve, multimodalNeardup, qualityFilter, repetition,
     embeddingDedup, bm25)
 }

@@ -114,6 +114,30 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("poly-simhash: identical texts share sigs, near-dups land closer than strangers") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox leaps over the lazy dog again and again"),
+      (4L, "completely unrelated words about database shuffle partitions here")
+    ).toDF("doc_id", "text")
+    val sig = graft.operators.Dedup.polySimhash45(d, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(2L), "identical texts got different signatures")
+    sig.values.foreach(s => assert(s >= 0L && s < (1L << 45), s"sig $s outside 45 bits"))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(1L), sig(3L)) < hamming(sig(1L), sig(4L)),
+      s"one-word edit (${hamming(sig(1L), sig(3L))}) not closer than " +
+        s"unrelated text (${hamming(sig(1L), sig(4L))})")
+    // frequency weighting: sf-table signatures agree with the registry query
+    val fromQ = graft.queries.Registry.byName("q61_simhash_oracle").fn(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val direct = graft.operators.Dedup.polySimhash45(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(fromQ == direct)
+  }
+
   test("decontamination counts DISTINCT shared grams; short docs produce none") {
     import spark.implicits._
     val bench = Seq((0L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
