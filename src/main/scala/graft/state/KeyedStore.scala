@@ -55,6 +55,9 @@ object KeyedStore {
 
   /** True only if the path holds table content (an existing-but-empty
     * directory is "no table yet" — the first write initializes it). */
+  def isInitialized(spark: SparkSession, basePath: String): Boolean =
+    exists(spark, basePath)
+
   private def exists(spark: SparkSession, basePath: String): Boolean = {
     val p = new Path(basePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -201,6 +204,34 @@ object KeyedStore {
       .filter(col(BucketCol) === b)
       .filter(keyCols.zip(keyLits).map { case (k, v) => col(k) <=> v }
         .reduce(_ && _))
+      .drop(BucketCol)
+  }
+
+  /** Set probe: the store rows matching ANY key in `keys` — the
+    * many-key form of [[lookup]], reading only the bucket directories
+    * the probe keys hash into. A plain join against [[read]] would
+    * scan the WHOLE store to answer a batch-sized probe; this prunes
+    * the scan to O(touched buckets) exactly like [[upsert]] does, so
+    * probing a micro-batch against a 100 TB store reads a few bucket
+    * directories, not the table. `keys` must be batch-small (its
+    * distinct bucket list is collected — ≤ numBuckets ints). The store
+    * must exist ([[isInitialized]]) — an uninitialized store has no
+    * schema to shape an empty result with. */
+  def probe(keys: DataFrame, keyCols: Seq[String], basePath: String,
+      numBuckets: Int = DefaultBuckets): DataFrame = {
+    val spark = keys.sparkSession
+    require(exists(spark, basePath),
+      s"probe against uninitialized store $basePath (check isInitialized first)")
+    val b = bucketCountOf(spark, basePath, numBuckets)
+    val tableSchema = spark.read.parquet(basePath).schema
+    val aligned = keyCols.foldLeft(keys.select(keyCols.map(col): _*)) {
+      (df, k) => df.withColumn(k, col(k).cast(tableSchema(k).dataType))
+    }
+    val kb = bucketed(aligned, keyCols, b).localCheckpoint(eager = true)
+    val touched = kb.select(BucketCol).distinct().collect().map(_.getInt(0))
+    spark.read.parquet(basePath)
+      .filter(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
+      .join(kb.dropDuplicates(keyCols), keyCols, "left_semi")
       .drop(BucketCol)
   }
 
