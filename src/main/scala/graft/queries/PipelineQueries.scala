@@ -138,6 +138,86 @@ object PipelineQueries {
         col("score").cast(LongType).as("score"), col("rn"))
   }
 
+  /** The full assembly line as ONE composed plan — quality gate →
+    * exact dedup (keep-first) → benchmark decontamination → train
+    * split → weighted mixture → token-budget shard packing. Every
+    * stage is deterministic, so the whole pipeline oracles end-to-end:
+    * what a reference user's production corpus job actually runs, not
+    * just its stages in isolation. Catalyst sees one tree: the scan is
+    * shared, filters push down through the composition, and the only
+    * materialization is the prefix-sum's range exchange at the very
+    * end. */
+  val corpusPipeline: Q = Q(
+    "q62_corpus_pipeline",
+    s"""WITH base AS (SELECT doc_id, source, text, string_split(text, ' ') AS w
+       |              FROM documents),
+       |corpus AS (SELECT doc_id, source, text, w, CAST(len(w) AS BIGINT) AS n_tok
+       |           FROM base WHERE doc_id % $BenchMod <> 0 AND len(w) >= 10),
+       |kept AS (SELECT * FROM (
+       |    SELECT *, md5(trim(regexp_replace(regexp_replace(lower(text),
+       |             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS f
+       |    FROM corpus) t
+       |  QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1),
+       |bg AS (SELECT DISTINCT g FROM (
+       |    SELECT unnest(list_transform(range(1, len(w) - ${NgramN - 2}),
+       |           i -> array_to_string(w[i:i+${NgramN - 1}], ' '))) AS g
+       |    FROM base WHERE doc_id % $BenchMod = 0 AND len(w) >= $NgramN) t),
+       |kg AS (SELECT DISTINCT doc_id, g FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(w) - ${NgramN - 2}),
+       |           i -> array_to_string(w[i:i+${NgramN - 1}], ' '))) AS g
+       |    FROM kept WHERE len(w) >= $NgramN) t),
+       |contaminated AS (SELECT DISTINCT doc_id FROM kg JOIN bg USING (g)),
+       |cleaned AS (SELECT * FROM kept
+       |            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |train AS (SELECT * FROM cleaned
+       |          WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+       |                AS BIGINT) % 100 < 80),
+       |wts(source, w_bp) AS (VALUES ('src0', 10000), ('src1', 7500),
+       |                             ('src2', 5000), ('src3', 2500)),
+       |mixed AS (SELECT doc_id, source, n_tok FROM train LEFT JOIN wts USING (source)
+       |          WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)
+       |                AS BIGINT) % 10000 < coalesce(w_bp, 1000)),
+       |packed AS (SELECT doc_id, source, n_tok,
+       |            CAST(sum(n_tok) OVER (ORDER BY doc_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |                 AS BIGINT) AS cum_tok
+       |           FROM mixed)
+       |SELECT doc_id, source, n_tok, cum_tok, (cum_tok - n_tok) // 2000 AS shard
+       |FROM packed""".stripMargin
+  ) { (s, dir) =>
+    Sharding.packByBudget(corpusMixed(s, dir), Seq(col("doc_id")), "n_tok",
+      budget = 2000L)
+      .select("doc_id", "source", "n_tok", "cum_tok", "shard")
+  }
+
+  /** q62's declarative prefix (everything before the prefix-sum's RDD
+    * boundary): one Catalyst tree from scan to mixture, exposed so
+    * PlanSpec can assert its shape (the packByBudget tail plans as a
+    * scan of the eagerly-built RDD and hides this subtree). */
+  private[graft] def corpusMixed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % BenchMod === 0)
+    val corpus = docs.filter(col("doc_id") % BenchMod =!= 0)
+      .withColumn("n_tok", size(T.words(col("text"))).cast(LongType))
+      .filter(col("n_tok") >= 10)
+    // exact dedup, keep-first by doc_id (min_by: no per-group window)
+    val kept = corpus
+      .withColumn("f", T.fingerprint(col("text")))
+      .groupBy("f")
+      .agg(min_by(struct(col("doc_id"), col("source"), col("text"),
+        col("n_tok")), col("doc_id")).as("r"))
+      .select(col("r.*"))
+    val contaminated = Decontaminate.ngramHits(kept, bench, NgramN)
+      .select("doc_id")
+    val train = kept.join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(Sampling.splitColumn(col("doc_id")) === "train")
+    Sampling.mixtureSample(
+      train.select("doc_id", "source", "n_tok"),
+      MixWeights.toDF("source", "w_bp"), "source", col("doc_id"))
+  }
+
   val all: Seq[Q] =
-    Seq(decontaminate, hashSplit, mixtureSample, shardPack, domainQuota)
+    Seq(decontaminate, hashSplit, mixtureSample, shardPack, domainQuota,
+      corpusPipeline)
 }

@@ -178,6 +178,19 @@ class PlanSpec extends SparkSpec {
     assert(!read.contains("text"), s"scan reads pruned column text: $read")
   }
 
+  test("q62: the composed corpus pipeline broadcasts its dims and never windows") {
+    // the query's plan ends at the prefix-sum RDD boundary; assert the
+    // declarative prefix that IS the composition
+    val p = graft.queries.PipelineQueries.corpusMixed(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // benchmark grams + mixture weights both broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+    // dedup keep-first runs as min_by aggregation with a partial phase,
+    // not a per-fingerprint ranking window
+    assert(p.contains("partial_min_by"), p.take(3000))
+    assert(!p.contains("Window"), "a ranking window crept into the pipeline")
+  }
+
   test("q60: per-domain quota ranks via the bounded top-k aggregate, not a window") {
     val p = plan("q60_domain_quota")
     assert(p.contains("partial_topkbyscore"), p.take(2000))
