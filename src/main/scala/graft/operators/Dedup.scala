@@ -252,6 +252,56 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** The full MinHash-LSH pipeline on the engine-portable polynomial
+    * hash (q63): distinct 3-gram poly shingle hashes → 16 minhashes
+    * from the affine family h_j(x) = ((2j+1)·x + j²+7) mod P (products
+    * stay < 2^53 — exact in any engine's 64-bit math) → 4 bands of 4
+    * → candidate pairs sharing a band bucket → EXACT Jaccard verify on
+    * the shingle sets. Every stage is deterministic given the family,
+    * so the whole candidate-generation + verify path oracles
+    * hash-exact against DuckDB; what stays probabilistic about MinHash
+    * is only its RECALL vs all true pairs (q28's spec bounds that).
+    * Production keeps q28's XXH64 family (faster, better avalanche) —
+    * this is its checkable twin, same plan shape: bucket equi-join,
+    * never all-pairs. */
+  def portableMinhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val P = graft.functions.expressions.ShingleHashes.PolyMod
+    // shingle sets feed three consumers (minhash agg, both verify
+    // joins): pin once, like q27's survivor projection
+    val hs = docs
+      .select(col(idCol).as("doc_id"), T.words(col(textCol)).as("ws"))
+      .select(col("doc_id"), graft.functions.expressions.GraftExpressions
+        .shingleHashes(col("ws"), 3, ordered = false, poly = true).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .localCheckpoint(true)
+    val e = hs.select(col("doc_id"), explode(col("hs")).as("h"))
+    val mins = (0 until 16).map(j =>
+      min((col("h") * lit(2L * j + 1) + lit(j.toLong * j + 7L)) % lit(P))
+        .as(s"m$j"))
+    val m = e.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until 4).map(b => struct(lit(b).as("band"),
+      concat_ws("_", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*).as("key")))
+    val bk = m.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bk.as("a")
+      .join(bk.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("uni",
+        (size(col("hs_a")) + size(col("hs_b"))).cast("long") - col("inter"))
+      .withColumn("jacc", col("inter").cast("double") / col("uni"))
+      .filter(col("jacc") >= threshold)
+      .select("doc_a", "doc_b", "inter", "uni", "jacc")
+  }
+
   /** SimHash's deterministic core on the engine-portable polynomial
     * word hash: 45-bit frequency-weighted signatures (per-bit ±1 votes
     * over word occurrences, bit set iff the vote is positive). The

@@ -161,6 +161,56 @@ object LlmQueries {
       maxHamming = 8)
   }
 
+  /** MinHash-LSH end-to-end, exactly oracled on the portable affine
+    * hash family (see [[graft.operators.Dedup.portableMinhashLshPairs]]):
+    * candidate generation AND exact-Jaccard verification both
+    * hash-checked against DuckDB. Completes the oracle-twin trio
+    * (q54 winnowing, q61 simhash): every deterministic dedup core in
+    * the registry now has an exact cross-engine check. */
+  val minhashLshOracle: Q = {
+    val P = 35184372088777L
+    val minCols = (0 until 16)
+      .map(j => s"min((${2 * j + 1}*h + ${j * j + 7}) % $P) AS m$j")
+      .mkString(",\n      |        ")
+    val bandRows = (0 until 4).map(b =>
+      (0 until 4).map(r => s"m${b * 4 + r}").mkString(" || '_' || "))
+    Q(
+      "q63_minhash_lsh_oracle",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS grams
+        |      FROM w WHERE len(ws) >= 3),
+        |h AS (SELECT doc_id, list_distinct(list_transform(grams, s -> list_reduce(
+        |        list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(range(1, length(s) + 1),
+        |            i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+        |        (acc, c) -> (acc * 131 + c) % $P))) AS hs
+        |      FROM g),
+        |e AS (SELECT doc_id, unnest(hs) AS h FROM h),
+        |m AS (SELECT doc_id,
+        |        $minCols
+        |      FROM e GROUP BY doc_id),
+        |b AS (SELECT doc_id, 0 AS band, ${bandRows(0)} AS key FROM m
+        |      UNION ALL SELECT doc_id, 1, ${bandRows(1)} FROM m
+        |      UNION ALL SELECT doc_id, 2, ${bandRows(2)} FROM m
+        |      UNION ALL SELECT doc_id, 3, ${bandRows(3)} FROM m),
+        |c AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |      FROM b x JOIN b y
+        |      ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+        |v AS (SELECT doc_a, doc_b,
+        |        CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
+        |        CAST(len(ha.hs) + len(hb.hs)
+        |             - len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS uni
+        |      FROM c JOIN h ha ON c.doc_a = ha.doc_id
+        |             JOIN h hb ON c.doc_b = hb.doc_id)
+        |SELECT doc_a, doc_b, inter, uni, CAST(inter AS DOUBLE) / uni AS jacc
+        |FROM v WHERE CAST(inter AS DOUBLE) / uni >= 0.5""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Dedup.portableMinhashLshPairs(
+        t(s, dir, "documents"), "text", "doc_id")
+    }
+  }
+
   /** SimHash's deterministic core, exactly oracled (the q54 technique
     * extended from winnowing): 45-bit frequency-weighted signatures
     * over the engine-portable polynomial word hash — per-bit votes
@@ -571,8 +621,8 @@ object LlmQueries {
   }
 
   val all: Seq[Q] = Seq(textStats, langId, fingerprintQ, ngramJaccard,
-    minhashLsh, simhash, simhashOracle, embeddingNeardup, embeddingNeardupLsh,
-    knnCosine, annLsh, annIvf, binaryMeta, multimodalDecode, winnow,
-    winnowOracle, dedupResolve, multimodalNeardup, qualityFilter, repetition,
-    embeddingDedup, bm25)
+    minhashLsh, minhashLshOracle, simhash, simhashOracle, embeddingNeardup,
+    embeddingNeardupLsh, knnCosine, annLsh, annIvf, binaryMeta,
+    multimodalDecode, winnow, winnowOracle, dedupResolve, multimodalNeardup,
+    qualityFilter, repetition, embeddingDedup, bm25)
 }

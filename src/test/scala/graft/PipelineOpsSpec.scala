@@ -138,6 +138,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fromQ == direct)
   }
 
+  test("portable minhash-LSH pairs ⊆ exact Jaccard pairs; near-exact dupes recalled") {
+    import spark.implicits._
+    val lsh = graft.queries.Registry.byName("q63_minhash_lsh_oracle").fn(spark, sf)
+      .select("doc_a", "doc_b", "jacc").as[(Long, Long, Double)].collect()
+    val exact = graft.queries.Registry.byName("q27_ngram_jaccard").fn(spark, sf)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    val exactPairs = exact.map(r => (r._1, r._2)).toSet
+    assert(lsh.nonEmpty)
+    // verify stage enforces the same exact-Jaccard threshold, so LSH
+    // output can only be a subset of the exact pair set (candidates
+    // that banding missed are the probabilistic part)
+    lsh.foreach { case (a, b, j) =>
+      assert(exactPairs.contains((a, b)), s"LSH pair ($a,$b) not in exact set")
+      assert(j >= 0.5, s"unverified pair ($a,$b) jacc $j")
+    }
+    // high-similarity pairs collide in some band with near certainty
+    val strong = exact.filter(_._3 >= 0.9).map(r => (r._1, r._2)).toSet
+    val found = lsh.map(r => (r._1, r._2)).toSet
+    assert(strong.nonEmpty && strong.subsetOf(found),
+      s"missed strong pairs: ${strong -- found}")
+  }
+
   test("decontamination counts DISTINCT shared grams; short docs produce none") {
     import spark.implicits._
     val bench = Seq((0L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
