@@ -33,6 +33,25 @@ object VectorFunctions {
   def cosineFrom(dot: Column, normSqA: Column, normSqB: Column): Column =
     dot.cast("double") / (sqrt(normSqA) * sqrt(normSqB))
 
+  /** Deterministic ±1 hyperplane components shared by the Spark plan
+    * and the generated DuckDB oracle (q64): eight iterated rounds of
+    * the engine-portable polynomial step over the (plane, dim) seed
+    * force modular reduction past PolyMod (the first two steps alone
+    * stay linear in the seed — too structured for a sign family), and
+    * bit 7 of the mixed residue gives the sign. Data-independent
+    * constants, so both engines consume them as literals — part of the
+    * operator definition, like q50's fixed term list. */
+  def portablePlanes(nPlanes: Int, dims: Int): Array[Array[Long]] = {
+    val P = graft.functions.expressions.ShingleHashes.PolyMod
+    Array.tabulate(nPlanes, dims) { (p, i) =>
+      var acc = (7L * 131 + p) % P
+      acc = (acc * 131 + i) % P
+      var r = 0
+      while (r < 8) { acc = (acc * 131 + 13) % P; r += 1 }
+      if (((acc >> 7) & 1L) == 1L) 1L else -1L
+    }
+  }
+
   /** Sign-bit LSH bucket for approximate search: `nBits` pseudo-random
     * ±1 hyperplanes with components derived from a splittable hash of
     * (plane, dimension) — deterministic, no stored model. Returns an

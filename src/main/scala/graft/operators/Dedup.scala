@@ -23,6 +23,58 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dupes"))
 
+  /** Chunk-level exact dedup — the repeated-paragraph removal of a
+    * C4/RefinedWeb-style cleaning stage, at fixed `chunkWords`-word
+    * granularity (the test corpus has no paragraph breaks; on real
+    * data the chunker splits on them instead): every chunk keeps only
+    * its globally-first occurrence (lexicographic (doc_id, chunk_idx)
+    * — also removes within-doc repetition), and each document is
+    * reassembled from its surviving chunks in order.
+    *
+    * Returns (doc_id, total_chunks, kept_chunks, dedup_text); a fully
+    * duplicated document survives as an empty string — the caller's
+    * length gate drops it.
+    *
+    * Scale shape: chunk → one shuffle keyed on the chunk text to elect
+    * winners (min(struct) aggregates map-side; the combiner ships one
+    * candidate per distinct chunk per task, not occurrences), a
+    * co-partitioned join back on the same key, then the per-doc
+    * rollup. The reassembly sorts each doc's own kept chunks inside
+    * its aggregation group (array_sort of a collected struct list) —
+    * no global or per-doc window. At 100 TB hash the chunk text to a
+    * 16-byte digest for the shuffle key; the text itself only needs to
+    * ride to the winner join's probe side. */
+  def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
+      chunkWords: Int = 8): DataFrame = {
+    val chunks = docs
+      .select(col(idCol).as("doc_id"), T.words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), ceil(size(col("ws")) / lit(chunkWords.toDouble))
+            .cast("long") - 1),
+          i => struct(i.as("chunk_idx"),
+            concat_ws(" ", slice(col("ws"), (i * chunkWords + 1).cast("int"),
+              lit(chunkWords))).as("chunk")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk").as("chunk"))
+    val winners = chunks.groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
+    chunks.join(winners, Seq("chunk"))
+      .withColumn("is_kept",
+        col("doc_id") === col("w.doc_id") && col("chunk_idx") === col("w.chunk_idx"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("total_chunks"),
+        sum(col("is_kept").cast("long")).as("kept_chunks"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("is_kept"), struct(col("chunk_idx"), col("chunk"))))),
+            x => x.getField("chunk")),
+          " ").as("dedup_text"))
+  }
+
   /** (doc_id, shs) projection: distinct word 3-gram shingles as sorted
     * 8-byte hashes (`ShingleHashes` — one native pass per row; no
     * shingle strings are materialized; ~50× over the interpreted

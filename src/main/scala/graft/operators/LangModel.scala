@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** Statistical language-model quality scoring — the KenLM-filter shape
+  * of a training-data pipeline (perplexity gates à la CCNet/RefinedWeb)
+  * reduced to a self-trained add-one-smoothed word-bigram model: train
+  * counts over the corpus, score every document by its average negative
+  * log-probability. High avg-NLL = improbable word sequences = the
+  * rows a quality gate drops.
+  *
+  * Determinism (the oracle gate): each bigram's
+  * -ln((c2+1)/(c1+V)) is micro-quantized to an integer (×10⁶, the q50
+  * technique — the log's input is an IEEE division of exact integers,
+  * and 10⁻⁶ rounding granularity sits ~10 orders above cross-libm ulp
+  * divergence), and everything downstream — per-doc sums, counts — is
+  * exact 64-bit integer math, order-independent under any shuffle or
+  * accumulation schedule. The final avg divides two exact integers.
+  *
+  * Scale shape: the model is two aggregations with map-side combine
+  * (bigram counts, history counts) joined back to the exploded corpus
+  * on the bigram key — the canonical count-then-rejoin plan; nothing
+  * keys on doc until the last per-doc rollup. Vocabulary size is a
+  * 1-row broadcast. At 100 TB the bigram table is large but
+  * hash-partitioned and combiner-compressed (distinct bigrams, not
+  * occurrences, cross the wire); a recurring deployment persists it
+  * once per corpus snapshot like Dedup's shingle table.
+  */
+object LangModel {
+
+  /** Per-document bigram NLL scores: (doc_id, n_bigrams, nll_q_sum,
+    * avg_nll). `nll_q_sum` is the exact integer sum of ×10⁶-quantized
+    * per-bigram NLLs; `avg_nll` = nll_q_sum / n_bigrams / 10⁶. Docs
+    * with fewer than 2 tokens carry no bigram and are omitted. */
+  def bigramNll(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), T.words(col("text")).as("ws"))
+    // consecutive (w1, w2) pairs; transform's index is 0-based and
+    // Spark's ws[i] is 0-based (DuckDB's is 1-based — the oracle adjusts)
+    val bigrams = toks.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(slice(ws, 1, size(ws) - 1), (x, i) -> struct(x AS w1, ws[i + 1] AS w2))"))
+          .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = toks.select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val model = c2.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+      .withColumn("nll_q",
+        round(-log((col("c2") + 1).cast("double") / (col("c1") + col("v")))
+          * lit(1000000.0)).cast("long"))
+      .select("w1", "w2", "nll_q")
+    bigrams.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_q")).as("nll_q_sum"))
+      .withColumn("avg_nll",
+        col("nll_q_sum").cast("double") / col("n_bigrams") / lit(1000000.0))
+  }
+}

@@ -66,4 +66,37 @@ object Relevance {
       .groupBy("query_id", "doc_id")
       .agg(sum(col("term_score")).as("score"))
   }
+
+  /** TF-IDF posting lists — the inverted index a corpus-selection or
+    * retrieval stage builds once per snapshot: one row per (doc, term)
+    * with its term frequency, document frequency, and weight.
+    *
+    * Determinism: idf = ln((N+1)/(df+1)) is micro-quantized to an
+    * integer (×10⁶, the q50 technique — exact integer inputs, one libm
+    * call, rounding granularity 10 orders above ulp divergence) and
+    * the weight is the exact integer product tf · idf_q — no float
+    * accumulation anywhere, so the whole index oracles hash-exact.
+    *
+    * Scale shape: tokenize-explode feeds a two-level aggregation —
+    * (term, doc) tf counts combine map-side before the one shuffle on
+    * the posting key, then df is a second partial-agg pass over the
+    * postings (already term-partitioned from the first shuffle, so
+    * Catalyst reuses the exchange). N is a 1-row broadcast. The df
+    * re-join keys on term — co-partitioned with the postings shuffle,
+    * no corpus-width data moves twice. */
+  def tfidfPostings(docs: DataFrame): DataFrame = {
+    val postings = docs
+      .select(col("doc_id"), explode(T.words(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    postings
+      .join(dfs, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf_q",
+        round(log((col("n_docs") + 1).cast("double") / (col("df") + 1))
+          * lit(1000000.0)).cast("long"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf") * col("idf_q")).as("tfidf_q"))
+  }
 }

@@ -41,6 +41,48 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** The sign-LSH near-dup pipeline on the engine-portable hyperplane
+    * family (q64) — [[neardupPairsLsh]]'s exactly-checkable twin, the
+    * q63/q61 technique extended to embeddings. `nBands` banded keys of
+    * `bandBits` sign bits each (banding, not multi-probe: band-key
+    * equality is a plain deterministic predicate) generate candidates
+    * through the same bucket equi-join shape as production, then exact
+    * integer-cosine verify keeps pairs ≥ threshold. Every stage is a
+    * pure function of the data and the literal plane matrix, so the
+    * whole candidate+verify path oracles hash-exact against DuckDB;
+    * what stays probabilistic about sign-LSH is only RECALL vs all
+    * true pairs (q43's planted-dup spec bounds that). Production keeps
+    * XXH-derived planes and multi-probe (better recall per scan);
+    * parameters here are sized for the test corpus — at 100 TB the
+    * band width grows with log2(n) exactly like production's. */
+  def portableSignLshPairs(corpus: DataFrame, threshold: Double,
+      nBands: Int = 4, bandBits: Int = 4, dims: Int = 64): DataFrame = {
+    val planes = V.portablePlanes(nBands * bandBits, dims)
+    // projection of qv onto plane p: exact integer sum of ±components
+    def proj(p: Int) = aggregate(
+      zip_with(col("qv"), typedLit(planes(p)), (x, c) => x * c),
+      lit(0L), (acc, x) => acc + x)
+    def bandKey(b: Int) = (0 until bandBits)
+      .map(r => when(proj(b * bandBits + r) >= 0, lit(1L << r)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val bandCols = (0 until nBands).map(b =>
+      struct(lit(b).as("band"), bandKey(b).as("key")))
+    val bk = corpus
+      .select(col("vec_id"), col("qv"), col("nsq"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("vec_id"), col("qv"), col("nsq"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    bk.as("a")
+      .join(bk.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        V.cosineFrom(dotQFast(col("a.qv"), col("b.qv")),
+          col("a.nsq"), col("b.nsq")).as("cosine"))
+      .dropDuplicates("vec_a", "vec_b")
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Near-dup pairs at scale: sign-bit LSH bucket candidates
     * (multi-probe — each vector also probes every bucket one bit-flip
     * away, so pairs within Hamming distance 1 collide), exact cosine
@@ -157,6 +199,38 @@ object Similarity {
     for (_ <- 1 to iters)
       cents = materializeCentroids(centroidsOf(assign(cents)))
     (assign(cents), cents)
+  }
+
+  /** SemDedup (the Abbas et al. 2023 shape): semantic dedup by k-means
+    * partitioning + within-cluster exact cosine, then connected-
+    * component resolution so each near-dup group keeps exactly one
+    * representative (its minimum vec_id). Returns one row per vector:
+    * (vec_id, cluster, canonical_id, keep).
+    *
+    * Scale shape: the pair join is an EQUI-join on the cluster id —
+    * vectors in different clusters never meet, which is precisely the
+    * algorithm's approximation (cross-cluster near-dups are missed;
+    * recall is a spec property, not an oracle one). Per-cluster cost is
+    * |cluster|², so k grows ∝ n to hold the expected cluster size — and
+    * with it the per-key join fan-out — constant as the corpus scales;
+    * the resolve pass is the same distributed label propagation as
+    * q44's. */
+  def semdedup(corpus: DataFrame, k: Int, iters: Int,
+      threshold: Double): DataFrame = {
+    val (indexed, _) = kmeansIndex(corpus, k, iters)
+    val pairs = indexed.as("a")
+      .join(indexed.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(V.cosineFrom(dotQFast(col("a.qv"), col("b.qv")),
+        col("a.nsq"), col("b.nsq")) >= threshold)
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+    val comp = Dedup.resolve(pairs)
+    indexed.select("vec_id", "cluster")
+      .join(comp.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("canonical_id"), col("vec_id")).as("canonical_id"))
+      .withColumn("keep", col("canonical_id") === col("vec_id"))
   }
 
   /** IVF approximate top-k: score queries against the centroid model

@@ -271,6 +271,48 @@ object LlmQueries {
     graft.operators.Similarity.neardupPairsLsh(quantized(s, dir), threshold = 0.4)
   }
 
+  /** The sign-LSH pipeline exactly oracled (q63's technique extended
+    * to embeddings): banded sign-bit keys over the engine-portable
+    * hyperplane family → bucket equi-join candidates → exact integer-
+    * cosine verify ≥ 0.4. The plane matrix is a data-independent
+    * literal on both sides; parameters (4 bands × 4 bits) are sized
+    * for the 500-vector test corpus. q43 stays the production
+    * operator (hash-derived planes + multi-probe, rows-only because
+    * its recall is probabilistic); this twin proves the bucket-join +
+    * verify machinery end-to-end against DuckDB. */
+  val signLshOracle: Q = {
+    val planes = V.portablePlanes(16, 64)
+    val vals = planes.zipWithIndex
+      .map { case (c, p) => s"($p, ${c.mkString("[", ", ", "]")})" }
+      .mkString(",\n      |      ")
+    Q(
+      "q64_signlsh_oracle",
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, qv,
+        |        CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS BIGINT) AS nsq
+        |      FROM q),
+        |pl(plane, c) AS (VALUES
+        |      $vals),
+        |proj AS (SELECT vec_id, plane,
+        |           CASE WHEN list_sum(list_transform(range(1, 65), i -> qv[i] * c[i])) >= 0
+        |                THEN CAST(1 AS BIGINT) << (plane % 4) ELSE 0 END AS bit
+        |         FROM n CROSS JOIN pl),
+        |k AS (SELECT vec_id, plane // 4 AS band, CAST(sum(bit) AS BIGINT) AS key
+        |      FROM proj GROUP BY 1, 2),
+        |c AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |      FROM k x JOIN k y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+        |v AS (SELECT vec_a, vec_b,
+        |        CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS DOUBLE)
+        |          / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
+        |      FROM c JOIN n a ON c.vec_a = a.vec_id JOIN n b ON c.vec_b = b.vec_id)
+        |SELECT vec_a, vec_b, cosine FROM v WHERE cosine >= 0.4""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Similarity.portableSignLshPairs(
+        quantized(s, dir), threshold = 0.4)
+    }
+  }
+
   /** Brute-force cosine top-k (k=10) for a query set — the exact
     * baseline for ANN. Query side is broadcast; the corpus side streams
     * — at cluster scale this is one pass over the corpus, no shuffle. */
@@ -620,9 +662,96 @@ object LlmQueries {
     }
   }
 
+  /** TF-IDF posting lists — the inverted index a retrieval/selection
+    * stage builds once per corpus snapshot. Fully deterministic: the
+    * idf is micro-quantized to an integer (q50's ln technique) and the
+    * weight is the exact integer product tf·idf_q. */
+  val tfidf: Q = Q(
+    "q65_tfidf",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |p AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |d AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, term, tf, df,
+      |       tf * CAST(round(ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) * 1000000.0) AS BIGINT) AS tfidf_q
+      |FROM p JOIN d USING (term) CROSS JOIN n""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Relevance.tfidfPostings(t(s, dir, "documents"))
+  }
+
+  /** Self-trained bigram-LM quality scoring (the KenLM-filter shape):
+    * add-one-smoothed word-bigram NLL per document. Per-bigram NLLs are
+    * micro-quantized integers, so every downstream sum is exact and
+    * order-independent — the model TRAINING and SCORING both oracle
+    * hash-exact. */
+  val bigramLm: Q = Q(
+    "q66_bigram_lm",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+      |         SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |                i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS b
+      |         FROM w WHERE len(ws) >= 2) t),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+      |v AS (SELECT count(DISTINCT term) AS v FROM (SELECT unnest(ws) AS term FROM w) t),
+      |m AS (SELECT w1, w2,
+      |        CAST(round(-ln(CAST(c2 + 1 AS DOUBLE) / (c1 + v)) * 1000000.0) AS BIGINT) AS nll_q
+      |      FROM c2 JOIN c1 USING (w1) CROSS JOIN v)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       CAST(sum(nll_q) AS BIGINT) AS nll_q_sum,
+      |       CAST(sum(nll_q) AS DOUBLE) / count(*) / 1000000.0 AS avg_nll
+      |FROM bg JOIN m USING (w1, w2)
+      |GROUP BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.LangModel.bigramNll(t(s, dir, "documents"))
+  }
+
+  /** Chunk-level exact dedup with document reassembly — repeated-
+    * paragraph removal at 8-word granularity: every chunk keeps only
+    * its globally-first occurrence and each doc is rebuilt from its
+    * survivors in order. */
+  val chunkDedup: Q = Q(
+    "q67_chunk_dedup",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 1),
+      |c AS (SELECT doc_id, i AS chunk_idx, array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS chunk
+      |      FROM w, unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS t(i)),
+      |win AS (SELECT chunk, doc_id AS wd, chunk_idx AS wi FROM (
+      |          SELECT chunk, doc_id, chunk_idx,
+      |                 row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+      |          FROM c) t WHERE rn = 1),
+      |f AS (SELECT c.doc_id, c.chunk_idx, c.chunk,
+      |             (c.doc_id = win.wd AND c.chunk_idx = win.wi) AS is_kept
+      |      FROM c JOIN win USING (chunk))
+      |SELECT doc_id, count(*) AS total_chunks,
+      |       CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+      |       -- coalesce: DuckDB's list() FILTER over zero rows and
+      |       -- array_to_string([]) both yield NULL; Spark's empty
+      |       -- collect_list + array_join yield ''
+      |       coalesce(array_to_string(list_transform(
+      |         list_sort(list(struct_pack(chunk_idx := chunk_idx, chunk := chunk))
+      |                   FILTER (WHERE is_kept)),
+      |         x -> x.chunk), ' '), '') AS dedup_text
+      |FROM f GROUP BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Dedup.chunkDedup(t(s, dir, "documents"), "text", "doc_id")
+  }
+
+  /** SemDedup: k-means-clustered semantic dedup over embeddings —
+    * within-cluster exact cosine pairs resolved to connected
+    * components, one representative kept per group. Rows-only (the
+    * k-means model is not SQL-expressible); the spec asserts the
+    * keep-set's exact mutual-dissimilarity and planted-dup coverage
+    * properties. */
+  val semdedupQ: Q = Q.rowsOnly("q68_semdedup") { (s, dir) =>
+    graft.operators.Similarity.semdedup(quantized(s, dir), k = 8, iters = 2,
+      threshold = 0.4)
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, fingerprintQ, ngramJaccard,
     minhashLsh, minhashLshOracle, simhash, simhashOracle, embeddingNeardup,
-    embeddingNeardupLsh, knnCosine, annLsh, annIvf, binaryMeta,
+    embeddingNeardupLsh, signLshOracle, knnCosine, annLsh, annIvf, binaryMeta,
     multimodalDecode, winnow, winnowOracle, dedupResolve, multimodalNeardup,
-    qualityFilter, repetition, embeddingDedup, bm25)
+    qualityFilter, repetition, embeddingDedup, bm25, tfidf, bigramLm,
+    chunkDedup, semdedupQ)
 }

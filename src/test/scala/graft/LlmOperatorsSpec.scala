@@ -370,6 +370,103 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("portable sign-LSH twin emits only true pairs, bit-equal to the exact path") {
+    import graft.operators.Similarity
+    val corpus = Similarity.quantize(
+      graft.sources.Tables.load(spark, sf, "embeddings"), "embedding", "vec_id")
+    val exact = Similarity.exactNeardupPairs(corpus, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val twin = Similarity.portableSignLshPairs(corpus, threshold = 0.4).collect()
+    assert(twin.nonEmpty)
+    twin.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(k), s"twin emitted non-pair $k")
+      assert(exact(k) == r.getDouble(2), s"cosine bits differ at $k")
+    }
+  }
+
+  test("tfidf postings: tf sums to doc length, df counts posting docs, idf monotone") {
+    import graft.operators.Relevance
+    import graft.functions.{TextFunctions => T}
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val p = Relevance.tfidfPostings(docs).cache()
+    // per-doc tf mass == token count
+    val tfSum = p.groupBy("doc_id").agg(sum("tf").as("s"))
+      .join(docs.select(col("doc_id"), size(T.words(col("text"))).as("n")), "doc_id")
+      .filter(col("s") =!= col("n")).count()
+    assert(tfSum == 0, "tf mass != token count")
+    // df == distinct docs carrying the term
+    val dfBad = p.groupBy("term").agg(max("df").as("df"),
+        countDistinct("doc_id").as("n")).filter(col("df") =!= col("n")).count()
+    assert(dfBad == 0, "df != posting-list length")
+    // rarer terms weigh more: idf_q = tfidf_q/tf strictly decreases in df
+    val idf = p.select((col("tfidf_q") / col("tf")).as("idf"), col("df"))
+      .distinct().collect().map(r => r.getLong(1) -> r.getDouble(0))
+    idf.combinations(2).foreach { case Array((d1, i1), (d2, i2)) =>
+      if (d1 < d2) assert(i1 > i2, s"idf not monotone: df=$d1→$i1, df=$d2→$i2")
+      else if (d1 > d2) assert(i1 < i2, s"idf not monotone: df=$d1→$i1, df=$d2→$i2")
+    }
+    p.unpersist()
+  }
+
+  test("bigram LM matches a hand-computed add-one model") {
+    import spark.implicits._
+    import graft.operators.LangModel
+    // corpus: "a b a" and "b a"; bigrams: (a,b) (b,a) | (b,a)
+    // c2: (a,b)=1, (b,a)=2; c1: a=1, b=2; V=2
+    val docs = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
+    val got = LangModel.bigramNll(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def q(c2: Long, c1: Long): Long =
+      math.round(-math.log((c2 + 1.0) / (c1 + 2.0)) * 1000000.0)
+    val ab = q(1, 1); val ba = q(2, 2)
+    assert(got(1L) == ((2L, ab + ba, (ab + ba).toDouble / 2 / 1000000.0)))
+    assert(got(2L) == ((1L, ba, ba.toDouble / 1000000.0)))
+  }
+
+  test("chunk dedup drops cross-doc AND within-doc repeats, reassembles in order") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "p q r s"),       // chunks (2w): "p q", "r s"
+      (2L, "p q x y p q"),   // "p q" (dup of doc1), "x y", "p q" (within-doc dup)
+      (3L, "r s")            // fully duplicated -> empty reassembly
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, "text", "doc_id", chunkWords = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got(1L) == ((2L, 2L, "p q r s")))
+    assert(got(2L) == ((3L, 1L, "x y")))
+    assert(got(3L) == ((1L, 0L, "")))
+  }
+
+  test("semdedup: keep-set is mutually dissimilar per cluster and covers every drop") {
+    import graft.operators.Similarity
+    val corpus = Similarity.quantize(
+      graft.sources.Tables.load(spark, sf, "embeddings"), "embedding", "vec_id")
+    val out = Similarity.semdedup(corpus, k = 8, iters = 2, threshold = 0.4).cache()
+    assert(out.count() == corpus.count(), "one row per vector")
+    // exact within-cluster pairs >= threshold, computed independently
+    val tagged = corpus.join(out.select("vec_id", "cluster", "keep"), "vec_id")
+    val pairs = tagged.as("a").join(tagged.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .filter(graft.functions.VectorFunctions.cosineFrom(
+        graft.functions.expressions.GraftExpressions.dotQFast(col("a.qv"), col("b.qv")),
+        col("a.nsq"), col("b.nsq")) >= 0.4)
+      .select(col("a.vec_id"), col("b.vec_id"), col("a.keep"), col("b.keep"))
+      .collect()
+    assert(pairs.nonEmpty)
+    // no near-dup pair survives with both sides kept
+    val bothKept = pairs.count(r => r.getBoolean(2) && r.getBoolean(3))
+    assert(bothKept == 0, s"$bothKept near-dup pairs fully kept")
+    // every dropped vector is justified by membership in >=1 such pair
+    val inPairs = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val unjustified = out.filter(!col("keep")).collect()
+      .map(_.getLong(0)).filterNot(inPairs.contains)
+    assert(unjustified.isEmpty, s"dropped without cause: ${unjustified.take(5).toSeq}")
+    out.unpersist()
+  }
+
   test("fused fingerprintPair == declarative fingerprint/bagFingerprint (all docs + edges)") {
     import spark.implicits._
     import graft.functions.{TextFunctions => T}

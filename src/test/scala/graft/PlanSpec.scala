@@ -197,4 +197,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"),
       "q60 still ranks with a window over every group row")
   }
+
+  test("q64: sign-LSH twin's candidate join is an equi-join, never a cross product") {
+    val p = plan("q64_signlsh_oracle")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation degenerated to all-pairs")
+  }
+
+  test("q65: tf-idf postings aggregate map-side and prune the scan") {
+    val p = plan("q65_tfidf")
+    assert(p.contains("partial_count"), "tf counts lack a partial phase")
+    assert(!p.contains("Window"), "posting stats rank via a window")
+    val read = p.split("ReadSchema")(1).split("\n")(0)
+    assert(!read.contains("lang") && !read.contains("source"),
+      s"scan reads pruned columns: $read")
+  }
+
+  test("q66: bigram LM trains via partial aggregation, no windows") {
+    val p = plan("q66_bigram_lm")
+    assert(p.contains("partial_count"), "bigram counts lack a partial phase")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), "model join degenerated")
+  }
+
+  test("q67: chunk-dedup winners elect via aggregation, not a per-chunk window") {
+    val p = plan("q67_chunk_dedup")
+    assert(p.contains("partial_min"), "winner election lacks map-side combine")
+    assert(!p.contains("Window"),
+      "q67 elects winners with a window over every chunk occurrence")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "winner re-join degenerated to all-pairs")
+  }
 }
