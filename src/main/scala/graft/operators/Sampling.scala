@@ -81,4 +81,18 @@ object Sampling {
         col("p.id").as("id"),
         col("p.score").as("score"),
         (col("pos") + 1).cast(LongType).as("rn")): _*)
+
+  /** Deterministic uniform k-per-group sample: rank each group by the
+    * salted portable hash of the id, ascending — the fixed-size
+    * "reservoir" sample of a stratified subsampling stage, with
+    * membership a pure function of (id, salt): stable under corpus
+    * growth within a group's survivors, reproducible outside Spark,
+    * immune to partition layout. Same bounded-heap execution as
+    * [[quotaPerGroup]] — at most k rows per group per task cross the
+    * shuffle regardless of group size. */
+  def uniformPerGroup(df: DataFrame, groupCols: Seq[String], id: Column,
+      k: Int, salt: String = "samp"): DataFrame =
+    quotaPerGroup(df, groupCols,
+      -portableHash(concat(id.cast("string"), lit(":" + salt))).cast("double"),
+      id, k)
 }

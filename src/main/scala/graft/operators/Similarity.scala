@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{VectorFunctions => V}
@@ -265,6 +265,99 @@ object Similarity {
           V.cosineFrom(dotQFast(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
             .as("cosine")),
       k)
+  }
+
+  /** Product-quantization codebooks (Jégou/Douze/Schmid 2011), trained
+    * driver-side on a corpus sample — the FAISS practice: the model is
+    * M×K×(dims/M) numbers regardless of corpus size, so sample-train +
+    * broadcast is the 100 TB shape (like [[kmeansIndex]]'s centroid
+    * collect, the model is the only thing that ever leaves the
+    * executors). Lloyd's over exact integer subvectors with L2 cost:
+    * deterministic init (first K distinct subvectors in vec_id order),
+    * ties to the lowest centroid index, integer-mean updates, empty
+    * clusters keep their centroid. Returns codebook(m)(c) = centroid c
+    * of subspace m. */
+  def pqTrain(corpus: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 5,
+      sample: Int = 2048): Array[Array[Array[Long]]] = {
+    val rows = corpus.orderBy("vec_id").limit(sample)
+      .select("qv").collect().map(_.getSeq[Long](0).toArray)
+    require(rows.nonEmpty, "pqTrain: empty corpus")
+    val dims = rows.head.length
+    require(dims % m == 0, s"pqTrain: $dims dims not divisible into $m subspaces")
+    val dsub = dims / m
+    Array.tabulate(m) { mm =>
+      val subs = rows.map(v => v.slice(mm * dsub, (mm + 1) * dsub))
+      // Array equality is referential — dedup by content via Seq views
+      var cents = subs.map(_.toSeq).distinct.take(k).map(_.toArray).toArray
+      for (_ <- 1 to iters) {
+        def nearest(s: Array[Long]): Int =
+          cents.indices.minBy(c => cents(c).indices
+            .map(j => { val d = s(j) - cents(c)(j); d * d }).sum)
+        val assigned = subs.groupBy(nearest)
+        cents = cents.indices.toArray.map { c =>
+          assigned.get(c) match {
+            case Some(members) =>
+              Array.tabulate(dsub)(j => members.map(_(j)).sum / members.length)
+            case None => cents(c)
+          }
+        }
+      }
+      cents
+    }
+  }
+
+  /** PQ code column: per-subspace index of the L2-nearest codebook
+    * centroid (first-minimum tie-break via array_position). The
+    * codebook rides as literals — no join, pure projection over the
+    * corpus scan. */
+  private def pqCodes(qv: Column, codebook: Array[Array[Array[Long]]]): Column = {
+    val dsub = codebook(0)(0).length
+    array(codebook.indices.map { mm =>
+      val sub = slice(qv, mm * dsub + 1, dsub)
+      val dists = array(codebook(mm).map(cent =>
+        aggregate(zip_with(sub, typedLit(cent), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x)): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+  }
+
+  /** PQ approximate top-k via asymmetric distance computation: the
+    * corpus is one-pass encoded to M small codes; each query
+    * precomputes its M×K subspace distance table (broadcast with the
+    * query — K·M exact integer entries), and scoring a candidate is M
+    * table lookups summed — no per-pair vector math at all. This is
+    * the compressed-domain scale path: at 100 TB the encoded corpus is
+    * ~dims/M·8× smaller than the vectors and the scan never touches
+    * the original embedding column. Distances are exact integers
+    * (components < 2²¹ ⇒ per-subspace squares < 2⁴⁵ ⇒ sums fit a
+    * long), so results are bit-deterministic; approximation comes only
+    * from quantizing the CORPUS side of each distance. Ranked
+    * ascending by ADC distance via the bounded top-k aggregate
+    * (map-side partial, ≤k rows per query per task). */
+  def annPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      codebook: Array[Array[Array[Long]]]): DataFrame = {
+    val m = codebook.length
+    val dsub = codebook(0)(0).length
+    val encoded = corpus.select(col("vec_id"), pqCodes(col("qv"), codebook).as("code"))
+    def distTable(mm: Int): Column = {
+      val sub = slice(col("qv"), mm * dsub + 1, dsub)
+      array(codebook(mm).map(cent =>
+        aggregate(zip_with(sub, typedLit(cent), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x)): _*)
+    }
+    val q = queries.select(
+      (col("vec_id").as("query_id") +:
+        (0 until m).map(mm => distTable(mm).as(s"t$mm"))): _*)
+    val adc = (0 until m)
+      .map(mm => element_at(col(s"t$mm"), col("code").getItem(mm) + 1))
+      .reduce(_ + _)
+    topKFinish(
+      encoded.join(broadcast(q), col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (-adc).cast("double").as("cosine")),
+      k)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("cosine")).cast("long").as("adc_dist"), col("rn"))
   }
 
   /** Approximate top-k: sign-bit LSH buckets, multi-probe (all buckets

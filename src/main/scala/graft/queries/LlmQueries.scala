@@ -748,10 +748,23 @@ object LlmQueries {
       threshold = 0.4)
   }
 
+  /** PQ-compressed ANN (asymmetric distance computation): sample-
+    * trained codebooks broadcast as literals, the corpus one-pass
+    * encoded to 8 codes, queries scored by table lookups — the
+    * compressed-domain path that never rescans the embedding column.
+    * Rows-only (the codebook is data-trained, not SQL-expressible);
+    * recall and determinism are spec properties. */
+  val annPq: Q = Q.rowsOnly("q69_ann_pq") { (s, dir) =>
+    val corpus = quantized(s, dir)
+    val cb = graft.operators.Similarity.pqTrain(corpus)
+    graft.operators.Similarity.annPqTopK(
+      corpus, corpus.filter(col("vec_id") < 20), k = 10, cb)
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, fingerprintQ, ngramJaccard,
     minhashLsh, minhashLshOracle, simhash, simhashOracle, embeddingNeardup,
     embeddingNeardupLsh, signLshOracle, knnCosine, annLsh, annIvf, binaryMeta,
     multimodalDecode, winnow, winnowOracle, dedupResolve, multimodalNeardup,
     qualityFilter, repetition, embeddingDedup, bm25, tfidf, bigramLm,
-    chunkDedup, semdedupQ)
+    chunkDedup, semdedupQ, annPq)
 }

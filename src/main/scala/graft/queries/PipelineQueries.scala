@@ -217,7 +217,27 @@ object PipelineQueries {
       MixWeights.toDF("source", "w_bp"), "source", col("doc_id"))
   }
 
+  /** Deterministic uniform sample of 20 docs per source — the
+    * stratified-subsampling stage (e.g. an eval slice per domain), as
+    * a reservoir ranked by the salted portable hash. Same bounded-heap
+    * aggregate as q60; the hash ordering is reproduced verbatim by the
+    * oracle's window. */
+  val groupSample: Q = Q(
+    "q70_group_sample",
+    """SELECT source, doc_id, rn FROM (
+      |  SELECT source, doc_id,
+      |         CAST(row_number() OVER (PARTITION BY source ORDER BY
+      |              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':samp'), 1, 8)
+      |                   AS BIGINT) ASC, doc_id ASC) AS BIGINT) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 20""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Sampling.uniformPerGroup(
+      t(s, dir, "documents"), Seq("source"), col("doc_id"), k = 20)
+      .select(col("source"), col("id").as("doc_id"), col("rn"))
+  }
+
   val all: Seq[Q] =
     Seq(decontaminate, hashSplit, mixtureSample, shardPack, domainQuota,
-      corpusPipeline)
+      corpusPipeline, groupSample)
 }

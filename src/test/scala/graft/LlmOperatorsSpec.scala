@@ -467,6 +467,31 @@ class LlmOperatorsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("PQ-ADC finds planted near-duplicates and zero-distance exact codes") {
+    import graft.operators.Similarity
+    val base = graft.sources.Tables.load(spark, sf, "embeddings")
+    val corpus = Similarity.quantize(base, "embedding", "vec_id")
+    val cb = Similarity.pqTrain(corpus)
+    // planted: exact copies under new ids — ADC(query, copy) is the
+    // minimum achievable for the copy's codes, so top-1 must be the base
+    val planted = Similarity.quantize(
+      base.filter(col("vec_id") < 30)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")),
+      "embedding", "vec_id")
+    val top1 = Similarity.annPqTopK(corpus, planted, k = 1, cb)
+      .filter(col("rn") === 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val hits = (0 until 30).count(i => top1.get(i + 100000L).exists(_._1 == i.toLong))
+    assert(hits >= 27, s"PQ planted-dup recall $hits/30")
+    // an exact copy's ADC distance equals the corpus vector's own
+    // quantization error — strictly below any non-identical candidate's
+    // in the hit cases, and deterministic across runs
+    val again = Similarity.annPqTopK(corpus, planted, k = 1, cb)
+      .filter(col("rn") === 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(top1 == again, "PQ ranking not deterministic")
+  }
+
   test("fused fingerprintPair == declarative fingerprint/bagFingerprint (all docs + edges)") {
     import spark.implicits._
     import graft.functions.{TextFunctions => T}

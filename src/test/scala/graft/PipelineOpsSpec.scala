@@ -66,6 +66,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("uniformPerGroup: fixed size, dense ranks, membership independent of other groups") {
+    val full = Sampling.uniformPerGroup(docs, Seq("source"), col("doc_id"), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    // every group fills its quota (groups here are all larger than k)
+    full.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.length == 5, s"$src sampled ${rows.length}")
+      assert(rows.map(_._3).sorted.toSeq == (1L to 5L), s"$src ranks not dense")
+    }
+    // restricting the input to one group leaves that group's sample
+    // unchanged — the reservoir is a pure function of the ids
+    val src = full.head._1
+    val alone = Sampling.uniformPerGroup(docs.filter(col("source") === src),
+      Seq("source"), col("doc_id"), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(alone.toSet == full.filter(_._1 == src).toSet)
+  }
+
   test("globalRunningSum == single-task window sum; nulls count as 0") {
     import spark.implicits._
     val d = Seq[(Long, Option[Long])]((1L, Some(10L)), (2L, None), (3L, Some(5L)),
