@@ -237,7 +237,37 @@ object PipelineQueries {
       .select(col("source"), col("id").as("doc_id"), col("rn"))
   }
 
+  /** Token-granularity sequence packing: the corpus as one token
+    * stream cut into 512-token training sequences, documents split
+    * across boundaries — one row per (sequence, document) overlap with
+    * the offset and token count a sequence writer consumes. */
+  val seqPack: Q = Q(
+    "q71_seq_pack",
+    """WITH d AS (SELECT doc_id,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |           FROM documents),
+      |c AS (SELECT doc_id, n_tok,
+      |             CAST(sum(n_tok) OVER (ORDER BY doc_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                  AS BIGINT) AS cum_tok
+      |      FROM d WHERE n_tok > 0),
+      |e AS (SELECT doc_id, n_tok, cum_tok,
+      |             unnest(range((cum_tok - n_tok) // 512, (cum_tok - 1) // 512 + 1)) AS seq_id
+      |      FROM c)
+      |SELECT doc_id, n_tok, cum_tok, seq_id,
+      |       greatest(cum_tok - n_tok, seq_id * 512) - seq_id * 512 AS "offset",
+      |       least(cum_tok, (seq_id + 1) * 512)
+      |         - greatest(cum_tok - n_tok, seq_id * 512) AS n_tok_in_seq
+      |FROM e""".stripMargin
+  ) { (s, dir) =>
+    Sharding.packSequences(
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(T.words(col("text"))).cast(LongType).as("n_tok")),
+      Seq(col("doc_id")), "n_tok", seqLen = 512L)
+      .select("doc_id", "n_tok", "cum_tok", "seq_id", "offset", "n_tok_in_seq")
+  }
+
   val all: Seq[Q] =
     Seq(decontaminate, hashSplit, mixtureSample, shardPack, domainQuota,
-      corpusPipeline, groupSample)
+      corpusPipeline, groupSample, seqPack)
 }

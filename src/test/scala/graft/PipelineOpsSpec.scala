@@ -83,6 +83,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(alone.toSet == full.filter(_._1 == src).toSet)
   }
 
+  test("packSequences: sequences fill exactly, docs partition into contiguous pieces") {
+    val L = 64L
+    val packed = Sharding.packSequences(
+      docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")),
+      Seq(col("doc_id")), "n_tok", seqLen = L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val total = packed.groupBy(_._1).map { case (_, rs) => rs.head._2 }.sum
+    // every sequence except the last carries exactly L tokens
+    val bySeq = packed.groupBy(_._3).view.mapValues(_.map(_._5).sum).toMap
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (s, tok) =>
+      if (s != lastSeq) assert(tok == L, s"seq $s carries $tok tokens")
+      else assert(tok == total - L * lastSeq, s"tail seq carries $tok")
+    }
+    // each document's pieces partition [0, n_tok) in seq_id order
+    packed.groupBy(_._1).foreach { case (d, rs) =>
+      val pieces = rs.sortBy(_._3)
+      assert(pieces.map(_._5).sum == pieces.head._2, s"doc $d tokens lost")
+      // offsets: first piece lands mid-sequence, later pieces at 0
+      pieces.drop(1).foreach(p => assert(p._4 == 0L, s"doc $d split piece offset ${p._4}"))
+    }
+  }
+
   test("globalRunningSum == single-task window sum; nulls count as 0") {
     import spark.implicits._
     val d = Seq[(Long, Option[Long])]((1L, Some(10L)), (2L, None), (3L, Some(5L)),
