@@ -46,6 +46,18 @@ object TextFunctions {
   def bagFingerprint(wordsCol: Column): Column =
     md5(array_join(array_sort(array_distinct(wordsCol)), " "))
 
+  /** PII-shape redaction: replace every match of `pattern` with
+    * `token` and report the match count — the scrub stage of a
+    * cleaning pipeline (emails, phone numbers, numeric ids…). Patterns
+    * must stay in the regex subset common to Java and RE2 (char
+    * classes, quantifiers — no backrefs/lookaround) so the operation
+    * reproduces identically outside Spark; count and rewrite are two
+    * scans of the same codegen'd builtin, no UDF. */
+  def redact(c: Column, pattern: String, token: String): Column =
+    struct(
+      regexp_replace(c, pattern, token).as("redacted"),
+      regexp_count(c, lit(pattern)).cast("long").as("n_redacted"))
+
   /** Both fingerprints from ONE scan of the text: struct(fp, bag_fp).
     * Semantically identical to
     * `struct(fingerprint(text), bagFingerprint(words(text)))`, but the

@@ -267,7 +267,46 @@ object PipelineQueries {
       .select("doc_id", "n_tok", "cum_tok", "seq_id", "offset", "n_tok_in_seq")
   }
 
+  /** PII-shape scrubbing over the event payloads: numeric runs in the
+    * JSON props replaced by a token, with per-row match counts — the
+    * redaction stage of a cleaning pipeline, on the regex subset
+    * common to Java and RE2 so the rewrite reproduces identically in
+    * any engine. Pure projection; the scan never shuffles. */
+  val redact: Q = Q(
+    "q72_redact",
+    """SELECT event_id,
+      |       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_redacted,
+      |       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redacted
+      |FROM events""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_id"),
+        T.redact(col("props"), "[0-9]+", "<NUM>").as("r"))
+      .select(col("event_id"), col("r.redacted").as("props_redacted"),
+        col("r.n_redacted").as("n_redacted"))
+  }
+
+  /** Vocabulary heavy hitters: the 20 most frequent corpus tokens
+    * (count desc, term asc) — the vocab-building / stop-list step.
+    * Counts combine map-side; the global top-k plans as
+    * TakeOrderedAndProject (per-partition heaps merged on the driver),
+    * never a single-task global sort or window. */
+  val vocabTop: Q = Q(
+    "q73_vocab_top",
+    """SELECT term, cnt FROM (
+      |  SELECT term, count(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+      |  GROUP BY term
+      |  ORDER BY cnt DESC, term ASC LIMIT 20) s""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(explode(T.words(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(20)
+  }
+
   val all: Seq[Q] =
     Seq(decontaminate, hashSplit, mixtureSample, shardPack, domainQuota,
-      corpusPipeline, groupSample, seqPack)
+      corpusPipeline, groupSample, seqPack, redact, vocabTop)
 }

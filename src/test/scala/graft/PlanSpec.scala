@@ -220,6 +220,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "model join degenerated")
   }
 
+  test("q69: PQ scoring broadcasts the query tables and ranks via the bounded heap") {
+    val p = plan("q69_ann_pq")
+    assert(p.contains("partial_topkbyscore"), "PQ re-rank lacks map-side top-k")
+    assert(p.contains("BroadcastNestedLoopJoin"), "query side not broadcast")
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("q70: reservoir sample ranks via the bounded heap, scan pruned to id+group") {
+    val p = plan("q70_group_sample")
+    assert(p.contains("partial_topkbyscore"), "sample lacks map-side top-k")
+    assert(!p.contains("Window"), "q70 ranks with a window")
+    val read = p.split("ReadSchema")(1).split("\n")(0)
+    assert(!read.contains("text"), s"scan reads pruned column text: $read")
+  }
+
+  test("q71: sequence packing never plans a partition-less window") {
+    val p = plan("q71_seq_pack")
+    assert(!p.contains("Window"),
+      "q71 fell back to a single-task global window for the prefix sum")
+  }
+
   test("q67: chunk-dedup winners elect via aggregation, not a per-chunk window") {
     val p = plan("q67_chunk_dedup")
     assert(p.contains("partial_min"), "winner election lacks map-side combine")
