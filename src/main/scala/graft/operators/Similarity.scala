@@ -240,12 +240,13 @@ object Similarity {
     * centroid model from [[kmeansIndex]] — no re-derivation from the
     * index (which would cost an extra corpus-wide posexplode + two
     * aggregations). */
-  def annIvfTopK(indexed: DataFrame, cents: DataFrame, queries: DataFrame,
-      k: Int, nProbe: Int): DataFrame = {
-    // nProbe nearest lists per query via the bounded top-k aggregate
-    // (partial phase; ≤nProbe clusters per query cross the shuffle);
-    // qqv/qnsq ride along with first() — constant per query_id.
-    val probes = queries
+  /** nProbe nearest inverted lists per query (cosine to the broadcast
+    * centroid model) via the bounded top-k aggregate — the shared probe
+    * stage of [[annIvfTopK]] and [[annIvfPqTopK]]. qqv/qnsq ride along
+    * with first() — constant per query_id. */
+  private def ivfProbes(cents: DataFrame, queries: DataFrame,
+      nProbe: Int): DataFrame =
+    queries
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("nsq").as("qnsq"))
       .crossJoin(broadcast(cents))
       .withColumn("csim",
@@ -258,6 +259,10 @@ object Similarity {
         explode(col("pc.id")).as("clusterL"))
       .select(col("query_id"), col("qqv"), col("qnsq"),
         col("clusterL").cast("int").as("cluster"))
+
+  def annIvfTopK(indexed: DataFrame, cents: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    val probes = ivfProbes(cents, queries, nProbe)
     topKFinish(
       indexed.join(broadcast(probes), Seq("cluster"))
         .filter(col("query_id") =!= col("vec_id"))
@@ -334,27 +339,58 @@ object Similarity {
     * from quantizing the CORPUS side of each distance. Ranked
     * ascending by ADC distance via the bounded top-k aggregate
     * (map-side partial, ≤k rows per query per task). */
+  /** Per-subspace query-to-centroid L2 table for ADC: K exact integer
+    * distances from `qv`'s mm-th subvector to every centroid. */
+  private def pqDistTable(qv: Column, codebook: Array[Array[Array[Long]]],
+      mm: Int): Column = {
+    val dsub = codebook(0)(0).length
+    val sub = slice(qv, mm * dsub + 1, dsub)
+    array(codebook(mm).map(cent =>
+      aggregate(zip_with(sub, typedLit(cent), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)): _*)
+  }
+
+  /** ADC score: sum of the M per-subspace table lookups for a code. */
+  private def adcOf(m: Int): Column = (0 until m)
+    .map(mm => element_at(col(s"t$mm"), col("code").getItem(mm) + 1))
+    .reduce(_ + _)
+
   def annPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       codebook: Array[Array[Array[Long]]]): DataFrame = {
     val m = codebook.length
-    val dsub = codebook(0)(0).length
     val encoded = corpus.select(col("vec_id"), pqCodes(col("qv"), codebook).as("code"))
-    def distTable(mm: Int): Column = {
-      val sub = slice(col("qv"), mm * dsub + 1, dsub)
-      array(codebook(mm).map(cent =>
-        aggregate(zip_with(sub, typedLit(cent), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, x) => acc + x)): _*)
-    }
     val q = queries.select(
       (col("vec_id").as("query_id") +:
-        (0 until m).map(mm => distTable(mm).as(s"t$mm"))): _*)
-    val adc = (0 until m)
-      .map(mm => element_at(col(s"t$mm"), col("code").getItem(mm) + 1))
-      .reduce(_ + _)
+        (0 until m).map(mm => pqDistTable(col("qv"), codebook, mm).as(s"t$mm"))): _*)
     topKFinish(
       encoded.join(broadcast(q), col("query_id") =!= col("vec_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (-adc).cast("double").as("cosine")),
+          (-adcOf(m)).cast("double").as("cosine")),
+      k)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("cosine")).cast("long").as("adc_dist"), col("rn"))
+  }
+
+  /** IVF-PQ (the FAISS IVFPQ configuration): probe the nProbe nearest
+    * inverted lists, then ADC-score ONLY the probed lists' codes — the
+    * two approximations compose, so per query the scan touches
+    * ~nProbe/k of the corpus and each candidate costs M table lookups
+    * instead of a vector dot. The probe join keys on the cluster id
+    * (broadcast query side); the original vectors are never read past
+    * encoding time. */
+  def annIvfPqTopK(indexed: DataFrame, cents: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int, codebook: Array[Array[Array[Long]]]): DataFrame = {
+    val m = codebook.length
+    val encoded = indexed.select(col("vec_id"), col("cluster"),
+      pqCodes(col("qv"), codebook).as("code"))
+    val q = ivfProbes(cents, queries, nProbe).select(
+      (col("query_id") +: col("cluster") +:
+        (0 until m).map(mm => pqDistTable(col("qqv"), codebook, mm).as(s"t$mm"))): _*)
+    topKFinish(
+      encoded.join(broadcast(q), Seq("cluster"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (-adcOf(m)).cast("double").as("cosine")),
       k)
       .select(col("query_id"), col("neighbor_id"),
         (-col("cosine")).cast("long").as("adc_dist"), col("rn"))

@@ -761,10 +761,23 @@ object LlmQueries {
       corpus, corpus.filter(col("vec_id") < 20), k = 10, cb)
   }
 
+  /** IVF-PQ: the probe-then-ADC composition — ~nProbe/k of the corpus
+    * scanned per query, M table lookups per candidate. Rows-only;
+    * recall spec'd on planted duplicates. */
+  val annIvfPq: Q = Q.rowsOnly("q75_ann_ivfpq") { (s, dir) =>
+    val corpus = quantized(s, dir)
+    val (indexed, cents) =
+      graft.operators.Similarity.kmeansIndex(corpus, k = 8, iters = 2)
+    val cb = graft.operators.Similarity.pqTrain(corpus)
+    graft.operators.Similarity.annIvfPqTopK(
+      indexed, cents, corpus.filter(col("vec_id") < 20), k = 10,
+      nProbe = 2, cb)
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, fingerprintQ, ngramJaccard,
     minhashLsh, minhashLshOracle, simhash, simhashOracle, embeddingNeardup,
     embeddingNeardupLsh, signLshOracle, knnCosine, annLsh, annIvf, binaryMeta,
     multimodalDecode, winnow, winnowOracle, dedupResolve, multimodalNeardup,
     qualityFilter, repetition, embeddingDedup, bm25, tfidf, bigramLm,
-    chunkDedup, semdedupQ, annPq)
+    chunkDedup, semdedupQ, annPq, annIvfPq)
 }

@@ -306,7 +306,88 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** The round-5 assembly line as ONE composed plan — chunk-level
+    * dedup with reassembly → self-trained bigram-LM quality gate
+    * (drop avg_nll > 3.45, i.e. the least-plausible tail) → train
+    * split → token-granularity 512-token sequence packing. The v2
+    * counterpart of q62: that pipeline gates and packs whole
+    * documents; this one REWRITES them (dedup reassembly) and scores
+    * the rewritten text with a model trained on the pipeline's own
+    * survivor corpus — every stage still deterministic, so the whole
+    * chain oracles end-to-end. One Catalyst tree up to the prefix
+    * sum's range exchange; the LM's count-rejoin keys on bigrams and
+    * the quality join on doc_id. */
+  val corpusPipelineV2: Q = Q(
+    "q74_corpus_pipeline_v2",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 1),
+      |c AS (SELECT doc_id, i AS chunk_idx, array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS chunk
+      |      FROM w, unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS t(i)),
+      |win AS (SELECT chunk, doc_id AS wd, chunk_idx AS wi FROM (
+      |          SELECT chunk, doc_id, chunk_idx,
+      |                 row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+      |          FROM c) t WHERE rn = 1),
+      |f AS (SELECT c.doc_id, c.chunk_idx, c.chunk,
+      |             (c.doc_id = win.wd AND c.chunk_idx = win.wi) AS is_kept
+      |      FROM c JOIN win USING (chunk)),
+      |dd AS (SELECT doc_id, count(*) AS total_chunks,
+      |              CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+      |              coalesce(array_to_string(list_transform(
+      |                list_sort(list(struct_pack(chunk_idx := chunk_idx, chunk := chunk))
+      |                          FILTER (WHERE is_kept)),
+      |                x -> x.chunk), ' '), '') AS dedup_text
+      |       FROM f GROUP BY doc_id),
+      |kept AS (SELECT doc_id, dedup_text, string_split(dedup_text, ' ') AS ws2
+      |         FROM dd WHERE kept_chunks * 2 >= total_chunks AND dedup_text <> ''),
+      |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+      |         SELECT doc_id, unnest(list_transform(range(1, len(ws2)),
+      |                i -> struct_pack(w1 := ws2[i], w2 := ws2[i+1]))) AS b
+      |         FROM kept WHERE len(ws2) >= 2) t),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+      |v AS (SELECT count(DISTINCT term) AS v FROM (SELECT unnest(ws2) AS term FROM kept) t),
+      |m AS (SELECT w1, w2,
+      |        CAST(round(-ln(CAST(c2 + 1 AS DOUBLE) / (c1 + v)) * 1000000.0) AS BIGINT) AS nll_q
+      |      FROM c2 JOIN c1 USING (w1) CROSS JOIN v),
+      |scored AS (SELECT doc_id,
+      |                  CAST(sum(nll_q) AS DOUBLE) / count(*) / 1000000.0 AS avg_nll
+      |           FROM bg JOIN m USING (w1, w2) GROUP BY doc_id),
+      |quality AS (SELECT s.doc_id, k.ws2 FROM scored s JOIN kept k USING (doc_id)
+      |            WHERE s.avg_nll <= 3.45),
+      |train AS (SELECT doc_id, CAST(len(ws2) AS BIGINT) AS n_tok FROM quality
+      |          WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |                AS BIGINT) % 100 < 80),
+      |cum AS (SELECT doc_id, n_tok,
+      |             CAST(sum(n_tok) OVER (ORDER BY doc_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                  AS BIGINT) AS cum_tok
+      |        FROM train WHERE n_tok > 0),
+      |e AS (SELECT doc_id, n_tok, cum_tok,
+      |             unnest(range((cum_tok - n_tok) // 512, (cum_tok - 1) // 512 + 1)) AS seq_id
+      |      FROM cum)
+      |SELECT doc_id, n_tok, cum_tok, seq_id,
+      |       greatest(cum_tok - n_tok, seq_id * 512) - seq_id * 512 AS "offset",
+      |       least(cum_tok, (seq_id + 1) * 512)
+      |         - greatest(cum_tok - n_tok, seq_id * 512) AS n_tok_in_seq
+      |FROM e""".stripMargin
+  ) { (s, dir) =>
+    import graft.operators.{Dedup, LangModel}
+    val kept = Dedup.chunkDedup(t(s, dir, "documents"), "text", "doc_id")
+      .filter(col("kept_chunks") * 2 >= col("total_chunks") &&
+        length(col("dedup_text")) > 0)
+      .withColumn("n_tok", size(T.words(col("dedup_text"))).cast(LongType))
+    val qualityIds = LangModel
+      .bigramNll(kept.select(col("doc_id"), col("dedup_text").as("text")))
+      .filter(col("avg_nll") <= 3.45)
+      .select("doc_id")
+    val train = kept.join(qualityIds, "doc_id")
+      .filter(Sampling.splitColumn(col("doc_id")) === "train")
+    Sharding.packSequences(train.select("doc_id", "n_tok"),
+      Seq(col("doc_id")), "n_tok", seqLen = 512L)
+      .select("doc_id", "n_tok", "cum_tok", "seq_id", "offset", "n_tok_in_seq")
+  }
+
   val all: Seq[Q] =
     Seq(decontaminate, hashSplit, mixtureSample, shardPack, domainQuota,
-      corpusPipeline, groupSample, seqPack, redact, vocabTop)
+      corpusPipeline, groupSample, seqPack, redact, vocabTop, corpusPipelineV2)
 }

@@ -492,6 +492,27 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(top1 == again, "PQ ranking not deterministic")
   }
 
+  test("IVF-PQ finds planted duplicates through probe + ADC composition") {
+    import graft.operators.Similarity
+    val base = graft.sources.Tables.load(spark, sf, "embeddings")
+    val corpus = Similarity.quantize(base, "embedding", "vec_id")
+    val (indexed, cents) = Similarity.kmeansIndex(corpus, k = 8, iters = 2)
+    val cb = Similarity.pqTrain(corpus)
+    // exact copies: the copy's top cosine centroid IS the base's
+    // assigned cluster, so nProbe>=1 probes it; ADC then ranks the
+    // base first (its codes minimize the copy's tables)
+    val planted = Similarity.quantize(
+      base.filter(col("vec_id") < 30)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")),
+      "embedding", "vec_id")
+    val top1 = Similarity.annIvfPqTopK(indexed, cents, planted, k = 1,
+        nProbe = 2, cb)
+      .filter(col("rn") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0 until 30).count(i => top1.get(i + 100000L).contains(i.toLong))
+    assert(hits >= 27, s"IVF-PQ planted-dup recall $hits/30")
+  }
+
   test("fused fingerprintPair == declarative fingerprint/bagFingerprint (all docs + edges)") {
     import spark.implicits._
     import graft.functions.{TextFunctions => T}
