@@ -450,6 +450,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed heavy hitters: bounded counters, true top-k, eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val q = graft.streaming.HeavyHitters.windowedTopK(
+        ms.toDS().toDF("ts", "etype"),
+        "ts", "etype", windowMillis = 3600000L, graceMillis = 3600000L,
+        capacity = 8, k = 2)
+      .writeStream.format("memory").queryName("hh_t")
+      .outputMode("update").start()
+    try {
+      val base = ts("2024-01-01 10:00:00").getTime
+      // skewed stream: a×50, b×30, 20 singleton keys — 22 distinct keys
+      // against 8 counters forces Misra-Gries decrements
+      val data = (0 until 50).map(i => (new Timestamp(base + i), "a")) ++
+        (0 until 30).map(i => (new Timestamp(base + 1000 + i), "b")) ++
+        (0 until 20).map(i => (new Timestamp(base + 2000 + i), s"z$i"))
+      ms.addData(data: _*)
+      q.processAllAvailable()
+      val rows = spark.table("hh_t").collect()
+        .map(r => (r.getInt(4), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      assert(rows.map(_._2).toSeq == Seq("a", "b"), s"top-2 wrong: ${rows.toSeq}")
+      // MG bound: est ≤ true ≤ est + decrements
+      val byKey = rows.map(r => r._2 -> (r._3, r._4)).toMap
+      assert(byKey("a")._1 <= 50 && byKey("a")._1 + byKey("a")._2 >= 50)
+      assert(byKey("b")._1 <= 30 && byKey("b")._1 + byKey("b")._2 >= 30)
+      // state stays bounded: one window × ≤8 counters = 1 state row
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 1)
+      // advance the watermark beyond window end + grace → eviction
+      ms.addData((new Timestamp(base + 4 * 3600000L), "late"))
+      q.processAllAvailable()
+      ms.addData((new Timestamp(base + 5 * 3600000L), "later"))
+      q.processAllAvailable()
+      assert(spark.table("hh_t").select("windowStart").distinct().count() >= 2)
+      val totals = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(totals <= 2, s"evicted windows still in state: $totals rows")
+    } finally q.stop()
+  }
+
   test("UserPrefs JSON round-trip (serde fidelity)") {
     import spark.implicits._
     val prefs = Seq(UserPrefs("u1", Seq("Assam", "Delhi"), subscribed = true))
