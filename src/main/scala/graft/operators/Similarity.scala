@@ -83,6 +83,39 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** ANN top-k on the engine-portable hyperplane family — [[annTopK]]'s
+    * exactly-checkable twin: one `nBits`-bit sign bucket per vector,
+    * queries multi-probe their bucket plus every Hamming-1 neighbor
+    * (deterministic XOR flips), exact integer-cosine re-rank of the
+    * probed candidates. The whole probe + re-rank machinery oracles
+    * hash-exact against DuckDB (row_number ⇔ the bounded top-k
+    * aggregate, ties cosine-desc/neighbor-asc on bit-identical
+    * cosines); only RECALL stays probabilistic and stays spec'd on
+    * q32's production path. */
+  def portableSignLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nBits: Int = 8, dims: Int = 64): DataFrame = {
+    val planes = V.portablePlanes(nBits, dims)
+    def proj(p: Int) = aggregate(
+      zip_with(col("qv"), typedLit(planes(p)), (x, c) => x * c),
+      lit(0L), (acc, x) => acc + x)
+    val bucketOf = (0 until nBits)
+      .map(p => when(proj(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val bucketed = corpus.withColumn("bucket", bucketOf)
+    val probes = array((lit(0L) +: (0 until nBits).map(b => lit(1L << b))): _*)
+    val q = queries.withColumn("bucket", bucketOf)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("nsq").as("qnsq"),
+        explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("bucket"))
+    topKFinish(
+      bucketed.join(broadcast(q), Seq("bucket"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          V.cosineFrom(dotQFast(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
+            .as("cosine")),
+      k)
+  }
+
   /** Near-dup pairs at scale: sign-bit LSH bucket candidates
     * (multi-probe — each vector also probes every bucket one bit-flip
     * away, so pairs within Hamming distance 1 collide), exact cosine

@@ -774,10 +774,105 @@ object LlmQueries {
       nProbe = 2, cb)
   }
 
+  /** The ANN top-k machinery exactly oracled (q64's technique, probe
+    * side): one 8-bit portable sign bucket per vector, queries probe
+    * their bucket plus all Hamming-1 flips, exact cosine re-rank to
+    * top-10. Proves bucket assignment, multi-probe expansion, and the
+    * bounded top-k aggregate's ranking (ties cosine-desc/neighbor-asc)
+    * against DuckDB's row_number; q32 stays the production path. */
+  val annTopKOracle: Q = {
+    val planes = V.portablePlanes(8, 64)
+    val vals = planes.zipWithIndex
+      .map { case (c, p) => s"($p, ${c.mkString("[", ", ", "]")})" }
+      .mkString(",\n      |      ")
+    Q(
+      "q76_ann_topk_oracle",
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, qv,
+        |        CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS BIGINT) AS nsq
+        |      FROM q),
+        |pl(plane, c) AS (VALUES
+        |      $vals),
+        |proj AS (SELECT vec_id, plane,
+        |           CASE WHEN list_sum(list_transform(range(1, 65), i -> qv[i] * c[i])) >= 0
+        |                THEN CAST(1 AS BIGINT) << plane ELSE 0 END AS bit
+        |         FROM n CROSS JOIN pl),
+        |bk AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket FROM proj GROUP BY 1),
+        |qp AS (SELECT b.vec_id AS query_id, xor(b.bucket, m.m) AS bucket
+        |       FROM bk b, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m) m
+        |       WHERE b.vec_id < 20),
+        |s AS (SELECT qp.query_id, c.vec_id AS neighbor_id,
+        |        CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * x.qv[i])) AS BIGINT) AS DOUBLE)
+        |          / (sqrt(a.nsq) * sqrt(x.nsq)) AS cosine
+        |      FROM qp JOIN bk c USING (bucket)
+        |           JOIN n a ON qp.query_id = a.vec_id
+        |           JOIN n x ON c.vec_id = x.vec_id
+        |      WHERE qp.query_id <> c.vec_id)
+        |SELECT query_id, neighbor_id, cosine, rn FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM s) t
+        |WHERE rn <= 10""".stripMargin
+    ) { (s, dir) =>
+      val corpus = quantized(s, dir)
+      graft.operators.Similarity.portableSignLshTopK(
+        corpus, corpus.filter(col("vec_id") < 20), k = 10)
+    }
+  }
+
+  /** The embedding-dedup pipeline end-to-end, exactly oracled: q64's
+    * portable sign-LSH candidate+verify pairs fed through connected-
+    * component resolution (q44's recursive-CTE closure) — the full
+    * candidate → verify → resolve chain of q49, hash-checked. q49
+    * stays the production composition (XXH planes + multi-probe). */
+  val embeddingDedupOracle: Q = {
+    val planes = V.portablePlanes(16, 64)
+    val vals = planes.zipWithIndex
+      .map { case (c, p) => s"($p, ${c.mkString("[", ", ", "]")})" }
+      .mkString(",\n      |      ")
+    Q(
+      "q77_embedding_dedup_oracle",
+      s"""WITH RECURSIVE q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, qv,
+        |        CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS BIGINT) AS nsq
+        |      FROM q),
+        |pl(plane, c) AS (VALUES
+        |      $vals),
+        |proj AS (SELECT vec_id, plane,
+        |           CASE WHEN list_sum(list_transform(range(1, 65), i -> qv[i] * c[i])) >= 0
+        |                THEN CAST(1 AS BIGINT) << (plane % 4) ELSE 0 END AS bit
+        |         FROM n CROSS JOIN pl),
+        |k AS (SELECT vec_id, plane // 4 AS band, CAST(sum(bit) AS BIGINT) AS key
+        |      FROM proj GROUP BY 1, 2),
+        |c AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |      FROM k x JOIN k y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+        |v AS (SELECT vec_a, vec_b,
+        |        CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS DOUBLE)
+        |          / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
+        |      FROM c JOIN n a ON c.vec_a = a.vec_id JOIN n b ON c.vec_b = b.vec_id),
+        |jp AS (SELECT vec_a, vec_b FROM v WHERE cosine >= 0.4),
+        |e AS (SELECT vec_a AS a, vec_b AS b FROM jp
+        |      UNION SELECT vec_b, vec_a FROM jp),
+        |reach AS (
+        |  SELECT a AS id, b AS r FROM e
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a)
+        |SELECT id AS doc_id, least(id, min(r)) AS canonical_id
+        |FROM reach GROUP BY id""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Dedup.resolve(
+        graft.operators.Similarity.portableSignLshPairs(quantized(s, dir), 0.4)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    }
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, fingerprintQ, ngramJaccard,
     minhashLsh, minhashLshOracle, simhash, simhashOracle, embeddingNeardup,
     embeddingNeardupLsh, signLshOracle, knnCosine, annLsh, annIvf, binaryMeta,
     multimodalDecode, winnow, winnowOracle, dedupResolve, multimodalNeardup,
     qualityFilter, repetition, embeddingDedup, bm25, tfidf, bigramLm,
-    chunkDedup, semdedupQ, annPq, annIvfPq)
+    chunkDedup, semdedupQ, annPq, annIvfPq, annTopKOracle,
+    embeddingDedupOracle)
 }
