@@ -52,10 +52,15 @@ object TextFunctions {
     * must stay in the regex subset common to Java and RE2 (char
     * classes, quantifiers — no backrefs/lookaround) so the operation
     * reproduces identically outside Spark; count and rewrite are two
-    * scans of the same codegen'd builtin, no UDF. */
+    * scans of the same codegen'd builtin, no UDF. The token is
+    * inserted literally: Java replacement metacharacters ($, \) are
+    * quoted, where RE2 engines would already treat them literally —
+    * without the quoting a token like "<$>" throws in Spark and
+    * diverges cross-engine. */
   def redact(c: Column, pattern: String, token: String): Column =
     struct(
-      regexp_replace(c, pattern, token).as("redacted"),
+      regexp_replace(c, pattern,
+        java.util.regex.Matcher.quoteReplacement(token)).as("redacted"),
       regexp_count(c, lit(pattern)).cast("long").as("n_redacted"))
 
   /** Both fingerprints from ONE scan of the text: struct(fp, bag_fp).

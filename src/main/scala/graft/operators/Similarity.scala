@@ -55,16 +55,27 @@ object Similarity {
     * XXH-derived planes and multi-probe (better recall per scan);
     * parameters here are sized for the test corpus — at 100 TB the
     * band width grows with log2(n) exactly like production's. */
+  /** Projection of the `qv` column onto portable plane `p`: exact
+    * integer sum of ±components — shared by both portable sign-LSH
+    * twins so the projection (and its committed oracle literals) has
+    * one definition. */
+  private def planeProj(planes: Array[Array[Long]])(p: Int): Column =
+    aggregate(
+      zip_with(col("qv"), typedLit(planes(p)), (x, c) => x * c),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Sign bits of `n` consecutive planes starting at `base`, packed
+    * little-endian (bit r set iff the projection is ≥ 0). */
+  private def signBits(planes: Array[Array[Long]], base: Int, n: Int): Column =
+    (0 until n)
+      .map(r => when(planeProj(planes)(base + r) >= 0, lit(1L << r))
+        .otherwise(lit(0L)))
+      .reduce(_ + _)
+
   def portableSignLshPairs(corpus: DataFrame, threshold: Double,
       nBands: Int = 4, bandBits: Int = 4, dims: Int = 64): DataFrame = {
     val planes = V.portablePlanes(nBands * bandBits, dims)
-    // projection of qv onto plane p: exact integer sum of ±components
-    def proj(p: Int) = aggregate(
-      zip_with(col("qv"), typedLit(planes(p)), (x, c) => x * c),
-      lit(0L), (acc, x) => acc + x)
-    def bandKey(b: Int) = (0 until bandBits)
-      .map(r => when(proj(b * bandBits + r) >= 0, lit(1L << r)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    def bandKey(b: Int) = signBits(planes, b * bandBits, bandBits)
     val bandCols = (0 until nBands).map(b =>
       struct(lit(b).as("band"), bandKey(b).as("key")))
     val bk = corpus
@@ -95,12 +106,7 @@ object Similarity {
   def portableSignLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nBits: Int = 8, dims: Int = 64): DataFrame = {
     val planes = V.portablePlanes(nBits, dims)
-    def proj(p: Int) = aggregate(
-      zip_with(col("qv"), typedLit(planes(p)), (x, c) => x * c),
-      lit(0L), (acc, x) => acc + x)
-    val bucketOf = (0 until nBits)
-      .map(p => when(proj(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    val bucketOf = signBits(planes, 0, nBits)
     val bucketed = corpus.withColumn("bucket", bucketOf)
     val probes = array((lit(0L) +: (0 until nBits).map(b => lit(1L << b))): _*)
     val q = queries.withColumn("bucket", bucketOf)
@@ -344,20 +350,31 @@ object Similarity {
     }
   }
 
+  /** Per-subspace query-to-centroid L2 table for ADC: K exact integer
+    * distances from `qv`'s mm-th subvector to every centroid. */
+  private def pqDistTable(qv: Column, codebook: Array[Array[Array[Long]]],
+      mm: Int): Column = {
+    val dsub = codebook(0)(0).length
+    val sub = slice(qv, mm * dsub + 1, dsub)
+    array(codebook(mm).map(cent =>
+      aggregate(zip_with(sub, typedLit(cent), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)): _*)
+  }
+
   /** PQ code column: per-subspace index of the L2-nearest codebook
     * centroid (first-minimum tie-break via array_position). The
     * codebook rides as literals — no join, pure projection over the
     * corpus scan. */
-  private def pqCodes(qv: Column, codebook: Array[Array[Array[Long]]]): Column = {
-    val dsub = codebook(0)(0).length
+  private def pqCodes(qv: Column, codebook: Array[Array[Array[Long]]]): Column =
     array(codebook.indices.map { mm =>
-      val sub = slice(qv, mm * dsub + 1, dsub)
-      val dists = array(codebook(mm).map(cent =>
-        aggregate(zip_with(sub, typedLit(cent), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, x) => acc + x)): _*)
+      val dists = pqDistTable(qv, codebook, mm)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }: _*)
-  }
+
+  /** ADC score: sum of the M per-subspace table lookups for a code. */
+  private def adcOf(m: Int): Column = (0 until m)
+    .map(mm => element_at(col(s"t$mm"), col("code").getItem(mm) + 1))
+    .reduce(_ + _)
 
   /** PQ approximate top-k via asymmetric distance computation: the
     * corpus is one-pass encoded to M small codes; each query
@@ -372,22 +389,6 @@ object Similarity {
     * from quantizing the CORPUS side of each distance. Ranked
     * ascending by ADC distance via the bounded top-k aggregate
     * (map-side partial, ≤k rows per query per task). */
-  /** Per-subspace query-to-centroid L2 table for ADC: K exact integer
-    * distances from `qv`'s mm-th subvector to every centroid. */
-  private def pqDistTable(qv: Column, codebook: Array[Array[Array[Long]]],
-      mm: Int): Column = {
-    val dsub = codebook(0)(0).length
-    val sub = slice(qv, mm * dsub + 1, dsub)
-    array(codebook(mm).map(cent =>
-      aggregate(zip_with(sub, typedLit(cent), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x)): _*)
-  }
-
-  /** ADC score: sum of the M per-subspace table lookups for a code. */
-  private def adcOf(m: Int): Column = (0 until m)
-    .map(mm => element_at(col(s"t$mm"), col("code").getItem(mm) + 1))
-    .reduce(_ + _)
-
   def annPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       codebook: Array[Array[Array[Long]]]): DataFrame = {
     val m = codebook.length

@@ -20,14 +20,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * start, `EventTimeTimeout` eviction once the watermark passes the
   * window's grace period (ST3/ST4 semantics like NewsDedup) — state
   * is O(windows × capacity), partitioned by window, no global
-  * structure. Each micro-batch re-emits the window's current top-k
-  * (update-mode semantics: downstream upserts by (window, rank)).
+  * structure. Each micro-batch re-emits the window's current top-k as
+  * EXACTLY k rows — ranks past the live counter set carry a null key
+  * (estCount 0) — so a downstream upsert by (window, rank) always
+  * overwrites a rank whose previous holder fell out of the summary
+  * (Misra-Gries decrements can shrink the counter set between
+  * batches; without the tombstones a stale rank row would survive
+  * forever).
   */
 object HeavyHitters {
 
   /** One emitted ranking row. `estCount` underestimates by at most
     * `maxErr` (the summary's decrement total): estCount ≤ true ≤
-    * estCount + maxErr. */
+    * estCount + maxErr. A null `key` is a rank tombstone: fewer than
+    * `rn` keys are currently tracked for this window. */
   case class HitRow(windowStart: Timestamp, key: String, estCount: Long,
       maxErr: Long, rn: Int)
 
@@ -84,13 +90,15 @@ object HeavyHitters {
       }
       gs.update(st)
       gs.setTimeoutTimestamp(ws.getTime + windowMillis + graceMillis)
-      st.counters.toSeq
+      val top = st.counters.toSeq
         .sortBy { case (kk, c) => (-c, kk) }
         .take(k)
         .zipWithIndex
-        .map { case ((kk, c), i) =>
-          HitRow(ws, kk, c, st.decrements, i + 1) }
-        .iterator
+        .map { case ((kk, c), i) => HitRow(ws, kk, c, st.decrements, i + 1) }
+      // pad to exactly k rows: a rank whose holder fell out of the
+      // summary must be overwritten downstream, not left stale
+      (top ++ (top.length until k).map(i =>
+        HitRow(ws, null, 0L, st.decrements, i + 1))).iterator
     }
   }
 }

@@ -479,10 +479,21 @@ class StreamingSpec extends SparkSpec {
       assert(byKey("b")._1 <= 30 && byKey("b")._1 + byKey("b")._2 >= 30)
       // state stays bounded: one window × ≤8 counters = 1 state row
       assert(q.lastProgress.stateOperators.head.numRowsTotal == 1)
+      // a rank whose holder falls out of the summary is tombstoned,
+      // not left stale: the batch always emits exactly k rows per
+      // touched window (null key past the live counter set)
+      val win2 = new Timestamp(base + 2 * 3600000L)
+      ms.addData((win2, "p"))
+      q.processAllAvailable()
+      val w2rows = spark.table("hh_t")
+        .filter(col("windowStart") === win2).collect()
+        .map(r => r.getInt(4) -> (if (r.isNullAt(1)) null else r.getString(1)))
+        .toMap
+      assert(w2rows == Map(1 -> "p", 2 -> null), s"tombstone missing: $w2rows")
       // advance the watermark beyond window end + grace → eviction
       ms.addData((new Timestamp(base + 4 * 3600000L), "late"))
       q.processAllAvailable()
-      ms.addData((new Timestamp(base + 5 * 3600000L), "later"))
+      ms.addData((new Timestamp(base + 6 * 3600000L), "later"))
       q.processAllAvailable()
       assert(spark.table("hh_t").select("windowStart").distinct().count() >= 2)
       val totals = q.lastProgress.stateOperators.head.numRowsTotal
