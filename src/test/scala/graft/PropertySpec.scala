@@ -81,4 +81,61 @@ class PropertySpec extends SparkSpec {
       windowed == expected
     }, runs = 8)
   }
+
+  // --- round-5 training-pipeline operators vs brute-force references ---
+
+  private val corpusGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.chooseNum(1, 12)
+    texts <- Gen.listOfN(n,
+      Gen.chooseNum(0, 9).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))))
+  } yield texts.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+
+  test("chunkDedup == brute-force first-occurrence reference on random corpora") {
+    import spark.implicits._
+    check(Prop.forAll(corpusGen) { corpus =>
+      val cw = 2
+      val got = graft.operators.Dedup
+        .chunkDedup(corpus.toDF("doc_id", "text"), "text", "doc_id", chunkWords = cw)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      // reference: scan docs in id order, keep a chunk iff its text is
+      // globally unseen (within-doc repeats count as seen too)
+      val seen = scala.collection.mutable.Set[String]()
+      val exp = corpus.map { case (id, text) =>
+        val chunks = text.split(" ", -1).grouped(cw).map(_.mkString(" ")).toList
+        val kept = chunks.filter(c => seen.add(c))
+        id -> ((chunks.length.toLong, kept.length.toLong, kept.mkString(" ")))
+      }.toMap
+      got == exp
+    }, runs = 8)
+  }
+
+  test("packSequences partitions every doc and fills every non-tail sequence") {
+    import spark.implicits._
+    val tokGen = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 23L)))
+    check(Prop.forAll(tokGen) { toks =>
+      val l = 7L
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "n_tok")
+      val rows = graft.operators.Sharding
+        .packSequences(df, Seq(org.apache.spark.sql.functions.col("doc_id")),
+          "n_tok", seqLen = l)
+        .select("doc_id", "n_tok", "seq_id", "offset", "n_tok_in_seq")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val total = toks.sum
+      val bySeq = rows.groupBy(_._3).view.mapValues(_.map(_._5).sum).toMap
+      val seqOk = total == 0L || bySeq.forall { case (s, tok) =>
+        if (s < (total - 1) / l) tok == l else tok == total - l * s
+      }
+      val docOk = rows.groupBy(_._1).forall { case (_, rs) =>
+        rs.map(_._5).sum == rs.head._2 && rs.map(_._5).forall(_ > 0)
+      }
+      val zeroDropped = rows.forall(_._2 > 0)
+      seqOk && docOk && zeroDropped
+    }, runs = 8)
+  }
 }
