@@ -44,9 +44,12 @@ object Dedup {
     * no global or per-doc window. At 100 TB hash the chunk text to a
     * 16-byte digest for the shuffle key; the text itself only needs to
     * ride to the winner join's probe side. */
-  def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
-      chunkWords: Int = 8): DataFrame = {
-    val chunks = docs
+  /** (doc_id, chunk_idx, chunk) projection: fixed `chunkWords`-word
+    * chunks in document order — shared by [[chunkDedup]] and the
+    * incremental store-backed form. */
+  def chunked(docs: DataFrame, textCol: String, idCol: String,
+      chunkWords: Int): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), T.words(col(textCol)).as("ws"))
       .filter(size(col("ws")) >= 1)
       .select(col("doc_id"),
@@ -58,6 +61,10 @@ object Dedup {
               lit(chunkWords))).as("chunk")))).as("c"))
       .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
         col("c.chunk").as("chunk"))
+
+  def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
+      chunkWords: Int = 8): DataFrame = {
+    val chunks = chunked(docs, textCol, idCol, chunkWords)
     val winners = chunks.groupBy("chunk")
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
     chunks.join(winners, Seq("chunk"))

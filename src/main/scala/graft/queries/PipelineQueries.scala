@@ -371,6 +371,16 @@ object PipelineQueries {
       |         - greatest(cum_tok - n_tok, seq_id * 512) AS n_tok_in_seq
       |FROM e""".stripMargin
   ) { (s, dir) =>
+    Sharding.packSequences(corpusV2Train(s, dir).select("doc_id", "n_tok"),
+      Seq(col("doc_id")), "n_tok", seqLen = 512L)
+      .select("doc_id", "n_tok", "cum_tok", "seq_id", "offset", "n_tok_in_seq")
+  }
+
+  /** q74's declarative prefix (everything before the prefix-sum's RDD
+    * boundary), exposed like q62's [[corpusMixed]] so PlanSpec can
+    * assert its shape (the packSequences tail plans as a scan of the
+    * eagerly-built RDD and hides this subtree). */
+  private[graft] def corpusV2Train(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Dedup, LangModel}
     val kept = Dedup.chunkDedup(t(s, dir, "documents"), "text", "doc_id")
       .filter(col("kept_chunks") * 2 >= col("total_chunks") &&
@@ -380,11 +390,8 @@ object PipelineQueries {
       .bigramNll(kept.select(col("doc_id"), col("dedup_text").as("text")))
       .filter(col("avg_nll") <= 3.45)
       .select("doc_id")
-    val train = kept.join(qualityIds, "doc_id")
+    kept.join(qualityIds, "doc_id")
       .filter(Sampling.splitColumn(col("doc_id")) === "train")
-    Sharding.packSequences(train.select("doc_id", "n_tok"),
-      Seq(col("doc_id")), "n_tok", seqLen = 512L)
-      .select("doc_id", "n_tok", "cum_tok", "seq_id", "offset", "n_tok_in_seq")
   }
 
   val all: Seq[Q] =

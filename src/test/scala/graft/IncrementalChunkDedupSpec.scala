@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.IncrementalChunkDedup
+
+/** Incremental chunk-level dedup: in-batch cross-doc chunk removal,
+  * "seen EVER" rejection across batches AND restarts via the durable
+  * digest store, document reassembly, replay idempotency. */
+class IncrementalChunkDedupSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private val t1 = Timestamp.valueOf("2020-04-08 00:00:00")
+  private val t2 = Timestamp.valueOf("2020-04-08 06:00:00")
+
+  private def collect(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "total_chunks", "kept_chunks", "dedup_text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+
+  test("batch steps: cross-doc + cross-batch chunk dedup with reassembly") {
+    import spark.implicits._
+    val store = tmp("chunkstore")
+    // chunkWords=2: doc 1 = [p q][r s]; doc 2 repeats [p q] and adds [x y]
+    val b1 = Seq((1L, "p q r s", t1), (2L, "p q x y", t1))
+      .toDF("doc_id", "text", "ts")
+    val out1 = collect(IncrementalChunkDedup.dedupBatch(
+      b1, "doc_id", "text", "ts", store, chunkWords = 2))
+    assert(out1(1L) == ((2L, 2L, "p q r s")))
+    assert(out1(2L) == ((2L, 1L, "x y")))
+    // next batch: [r s] and [x y] already in history; [z z] is novel
+    val b2 = Seq((3L, "r s z z x y", t2)).toDF("doc_id", "text", "ts")
+    val out2 = collect(IncrementalChunkDedup.dedupBatch(
+      b2, "doc_id", "text", "ts", store, chunkWords = 2))
+    assert(out2(3L) == ((3L, 1L, "z z")))
+    // replayed batch (crash between upsert and commit): identical output
+    val replay = collect(IncrementalChunkDedup.dedupBatch(
+      b2, "doc_id", "text", "ts", store, chunkWords = 2))
+    assert(replay == out2, s"replay diverged: $replay vs $out2")
+    // a LATER doc with the replayed chunk is still rejected
+    val b3 = Seq((4L, "z z", t2)).toDF("doc_id", "text", "ts")
+    assert(collect(IncrementalChunkDedup.dedupBatch(
+      b3, "doc_id", "text", "ts", store, chunkWords = 2))(4L) == ((1L, 0L, "")))
+  }
+
+  test("streaming: chunk history survives a restart (durable store, no replay)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = tmp("chunkstore-s")
+    val ckpt = tmp("chunkstore-ckpt")
+    val byBatch = scala.collection.mutable.Map[Long, Map[Long, String]]()
+
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    def start() = IncrementalChunkDedup.run(
+      ms.toDS().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", store, chunkWords = 2, Some(ckpt)) { (out, bid) =>
+      byBatch(bid) = out.select("doc_id", "dedup_text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+
+    val q1 = start()
+    try {
+      ms.addData((1L, "a b c d", t1))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(byBatch.values.flatten.toMap == Map(1L -> "a b c d"))
+
+    // restart: engine state is gone; the durable store still holds
+    // [a b] and [c d]
+    val q2 = start()
+    try {
+      ms.addData((2L, "c d e f a b", t2))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val all = byBatch.values.flatten.toMap
+    assert(all == Map(1L -> "a b c d", 2L -> "e f"), s"got $all")
+  }
+}

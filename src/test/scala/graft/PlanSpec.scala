@@ -241,6 +241,17 @@ class PlanSpec extends SparkSpec {
       "q71 fell back to a single-task global window for the prefix sum")
   }
 
+  test("q74: the composed v2 prefix never degenerates to a cross product") {
+    // the packSequences tail hides the tree behind its RDD boundary —
+    // audit the declarative prefix, like q62's corpusMixed test
+    val p = graft.queries.PipelineQueries.corpusV2Train(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), "v2 pipeline planned a cartesian join")
+    // the LM's 1-row vocab frame broadcasts into the model projection
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "vocab/stats frame not broadcast")
+  }
+
   test("q67: chunk-dedup winners elect via aggregation, not a per-chunk window") {
     val p = plan("q67_chunk_dedup")
     assert(p.contains("partial_min"), "winner election lacks map-side combine")
