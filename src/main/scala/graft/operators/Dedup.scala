@@ -23,6 +23,28 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dupes"))
 
+  /** (doc_id, [carry…,] chunk_idx, chunk) projection: fixed
+    * `chunkWords`-word chunks in document order — shared by
+    * [[chunkDedup]] and the incremental store-backed form. `carry`
+    * columns ride along unchanged (so a caller never re-joins the
+    * exploded chunk table back to its input just to recover them). A
+    * null text chunks as the empty string — every input document
+    * yields at least one chunk row. */
+  def chunked(docs: DataFrame, textCol: String, idCol: String,
+      chunkWords: Int, carry: Seq[String] = Nil): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id") +: carry.map(col) :+
+        T.words(coalesce(col(textCol), lit(""))).as("ws"): _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        explode(transform(
+          sequence(lit(0), ceil(size(col("ws")) / lit(chunkWords.toDouble))
+            .cast("long") - 1),
+          i => struct(i.as("chunk_idx"),
+            concat_ws(" ", slice(col("ws"), (i * chunkWords + 1).cast("int"),
+              lit(chunkWords))).as("chunk")))).as("c"): _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        col("c.chunk_idx").as("chunk_idx") :+ col("c.chunk").as("chunk"): _*)
+
   /** Chunk-level exact dedup — the repeated-paragraph removal of a
     * C4/RefinedWeb-style cleaning stage, at fixed `chunkWords`-word
     * granularity (the test corpus has no paragraph breaks; on real
@@ -44,24 +66,6 @@ object Dedup {
     * no global or per-doc window. At 100 TB hash the chunk text to a
     * 16-byte digest for the shuffle key; the text itself only needs to
     * ride to the winner join's probe side. */
-  /** (doc_id, chunk_idx, chunk) projection: fixed `chunkWords`-word
-    * chunks in document order — shared by [[chunkDedup]] and the
-    * incremental store-backed form. */
-  def chunked(docs: DataFrame, textCol: String, idCol: String,
-      chunkWords: Int): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"), T.words(col(textCol)).as("ws"))
-      .filter(size(col("ws")) >= 1)
-      .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(0), ceil(size(col("ws")) / lit(chunkWords.toDouble))
-            .cast("long") - 1),
-          i => struct(i.as("chunk_idx"),
-            concat_ws(" ", slice(col("ws"), (i * chunkWords + 1).cast("int"),
-              lit(chunkWords))).as("chunk")))).as("c"))
-      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
-        col("c.chunk").as("chunk"))
-
   def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
       chunkWords: Int = 8): DataFrame = {
     val chunks = chunked(docs, textCol, idCol, chunkWords)

@@ -34,17 +34,26 @@ import graft.state.KeyedStore
 object IncrementalChunkDedup {
 
   /** One batch step (the foreachBatch body, callable in batch jobs
-    * too): returns (doc_id, ts…, total_chunks, kept_chunks,
-    * dedup_text) for every document of `batch`, and upserts the novel
-    * chunk digests. */
+    * too): returns (doc_id, ts, total_chunks, kept_chunks, dedup_text)
+    * for every distinct document of `batch`, and upserts the novel
+    * chunk digests. `idCol` must be non-null (it is the document's
+    * identity); a null text chunks as the empty string, so such
+    * documents still produce an output row rather than vanishing.
+    * At-least-once delivery is safe: rows sharing a doc_id collapse to
+    * the batch's first-wins pick (min (ts, text)) BEFORE chunking —
+    * without this, duplicate rows would multiply through the winner
+    * join and write duplicate digest rows into the durable store. */
   def dedupBatch(batch: DataFrame, idCol: String, textCol: String,
       tsCol: String, storePath: String, chunkWords: Int = 8,
       numBuckets: Int = KeyedStore.DefaultBuckets): DataFrame = {
     val spark = batch.sparkSession
+    val docs = batch
+      .groupBy(col(idCol).as("doc_id"))
+      .agg(min_by(struct(col(textCol).as("text"), col(tsCol).as("ts")),
+        struct(col(tsCol), col(textCol))).as("r"))
+      .select(col("doc_id"), col("r.text").as("text"), col("r.ts").as("ts"))
     val chunks = Dedup
-      .chunked(batch.select(col(idCol), col(textCol), col(tsCol)),
-        textCol, idCol, chunkWords)
-      .join(batch.select(col(idCol).as("doc_id"), col(tsCol).as("ts")), "doc_id")
+      .chunked(docs, "text", "doc_id", chunkWords, carry = Seq("ts"))
       .withColumn("ch", md5(col("chunk")))
     // in-batch winner per digest: min (ts, doc_id, chunk_idx)
     val winners = chunks.groupBy("ch")

@@ -50,6 +50,29 @@ class IncrementalChunkDedupSpec extends SparkSpec {
       b3, "doc_id", "text", "ts", store, chunkWords = 2))(4L) == ((1L, 0L, "")))
   }
 
+  test("at-least-once delivery: duplicate doc rows collapse, store stays clean") {
+    import spark.implicits._
+    val store = tmp("chunkstore-dup")
+    // the same document delivered twice in one batch (at-least-once
+    // source): must behave exactly like a single delivery
+    val b1 = Seq((1L, "p q", t1), (1L, "p q", t1)).toDF("doc_id", "text", "ts")
+    val out1 = collect(IncrementalChunkDedup.dedupBatch(
+      b1, "doc_id", "text", "ts", store, chunkWords = 2))
+    assert(out1 == Map(1L -> ((1L, 1L, "p q"))), s"dup rows multiplied: $out1")
+    // the store holds ONE row for the digest — a later batch sees
+    // correct counts, not join-multiplied ones
+    val b2 = Seq((2L, "p q x y", t1)).toDF("doc_id", "text", "ts")
+    val out2 = collect(IncrementalChunkDedup.dedupBatch(
+      b2, "doc_id", "text", "ts", store, chunkWords = 2))
+    assert(out2 == Map(2L -> ((2L, 1L, "x y"))), s"store corrupted: $out2")
+    // null text still yields an output row (empty reassembly), never
+    // a vanished document
+    val b3 = Seq((3L, null.asInstanceOf[String], t2)).toDF("doc_id", "text", "ts")
+    val out3 = collect(IncrementalChunkDedup.dedupBatch(
+      b3, "doc_id", "text", "ts", store, chunkWords = 2))
+    assert(out3.contains(3L) && out3(3L)._1 == 1L, s"null-text doc lost: $out3")
+  }
+
   test("streaming: chunk history survives a restart (durable store, no replay)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -127,6 +127,9 @@ class PropertySpec extends SparkSpec {
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       val total = toks.sum
+      // guard against vacuous passes: a non-empty token stream must
+      // produce rows (empty forall/groupBy would otherwise all hold)
+      if (total > 0 && rows.isEmpty) throw new AssertionError("no rows packed")
       val bySeq = rows.groupBy(_._3).view.mapValues(_.map(_._5).sum).toMap
       val seqOk = total == 0L || bySeq.forall { case (s, tok) =>
         if (s < (total - 1) / l) tok == l else tok == total - l * s
