@@ -112,6 +112,32 @@ class PropertySpec extends SparkSpec {
     }, runs = 8)
   }
 
+  test("bigramNll == brute-force add-one model on random corpora") {
+    import spark.implicits._
+    check(Prop.forAll(corpusGen) { corpus =>
+      val got = graft.operators.LangModel
+        .bigramNll(corpus.toDF("doc_id", "text"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      // brute-force reference over Scala collections, same quantization
+      val toks = corpus.map { case (id, text) => id -> text.split(" ", -1).toList }
+      val bigrams = toks.flatMap { case (id, ws) =>
+        if (ws.length >= 2) ws.zip(ws.tail).map(id -> _) else Nil
+      }
+      val c2 = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val c1 = bigrams.groupBy(_._2._1).view.mapValues(_.size.toLong).toMap
+      val v = toks.flatMap(_._2).distinct.size.toLong
+      def nllQ(b: (String, String)): Long =
+        math.round(-math.log((c2(b) + 1.0) / (c1(b._1) + v)) * 1000000.0)
+      val exp = bigrams.groupBy(_._1).map { case (id, bs) =>
+        val s = bs.map(b => nllQ(b._2)).sum
+        id -> ((bs.size.toLong, s, s.toDouble / bs.size / 1000000.0))
+      }
+      got == exp
+    }, runs = 8)
+  }
+
   test("packSequences partitions every doc and fills every non-tail sequence") {
     import spark.implicits._
     val tokGen = Gen.chooseNum(1, 8).flatMap(n =>
