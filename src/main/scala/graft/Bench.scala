@@ -28,10 +28,19 @@ object Bench {
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
 
-    // Per-query warmup run, then best-of-two measured runs: at these
-    // scale factors Catalyst analysis + whole-stage-codegen JIT dominates
-    // a cold first execution, and this box's scheduler is noisy — the
-    // minimum steady-state run is what reflects the plan.
+    // Per-query warmup run, then the MEDIAN of `repeats` measured runs:
+    // at these scale factors Catalyst analysis + whole-stage-codegen JIT
+    // dominates a cold first execution, and this box's scheduler is noisy
+    // (two identical-code r5 runs differed 27% total on min-of-two) — the
+    // median of repeated steady-state runs makes round-over-round deltas
+    // signal instead of scheduler luck.
+    val repeats = sys.env.get("SPARK_GRAFT_REPEATS").map(_.toInt).getOrElse(3)
+    require(repeats >= 1, s"SPARK_GRAFT_REPEATS must be >= 1, got $repeats")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     // dev-only focus filter (unset for driver runs = all queries)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -43,11 +52,11 @@ object Bench {
       val t =
         try {
           runOnce(fn)
-          (1 to 2).map { _ =>
+          median((1 to repeats).map { _ =>
             val t0 = System.nanoTime()
             runOnce(fn)
             (System.nanoTime() - t0) / 1e9
-          }.min
+          })
         } catch {
           case e: Throwable =>
             errors += name -> e.toString.replaceAll("[\"\\n\\r]", " ").take(200)

@@ -390,17 +390,70 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: single-pass frequency-weighted 64-bit
-    * signatures, banded 16-bit-chunk prefilter, Hamming verify. */
+    * signatures, banded chunk prefilter, Hamming verify.
+    *
+    * Scale design. A `bandBits`-bit band has at most 2^bandBits
+    * distinct keys REGARDLESS of corpus size (16 bits → 65,536), so at
+    * 10⁸+ docs every bucket is structurally hot and the banded
+    * self-join goes quadratic. Two guards, composable:
+    *
+    *   - `maxDf` drops (band, chunk) keys whose document frequency
+    *     exceeds the cap before the self-join — the same df-cap as
+    *     [[jaccardPairs]]. A chunk shared by thousands of documents
+    *     carries almost no similarity evidence (16 agreeing bits out
+    *     of 64 is barely above chance), so capped buckets cost recall
+    *     only for pairs that ALSO fail to share any other band. The
+    *     hot-key set is bounded by rows/maxDf and each key is 12
+    *     bytes, so it broadcasts into a left-anti join. With the cap,
+    *     per-bucket pair cost is ≤ maxDf² — the blowup is bounded by
+    *     configuration, not corpus size.
+    *   - `nTables` adds Manku-style permuted tables (WWW'07 §3,
+    *     public algorithm): table t re-bands the signature rotated
+    *     left by t·29 bits (29 ⊥ 64, so every table induces genuinely
+    *     different chunk boundaries). A pair at Hamming h survives a
+    *     table iff some band of that table is clean; independent-ish
+    *     band partitions multiply the miss probabilities, restoring
+    *     the recall the df-cap or narrow-band geometry gives up.
+    *     Occupancy math: keys/table-band stays 2^bandBits, so tables
+    *     raise recall, not key-space — pair the rotation tables WITH
+    *     the df-cap at corpus scale.
+    *
+    * Defaults (4×16-bit bands, one table, df-cap 0) reproduce the
+    * classical layout for small corpora; production at ≥10⁷ docs
+    * should run e.g. (bandBits=16, nTables=2, maxDf≈1000). */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 8, bandBits: Int = 16, nTables: Int = 1,
+      maxDf: Int = 0): DataFrame = {
+    require(bandBits > 0 && bandBits < 64 && 64 % bandBits == 0,
+      s"bandBits must divide 64 and be < 64, got $bandBits")
+    require(nTables >= 1 && nTables <= 16, s"nTables out of range: $nTables")
+    val nBands = 64 / bandBits
+    val mask = (1L << bandBits) - 1L
     val sig = docs
       .select(col(idCol).as("doc_id"), T.words(col(textCol)).as("ws"))
       .select(col("doc_id"), simhashSig(col("ws")).as("simhash"))
-    val bands = sig.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("chunk", expr("(simhash >> (band * 16)) & 65535"))
-    bands.as("a")
-      .join(bands.as("b"),
+    val bandCols = for (tb <- 0 until nTables; b <- 0 until nBands) yield {
+      val rot = (tb * 29) % 64
+      val rotated =
+        if (rot == 0) col("simhash")
+        else expr(s"shiftleft(simhash, $rot) | shiftrightunsigned(simhash, ${64 - rot})")
+      struct(lit(tb * nBands + b).as("band"),
+        shiftrightunsigned(rotated, b * bandBits).bitwiseAND(lit(mask))
+          .as("chunk"))
+    }
+    val bands = sig
+      .select(col("doc_id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    val kept =
+      if (maxDf > 0) {
+        val hot = bands.groupBy("band", "chunk").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("band", "chunk")
+        bands.join(broadcast(hot), Seq("band", "chunk"), "left_anti")
+      } else bands
+    kept.as("a")
+      .join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -155,10 +155,13 @@ object LlmQueries {
 
   /** SimHash near-dup detection: single-pass frequency-weighted 64-bit
     * signatures, banded prefilter on 16-bit chunks, Hamming verify.
-    * Probabilistic ⇒ rows-only; unit-tested. */
+    * Registered in the production shape: two rotated band tables
+    * (recall) + a df-cap on the band buckets (the hot-key guard the
+    * bounded 65,536-key band space needs at corpus scale).
+    * Probabilistic ⇒ rows-only; recall unit-tested. */
   val simhash: Q = Q.rowsOnly("q29_simhash") { (s, dir) =>
     graft.operators.Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
-      maxHamming = 8)
+      maxHamming = 8, nTables = 2, maxDf = 100)
   }
 
   /** MinHash-LSH end-to-end, exactly oracled on the portable affine
