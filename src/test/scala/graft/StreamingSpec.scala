@@ -450,55 +450,127 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** transformWithState (both heavy-hitter stages) requires the
+    * RocksDB state-store provider; restore the session conf after. */
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming windowed heavy hitters: bounded counters, true top-k, eviction") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val ms = MemoryStream[(Timestamp, String)]
-    val q = graft.streaming.HeavyHitters.windowedTopK(
-        ms.toDS().toDF("ts", "etype"),
-        "ts", "etype", windowMillis = 3600000L, graceMillis = 3600000L,
-        capacity = 8, k = 2)
-      .writeStream.format("memory").queryName("hh_t")
-      .outputMode("update").start()
-    try {
-      val base = ts("2024-01-01 10:00:00").getTime
-      // skewed stream: a×50, b×30, 20 singleton keys — 22 distinct keys
-      // against 8 counters forces Misra-Gries decrements
-      val data = (0 until 50).map(i => (new Timestamp(base + i), "a")) ++
-        (0 until 30).map(i => (new Timestamp(base + 1000 + i), "b")) ++
-        (0 until 20).map(i => (new Timestamp(base + 2000 + i), s"z$i"))
-      ms.addData(data: _*)
-      q.processAllAvailable()
-      val rows = spark.table("hh_t").collect()
-        .map(r => (r.getInt(4), r.getString(1), r.getLong(2), r.getLong(3)))
-        .sortBy(_._1)
-      assert(rows.map(_._2).toSeq == Seq("a", "b"), s"top-2 wrong: ${rows.toSeq}")
-      // MG bound: est ≤ true ≤ est + decrements
-      val byKey = rows.map(r => r._2 -> (r._3, r._4)).toMap
-      assert(byKey("a")._1 <= 50 && byKey("a")._1 + byKey("a")._2 >= 50)
-      assert(byKey("b")._1 <= 30 && byKey("b")._1 + byKey("b")._2 >= 30)
-      // state stays bounded: one window × ≤8 counters = 1 state row
-      assert(q.lastProgress.stateOperators.head.numRowsTotal == 1)
-      // a rank whose holder falls out of the summary is tombstoned,
-      // not left stale: the batch always emits exactly k rows per
-      // touched window (null key past the live counter set)
-      val win2 = new Timestamp(base + 2 * 3600000L)
-      ms.addData((win2, "p"))
-      q.processAllAvailable()
-      val w2rows = spark.table("hh_t")
-        .filter(col("windowStart") === win2).collect()
-        .map(r => r.getInt(4) -> (if (r.isNullAt(1)) null else r.getString(1)))
-        .toMap
-      assert(w2rows == Map(1 -> "p", 2 -> null), s"tombstone missing: $w2rows")
-      // advance the watermark beyond window end + grace → eviction
-      ms.addData((new Timestamp(base + 4 * 3600000L), "late"))
-      q.processAllAvailable()
-      ms.addData((new Timestamp(base + 6 * 3600000L), "later"))
-      q.processAllAvailable()
-      assert(spark.table("hh_t").select("windowStart").distinct().count() >= 2)
-      val totals = q.lastProgress.stateOperators.head.numRowsTotal
-      assert(totals <= 2, s"evicted windows still in state: $totals rows")
-    } finally q.stop()
+    withRocksDb {
+      val ms = MemoryStream[(Timestamp, String)]
+      val q = graft.streaming.HeavyHitters.windowedTopK(
+          ms.toDS().toDF("ts", "etype"),
+          "ts", "etype", windowMillis = 3600000L, graceMillis = 3600000L,
+          capacity = 4, k = 2, nSalts = 2)
+        .writeStream.format("memory").queryName("hh_t")
+        .outputMode("append").start()
+      try {
+        val base = ts("2024-01-01 10:00:00").getTime
+        // skewed stream: a×50, b×30, 20 singleton keys — ~11 distinct
+        // keys per salt shard against 4 counters forces MG decrements
+        val data = (0 until 50).map(i => (new Timestamp(base + i), "a")) ++
+          (0 until 30).map(i => (new Timestamp(base + 1000 + i), "b")) ++
+          (0 until 20).map(i => (new Timestamp(base + 2000 + i), s"z$i"))
+        ms.addData(data: _*)
+        q.processAllAvailable()
+        val rows = spark.table("hh_t").collect()
+          .map(r => (r.getInt(4), r.getString(1), r.getLong(2), r.getLong(3)))
+          .sortBy(_._1)
+        assert(rows.map(_._2).toSeq == Seq("a", "b"), s"top-2 wrong: ${rows.toSeq}")
+        // MG bound: est ≤ true ≤ est + the key's own shard decrements
+        val byKey = rows.map(r => r._2 -> (r._3, r._4)).toMap
+        assert(byKey("a")._1 <= 50 && byKey("a")._1 + byKey("a")._2 >= 50)
+        assert(byKey("b")._1 <= 30 && byKey("b")._1 + byKey("b")._2 >= 30)
+        // two-level plan: salted summaries feed a merge stage — two
+        // stateful operators, and the raw event volume never groups on
+        // the bare window key (stage 1's key carries the salt)
+        assert(q.lastProgress.stateOperators.length == 2,
+          "expected salted-summary + merge state operators")
+        val plan = {
+          val out = new java.io.ByteArrayOutputStream()
+          Console.withOut(new java.io.PrintStream(out))(q.explain())
+          out.toString
+        }
+        assert("TransformWithState".r.findAllIn(plan).size >= 2, plan)
+        assert(plan.contains("salt"), "stage-1 grouping key lost its salt")
+        // state stays bounded: ≤ nSalts summary shards + 1 merge row
+        val totalState = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        assert(totalState <= 4, s"state rows $totalState exceed shard bound")
+        // a rank whose holder falls out of the summary is tombstoned,
+        // not left stale: the batch always emits exactly k rows per
+        // touched window (null key past the live counter set)
+        val win2 = new Timestamp(base + 2 * 3600000L)
+        ms.addData((win2, "p"))
+        q.processAllAvailable()
+        val w2rows = spark.table("hh_t")
+          .filter(col("windowStart") === win2).collect()
+          .map(r => r.getInt(4) -> (if (r.isNullAt(1)) null else r.getString(1)))
+          .toMap
+        assert(w2rows == Map(1 -> "p", 2 -> null), s"tombstone missing: $w2rows")
+        // advance the watermark beyond window end + grace → eviction
+        ms.addData((new Timestamp(base + 4 * 3600000L), "late"))
+        q.processAllAvailable()
+        ms.addData((new Timestamp(base + 6 * 3600000L), "later"))
+        q.processAllAvailable()
+        assert(spark.table("hh_t").select("windowStart").distinct().count() >= 2)
+        val totals = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        assert(totals <= 6, s"evicted windows still in state: $totals rows")
+      } finally q.stop()
+    }
+  }
+
+  test("heavy hitters: merged error bound ≤ Σ per-salt n/capacity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val nSalts = 2
+      val capacity = 4
+      val ms = MemoryStream[(Timestamp, String)]
+      val q = graft.streaming.HeavyHitters.windowedTopK(
+          ms.toDS().toDF("ts", "etype"),
+          "ts", "etype", windowMillis = 3600000L, graceMillis = 3600000L,
+          capacity = capacity, k = 6, nSalts = nSalts)
+        .writeStream.format("memory").queryName("hh_bound_t")
+        .outputMode("append").start()
+      try {
+        val base = ts("2024-02-01 08:00:00").getTime
+        // hot key + 40 singletons: decrements are certain in both shards
+        val data = (0 until 60).map(i => (new Timestamp(base + i), "hot")) ++
+          (0 until 40).map(i => (new Timestamp(base + 1000 + i), s"s$i"))
+        ms.addData(data: _*)
+        q.processAllAvailable()
+        // the bound, computed from the data with the SAME salt function
+        // the operator uses (Murmur3 hash pmod nSalts)
+        val perSaltN = data.map(_._2).toDF("k")
+          .select(pmod(hash(col("k")), lit(nSalts)).as("salt"))
+          .groupBy("salt").count().collect()
+          .map(r => r.getLong(1)).toSeq
+        val bound = perSaltN.map(_ / capacity).sum
+        val rows = spark.table("hh_bound_t").collect()
+          .map(r => (if (r.isNullAt(1)) null else r.getString(1),
+            r.getLong(2), r.getLong(3)))
+        assert(rows.nonEmpty)
+        // every emitted maxErr respects the summed per-shard bound
+        rows.foreach { case (k, _, maxErr) =>
+          assert(maxErr <= bound, s"key $k maxErr $maxErr > bound $bound")
+        }
+        // and the estimate brackets the true count for the hot key
+        val hot = rows.find(_._1 == "hot").get
+        assert(hot._2 <= 60 && hot._2 + hot._3 >= 60,
+          s"hot estimate ${hot._2} + err ${hot._3} misses true 60")
+      } finally q.stop()
+    }
   }
 
   test("UserPrefs JSON round-trip (serde fidelity)") {
