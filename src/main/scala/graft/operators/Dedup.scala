@@ -31,7 +31,12 @@ object Dedup {
     * null text chunks as the empty string — every input document
     * yields at least one chunk row. */
   def chunked(docs: DataFrame, textCol: String, idCol: String,
-      chunkWords: Int, carry: Seq[String] = Nil): DataFrame =
+      chunkWords: Int, carry: Seq[String] = Nil): DataFrame = {
+    val reserved = Set("ws", "c", "chunk_idx", "chunk", "doc_id")
+    val clash = carry.filter(c => reserved.contains(c.toLowerCase))
+    require(clash.isEmpty,
+      s"carry columns ${clash.mkString(", ")} collide with chunked()'s " +
+        s"internal names (${reserved.mkString(", ")}); rename them first")
     docs
       .select(col(idCol).as("doc_id") +: carry.map(col) :+
         T.words(coalesce(col(textCol), lit(""))).as("ws"): _*)
@@ -44,6 +49,7 @@ object Dedup {
               lit(chunkWords))).as("chunk")))).as("c"): _*)
       .select(col("doc_id") +: carry.map(col) :+
         col("c.chunk_idx").as("chunk_idx") :+ col("c.chunk").as("chunk"): _*)
+  }
 
   /** Chunk-level exact dedup — the repeated-paragraph removal of a
     * C4/RefinedWeb-style cleaning stage, at fixed `chunkWords`-word

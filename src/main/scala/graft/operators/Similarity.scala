@@ -83,14 +83,21 @@ object Similarity {
         explode(array(bandCols: _*)).as("bk"))
       .select(col("vec_id"), col("qv"), col("nsq"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+    // candidates dedup BEFORE the verify stage (a pair colliding in all
+    // nBands bands would otherwise pay the 64-element dot product once
+    // per band) — the oracle's candidate-then-verify shape; qv/nsq are
+    // functionally determined by the ids, so they ride the dedup
     bk.as("a")
       .join(bk.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        V.cosineFrom(dotQFast(col("a.qv"), col("b.qv")),
-          col("a.nsq"), col("b.nsq")).as("cosine"))
+        col("a.qv").as("qv_a"), col("a.nsq").as("nsq_a"),
+        col("b.qv").as("qv_b"), col("b.nsq").as("nsq_b"))
       .dropDuplicates("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        V.cosineFrom(dotQFast(col("qv_a"), col("qv_b")),
+          col("nsq_a"), col("nsq_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -332,7 +339,14 @@ object Similarity {
     Array.tabulate(m) { mm =>
       val subs = rows.map(v => v.slice(mm * dsub, (mm + 1) * dsub))
       // Array equality is referential — dedup by content via Seq views
-      var cents = subs.map(_.toSeq).distinct.take(k).map(_.toArray).toArray
+      val distinct = subs.map(_.toSeq).distinct
+      // a degenerate sample (fewer distinct subvectors than k) shrinks
+      // the quantizer's resolution — make that visible, never silent
+      if (distinct.length < k)
+        System.err.println(s"[graft] pqTrain: subspace $mm has only " +
+          s"${distinct.length} distinct subvectors < k=$k — codebook " +
+          s"shrunk to ${distinct.length} centroids")
+      var cents = distinct.take(k).map(_.toArray).toArray
       for (_ <- 1 to iters) {
         def nearest(s: Array[Long]): Int =
           cents.indices.minBy(c => cents(c).indices

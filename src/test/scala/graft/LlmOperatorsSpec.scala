@@ -438,6 +438,13 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(got(1L) == ((2L, 2L, "p q r s")))
     assert(got(2L) == ((3L, 1L, "x y")))
     assert(got(3L) == ((1L, 0L, "")))
+    // carry names that collide with chunked()'s internals are rejected
+    // up front instead of failing downstream with ambiguous columns
+    val e = intercept[IllegalArgumentException] {
+      Dedup.chunked(docs.withColumn("chunk", lit(1)), "text", "doc_id",
+        chunkWords = 2, carry = Seq("chunk"))
+    }
+    assert(e.getMessage.contains("collide"))
   }
 
   test("semdedup: keep-set is mutually dissimilar per cluster and covers every drop") {
