@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.state.KeyedStore
+import graft.streaming.IncrementalNearDedup
+
+/** Incremental NEAR-dup dedup: batch N+1 detects near-duplicates of
+  * everything admitted in batches ≤ N through bucket-pruned probes of
+  * the durable band store — no rescan of stored documents — with
+  * in-batch first-wins and idempotent re-emission on batch replay. */
+class IncrementalNearDedupSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private val t1 = Timestamp.valueOf("2020-04-08 00:00:00")
+  private val t2 = Timestamp.valueOf("2020-04-08 06:00:00")
+  private val t3 = Timestamp.valueOf("2020-04-08 12:00:00")
+
+  // base texts: long enough to shingle, mutually dissimilar
+  private val textA = ("the quick brown fox jumps over the lazy dog while " +
+    "seventeen sleepy cats watch from a warm stone wall nearby every morning")
+  private val textB = ("completely different subject matter entirely about " +
+    "distributed query engines shuffling partitioned columnar data across " +
+    "executor nodes under adaptive planning")
+  private val textC = ("a third unrelated passage describing mountain " +
+    "weather patterns with sudden storms rolling over granite ridges " +
+    "before calm evenings settle in the valleys")
+  // near-dup of A: one appended word => jaccard ≈ 0.95, not exact-equal
+  private val textA2 = textA + " today"
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+
+  test("batch N+1 drops near-dups of batch <= N via the band store; replay re-emits identically") {
+    import spark.implicits._
+    val store = tmp("neardedup")
+
+    // batch 1: A and B are mutually novel
+    val b1 = Seq((1L, textA, t1), (2L, textB, t1)).toDF("doc_id", "text", "ts")
+    val n1 = IncrementalNearDedup.dedupBatch(b1, "doc_id", "text", "ts", store)
+    assert(ids(n1) == Seq(1L, 2L))
+    assert(KeyedStore.isInitialized(spark, store))
+
+    // batch 2: near-copy of A (not byte-equal!) dropped, C novel
+    val b2 = Seq((3L, textA2, t2), (4L, textC, t2)).toDF("doc_id", "text", "ts")
+    val n2 = IncrementalNearDedup.dedupBatch(b2, "doc_id", "text", "ts", store)
+    assert(ids(n2) == Seq(4L), s"near-dup of history not dropped: ${ids(n2)}")
+
+    // replay of batch 2 (at-least-once): same novel rows, store
+    // converges to the same member sets (doc 4 recognized as itself,
+    // doc 3 still a near-dup of doc 1)
+    val n2r = IncrementalNearDedup.dedupBatch(b2, "doc_id", "text", "ts", store)
+    assert(ids(n2r) == Seq(4L), s"replay diverged: ${ids(n2r)}")
+    val memberIds = KeyedStore.read(spark, store)
+      .select(explode(col("members.doc_id")).as("id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(memberIds == Set(1L, 2L, 4L), s"store members: $memberIds")
+
+    // every stored bucket's member list is unique per doc (replay did
+    // not duplicate members)
+    val dupMembers = KeyedStore.read(spark, store)
+      .select(col("band"), col("key"), explode(col("members.doc_id")).as("id"))
+      .groupBy("band", "key", "id").count().filter(col("count") > 1).count()
+    assert(dupMembers == 0, "replay duplicated bucket members")
+  }
+
+  test("in-batch near-dups resolve first-wins by (ts, id); short docs pass through") {
+    import spark.implicits._
+    val store = tmp("neardedup-inb")
+    val b = Seq(
+      (10L, textA2, t2),   // later ts: loses to 11
+      (11L, textA, t1),
+      (12L, "tiny", t1)    // < 3 words: cannot shingle, passes through
+    ).toDF("doc_id", "text", "ts")
+    val n = IncrementalNearDedup.dedupBatch(b, "doc_id", "text", "ts", store)
+    assert(ids(n) == Seq(11L, 12L), s"got ${ids(n)}")
+    // the dropped doc's bands were never admitted to the store
+    val memberIds = KeyedStore.read(spark, store)
+      .select(explode(col("members.doc_id")).as("id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(memberIds == Set(11L))
+  }
+
+  test("duplicated ids within one batch collapse to the min-(ts,id) row") {
+    import spark.implicits._
+    val store = tmp("neardedup-dupid")
+    val b = Seq(
+      (20L, textB, t2),  // duplicate delivery of id 20: t1 row wins
+      (20L, textA, t1),
+      (21L, textC, t1)
+    ).toDF("doc_id", "text", "ts")
+    val n = IncrementalNearDedup.dedupBatch(b, "doc_id", "text", "ts", store)
+    assert(ids(n) == Seq(20L, 21L))
+    val kept = n.filter(col("doc_id") === 20L).select("text")
+      .collect().head.getString(0)
+    assert(kept == textA, "min-(ts,id) row did not win")
+  }
+
+  test("streaming form: near-dup rejection survives restart via the durable store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = tmp("neardedup-s")
+    val ckpt = tmp("neardedup-s-ckpt")
+    val novel = scala.collection.mutable.ArrayBuffer[Long]()
+
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    def start() = IncrementalNearDedup.run(
+      ms.toDS().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", store, Some(ckpt)) { (n, _) =>
+      novel ++= n.select("doc_id").collect().map(_.getLong(0))
+    }
+
+    val q1 = start()
+    try {
+      ms.addData((1L, textA, t1), (2L, textB, t1))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(novel.sorted == Seq(1L, 2L))
+
+    // restart: only the durable band store rejects the near-copy
+    val q2 = start()
+    try {
+      ms.addData((3L, textA2, t3), (4L, textC, t3))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(novel.sorted == Seq(1L, 2L, 4L), s"got ${novel.sorted}")
+  }
+
+  test("bucket member cap bounds store growth and keeps lowest ids") {
+    import spark.implicits._
+    val store = tmp("neardedup-cap")
+    // 5 mutually-near-dup docs admitted ONE per batch so each becomes
+    // history for the next; cap members at 3
+    // (each batch's doc is a near-dup of doc 100 => dropped after b0;
+    //  to grow the bucket, use genuinely distinct texts sharing bands —
+    //  instead grow via distinct docs: admit distinct texts, then check
+    //  the cap on a hot bucket cannot exceed maxBucket)
+    val texts = Seq(textA, textB, textC,
+      textA.replace("fox", "wolf").replace("cats", "dogs"),
+      textB.replace("query", "stream").replace("columnar", "rowwise"))
+    texts.zipWithIndex.foreach { case (tx, i) =>
+      IncrementalNearDedup.dedupBatch(
+        Seq((100L + i, tx, t1)).toDF("doc_id", "text", "ts"),
+        "doc_id", "text", "ts", store, threshold = 0.9, maxBucket = 3)
+    }
+    val maxLen = KeyedStore.read(spark, store)
+      .select(max(size(col("members")))).collect().head.getInt(0)
+    assert(maxLen <= 3, s"bucket grew past cap: $maxLen")
+  }
+}
