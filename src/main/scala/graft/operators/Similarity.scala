@@ -404,20 +404,38 @@ object Similarity {
     * ascending by ADC distance via the bounded top-k aggregate
     * (map-side partial, ≤k rows per query per task). */
   def annPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      codebook: Array[Array[Array[Long]]]): DataFrame =
+    annPqTopKEncoded(
+      corpus.select(col("vec_id"), pqCodes(col("qv"), codebook).as("code")),
+      queries, k, codebook)
+
+  /** [[annPqTopK]]'s probe-only half over a PRE-ENCODED corpus
+    * (vec_id, code) — the production repeated-query path: the index
+    * build ([[pqEncode]], persisted via `AnnIndex`) is paid once, and
+    * each query batch costs only the compressed-domain scan. */
+  def annPqTopKEncoded(encoded: DataFrame, queries: DataFrame, k: Int,
       codebook: Array[Array[Array[Long]]]): DataFrame = {
     val m = codebook.length
-    val encoded = corpus.select(col("vec_id"), pqCodes(col("qv"), codebook).as("code"))
     val q = queries.select(
       (col("vec_id").as("query_id") +:
         (0 until m).map(mm => pqDistTable(col("qv"), codebook, mm).as(s"t$mm"))): _*)
     topKFinish(
-      encoded.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      encoded.select("vec_id", "code")
+        .join(broadcast(q), col("query_id") =!= col("vec_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           (-adcOf(m)).cast("double").as("cosine")),
       k)
       .select(col("query_id"), col("neighbor_id"),
         (-col("cosine")).cast("long").as("adc_dist"), col("rn"))
   }
+
+  /** PQ-encode a quantized corpus: every row gains its M-byte `code`.
+    * This is the build-time half of the ADC path — persist the result
+    * (it is ~dims/M·8× smaller than the vectors) and query it with
+    * [[annPqTopKEncoded]]/[[annIvfPqTopKEncoded]]. */
+  def pqEncode(corpus: DataFrame,
+      codebook: Array[Array[Array[Long]]]): DataFrame =
+    corpus.withColumn("code", pqCodes(col("qv"), codebook))
 
   /** IVF-PQ (the FAISS IVFPQ configuration): probe the nProbe nearest
     * inverted lists, then ADC-score ONLY the probed lists' codes — the
@@ -427,10 +445,21 @@ object Similarity {
     * (broadcast query side); the original vectors are never read past
     * encoding time. */
   def annIvfPqTopK(indexed: DataFrame, cents: DataFrame, queries: DataFrame,
-      k: Int, nProbe: Int, codebook: Array[Array[Array[Long]]]): DataFrame = {
+      k: Int, nProbe: Int, codebook: Array[Array[Array[Long]]]): DataFrame =
+    annIvfPqTopKEncoded(
+      indexed.select(col("vec_id"), col("cluster"),
+        pqCodes(col("qv"), codebook).as("code")),
+      cents, queries, k, nProbe, codebook)
+
+  /** [[annIvfPqTopK]]'s probe-only half over a PRE-ENCODED clustered
+    * corpus (vec_id, cluster, code). When the encoded table is
+    * persisted partitioned by cluster, the probe's equi-join key is
+    * the partition column — an nProbe-list query reads nProbe
+    * directories, never the corpus. */
+  def annIvfPqTopKEncoded(encoded: DataFrame, cents: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int,
+      codebook: Array[Array[Array[Long]]]): DataFrame = {
     val m = codebook.length
-    val encoded = indexed.select(col("vec_id"), col("cluster"),
-      pqCodes(col("qv"), codebook).as("code"))
     val q = ivfProbes(cents, queries, nProbe).select(
       (col("query_id") +: col("cluster") +:
         (0 until m).map(mm => pqDistTable(col("qqv"), codebook, mm).as(s"t$mm"))): _*)

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnIndex, Similarity}
+
+/** Persisted ANN index: deterministic rebuild, probe-path equivalence
+  * with the in-memory build, and the cluster-partitioned layout that
+  * makes probes partition-pruned. */
+class AnnIndexSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("annindex").toFile.getAbsolutePath
+
+  private def corpus: DataFrame = Similarity.quantize(
+    graft.sources.Tables.load(spark, sf, "embeddings"), "embedding", "vec_id")
+
+  private def topkRows(df: DataFrame): Set[(Long, Long, Int)] =
+    df.select("query_id", "neighbor_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("rebuild over the same corpus produces identical artifacts") {
+    val c = corpus
+    val r1 = tmp(); val r2 = tmp()
+    AnnIndex.build(c, r1, kClusters = 16, iters = 2)
+    AnnIndex.build(c, r2, kClusters = 16, iters = 2)
+    val h1 = AnnIndex.load(spark, r1)
+    val h2 = AnnIndex.load(spark, r2)
+    // codebook: same centroids, same order
+    assert(h1.codebook.length == h2.codebook.length)
+    h1.codebook.zip(h2.codebook).foreach { case (a, b) =>
+      assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    }
+    // cluster model identical
+    def cents(h: AnnIndex.Handle) = h.centroids.collect()
+      .map(r => r.getInt(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    assert(cents(h1) == cents(h2))
+    // assignments and codes identical
+    def assign(h: AnnIndex.Handle) = h.indexed.select("vec_id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assign(h1) == assign(h2))
+    def codes(h: AnnIndex.Handle) = h.encoded.select("vec_id", "code")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(h1) == codes(h2))
+  }
+
+  test("probe over loaded artifacts equals the in-memory build's results") {
+    val c = corpus
+    val root = tmp()
+    val h = AnnIndex.ensure(c, root, kClusters = 16, iters = 2)
+    val queries = c.filter(col("vec_id") < 20)
+    // IVF exact re-rank path
+    val (freshIdx, freshCents) = Similarity.kmeansIndex(c, k = 16, iters = 2)
+    assert(
+      topkRows(Similarity.annIvfTopK(h.indexed, h.centroids, queries, 5, 4)) ==
+        topkRows(Similarity.annIvfTopK(freshIdx, freshCents, queries, 5, 4)))
+    // ADC path: encoded-table probe == encode-at-query-time
+    val cb = Similarity.pqTrain(c)
+    assert(
+      topkRows(Similarity.annPqTopKEncoded(h.encoded, queries, 10, h.codebook)) ==
+        topkRows(Similarity.annPqTopK(c, queries, 10, cb)))
+    // IVF-PQ composition
+    assert(
+      topkRows(Similarity.annIvfPqTopKEncoded(h.encoded, h.centroids,
+        queries, 10, 2, h.codebook)) ==
+        topkRows(Similarity.annIvfPqTopK(freshIdx, freshCents, queries, 10, 2, cb)))
+    // ensure() is idempotent: second call loads, not rebuilds (marker)
+    assert(AnnIndex.isBuilt(spark, root))
+  }
+
+  test("ivf and codes tables are partitioned by cluster (probe prunes directories)") {
+    val root = tmp()
+    AnnIndex.build(corpus, root, kClusters = 8, iters = 1)
+    def parts(sub: String): Seq[String] =
+      new java.io.File(s"$root/$sub").listFiles()
+        .map(_.getName).filter(_.startsWith("cluster=")).toSeq
+    assert(parts("ivf").nonEmpty, "ivf not cluster-partitioned")
+    assert(parts("codes").nonEmpty, "codes not cluster-partitioned")
+    // a 2-cluster probe plan scans only the probed partitions
+    val h = AnnIndex.load(spark, root)
+    val probed = h.encoded.filter(col("cluster").isin(0, 1))
+    val scan = probed.queryExecution.executedPlan.toString
+    assert(!scan.contains("cluster=2") || parts("codes").size <= 2,
+      "partition filter missing from the probe scan")
+  }
+}
