@@ -53,14 +53,14 @@ object MaterializedViews {
     * the Structured-Streaming analog of the reference's interactive-
     * query state stores (bot StateStoresManager.java).
     *
-    * Scale posture: the engine-side state is incremental forever; the
-    * view-merge leg rewrites the |keys|-row snapshot per batch, which
-    * is fine for serving-store cardinalities (the reference's stores
-    * are state×date sized) and keeps the view a zero-IO in-memory
-    * lookup. At data-table cardinalities — or whenever serving state
-    * must survive a restart — use [[KeyedStore.serveToStore]] instead:
-    * same changed-rows contract, consumed by a partition-pruned
-    * changed-bucket upsert into durable parquet. */
+    * TEST CONVENIENCE ONLY. The production path — and the
+    * [[ViewCatalog]] default — is [[KeyedStore.serveToStore]]: same
+    * changed-rows contract, consumed by a partition-pruned
+    * changed-bucket upsert into durable parquet, restart-recoverable.
+    * This leg rewrites the |keys|-row snapshot per batch and loses the
+    * view on session exit; it stays because a zero-IO in-memory view
+    * is convenient in specs, not because anything in the engine
+    * should route here. */
   def serveAsView(streaming: DataFrame, keyCols: Seq[String], tsCol: String,
       viewName: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val latest = latestPerKey(streaming, keyCols, tsCol)

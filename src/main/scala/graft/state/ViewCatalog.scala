@@ -74,21 +74,30 @@ object ViewCatalog {
     visualizations)
 
   /** Maintain `global_temp.<spec.view>` continuously from a streaming
-    * frame carrying the spec's key columns + `tsCol`. */
-  def serve(spec: ViewSpec, stream: DataFrame): StreamingQuery =
-    MaterializedViews.serveAsView(stream, spec.keyCols, spec.tsCol, spec.view)
+    * frame carrying the spec's key columns + `tsCol` — DURABLY: the
+    * catalog default is the [[KeyedStore]] path (restart-recoverable
+    * bucketed parquet, per-batch cost independent of unchanged-key
+    * cardinality), with the global-temp name served as a lazy alias
+    * over the table. The store lives at `catalogRoot/<view>` and, when
+    * `checkpointed`, the engine state at `catalogRoot/_ckpt/<view>` —
+    * one root recovers the whole catalog. (The per-batch snapshot
+    * rebuild, [[MaterializedViews.serveAsView]], remains only as a
+    * test convenience.) */
+  def serve(spec: ViewSpec, stream: DataFrame, catalogRoot: String,
+      checkpointed: Boolean = false): StreamingQuery =
+    serveDurable(spec, stream, s"$catalogRoot/${spec.view}",
+      if (checkpointed) Some(s"$catalogRoot/_ckpt/${spec.view}") else None)
 
   /** Batch (table-duality) snapshot of the same view. */
   def snapshot(spec: ViewSpec, df: DataFrame): DataFrame =
     MaterializedViews.latestPerKey(df, spec.keyCols, spec.tsCol)
 
-  /** Durable form: maintain the view as a [[KeyedStore]] bucketed
-    * parquet table — restart-recoverable like the reference's
-    * changelog-backed stores, per-batch cost independent of
-    * unchanged-key cardinality — AND serve it under the same
-    * `global_temp.<view>` name as [[serve]], as a lazy alias over the
-    * table (interactive queries keep working unchanged; nothing
-    * snapshots per batch). */
+  /** Durable form with an explicit store path: maintain the view as a
+    * [[KeyedStore]] bucketed parquet table — restart-recoverable like
+    * the reference's changelog-backed stores — AND serve it under the
+    * `global_temp.<view>` name as a lazy alias over the table
+    * (interactive queries keep working unchanged; nothing snapshots
+    * per batch). */
   def serveDurable(spec: ViewSpec, stream: DataFrame, basePath: String,
       checkpointLocation: Option[String] = None): StreamingQuery =
     KeyedStore.serveToStore(stream, spec.keyCols, spec.tsCol, basePath,

@@ -301,8 +301,10 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[(String, String, String, Timestamp)]
+    val root = java.nio.file.Files.createTempDirectory("vc-root")
+      .toFile.getAbsolutePath
     val q = graft.state.ViewCatalog.serve(graft.state.ViewCatalog.doublingRate,
-      ms.toDS().toDF("date", "state", "doublingRate", "eventTime"))
+      ms.toDS().toDF("date", "state", "doublingRate", "eventTime"), root)
     try {
       ms.addData((0 until 50).map(i =>
         ("08/04/2020", s"State$i", "100", t1)): _*)
