@@ -276,7 +276,25 @@ object Dedup {
     * convergence join/action per iteration. All rounds are
     * joins/aggregations on (id, label) pairs: fully distributed, no
     * driver-side graph. */
-  def resolve(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def resolve(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    resolveWithStats(pairs, maxIters)._1
+
+  /** [[resolve]] plus the number of propagation rounds it took — the
+    * instrumented form the convergence/skew audits use
+    * (ResolveSkewSpec measures rounds and per-task shuffle skew on an
+    * adversarial giant component).
+    *
+    * Giant-component skew posture: once a large component converges,
+    * its min label is a hot join key in the pointer-doubling round
+    * (every member's `label` row joins the single `id = L` row). The
+    * hot partition holds O(|component|) rows — at 10% giant-component
+    * share and P partitions that is a 0.1·P× skew (≈3× at P=32,
+    * measured in the spec), and the join's build side is one row per
+    * key, which is exactly the shape AQE's skew-split handles at real
+    * scale (splits the fat stream-side partition, replicates the
+    * single matching row). [[Salting.saltedJoin]] stays the manual
+    * fallback if a deployment pins AQE off. */
+  def resolveWithStats(pairs: DataFrame, maxIters: Int = 20): (DataFrame, Int) = {
     // materialize the edge list once: every propagation round joins it,
     // and without this each round would re-execute the full upstream
     // candidate-pair pipeline (measured 3-4× on q44)
@@ -318,7 +336,7 @@ object Dedup {
       labels = next.select("id", "label")
       iter += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+    (labels.select(col("id").as("doc_id"), col("label").as("canonical_id")), iter)
   }
 
   /** The full MinHash-LSH pipeline on the engine-portable polynomial
