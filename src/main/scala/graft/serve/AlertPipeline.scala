@@ -59,11 +59,42 @@ object AlertPipeline {
       send: (String, String) => Unit,
       onMetrics: (Long, Map[String, Any]) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery =
-    deltaStream.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    runBatches(deltaStream, send, onMetrics, None)(_ => prefs)
+
+  /** The composite serving form: [[run]] with the user prefs read per
+    * micro-batch from a durable [[graft.state.KeyedStore]] (the
+    * reference's compacted user-preferences KTable,
+    * KafkaStreamsConfig.java:112-118) and a checkpoint, so the WHOLE
+    * topology — source offsets, the upstream tracker's engine state,
+    * and the prefs — kills and resumes without loss: a prefs upsert
+    * while the stream is down is visible to the first post-restart
+    * batch. Side-effect delivery through `send` is at-least-once on
+    * crash recovery (the foreachBatch contract): a sink that must not
+    * double-send dedups by (batchId, userId, state) — the reference's
+    * Telegram consumer has the same replayed-poll exposure. */
+  def runWithStore(deltaStream: DataFrame, prefsStorePath: String,
+      send: (String, String) => Unit,
+      checkpointLocation: Option[String] = None,
+      onMetrics: (Long, Map[String, Any]) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    runBatches(deltaStream, send, onMetrics, checkpointLocation) { spark =>
+      import spark.implicits._
+      graft.state.KeyedStore.read(spark, prefsStorePath)
+        .select(col("userId"), col("myStates"), col("subscribed"))
+        .as[UserPrefs]
+    }
+
+  private def runBatches(deltaStream: DataFrame,
+      send: (String, String) => Unit,
+      onMetrics: (Long, Map[String, Any]) => Unit,
+      checkpointLocation: Option[String])(
+      prefsOf: org.apache.spark.sql.SparkSession => Dataset[UserPrefs])
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = deltaStream.writeStream.outputMode("append")
+    checkpointLocation.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
         val obs = org.apache.spark.sql.Observation(s"alert_fanout_$batchId")
-        val out = fanout(batch, prefs)
+        val out = fanout(batch, prefsOf(batch.sparkSession))
           .observe(obs,
             count(lit(1)).as("n_alerts"),
             approx_count_distinct(col("userId")).as("n_users"),
@@ -75,4 +106,5 @@ object AlertPipeline {
         onMetrics(batchId, obs.get)
       }
       .start()
+  }
 }
