@@ -79,22 +79,25 @@ object Similarity {
     val bandCols = (0 until nBands).map(b =>
       struct(lit(b).as("band"), bandKey(b).as("key")))
     val bk = corpus
-      .select(col("vec_id"), col("qv"), col("nsq"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("vec_id"), col("qv"), col("nsq"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     // candidates dedup BEFORE the verify stage (a pair colliding in all
     // nBands bands would otherwise pay the 64-element dot product once
-    // per band) — the oracle's candidate-then-verify shape; qv/nsq are
-    // functionally determined by the ids, so they ride the dedup
-    bk.as("a")
+    // per band), on BARE id pairs — carrying qv/nsq through the dedup
+    // shuffle costs ~1 KB/row and measured 3× slower; the vectors join
+    // back afterwards (minhashLshPairs' verify-with-fetch shape — the
+    // quantize scan is a cheap native pass, recomputed not cached)
+    val cand = bk.as("a")
       .join(bk.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.qv").as("qv_a"), col("a.nsq").as("nsq_a"),
-        col("b.qv").as("qv_b"), col("b.nsq").as("nsq_b"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+    cand
+      .join(corpus.select(col("vec_id").as("vec_a"),
+        col("qv").as("qv_a"), col("nsq").as("nsq_a")), "vec_a")
+      .join(corpus.select(col("vec_id").as("vec_b"),
+        col("qv").as("qv_b"), col("nsq").as("nsq_b")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         V.cosineFrom(dotQFast(col("qv_a"), col("qv_b")),
           col("nsq_a"), col("nsq_b")).as("cosine"))
