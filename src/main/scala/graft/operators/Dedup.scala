@@ -255,6 +255,41 @@ object Dedup {
       .filter(col("shared_fps") >= minShared)
   }
 
+  /** Fuzzy near-dup pairs by EDIT DISTANCE — the title/short-text dedup
+    * complement of the token-set families (Jaccard/MinHash see word
+    * swaps; edit distance sees character-level noise: OCR errors,
+    * encoding damage, truncated suffixes). Candidates come from a
+    * `prefixLen`-character prefix block — an equi-join, never all
+    * pairs — then exact `levenshtein` ≤ `maxEd` verifies. Both stages
+    * are engine-portable (DuckDB has the same levenshtein), so the
+    * whole operator oracles hash-exact.
+    *
+    * Scale shape: the verify is O(len²) per CANDIDATE, so candidate
+    * count is the cost driver; `maxDf` caps block document frequency
+    * exactly like [[jaccardPairs]] (a prefix shared by thousands of
+    * docs — boilerplate headers — would otherwise go quadratic).
+    * Prefix blocking trades recall for boundedness: a pair whose edit
+    * damage falls inside the first `prefixLen` characters is missed;
+    * run a second pass blocked on a suffix (or winnowing fingerprints)
+    * when that matters. */
+  def editDistancePairs(docs: DataFrame, textCol: String, idCol: String,
+      prefixLen: Int = 24, maxEd: Int = 16, maxDf: Int = 0): DataFrame = {
+    val blocked = docs.select(col(idCol).as("doc_id"), col(textCol).as("txt"),
+      substring(col(textCol), 1, prefixLen).as("blk"))
+    val kept =
+      if (maxDf > 0) {
+        val hot = blocked.groupBy("blk").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("blk")
+        blocked.join(broadcast(hot), Seq("blk"), "left_anti")
+      } else blocked
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.txt"), col("b.txt")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxEd)
+  }
+
   /** Dedup resolution: connected components over a near-dup pair graph,
     * canonical id = minimum doc_id in each component. The keep-first
     * pass every candidate-pair generator here feeds (q27/q28/q29/q40).

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Round-6 surface extensions, each fully oracled: character-level
+  * fuzzy dedup (the edit-distance complement to the token-set
+  * families), a grouping-sets corpus composition report (the CUBE the
+  * reference never needed but §2.4 lists as free in Catalyst), token-
+  * budget truncation (the sequence-budget cousin of q71's packing),
+  * and an event funnel (first-touch conversion — the analytics shape
+  * the events table exists for). */
+object ExtensionQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Edit-distance near-dup pairs: 24-char prefix blocks (equi-join,
+    * df-capped) + exact levenshtein verify. Character-level dedup —
+    * catches OCR/encoding damage the shingle families class as
+    * dissimilar. Oracled end-to-end: DuckDB ships the same
+    * levenshtein. */
+  val editDedup: Q = Q(
+    "q78_edit_dedup",
+    """WITH b AS (SELECT doc_id, text, substring(text, 1, 24) AS blk
+      |           FROM documents),
+      |k AS (SELECT * FROM b WHERE blk IN
+      |        (SELECT blk FROM b GROUP BY blk HAVING count(*) <= 100))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+      |FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.text, b.text) <= 16""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Dedup.editDistancePairs(
+      t(s, dir, "documents"), "text", "doc_id",
+      prefixLen = 24, maxEd = 16, maxDf = 100)
+  }
+
+  /** Corpus composition CUBE over (lang, source): every grouping-set
+    * margin in one pass — the partial-agg-friendly form of the
+    * reference's hand-built per-dimension reports (§2.4 lists
+    * cube/grouping sets as the free Catalyst upgrade; q15's rollup
+    * covers the hierarchy case, this covers the full lattice). */
+  val corpusCube: Q = Q(
+    "q79_corpus_cube",
+    """SELECT lang, source, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY CUBE (lang, source)""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "documents")
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  /** Token-budget truncation: keep each document's first 64 whitespace
+    * tokens (the sequence-budget gate in front of a trainer; q71 packs
+    * to the budget, this clips to it). Pure projection — no shuffle. */
+  val tokenTruncate: Q = Q(
+    "q80_token_truncate",
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |       array_to_string(string_split(text, ' ')[1:64], ' ') AS kept_text,
+      |       CAST(CASE WHEN len(string_split(text, ' ')) > 64
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS was_truncated
+      |FROM documents""".stripMargin
+  ) { (s, dir) =>
+    val toks = split(col("text"), " ")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      array_join(slice(toks, 1, 64), " ").as("kept_text"),
+      when(size(toks) > 64, 1L).otherwise(0L).as("was_truncated"))
+  }
+
+  /** First-touch conversion funnel: per user, the first `view` and the
+    * first `purchase` strictly after it. Two partial aggregations and
+    * one equi-join on user_id — at scale AQE broadcasts the first-view
+    * side when it fits, shuffles otherwise; no window over raw
+    * events. */
+  val funnel: Q = Q(
+    "q81_funnel",
+    """WITH v AS (SELECT user_id, min(epoch_ms(ts)) AS first_view_ms
+      |           FROM events WHERE event_type = 'view' GROUP BY 1),
+      |p AS (SELECT user_id, epoch_ms(ts) AS ts_ms
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT v.user_id, v.first_view_ms,
+      |       min(p.ts_ms) AS first_purchase_ms,
+      |       min(p.ts_ms) - v.first_view_ms AS lag_ms,
+      |       CAST(CASE WHEN min(p.ts_ms) IS NOT NULL THEN 1 ELSE 0 END
+      |            AS BIGINT) AS converted
+      |FROM v LEFT JOIN p ON p.user_id = v.user_id
+      |                  AND p.ts_ms > v.first_view_ms
+      |GROUP BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+      expr("ts_ns div 1000000").as("ts_ms"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts_ms")).as("first_view_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_ms"))
+    views
+      .join(purchases,
+        col("p_user") === col("user_id") && col("ts_ms") > col("first_view_ms"),
+        "left")
+      .groupBy("user_id", "first_view_ms")
+      .agg(min(col("ts_ms")).as("first_purchase_ms"))
+      .select(col("user_id"), col("first_view_ms"), col("first_purchase_ms"),
+        (col("first_purchase_ms") - col("first_view_ms")).as("lag_ms"),
+        when(col("first_purchase_ms").isNotNull, 1L).otherwise(0L)
+          .as("converted"))
+  }
+
+  val all: Seq[Q] = Seq(editDedup, corpusCube, tokenTruncate, funnel)
+}

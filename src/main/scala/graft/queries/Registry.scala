@@ -5,7 +5,8 @@ package graft.queries
   */
 object Registry {
   val all: Seq[Q] = RelationalQueries.all ++ AnalyticQueries.all ++
-    LlmQueries.all ++ ChartQueries.all ++ PipelineQueries.all
+    LlmQueries.all ++ ChartQueries.all ++ PipelineQueries.all ++
+    ExtensionQueries.all
 
   def byName(name: String): Q = all.find(_.name == name).get
 }
