@@ -265,8 +265,14 @@ object Similarity {
     * the resolve pass is the same distributed label propagation as
     * q44's. */
   def semdedup(corpus: DataFrame, k: Int, iters: Int,
-      threshold: Double): DataFrame = {
-    val (indexed, _) = kmeansIndex(corpus, k, iters)
+      threshold: Double): DataFrame =
+    semdedupAssigned(kmeansIndex(corpus, k, iters)._1, threshold)
+
+  /** [[semdedup]] over a PRE-ASSIGNED clustered corpus (vec_id, qv,
+    * nsq, cluster) — e.g. `AnnIndex`'s persisted inverted file: the
+    * k-means passes are index-build cost paid once, and each dedup
+    * run pays only the within-cluster pair join + resolution. */
+  def semdedupAssigned(indexed: DataFrame, threshold: Double): DataFrame = {
     val pairs = indexed.as("a")
       .join(indexed.as("b"),
         col("a.cluster") === col("b.cluster") &&

@@ -112,5 +112,56 @@ object ExtensionQueries {
           .as("converted"))
   }
 
-  val all: Seq[Q] = Seq(editDedup, corpusCube, tokenTruncate, funnel)
+  /** Bigram collocations by LIFT (the log-free core of PMI — log is
+    * monotone, so lift ranks identically while staying exact rational
+    * math, sidestepping cross-engine libm divergence entirely):
+    * lift(w1,w2) = P(w1,w2) / (P(w1)·P(w2)) = n_pair·N² / (B·c1·c2),
+    * quantized ×10⁴ with an identical left-associated double chain on
+    * both engines. Count-then-rejoin plan: bigram/unigram types move
+    * through combiner-compressed aggregations; totals ride a broadcast
+    * one-row frame. */
+  val collocations: Q = Q(
+    "q82_collocations",
+    """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |b AS (SELECT unnest(list_transform(range(1, len(ws)), i ->
+      |        struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS bg
+      |      FROM w WHERE len(ws) >= 2),
+      |bg2 AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM b),
+      |c2 AS (SELECT w1, w2, count(*) AS n_pair FROM bg2 GROUP BY 1, 2
+      |       HAVING count(*) >= 5),
+      |u AS (SELECT unnest(ws) AS w FROM w),
+      |c1 AS (SELECT w, count(*) AS c1 FROM u GROUP BY 1),
+      |tot AS (SELECT (SELECT count(*) FROM u) AS n,
+      |               (SELECT count(*) FROM bg2) AS b)
+      |SELECT c2.w1, c2.w2, c2.n_pair,
+      |       CAST(round(CAST(c2.n_pair AS DOUBLE) * tot.n * tot.n * 10000
+      |                  / (CAST(tot.b AS DOUBLE) * a.c1 * bb.c1))
+      |            AS BIGINT) AS lift_q
+      |FROM c2 CROSS JOIN tot
+      |JOIN c1 a ON a.w = c2.w1
+      |JOIN c1 bb ON bb.w = c2.w2""".stripMargin
+  ) { (s, dir) =>
+    val ws = t(s, dir, "documents").select(split(col("text"), " ").as("ws"))
+    val bg = ws.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(slice(ws, 1, size(ws) - 1), " +
+          "(w, i) -> struct(w AS w1, element_at(ws, i + 2) AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = ws.select(explode(col("ws")).as("w"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 5)
+    val c1 = uni.groupBy("w").agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(count(lit(1)).as("n"))
+      .crossJoin(bg.agg(count(lit(1)).as("b")))
+    c2.crossJoin(broadcast(tot))
+      .join(c1.select(col("w").as("w1"), col("c1").as("c1a")), "w1")
+      .join(c1.select(col("w").as("w2"), col("c1").as("c1b")), "w2")
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(col("n_pair").cast("double") * col("n") * col("n") * lit(10000.0)
+          / (col("b").cast("double") * col("c1a") * col("c1b")))
+          .cast("long").as("lift_q"))
+  }
+
+  val all: Seq[Q] = Seq(editDedup, corpusCube, tokenTruncate, funnel,
+    collocations)
 }

@@ -761,8 +761,10 @@ object LlmQueries {
     * keep-set's exact mutual-dissimilarity and planted-dup coverage
     * properties. */
   val semdedupQ: Q = Q.rowsOnly("q68_semdedup") { (s, dir) =>
-    graft.operators.Similarity.semdedup(quantized(s, dir), k = 8, iters = 2,
-      threshold = 0.4)
+    // clustering comes from the persisted index (build-once): the dedup
+    // run pays only the within-cluster pair join + resolution
+    graft.operators.Similarity.semdedupAssigned(
+      annIndex(s, dir).indexed, threshold = 0.4)
   }
 
   /** PQ-compressed ANN (asymmetric distance computation): sample-

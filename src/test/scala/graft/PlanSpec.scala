@@ -161,6 +161,28 @@ class PlanSpec extends SparkSpec {
       "a row_number window survived in the IVF path")
   }
 
+  test("q78: edit-dedup blocks via a df-capped anti-join, never a cross product") {
+    val p = plan("q78_edit_dedup")
+    assert(!p.contains("CartesianProduct"), "blocked join degenerated")
+    assert(p.contains("LeftAnti"), "hot-block df-cap anti-join missing")
+  }
+
+  test("q80: token truncation is a pure projection — no shuffle") {
+    val p = plan("q80_token_truncate")
+    assert(!p.contains("Exchange"), "projection-only query shuffled")
+  }
+
+  test("q81: funnel aggregates partially; no window over raw events") {
+    val p = plan("q81_funnel")
+    assert(p.contains("partial_min"), p.take(2000))
+    assert(!p.contains("Window"), "funnel ranks with a window")
+  }
+
+  test("q29: simhash band buckets carry the hot-bucket df-cap anti-join") {
+    val p = plan("q29_simhash")
+    assert(p.contains("LeftAnti"), "df-cap anti-join missing from q29")
+  }
+
   test("q31: brute-force knn re-ranks via the bounded top-k aggregate") {
     val p = plan("q31_knn_cosine")
     assert(p.contains("partial_topkbyscore"), p.take(2000))
