@@ -255,6 +255,40 @@ object Dedup {
       .filter(col("shared_fps") >= minShared)
   }
 
+  /** Containment pairs: documents appearing VERBATIM (token-aligned)
+    * inside another — the sub-document duplication exact dedup misses
+    * (a page reposted inside a digest, a paragraph quoted whole).
+    * Candidates come from shared winnowing fingerprints, and here the
+    * SIGMOD'03 guarantee makes candidate generation EXACT, not
+    * probabilistic: a contained document of ≥ w+n−1 tokens is, in its
+    * container, a shared token run of at least that length, which
+    * guarantees a shared recorded fingerprint — so every true
+    * containment pair is a candidate (with `maxDf` = 0; a df-cap
+    * trades that completeness for hot-fingerprint boundedness at
+    * corpus scale). Verify is one space-padded substring probe per
+    * candidate. Returns (inner_id, outer_id, inner_len, outer_len);
+    * equal texts pair once, lower id as inner. */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+      w: Int = 8, maxDf: Int = 0, poly: Boolean = false): DataFrame = {
+    val cand = winnowPairs(docs, textCol, idCol, w, minShared = 1, maxDf, poly)
+      .select("doc_a", "doc_b")
+    val t = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val aInner = length(col("ta")) <= length(col("tb")) // tie: doc_a < doc_b
+    cand
+      .join(t.select(col("id").as("doc_a"), col("txt").as("ta")), "doc_a")
+      .join(t.select(col("id").as("doc_b"), col("txt").as("tb")), "doc_b")
+      .select(
+        when(aInner, col("doc_a")).otherwise(col("doc_b")).as("inner_id"),
+        when(aInner, col("doc_b")).otherwise(col("doc_a")).as("outer_id"),
+        when(aInner, col("ta")).otherwise(col("tb")).as("ti"),
+        when(aInner, col("tb")).otherwise(col("ta")).as("to"))
+      .filter(instr(concat(lit(" "), col("to"), lit(" ")),
+        concat(lit(" "), col("ti"), lit(" "))) > 0)
+      .select(col("inner_id"), col("outer_id"),
+        length(col("ti")).cast("long").as("inner_len"),
+        length(col("to")).cast("long").as("outer_len"))
+  }
+
   /** Fuzzy near-dup pairs by EDIT DISTANCE — the title/short-text dedup
     * complement of the token-set families (Jaccard/MinHash see word
     * swaps; edit distance sees character-level noise: OCR errors,

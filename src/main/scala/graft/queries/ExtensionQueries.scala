@@ -162,6 +162,85 @@ object ExtensionQueries {
           .cast("long").as("lift_q"))
   }
 
+  /** Sub-document containment dedup: documents appearing verbatim
+    * (token-aligned) inside another. The oracle is ALL-PAIRS ground
+    * truth — candidate generation via shared winnowing fingerprints is
+    * provably complete for ≥ w+n−1-token inner docs (the SIGMOD'03
+    * guarantee), so the bucket-join engine path must reproduce the
+    * exhaustive answer exactly. */
+  val containment: Q = Q(
+    "q83_containment",
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |i AS (SELECT * FROM d WHERE len(string_split(text, ' ')) >= 10)
+      |SELECT i.doc_id AS inner_id, o.doc_id AS outer_id,
+      |       CAST(length(i.text) AS BIGINT) AS inner_len,
+      |       CAST(length(o.text) AS BIGINT) AS outer_len
+      |FROM i JOIN d o ON i.doc_id <> o.doc_id
+      |  AND (length(i.text) < length(o.text)
+      |       OR (length(i.text) = length(o.text) AND i.doc_id < o.doc_id))
+      |  AND contains(' ' || o.text || ' ', ' ' || i.text || ' ')""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Dedup.containmentPairs(
+      t(s, dir, "documents"), "text", "doc_id")
+  }
+
+  /** Duplication-rate report by source: the resolution pass (q44's
+    * connected components) rolled up to the per-source dup share — the
+    * corpus-curation dashboard number. Oracled end-to-end through the
+    * same recursive-CTE closure as q44. */
+  val dupRateBySource: Q = Q(
+    "q84_dup_rate_by_source",
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      |       FROM w WHERE len(ws) >= 3),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jp AS (SELECT doc_a, doc_b FROM pairs
+      |       JOIN sizes sa ON doc_a = sa.doc_id
+      |       JOIN sizes sb ON doc_b = sb.doc_id
+      |       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+      |      UNION SELECT doc_b, doc_a FROM jp),
+      |reach AS (
+      |  SELECT a AS id, b AS r FROM e
+      |  UNION
+      |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+      |res AS (SELECT id AS doc_id, least(id, min(r)) AS canonical_id
+      |        FROM reach GROUP BY id),
+      |agg AS (SELECT d.source, count(*) AS n_docs,
+      |               CAST(sum(CASE WHEN res.canonical_id IS NOT NULL
+      |                              AND res.canonical_id <> d.doc_id
+      |                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+      |        FROM documents d LEFT JOIN res ON res.doc_id = d.doc_id
+      |        GROUP BY 1)
+      |SELECT source, n_docs, n_dups,
+      |       CAST(round(CAST(n_dups AS DOUBLE) * 10000 / n_docs) AS BIGINT)
+      |         AS dup_rate_q
+      |FROM agg""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val resolved = graft.operators.Dedup.resolve(
+      graft.operators.Dedup.jaccardPairs(
+        graft.operators.Dedup.shingleProjection(docs, "text", "doc_id"),
+        threshold = 0.5, maxDf = 1000))
+    docs.select(col("doc_id"), col("source"))
+      .join(resolved, Seq("doc_id"), "left")
+      .select(col("source"),
+        when(col("canonical_id").isNotNull &&
+          col("canonical_id") =!= col("doc_id"), 1L).otherwise(0L).as("is_dup"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dups"))
+      .select(col("source"), col("n_docs"), col("n_dups"),
+        round(col("n_dups").cast("double") * lit(10000.0) / col("n_docs"))
+          .cast("long").as("dup_rate_q"))
+  }
+
   val all: Seq[Q] = Seq(editDedup, corpusCube, tokenTruncate, funnel,
-    collocations)
+    collocations, containment, dupRateBySource)
 }
