@@ -178,6 +178,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "funnel ranks with a window")
   }
 
+  test("q82: collocation counts aggregate partially; totals ride a broadcast") {
+    val p = plan("q82_collocations")
+    assert("partial_count".r.findAllIn(p).size >= 2,
+      "count-then-rejoin lost its map-side phases")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "one-row totals frame not broadcast")
+    assert(!p.contains("Window"), "collocations rank with a window")
+  }
+
+  test("q83: containment candidates come from the fingerprint join, no cross product") {
+    val p = plan("q83_containment")
+    assert(!p.contains("CartesianProduct"),
+      "containment degenerated to all-pairs")
+  }
+
   test("q29: simhash band buckets carry the hot-bucket df-cap anti-join") {
     val p = plan("q29_simhash")
     assert(p.contains("LeftAnti"), "df-cap anti-join missing from q29")

@@ -575,6 +575,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join: conversions within the bound, state evicted by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val q = graft.streaming.StreamJoin.within(
+        views.toDS().toDF("user_id", "ts"),
+        buys.toDS().toDF("user_id", "ts"),
+        "user_id", "ts", withinMillis = 3600000L, delay = "10 minutes")
+      .writeStream.format("memory").queryName("conv_t")
+      .outputMode("append").start()
+    try {
+      val base = ts("2024-03-01 09:00:00").getTime
+      views.addData((1L, new Timestamp(base)), (2L, new Timestamp(base)))
+      buys.addData(
+        (1L, new Timestamp(base + 30 * 60000L)),  // in bound (30m)
+        (2L, new Timestamp(base + 2 * 3600000L)), // out of bound (2h)
+        (3L, new Timestamp(base + 60000L)))       // no matching view
+      q.processAllAvailable()
+      val rows = spark.table("conv_t").collect()
+        .map(r => (r.getLong(0), r.getLong(3)))
+      assert(rows.toSeq == Seq((1L, 30 * 60000L)), s"got ${rows.toSeq}")
+      // both sides hold bounded state: advance watermarks far past the
+      // interval; the expired buffers shrink instead of accumulating
+      views.addData((9L, new Timestamp(base + 10 * 3600000L)))
+      buys.addData((9L, new Timestamp(base + 10 * 3600000L + 1000L)))
+      q.processAllAvailable()
+      views.addData((8L, new Timestamp(base + 20 * 3600000L)))
+      buys.addData((8L, new Timestamp(base + 20 * 3600000L + 1000L)))
+      q.processAllAvailable()
+      val conv9 = spark.table("conv_t").filter(col("user_id") === 9L).count()
+      assert(conv9 == 1L, "second-wave conversion missed")
+      val state = q.lastProgress.stateOperators.head
+      assert(state.numRowsTotal <= 6,
+        s"interval-join state not evicted: ${state.numRowsTotal} rows")
+    } finally q.stop()
+  }
+
   test("UserPrefs JSON round-trip (serde fidelity)") {
     import spark.implicits._
     val prefs = Seq(UserPrefs("u1", Seq("Assam", "Delhi"), subscribed = true))
