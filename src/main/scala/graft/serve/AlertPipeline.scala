@@ -75,35 +75,66 @@ object AlertPipeline {
   def runWithStore(deltaStream: DataFrame, prefsStorePath: String,
       send: (String, String) => Unit,
       checkpointLocation: Option[String] = None,
-      onMetrics: (Long, Map[String, Any]) => Unit = (_, _) => ())
+      onMetrics: (Long, Map[String, Any]) => Unit = (_, _) => (),
+      sentMarkerDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    runBatches(deltaStream, send, onMetrics, checkpointLocation) { spark =>
+    runBatches(deltaStream, send, onMetrics, checkpointLocation,
+      sentMarkerDir) { spark =>
       import spark.implicits._
       graft.state.KeyedStore.read(spark, prefsStorePath)
         .select(col("userId"), col("myStates"), col("subscribed"))
         .as[UserPrefs]
     }
 
+  /** One alert micro-batch — the foreachBatch body, callable directly.
+    *
+    * With `sentMarkerDir`, delivery is idempotent per batch: a marker
+    * file commits AFTER the batch's sends complete, and a replayed
+    * batch whose marker exists sends nothing — upgrading foreachBatch's
+    * at-least-once to exactly-once delivery for every crash OUTSIDE
+    * the send window itself (a crash mid-send still re-sends that one
+    * batch on replay; a sink that cannot tolerate even that dedups by
+    * (batchId, userId, state) — the reference's Telegram consumer has
+    * the same residual exposure on replayed polls). */
+  def sendBatch(batch: DataFrame, batchId: Long, prefs: Dataset[UserPrefs],
+      send: (String, String) => Unit,
+      onMetrics: (Long, Map[String, Any]) => Unit = (_, _) => (),
+      sentMarkerDir: Option[String] = None): Unit = {
+    val hadoopConf = batch.sparkSession.sparkContext.hadoopConfiguration
+    val marker = sentMarkerDir.map(d =>
+      new org.apache.hadoop.fs.Path(d, s"batch-$batchId"))
+    val fs = marker.map(_.getFileSystem(hadoopConf))
+    if (marker.zip(fs).exists { case (m, f) => f.exists(m) }) return
+    val obs = org.apache.spark.sql.Observation(
+      s"alert_fanout_${batchId}_${System.nanoTime()}")
+    val out = fanout(batch, prefs)
+      .observe(obs,
+        count(lit(1)).as("n_alerts"),
+        approx_count_distinct(col("userId")).as("n_users"),
+        approx_count_distinct(col("state")).as("n_states"))
+    out.select(col("userId"), col("alertText"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach(r => send(r.getString(0), r.getString(1)))
+      }
+    onMetrics(batchId, obs.get)
+    marker.zip(fs).foreach { case (m, f) =>
+      f.mkdirs(m.getParent)
+      f.create(m, true).close()
+    }
+  }
+
   private def runBatches(deltaStream: DataFrame,
       send: (String, String) => Unit,
       onMetrics: (Long, Map[String, Any]) => Unit,
-      checkpointLocation: Option[String])(
+      checkpointLocation: Option[String],
+      sentMarkerDir: Option[String] = None)(
       prefsOf: org.apache.spark.sql.SparkSession => Dataset[UserPrefs])
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w = deltaStream.writeStream.outputMode("append")
     checkpointLocation.foreach(c => w.option("checkpointLocation", c))
     w.foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val obs = org.apache.spark.sql.Observation(s"alert_fanout_$batchId")
-        val out = fanout(batch, prefsOf(batch.sparkSession))
-          .observe(obs,
-            count(lit(1)).as("n_alerts"),
-            approx_count_distinct(col("userId")).as("n_users"),
-            approx_count_distinct(col("state")).as("n_states"))
-        out.select(col("userId"), col("alertText"))
-          .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-            rows.foreach(r => send(r.getString(0), r.getString(1)))
-          }
-        onMetrics(batchId, obs.get)
+        sendBatch(batch, batchId, prefsOf(batch.sparkSession), send,
+          onMetrics, sentMarkerDir)
       }
       .start()
   }

@@ -25,7 +25,21 @@ object StreamJoin {
     * converted/unconverted report. Columns: key, left ts, right ts,
     * lag_ms. */
   def within(left: DataFrame, right: DataFrame, keyCol: String,
-      tsCol: String, withinMillis: Long, delay: String): DataFrame = {
+      tsCol: String, withinMillis: Long, delay: String): DataFrame =
+    joined(left, right, keyCol, tsCol, withinMillis, delay, "inner")
+
+  /** [[within]] as a LEFT OUTER interval join: unmatched left events
+    * are emitted with null right columns once the watermark proves no
+    * in-bound match can still arrive — the "did NOT convert" stream,
+    * which an inner join can never produce. Null-emission timing is
+    * the engine's watermark bookkeeping, not custom state. */
+  def withinOrExpired(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, withinMillis: Long, delay: String): DataFrame =
+    joined(left, right, keyCol, tsCol, withinMillis, delay, "left_outer")
+
+  private def joined(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, withinMillis: Long, delay: String,
+      joinType: String): DataFrame = {
     val l = left.withWatermark(tsCol, delay)
       .select(col(keyCol).as("k"), col(tsCol).as("l_ts"))
     val r = right.withWatermark(tsCol, delay)
@@ -33,7 +47,8 @@ object StreamJoin {
     l.join(r,
         col("k") === col("rk") &&
           col("r_ts") > col("l_ts") &&
-          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMillis MILLISECONDS"))
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMillis MILLISECONDS"),
+        joinType)
       .select(col("k").as(keyCol), col("l_ts"), col("r_ts"),
         (unix_millis(col("r_ts")) - unix_millis(col("l_ts"))).as("lag_ms"))
   }

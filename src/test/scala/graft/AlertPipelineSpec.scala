@@ -82,6 +82,27 @@ class AlertPipelineSpec extends SparkSpec {
 }
 
 /** Executor-visible send collector (local-mode JVM singleton). */
+class AlertIdempotencySpec extends SparkSpec {
+  test("sendBatch with a marker dir delivers a replayed batch exactly once") {
+    import spark.implicits._
+    val markers = java.nio.file.Files.createTempDirectory("sent-markers")
+      .toFile.getAbsolutePath
+    val deltas = Seq(StatewiseDelta(0, 0, 5, 0, 0, 100, "", "Assam")).toDF()
+    val prefs = Seq(UserPrefs("u1", Seq("Assam"), subscribed = true)).toDS()
+    SendProbe.clear()
+    AlertPipeline.sendBatch(deltas, 7L, prefs, SendProbe.send,
+      sentMarkerDir = Some(markers))
+    // at-least-once replay of the SAME batch id: marker suppresses it
+    AlertPipeline.sendBatch(deltas, 7L, prefs, SendProbe.send,
+      sentMarkerDir = Some(markers))
+    assert(SendProbe.all.size == 1, s"replay double-sent: ${SendProbe.all}")
+    // the next batch id is new work and sends normally
+    AlertPipeline.sendBatch(deltas, 8L, prefs, SendProbe.send,
+      sentMarkerDir = Some(markers))
+    assert(SendProbe.all.size == 2)
+  }
+}
+
 object SendProbe {
   private val buf = mutable.Buffer[(String, String)]()
   def send(user: String, text: String): Unit =

@@ -613,6 +613,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits expired non-conversions with null right side") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val q = graft.streaming.StreamJoin.withinOrExpired(
+        views.toDS().toDF("user_id", "ts"),
+        buys.toDS().toDF("user_id", "ts"),
+        "user_id", "ts", withinMillis = 3600000L, delay = "10 minutes")
+      .writeStream.format("memory").queryName("conv_outer_t")
+      .outputMode("append").start()
+    try {
+      val base = ts("2024-03-02 09:00:00").getTime
+      views.addData((1L, new Timestamp(base)), (2L, new Timestamp(base)))
+      buys.addData((1L, new Timestamp(base + 60000L))) // only user 1 converts
+      q.processAllAvailable()
+      // advance both watermarks far past base + interval + delay so the
+      // engine can PROVE user 2 never converted
+      views.addData((9L, new Timestamp(base + 5 * 3600000L)))
+      buys.addData((9L, new Timestamp(base + 5 * 3600000L)))
+      q.processAllAvailable()
+      views.addData((8L, new Timestamp(base + 9 * 3600000L)))
+      buys.addData((8L, new Timestamp(base + 9 * 3600000L)))
+      q.processAllAvailable()
+      val rows = spark.table("conv_outer_t")
+        .filter(col("user_id").isin(1L, 2L)).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(3))))
+        .toMap
+      assert(rows.get(1L).flatten.contains(60000L), s"conversion lost: $rows")
+      assert(rows.get(2L).contains(None),
+        s"expired non-conversion not emitted with nulls: $rows")
+    } finally q.stop()
+  }
+
   test("UserPrefs JSON round-trip (serde fidelity)") {
     import spark.implicits._
     val prefs = Seq(UserPrefs("u1", Seq("Assam", "Delhi"), subscribed = true))
