@@ -42,6 +42,14 @@ object AnnIndex {
 
   private val Marker = "_graft_ann_ready"
 
+  /** Algorithm version, part of every caller's root path: artifacts
+    * persist across JVMs, so a change to the BUILD SEMANTICS
+    * (kmeansIndex init/assign, pqTrain, quantize) must bump this or a
+    * stale index silently serves results computed by old code. The
+    * rebuild-determinism spec protects same-version rebuilds, not
+    * cross-version staleness — the version constant is the guard. */
+  val AlgoVersion = 1
+
   def isBuilt(spark: SparkSession, root: String): Boolean = {
     val p = new Path(root, Marker)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -94,13 +102,29 @@ object AnnIndex {
   }
 
   /** Build-if-absent + load: the registry/bench entry point. The root
-    * is derived from the corpus location and the index parameters, so
-    * distinct datasets or configs never share artifacts. */
+    * is derived from the corpus location, a corpus FINGERPRINT, and
+    * the index parameters, so distinct datasets, regenerated data, or
+    * changed configs never share artifacts. Serialized within the JVM
+    * (concurrent suites would otherwise race overlapping overwrite
+    * builds into one root); cross-JVM builders still race — give them
+    * distinct roots or build ahead of time. */
   def ensure(corpus: DataFrame, root: String, kClusters: Int, iters: Int,
-      m: Int = 8, pqK: Int = 16, sample: Int = 2048): Handle = {
-    val spark = corpus.sparkSession
-    if (!isBuilt(spark, root))
-      build(corpus, root, kClusters, iters, m, pqK, sample)
-    load(spark, root)
+      m: Int = 8, pqK: Int = 16, sample: Int = 2048): Handle =
+    this.synchronized {
+      val spark = corpus.sparkSession
+      if (!isBuilt(spark, root))
+        build(corpus, root, kClusters, iters, m, pqK, sample)
+      load(spark, root)
+    }
+
+  /** Cheap source fingerprint for index-root derivation: size +
+    * modification time of the source file/dir — no data scan, but a
+    * regenerated corpus at the same path gets a new root and therefore
+    * a rebuild instead of silently stale artifacts. */
+  def sourceFingerprint(spark: SparkSession, sourcePath: String): String = {
+    val p = new Path(sourcePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    java.lang.Long.toHexString(st.getLen * 31 + st.getModificationTime)
   }
 }

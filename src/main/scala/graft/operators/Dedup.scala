@@ -17,6 +17,26 @@ import graft.functions.expressions.GraftExpressions.{minhashSig, simhashSig}
   */
 object Dedup {
 
+  /** The shared hot-key guard (df-cap): drop rows whose `keyCols`
+    * value appears in more than `maxDf` rows. A key shared by d rows
+    * contributes d² rows to a self-join, so the cap bounds per-key
+    * pair cost at maxDf² regardless of corpus size. The hot set is
+    * bounded by rows/maxDf and each key is small, so it broadcasts
+    * into a left-anti join. `maxDf <= 0` disables the cap. All the
+    * capped candidate generators (jaccard, simhash, edit-distance)
+    * route here; [[winnowPairs]] keeps its documented
+    * array-contains variant (deliberately anti-join-free). */
+  private def dropHotKeys(df: DataFrame, keyCols: Seq[String],
+      maxDf: Int): DataFrame =
+    if (maxDf <= 0) df
+    else {
+      val hot = df.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDf)
+        .select(keyCols.map(col): _*)
+      df.join(broadcast(hot), keyCols, "left_anti")
+    }
+
   /** Exact dedup: canonical id + duplicate count per distinct content
     * hash. One shuffle on the 16-byte digest. */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -136,9 +156,7 @@ object Dedup {
     // (both self-join sides + the size count).
     if (maxDf > 0) {
       val exploded = shingled.select(col("doc_id"), explode(col("shs")).as("h"))
-      val hot = exploded.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDf).select("h")
-      val surv = exploded.join(broadcast(hot), Seq("h"), "left_anti")
+      val surv = dropHotKeys(exploded, Seq("h"), maxDf)
         .localCheckpoint(true)
       val sizes = surv.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = surv.as("a")
@@ -308,31 +326,32 @@ object Dedup {
     * when that matters. */
   def editDistancePairs(docs: DataFrame, textCol: String, idCol: String,
       prefixLen: Int = 24, maxEd: Int = 16, maxDf: Int = 0): DataFrame = {
-    val blocked = docs.select(col(idCol).as("doc_id"), col(textCol).as("txt"),
-      substring(col(textCol), 1, prefixLen).as("blk"))
-    val kept =
-      if (maxDf > 0) {
-        val hot = blocked.groupBy("blk").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select("blk")
-        blocked.join(broadcast(hot), Seq("blk"), "left_anti")
-      } else blocked
-    // the O(len²) levenshtein is guarded INSIDE the expression by the
-    // cheap predicates (id order + length delta — edit distance is
-    // ≥ the length difference, so the guard never changes results):
-    // Catalyst pushes the post-join filter into the join CONDITION
-    // with the pushed predicate first, and unguarded that evaluated a
-    // full DP for every self-pair before doc_id< could short-circuit
-    // (measured 6s of the 7s at sf0.1)
+    val kept = dropHotKeys(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("txt"),
+        substring(col(textCol), 1, prefixLen).as("blk")),
+      Seq("blk"), maxDf)
+    // the DP is guarded INSIDE the expression by the cheap predicates
+    // (id order + length delta — edit distance is ≥ the length
+    // difference, so the guard never changes results): Catalyst pushes
+    // the post-join filter into the join CONDITION with the pushed
+    // predicate first, and unguarded that evaluated a full DP for
+    // every self-pair before doc_id< could short-circuit (measured 6s
+    // of the 7s at sf0.1). The DP itself is the THRESHOLD form —
+    // O(len·maxEd), -1 past the bound (the band never leaves the
+    // diagonal) — so a long in-block candidate costs len·maxEd, not
+    // len²; -1 fails the <= maxEd filter like any over-threshold pair.
     val guarded = when(
       col("a.doc_id") < col("b.doc_id") &&
         abs(length(col("a.txt")) - length(col("b.txt"))) <= maxEd,
-      levenshtein(col("a.txt"), col("b.txt")).cast("long"))
+      levenshtein(col("a.txt"), col("b.txt"), maxEd).cast("long"))
     kept.as("a")
       .join(kept.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         guarded.as("edit_dist"))
-      .filter(col("edit_dist") <= maxEd)
+      // the threshold DP returns -1 past the bound — the lower bound is
+      // load-bearing, not decorative
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxEd)
   }
 
   /** Dedup resolution: connected components over a near-dup pair graph,
@@ -550,12 +569,7 @@ object Dedup {
         explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.chunk").as("chunk"))
-    val kept =
-      if (maxDf > 0) {
-        val hot = bands.groupBy("band", "chunk").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select("band", "chunk")
-        bands.join(broadcast(hot), Seq("band", "chunk"), "left_anti")
-      } else bands
+    val kept = dropHotKeys(bands, Seq("band", "chunk"), maxDf)
     kept.as("a")
       .join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&

@@ -40,8 +40,13 @@ object LlmQueries {
     * build itself is deterministic (AnnIndexSpec). */
   private def annIndex(s: SparkSession, dir: String): graft.operators.AnnIndex.Handle = {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    // the root carries the algorithm version AND a source-file
+    // fingerprint (size+mtime — no data scan): regenerated corpus data
+    // at the same path rebuilds instead of serving stale artifacts
+    val fp = graft.operators.AnnIndex.sourceFingerprint(
+      s, s"$dir/embeddings.parquet")
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index/" +
-      s"${tag}_v1_k16_i2_m8_pk16"
+      s"${tag}_v${graft.operators.AnnIndex.AlgoVersion}_${fp}_k16_i2_m8_pk16"
     graft.operators.AnnIndex.ensure(quantized(s, dir), root,
       kClusters = 16, iters = 2, m = 8, pqK = 16)
   }

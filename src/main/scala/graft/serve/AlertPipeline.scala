@@ -77,7 +77,14 @@ object AlertPipeline {
       checkpointLocation: Option[String] = None,
       onMetrics: (Long, Map[String, Any]) => Unit = (_, _) => (),
       sentMarkerDir: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // markers are keyed by batchId, and batchIds are only stable under
+    // a checkpoint: markers without one would silently suppress NEW
+    // alerts after a restart resets batchIds to 0. Keep the marker dir
+    // INSIDE the checkpoint dir so clearing one clears both.
+    require(sentMarkerDir.isEmpty || checkpointLocation.isDefined,
+      "sentMarkerDir requires a checkpointLocation: batchIds reset " +
+        "without one and stale markers would swallow new batches")
     runBatches(deltaStream, send, onMetrics, checkpointLocation,
       sentMarkerDir) { spark =>
       import spark.implicits._
@@ -85,6 +92,7 @@ object AlertPipeline {
         .select(col("userId"), col("myStates"), col("subscribed"))
         .as[UserPrefs]
     }
+  }
 
   /** One alert micro-batch — the foreachBatch body, callable directly.
     *
@@ -95,7 +103,11 @@ object AlertPipeline {
     * the send window itself (a crash mid-send still re-sends that one
     * batch on replay; a sink that cannot tolerate even that dedups by
     * (batchId, userId, state) — the reference's Telegram consumer has
-    * the same residual exposure on replayed polls). */
+    * the same residual exposure on replayed polls). The markers are
+    * only meaningful against ONE checkpointed query's batchId sequence:
+    * share the checkpoint dir's lifecycle (nest the marker dir inside
+    * it) and never reuse a marker dir across queries or after deleting
+    * the checkpoint. */
   def sendBatch(batch: DataFrame, batchId: Long, prefs: Dataset[UserPrefs],
       send: (String, String) => Unit,
       onMetrics: (Long, Map[String, Any]) => Unit = (_, _) => (),
