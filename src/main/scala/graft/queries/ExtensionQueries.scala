@@ -241,6 +241,39 @@ object ExtensionQueries {
           .cast("long").as("dup_rate_q"))
   }
 
+  /** Gap-filled daily event series: a generated date spine × the
+    * event-type dimension, left-joined to the per-day counts with
+    * zeros for silent days — the DENSE time series every charting/
+    * anomaly layer wants (J5 turned point-probes into one join; this
+    * adds the zero-fill those probes got implicitly). The spine is
+    * data-driven (min..max event day), so the query is scale-factor
+    * agnostic; spine rows = days × types, never event volume. */
+  val gapFilledSeries: Q = Q(
+    "q85_gapfill_series",
+    """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+      |b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+      |days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+      |                     AS DATE) AS day FROM b),
+      |types AS (SELECT DISTINCT event_type FROM ev),
+      |cnt AS (SELECT day, event_type, count(*) AS n FROM ev GROUP BY 1, 2)
+      |SELECT strftime(d.day, '%Y-%m-%d') AS day, t.event_type,
+      |       COALESCE(cnt.n, 0) AS n
+      |FROM days d CROSS JOIN types t
+      |LEFT JOIN cnt ON cnt.day = d.day AND cnt.event_type = t.event_type""".stripMargin
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events")
+      .select(col("event_type"),
+        to_date(timestamp_millis(expr("ts_ns div 1000000"))).as("day"))
+    val days = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val types = ev.select("event_type").distinct()
+    val cnt = ev.groupBy("day", "event_type").agg(count(lit(1)).as("cn"))
+    days.crossJoin(types)
+      .join(cnt, Seq("day", "event_type"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("event_type"), coalesce(col("cn"), lit(0L)).as("n"))
+  }
+
   val all: Seq[Q] = Seq(editDedup, corpusCube, tokenTruncate, funnel,
-    collocations, containment, dupRateBySource)
+    collocations, containment, dupRateBySource, gapFilledSeries)
 }
