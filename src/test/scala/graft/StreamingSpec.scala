@@ -647,6 +647,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel duality: streaming interval join reproduces the batch q81 conversions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real table data through the STREAM: replay sf events as one batch
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("timestamp_millis(ts_ns div 1000000)").as("ts"))
+    val viewRows = ev.filter(col("event_type") === "view")
+      .select("user_id", "ts").as[(Long, Timestamp)].collect()
+    val buyRows = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts").as[(Long, Timestamp)].collect()
+    val views = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val q = graft.streaming.StreamJoin.within(
+        views.toDS().toDF("user_id", "ts"),
+        buys.toDS().toDF("user_id", "ts"),
+        "user_id", "ts", withinMillis = 3600000L, delay = "1 minute")
+      .writeStream.format("memory").queryName("funnel_dual_t")
+      .outputMode("append").start()
+    try {
+      views.addData(viewRows.toIndexedSeq: _*)
+      buys.addData(buyRows.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_dual_t")
+        .select("user_id", "l_ts", "r_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime))
+        .toSet
+      // batch reference: every (view, purchase-in-bound) pair — the
+      // unrestricted form of q81's first-touch aggregation
+      val batch = ev.filter(col("event_type") === "view").as("v")
+        .join(ev.filter(col("event_type") === "purchase").as("p"),
+          col("v.user_id") === col("p.user_id") &&
+            col("p.ts") > col("v.ts") &&
+            col("p.ts") <= col("v.ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("v.user_id"), unix_millis(col("v.ts")).as("l"),
+          unix_millis(col("p.ts")).as("r")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch.nonEmpty, "no conversions in the corpus at all")
+      assert(streamed == batch,
+        s"duality broken: stream-only ${streamed.diff(batch).take(3)}, " +
+          s"batch-only ${batch.diff(streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("UserPrefs JSON round-trip (serde fidelity)") {
     import spark.implicits._
     val prefs = Seq(UserPrefs("u1", Seq("Assam", "Delhi"), subscribed = true))
