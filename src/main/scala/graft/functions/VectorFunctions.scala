@@ -55,18 +55,34 @@ object VectorFunctions {
   /** Sign-bit LSH bucket for approximate search: `nBits` pseudo-random
     * ±1 hyperplanes with components derived from a splittable hash of
     * (plane, dimension) — deterministic, no stored model. Returns an
-    * integer bucket id in [0, 2^nBits).
+    * integer bucket id in [0, 2^nBits). `planeOffset` shifts the plane
+    * indices so BANDED callers ([[lshBandKey]]) draw each band's bits
+    * from distinct planes of the same family.
     */
-  def lshBucket(qvec: Column, nBits: Int, dims: Int): Column = {
-    val bits = (0 until nBits).map { p =>
+  def lshBucket(qvec: Column, nBits: Int, dims: Int,
+      planeOffset: Int = 0): Column = {
+    val bits = (0 until nBits).map { r =>
+      val p = planeOffset + r
       // ±1 hyperplane component for (plane p, dim i): parity of a hash.
       val proj = aggregate(
         zip_with(qvec, lit((0 until dims).toArray),
           (x, i) => when(pmod(hash(lit(p) * 1000 + i), lit(2)) === 0, x)
             .otherwise(-x)),
         lit(0L), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(proj >= 0, lit(1L << r)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a + b)
   }
+
+  /** Band `band`'s sign-LSH key: `bandBits` sign bits from planes
+    * `band*bandBits .. band*bandBits+bandBits-1` of the [[lshBucket]]
+    * family — the AND-within-band/OR-across-bands construction that
+    * gives banded sign-LSH its near-dup recall (a pair collides in a
+    * band iff ALL its bits agree; across `nBands` independent bands a
+    * cos≈0.95 pair at bandBits=4 collides somewhere with ≥99.9%
+    * probability). Deterministic: a pure function of the vector and
+    * the (band, dim) hash seeds, so the same vector always lands in
+    * the same buckets — across batches, sessions, and restarts. */
+  def lshBandKey(qvec: Column, band: Int, bandBits: Int, dims: Int): Column =
+    lshBucket(qvec, bandBits, dims, planeOffset = band * bandBits)
 }

@@ -19,34 +19,34 @@ import graft.state.KeyedStore
   * Why a store and not a full-corpus re-run? q28's batch form re-LSHes
   * the whole corpus per refresh; at 100 TB the common operation is
   * "dedup TODAY's crawl against everything ever admitted", which must
-  * cost O(|batch|), not O(|corpus|). The store is a [[KeyedStore]]
-  * keyed on (band, key) — the LSH bucket identity — whose row carries
-  * the bucket's members as (doc_id, shingle-set) structs, so the exact
-  * Jaccard verify runs directly on the probe result: no second lookup,
-  * no scan of stored documents. [[KeyedStore.probe]] prunes the read
-  * to the bucket directories the batch's own band keys hash into, so
-  * per-batch cost is O(|batch| × bands + touched buckets) against a
-  * store of any size.
+  * cost O(|batch|), not O(|corpus|). The store is the two-table
+  * [[NearDupStore]] layout: `bands/` keyed (band, key) carrying member
+  * ids ONLY, `docs/` keyed doc_id carrying each admitted doc's shingle
+  * set exactly once — postings and payloads split, so store bytes
+  * scale ~1× the admitted text (the earlier single-table form rode the
+  * shingle set on every band row: 16× at the default 16 bands). The
+  * exact Jaccard verify fetches only the COLLIDED members' shingle
+  * sets by id — both the band probe and the payload fetch are
+  * bucket-pruned ([[KeyedStore.probe]]), so per-batch cost is
+  * O(|batch| × bands + collided members) against a store of any size.
   *
-  * Scale guards, mirroring the batch family:
-  *   - a bucket's member list is capped at `maxBucket` (kept = the
-  *     lowest doc_ids). A saturated bucket still verifies candidates
-  *     against its kept members; what it gives up is detecting dups of
-  *     members it evicted — the same recall-for-boundedness trade as
-  *     `maxDf` in [[Dedup.jaccardPairs]], and at 16-bands-of-4 a pair
-  *     missing in one saturated bucket still collides in any other
-  *     shared band.
-  *   - member shingle sets ride the store row (≤ bands copies of each
-  *     admitted doc's set) — the classical postings-with-payload trade
-  *     that buys verify-without-fetch.
+  * Scale guards, mirroring the batch family: a bucket's member list is
+  * capped at `maxBucket` (kept = the lowest doc_ids). A saturated
+  * bucket still verifies candidates against its kept members; what it
+  * gives up is detecting dups of members it evicted — the same
+  * recall-for-boundedness trade as `maxDf` in [[Dedup.jaccardPairs]],
+  * and at 16-bands-of-4 a pair missing in one saturated bucket still
+  * collides in any other shared band. (An evicted member's doc row
+  * lingers in `docs/` unreferenced — storage-idempotent, never probed.)
   *
   * Replay idempotency (at-least-once foreachBatch): admitted docs are
   * recognized on replay — a stored member with the batch doc's own id
   * is skipped as a self-match, so the replayed batch re-emits exactly
-  * its original novel rows, and the member-merge dedups by doc_id so
-  * the re-upsert converges to the same member sets. Within a batch,
-  * duplicate ids collapse to the minimum (ts, id) row first, so
-  * duplicated delivery upstream cannot double-admit.
+  * its original novel rows; the member-merge dedups by doc_id and the
+  * doc upsert replaces by key, so the re-upsert converges to the same
+  * store. Within a batch, duplicate ids collapse to the minimum
+  * (ts, id) row first, so duplicated delivery upstream cannot
+  * double-admit.
   *
   * In-batch semantics are the conservative LSH-dedup convention: a doc
   * near-dup of ANY earlier (ts, id) batch doc is dropped, even if that
@@ -75,12 +75,15 @@ object IncrementalNearDedup {
         struct(col(tsCol), col(idCol))).as("r"))
       .select(col("r.*"))
       .localCheckpoint(eager = true)
+    // payloads (doc_id -> shs) live in ONE frame; band rows carry ids
+    // only — the two meet again only on verify-sized id sets
     val shingled = docs
       .select(col(idCol).as("doc_id"),
         shingleHashes(T.words(col(textCol)), 3).as("shs"))
       .filter(size(col("shs")) > 0)
+      .localCheckpoint(eager = true)
     val sigs = shingled
-      .select(col("doc_id"), col("shs"), minhashSig(col("shs"), k).as("sig"))
+      .select(col("doc_id"), minhashSig(col("shs"), k).as("sig"))
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((0 until bandRows).map(r => col("sig").getItem(b * bandRows + r)): _*)
@@ -88,37 +91,33 @@ object IncrementalNearDedup {
     }
     // band rows feed the probe, the candidate join and the upsert: pin
     val bk = sigs
-      .select(col("doc_id"), col("shs"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("shs"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
       .localCheckpoint(eager = true)
 
-    val hasStore = KeyedStore.isInitialized(spark, storePath)
-    // bucket-pruned probe: only the band buckets THIS batch hashes into
-    // are read — never the store at large
-    val hits =
-      if (hasStore)
-        KeyedStore.probe(bk.select("band", "key"), Seq("band", "key"),
-          storePath, numBuckets).localCheckpoint(eager = true)
-      else null
+    val hasStore = NearDupStore.isInitialized(spark, storePath)
 
-    // near-dups of history: collide on a stored bucket, then EXACT
-    // Jaccard against only the collided members (self-matches are the
-    // replayed-batch case — skipped, see the idempotency note)
+    // near-dups of history: collide on a stored bucket (bucket-pruned
+    // probe — never the store at large), fetch ONLY the collided
+    // members' shingle sets by id, then EXACT Jaccard
     val histDups =
-      if (!hasStore) spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
-      else bk.join(hits, Seq("band", "key"))
-        .select(col("doc_id"), col("shs"), explode(col("members")).as("m"))
-        .select(col("doc_id"), col("shs"),
-          col("m.doc_id").as("old_id"), col("m.shs").as("old_shs"))
-        .filter(col("old_id") =!= col("doc_id"))
-        .dropDuplicates("doc_id", "old_id")
-        .withColumn("inter",
-          size(array_intersect(col("shs"), col("old_shs"))).cast("double"))
-        .withColumn("uni",
-          (size(col("shs")) + size(col("old_shs"))).cast("double") - col("inter"))
-        .filter(col("inter") / col("uni") >= threshold)
-        .select("doc_id").distinct()
+      if (!hasStore) docs.select(col(idCol).as("doc_id")).limit(0)
+      else {
+        val cand = NearDupStore.collisions(bk, storePath, numBuckets)
+          .localCheckpoint(eager = true)
+        val oldShs = NearDupStore.payloads(cand.select("old_id").distinct(),
+            storePath, numBuckets)
+          .select(col("doc_id").as("old_id"), col("shs").as("old_shs"))
+        cand
+          .join(shingled, Seq("doc_id"))
+          .join(oldShs, Seq("old_id"))
+          .withColumn("inter",
+            size(array_intersect(col("shs"), col("old_shs"))).cast("double"))
+          .withColumn("uni",
+            (size(col("shs")) + size(col("old_shs"))).cast("double") - col("inter"))
+          .filter(col("inter") / col("uni") >= threshold)
+          .select("doc_id").distinct()
+      }
 
     // in-batch near-dups: the batch LSH (same family), first-wins on
     // (ts, id) — X drops iff similar to any earlier Y
@@ -138,25 +137,12 @@ object IncrementalNearDedup {
     val novel = docs.join(dropIds, Seq(idCol), "left_anti")
       .localCheckpoint(eager = true)
 
-    // upsert the admitted docs' band rows: merge with existing members,
-    // dedup by doc_id (replay), keep the lowest maxBucket ids
-    val admitted = bk.join(novel.select(col(idCol).as("doc_id")),
-      Seq("doc_id"), "left_semi")
-    val newRows = admitted.select(col("band"), col("key"),
-      struct(col("doc_id"), col("shs")).as("m"))
-    val existingRows =
-      if (!hasStore) newRows.limit(0)
-      else hits
-        .join(newRows.select("band", "key").distinct(), Seq("band", "key"),
-          "left_semi")
-        .select(col("band"), col("key"), explode(col("members")).as("m"))
-    val merged = existingRows.unionByName(newRows)
-      .select(col("band"), col("key"), col("m"), col("m.doc_id").as("mid"))
-      .dropDuplicates("band", "key", "mid")
-      .groupBy("band", "key")
-      .agg(slice(array_sort(collect_list(col("m"))), 1, maxBucket).as("members"))
-    if (!merged.isEmpty)
-      KeyedStore.upsert(merged, Seq("band", "key"), storePath, numBuckets)
+    // upsert the admitted docs: band member ids + one payload row each
+    val admittedIds = novel.select(col(idCol).as("doc_id"))
+    NearDupStore.admit(
+      bk.join(admittedIds, Seq("doc_id"), "left_semi"),
+      shingled.join(admittedIds, Seq("doc_id"), "left_semi"),
+      storePath, maxBucket, numBuckets)
     novel
   }
 
@@ -166,14 +152,15 @@ object IncrementalNearDedup {
     * near-copies of everything admitted before the restart. */
   def run(stream: DataFrame, idCol: String, textCol: String, tsCol: String,
       storePath: String, checkpointLocation: Option[String] = None,
-      threshold: Double = 0.5,
+      threshold: Double = 0.5, k: Int = 64, bandRows: Int = 4,
+      maxBucket: Int = 64,
       numBuckets: Int = KeyedStore.DefaultBuckets)(
       onNovel: (DataFrame, Long) => Unit): StreamingQuery = {
     val w = stream.writeStream.outputMode("append")
     checkpointLocation.foreach(c => w.option("checkpointLocation", c))
     w.foreachBatch { (batch: DataFrame, id: Long) =>
         onNovel(dedupBatch(batch, idCol, textCol, tsCol, storePath,
-          threshold, numBuckets = numBuckets), id)
+          threshold, k, bandRows, maxBucket, numBuckets), id)
         ()
       }
       .start()

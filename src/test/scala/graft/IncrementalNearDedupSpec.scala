@@ -45,7 +45,8 @@ class IncrementalNearDedupSpec extends SparkSpec {
     val b1 = Seq((1L, textA, t1), (2L, textB, t1)).toDF("doc_id", "text", "ts")
     val n1 = IncrementalNearDedup.dedupBatch(b1, "doc_id", "text", "ts", store)
     assert(ids(n1) == Seq(1L, 2L))
-    assert(KeyedStore.isInitialized(spark, store))
+    assert(KeyedStore.isInitialized(spark, s"$store/bands"))
+    assert(KeyedStore.isInitialized(spark, s"$store/docs"))
 
     // batch 2: near-copy of A (not byte-equal!) dropped, C novel
     val b2 = Seq((3L, textA2, t2), (4L, textC, t2)).toDF("doc_id", "text", "ts")
@@ -57,17 +58,34 @@ class IncrementalNearDedupSpec extends SparkSpec {
     // doc 3 still a near-dup of doc 1)
     val n2r = IncrementalNearDedup.dedupBatch(b2, "doc_id", "text", "ts", store)
     assert(ids(n2r) == Seq(4L), s"replay diverged: ${ids(n2r)}")
-    val memberIds = KeyedStore.read(spark, store)
-      .select(explode(col("members.doc_id")).as("id"))
+    val memberIds = KeyedStore.read(spark, s"$store/bands")
+      .select(explode(col("members")).as("id"))
       .distinct().collect().map(_.getLong(0)).toSet
     assert(memberIds == Set(1L, 2L, 4L), s"store members: $memberIds")
 
     // every stored bucket's member list is unique per doc (replay did
     // not duplicate members)
-    val dupMembers = KeyedStore.read(spark, store)
-      .select(col("band"), col("key"), explode(col("members.doc_id")).as("id"))
+    val dupMembers = KeyedStore.read(spark, s"$store/bands")
+      .select(col("band"), col("key"), explode(col("members")).as("id"))
       .groupBy("band", "key", "id").count().filter(col("count") > 1).count()
     assert(dupMembers == 0, "replay duplicated bucket members")
+
+    // payload amplification is ~1x, not ~16x: the band rows carry
+    // member IDS only (no shingle payload in the postings schema), and
+    // each admitted doc's shingle set lives in exactly ONE doc-store
+    // row — replay included
+    val bandSchema = KeyedStore.read(spark, s"$store/bands").schema
+    assert(!bandSchema.fieldNames.contains("shs"),
+      "band rows must not carry shingle payloads")
+    assert(bandSchema("members").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType),
+      s"members must be bare ids: ${bandSchema("members").dataType}")
+    val docRows = KeyedStore.read(spark, s"$store/docs")
+      .groupBy("doc_id").count().collect()
+    assert(docRows.map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+    assert(docRows.forall(_.getLong(1) == 1L),
+      "doc payload stored more than once")
   }
 
   test("in-batch near-dups resolve first-wins by (ts, id); short docs pass through") {
@@ -81,8 +99,8 @@ class IncrementalNearDedupSpec extends SparkSpec {
     val n = IncrementalNearDedup.dedupBatch(b, "doc_id", "text", "ts", store)
     assert(ids(n) == Seq(11L, 12L), s"got ${ids(n)}")
     // the dropped doc's bands were never admitted to the store
-    val memberIds = KeyedStore.read(spark, store)
-      .select(explode(col("members.doc_id")).as("id"))
+    val memberIds = KeyedStore.read(spark, s"$store/bands")
+      .select(explode(col("members")).as("id"))
       .distinct().collect().map(_.getLong(0)).toSet
     assert(memberIds == Set(11L))
   }
@@ -132,6 +150,62 @@ class IncrementalNearDedupSpec extends SparkSpec {
     assert(novel.sorted == Seq(1L, 2L, 4L), s"got ${novel.sorted}")
   }
 
+  test("kill MID-BATCH (store upserted, offset uncommitted): resume replays the batch idempotently") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("neardedup-kill").toString
+    val (inDir, store, ckpt) = (s"$base/in", s"$base/store", s"$base/ckpt")
+    new java.io.File(inDir).mkdirs()
+    def writeBatch(file: String, rows: Seq[(Long, String, Long)]): Unit = {
+      val w = new java.io.PrintWriter(s"$inDir/$file")
+      rows.foreach { case (id, tx, ts) =>
+        w.println(s"""{"doc_id":$id,"text":"$tx","epoch":$ts}""") }
+      w.close()
+    }
+    val schema = "doc_id LONG, text STRING, epoch LONG"
+    val emitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def start(crash: Boolean) = IncrementalNearDedup.run(
+      spark.readStream.schema(schema).json(inDir)
+        .withColumn("ts", timestamp_seconds(col("epoch"))),
+      "doc_id", "text", "ts", store, Some(ckpt)) { (n, _) =>
+      // dedupBatch has ALREADY upserted the band + doc stores when this
+      // callback runs — throwing here is the torn state: store mutated,
+      // batch offset never committed
+      val idsNow = n.select("doc_id").collect().map(_.getLong(0))
+      if (crash && failOnce.compareAndSet(true, false))
+        sys.error("injected crash after store upsert")
+      emitted ++= idsNow
+    }
+
+    writeBatch("b0.json", Seq((1L, textA, 1000L), (2L, textB, 1000L)))
+    val q1 = start(crash = true)
+    val ex = intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    assert(ex.getMessage.contains("injected crash") ||
+      Option(ex.getCause).exists(_.getMessage.contains("injected crash")))
+    assert(emitted.isEmpty, "crashed batch must not have been emitted")
+    // the torn state is real: the store WAS mutated by the dead batch
+    assert(KeyedStore.isInitialized(spark, s"$store/bands"))
+
+    // resume: the uncommitted batch replays against the already-mutated
+    // store — novel rows emit exactly as they would have (self-matches
+    // skipped), the store converges, nothing is emitted twice
+    val q2 = start(crash = false)
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(emitted.sorted == Seq(1L, 2L), s"replayed emit: ${emitted.sorted}")
+
+    // and the resumed pipeline keeps deduping against what the torn
+    // batch admitted: a near-copy of doc 1 is rejected post-resume
+    writeBatch("b1.json", Seq((3L, textA2, 2000L), (4L, textC, 2000L)))
+    val q3 = start(crash = false)
+    try { q3.processAllAvailable() } finally q3.stop()
+    assert(emitted.sorted == Seq(1L, 2L, 4L), s"post-resume: ${emitted.sorted}")
+    val dupMembers = KeyedStore.read(spark, s"$store/bands")
+      .select(col("band"), col("key"), explode(col("members")).as("id"))
+      .groupBy("band", "key", "id").count().filter(col("count") > 1).count()
+    assert(dupMembers == 0, "replay duplicated bucket members")
+  }
+
   test("bucket member cap bounds store growth and keeps lowest ids") {
     import spark.implicits._
     val store = tmp("neardedup-cap")
@@ -149,7 +223,7 @@ class IncrementalNearDedupSpec extends SparkSpec {
         Seq((100L + i, tx, t1)).toDF("doc_id", "text", "ts"),
         "doc_id", "text", "ts", store, threshold = 0.9, maxBucket = 3)
     }
-    val maxLen = KeyedStore.read(spark, store)
+    val maxLen = KeyedStore.read(spark, s"$store/bands")
       .select(max(size(col("members")))).collect().head.getInt(0)
     assert(maxLen <= 3, s"bucket grew past cap: $maxLen")
   }
