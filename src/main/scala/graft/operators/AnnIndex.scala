@@ -101,30 +101,114 @@ object AnnIndex {
       codebook = codebook)
   }
 
+  private val LockFile = "_graft_ann_lock"
+
+  /** Test hook: observes every [[build]] start (the spec injects a slow
+    * build to prove concurrent ensure() calls build once). No-op in
+    * production. */
+  private[graft] var buildObserver: String => Unit = _ => ()
+
+  /** Cross-process build mutex: a create-EXCLUSIVE lock file next to
+    * the commit marker (atomic on local FS and HDFS; object stores
+    * without atomic create need an external lock service — the
+    * documented limit of file-based locking). A holder that died is
+    * recognized by lock age: past `staleMs` the lock is broken and
+    * re-acquired. Waiters poll; the double-check of [[isBuilt]] inside
+    * the critical section makes the post-wait build a no-op when the
+    * first holder committed. */
+  private def withBuildLock[T](spark: SparkSession, root: String,
+      staleMs: Long = 10 * 60 * 1000L)(body: => T): T = {
+    val lock = new Path(root, LockFile)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(root))
+    var acquired = false
+    while (!acquired) {
+      acquired =
+        try { fs.create(lock, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (!acquired) {
+        val stale = try {
+          System.currentTimeMillis() -
+            fs.getFileStatus(lock).getModificationTime > staleMs
+        } catch { case _: java.io.IOException => false } // vanished: retry
+        if (stale) fs.delete(lock, false) else Thread.sleep(100)
+      }
+    }
+    try body finally fs.delete(lock, false)
+  }
+
   /** Build-if-absent + load: the registry/bench entry point. The root
     * is derived from the corpus location, a corpus FINGERPRINT, and
     * the index parameters, so distinct datasets, regenerated data, or
-    * changed configs never share artifacts. Serialized within the JVM
-    * (concurrent suites would otherwise race overlapping overwrite
-    * builds into one root); cross-JVM builders still race — give them
-    * distinct roots or build ahead of time. */
+    * changed configs never share artifacts. Concurrent callers — other
+    * threads AND other JVMs — serialize on the lock file: exactly one
+    * runs the build, the rest wait and load the committed artifacts
+    * (the in-lock isBuilt double-check). */
   def ensure(corpus: DataFrame, root: String, kClusters: Int, iters: Int,
-      m: Int = 8, pqK: Int = 16, sample: Int = 2048): Handle =
-    this.synchronized {
-      val spark = corpus.sparkSession
-      if (!isBuilt(spark, root))
-        build(corpus, root, kClusters, iters, m, pqK, sample)
-      load(spark, root)
-    }
+      m: Int = 8, pqK: Int = 16, sample: Int = 2048): Handle = {
+    val spark = corpus.sparkSession
+    if (!isBuilt(spark, root))
+      withBuildLock(spark, root) {
+        if (!isBuilt(spark, root)) {
+          buildObserver(root)
+          build(corpus, root, kClusters, iters, m, pqK, sample)
+        }
+      }
+    load(spark, root)
+  }
 
-  /** Cheap source fingerprint for index-root derivation: size +
-    * modification time of the source file/dir — no data scan, but a
-    * regenerated corpus at the same path gets a new root and therefore
-    * a rebuild instead of silently stale artifacts. */
+  /** Grow a built index by a new corpus slice WITHOUT re-training or
+    * re-encoding old rows: assign the new vectors to the EXISTING
+    * centroid model, PQ-encode them with the EXISTING codebook, and
+    * append the rows into the cluster-partitioned ivf/ and codes/
+    * tables (parquet append — existing files are never rewritten).
+    * This is production IVF/PQ maintenance: the model is fixed at
+    * build time and slices accrete in O(|slice|); re-train via
+    * [[build]] only when drift degrades recall (the fingerprint-root
+    * scheme already forces a rebuild when the SOURCE regenerates).
+    *
+    * Caller contract: `newCorpus` ids are disjoint from what the index
+    * already holds (appending an existing id duplicates it — this is
+    * accretion, not upsert), and a crash between the two appends can
+    * leave ivf/ one slice ahead of codes/ — re-run the append only
+    * after checking which tables took it, or rebuild. Serialized
+    * against concurrent builds/appends by the same lock as [[ensure]]. */
+  def append(newCorpus: DataFrame, root: String): Unit = {
+    val spark = newCorpus.sparkSession
+    require(isBuilt(spark, root), s"no ANN index at $root (run build first)")
+    withBuildLock(spark, root) {
+      val h = load(spark, root)
+      val assigned = Similarity
+        .assignToCentroids(newCorpus, h.centroids)
+        .localCheckpoint(eager = true) // one assignment pass feeds both tables
+      assigned.write.partitionBy("cluster").mode("append")
+        .parquet(s"$root/ivf")
+      Similarity.pqEncode(assigned, h.codebook)
+        .select("vec_id", "cluster", "code")
+        .write.partitionBy("cluster").mode("append").parquet(s"$root/codes")
+    }
+  }
+
+  /** Source fingerprint for index-root derivation: fold (name, len,
+    * mtime) over the source's LEAF FILES — not the directory status,
+    * whose length is 0 and whose mtime object stores don't report (and
+    * some filesystems don't bump on in-place rewrites), which would
+    * let a regenerated corpus at the same path fingerprint identically
+    * and silently serve a stale index. A file listing, no data scan;
+    * any rewritten, added, or removed part file changes the root and
+    * forces a rebuild. */
   def sourceFingerprint(spark: SparkSession, sourcePath: String): String = {
     val p = new Path(sourcePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(p)
-    java.lang.Long.toHexString(st.getLen * 31 + st.getModificationTime)
+    // per-file hashes combine by SUM — listing order is filesystem-
+    // dependent and must not change the fingerprint of identical data
+    var acc = 7L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      acc += (st.getPath.getName.hashCode.toLong * 31 + st.getLen) * 31 +
+        st.getModificationTime
+    }
+    java.lang.Long.toHexString(acc)
   }
 }

@@ -86,7 +86,11 @@ object Similarity {
     // per band), on BARE id pairs — carrying qv/nsq through the dedup
     // shuffle costs ~1 KB/row and measured 3× slower; the vectors join
     // back afterwards (minhashLshPairs' verify-with-fetch shape — the
-    // quantize scan is a cheap native pass, recomputed not cached)
+    // quantize scan is a cheap native pass, recomputed not cached).
+    // The r6 bench's apparent 2× step (q64 1.10→2.27 s) did not
+    // reproduce: r7 median-of-3 measured 0.85 s in-suite and 0.86 s
+    // isolated with this exact shape (q63 likewise 0.59 s) — the r6
+    // number was box contention, and dedup-early stands as measured.
     val cand = bk.as("a")
       .join(bk.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -207,6 +211,24 @@ object Similarity {
     spark.createDataFrame(rows, c.schema)
   }
 
+  /** Assign every corpus vector to its nearest centroid (cosine) in a
+    * FIXED centroid model — the shared pass of [[kmeansIndex]]'s Lloyd
+    * rounds and `AnnIndex.append`'s model-preserving index growth.
+    * Argmax as an AGGREGATE, not a window: max_by gets a map-side
+    * partial phase, so the shuffle moves n assigned rows instead of all
+    * n×k scored rows (round-3 finding). Tie-break: highest sim, then
+    * LOWEST cluster id (the window's `orderBy(sim desc, cluster)`),
+    * encoded as max over struct(sim, -cluster). */
+  def assignToCentroids(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cents))
+      .withColumn("sim",
+        V.cosineFrom(dotQFast(col("qv"), col("cqv")), col("nsq"), col("cnsq")))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("qv"), col("nsq"), col("cluster")),
+        struct(col("sim"), -col("cluster"))).as("b"))
+      .select(col("vec_id"), col("b.qv").as("qv"), col("b.nsq").as("nsq"),
+        col("b.cluster").as("cluster"))
+
   /** Deterministic k-means (Lloyd's) over quantized vectors: init =
     * first k vectors by id, `iters` assign/update rounds. Returns
     * (inverted index: vec_id, qv, nsq, cluster; centroid model:
@@ -214,20 +236,7 @@ object Similarity {
     * the corpus is never shuffled, only scanned (iters+1 passes). */
   def kmeansIndex(corpus: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
-    // argmax as an AGGREGATE, not a window: max_by gets a map-side
-    // partial phase, so the shuffle moves n assigned rows instead of all
-    // n×k scored rows (round-3 finding). Tie-break: highest sim, then
-    // LOWEST cluster id (the window's `orderBy(sim desc, cluster)`),
-    // encoded as max over struct(sim, -cluster).
-    def assign(c: DataFrame): DataFrame =
-      corpus.crossJoin(broadcast(c))
-        .withColumn("sim",
-          V.cosineFrom(dotQFast(col("qv"), col("cqv")), col("nsq"), col("cnsq")))
-        .groupBy("vec_id")
-        .agg(max_by(struct(col("qv"), col("nsq"), col("cluster")),
-          struct(col("sim"), -col("cluster"))).as("b"))
-        .select(col("vec_id"), col("b.qv").as("qv"), col("b.nsq").as("nsq"),
-          col("b.cluster").as("cluster"))
+    def assign(c: DataFrame): DataFrame = assignToCentroids(corpus, c)
     // init: first k vectors by id, cluster ids assigned driver-side (the
     // frame is k rows by construction — no global-window ranking needed)
     val initRows = corpus.orderBy("vec_id").limit(k)

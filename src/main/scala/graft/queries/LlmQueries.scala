@@ -40,9 +40,10 @@ object LlmQueries {
     * build itself is deterministic (AnnIndexSpec). */
   private def annIndex(s: SparkSession, dir: String): graft.operators.AnnIndex.Handle = {
     val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    // the root carries the algorithm version AND a source-file
-    // fingerprint (size+mtime — no data scan): regenerated corpus data
-    // at the same path rebuilds instead of serving stale artifacts
+    // the root carries the algorithm version AND a source fingerprint
+    // (leaf-file names+sizes+mtimes — a listing, no data scan):
+    // regenerated corpus data at the same path rebuilds instead of
+    // serving stale artifacts
     val fp = graft.operators.AnnIndex.sourceFingerprint(
       s, s"$dir/embeddings.parquet")
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index/" +

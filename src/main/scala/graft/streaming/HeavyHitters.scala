@@ -169,6 +169,17 @@ object HeavyHitters {
     require(capacity.toLong * nSalts >= k,
       s"merged counter space ${capacity}x$nSalts below k $k")
     val spark = events.sparkSession
+    // transformWithState hard-requires the RocksDB provider; on the
+    // default HDFS provider the query dies mid-run with an obscure
+    // state-store error — fail fast at plan time with the fix instead
+    val provider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass").getOrElse("")
+    require(provider.contains("RocksDBStateStoreProvider"),
+      "windowedTopK uses transformWithState, which requires the RocksDB " +
+        "state store: set spark.sql.streaming.stateStore.providerClass=" +
+        "org.apache.spark.sql.execution.streaming.state." +
+        s"RocksDBStateStoreProvider (current: '$provider'). Note the " +
+        "output mode is APPEND — rows emit at window close, not per update.")
     import spark.implicits._
     val bucketed = events
       .withWatermark(tsCol, s"$graceMillis milliseconds")

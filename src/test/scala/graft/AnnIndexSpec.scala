@@ -71,6 +71,87 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.isBuilt(spark, root))
   }
 
+  test("append assigns with the existing model, equals fixed-model rebuild-over-union, rewrites nothing") {
+    val all = corpus
+    val first = all.filter(col("vec_id") < 400)
+    val slice = all.filter(col("vec_id") >= 400)
+    val root = tmp()
+    AnnIndex.build(first, root, kClusters = 8, iters = 2)
+
+    // snapshot every data file before the append
+    def files(sub: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$root/$sub")).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> (f.length(), f.lastModified())).toMap
+    }
+    val ivfBefore = files("ivf"); val codesBefore = files("codes")
+
+    AnnIndex.append(slice, root)
+
+    // append never rewrites: every pre-append file survives byte- and
+    // mtime-identical; the slice arrived purely as NEW files
+    val ivfAfter = files("ivf"); val codesAfter = files("codes")
+    assert(ivfBefore.forall { case (p, s) => ivfAfter.get(p).contains(s) },
+      "append rewrote existing ivf files")
+    assert(codesBefore.forall { case (p, s) => codesAfter.get(p).contains(s) },
+      "append rewrote existing codes files")
+    assert(ivfAfter.size > ivfBefore.size)
+
+    // contents == rebuild-over-union under the FIXED original model:
+    // same centroids, same codebook, every row (old and new) assigned
+    // and encoded as one pass over the union would have
+    val h = AnnIndex.load(spark, root)
+    val unionAssigned = Similarity.assignToCentroids(all, h.centroids)
+    def asn(df: DataFrame) = df.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(asn(h.indexed) == asn(unionAssigned))
+    def cds(df: DataFrame) = df.select("vec_id", "code").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(cds(h.encoded) ==
+      cds(Similarity.pqEncode(unionAssigned, h.codebook)))
+
+    // and the probe path sees the appended rows: append-then-probe ==
+    // probe over the fixed-model union index
+    val queries = all.filter(col("vec_id") < 10)
+    assert(
+      topkRows(Similarity.annIvfTopK(h.indexed, h.centroids, queries, 5, 4)) ==
+        topkRows(Similarity.annIvfTopK(unionAssigned, h.centroids, queries, 5, 4)))
+    assert(
+      topkRows(Similarity.annIvfPqTopKEncoded(h.encoded, h.centroids,
+        queries, 5, 4, h.codebook)) ==
+        topkRows(Similarity.annIvfPqTopKEncoded(
+          Similarity.pqEncode(unionAssigned, h.codebook)
+            .select("vec_id", "cluster", "code"),
+          h.centroids, queries, 5, 4, h.codebook)))
+  }
+
+  test("concurrent ensure() calls build exactly once (lock file serializes builders)") {
+    val root = tmp()
+    val c = corpus.filter(col("vec_id") < 100).localCheckpoint(true)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    AnnIndex.buildObserver = { _ =>
+      builds.incrementAndGet()
+      Thread.sleep(1500) // slow build: the second caller MUST overlap it
+    }
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      val fs = (1 to 2).map(_ => Future {
+        AnnIndex.ensure(c, root, kClusters = 4, iters = 1)
+      }(ec))
+      val handles = fs.map(Await.result(_, 120.seconds))
+      pool.shutdown()
+      assert(builds.get() == 1, s"built ${builds.get()} times under contention")
+      handles.foreach(h => assert(h.centroids.count() == 4))
+      // lock released: a later ensure neither blocks nor rebuilds
+      AnnIndex.ensure(c, root, kClusters = 4, iters = 1)
+      assert(builds.get() == 1)
+    } finally AnnIndex.buildObserver = _ => ()
+  }
+
   test("ivf and codes tables are partitioned by cluster (probe prunes directories)") {
     val root = tmp()
     AnnIndex.build(corpus, root, kClusters = 8, iters = 1)

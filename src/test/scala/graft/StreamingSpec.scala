@@ -466,6 +466,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("windowedTopK fails fast (plan time, clear fix) without the RocksDB provider") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.unset(key) // the default HDFS provider
+    try {
+      val ms = MemoryStream[(Timestamp, String)]
+      val e = intercept[IllegalArgumentException] {
+        graft.streaming.HeavyHitters.windowedTopK(
+          ms.toDS().toDF("ts", "etype"), "ts", "etype",
+          windowMillis = 3600000L, graceMillis = 3600000L,
+          capacity = 4, k = 2)
+      }
+      assert(e.getMessage.contains("RocksDBStateStoreProvider"),
+        s"error must name the fix: ${e.getMessage}")
+      assert(e.getMessage.contains("APPEND"),
+        "error must call out the append output mode")
+    } finally prev.foreach(spark.conf.set(key, _))
+  }
+
   test("streaming windowed heavy hitters: bounded counters, true top-k, eviction") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
