@@ -280,6 +280,39 @@ object ChartQueries {
           .cast("long").as("ma_q4"))
   }
 
+  /** Gap-filled chart series (Visualizer.java:155-186 / 197-215: the
+    * reference's chart loops probe EVERY day in their range, so silent
+    * days still get a label and a zero) — the q85 date-spine machinery
+    * promoted into the serving layer via `ChartPipeline.gapFillDaily`.
+    * The rare-event filter (value ≥ 220, the distribution's far tail)
+    * makes most (day, type) cells genuinely SILENT at verify scale, so
+    * the oracle checks real zero-fill, not a dense no-op. Spine = days
+    * × types observed among rare events; counts coalesce to 0. */
+  val denseChartSeries: Q = Q(
+    "q86_dense_chart_series",
+    """WITH rare AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |         count(*) AS n
+      |  FROM events WHERE value >= 220.0 GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS lo, max(day) AS hi FROM rare),
+      |days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+      |                     AS DATE) AS day FROM b),
+      |types AS (SELECT DISTINCT event_type FROM rare)
+      |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+      |       strftime(d.day, '%b %d') AS label, t.event_type,
+      |       COALESCE(r.n, 0) AS n
+      |FROM days d CROSS JOIN types t
+      |LEFT JOIN rare r ON r.day = d.day AND r.event_type = t.event_type""".stripMargin
+  ) { (s, dir) =>
+    val rare = t(s, dir, "events")
+      .filter(col("value") >= 220.0)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    graft.serve.ChartPipeline.gapFillDaily(rare, Seq("n"), dims = Seq("event_type"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("label"),
+        col("event_type"), col("n"))
+  }
+
   val all: Seq[Q] = Seq(chartSeries, chartJson, chartFanout, historyChart,
-    testingSeries)
+    testingSeries, denseChartSeries)
 }

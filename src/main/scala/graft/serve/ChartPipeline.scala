@@ -18,6 +18,54 @@ import graft.render.ChartJson
   */
 object ChartPipeline {
 
+  /** Densify a daily chart frame: a generated date spine (min..max day,
+    * or the caller's explicit range) × the optional dimension columns,
+    * left-joined to the input with ZEROS for silent days — the q85
+    * gap-fill (`ExtensionQueries.gapFilledSeries`) promoted into the
+    * serving layer. The reference's daily chart families walk every day
+    * in the range with store point-probes, so a day with no data still
+    * yields a label (and a zero/skip) — a distributed roll-up sees only
+    * days that HAVE rows, and a chart whose x-axis silently drops a day
+    * lies about the time axis. Ride this before any chart assembly that
+    * assumes dense input.
+    *
+    * `label` is regenerated from the spine day ("MMM dd",
+    * Visualizer.java:101's monthDayFormatter), so silent days get
+    * correct labels, not nulls. Scale: spine rows = days (× dims),
+    * never event volume; the input is already a per-day roll-up, so
+    * both join sides are chart-sized — the spine side broadcasts. */
+  def gapFillDaily(daily: DataFrame, valueCols: Seq[String],
+      dims: Seq[String] = Nil, labelFmt: String = "MMM dd",
+      range: Option[(String, String)] = None): DataFrame = {
+    val spark = daily.sparkSession
+    val spine = range match {
+      case Some((lo, hi)) =>
+        spark.range(1).select(
+          explode(expr(s"sequence(DATE'$lo', DATE'$hi', interval 1 day)"))
+            .as("day"))
+      case None =>
+        daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+          .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    }
+    val frame =
+      if (dims.isEmpty) spine
+      else spine.crossJoin(daily.select(dims.map(col): _*).distinct())
+    frame.join(broadcast(daily.drop("label")), Seq("day") ++ dims, "left")
+      .select(
+        col("day") +: date_format(col("day"), labelFmt).as("label") +:
+          (dims.map(col) ++
+            valueCols.map(c => coalesce(col(c), lit(0L)).as(c))): _*)
+  }
+
+  /** [[singleSeries]] over a possibly-sparse daily frame: gap-fill
+    * first (zeros on silent days), then assemble — the faithful
+    * engine-side form of the reference's probe-every-day chart loops. */
+  def singleSeriesDense(daily: DataFrame, chartKey: String,
+      seriesLabel: String, color: String = ChartJson.Red,
+      displayLabels: Boolean = true): DataFrame =
+    singleSeries(gapFillDaily(daily, Seq("value")), chartKey, seriesLabel,
+      color, displayLabels)
+
   /** Single-series line chart over a (day, label, value) daily frame —
     * the doubling-rate / history-trend shape (Visualizer.java:155-186).
     * Emits exactly one (key, value) frame row. */
@@ -267,6 +315,17 @@ object ChartPipeline {
         ChartJson.chart(ChartJson.Bar, col("labels"), dsets,
           displayLabels = false, xAxes, yAxes)).as("value"))
   }
+
+  /** [[multiSeries]] over possibly-sparse long-form input: gap-fill
+    * per series (zeros on silent days) so every series' data array
+    * aligns with the full-range label spine. The reference's top-5
+    * trend labels every day in its 31-day window unconditionally
+    * (Visualizer.java:197-215 puts the monthDay key before probing) —
+    * a series missing a day would silently SHIFT its array left
+    * against those labels; densifying is the correct total form. */
+  def multiSeriesDense(longForm: DataFrame, chartKey: String): DataFrame =
+    multiSeries(
+      gapFillDaily(longForm, Seq("value"), dims = Seq("series")), chartKey)
 
   /** Multi-series trend chart over a long-form (series, day, label,
     * value) frame — the top-5-states-trend shape (Visualizer.java:

@@ -147,6 +147,49 @@ class ChartJsonSpec extends SparkSpec {
     assert(json.endsWith(""""title":{"display":false,"text":""}}}}"""))
   }
 
+  test("gap-filled single series renders a silent day as zero, byte-exact (Visualizer.java:155-186 probe-every-day loop)") {
+    import spark.implicits._
+    // May 02 and May 03 have NO input rows — the reference's chart loop
+    // still visits them (store point-probe per day in the range); the
+    // dense form must label them and chart 0.0, not drop them
+    val sparse = Seq(
+      (java.sql.Date.valueOf("2020-05-01"), "May 01", 10L),
+      (java.sql.Date.valueOf("2020-05-04"), "May 04", 7L))
+      .toDF("day", "label", "value")
+    val row = graft.serve.ChartPipeline
+      .singleSeriesDense(sparse, "doublingrate", "Doubling Rate")
+      .collect().head
+    assert(row.getString(0) == "doublingrate")
+    assert(row.getString(1) == envPrefix +
+      """{"type":"line","data":{"labels":["May 01","May 02","May 03","May 04"],"datasets":[""" +
+      """{"type":"line","label":"Doubling Rate","data":[10.0,0.0,0.0,7.0],"fill":false,"borderColor":"rgb(255, 99, 132)","backgroundColor":"rgb(255, 99, 132)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"}]},""" +
+      """"options":{"plugins":{"datalabels":{"display":true,"anchor":"end","backgroundColor":"#ccc","borderRadius":"3","align":"end"}},""" +
+      """"scales":{"xAxes":[{"id":"bottom-x-axis","position":"bottom","stacked":false,"ticks":{"beginAtZero":true}}],""" +
+      """"yAxes":[{"id":"left-y-axis","position":"left","stacked":false,"ticks":{"beginAtZero":true}}]},""" +
+      """"title":{"display":false,"text":""}}}}""")
+  }
+
+  test("gap-filled multi series keeps every data array aligned to the full-range labels") {
+    import spark.implicits._
+    // series A is silent on May 02; without the gap-fill its array
+    // would shift left against the 3-day label spine (the reference's
+    // misalignment bug — Visualizer.java:216-222 skips absent days
+    // per-series while labeling all days)
+    val longForm = Seq(
+      ("A", java.sql.Date.valueOf("2020-05-01"), "May 01", 5L),
+      ("A", java.sql.Date.valueOf("2020-05-03"), "May 03", 6L),
+      ("B", java.sql.Date.valueOf("2020-05-01"), "May 01", 50L),
+      ("B", java.sql.Date.valueOf("2020-05-02"), "May 02", 55L),
+      ("B", java.sql.Date.valueOf("2020-05-03"), "May 03", 60L))
+      .toDF("series", "day", "label", "value")
+    val json = graft.serve.ChartPipeline
+      .multiSeriesDense(longForm, "top5statestrend")
+      .collect().head.getString(1)
+    assert(json.contains(""""labels":["May 01","May 02","May 03"]"""))
+    assert(json.contains(""""label":"B","data":[50.0,55.0,60.0]"""))
+    assert(json.contains(""""label":"A","data":[5.0,0.0,6.0]"""))
+  }
+
   test("today/yesterday bar chart matches the Gson bytes (Visualizer.java:426-475)") {
     import spark.implicits._
     val deltas = Seq(

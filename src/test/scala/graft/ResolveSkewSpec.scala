@@ -3,6 +3,7 @@ package graft
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions.col
 
 import graft.operators.Dedup
 
@@ -15,6 +16,70 @@ import graft.operators.Dedup
   * skew-split absorbs at real scale (see resolveWithStats's scaladoc
   * for the posture argument). */
 class ResolveSkewSpec extends SparkSpec {
+
+  test("AQE skew-split FIRES on the giant-component propagation join (plan-level skew=true)") {
+    import spark.implicits._
+    // 75% giant star: the worst converged state — every member carries
+    // the component's min label, so the pointer-doubling jump join
+    // concentrates the whole component on ONE key. This is the round
+    // the scaladoc posture (Dedup.scala:387-395) claims AQE absorbs;
+    // here the claim is executed, not prose: thresholds are scaled
+    // from the production 256 MB down to this fixture's bytes (the
+    // SPLIT MECHANISM is identical — OptimizeSkewedJoin compares
+    // partition bytes to factor×median and threshold, whatever their
+    // magnitude), and the final adaptive plan must carry skew=true.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.shuffle.partitions",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      // 64 reducers => median reduce partition ≈ 150 edge rows; the
+      // star key's holds 30k+ — far past factor×median AND the byte
+      // threshold. Broadcast is off so the join stays shuffled
+      // (skew-split only applies to shuffled joins; production sides
+      // are far past any broadcast threshold anyway). Set BEFORE the
+      // fixture: resolve's label checkpoints must materialize at this
+      // parallelism so the skewed reduce partition has enough mapper
+      // granularity to split (measured: a 4-mapper checkpoint from the
+      // suite default defeated the split; 64 fires it).
+      conf.set("spark.sql.shuffle.partitions", "64")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+
+      val n = 40000
+      val star = (1L to 30000L).map(i => (0L, i))
+      val smalls = (30002L until n.toLong by 2).map(i => (i, i + 1))
+      val pairs = (star ++ smalls).toDF("doc_a", "doc_b")
+      val labels = Dedup.resolveWithStats(pairs)._1
+        .select(col("doc_id").as("id"), col("canonical_id").as("label"))
+        .localCheckpoint(eager = true)
+
+      // the EXACT jump-join shape from resolveWithStats's loop
+      // (Dedup.scala:421-423), on the converged labels
+      val jumped = labels.as("x")
+        .join(labels.as("y"), col("x.label") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.label").as("label"))
+      // collect() (not count()) so the action drives THIS dataset's
+      // QueryExecution — the plan below must be the executed final one
+      assert(jumped.collect().length == n - 1) // every vertex jumps once
+      val plan = jumped.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew-split did not fire on the hot-label join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 
   test("10% giant chain + star: O(log d) rounds, correct labels, bounded reducer skew") {
     import spark.implicits._
