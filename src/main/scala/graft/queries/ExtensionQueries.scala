@@ -274,6 +274,89 @@ object ExtensionQueries {
         col("event_type"), coalesce(col("cn"), lit(0L)).as("n"))
   }
 
+  /** Length-percentile trimming: drop the shortest ~5% and longest ~5%
+    * of documents by token count — the distribution-AWARE outlier gate
+    * a curation pipeline runs beside q47's fixed-threshold filter
+    * (fixed bounds can't adapt to a new corpus mix). The percentile
+    * bounds derive from a token-count HISTOGRAM, so the only
+    * corpus-sized passes are the count itself and the final
+    * broadcast-bounds filter: the cumulative count runs over DISTINCT
+    * LENGTHS (bounded by the longest document, not corpus rows) via a
+    * broadcast triangular self-join of the histogram — O(L²) work on a
+    * model-sized frame, WINDOWLESS, so nothing single-partitions and
+    * there is no global sort of documents anywhere. Rank positions use
+    * pure integer ceil-division, so the bounds are cross-engine exact
+    * by construction — no percentile-interpolation semantics in
+    * sight. */
+  val lengthTrim: Q = Q(
+    "q87_length_trim",
+    """WITH m AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+      |           FROM documents),
+      |h AS (SELECT n, count(*) AS c FROM m GROUP BY 1),
+      |cum AS (SELECT n, sum(c) OVER (ORDER BY n) AS cum FROM h),
+      |tot AS (SELECT count(*) AS cnt FROM m),
+      |b AS (SELECT
+      |  (SELECT min(n) FROM cum, tot WHERE cum >= (5 * cnt + 99) // 100) AS lo,
+      |  (SELECT min(n) FROM cum, tot WHERE cum >= (95 * cnt + 99) // 100) AS hi)
+      |SELECT m.doc_id, m.n AS n_tokens, b.lo, b.hi
+      |FROM m, b WHERE m.n BETWEEN b.lo AND b.hi""".stripMargin
+  ) { (s, dir) =>
+    val m = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.words(col("text")))
+          .cast("long").as("n"))
+    val hist = m.groupBy("n").agg(count(lit(1)).as("c"))
+    val cum = hist.as("a")
+      .join(broadcast(hist.select(col("n").as("n2"), col("c").as("c2"))),
+        col("n2") <= col("a.n"))
+      .groupBy(col("a.n").as("n")).agg(sum(col("c2")).as("cum"))
+    // bounds: the length at sorted position ceil(p·N) — one tiny agg
+    // over (histogram × one-row total)
+    val bounds = cum.crossJoin(m.agg(count(lit(1)).as("cnt")))
+      .agg(
+        min(when(col("cum") >= expr("(5 * cnt + 99) div 100"), col("n")))
+          .as("lo"),
+        min(when(col("cum") >= expr("(95 * cnt + 99) div 100"), col("n")))
+          .as("hi"))
+    m.crossJoin(broadcast(bounds))
+      .filter(col("n").between(col("lo"), col("hi")))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("lo"), col("hi"))
+  }
+
+  /** Per-document out-of-vocabulary rate against the corpus top-10
+    * vocabulary — the coverage score a tokenizer/vocab-budget planner
+    * reads before committing a vocab (CCNet-style corpus triage). The
+    * vocab is a bounded top-k over token counts (count desc, token asc
+    * — deterministic ties), broadcast into an in/out marker join; the
+    * per-doc pass is one explode + map-side-combining groupBy. The
+    * oov_rate double is a SINGLE division of two exact integers, so
+    * both engines produce the identical nearest double. */
+  val oovRate: Q = Q(
+    "q88_oov_rate",
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |           FROM documents),
+      |v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM w GROUP BY 1
+      |                       ORDER BY c DESC, tok LIMIT 10) rk)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       count(*) FILTER (WHERE tok NOT IN (SELECT tok FROM v)) AS n_oov,
+      |       CAST(count(*) FILTER (WHERE tok NOT IN (SELECT tok FROM v))
+      |            AS DOUBLE) / count(*) AS oov_rate
+      |FROM w GROUP BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.words(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(10) // TakeOrdered: bounded
+      .select(col("tok"), lit(1).as("in_v"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_v").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+  }
+
   val all: Seq[Q] = Seq(editDedup, corpusCube, tokenTruncate, funnel,
-    collocations, containment, dupRateBySource, gapFilledSeries)
+    collocations, containment, dupRateBySource, gapFilledSeries,
+    lengthTrim, oovRate)
 }

@@ -293,6 +293,33 @@ class PlanSpec extends SparkSpec {
       "vocab/stats frame not broadcast")
   }
 
+  test("q87: percentile bounds broadcast; the one window is histogram-sized") {
+    val p = plan("q87_length_trim")
+    // the corpus-sized side meets the 2-row bounds frame via broadcast,
+    // never a shuffled cartesian
+    assert(!p.contains("CartesianProduct"), "bounds join planned a cartesian")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "percentile bounds not broadcast")
+    // the cumulative count rides a histogram-sized broadcast self-join,
+    // not a window: NO window may appear (a corpus-wide rank would
+    // single-partition at scale)
+    assert(!p.contains("Window"),
+      "q87 planned a window — the cumsum must stay histogram-join-shaped")
+    // the length histogram aggregates map-side before its shuffle
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "histogram lacks a partial phase")
+  }
+
+  test("q88: top-k vocab broadcasts into the coverage join; per-doc agg is partial") {
+    val p = plan("q88_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), "vocab membership join not broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "vocab top-k fell back to a global sort")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-doc OOV aggregation lacks a map-side phase")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q67: chunk-dedup winners elect via aggregation, not a per-chunk window") {
     val p = plan("q67_chunk_dedup")
     assert(p.contains("partial_min"), "winner election lacks map-side combine")
