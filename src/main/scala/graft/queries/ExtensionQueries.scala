@@ -356,7 +356,64 @@ object ExtensionQueries {
       .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
   }
 
+  /** Cross-split leakage audit: near-duplicate pairs whose members
+    * landed in DIFFERENT train/valid/test splits — the eval-integrity
+    * check every training pipeline must run, because a hash split
+    * assigns near-copies independently, so ~2·p·(1−p) of dup pairs
+    * straddle a boundary and quietly leak eval content into training.
+    * Composes the audited q27 candidate machinery (shared-shingle
+    * equi-join, df-capped, exact Jaccard) with q57's portable md5
+    * split assignment. Because the split is a PURE FUNCTION of the id,
+    * the assignment is projected directly onto the pair endpoints — no
+    * corpus-sized join, no extra shuffle; the audit costs exactly what
+    * the dedup pass already costs. */
+  val splitLeakage: Q = Q(
+    "q89_split_leakage",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      |       FROM w WHERE len(ws) >= 3),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jac AS (SELECT doc_a, doc_b,
+      |               CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |        FROM pairs
+      |        JOIN sizes sa ON doc_a = sa.doc_id
+      |        JOIN sizes sb ON doc_b = sb.doc_id
+      |        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+      |sp AS (SELECT doc_a, doc_b, jaccard,
+      |         CASE WHEN CAST('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 8)
+      |                    AS BIGINT) % 100 < 80 THEN 'train'
+      |              WHEN CAST('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 8)
+      |                    AS BIGINT) % 100 < 90 THEN 'valid'
+      |              ELSE 'test' END AS split_a,
+      |         CASE WHEN CAST('0x' || substr(md5(CAST(doc_b AS VARCHAR)), 1, 8)
+      |                    AS BIGINT) % 100 < 80 THEN 'train'
+      |              WHEN CAST('0x' || substr(md5(CAST(doc_b AS VARCHAR)), 1, 8)
+      |                    AS BIGINT) % 100 < 90 THEN 'valid'
+      |              ELSE 'test' END AS split_b
+      |       FROM jac)
+      |SELECT doc_a, doc_b, split_a, split_b, jaccard
+      |FROM sp WHERE split_a <> split_b""".stripMargin
+  ) { (s, dir) =>
+    import graft.operators.Sampling
+    val docs = t(s, dir, "documents")
+    graft.operators.Dedup.jaccardPairs(
+        graft.operators.Dedup.shingleProjection(docs, "text", "doc_id"),
+        threshold = 0.5, maxDf = 1000)
+      .withColumn("split_a", Sampling.splitColumn(col("doc_a")))
+      .withColumn("split_b", Sampling.splitColumn(col("doc_b")))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("jaccard"))
+  }
+
   val all: Seq[Q] = Seq(editDedup, corpusCube, tokenTruncate, funnel,
     collocations, containment, dupRateBySource, gapFilledSeries,
-    lengthTrim, oovRate)
+    lengthTrim, oovRate, splitLeakage)
 }

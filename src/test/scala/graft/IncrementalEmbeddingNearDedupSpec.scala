@@ -166,6 +166,59 @@ class IncrementalEmbeddingNearDedupSpec extends SparkSpec {
     assert(novel.sorted == Seq(1L, 2L, 4L), s"got ${novel.sorted}")
   }
 
+  test("kill MID-BATCH (store upserted, offset uncommitted): resume replays the batch idempotently") {
+    // the embedding twin of IncrementalNearDedupSpec's torn-state test:
+    // dedupBatch has already upserted the band + vector stores when the
+    // crash hits, the batch offset is never committed, and the resumed
+    // stream must re-emit exactly the original novel rows against the
+    // mutated store
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = tmp("embdedup-kill")
+    val ckpt = tmp("embdedup-kill-ckpt")
+    val emitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+
+    val ms = MemoryStream[(Long, Seq[Float], Timestamp)]
+    def start(crash: Boolean) = IncrementalEmbeddingNearDedup.run(
+      ms.toDS().toDF("doc_id", "vec", "ts"),
+      "doc_id", "vec", "ts", store, Some(ckpt)) { (n, _) =>
+      val idsNow = n.select("doc_id").collect().map(_.getLong(0))
+      if (crash && failOnce.compareAndSet(true, false))
+        sys.error("injected crash after store upsert")
+      emitted ++= idsNow
+    }
+
+    ms.addData((1L, vecA, t1), (2L, vecB, t1))
+    val q1 = start(crash = true)
+    val ex = intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    assert(ex.getMessage.contains("injected crash") ||
+      Option(ex.getCause).exists(_.getMessage.contains("injected crash")))
+    assert(emitted.isEmpty, "crashed batch must not have been emitted")
+    // the torn state is real: the dead batch DID mutate the store
+    assert(KeyedStore.isInitialized(spark, s"$store/bands"))
+
+    // resume: the uncommitted batch replays against the mutated store —
+    // self-matches are skipped, the original novel rows emit once
+    val q2 = start(crash = false)
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(emitted.sorted == Seq(1L, 2L), s"replayed emit: ${emitted.sorted}")
+
+    // and post-resume batches keep deduping against the torn batch's
+    // admissions: a near-copy of vector 1 is rejected
+    val q3 = start(crash = false)
+    try {
+      ms.addData((3L, vecA2, t3), (4L, vecC, t3))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(emitted.sorted == Seq(1L, 2L, 4L), s"post-resume: ${emitted.sorted}")
+    val dupMembers = KeyedStore.read(spark, s"$store/bands")
+      .select(col("band"), col("key"), explode(col("members")).as("id"))
+      .groupBy("band", "key", "id").count().filter(col("count") > 1).count()
+    assert(dupMembers == 0, "replay duplicated bucket members")
+  }
+
   test("bucket member cap bounds store growth and keeps lowest ids") {
     val store = tmp("embdedup-cap")
     (0 until 5).foreach { i =>
