@@ -403,9 +403,17 @@ object ExtensionQueries {
   ) { (s, dir) =>
     import graft.operators.Sampling
     val docs = t(s, dir, "documents")
-    graft.operators.Dedup.jaccardPairs(
+    // BARRIER between the dedup pass and the split predicate: without
+    // it Catalyst pushes `split_a <> split_b` down into the shingle
+    // self-join condition, evaluating the md5 CASE per candidate
+    // shingle row instead of per surviving pair (measured 6.1s vs
+    // 2.3s at sf0.1 — the q78 guarded-levenshtein lesson again). The
+    // pairs frame is threshold-survivor-sized, so pinning it is free.
+    val pairs = graft.operators.Dedup.jaccardPairs(
         graft.operators.Dedup.shingleProjection(docs, "text", "doc_id"),
         threshold = 0.5, maxDf = 1000)
+      .localCheckpoint(eager = true)
+    pairs
       .withColumn("split_a", Sampling.splitColumn(col("doc_a")))
       .withColumn("split_b", Sampling.splitColumn(col("doc_b")))
       .filter(col("split_a") =!= col("split_b"))
