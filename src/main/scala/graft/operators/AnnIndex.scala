@@ -108,33 +108,87 @@ object AnnIndex {
     * production. */
   private[graft] var buildObserver: String => Unit = _ => ()
 
-  /** Cross-process build mutex: a create-EXCLUSIVE lock file next to
-    * the commit marker (atomic on local FS and HDFS; object stores
-    * without atomic create need an external lock service — the
-    * documented limit of file-based locking). A holder that died is
-    * recognized by lock age: past `staleMs` the lock is broken and
-    * re-acquired. Waiters poll; the double-check of [[isBuilt]] inside
-    * the critical section makes the post-wait build a no-op when the
-    * first holder committed. */
+  /** Per-root JVM monitors: Hadoop's RawLocalFileSystem implements
+    * `create(overwrite = false)` as check-then-act (exists() then a
+    * truncating open), so SAME-JVM threads must serialize here, not on
+    * the file — the file covers cross-process, where HDFS create IS
+    * atomic. Cross-process on a raw local FS keeps a microsecond race
+    * window; object stores without atomic create need an external lock
+    * service. Both are documented limits of file-based locking. */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Cross-process build mutex around `body`.
+    *
+    * Protocol: create-exclusive lock file carrying an OWNER TOKEN;
+    * while `body` runs, a daemon heartbeat refreshes the lock mtime
+    * every `staleMs`/3, so only a genuinely dead holder ever looks
+    * stale. Waiters poll; a lock whose mtime is older than `staleMs`
+    * is broken (delete + re-race the create — the owner check on
+    * release keeps a broken-then-rebuilt lock from being deleted by
+    * the old holder's `finally`). Release deletes the lock ONLY if it
+    * still carries our token. Contention is recognized strictly by
+    * already-exists errors; any other IOException (permissions,
+    * missing mount) PROPAGATES instead of spinning forever. */
   private def withBuildLock[T](spark: SparkSession, root: String,
       staleMs: Long = 10 * 60 * 1000L)(body: => T): T = {
-    val lock = new Path(root, LockFile)
-    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new Path(root))
-    var acquired = false
-    while (!acquired) {
-      acquired =
-        try { fs.create(lock, false).close(); true }
-        catch { case _: java.io.IOException => false }
-      if (!acquired) {
-        val stale = try {
-          System.currentTimeMillis() -
-            fs.getFileStatus(lock).getModificationTime > staleMs
-        } catch { case _: java.io.IOException => false } // vanished: retry
-        if (stale) fs.delete(lock, false) else Thread.sleep(100)
+    val monitor = jvmLocks.computeIfAbsent(root, _ => new Object)
+    monitor.synchronized {
+      val lock = new Path(root, LockFile)
+      val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new Path(root))
+      val owner = java.util.UUID.randomUUID().toString
+      def tryCreate(): Boolean =
+        try {
+          val out = fs.create(lock, false)
+          out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException
+              if e.getMessage != null &&
+                e.getMessage.toLowerCase.contains("exist") => false
+        }
+      def lockOwner(): Option[String] =
+        try {
+          val in = fs.open(lock)
+          try {
+            val buf = new Array[Byte](64)
+            val n = in.read(buf)
+            Some(new String(buf, 0, math.max(n, 0),
+              java.nio.charset.StandardCharsets.UTF_8))
+          } finally in.close()
+        } catch { case _: java.io.IOException => None }
+      while (!tryCreate()) {
+        val mtime =
+          try Some(fs.getFileStatus(lock).getModificationTime)
+          catch { case _: java.io.IOException => None } // vanished: re-race
+        mtime match {
+          case Some(t) if System.currentTimeMillis() - t > staleMs =>
+            fs.delete(lock, false) // dead holder (heartbeat stopped)
+          case Some(_) => Thread.sleep(100)
+          case None    => ()
+        }
+      }
+      val heartbeat = new Thread(() =>
+        try {
+          while (true) {
+            Thread.sleep(math.max(staleMs / 3, 100L))
+            fs.setTimes(lock, System.currentTimeMillis(), -1)
+          }
+        } catch {
+          case _: InterruptedException => ()
+          case _: java.io.IOException  => () // lock broken/unsupported: stop
+        })
+      heartbeat.setDaemon(true)
+      heartbeat.start()
+      try body
+      finally {
+        heartbeat.interrupt()
+        if (lockOwner().contains(owner)) fs.delete(lock, false)
       }
     }
-    try body finally fs.delete(lock, false)
   }
 
   /** Build-if-absent + load: the registry/bench entry point. The root
@@ -169,23 +223,33 @@ object AnnIndex {
     *
     * Caller contract: `newCorpus` ids are disjoint from what the index
     * already holds (appending an existing id duplicates it — this is
-    * accretion, not upsert), and a crash between the two appends can
-    * leave ivf/ one slice ahead of codes/ — re-run the append only
-    * after checking which tables took it, or rebuild. Serialized
-    * against concurrent builds/appends by the same lock as [[ensure]]. */
+    * accretion, not upsert). Serialized against concurrent builds and
+    * appends by the same lock as [[ensure]], and CRASH-SAFE behind the
+    * commit marker: the marker comes off before the first table write
+    * and back on after the second, so a crash mid-append leaves the
+    * root "not built" and the next [[ensure]] rebuilds from its corpus
+    * instead of serving an ivf/ that is one slice ahead of codes/.
+    * (An unlocked [[load]] RACING a live append lists the two tables'
+    * files at slightly different moments and can straddle the slice —
+    * take [[ensure]]'s lock path, i.e. call ensure not load, when
+    * appends run concurrently.) */
   def append(newCorpus: DataFrame, root: String): Unit = {
     val spark = newCorpus.sparkSession
-    require(isBuilt(spark, root), s"no ANN index at $root (run build first)")
     withBuildLock(spark, root) {
+      require(isBuilt(spark, root), s"no ANN index at $root (run build first)")
       val h = load(spark, root)
       val assigned = Similarity
         .assignToCentroids(newCorpus, h.centroids)
         .localCheckpoint(eager = true) // one assignment pass feeds both tables
+      val mp = new Path(root, Marker)
+      val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(mp, false) // index reads as unbuilt while the writes run
       assigned.write.partitionBy("cluster").mode("append")
         .parquet(s"$root/ivf")
       Similarity.pqEncode(assigned, h.codebook)
         .select("vec_id", "cluster", "code")
         .write.partitionBy("cluster").mode("append").parquet(s"$root/codes")
+      fs.create(mp, true).close() // recommit
     }
   }
 

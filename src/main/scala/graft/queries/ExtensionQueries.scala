@@ -305,14 +305,19 @@ object ExtensionQueries {
       .select(col("doc_id"),
         size(graft.functions.TextFunctions.words(col("text")))
           .cast("long").as("n"))
+    // the histogram feeds three consumers (cumsum both join sides, the
+    // total); pin it so the corpus is tokenized exactly twice — once
+    // here, once in the final filter — as the scaladoc promises
     val hist = m.groupBy("n").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
     val cum = hist.as("a")
       .join(broadcast(hist.select(col("n").as("n2"), col("c").as("c2"))),
         col("n2") <= col("a.n"))
       .groupBy(col("a.n").as("n")).agg(sum(col("c2")).as("cum"))
     // bounds: the length at sorted position ceil(p·N) — one tiny agg
-    // over (histogram × one-row total)
-    val bounds = cum.crossJoin(m.agg(count(lit(1)).as("cnt")))
+    // over (histogram × one-row total); N derives from the pinned
+    // histogram, not a third corpus scan
+    val bounds = cum.crossJoin(hist.agg(sum(col("c")).as("cnt")))
       .agg(
         min(when(col("cum") >= expr("(5 * cnt + 99) div 100"), col("n")))
           .as("lo"),

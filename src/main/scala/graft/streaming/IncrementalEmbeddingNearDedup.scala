@@ -43,7 +43,9 @@ import graft.state.KeyedStore
   * Replay idempotency and the in-batch first-wins convention are
   * exactly [[IncrementalNearDedup]]'s — see its scaladoc; null or
   * wrong-width embeddings cannot be banded and pass through
-  * unexamined, never entering the store.
+  * unexamined, never entering the store. A non-empty batch where NO
+  * row bands fails fast instead — that is a `dims` misconfiguration,
+  * not data variance.
   */
 object IncrementalEmbeddingNearDedup {
 
@@ -73,6 +75,18 @@ object IncrementalEmbeddingNearDedup {
       .select(col(idCol).as("doc_id"), V.quantize(col(vecCol)).as("qv"))
       .withColumn("nsq", dotQFast(col("qv"), col("qv")))
       .localCheckpoint(eager = true)
+    // Unlike text (where an all-short batch is plausible), embeddings
+    // have a fixed width: a non-empty batch where NOTHING banded means
+    // the dims parameter doesn't match the data — without this check
+    // the pipeline would emit every batch as "novel" forever while
+    // performing no dedup at all. Cheap: quant is already checkpointed.
+    if (quant.isEmpty && !docs.isEmpty) {
+      val w = docs.select(size(col(vecCol))).head()
+      throw new IllegalArgumentException(
+        s"no row in this batch has a $dims-wide non-null '$vecCol' " +
+          s"(first row width: ${if (w.isNullAt(0)) "null" else w.getInt(0)}) — " +
+          "dims does not match the data; dedup would be a silent no-op")
+    }
     val bandCols = (0 until nBands).map(b =>
       struct(lit(b).as("band"),
         V.lshBandKey(col("qv"), b, bandBits, dims).as("key")))
@@ -85,13 +99,21 @@ object IncrementalEmbeddingNearDedup {
       V.cosineFrom(dotQFast(aQv, bQv), aNsq, bNsq)
 
     val hasStore = NearDupStore.isInitialized(spark, storePath)
-    // near-dups of history: collide on a stored band bucket
-    // (bucket-pruned probe), fetch ONLY the collided members' vectors
-    // by id, then exact quantized cosine
+    // ONE bucket-pruned probe of the band store per batch, shared by
+    // history detection and the admit member-merge below
+    val bandHits =
+      if (!hasStore)
+        bk.select("band", "key").limit(0)
+          .withColumn("members", array().cast("array<long>"))
+      else NearDupStore.probeBands(bk, storePath, numBuckets)
+        .localCheckpoint(eager = true)
+    // near-dups of history: collide on a stored band bucket, fetch
+    // ONLY the collided members' vectors by id, then exact quantized
+    // cosine
     val histDups =
       if (!hasStore) docs.select(col(idCol).as("doc_id")).limit(0)
       else {
-        val cand = NearDupStore.collisions(bk, storePath, numBuckets)
+        val cand = NearDupStore.collisionsFrom(bk, bandHits)
           .localCheckpoint(eager = true)
         val oldVecs = NearDupStore.payloads(cand.select("old_id").distinct(),
             storePath, numBuckets)
@@ -141,7 +163,7 @@ object IncrementalEmbeddingNearDedup {
     NearDupStore.admit(
       bk.join(admittedIds, Seq("doc_id"), "left_semi"),
       quant.join(admittedIds, Seq("doc_id"), "left_semi"),
-      storePath, maxBucket, numBuckets)
+      bandHits, storePath, maxBucket, numBuckets)
     novel
   }
 

@@ -96,14 +96,21 @@ object IncrementalNearDedup {
       .localCheckpoint(eager = true)
 
     val hasStore = NearDupStore.isInitialized(spark, storePath)
+    // ONE bucket-pruned probe of the band store per batch, shared by
+    // history detection and the admit member-merge below
+    val bandHits =
+      if (!hasStore)
+        bk.select("band", "key").limit(0)
+          .withColumn("members", array().cast("array<long>"))
+      else NearDupStore.probeBands(bk, storePath, numBuckets)
+        .localCheckpoint(eager = true)
 
-    // near-dups of history: collide on a stored bucket (bucket-pruned
-    // probe — never the store at large), fetch ONLY the collided
-    // members' shingle sets by id, then EXACT Jaccard
+    // near-dups of history: collide on a stored bucket, fetch ONLY the
+    // collided members' shingle sets by id, then EXACT Jaccard
     val histDups =
       if (!hasStore) docs.select(col(idCol).as("doc_id")).limit(0)
       else {
-        val cand = NearDupStore.collisions(bk, storePath, numBuckets)
+        val cand = NearDupStore.collisionsFrom(bk, bandHits)
           .localCheckpoint(eager = true)
         val oldShs = NearDupStore.payloads(cand.select("old_id").distinct(),
             storePath, numBuckets)
@@ -142,7 +149,7 @@ object IncrementalNearDedup {
     NearDupStore.admit(
       bk.join(admittedIds, Seq("doc_id"), "left_semi"),
       shingled.join(admittedIds, Seq("doc_id"), "left_semi"),
-      storePath, maxBucket, numBuckets)
+      bandHits, storePath, maxBucket, numBuckets)
     novel
   }
 

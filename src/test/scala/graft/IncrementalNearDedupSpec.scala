@@ -206,6 +206,37 @@ class IncrementalNearDedupSpec extends SparkSpec {
     assert(dupMembers == 0, "replay duplicated bucket members")
   }
 
+  test("crash between admit's two writes cannot wedge the stream (docs-first order, bands = commit point)") {
+    import spark.implicits._
+    val store = tmp("neardedup-torn")
+    val b1 = Seq((1L, textA, t1), (2L, textB, t1)).toDF("doc_id", "text", "ts")
+    IncrementalNearDedup.dedupBatch(b1, "doc_id", "text", "ts", store)
+
+    // simulate the mid-admit crash state the write ORDER guarantees:
+    // payloads on disk, band table not yet written. (The reverse —
+    // bands without docs — is unreachable now; it was the state that
+    // permanently wedged replays on the old order, because the replay
+    // probes docs/ before it ever reaches admit.)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$store/bands"))
+    assert(KeyedStore.isInitialized(spark, s"$store/docs"))
+    assert(!KeyedStore.isInitialized(spark, s"$store/bands"),
+      "bands table must be the commit point")
+
+    // the replayed batch runs clean against the torn store (reads as
+    // uninitialized — no probe of the orphaned payloads) and re-admits
+    val n1r = IncrementalNearDedup.dedupBatch(b1, "doc_id", "text", "ts", store)
+    assert(ids(n1r) == Seq(1L, 2L), s"replay over torn store: ${ids(n1r)}")
+
+    // and the healed store dedups again: near-copy of doc 1 rejected
+    val b2 = Seq((3L, textA2, t2), (4L, textC, t2)).toDF("doc_id", "text", "ts")
+    val n2 = IncrementalNearDedup.dedupBatch(b2, "doc_id", "text", "ts", store)
+    assert(ids(n2) == Seq(4L), s"post-heal dedup broken: ${ids(n2)}")
+  }
+
   test("bucket member cap bounds store growth and keeps lowest ids") {
     import spark.implicits._
     val store = tmp("neardedup-cap")
