@@ -426,7 +426,56 @@ object ExtensionQueries {
         col("jaccard"))
   }
 
+  /** LM-quality selection per source: score every document with the
+    * self-trained add-one bigram LM (q66's machinery — per-bigram NLLs
+    * quantized to integers, so sums are exact and order-independent)
+    * and keep each source's k LEAST-perplexed documents — the
+    * CCNet-style "train a cheap LM, keep what it likes" curation
+    * stage, here with the per-group budget a mixture planner actually
+    * allocates. Ranking runs on the bounded `TopKByScore` heap (k rows
+    * per group per task cross the wire — no corpus-wide sort or
+    * window); avg_nll is the identical two-division chain on exact
+    * integers in both engines, so ordering (ties broken by doc_id)
+    * is cross-engine deterministic. */
+  val lmQualitySelect: Q = Q(
+    "q90_lm_quality_select",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+      |         SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+      |                i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS b
+      |         FROM w WHERE len(ws) >= 2) t),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+      |v AS (SELECT count(DISTINCT term) AS v FROM (SELECT unnest(ws) AS term FROM w) t),
+      |m AS (SELECT w1, w2,
+      |        CAST(round(-ln(CAST(c2 + 1 AS DOUBLE) / (c1 + v)) * 1000000.0) AS BIGINT) AS nll_q
+      |      FROM c2 JOIN c1 USING (w1) CROSS JOIN v),
+      |nll AS (SELECT doc_id, count(*) AS nb, CAST(sum(nll_q) AS BIGINT) AS s
+      |        FROM bg JOIN m USING (w1, w2) GROUP BY doc_id),
+      |sc AS (SELECT d.source, n.doc_id,
+      |              CAST(n.s AS DOUBLE) / n.nb / 1000000.0 AS avg_nll
+      |       FROM nll n JOIN documents d USING (doc_id))
+      |SELECT source, doc_id, avg_nll, rn FROM (
+      |  SELECT source, doc_id, avg_nll,
+      |         CAST(row_number() OVER (PARTITION BY source
+      |              ORDER BY avg_nll ASC, doc_id ASC) AS BIGINT) AS rn
+      |  FROM sc) t
+      |WHERE rn <= 12""".stripMargin
+  ) { (s, dir) =>
+    import graft.operators.Sampling
+    val docs = t(s, dir, "documents")
+    val scored = graft.operators.LangModel.bigramNll(docs)
+      .select(col("doc_id"),
+        (col("nll_q_sum").cast("double") / col("n_bigrams") / lit(1000000.0))
+          .as("avg_nll"))
+    val withSrc = docs.select("doc_id", "source").join(scored, Seq("doc_id"))
+    Sampling.quotaPerGroup(withSrc, Seq("source"), -col("avg_nll"),
+        col("doc_id"), k = 12)
+      .select(col("source"), col("id").as("doc_id"),
+        (-col("score")).as("avg_nll"), col("rn"))
+  }
+
   val all: Seq[Q] = Seq(editDedup, corpusCube, tokenTruncate, funnel,
     collocations, containment, dupRateBySource, gapFilledSeries,
-    lengthTrim, oovRate, splitLeakage)
+    lengthTrim, oovRate, splitLeakage, lmQualitySelect)
 }

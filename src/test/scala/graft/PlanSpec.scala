@@ -239,6 +239,14 @@ class PlanSpec extends SparkSpec {
       "q60 still ranks with a window over every group row")
   }
 
+  test("q90: LM quality selection ranks via the bounded heap with map-side partials") {
+    val p = plan("q90_lm_quality_select")
+    assert(p.contains("partial_topkbyscore"), p.take(2000))
+    assert(!p.contains("Window"),
+      "q90 ranks with a window over every scored row")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q64: sign-LSH twin's candidate join is an equi-join, never a cross product") {
     val p = plan("q64_signlsh_oracle")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
