@@ -112,6 +112,41 @@ object Dedup {
           " ").as("dedup_text"))
   }
 
+  /** Boilerplate-chunk removal — the header/footer/nav strip of a
+    * C4-style web cleaning stage: a chunk occurring in at least
+    * `minDf` DISTINCT documents is boilerplate (no single document
+    * "owns" it) and is removed from EVERY document — unlike
+    * [[chunkDedup]], which keeps a first occurrence. Returns
+    * (doc_id, total_chunks, kept_chunks, clean_text); an
+    * all-boilerplate document survives as an empty string.
+    *
+    * Scale shape: one shuffle keyed on the chunk text for the
+    * distinct-doc df (two-phase `countDistinct`), then the
+    * boilerplate set joins back on the same key. Real boilerplate is
+    * stop-chunk-sized (few distinct strings repeated widely), so AQE
+    * broadcasts the set at runtime; no hint, because the df ≥ minDf
+    * bound alone does not cap its size a priori. Reassembly sorts each
+    * doc's kept chunks inside its aggregation group — no window. */
+  def boilerplateStrip(docs: DataFrame, textCol: String, idCol: String,
+      chunkWords: Int = 8, minDf: Int = 3): DataFrame = {
+    val chunks = chunked(docs, textCol, idCol, chunkWords)
+    val boiler = chunks.groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("chunk"), lit(true).as("bp"))
+    chunks.join(boiler, Seq("chunk"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("total_chunks"),
+        sum(col("bp").isNull.cast("long")).as("kept_chunks"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("bp").isNull, struct(col("chunk_idx"), col("chunk"))))),
+            x => x.getField("chunk")),
+          " ").as("clean_text"))
+  }
+
   /** (doc_id, shs) projection: distinct word 3-gram shingles as sorted
     * 8-byte hashes (`ShingleHashes` — one native pass per row; no
     * shingle strings are materialized; ~50× over the interpreted

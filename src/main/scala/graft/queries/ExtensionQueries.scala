@@ -475,7 +475,37 @@ object ExtensionQueries {
         (-col("score")).as("avg_nll"), col("rn"))
   }
 
+  /** Boilerplate-chunk removal (q91): chunks appearing in ≥ 3 DISTINCT
+    * documents are boilerplate — headers/footers/nav that no document
+    * owns — and are stripped from EVERY document, the C4-style
+    * complement of q67's keep-first chunk dedup. Distinct-doc df in
+    * one two-phase aggregation; the (empirically stop-chunk-sized)
+    * boilerplate set joins back on the chunk key, AQE broadcasting at
+    * runtime; reassembly inside each doc's aggregation group. */
+  val boilerplate: Q = Q(
+    "q91_boilerplate",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 1),
+      |c AS (SELECT doc_id, i AS chunk_idx,
+      |             array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS chunk
+      |      FROM w, unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS t(i)),
+      |bp AS (SELECT chunk FROM (
+      |         SELECT chunk, count(DISTINCT doc_id) AS df FROM c GROUP BY 1) d
+      |       WHERE df >= 3)
+      |SELECT doc_id, count(*) AS total_chunks,
+      |       CAST(sum(CASE WHEN chunk NOT IN (SELECT chunk FROM bp)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+      |       coalesce(array_to_string(list_transform(
+      |         list_sort(list(struct_pack(chunk_idx := chunk_idx, chunk := chunk))
+      |                   FILTER (WHERE chunk NOT IN (SELECT chunk FROM bp))),
+      |         x -> x.chunk), ' '), '') AS clean_text
+      |FROM c GROUP BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Dedup.boilerplateStrip(
+      t(s, dir, "documents"), "text", "doc_id")
+  }
+
   val all: Seq[Q] = Seq(editDedup, corpusCube, tokenTruncate, funnel,
     collocations, containment, dupRateBySource, gapFilledSeries,
-    lengthTrim, oovRate, splitLeakage, lmQualitySelect)
+    lengthTrim, oovRate, splitLeakage, lmQualitySelect, boilerplate)
 }

@@ -447,6 +447,27 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("collide"))
   }
 
+  test("boilerplate strip removes >= minDf chunks from EVERY doc (no owner), keeps unique content") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "b p u1 u2"),  // chunks (2w): "b p" (df=3), "u1 u2"
+      (2L, "b p v1 v2"),
+      (3L, "b p"),        // all boilerplate -> empty reassembly
+      (4L, "w1 w2 b x")   // "b x" != "b p": chunking is positional, unique
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateStrip(docs, "text", "doc_id",
+        chunkWords = 2, minDf = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // unlike chunkDedup, NO occurrence of the df>=3 chunk survives —
+    // not even a "first" one
+    assert(got(1L) == ((2L, 1L, "u1 u2")))
+    assert(got(2L) == ((2L, 1L, "v1 v2")))
+    assert(got(3L) == ((1L, 0L, "")))
+    assert(got(4L) == ((2L, 2L, "w1 w2 b x")))
+  }
+
   test("semdedup: keep-set is mutually dissimilar per cluster and covers every drop") {
     import graft.operators.Similarity
     val corpus = Similarity.quantize(
