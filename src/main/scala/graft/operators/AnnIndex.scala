@@ -130,7 +130,7 @@ object AnnIndex {
     * still carries our token. Contention is recognized strictly by
     * already-exists errors; any other IOException (permissions,
     * missing mount) PROPAGATES instead of spinning forever. */
-  private def withBuildLock[T](spark: SparkSession, root: String,
+  private[graft] def withBuildLock[T](spark: SparkSession, root: String,
       staleMs: Long = 10 * 60 * 1000L)(body: => T): T = {
     val monitor = jvmLocks.computeIfAbsent(root, _ => new Object)
     monitor.synchronized {

@@ -152,6 +152,37 @@ class AnnIndexSpec extends SparkSpec {
     } finally AnnIndex.buildObserver = _ => ()
   }
 
+  test("a dead holder's stale lock is broken; a live holder's heartbeat keeps it held") {
+    import org.apache.hadoop.fs.Path
+    val root = tmp()
+    val lock = new Path(root, "_graft_ann_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(root))
+
+    // a lock whose holder died: mtime far in the past, no heartbeat —
+    // withBuildLock must break it and run the body promptly
+    fs.create(lock, false).close()
+    fs.setTimes(lock, System.currentTimeMillis() - 60000L, -1)
+    var ran = false
+    AnnIndex.withBuildLock(spark, root, staleMs = 2000L) { ran = true }
+    assert(ran, "stale lock was not broken")
+    assert(!fs.exists(lock), "lock not released after body")
+
+    // a LIVE holder refreshes the lock mtime every staleMs/3 (the
+    // heartbeat), so a cross-process contender with the same staleMs
+    // never observes it stale — assert the refresh actually happens
+    // during a body that runs longer than staleMs
+    AnnIndex.withBuildLock(spark, root, staleMs = 900L) {
+      val t0 = fs.getFileStatus(lock).getModificationTime
+      Thread.sleep(2000)
+      val t1 = fs.getFileStatus(lock).getModificationTime
+      assert(t1 > t0,
+        s"heartbeat did not refresh lock mtime ($t0 -> $t1): a build " +
+          "longer than staleMs would be broken by a waiter")
+    }
+    assert(!fs.exists(lock))
+  }
+
   test("ivf and codes tables are partitioned by cluster (probe prunes directories)") {
     val root = tmp()
     AnnIndex.build(corpus, root, kClusters = 8, iters = 1)

@@ -169,6 +169,26 @@ class ChartJsonSpec extends SparkSpec {
       """"title":{"display":false,"text":""}}}}""")
   }
 
+  test("gapFillDaily honors an explicit range and yields an empty frame on empty input") {
+    import spark.implicits._
+    // explicit range: the reference's chart loops span a FIXED window
+    // (31 days back from now), not the data's min..max — the range
+    // parameter reproduces that, zero-filling edge days with no data
+    val daily = Seq((java.sql.Date.valueOf("2020-05-02"), "May 02", 5L))
+      .toDF("day", "label", "value")
+    val dense = graft.serve.ChartPipeline.gapFillDaily(daily, Seq("value"),
+        range = Some(("2020-05-01", "2020-05-04")))
+      .orderBy("day")
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(dense.toSeq == Seq(
+      ("May 01", 0L), ("May 02", 5L), ("May 03", 0L), ("May 04", 0L)))
+
+    // empty input, data-driven range: min/max are null -> empty spine,
+    // empty output (the reference emits empty label/data arrays)
+    val none = daily.filter(col("value") < 0)
+    assert(graft.serve.ChartPipeline.gapFillDaily(none, Seq("value")).isEmpty)
+  }
+
   test("gap-filled multi series keeps every data array aligned to the full-range labels") {
     import spark.implicits._
     // series A is silent on May 02; without the gap-fill its array
