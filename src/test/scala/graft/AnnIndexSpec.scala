@@ -152,6 +152,50 @@ class AnnIndexSpec extends SparkSpec {
     } finally AnnIndex.buildObserver = _ => ()
   }
 
+  test("the production loop composes: incremental dedup gates what index append admits") {
+    // stream batch -> IncrementalEmbeddingNearDedup (novel survivors
+    // only) -> AnnIndex.append -> probe: the full ingest loop a
+    // 100 TB embedding pipeline runs per batch. Near-dups must never
+    // reach the index; appended novelty must be immediately probe-able.
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t1 = Timestamp.valueOf("2020-04-08 00:00:00")
+    val store = Files.createTempDirectory("annloop").toFile.getAbsolutePath
+    val root = tmp()
+    def vec(id: Long): Seq[Float] =
+      graft.sources.Tables.load(spark, sf, "embeddings")
+        .filter(col("vec_id") === id).select("embedding")
+        .collect().head.getSeq[Float](0)
+
+    // batch 1 seeds store and index (all four vectors novel)
+    val b1 = Seq((0L, vec(0), t1), (1L, vec(1), t1), (2L, vec(2), t1),
+      (3L, vec(3), t1)).toDF("doc_id", "vec", "ts")
+    val n1 = graft.streaming.IncrementalEmbeddingNearDedup
+      .dedupBatch(b1, "doc_id", "vec", "ts", store)
+    AnnIndex.build(Similarity.quantize(n1, "vec", "doc_id"), root,
+      kClusters = 2, iters = 2, m = 8, pqK = 4)
+
+    // batch 2: a near-copy of vector 0 plus one genuinely new vector
+    val nudged = (vec(0).head + 0.001f) +: vec(0).tail
+    val b2 = Seq((10L, nudged, t1), (11L, vec(5), t1)).toDF("doc_id", "vec", "ts")
+    val n2 = graft.streaming.IncrementalEmbeddingNearDedup
+      .dedupBatch(b2, "doc_id", "vec", "ts", store)
+    assert(n2.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L))
+    AnnIndex.append(Similarity.quantize(n2, "vec", "doc_id"), root)
+
+    val h = AnnIndex.load(spark, root)
+    val indexIds = h.indexed.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(indexIds == Set(0L, 1L, 2L, 3L, 11L),
+      s"near-dup leaked into (or novelty missing from) the index: $indexIds")
+    // the appended vector answers probes: a fresh query carrying its
+    // embedding finds 11 as nearest (nProbe = all clusters: exhaustive)
+    val probe = Similarity.quantize(
+      Seq((99L, vec(5))).toDF("vec_id", "embedding"), "embedding", "vec_id")
+    val top = Similarity.annIvfTopK(h.indexed, h.centroids, probe, 1, 2)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(11L), s"appended vector not probe-able: $top")
+  }
+
   test("a dead holder's stale lock is broken; a live holder's heartbeat keeps it held") {
     import org.apache.hadoop.fs.Path
     val root = tmp()
