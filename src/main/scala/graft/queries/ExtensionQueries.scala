@@ -505,7 +505,55 @@ object ExtensionQueries {
       t(s, dir, "documents"), "text", "doc_id")
   }
 
+  /** Duplicate-cluster size distribution (q92): how big do near-dup
+    * groups get — the curation dashboard's companion to q84's
+    * per-source rate (a corpus with many pairs is a different problem
+    * from one with a few giant mirror-farms; the histogram is what
+    * tells dedup-policy tuning apart from incident response). Full
+    * q27+q44 machinery, then two tiny aggregations over the resolved
+    * components; the oracle re-derives the same clusters through the
+    * recursive-CTE closure. */
+  val dupClusterHistogram: Q = Q(
+    "q92_dup_cluster_histogram",
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      |       FROM w WHERE len(ws) >= 3),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jp AS (SELECT doc_a, doc_b FROM pairs
+      |       JOIN sizes sa ON doc_a = sa.doc_id
+      |       JOIN sizes sb ON doc_b = sb.doc_id
+      |       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+      |      UNION SELECT doc_b, doc_a FROM jp),
+      |reach AS (
+      |  SELECT a AS id, b AS r FROM e
+      |  UNION
+      |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+      |comp AS (SELECT id AS doc_id, least(id, min(r)) AS canonical_id
+      |         FROM reach GROUP BY id),
+      |cs AS (SELECT canonical_id, count(*) AS cluster_size
+      |       FROM comp GROUP BY 1)
+      |SELECT cluster_size, count(*) AS n_clusters
+      |FROM cs GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Dedup.resolve(
+        graft.operators.Dedup.jaccardPairs(
+          graft.operators.Dedup.shingleProjection(
+            t(s, dir, "documents"), "text", "doc_id"),
+          threshold = 0.5, maxDf = 1000))
+      .groupBy("canonical_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+  }
+
   val all: Seq[Q] = Seq(editDedup, corpusCube, tokenTruncate, funnel,
     collocations, containment, dupRateBySource, gapFilledSeries,
-    lengthTrim, oovRate, splitLeakage, lmQualitySelect, boilerplate)
+    lengthTrim, oovRate, splitLeakage, lmQualitySelect, boilerplate,
+    dupClusterHistogram)
 }
