@@ -23,9 +23,8 @@ object Dedup {
     * pair cost at maxDf² regardless of corpus size. The hot set is
     * bounded by rows/maxDf and each key is small, so it broadcasts
     * into a left-anti join. `maxDf <= 0` disables the cap. All the
-    * capped candidate generators (jaccard, simhash, edit-distance)
-    * route here; [[winnowPairs]] keeps its documented
-    * array-contains variant (deliberately anti-join-free). */
+    * capped candidate generators (jaccard, winnow, simhash,
+    * edit-distance) route here. */
   private def dropHotKeys(df: DataFrame, keyCols: Seq[String],
       maxDf: Int): DataFrame =
     if (maxDf <= 0) df
@@ -83,23 +82,36 @@ object Dedup {
     * duplicated document survives as an empty string — the caller's
     * length gate drops it.
     *
-    * Scale shape: chunk → one shuffle keyed on the chunk text to elect
-    * winners (min(struct) aggregates map-side; the combiner ships one
-    * candidate per distinct chunk per task, not occurrences), a
-    * co-partitioned join back on the same key, then the per-doc
-    * rollup. The reassembly sorts each doc's own kept chunks inside
-    * its aggregation group (array_sort of a collected struct list) —
-    * no global or per-doc window. At 100 TB hash the chunk text to a
-    * 16-byte digest for the shuffle key; the text itself only needs to
-    * ride to the winner join's probe side. */
+    * Scale shape: the winner election groups on `unhex(md5(chunk))` —
+    * a 16-byte digest, so neither election exchange ships corpus text
+    * (min(struct) aggregates map-side; the combiner ships one
+    * candidate per distinct digest per task, not occurrences). 128
+    * bits, not xxhash64's 64: at 10¹² chunks a 64-bit key EXPECTS
+    * collisions (n²/2⁶⁵ ≈ 3·10⁴), and a digest collision here silently
+    * deletes every occurrence of the losing chunk; at 128 bits the
+    * same corpus gives P[any collision] ≈ 10⁻¹⁴. The winning positions
+    * then collapse to a per-doc index array (ints only, bounded by the
+    * doc's own chunk count) joined back on doc_id — so the text
+    * crosses exactly ONE exchange, hash-partitioned by doc_id and
+    * reused as-is by the final per-doc rollup. The reassembly sorts
+    * each doc's own kept chunks inside its aggregation group
+    * (array_sort of a collected struct list) — no global or per-doc
+    * window. */
   def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
       chunkWords: Int = 8): DataFrame = {
     val chunks = chunked(docs, textCol, idCol, chunkWords)
-    val winners = chunks.groupBy("chunk")
+      .withColumn("ck", unhex(md5(col("chunk"))))
+    // election + per-doc collapse: digests and positions only — the
+    // chunk text is computed (the digest needs it) but projected away
+    // before either exchange
+    val keptIdx = chunks.select("ck", "doc_id", "chunk_idx")
+      .groupBy("ck")
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
-    chunks.join(winners, Seq("chunk"))
+      .groupBy(col("w.doc_id").as("doc_id"))
+      .agg(collect_set(col("w.chunk_idx")).as("kept_idx"))
+    chunks.join(keptIdx, Seq("doc_id"), "left")
       .withColumn("is_kept",
-        col("doc_id") === col("w.doc_id") && col("chunk_idx") === col("w.chunk_idx"))
+        coalesce(array_contains(col("kept_idx"), col("chunk_idx")), lit(false)))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("total_chunks"),
@@ -120,29 +132,41 @@ object Dedup {
     * (doc_id, total_chunks, kept_chunks, clean_text); an
     * all-boilerplate document survives as an empty string.
     *
-    * Scale shape: one shuffle keyed on the chunk text for the
-    * distinct-doc df (two-phase `countDistinct`), then the
-    * boilerplate set joins back on the same key. Real boilerplate is
-    * stop-chunk-sized (few distinct strings repeated widely), so AQE
-    * broadcasts the set at runtime; no hint, because the df ≥ minDf
-    * bound alone does not cap its size a priori. Reassembly sorts each
-    * doc's kept chunks inside its aggregation group — no window. */
+    * Scale shape: the distinct-doc df (two-phase `countDistinct`)
+    * groups on the same 16-byte `unhex(md5(chunk))` digest as
+    * [[chunkDedup]] — no corpus text in the election exchanges, and
+    * the same 128-bit false-merge argument (a collision here would
+    * strip an innocent chunk from every document). The boilerplate
+    * digests join the id-only chunk projection (AQE broadcasts the
+    * set at runtime — real boilerplate is stop-chunk-sized — with no
+    * hint, because df ≥ minDf alone does not cap its size a priori),
+    * collapse to a per-doc boilerplate-position array, and join back
+    * on doc_id — the text crosses exactly ONE exchange, reused by the
+    * final per-doc rollup. Reassembly sorts each doc's kept chunks
+    * inside its aggregation group — no window. */
   def boilerplateStrip(docs: DataFrame, textCol: String, idCol: String,
       chunkWords: Int = 8, minDf: Int = 3): DataFrame = {
     val chunks = chunked(docs, textCol, idCol, chunkWords)
-    val boiler = chunks.groupBy("chunk")
+      .withColumn("ck", unhex(md5(col("chunk"))))
+    val ids = chunks.select("ck", "doc_id", "chunk_idx")
+    val boiler = ids.groupBy("ck")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf)
-      .select(col("chunk"), lit(true).as("bp"))
-    chunks.join(boiler, Seq("chunk"), "left")
+      .select("ck")
+    val bpIdx = ids.join(boiler, Seq("ck"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("chunk_idx")).as("bp_idx"))
+    chunks.join(bpIdx, Seq("doc_id"), "left")
+      .withColumn("is_kept",
+        coalesce(!array_contains(col("bp_idx"), col("chunk_idx")), lit(true)))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("total_chunks"),
-        sum(col("bp").isNull.cast("long")).as("kept_chunks"),
+        sum(col("is_kept").cast("long")).as("kept_chunks"),
         array_join(
           transform(
             array_sort(collect_list(
-              when(col("bp").isNull, struct(col("chunk_idx"), col("chunk"))))),
+              when(col("is_kept"), struct(col("chunk_idx"), col("chunk"))))),
             x => x.getField("chunk")),
           " ").as("clean_text"))
   }
@@ -289,18 +313,13 @@ object Dedup {
   def winnowPairs(docs: DataFrame, textCol: String, idCol: String,
       w: Int = 8, minShared: Int = 2, maxDf: Int = 0,
       poly: Boolean = false): DataFrame = {
-    val sketch = winnowSketch(docs, textCol, idCol, w, poly)
-    val sk =
-      if (maxDf > 0) {
-        // per-row cap against the broadcast hot-fingerprint set — no
-        // anti-join shuffle (see jaccardPairs)
-        val hotArr = sketch.groupBy("fp").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf)
-          .agg(collect_list(col("fp")).as("hot"))
-        sketch.crossJoin(broadcast(hotArr))
-          .filter(!array_contains(col("hot"), col("fp")))
-          .select("doc_id", "fp")
-      } else sketch
+    // hot-fingerprint cap via the shared broadcast anti-join: the hot
+    // set is rows/maxDf entries of 8 bytes each — hash-probed per
+    // sketch row, O(1), where the earlier collect_list/array_contains
+    // variant linear-scanned the whole hot array per row (O(rows/maxDf)
+    // work per row — 10⁷-element scans at 10¹⁰ rows / maxDf 1000)
+    val sk = dropHotKeys(winnowSketch(docs, textCol, idCol, w, poly),
+      Seq("fp"), maxDf)
     sk.as("a")
       .join(sk.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -336,4 +336,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "winner re-join degenerated to all-pairs")
   }
+
+  test("q67/q91: chunk shuffles key on the 16-byte digest, never the chunk text") {
+    // the one place the engine used to ship corpus text through an
+    // exchange twice: winner election / df-count keyed on the raw
+    // chunk string. Both now key on ck = unhex(md5(chunk)); the text
+    // crosses exactly one exchange (the doc_id-keyed rollup join).
+    for (q <- Seq("q67_chunk_dedup", "q91_boilerplate")) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning(chunk#"),
+        s"$q still shuffles on the raw chunk text")
+      assert(p.contains("hashpartitioning(ck#"),
+        s"$q winner election is not keyed on the md5 digest")
+    }
+  }
+
+  test("q54: winnow hot-fingerprint cap is a broadcast anti-join, not an array scan") {
+    val p = plan("q54_winnow_oracle")
+    // dropHotKeys: hot set broadcasts, sketch rows hash-probe it via
+    // LeftAnti — O(1) per row where the old collect_list/array_contains
+    // variant linear-scanned the hot array per sketch row
+    assert(p.contains("LeftAnti"), "hot-fp cap lost its anti-join shape")
+    assert(p.contains("BroadcastHashJoin"), "hot-fp anti-join is not broadcast")
+    assert(!p.toLowerCase.contains("array_contains"),
+      "q54 still caps hot fingerprints via the array_contains scan")
+  }
 }
