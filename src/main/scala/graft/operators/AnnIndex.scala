@@ -124,10 +124,12 @@ object AnnIndex {
     * while `body` runs, a daemon heartbeat refreshes the lock mtime
     * every `staleMs`/3, so only a genuinely dead holder ever looks
     * stale. Waiters poll; a lock whose mtime is older than `staleMs`
-    * is broken (delete + re-race the create — the owner check on
-    * release keeps a broken-then-rebuilt lock from being deleted by
-    * the old holder's `finally`). Release deletes the lock ONLY if it
-    * still carries our token. Contention is recognized strictly by
+    * is broken ATOMICALLY — rename to a waiter-unique tombstone, then
+    * delete the tombstone; rename fails for all but one waiter, so a
+    * stale lock has exactly one breaker (the owner check on release
+    * keeps a broken-then-rebuilt lock from being deleted by the old
+    * holder's `finally`). Release deletes the lock ONLY if it still
+    * carries our token. Contention is recognized strictly by
     * already-exists errors; any other IOException (permissions,
     * missing mount) PROPAGATES instead of spinning forever. */
   private[graft] def withBuildLock[T](spark: SparkSession, root: String,
@@ -146,9 +148,17 @@ object AnnIndex {
           true
         } catch {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+          // contention only: "already exists" / posix "file exists".
+          // A bare substring "exist" also matched "does not exist"
+          // (FileNotFoundException IS an IOException — e.g. the root
+          // deleted out from under the loop), turning the documented
+          // propagate-don't-spin into an infinite busy-spin.
           case e: java.io.IOException
-              if e.getMessage != null &&
-                e.getMessage.toLowerCase.contains("exist") => false
+              if e.getMessage != null && {
+                val m = e.getMessage.toLowerCase
+                m.contains("already exist") || m.contains("file exists")
+              } => false
         }
       def lockOwner(): Option[String] =
         try {
@@ -166,9 +176,25 @@ object AnnIndex {
           catch { case _: java.io.IOException => None } // vanished: re-race
         mtime match {
           case Some(t) if System.currentTimeMillis() - t > staleMs =>
-            fs.delete(lock, false) // dead holder (heartbeat stopped)
+            // dead holder (heartbeat stopped). Break ATOMICALLY via
+            // rename-then-delete: of N waiters observing the same
+            // stale mtime, exactly one rename succeeds and deletes
+            // the tombstone; the losers' rename fails and they loop
+            // back to tryCreate — where a plain delete let waiter B's
+            // delete land on waiter A's freshly re-created lock (two
+            // holders, in exactly the recovery path the lock exists
+            // for). The mtime re-read just before the rename keeps a
+            // fresh re-create in the stat→break window from being
+            // stolen.
+            val still =
+              try Some(fs.getFileStatus(lock).getModificationTime)
+              catch { case _: java.io.IOException => None }
+            if (still.exists(s => System.currentTimeMillis() - s > staleMs)) {
+              val tomb = new Path(root, s"$LockFile.broken.$owner")
+              if (fs.rename(lock, tomb)) fs.delete(tomb, false)
+            }
           case Some(_) => Thread.sleep(100)
-          case None    => ()
+          case None    => Thread.sleep(10) // vanished: re-race shortly
         }
       }
       val heartbeat = new Thread(() =>
@@ -201,14 +227,22 @@ object AnnIndex {
   def ensure(corpus: DataFrame, root: String, kClusters: Int, iters: Int,
       m: Int = 8, pqK: Int = 16, sample: Int = 2048): Handle = {
     val spark = corpus.sparkSession
-    if (!isBuilt(spark, root))
-      withBuildLock(spark, root) {
-        if (!isBuilt(spark, root)) {
-          buildObserver(root)
-          build(corpus, root, kClusters, iters, m, pqK, sample)
-        }
+    // check AND load both sit under the lock: append() takes the commit
+    // marker down for the duration of its two table writes, so an
+    // unlocked fast-path load racing a live append could spuriously
+    // fail load's require(isBuilt), or list ivf/ and codes/ straddling
+    // the appended slice. load()'s eager cost under the lock is
+    // listing-sized (schema/partition discovery snapshots the two
+    // tables' file listings into their InMemoryFileIndex) plus the
+    // model-sized codebook collect; probe execution pays after release
+    // against the snapshotted listings.
+    withBuildLock(spark, root) {
+      if (!isBuilt(spark, root)) {
+        buildObserver(root)
+        build(corpus, root, kClusters, iters, m, pqK, sample)
       }
-    load(spark, root)
+      load(spark, root)
+    }
   }
 
   /** Grow a built index by a new corpus slice WITHOUT re-training or
@@ -231,8 +265,9 @@ object AnnIndex {
     * instead of serving an ivf/ that is one slice ahead of codes/.
     * (An unlocked [[load]] RACING a live append lists the two tables'
     * files at slightly different moments and can straddle the slice —
-    * take [[ensure]]'s lock path, i.e. call ensure not load, when
-    * appends run concurrently.) */
+    * call [[ensure]], whose check+load runs entirely under this same
+    * lock and snapshots both listings, when appends run
+    * concurrently.) */
   def append(newCorpus: DataFrame, root: String): Unit = {
     val spark = newCorpus.sparkSession
     withBuildLock(spark, root) {
@@ -253,25 +288,42 @@ object AnnIndex {
     }
   }
 
-  /** Source fingerprint for index-root derivation: fold (name, len,
-    * mtime) over the source's LEAF FILES — not the directory status,
-    * whose length is 0 and whose mtime object stores don't report (and
-    * some filesystems don't bump on in-place rewrites), which would
-    * let a regenerated corpus at the same path fingerprint identically
-    * and silently serve a stale index. A file listing, no data scan;
-    * any rewritten, added, or removed part file changes the root and
-    * forces a rebuild. */
+  /** Source fingerprint for index-root derivation: fold (relative
+    * path, len, mtime) over the source's LEAF FILES — not the
+    * directory status, whose length is 0 and whose mtime object stores
+    * don't report (and some filesystems don't bump on in-place
+    * rewrites), which would let a regenerated corpus at the same path
+    * fingerprint identically and silently serve a stale index. A file
+    * listing, no data scan; any rewritten, added, removed, or MOVED
+    * part file changes the root and forces a rebuild.
+    *
+    * Per-file values are a 64-bit avalanche mix (splitmix64 finalizer
+    * over an FNV-1a path hash folded with len and mtime) combined by
+    * SUM: listing order is filesystem-dependent and must not change
+    * the fingerprint, and summing mixed values — unlike the earlier
+    * `31·nameHash + len`-style fold — leaves no structure for
+    * compensating edits (two same-named files in different subdirs
+    * swapping len/mtime, additive cancellation) to exploit: an
+    * accidental cancellation needs a mix64 preimage. */
   def sourceFingerprint(spark: SparkSession, sourcePath: String): String = {
     val p = new Path(sourcePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // per-file hashes combine by SUM — listing order is filesystem-
-    // dependent and must not change the fingerprint of identical data
+    val base = fs.makeQualified(p).toString
+    def mix64(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
     var acc = 7L
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val st = it.next()
-      acc += (st.getPath.getName.hashCode.toLong * 31 + st.getLen) * 31 +
-        st.getModificationTime
+      val rel = st.getPath.toString.stripPrefix(base)
+      var h = 0xcbf29ce484222325L // FNV-1a over the RELATIVE path
+      for (b <- rel.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        h = (h ^ (b & 0xffL)) * 0x100000001b3L
+      acc += mix64(mix64(mix64(h) + st.getLen) + st.getModificationTime)
     }
     java.lang.Long.toHexString(acc)
   }

@@ -43,9 +43,13 @@ import graft.state.KeyedStore
   * Replay idempotency and the in-batch first-wins convention are
   * exactly [[IncrementalNearDedup]]'s — see its scaladoc; null or
   * wrong-width embeddings cannot be banded and pass through
-  * unexamined, never entering the store. A non-empty batch where NO
-  * row bands fails fast instead — that is a `dims` misconfiguration,
-  * not data variance.
+  * unexamined, never entering the store. A non-empty batch where no
+  * row bands AND some non-null vector exists fails fast — a wrong
+  * width on a real vector is a `dims` misconfiguration, not data
+  * variance. An ALL-NULL batch (transient embedder outage) is the
+  * null pass-through case writ large and passes through whole —
+  * killing the streaming query over it would turn a documented
+  * per-row tolerance into a batch-shape landmine.
   */
 object IncrementalEmbeddingNearDedup {
 
@@ -76,16 +80,22 @@ object IncrementalEmbeddingNearDedup {
       .withColumn("nsq", dotQFast(col("qv"), col("qv")))
       .localCheckpoint(eager = true)
     // Unlike text (where an all-short batch is plausible), embeddings
-    // have a fixed width: a non-empty batch where NOTHING banded means
-    // the dims parameter doesn't match the data — without this check
-    // the pipeline would emit every batch as "novel" forever while
-    // performing no dedup at all. Cheap: quant is already checkpointed.
+    // have a fixed width: a batch with NON-NULL vectors where NOTHING
+    // banded means the dims parameter doesn't match the data — without
+    // this check the pipeline would emit every batch as "novel"
+    // forever while performing no dedup at all. Null embeddings are
+    // individually pass-through, so an ALL-NULL batch (transient
+    // embedder outage) must pass through too, not kill the query: the
+    // fail-fast fires only on evidence — a real vector of the wrong
+    // width. Cheap: quant is already checkpointed.
     if (quant.isEmpty && !docs.isEmpty) {
-      val w = docs.select(size(col(vecCol))).head()
-      throw new IllegalArgumentException(
-        s"no row in this batch has a $dims-wide non-null '$vecCol' " +
-          s"(first row width: ${if (w.isNullAt(0)) "null" else w.getInt(0)}) — " +
-          "dims does not match the data; dedup would be a silent no-op")
+      val bad = docs.filter(col(vecCol).isNotNull)
+        .select(size(col(vecCol)).as("w")).limit(1).collect()
+      if (bad.nonEmpty)
+        throw new IllegalArgumentException(
+          s"no row in this batch has a $dims-wide non-null '$vecCol' " +
+            s"(observed non-null width: ${bad(0).getInt(0)}) — " +
+            "dims does not match the data; dedup would be a silent no-op")
     }
     val bandCols = (0 until nBands).map(b =>
       struct(lit(b).as("band"),

@@ -211,6 +211,10 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.withBuildLock(spark, root, staleMs = 2000L) { ran = true }
     assert(ran, "stale lock was not broken")
     assert(!fs.exists(lock), "lock not released after body")
+    // the rename-then-delete break leaves no tombstones behind
+    val leftovers = fs.listStatus(new Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("_graft_ann_lock"))
+    assert(leftovers.isEmpty, s"break left lock debris: ${leftovers.toSeq}")
 
     // a LIVE holder refreshes the lock mtime every staleMs/3 (the
     // heartbeat), so a cross-process contender with the same staleMs
@@ -225,6 +229,30 @@ class AnnIndexSpec extends SparkSpec {
           "longer than staleMs would be broken by a waiter")
     }
     assert(!fs.exists(lock))
+  }
+
+  test("source fingerprint sees paths, not leaf names: compensating subdir swaps differ") {
+    import java.nio.file.{Files => JFiles, Paths}
+    // two same-named part files in different subdirs SWAP len/mtime —
+    // under the old name-only additive fold both layouts summed to the
+    // same fingerprint, so a regenerated corpus could silently serve a
+    // stale index. The mixed path-sensitive form must distinguish them.
+    def write(root: String, sub: String, bytes: Int, mtime: Long): Unit = {
+      val d = Paths.get(root, sub)
+      JFiles.createDirectories(d)
+      JFiles.write(d.resolve("part-0"), Array.fill(bytes)('x'.toByte))
+      d.resolve("part-0").toFile.setLastModified(mtime)
+    }
+    val (ta, tb) = (1700000000000L, 1700000600000L)
+    val r1 = tmp()
+    write(r1, "sub1", 100, ta); write(r1, "sub2", 200, tb)
+    val r2 = tmp()
+    write(r2, "sub1", 200, tb); write(r2, "sub2", 100, ta)
+    val f1 = AnnIndex.sourceFingerprint(spark, r1)
+    val f2 = AnnIndex.sourceFingerprint(spark, r2)
+    assert(f1 != f2, s"compensating len/mtime swap collided: $f1")
+    // and the fingerprint is stable for identical content
+    assert(f1 == AnnIndex.sourceFingerprint(spark, r1))
   }
 
   test("ivf and codes tables are partitioned by cluster (probe prunes directories)") {

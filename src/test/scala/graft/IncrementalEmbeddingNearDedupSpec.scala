@@ -124,6 +124,29 @@ class IncrementalEmbeddingNearDedupSpec extends SparkSpec {
     assert(memberIds == Set(11L))
   }
 
+  test("an ALL-null batch passes through whole; a wrong-width real vector still fails fast") {
+    import spark.implicits._
+    val store = tmp("embdedup-nullbatch")
+    // transient embedder outage: every row null — the per-row null
+    // pass-through writ large; must NOT kill the query as a dims
+    // misconfiguration (nothing here contradicts dims)
+    val allNull = Seq((30L, null.asInstanceOf[Seq[Float]], t1),
+      (31L, null.asInstanceOf[Seq[Float]], t2)).toDF("doc_id", "vec", "ts")
+    assert(ids(step(allNull, store)) == Seq(30L, 31L),
+      "all-null batch did not pass through")
+    // and none of them entered the band store
+    assert(!KeyedStore.isInitialized(spark, s"$store/bands") ||
+      KeyedStore.read(spark, s"$store/bands").isEmpty)
+    // evidence of misconfiguration — a NON-null vector of the wrong
+    // width with nothing banded — still fails fast
+    val err = intercept[IllegalArgumentException] {
+      step(Seq((40L, Seq(1.0f, 2.0f), t1),
+        (41L, null.asInstanceOf[Seq[Float]], t1)).toDF("doc_id", "vec", "ts"),
+        store)
+    }
+    assert(err.getMessage.contains("dims"))
+  }
+
   test("duplicated ids within one batch collapse to the min-(ts,id) row") {
     val store = tmp("embdedup-dupid")
     val n = step(df(
