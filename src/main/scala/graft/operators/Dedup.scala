@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T}
@@ -42,41 +42,69 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dupes"))
 
-  /** (doc_id, [carry…,] chunk_idx, chunk) projection: fixed
-    * `chunkWords`-word chunks in document order — shared by
-    * [[chunkDedup]] and the incremental store-backed form. `carry`
-    * columns ride along unchanged (so a caller never re-joins the
-    * exploded chunk table back to its input just to recover them). A
-    * null text chunks as the empty string — every input document
-    * yields at least one chunk row. */
+  /** (doc_id, [carry…,] chunk_idx, chunk) projection: chunks in
+    * document order — shared by [[chunkDedup]], [[boilerplateStrip]]
+    * and the incremental store-backed form. `carry` columns ride along
+    * unchanged (so a caller never re-joins the exploded chunk table
+    * back to its input just to recover them). A null text chunks as
+    * the empty string — every input document yields at least one
+    * chunk row.
+    *
+    * Two boundary modes:
+    *   - fixed (default): `chunkWords`-word windows over the whole
+    *     text — right when the corpus carries no structure.
+    *   - `splitParagraphs = true`: paragraph breaks (runs of ≥2
+    *     newlines) are HARD chunk boundaries — the natural dedup unit
+    *     of real web corpora, where the repeated element is a
+    *     paragraph/nav block, not an arbitrary 8-word window. Within
+    *     a paragraph the fixed `chunkWords` window still applies (an
+    *     over-long paragraph falls back to windows that never span a
+    *     break); a document with no breaks degrades to exactly the
+    *     fixed mode. `chunk_idx` stays the global in-document order.
+    * Both modes are one narrow per-row expression — no extra shuffle,
+    * join, or explode pass. */
   def chunked(docs: DataFrame, textCol: String, idCol: String,
-      chunkWords: Int, carry: Seq[String] = Nil): DataFrame = {
+      chunkWords: Int, carry: Seq[String] = Nil,
+      splitParagraphs: Boolean = false): DataFrame = {
     val reserved = Set("ws", "c", "chunk_idx", "chunk", "doc_id")
     val clash = carry.filter(c => reserved.contains(c.toLowerCase))
     require(clash.isEmpty,
       s"carry columns ${clash.mkString(", ")} collide with chunked()'s " +
         s"internal names (${reserved.mkString(", ")}); rename them first")
+    // fixed windows over one word array (0-based window index i)
+    def windows(ws: Column): Column =
+      transform(
+        sequence(lit(0L), ceil(size(ws) / lit(chunkWords.toDouble))
+          .cast("long") - 1),
+        i => concat_ws(" ", slice(ws, (i * chunkWords + 1).cast("int"),
+          lit(chunkWords))))
+    val chunkList =
+      if (!splitParagraphs) windows(T.words(coalesce(col(textCol), lit(""))))
+      else {
+        val paras = filter(
+          split(coalesce(col(textCol), lit("")), "\\n{2,}"),
+          p => length(p) > 0)
+        val flat = flatten(transform(paras, p => windows(T.words(p))))
+        // all-blank text: keep the one-empty-chunk-per-doc invariant
+        when(size(flat) === 0, array(lit(""))).otherwise(flat)
+      }
     docs
       .select(col(idCol).as("doc_id") +: carry.map(col) :+
-        T.words(coalesce(col(textCol), lit(""))).as("ws"): _*)
-      .select(col("doc_id") +: carry.map(col) :+
-        explode(transform(
-          sequence(lit(0), ceil(size(col("ws")) / lit(chunkWords.toDouble))
-            .cast("long") - 1),
-          i => struct(i.as("chunk_idx"),
-            concat_ws(" ", slice(col("ws"), (i * chunkWords + 1).cast("int"),
-              lit(chunkWords))).as("chunk")))).as("c"): _*)
+        explode(transform(chunkList,
+          (c, i) => struct(i.cast("long").as("chunk_idx"), c.as("chunk"))))
+          .as("c"): _*)
       .select(col("doc_id") +: carry.map(col) :+
         col("c.chunk_idx").as("chunk_idx") :+ col("c.chunk").as("chunk"): _*)
   }
 
   /** Chunk-level exact dedup — the repeated-paragraph removal of a
-    * C4/RefinedWeb-style cleaning stage, at fixed `chunkWords`-word
-    * granularity (the test corpus has no paragraph breaks; on real
-    * data the chunker splits on them instead): every chunk keeps only
+    * C4/RefinedWeb-style cleaning stage: every chunk keeps only
     * its globally-first occurrence (lexicographic (doc_id, chunk_idx)
     * — also removes within-doc repetition), and each document is
-    * reassembled from its surviving chunks in order.
+    * reassembled from its surviving chunks in order. Chunk boundaries
+    * come from [[chunked]]: fixed `chunkWords` windows by default,
+    * paragraph-break-aligned with `splitParagraphs = true` (the mode
+    * real web corpora want — q95 exercises it end-to-end).
     *
     * Returns (doc_id, total_chunks, kept_chunks, dedup_text); a fully
     * duplicated document survives as an empty string — the caller's
@@ -98,8 +126,9 @@ object Dedup {
     * (array_sort of a collected struct list) — no global or per-doc
     * window. */
   def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
-      chunkWords: Int = 8): DataFrame = {
-    val chunks = chunked(docs, textCol, idCol, chunkWords)
+      chunkWords: Int = 8, splitParagraphs: Boolean = false): DataFrame = {
+    val chunks = chunked(docs, textCol, idCol, chunkWords,
+        splitParagraphs = splitParagraphs)
       .withColumn("ck", unhex(md5(col("chunk"))))
     // election + per-doc collapse: digests and positions only — the
     // chunk text is computed (the digest needs it) but projected away
@@ -145,8 +174,10 @@ object Dedup {
     * final per-doc rollup. Reassembly sorts each doc's kept chunks
     * inside its aggregation group — no window. */
   def boilerplateStrip(docs: DataFrame, textCol: String, idCol: String,
-      chunkWords: Int = 8, minDf: Int = 3): DataFrame = {
-    val chunks = chunked(docs, textCol, idCol, chunkWords)
+      chunkWords: Int = 8, minDf: Int = 3,
+      splitParagraphs: Boolean = false): DataFrame = {
+    val chunks = chunked(docs, textCol, idCol, chunkWords,
+        splitParagraphs = splitParagraphs)
       .withColumn("ck", unhex(md5(col("chunk"))))
     val ids = chunks.select("ck", "doc_id", "chunk_idx")
     val boiler = ids.groupBy("ck")

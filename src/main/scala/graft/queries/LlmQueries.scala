@@ -760,6 +760,50 @@ object LlmQueries {
     graft.operators.Dedup.chunkDedup(t(s, dir, "documents"), "text", "doc_id")
   }
 
+  /** Paragraph-aware chunk dedup (q95): the q67 machinery with
+    * `splitParagraphs = true` — paragraph breaks are hard chunk
+    * boundaries; over-long paragraphs fall back to 8-word windows that
+    * never span a break. The test corpus carries no breaks, so the
+    * query derives a deterministic multi-paragraph form first (a
+    * paragraph break after every interior 'spark' token — the same
+    * leftmost non-overlapping `replace` in both engines), making the
+    * whole paragraph-mode pipeline hash-checkable. */
+  val paragraphChunkDedup: Q = Q(
+    "q95_paragraph_chunk_dedup",
+    """WITH p AS (SELECT doc_id,
+      |        list_filter(string_split_regex(
+      |          replace(text, ' spark ', ' spark' || chr(10) || chr(10)),
+      |          '\n{2,}'), x -> len(x) > 0) AS ps
+      |      FROM documents),
+      |cl AS (SELECT doc_id,
+      |        flatten(list_transform(ps, par ->
+      |          list_transform(range(0, CAST(ceil(len(string_split(par, ' ')) / 8.0) AS BIGINT)),
+      |            i -> array_to_string((string_split(par, ' '))[(i*8+1):(i*8+8)], ' ')))) AS cs
+      |      FROM p),
+      |cl2 AS (SELECT doc_id, CASE WHEN len(cs) = 0 THEN [''] ELSE cs END AS cs FROM cl),
+      |c AS (SELECT doc_id, i - 1 AS chunk_idx, cs[i] AS chunk
+      |      FROM cl2, unnest(range(1, len(cs) + 1)) AS t(i)),
+      |win AS (SELECT chunk, doc_id AS wd, chunk_idx AS wi FROM (
+      |          SELECT chunk, doc_id, chunk_idx,
+      |                 row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+      |          FROM c) t WHERE rn = 1),
+      |f AS (SELECT c.doc_id, c.chunk_idx, c.chunk,
+      |             (c.doc_id = win.wd AND c.chunk_idx = win.wi) AS is_kept
+      |      FROM c JOIN win USING (chunk))
+      |SELECT doc_id, count(*) AS total_chunks,
+      |       CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+      |       coalesce(array_to_string(list_transform(
+      |         list_sort(list(struct_pack(chunk_idx := chunk_idx, chunk := chunk))
+      |                   FILTER (WHERE is_kept)),
+      |         x -> x.chunk), ' '), '') AS dedup_text
+      |FROM f GROUP BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents").withColumn("text2",
+      expr("replace(text, ' spark ', concat(' spark', chr(10), chr(10)))"))
+    graft.operators.Dedup.chunkDedup(docs, "text2", "doc_id",
+      splitParagraphs = true)
+  }
+
   /** SemDedup: k-means-clustered semantic dedup over embeddings —
     * within-cluster exact cosine pairs resolved to connected
     * components, one representative kept per group. Rows-only (the
@@ -895,6 +939,6 @@ object LlmQueries {
     embeddingNeardupLsh, signLshOracle, knnCosine, annLsh, annIvf, binaryMeta,
     multimodalDecode, winnow, winnowOracle, dedupResolve, multimodalNeardup,
     qualityFilter, repetition, embeddingDedup, bm25, tfidf, bigramLm,
-    chunkDedup, semdedupQ, annPq, annIvfPq, annTopKOracle,
-    embeddingDedupOracle)
+    chunkDedup, paragraphChunkDedup, semdedupQ, annPq, annIvfPq,
+    annTopKOracle, embeddingDedupOracle)
 }

@@ -447,6 +447,53 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("collide"))
   }
 
+  test("paragraph chunking: breaks are hard boundaries, long paragraphs window, no breaks = fixed mode") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Seq(
+      // two paragraphs; fixed 2w-chunking of the same text would cut
+      // "b c" across the break — paragraph mode must NOT
+      (1L, "a b\n\nc d e"),
+      // over-long paragraph (5 words > 2): windows WITHIN it
+      (2L, "p q r s t"),
+      // multiple blank lines collapse to one boundary; blank para dropped
+      (3L, "x y\n\n\n\nz"),
+      (4L, null.asInstanceOf[String]) // null text: one empty chunk
+    ).toDF("doc_id", "text")
+    val chunks = Dedup.chunked(docs, "text", "doc_id", chunkWords = 2,
+        splitParagraphs = true)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) =>
+        k -> rs.sortBy(_.getLong(1)).map(r => r.getLong(1) -> r.getString(2)).toSeq }
+    assert(chunks(1L) == Seq(0L -> "a b", 1L -> "c d", 2L -> "e"),
+      s"paragraph break not honored: ${chunks(1L)}")
+    assert(chunks(2L) == Seq(0L -> "p q", 1L -> "r s", 2L -> "t"))
+    assert(chunks(3L) == Seq(0L -> "x y", 1L -> "z"))
+    assert(chunks(4L) == Seq(0L -> ""))
+    // a break-free corpus degrades to exactly the fixed mode
+    val free = Seq((9L, "u v w x y")).toDF("doc_id", "text")
+    val fixed = Dedup.chunked(free, "text", "doc_id", chunkWords = 2)
+      .collect().map(r => (r.getLong(1), r.getString(2))).toSet
+    val para = Dedup.chunked(free, "text", "doc_id", chunkWords = 2,
+        splitParagraphs = true)
+      .collect().map(r => (r.getLong(1), r.getString(2))).toSet
+    assert(fixed == para)
+    // end-to-end: a repeated PARAGRAPH dedups whole even though its
+    // fixed-window phrasing differs (offset within the doc)
+    val web = Seq(
+      (1L, "nav bar home\n\nunique one content here"),
+      (2L, "extra lead word\n\nnav bar home\n\nunique two content")
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(web, "text", "doc_id", chunkWords = 8,
+        splitParagraphs = true)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got(1L) == "nav bar home unique one content here")
+    assert(got(2L) == "extra lead word unique two content",
+      "repeated paragraph survived in doc 2 — fixed windows would have " +
+        s"missed the offset repeat: ${got(2L)}")
+  }
+
   test("boilerplate strip removes >= minDf chunks from EVERY doc (no owner), keeps unique content") {
     import spark.implicits._
     import graft.operators.Dedup
