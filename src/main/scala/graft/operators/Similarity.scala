@@ -297,6 +297,25 @@ object Similarity {
       .withColumn("keep", col("canonical_id") === col("vec_id"))
   }
 
+  /** Cross-split leakage audit over [[semdedupAssigned]] output — the
+    * embedding-space complement of the token-overlap audit (q89):
+    * paraphrase contamination that shares no 3-gram still lands in one
+    * semantic dup group, and a group straddling train/eval is exactly
+    * an eval-set leak. Split membership is a pure function of the id
+    * ([[Sampling.splitColumn]]), projected per member — no corpus
+    * join; the audit costs one aggregation over the already-resolved
+    * assignment. Returns (canonical_id, n_members, splits) for groups
+    * spanning >1 split. The oracled q94 runs the same composition over
+    * the hash-checkable sign-LSH pair family; this form rides the
+    * production k-means clusters. */
+  def semdedupSplitLeaks(assigned: DataFrame): DataFrame =
+    assigned
+      .withColumn("split", Sampling.splitColumn(col("vec_id")))
+      .groupBy("canonical_id")
+      .agg(count(lit(1)).as("n_members"),
+        array_sort(collect_set(col("split"))).as("splits"))
+      .filter(size(col("splits")) > 1)
+
   /** IVF approximate top-k: score queries against the centroid model
     * (broadcast), probe the nProbe nearest inverted lists, exact re-rank
     * within them. Complements the LSH path — better recall when the

@@ -343,6 +343,26 @@ object AnalyticQueries {
         count(lit(1)).as("n_events"))
   }
 
+  /** q36's EXACT twin (the q61/q63 treatment for the HLL entry): the
+    * same grouping with a plain two-phase `countDistinct`, hash-checked
+    * against DuckDB — so the probabilistic q36 stays rows-only while
+    * the grouping, filter, and exact cardinalities it reports are
+    * pinned bit-exact here, and `OpsSpec` asserts q36's HLL estimate
+    * against THIS query's exact counts in one place. */
+  val distinctExact: Q = Q(
+    "q93_distinct_exact",
+    """SELECT event_type,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |       count(*) AS n_events
+      |FROM events GROUP BY event_type""".stripMargin
+  ) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** §2.5 — exact interpolated percentiles (absent in the reference;
     * both engines use linear interpolation over the sorted values). */
   val percentiles: Q = Q(
@@ -439,6 +459,7 @@ object AnalyticQueries {
 
   val all: Seq[Q] = Seq(movingAvg, pivotSeries, rollupTotal, zipJoin,
     prefsArrayJoin, dedupTtl, renderSummary, summaryServe, setOps,
-    rankingSuite, arrayOps, sessionize, approxDistinct, percentiles,
+    rankingSuite, arrayOps, sessionize, approxDistinct, distinctExact,
+    percentiles,
     approxPercentiles, tokenCount, alertLines)
 }

@@ -934,11 +934,80 @@ object LlmQueries {
     }
   }
 
+  /** Embedding-side split-leakage audit (q94): q89 catches
+    * token-overlap leakage; PARAPHRASE contamination shares no 3-gram
+    * yet sits next to its source in embedding space. Same composition
+    * over the hash-oracled sign-LSH family: near-dup pairs (banded
+    * candidate generation + exact integer-cosine verify), the
+    * deterministic split assignment projected onto both pair endpoints
+    * (a pure function of the id — no corpus-sized join), keep pairs
+    * straddling splits. Production runs the identical audit over
+    * `Similarity.semdedupSplitLeaks` on the k-means clusters
+    * (spec-checked — k-means isn't oracle-portable). */
+  val embeddingSplitLeakage: Q = {
+    val planes = V.portablePlanes(16, 64)
+    val vals = planes.zipWithIndex
+      .map { case (c, p) => s"($p, ${c.mkString("[", ", ", "]")})" }
+      .mkString(",\n      |      ")
+    Q(
+      "q94_embedding_split_leakage",
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, qv,
+        |        CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS BIGINT) AS nsq
+        |      FROM q),
+        |pl(plane, c) AS (VALUES
+        |      $vals),
+        |proj AS (SELECT vec_id, plane,
+        |           CASE WHEN list_sum(list_transform(range(1, 65), i -> qv[i] * c[i])) >= 0
+        |                THEN CAST(1 AS BIGINT) << (plane % 4) ELSE 0 END AS bit
+        |         FROM n CROSS JOIN pl),
+        |k AS (SELECT vec_id, plane // 4 AS band, CAST(sum(bit) AS BIGINT) AS key
+        |      FROM proj GROUP BY 1, 2),
+        |c AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |      FROM k x JOIN k y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+        |v AS (SELECT vec_a, vec_b,
+        |        CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS DOUBLE)
+        |          / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
+        |      FROM c JOIN n a ON c.vec_a = a.vec_id JOIN n b ON c.vec_b = b.vec_id),
+        |jp AS (SELECT vec_a, vec_b, cosine FROM v WHERE cosine >= 0.4),
+        |sp AS (SELECT vec_a, vec_b, cosine,
+        |         CASE WHEN CAST('0x' || substr(md5(CAST(vec_a AS VARCHAR)), 1, 8)
+        |                    AS BIGINT) % 100 < 80 THEN 'train'
+        |              WHEN CAST('0x' || substr(md5(CAST(vec_a AS VARCHAR)), 1, 8)
+        |                    AS BIGINT) % 100 < 90 THEN 'valid'
+        |              ELSE 'test' END AS split_a,
+        |         CASE WHEN CAST('0x' || substr(md5(CAST(vec_b AS VARCHAR)), 1, 8)
+        |                    AS BIGINT) % 100 < 80 THEN 'train'
+        |              WHEN CAST('0x' || substr(md5(CAST(vec_b AS VARCHAR)), 1, 8)
+        |                    AS BIGINT) % 100 < 90 THEN 'valid'
+        |              ELSE 'test' END AS split_b
+        |       FROM jp)
+        |SELECT vec_a, vec_b, split_a, split_b, cosine
+        |FROM sp WHERE split_a <> split_b""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.Sampling
+      // same barrier as q89: without it Catalyst pushes the split
+      // inequality (two md5 CASEs) down into the banded self-join
+      // condition, evaluating it per candidate row instead of per
+      // surviving pair
+      val pairs = graft.operators.Similarity
+        .portableSignLshPairs(quantized(s, dir), 0.4)
+        .localCheckpoint(eager = true)
+      pairs
+        .withColumn("split_a", Sampling.splitColumn(col("vec_a")))
+        .withColumn("split_b", Sampling.splitColumn(col("vec_b")))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("vec_a"), col("vec_b"), col("split_a"), col("split_b"),
+          col("cosine"))
+    }
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, fingerprintQ, ngramJaccard,
     minhashLsh, minhashLshOracle, simhash, simhashOracle, embeddingNeardup,
     embeddingNeardupLsh, signLshOracle, knnCosine, annLsh, annIvf, binaryMeta,
     multimodalDecode, winnow, winnowOracle, dedupResolve, multimodalNeardup,
     qualityFilter, repetition, embeddingDedup, bm25, tfidf, bigramLm,
     chunkDedup, paragraphChunkDedup, semdedupQ, annPq, annIvfPq,
-    annTopKOracle, embeddingDedupOracle)
+    annTopKOracle, embeddingDedupOracle, embeddingSplitLeakage)
 }

@@ -107,6 +107,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q36 HLL estimates track q93's exact per-group cardinalities within 5%") {
+    // the one place the HLL error bound is asserted: against the
+    // hash-oracled exact twin (q93), not a re-derived countDistinct —
+    // so the bound and the oracle pin the same numbers
+    val exact = graft.queries.Registry.byName("q93_distinct_exact").fn(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.queries.Registry.byName("q36_approx_distinct").fn(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet, "groupings diverged")
+    approx.foreach { case (k, (est, exactInQ36)) =>
+      assert(exactInQ36 == exact(k),
+        s"$k: q36's inline exact ($exactInQ36) != q93's oracled exact (${exact(k)})")
+      assert(math.abs(est - exact(k)).toDouble <= 0.05 * exact(k),
+        s"$k: HLL estimate $est vs exact ${exact(k)} exceeds 5%")
+    }
+  }
+
   test("native WinnowMins equals the HOF sliding-min formula") {
     import spark.implicits._
     val w = 8
