@@ -8,9 +8,13 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR
   * and emits ONE JSON line for the driver (BENCH_r{N}.json).
   *
-  * Output contract: stdout carries exactly one line — the JSON — and the
-  * same JSON is written to bench_out.json (cwd) so the driver can parse
-  * it even if the launcher decorates stdout. All progress goes to stderr.
+  * Output contract: stdout carries the full result JSON line, then a
+  * COMPACT summary line (total / counts only) printed LAST — the driver
+  * archives a bounded tail of the output, and the ~5 KB per-query line
+  * truncates from the left inside that window (BENCH_r07.json lost its
+  * leading `"total"`), while the trailing compact line always survives
+  * whole and parses. The full JSON is also written to bench_out.json
+  * (cwd) as the durable record. All progress goes to stderr.
   *
   * Each query is driven through a `noop`-format write, not `count()`:
   * count lets Catalyst prune projection-only work (rendering columns,
@@ -83,6 +87,9 @@ object Bench {
     Files.write(Paths.get("bench_out.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
     println(json)
+    // compact trailer, printed LAST: complete inside any log-tail window
+    println(s"""{"total":$total,"n_queries":${results.size},""" +
+      s""""n_errors":${errors.size}$filteredTag,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
