@@ -552,8 +552,170 @@ object ExtensionQueries {
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
   }
 
+  /** Token-budget sampling per source (q96): greedy-fill each source's
+    * token budget in deterministic hash order — the mixture planner's
+    * "give me ~B tokens of src7" primitive, stable under corpus growth
+    * (membership depends only on ids hashing earlier, never on
+    * partition layout or seed).
+    *
+    * Scale shape: no kept row can sit past rank B in the (hash, id)
+    * order — every predecessor carries ≥1 token — so a bounded
+    * top-B-per-source heap ([[Sampling.quotaPerGroup]]: ≤ B rows per
+    * group per TASK cross the shuffle) prunes the corpus first, and
+    * the cumulative-sum window runs over ≤ B survivors per source, not
+    * the source's full row count. The oracle states the plain
+    * windowed form; the heap prepass provably preserves it. */
+  val tokenBudgetSample: Q = Q(
+    "q96_token_budget_sample",
+    """WITH d AS (SELECT doc_id, source,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+      |                  AS BIGINT) AS hk
+      |           FROM documents)
+      |SELECT doc_id, source, n_tokens, cum_tokens FROM (
+      |  SELECT doc_id, source, n_tokens,
+      |         CAST(sum(n_tokens) OVER (PARTITION BY source
+      |              ORDER BY hk, doc_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              AS BIGINT) AS cum_tokens
+      |  FROM d) t
+      |WHERE cum_tokens <= 1200""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Sampling
+    val budget = 1200
+    val base = t(s, dir, "documents").select(
+      col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) " +
+        "AS BIGINT)").as("hk"))
+    // bounded-heap prepass: kept rows all have rank <= budget, so the
+    // window never sees more than `budget` rows per source
+    // score = -hk as double (48-bit hashes are exact in a double);
+    // desc score + asc-id ties == the window's ORDER BY hk, doc_id
+    val capped = Sampling.quotaPerGroup(base, Seq("source"),
+        -col("hk").cast("double"), col("doc_id"), k = budget)
+      .select(col("id").as("doc_id"))
+    val w = Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(capped, Seq("doc_id"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Retention cohorts (q97): users grouped by first-seen date, distinct
+    * actives per (cohort, day-offset) — the daily-cohort retention
+    * triangle every product dashboard draws from an event stream.
+    * Windowless: first-touch is a per-user min aggregation joined back
+    * on user_id (both sides shuffle once on the same key), day math is
+    * exact date arithmetic, and the final rollup is combiner-friendly.
+    * UTC-pinned sessions make the DATE truncation engine-identical. */
+  val retentionCohorts: Q = Q(
+    "q97_retention_cohorts",
+    """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_d
+      |           FROM events GROUP BY 1),
+      |r AS (SELECT e.user_id, f.cohort_d,
+      |        CAST(date_diff('day', f.cohort_d, CAST(e.ts AS DATE))
+      |             AS BIGINT) AS day_offset
+      |      FROM events e JOIN f USING (user_id))
+      |SELECT cohort_d, day_offset,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM r GROUP BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events").select(col("user_id"),
+      to_date(timestamp_millis(expr("ts_ns div 1000000"))).as("d"))
+    val first = ev.groupBy("user_id").agg(min(col("d")).as("cohort_d"))
+    ev.join(first, Seq("user_id"))
+      .select(col("user_id"), col("cohort_d"),
+        datediff(col("d"), col("cohort_d")).cast("long").as("day_offset"))
+      .groupBy("cohort_d", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Lexical diversity per source (q98): type/token ratio and hapax
+    * share — the vocabulary-health metrics a curation dashboard reads
+    * next to q25's language mix (template-generated or boilerplate-
+    * heavy sources show as low-TTR outliers; OCR-damaged ones as
+    * hapax-heavy). Two combiner-compressed aggregations — (source,
+    * word) counts, then the per-source rollup — no windows, no joins;
+    * ratios are ppm-quantized identical double chains both engines. */
+  val lexicalDiversity: Q = Q(
+    "q98_lexical_diversity",
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+      |             FROM documents),
+      |agg AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2)
+      |SELECT source,
+      |       CAST(sum(c) AS BIGINT) AS n_tokens,
+      |       count(*) AS n_types,
+      |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |       CAST(round(CAST(count(*) AS DOUBLE)
+      |            / CAST(sum(c) AS BIGINT) * 1000000, 0) AS BIGINT) AS ttr_ppm,
+      |       CAST(round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |            / count(*) * 1000000, 0) AS BIGINT) AS hapax_ppm
+      |FROM agg GROUP BY source""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens") * 1000000, 0)
+          .cast("long").as("ttr_ppm"),
+        round(col("n_hapax").cast("double") / col("n_types") * 1000000, 0)
+          .cast("long").as("hapax_ppm"))
+  }
+
+  /** Chunk-duplication rate by source (q99): q67's chunk dedup rolled
+    * up per source — the chunk-granularity companion to q84's
+    * document-level dup rate (a mirror farm shows at doc level; shared
+    * boilerplate and quoted paragraphs only show here). Rides the full
+    * digest-keyed chunkDedup, then one broadcast-dimension join and a
+    * 20-row rollup; dup share is a ppm-quantized identical double
+    * chain. */
+  val chunkDupBySource: Q = Q(
+    "q99_chunk_dup_by_source",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 1),
+      |c AS (SELECT doc_id, i AS chunk_idx, array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS chunk
+      |      FROM w, unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS t(i)),
+      |win AS (SELECT chunk, doc_id AS wd, chunk_idx AS wi FROM (
+      |          SELECT chunk, doc_id, chunk_idx,
+      |                 row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+      |          FROM c) t WHERE rn = 1),
+      |f AS (SELECT c.doc_id,
+      |             CASE WHEN c.doc_id = win.wd AND c.chunk_idx = win.wi
+      |                  THEN 1 ELSE 0 END AS kept
+      |      FROM c JOIN win USING (chunk)),
+      |per_doc AS (SELECT doc_id, count(*) AS total_chunks,
+      |                   CAST(sum(kept) AS BIGINT) AS kept_chunks
+      |            FROM f GROUP BY 1)
+      |SELECT d.source,
+      |       CAST(sum(p.total_chunks) AS BIGINT) AS n_chunks,
+      |       CAST(sum(p.kept_chunks) AS BIGINT) AS kept_chunks,
+      |       CAST(round((1.0 - CAST(sum(p.kept_chunks) AS DOUBLE)
+      |            / CAST(sum(p.total_chunks) AS BIGINT)) * 1000000, 0)
+      |            AS BIGINT) AS dup_ppm
+      |FROM per_doc p JOIN documents d USING (doc_id)
+      |GROUP BY d.source""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    graft.operators.Dedup.chunkDedup(docs, "text", "doc_id")
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(sum(col("total_chunks")).cast("long").as("n_chunks"),
+        sum(col("kept_chunks")).cast("long").as("kept_chunks"))
+      .select(col("source"), col("n_chunks"), col("kept_chunks"),
+        round((lit(1.0) - col("kept_chunks").cast("double") / col("n_chunks"))
+          * 1000000, 0).cast("long").as("dup_ppm"))
+  }
+
   val all: Seq[Q] = Seq(editDedup, corpusCube, tokenTruncate, funnel,
     collocations, containment, dupRateBySource, gapFilledSeries,
     lengthTrim, oovRate, splitLeakage, lmQualitySelect, boilerplate,
-    dupClusterHistogram)
+    dupClusterHistogram, tokenBudgetSample, retentionCohorts,
+    lexicalDiversity, chunkDupBySource)
 }
