@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the similarity/dedup hot paths.
@@ -306,6 +306,40 @@ case class MaxMultiplicity(child: Expression)
     copy(child = newChild)
 }
 
+/** Membership probe into a SORTED `array<bigint>` by binary search —
+  * O(log n) per row where `array_contains` linear-scans. The chunk
+  * keep/boilerplate flags probe a per-document position array once per
+  * chunk row; with `array_contains` a 100k-chunk document costs 100k²
+  * comparisons inside one task (the scan-per-row pathology the
+  * winnowPairs hot-cap fix removed elsewhere), with the bisect it is
+  * n·log n. Caller contract: the array is sorted ascending with
+  * non-null elements (`array_sort(collect_set(...))` — enforced at the
+  * call sites); standard binary-expression null-in → null-out. */
+case class SortedContainsLong(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(a: Any, v: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val x = v.asInstanceOf[Long]
+    var lo = 0
+    var hi = arr.numElements() - 1
+    var found = false
+    while (!found && lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val m = arr.getLong(mid)
+      if (m == x) found = true
+      else if (m < x) lo = mid + 1
+      else hi = mid - 1
+    }
+    found
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
 /** Occurrences of any of a fixed marker set in an `array<string>` token
   * list (language-ID scores, stopword counts — the q24/q25 hot path).
   * Counts OCCURRENCES, not distinct markers (stopwords repeat), exactly
@@ -549,6 +583,10 @@ object GraftExpressions {
 
   def canonicalForms(text: Column): Column =
     ColumnBridge.column(CanonicalForms(ColumnBridge.expression(text)))
+
+  def sortedContainsLong(sortedArr: Column, v: Column): Column =
+    ColumnBridge.column(SortedContainsLong(ColumnBridge.expression(sortedArr),
+      ColumnBridge.expression(v)))
 
   def topKByScore(score: Column, id: Column, k: Int): Column =
     ColumnBridge.column(TopKByScore(ColumnBridge.expression(score),

@@ -80,9 +80,37 @@ object AnnIndex {
     Similarity.pqEncode(pinned, cb)
       .select("vec_id", "cluster", "code")
       .write.partitionBy("cluster").mode("overwrite").parquet(s"$root/codes")
+    writeMarker(spark, root)
+  }
+
+  /** Commit: the marker carries a fresh GENERATION token. [[ensure]]'s
+    * lock-free fast path brackets its listings with two generation
+    * reads — same generation on both sides proves no build/append
+    * committed (or took the marker down) in between. */
+  private def writeMarker(spark: SparkSession, root: String): Unit = {
     val mp = new Path(root, Marker)
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.create(mp, true).close()
+    val out = fs.create(mp, true)
+    out.write(java.util.UUID.randomUUID().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** The marker's generation token; None if absent/unreadable (not
+    * built, or an append holds it down). Legacy empty markers read as
+    * "" — still a stable token across the two bracket reads. */
+  private def markerGen(spark: SparkSession, root: String): Option[String] = {
+    val mp = new Path(root, Marker)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val in = fs.open(mp)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0),
+          java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
   }
 
   def load(spark: SparkSession, root: String): Handle = {
@@ -191,7 +219,23 @@ object AnnIndex {
               catch { case _: java.io.IOException => None }
             if (still.exists(s => System.currentTimeMillis() - s > staleMs)) {
               val tomb = new Path(root, s"$LockFile.broken.$owner")
-              if (fs.rename(lock, tomb)) fs.delete(tomb, false)
+              if (fs.rename(lock, tomb)) {
+                // the rename might have grabbed a LIVE lock re-created
+                // inside the re-read → rename window: check what we
+                // actually caught. Fresh tombstone = a steal — put it
+                // back (rename-back only fails if a third waiter
+                // already re-created the lock, shrinking the residual
+                // two-holder window to two adjacent syscalls; plain
+                // filesystems offer no conditional rename to close it
+                // entirely — documented limit, an external lock
+                // service closes it).
+                val tmt =
+                  try Some(fs.getFileStatus(tomb).getModificationTime)
+                  catch { case _: java.io.IOException => None }
+                if (tmt.exists(m => System.currentTimeMillis() - m <= staleMs)) {
+                  if (!fs.rename(tomb, lock)) fs.delete(tomb, false)
+                } else fs.delete(tomb, false)
+              }
             }
           case Some(_) => Thread.sleep(100)
           case None    => Thread.sleep(10) // vanished: re-race shortly
@@ -220,22 +264,43 @@ object AnnIndex {
   /** Build-if-absent + load: the registry/bench entry point. The root
     * is derived from the corpus location, a corpus FINGERPRINT, and
     * the index parameters, so distinct datasets, regenerated data, or
-    * changed configs never share artifacts. Concurrent callers — other
-    * threads AND other JVMs — serialize on the lock file: exactly one
-    * runs the build, the rest wait and load the committed artifacts
-    * (the in-lock isBuilt double-check). */
+    * changed configs never share artifacts. BUILDS serialize on the
+    * lock file — exactly one caller runs the build, the rest wait and
+    * load the committed artifacts (the in-lock isBuilt double-check).
+    * READS of a built index are lock-free: the generation-bracketed
+    * fast path below proves snapshot consistency without touching the
+    * lock, so probe-many workloads never serialize and a crashed
+    * holder's orphaned lock never stalls them. */
   def ensure(corpus: DataFrame, root: String, kClusters: Int, iters: Int,
       m: Int = 8, pqK: Int = 16, sample: Int = 2048): Handle = {
     val spark = corpus.sparkSession
-    // check AND load both sit under the lock: append() takes the commit
-    // marker down for the duration of its two table writes, so an
-    // unlocked fast-path load racing a live append could spuriously
-    // fail load's require(isBuilt), or list ivf/ and codes/ straddling
-    // the appended slice. load()'s eager cost under the lock is
-    // listing-sized (schema/partition discovery snapshots the two
-    // tables' file listings into their InMemoryFileIndex) plus the
-    // model-sized codebook collect; probe execution pays after release
-    // against the snapshotted listings.
+    // LOCK-FREE fast path, generation-bracketed: read the marker's
+    // generation, snapshot the listings (load() builds the two tables'
+    // InMemoryFileIndex eagerly and collects the model-sized codebook),
+    // re-read the generation. Same token on both sides proves no
+    // append/build committed or took the marker down in between —
+    // append deletes the marker BEFORE its first table write and
+    // recommits with a NEW generation after the second — so the
+    // snapshot cannot straddle a slice. A changed/absent token (or a
+    // load tripping over a mid-append state) just falls to the locked
+    // path. This keeps built-index reads concurrent AND immune to a
+    // crashed holder's orphaned fresh-mtime lock, which the briefly-
+    // locked r8 fast path would have waited staleMs (10 min) on.
+    var attempt = 0
+    while (attempt < 3) {
+      markerGen(spark, root) match {
+        case Some(g) =>
+          val h =
+            try Some(load(spark, root))
+            catch { case scala.util.control.NonFatal(_) => None }
+          h match {
+            case Some(handle) if markerGen(spark, root).contains(g) =>
+              return handle
+            case _ => attempt += 1 // raced an append: retry, then lock
+          }
+        case None => attempt = 3 // not built (or append in flight)
+      }
+    }
     withBuildLock(spark, root) {
       if (!isBuilt(spark, root)) {
         buildObserver(root)
@@ -263,11 +328,10 @@ object AnnIndex {
     * and back on after the second, so a crash mid-append leaves the
     * root "not built" and the next [[ensure]] rebuilds from its corpus
     * instead of serving an ivf/ that is one slice ahead of codes/.
-    * (An unlocked [[load]] RACING a live append lists the two tables'
+    * (A bare [[load]] RACING a live append lists the two tables'
     * files at slightly different moments and can straddle the slice —
-    * call [[ensure]], whose check+load runs entirely under this same
-    * lock and snapshots both listings, when appends run
-    * concurrently.) */
+    * call [[ensure]], whose generation-bracketed fast path detects the
+    * race and retries/locks, when appends run concurrently.) */
   def append(newCorpus: DataFrame, root: String): Unit = {
     val spark = newCorpus.sparkSession
     withBuildLock(spark, root) {
@@ -284,7 +348,7 @@ object AnnIndex {
       Similarity.pqEncode(assigned, h.codebook)
         .select("vec_id", "cluster", "code")
         .write.partitionBy("cluster").mode("append").parquet(s"$root/codes")
-      fs.create(mp, true).close() // recommit
+      writeMarker(spark, root) // recommit under a NEW generation
     }
   }
 

@@ -81,8 +81,11 @@ object Dedup {
     val chunkList =
       if (!splitParagraphs) windows(T.words(coalesce(col(textCol), lit(""))))
       else {
+        // (?:\r?\n){2,}: CRLF corpora (most of the crawled web) must
+        // split too — bare \n{2,} never matches "\r\n\r\n" and the
+        // paragraph contract would silently degrade to fixed windows
         val paras = filter(
-          split(coalesce(col(textCol), lit("")), "\\n{2,}"),
+          split(coalesce(col(textCol), lit("")), "(?:\\r?\\n){2,}"),
           p => length(p) > 0)
         val flat = flatten(transform(paras, p => windows(T.words(p))))
         // all-blank text: keep the one-empty-chunk-per-doc invariant
@@ -137,10 +140,15 @@ object Dedup {
       .groupBy("ck")
       .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("w"))
       .groupBy(col("w.doc_id").as("doc_id"))
-      .agg(collect_set(col("w.chunk_idx")).as("kept_idx"))
+      .agg(array_sort(collect_set(col("w.chunk_idx"))).as("kept_idx"))
+    // sorted-array bisect, not array_contains: a chunk-heavy document
+    // probes its own position array once per chunk row — linear scans
+    // would cost |chunks|² per doc inside one task
     chunks.join(keptIdx, Seq("doc_id"), "left")
-      .withColumn("is_kept",
-        coalesce(array_contains(col("kept_idx"), col("chunk_idx")), lit(false)))
+      .withColumn("is_kept", coalesce(
+        graft.functions.expressions.GraftExpressions
+          .sortedContainsLong(col("kept_idx"), col("chunk_idx")),
+        lit(false)))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("total_chunks"),
@@ -186,10 +194,12 @@ object Dedup {
       .select("ck")
     val bpIdx = ids.join(boiler, Seq("ck"))
       .groupBy("doc_id")
-      .agg(collect_set(col("chunk_idx")).as("bp_idx"))
+      .agg(array_sort(collect_set(col("chunk_idx"))).as("bp_idx"))
     chunks.join(bpIdx, Seq("doc_id"), "left")
-      .withColumn("is_kept",
-        coalesce(!array_contains(col("bp_idx"), col("chunk_idx")), lit(true)))
+      .withColumn("is_kept", coalesce(
+        !graft.functions.expressions.GraftExpressions
+          .sortedContainsLong(col("bp_idx"), col("chunk_idx")),
+        lit(true)))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("total_chunks"),

@@ -773,7 +773,7 @@ object LlmQueries {
     """WITH p AS (SELECT doc_id,
       |        list_filter(string_split_regex(
       |          replace(text, ' spark ', ' spark' || chr(10) || chr(10)),
-      |          '\n{2,}'), x -> len(x) > 0) AS ps
+      |          '(?:\r?\n){2,}'), x -> len(x) > 0) AS ps
       |      FROM documents),
       |cl AS (SELECT doc_id,
       |        flatten(list_transform(ps, par ->

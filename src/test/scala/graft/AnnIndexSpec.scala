@@ -231,6 +231,52 @@ class AnnIndexSpec extends SparkSpec {
     assert(!fs.exists(lock))
   }
 
+  test("a built index reads lock-free: an orphaned FRESH lock never stalls ensure()") {
+    import org.apache.hadoop.fs.Path
+    val root = tmp()
+    val c = corpus.limit(64)
+    AnnIndex.ensure(c, root, kClusters = 2, iters = 1)
+    // simulate a SIGKILLed holder: lock file with a CURRENT mtime and
+    // no heartbeat — a locked read path would wait staleMs (10 min)
+    val lock = new Path(root, "_graft_ann_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(lock, false).close()
+    try {
+      val t0 = System.nanoTime()
+      val h = AnnIndex.ensure(c, root, kClusters = 2, iters = 1)
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(h.indexed.count() == 64)
+      assert(secs < 60.0,
+        f"ensure() on a built index took $secs%.1f s behind an orphan " +
+          "lock — the generation-bracketed fast path is not lock-free")
+    } finally fs.delete(lock, false)
+  }
+
+  test("append rotates the commit generation (the fast path's straddle detector)") {
+    val root = tmp()
+    val c = corpus.limit(64).localCheckpoint(true)
+    AnnIndex.ensure(c, root, kClusters = 2, iters = 1)
+    def gen(): String = {
+      val mp = new org.apache.hadoop.fs.Path(root, "_graft_ann_ready")
+      val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(mp)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), "UTF-8")
+      } finally in.close()
+    }
+    val g1 = gen()
+    assert(g1.nonEmpty, "commit marker carries no generation token")
+    AnnIndex.append(
+      corpus.filter(col("vec_id") >= 64 && col("vec_id") < 80)
+        .withColumn("vec_id", col("vec_id") + 10000), root)
+    val g2 = gen()
+    assert(g2.nonEmpty && g2 != g1,
+      "append recommitted under the SAME generation — a concurrent " +
+        "reader could not detect the straddle")
+  }
+
   test("source fingerprint sees paths, not leaf names: compensating subdir swaps differ") {
     import java.nio.file.{Files => JFiles, Paths}
     // two same-named part files in different subdirs SWAP len/mtime —

@@ -458,7 +458,9 @@ class LlmOperatorsSpec extends SparkSpec {
       (2L, "p q r s t"),
       // multiple blank lines collapse to one boundary; blank para dropped
       (3L, "x y\n\n\n\nz"),
-      (4L, null.asInstanceOf[String]) // null text: one empty chunk
+      (4L, null.asInstanceOf[String]), // null text: one empty chunk
+      // CRLF corpora split too (bare \n{2,} would silently miss these)
+      (5L, "m n\r\n\r\no p")
     ).toDF("doc_id", "text")
     val chunks = Dedup.chunked(docs, "text", "doc_id", chunkWords = 2,
         splitParagraphs = true)
@@ -471,6 +473,8 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(chunks(2L) == Seq(0L -> "p q", 1L -> "r s", 2L -> "t"))
     assert(chunks(3L) == Seq(0L -> "x y", 1L -> "z"))
     assert(chunks(4L) == Seq(0L -> ""))
+    assert(chunks(5L) == Seq(0L -> "m n", 1L -> "o p"),
+      s"CRLF paragraph break not honored: ${chunks(5L)}")
     // a break-free corpus degrades to exactly the fixed mode
     val free = Seq((9L, "u v w x y")).toDF("doc_id", "text")
     val fixed = Dedup.chunked(free, "text", "doc_id", chunkWords = 2)

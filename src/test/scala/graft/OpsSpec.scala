@@ -124,6 +124,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("sortedContainsLong == array_contains on sorted arrays (incl. empty/null/bounds)") {
+    import spark.implicits._
+    import graft.functions.expressions.GraftExpressions.sortedContainsLong
+    import org.apache.spark.sql.functions._
+    // randomized-ish coverage: sorted arrays of varying size, probes on
+    // hits, misses, below-min, above-max; plus empty array and null array
+    val rows = (0L until 40L).map { i =>
+      val arr = (0L until i % 7L).map(j => j * 3L + i % 2)
+      (i, arr, i % 11L)
+    }
+    val df = rows.toDF("id", "arr", "probe")
+      .withColumn("arr", when(col("id") === 39L, lit(null)).otherwise(col("arr")))
+    val got = df.select(col("id"),
+        sortedContainsLong(col("arr"), col("probe")).as("bs"),
+        array_contains(col("arr"), col("probe")).as("lin"))
+      .collect()
+    got.foreach { r =>
+      val (bs, lin) = (if (r.isNullAt(1)) None else Some(r.getBoolean(1)),
+        if (r.isNullAt(2)) None else Some(r.getBoolean(2)))
+      assert(bs == lin, s"id=${r.getLong(0)}: bisect $bs vs linear $lin")
+    }
+  }
+
   test("native WinnowMins equals the HOF sliding-min formula") {
     import spark.implicits._
     val w = 8
