@@ -351,6 +351,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q96: budget fill pre-prunes via the bounded heap; the window is source-partitioned") {
+    val p = plan("q96_token_budget_sample")
+    // the heap prepass bounds the window's input at `budget` rows per
+    // source — the corpus never reaches the sort
+    assert(p.contains("partial_topkbyscore"), "heap prepass missing")
+    // the one window is PARTITIONED (parallel across sources), never a
+    // global single-task rank
+    assert(p.contains("windowspecdefinition(source"),
+      "cumulative window lost its source partitioning")
+  }
+
+  test("q97/q98: cohort retention and lexical diversity stay windowless with partials") {
+    for (q <- Seq("q97_retention_cohorts", "q98_lexical_diversity")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q planned a window")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q aggregation lacks a map-side phase")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("q99: per-source chunk-dup rollup inherits the digest-keyed shuffles") {
+    val p = plan("q99_chunk_dup_by_source")
+    assert(!p.contains("hashpartitioning(chunk#"),
+      "q99 re-introduced a raw-chunk-text shuffle")
+    assert(p.contains("hashpartitioning(ck#"), "digest election key missing")
+    assert(!p.contains("Window"))
+  }
+
   test("q54: winnow hot-fingerprint cap is a broadcast anti-join, not an array scan") {
     val p = plan("q54_winnow_oracle")
     // dropHotKeys: hot set broadcasts, sketch rows hash-probe it via
