@@ -934,6 +934,56 @@ object LlmQueries {
     }
   }
 
+  /** Per-document duplicated-8-gram rate (q100): the share of a doc's
+    * distinct 8-grams that appear in ANY other document (or twice in
+    * itself cannot happen — distinct) — the memorization-risk /
+    * cross-document repetition metric a curation dashboard reads
+    * before training (high dup_ppm docs are templated or scraped-many-
+    * times content). Engine and oracle both group on the PORTABLE
+    * polynomial gram hash (q54's trick at n=8), so the comparison is
+    * bit-exact even in the presence of hash collisions — and the
+    * exchanges carry 8-byte hashes, never gram text. Shape: distinct
+    * per-doc gram hashes (one native pass), combiner-compressed df
+    * count, hash-keyed join back, per-doc rollup. Docs under 8 tokens
+    * have no 8-gram and are excluded (both engines). */
+  val ngramNovelty: Q = Q(
+    "q100_ngram_novelty",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, list_transform(range(1, len(ws) - 6),
+      |        i -> array_to_string(ws[i:i+7], ' ')) AS grams
+      |      FROM w WHERE len(ws) >= 8),
+      |h AS (SELECT doc_id, list_distinct(list_transform(grams, s -> list_reduce(
+      |        list_prepend(CAST(7 AS BIGINT),
+      |          list_transform(range(1, length(s) + 1),
+      |            i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+      |        (acc, c) -> (acc * 131 + c) % 35184372088777))) AS hs
+      |      FROM g),
+      |e AS (SELECT doc_id, unnest(hs) AS h FROM h),
+      |d AS (SELECT h, count(*) AS df FROM e GROUP BY h)
+      |SELECT e.doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_grams,
+      |       CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+      |       CAST(round(CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |            / count(*) * 1000000, 0) AS BIGINT) AS dup_ppm
+      |FROM e JOIN d USING (h) GROUP BY e.doc_id""".stripMargin
+  ) { (s, dir) =>
+    val hs = t(s, dir, "documents")
+      .select(col("doc_id"), graft.functions.TextFunctions.words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        graft.functions.expressions.GraftExpressions
+          .shingleHashes(col("ws"), 8, ordered = false, poly = true).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val e = hs.select(col("doc_id"), explode(col("hs")).as("h"))
+    val dfc = e.groupBy("h").agg(count(lit(1)).as("df"))
+    e.join(dfc, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("dup_grams"),
+        round(col("dup_grams").cast("double") / col("n_grams") * 1000000, 0)
+          .cast("long").as("dup_ppm"))
+  }
+
   /** Embedding-side split-leakage audit (q94): q89 catches
     * token-overlap leakage; PARAPHRASE contamination shares no 3-gram
     * yet sits next to its source in embedding space. Same composition
@@ -1009,5 +1059,6 @@ object LlmQueries {
     multimodalDecode, winnow, winnowOracle, dedupResolve, multimodalNeardup,
     qualityFilter, repetition, embeddingDedup, bm25, tfidf, bigramLm,
     chunkDedup, paragraphChunkDedup, semdedupQ, annPq, annIvfPq,
-    annTopKOracle, embeddingDedupOracle, embeddingSplitLeakage)
+    annTopKOracle, embeddingDedupOracle, embeddingSplitLeakage,
+    ngramNovelty)
 }

@@ -45,7 +45,8 @@ object IncrementalChunkDedup {
     * join and write duplicate digest rows into the durable store. */
   def dedupBatch(batch: DataFrame, idCol: String, textCol: String,
       tsCol: String, storePath: String, chunkWords: Int = 8,
-      numBuckets: Int = KeyedStore.DefaultBuckets): DataFrame = {
+      numBuckets: Int = KeyedStore.DefaultBuckets,
+      splitParagraphs: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
     val docs = batch
       .groupBy(col(idCol).as("doc_id"))
@@ -53,7 +54,8 @@ object IncrementalChunkDedup {
         struct(col(tsCol), col(textCol))).as("r"))
       .select(col("doc_id"), col("r.text").as("text"), col("r.ts").as("ts"))
     val chunks = Dedup
-      .chunked(docs, "text", "doc_id", chunkWords, carry = Seq("ts"))
+      .chunked(docs, "text", "doc_id", chunkWords, carry = Seq("ts"),
+        splitParagraphs = splitParagraphs)
       .withColumn("ch", md5(col("chunk")))
     // in-batch winner per digest: min (ts, doc_id, chunk_idx)
     val winners = chunks.groupBy("ch")
@@ -107,13 +109,14 @@ object IncrementalChunkDedup {
   def run(stream: DataFrame, idCol: String, textCol: String, tsCol: String,
       storePath: String, chunkWords: Int = 8,
       checkpointLocation: Option[String] = None,
-      numBuckets: Int = KeyedStore.DefaultBuckets)(
+      numBuckets: Int = KeyedStore.DefaultBuckets,
+      splitParagraphs: Boolean = false)(
       onDeduped: (DataFrame, Long) => Unit): StreamingQuery = {
     val w = stream.writeStream.outputMode("append")
     checkpointLocation.foreach(c => w.option("checkpointLocation", c))
     w.foreachBatch { (batch: DataFrame, id: Long) =>
         onDeduped(dedupBatch(batch, idCol, textCol, tsCol, storePath,
-          chunkWords, numBuckets), id)
+          chunkWords, numBuckets, splitParagraphs), id)
         ()
       }
       .start()

@@ -73,6 +73,27 @@ class IncrementalChunkDedupSpec extends SparkSpec {
     assert(out3.contains(3L) && out3(3L)._1 == 1L, s"null-text doc lost: $out3")
   }
 
+  test("paragraph mode threads through: offset repeats rejected across batches") {
+    import spark.implicits._
+    val store = tmp("chunkstore-para")
+    // batch 1 seeds the boilerplate paragraph [nav bar]
+    val b1 = Seq((1L, "nav bar\n\naaa bbb", t1)).toDF("doc_id", "text", "ts")
+    val out1 = collect(IncrementalChunkDedup.dedupBatch(
+      b1, "doc_id", "text", "ts", store, chunkWords = 2,
+      splitParagraphs = true))
+    assert(out1(1L) == ((2L, 2L, "nav bar aaa bbb")))
+    // batch 2 repeats it at a DIFFERENT word offset: fixed 2-word
+    // windows of "xxx nav bar ccc ddd" ([xxx nav][bar ccc][ddd]) share
+    // no chunk with batch 1 — only paragraph alignment catches it
+    val b2 = Seq((2L, "xxx\n\nnav bar\n\nccc ddd", t2))
+      .toDF("doc_id", "text", "ts")
+    val out2 = collect(IncrementalChunkDedup.dedupBatch(
+      b2, "doc_id", "text", "ts", store, chunkWords = 2,
+      splitParagraphs = true))
+    assert(out2(2L) == ((3L, 2L, "xxx ccc ddd")),
+      s"offset paragraph repeat survived: ${out2(2L)}")
+  }
+
   test("streaming: chunk history survives a restart (durable store, no replay)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -390,4 +390,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("array_contains"),
       "q54 still caps hot fingerprints via the array_contains scan")
   }
+
+  test("q100: dup-gram rate shuffles 8-byte hashes, windowless with partials") {
+    val p = plan("q100_ngram_novelty")
+    // gram text never materializes: shingleHashes emits the polynomial
+    // hash directly, so every exchange (df count, join back, per-doc
+    // rollup) carries an 8-byte key, never the 8-gram string
+    assert(p.contains("hashpartitioning(h#"),
+      "df-count/join not keyed on the gram hash")
+    assert(!p.contains("Window"), "q100 planned a window")
+    assert(p.contains("partial_count"), "df count lacks map-side combine")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
