@@ -42,6 +42,30 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dupes"))
 
+  /** Normalization-fold dedup: lowercase, strip every char outside
+    * [a-z0-9] and whitespace, collapse whitespace runs, trim — then
+    * [[exact]]'s digest winner election on the FOLDED text. The
+    * practical first dedup pass of a web pipeline: re-encoded,
+    * re-punctuated, case-mangled and re-wrapped copies (the bulk of
+    * real-corpus duplication) fold into one group, while staying a
+    * single digest-keyed shuffle — no candidate join, no pair
+    * verify. `n_variants` counts DISTINCT raw texts in the group, so
+    * `n_variants > 1` is exactly the duplication [[exact]] misses
+    * (the reference compares text case-folded the same way —
+    * `equalsIgnoreCase` at `StateStoresManager.java:134,201`,
+    * `Covid19Stats.java:208`). The fold is one narrow
+    * per-row expression chain — at 100 TB it rides the scan, and the
+    * one exchange carries the 16-byte digest, never the text. */
+  def normalizedExact(docs: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    val folded = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    docs.groupBy(md5(folded).as("norm_hash"))
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col(textCol))).as("n_variants"))
+  }
+
   /** (doc_id, [carry…,] chunk_idx, chunk) projection: chunks in
     * document order — shared by [[chunkDedup]], [[boilerplateStrip]]
     * and the incremental store-backed form. `carry` columns ride along

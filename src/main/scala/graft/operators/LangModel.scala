@@ -60,4 +60,53 @@ object LangModel {
       .withColumn("avg_nll",
         col("nll_q_sum").cast("double") / col("n_bigrams") / lit(1000000.0))
   }
+
+  /** Per-source unigram-distribution KL divergence from the whole
+    * corpus — the domain-drift / outlier-source detector of a mixture
+    * pipeline (a source whose KL(P_s ‖ P_corpus) jumps between
+    * snapshots changed registers: scraper drift, spam influx, language
+    * shift). KL(P_s ‖ P) = Σ_w (c_sw/C_s) · ln((c_sw·C)/(C_s·c_w));
+    * every source word exists in the corpus so the ratio is finite
+    * and > 0.
+    *
+    * Determinism: the two products are exact BIGINTs, each per-word
+    * term is one IEEE division + ln + multiply, nano-quantized (×10⁹,
+    * round — q66's technique three decades finer), and the per-source
+    * sum is exact integer math, order-independent. `kl` re-derives the
+    * double from the exact sum in one division.
+    *
+    * Scale shape: per-(source,word) counts are one combiner-compressed
+    * aggregation; corpus word totals RE-AGGREGATE that compressed
+    * table (distinct (source,word) rows, not occurrences, cross the
+    * second exchange); source totals and the grand total are
+    * sources-sized broadcasts; nothing keys on source until the final
+    * |sources|-row rollup. The integer-product form c_sw·C bounds at
+    * tokens², exact under ~3·10⁹ corpus tokens — past that (the
+    * 100 TB deployment) promote the two products to DECIMAL(38,0)
+    * internally or divide first; the integer form is the oracle-parity
+    * form at test scale. */
+  def sourceUnigramKl(docs: DataFrame, textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    val words = docs.select(col(srcCol).as("source"),
+      explode(T.words(col(textCol))).as("w"))
+    val csw = words.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+    val cw = csw.groupBy("w").agg(sum(col("c_sw")).as("c_w"))
+    val cs = csw.groupBy("source").agg(sum(col("c_sw")).as("c_s"),
+      count(lit(1)).as("n_types"))
+    val tot = cs.agg(sum(col("c_s")).as("c_tot"))
+    csw.join(cw, Seq("w"))
+      .join(broadcast(cs), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term_q",
+        round((col("c_sw").cast("double") / col("c_s").cast("double"))
+          * log((col("c_sw") * col("c_tot")).cast("double")
+            / (col("c_s") * col("c_w")).cast("double"))
+          * lit(1.0e9)).cast("long"))
+      .groupBy("source")
+      .agg(max(col("c_s")).as("n_tokens"), max(col("n_types")).as("n_types"),
+        sum(col("term_q")).as("kl_nano"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("kl_nano"),
+        (col("kl_nano").cast("double") / lit(1.0e9)).as("kl"))
+  }
 }

@@ -713,9 +713,253 @@ object ExtensionQueries {
           * 1000000, 0).cast("long").as("dup_ppm"))
   }
 
+  /** Effective corpus size after dedup (q101): per source, the token
+    * mass that SURVIVES near-dup resolution (only each cluster's
+    * canonical doc counts) vs the raw mass — the number a mixture
+    * planner actually budgets against ("source 7 claims 2M tokens but
+    * deduped it's 1.3M"), and the per-source savings a dedup run
+    * reports. Rides the full q27+q44 machinery (df-capped shingle
+    * join → jaccard verify → pointer-doubling resolution); docs in no
+    * cluster are their own canonical via a left join, the rollup is
+    * one combiner-friendly aggregation, and the savings share is a
+    * ppm-quantized identical double chain. The oracle re-derives the
+    * clusters through the recursive-CTE closure (q92's pattern). */
+  val effectiveTokens: Q = Q(
+    "q101_effective_tokens",
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      |       FROM w WHERE len(ws) >= 3),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jp AS (SELECT doc_a, doc_b FROM pairs
+      |       JOIN sizes sa ON doc_a = sa.doc_id
+      |       JOIN sizes sb ON doc_b = sb.doc_id
+      |       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+      |      UNION SELECT doc_b, doc_a FROM jp),
+      |reach AS (
+      |  SELECT a AS id, b AS r FROM e
+      |  UNION
+      |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+      |comp AS (SELECT id AS doc_id, least(id, min(r)) AS canonical_id
+      |         FROM reach GROUP BY id),
+      |base AS (SELECT doc_id, source,
+      |           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |         FROM documents),
+      |k AS (SELECT b.source, b.n_tokens,
+      |        CASE WHEN c.canonical_id IS NULL OR c.canonical_id = b.doc_id
+      |             THEN 1 ELSE 0 END AS kept
+      |      FROM base b LEFT JOIN comp c USING (doc_id))
+      |SELECT source, count(*) AS raw_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+      |       CAST(sum(kept) AS BIGINT) AS kept_docs,
+      |       CAST(sum(kept * n_tokens) AS BIGINT) AS kept_tokens,
+      |       CAST(round((1.0 - CAST(sum(kept * n_tokens) AS DOUBLE)
+      |            / CAST(sum(n_tokens) AS BIGINT)) * 1000000, 0)
+      |            AS BIGINT) AS savings_ppm
+      |FROM k GROUP BY source""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val base = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val comp = graft.operators.Dedup.resolve(
+      graft.operators.Dedup.jaccardPairs(
+        graft.operators.Dedup.shingleProjection(docs, "text", "doc_id"),
+        threshold = 0.5, maxDf = 1000))
+    val kept = when(col("canonical_id").isNull ||
+      col("canonical_id") === col("doc_id"), 1L).otherwise(0L)
+    base.join(comp, Seq("doc_id"), "left")
+      .select(col("source"), col("n_tokens"), kept.as("kept"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("raw_docs"),
+        sum(col("n_tokens")).cast("long").as("raw_tokens"),
+        sum(col("kept")).cast("long").as("kept_docs"),
+        sum(col("kept") * col("n_tokens")).cast("long").as("kept_tokens"))
+      .select(col("source"), col("raw_docs"), col("raw_tokens"),
+        col("kept_docs"), col("kept_tokens"),
+        round((lit(1.0) - col("kept_tokens").cast("double")
+          / col("raw_tokens")) * 1000000, 0).cast("long").as("savings_ppm"))
+  }
+
+  /** Temperature-rebalanced domain mix (q102): deterministic
+    * down-sampling toward a sqrt-temperature target mix (τ=2, the
+    * multilingual-training convention: share_s ∝ √count_s flattens
+    * head domains without drowning the tail) at half the corpus
+    * volume. Membership is a pure function of doc_id — the q57/q96
+    * hash-threshold trick — so the sample is stable across runs,
+    * partition layouts, and engines. The per-source √weights quantize
+    * to BIGINT micros BEFORE the cross-source normalizer sum: the
+    * normalizer is an exact integer sum (order-independent — a raw
+    * double sum across sources would vary with Spark's aggregation
+    * order), and every later step is an identical per-row double
+    * chain. Scale shape: one combiner rollup for counts, a
+    * sources-sized broadcast rates dim, one corpus scan to filter —
+    * no shuffle of the corpus at all. */
+  val temperatureMix: Q = Q(
+    "q102_temperature_mix",
+    """WITH counts AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+      |wts AS (SELECT source, c,
+      |          CAST(floor(sqrt(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS w
+      |        FROM counts),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(w) AS BIGINT) AS z
+      |        FROM wts),
+      |rates AS (SELECT source,
+      |            least(1.0, 0.5 * CAST(tot.n AS DOUBLE) * CAST(w AS DOUBLE)
+      |              / CAST(tot.z AS DOUBLE) / CAST(c AS DOUBLE)) AS r
+      |          FROM wts, tot),
+      |d AS (SELECT doc_id, source,
+      |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+      |             AS BIGINT) AS hk
+      |      FROM documents)
+      |SELECT d.doc_id, d.source,
+      |       CAST(round(r * 1000000, 0) AS BIGINT) AS rate_ppm
+      |FROM d JOIN rates USING (source)
+      |WHERE CAST(hk AS DOUBLE) < r * 281474976710656.0""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("c"))
+    val wts = counts.withColumn("w",
+      floor(sqrt(col("c").cast("double")) * 1000000).cast("long"))
+    val tot = wts.agg(sum(col("c")).cast("long").as("n"),
+      sum(col("w")).cast("long").as("z"))
+    val rates = wts.crossJoin(broadcast(tot)).select(col("source"),
+      least(lit(1.0), lit(0.5) * col("n").cast("double")
+        * col("w").cast("double") / col("z").cast("double")
+        / col("c").cast("double")).as("r"))
+    docs.select(col("doc_id"), col("source"),
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) " +
+          "AS BIGINT)").as("hk"))
+      .join(broadcast(rates), Seq("source"))
+      .filter(col("hk").cast("double") < col("r") * lit(281474976710656.0))
+      .select(col("doc_id"), col("source"),
+        round(col("r") * 1000000, 0).cast("long").as("rate_ppm"))
+  }
+
+  /** Normalization-fold dedup (q103): lowercase + strip punctuation +
+    * collapse whitespace, then exact dedup on the FOLDED text — the
+    * practical first dedup pass of a web pipeline (re-encoded and
+    * re-punctuated copies fold together; `n_variants > 1` marks the
+    * groups plain exact dedup would miss). One digest-keyed shuffle,
+    * no candidate join. The whitespace classes are written as
+    * explicit character sets so Java regex and RE2 agree byte-for-
+    * byte (Java's \s includes \x0B, RE2's does not). */
+  val normDedup: Q = Q(
+    "q103_norm_dedup",
+    """WITH n AS (SELECT doc_id, text,
+      |         trim(regexp_replace(regexp_replace(lower(text),
+      |              '[^a-z0-9 \t\n\r]', '', 'g'),
+      |              '[ \t\n\r]+', ' ', 'g')) AS norm
+      |       FROM documents)
+      |SELECT md5(norm) AS norm_hash, min(doc_id) AS canonical_id,
+      |       count(*) AS n_docs,
+      |       count(DISTINCT md5(text)) AS n_variants
+      |FROM n GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Dedup.normalizedExact(
+      t(s, dir, "documents"), "text", "doc_id")
+  }
+
+  /** Mixture/epoch plan (q104): the per-source repeat-factor table a
+    * training run budgets from (the LLaMA-style data plan): targets
+    * allocated by √-temperature over AVAILABLE TOKENS (q102 flattens
+    * doc counts; this flattens token mass), epochs capped at 4×
+    * (oversampling a small source past a few epochs stops helping),
+    * deficit reported where the cap binds. All integer math up to the
+    * two per-row ratio quantizations: weights quantize to micros
+    * before the exact normalizer sum, targets are integer
+    * `(B·w) div z`, so the plan is bit-stable under any aggregation
+    * order. Scale: one token rollup (map-side combined, explode-free)
+    * + a sources-sized broadcast — the corpus is scanned once and
+    * never shuffled. (B·w bounds at tokens^1.5·10⁶ — exact BIGINT
+    * under ~10⁸ corpus tokens; the 100 TB deployment promotes this
+    * 20-row dim to DECIMAL(38,0) internally.) */
+  val epochPlan: Q = Q(
+    "q104_epoch_plan",
+    """WITH c AS (SELECT source,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+      |       FROM documents GROUP BY 1),
+      |w AS (SELECT source, avail,
+      |        CAST(floor(sqrt(CAST(avail AS DOUBLE)) * 1000000) AS BIGINT) AS w
+      |      FROM c),
+      |t AS (SELECT CAST(sum(avail) AS BIGINT) AS tot,
+      |             CAST(sum(w) AS BIGINT) AS z FROM w),
+      |p AS (SELECT source, avail, ((tot // 2) * w) // z AS target
+      |      FROM w, t)
+      |SELECT source, avail AS avail_tokens,
+      |       CAST(target AS BIGINT) AS target_tokens,
+      |       CAST(least(4000000.0, round(CAST(target AS DOUBLE)
+      |            / CAST(avail AS DOUBLE) * 1000000)) AS BIGINT) AS epochs_ppm,
+      |       CAST(least(target, 4 * avail) AS BIGINT) AS planned_tokens,
+      |       CAST(target - least(target, 4 * avail) AS BIGINT) AS deficit_tokens
+      |FROM p""".stripMargin
+  ) { (s, dir) =>
+    val avail = t(s, dir, "documents")
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("avail"))
+    val w = avail.withColumn("w",
+      floor(sqrt(col("avail").cast("double")) * 1000000).cast("long"))
+    val tot = w.agg(sum(col("avail")).cast("long").as("tot"),
+      sum(col("w")).cast("long").as("z"))
+    w.crossJoin(broadcast(tot))
+      .withColumn("target", expr("((tot div 2) * w) div z"))
+      .select(col("source"), col("avail").as("avail_tokens"),
+        col("target").as("target_tokens"),
+        least(lit(4000000.0), round(col("target").cast("double")
+          / col("avail").cast("double") * 1000000)).cast("long")
+          .as("epochs_ppm"),
+        least(col("target"), col("avail") * 4).cast("long")
+          .as("planned_tokens"),
+        (col("target") - least(col("target"), col("avail") * 4))
+          .cast("long").as("deficit_tokens"))
+  }
+
+  /** Per-source unigram KL drift (q105): KL(P_source ‖ P_corpus) over
+    * word unigrams — the domain-drift / outlier-source detector (a
+    * source whose KL jumps between snapshots changed registers).
+    * Exact-integer products feed one ln per distinct (source, word),
+    * nano-quantized terms sum as integers (order-independent), the
+    * final double re-derives from the exact sum. See
+    * [[graft.operators.LangModel.sourceUnigramKl]] for the 100 TB
+    * shape (combiner-compressed counts, vocab-keyed equi-join,
+    * broadcast totals). */
+  val sourceKl: Q = Q(
+    "q105_source_kl",
+    """WITH wds AS (SELECT source, unnest(string_split(text, ' ')) AS w
+      |        FROM documents),
+      |csw AS (SELECT source, w, count(*) AS c_sw FROM wds GROUP BY 1, 2),
+      |cw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM csw GROUP BY 1),
+      |cs AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS c_s,
+      |         count(*) AS n_types
+      |       FROM csw GROUP BY 1),
+      |t AS (SELECT CAST(sum(c_s) AS BIGINT) AS c_tot FROM cs),
+      |terms AS (SELECT csw.source,
+      |            CAST(round((CAST(c_sw AS DOUBLE) / CAST(c_s AS DOUBLE))
+      |              * ln(CAST(c_sw * c_tot AS DOUBLE)
+      |                / CAST(c_s * c_w AS DOUBLE))
+      |              * 1000000000.0) AS BIGINT) AS term_q
+      |          FROM csw JOIN cw USING (w) JOIN cs USING (source), t)
+      |SELECT s.source, cs.c_s AS n_tokens,
+      |       CAST(cs.n_types AS BIGINT) AS n_types,
+      |       CAST(s.kl_nano AS BIGINT) AS kl_nano,
+      |       CAST(s.kl_nano AS DOUBLE) / 1000000000.0 AS kl
+      |FROM (SELECT source, sum(term_q) AS kl_nano FROM terms GROUP BY 1) s
+      |JOIN cs ON s.source = cs.source""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.LangModel.sourceUnigramKl(t(s, dir, "documents"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("kl_nano"), col("kl"))
+  }
+
   val all: Seq[Q] = Seq(editDedup, corpusCube, tokenTruncate, funnel,
     collocations, containment, dupRateBySource, gapFilledSeries,
     lengthTrim, oovRate, splitLeakage, lmQualitySelect, boilerplate,
     dupClusterHistogram, tokenBudgetSample, retentionCohorts,
-    lexicalDiversity, chunkDupBySource)
+    lexicalDiversity, chunkDupBySource, effectiveTokens, temperatureMix,
+    normDedup, epochPlan, sourceKl)
 }

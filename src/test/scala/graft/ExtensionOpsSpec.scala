@@ -75,4 +75,67 @@ class ExtensionOpsSpec extends SparkSpec {
     // the verify stage is unchanged, so every emitted pair still holds
     // the Hamming bound regardless of which table surfaced it
   }
+
+  test("normalizedExact: case/punct/whitespace variants fold; distinct content does not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World! This is a test."),
+      (2L, "hello world  this is a test"),        // punct gone, double space
+      (3L, "HELLO WORLD\nTHIS IS A TEST"),        // case + newline
+      (4L, "hello world this is a test"),         // already folded
+      (5L, "a genuinely different document")
+    ).toDF("doc_id", "text")
+    val got = Dedup.normalizedExact(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("canonical_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_variants"))).toMap
+    assert(got.keySet == Set(1L, 5L), s"groups: ${got.keySet}")
+    assert(got(1L) == (4L, 4L), s"fold group: ${got(1L)}")
+    assert(got(5L) == (1L, 1L))
+    // plain exact dedup sees 5 distinct texts — n_variants > 1 is
+    // exactly the duplication the fold wins over exact()
+    assert(Dedup.exact(docs, "text", "doc_id").count() == 5)
+  }
+
+  test("sourceUnigramKl: uniform source sits at KL 0; drifted source is positive") {
+    import spark.implicits._
+    // two sources with the corpus-average mix ⇒ each source's
+    // distribution EQUALS the corpus distribution ⇒ KL exactly 0
+    val uniform = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b c d", "s2"))
+      .toDF("doc_id", "text", "source")
+    val klU = graft.operators.LangModel.sourceUnigramKl(uniform)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("kl_nano")).toMap
+    assert(klU.values.forall(_ == 0L), s"uniform corpus drifted: $klU")
+    // one source heavy in a word the other never uses: both diverge
+    // from the pooled corpus distribution strictly positively
+    val skewed = Seq(
+      (1L, "a a a a b", "s1"), (2L, "b b b b a", "s2"))
+      .toDF("doc_id", "text", "source")
+    val klS = graft.operators.LangModel.sourceUnigramKl(skewed)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("kl_nano")).toMap
+    assert(klS.values.forall(_ > 0L), s"drifted sources read KL 0: $klS")
+    // symmetric construction ⇒ symmetric divergence
+    assert(klS("s1") == klS("s2"), s"asymmetric KL on symmetric mix: $klS")
+  }
+
+  test("q104 epoch plan invariants: planned ≤ budget, caps bind only where deficit > 0") {
+    val plan = graft.queries.ExtensionQueries.epochPlan.fn(spark, sf)
+      .collect()
+    val avail = plan.map(_.getAs[Long]("avail_tokens")).sum
+    val planned = plan.map(_.getAs[Long]("planned_tokens")).sum
+    // targets allocate (integer-floored) shares of B = tot div 2
+    assert(planned <= avail / 2 + plan.length,
+      s"planned $planned exceeds the B=${avail / 2} budget")
+    plan.foreach { r =>
+      val epochs = r.getAs[Long]("epochs_ppm")
+      val deficit = r.getAs[Long]("deficit_tokens")
+      assert(epochs <= 4000000L, s"epoch cap breached: $r")
+      assert(deficit >= 0L, s"negative deficit: $r")
+      if (deficit > 0)
+        assert(r.getAs[Long]("target_tokens") >
+          4 * r.getAs[Long]("avail_tokens"), s"deficit without a bound cap: $r")
+    }
+  }
 }

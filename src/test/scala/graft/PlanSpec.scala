@@ -391,6 +391,62 @@ class PlanSpec extends SparkSpec {
       "q54 still caps hot fingerprints via the array_contains scan")
   }
 
+  test("q101: effective-token rollup joins resolved clusters without a cross product") {
+    val p = plan("q101_effective_tokens")
+    // canonical map arrives via an equi-join on doc_id; the per-source
+    // rollup is one combiner-friendly aggregation — never a window or
+    // an all-pairs shape
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q101 cluster join degenerated to all-pairs")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-source rollup lacks a map-side phase")
+    assert(!p.contains("Window"), "q101 planned a window")
+  }
+
+  test("q102: temperature mix broadcasts the rates dim; the corpus is never shuffled") {
+    val p = plan("q102_temperature_mix")
+    // sources-sized rates dim broadcasts onto the one corpus scan; a
+    // SortMergeJoin here would shuffle the whole corpus for a 20-row dim
+    assert(p.contains("BroadcastHashJoin"), "rates dim join is not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shuffled to meet the sources-sized rates dim")
+    assert(!p.contains("Window"), "q102 planned a window")
+  }
+
+  test("q103: normalization-fold dedup is one digest-keyed aggregation — no join, no text shuffle") {
+    val p = plan("q103_norm_dedup")
+    // the fold rides the scan; every exchange carries digests
+    // (norm_hash + the distinct-variant md5), never the text
+    assert(!p.contains("hashpartitioning(text#"),
+      "q103 shuffles raw document text")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "digest election lacks a map-side phase")
+    assert(!p.contains("Join"), "q103 grew a join — it is one aggregation")
+    assert(!p.contains("Window"), "q103 planned a window")
+  }
+
+  test("q104: epoch plan scans the corpus once; totals ride a 1-row broadcast") {
+    val p = plan("q104_epoch_plan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "sources dim shuffled or degenerated")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "token rollup lacks a map-side phase")
+    assert(!p.contains("Window"), "q104 planned a window")
+    // explode-free token counting: size(split(..)) is a per-row
+    // projection, so no Generate node feeds the rollup
+    assert(!p.contains("Generate"), "q104 exploded tokens to count them")
+  }
+
+  test("q105: KL terms join on the vocab key; source totals broadcast; text never shuffles") {
+    val p = plan("q105_source_kl")
+    assert(p.contains("BroadcastHashJoin"),
+      "sources-sized totals dim is not broadcast")
+    assert(!p.contains("hashpartitioning(text#"),
+      "q105 shuffles raw document text")
+    assert(!p.contains("Window"), "q105 planned a window")
+    assert(!p.contains("CartesianProduct"), "q105 degenerated to all-pairs")
+  }
+
   test("q100: dup-gram rate shuffles 8-byte hashes, windowless with partials") {
     val p = plan("q100_ngram_novelty")
     // gram text never materializes: shingleHashes emits the polynomial
