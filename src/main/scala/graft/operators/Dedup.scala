@@ -58,8 +58,11 @@ object Dedup {
     * one exchange carries the 16-byte digest, never the text. */
   def normalizedExact(docs: DataFrame, textCol: String, idCol: String)
       : DataFrame = {
+    // explicit whitespace sets on BOTH sides of the oracle pair —
+    // Java's \s includes \x0B and \f, RE2/DuckDB's does not
     val folded = trim(regexp_replace(
-      regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", ""), "\\s+", " "))
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 \\t\\n\\r]", ""),
+      "[ \\t\\n\\r]+", " "))
     docs.groupBy(md5(folded).as("norm_hash"))
       .agg(min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("n_docs"),

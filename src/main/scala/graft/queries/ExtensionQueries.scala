@@ -956,10 +956,100 @@ object ExtensionQueries {
         col("kl_nano"), col("kl"))
   }
 
+  /** Cross-source duplication matrix (q106): for every unordered
+    * source pair, the number of verified near-dup pairs whose members
+    * live in those sources — the provenance/governance view of
+    * duplication ("which sources copy from which") that q84's
+    * per-source rate cannot show: a source with a high dup rate
+    * against ITSELF is re-posting; one duplicating mostly OTHER
+    * sources is a scraper/mirror. Rides q27's df-capped shingle join
+    * + jaccard verify unchanged; the source lookup is an id→source
+    * projection joined once per pair side (AQE broadcasts it at test
+    * scale; at corpus scale it shuffles PAIRS — orders of magnitude
+    * fewer rows than shingles — never the corpus text). The pair key
+    * is normalized (least, greatest) so the matrix is upper-
+    * triangular including the diagonal (within-source dups);
+    * `n_cross` counts the off-diagonal contribution. */
+  val crossSourceDupMatrix: Q = Q(
+    "q106_cross_source_dup",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      |       FROM w WHERE len(ws) >= 3),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jp AS (SELECT doc_a, doc_b FROM pairs
+      |       JOIN sizes sa ON doc_a = sa.doc_id
+      |       JOIN sizes sb ON doc_b = sb.doc_id
+      |       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5)
+      |SELECT least(da.source, db.source) AS source_a,
+      |       greatest(da.source, db.source) AS source_b,
+      |       count(*) AS n_pairs,
+      |       CAST(sum(CASE WHEN da.source = db.source THEN 0 ELSE 1 END)
+      |            AS BIGINT) AS n_cross
+      |FROM jp JOIN documents da ON jp.doc_a = da.doc_id
+      |        JOIN documents db ON jp.doc_b = db.doc_id
+      |GROUP BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val pairs = graft.operators.Dedup.jaccardPairs(
+      graft.operators.Dedup.shingleProjection(docs, "text", "doc_id"),
+      threshold = 0.5, maxDf = 1000)
+      .select("doc_a", "doc_b")
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        when(col("sa") === col("sb"), 0L).otherwise(1L).as("x"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("x")).as("n_cross"))
+  }
+
+  /** Token-length distribution (q107): per source, a log2-bucketed
+    * histogram of document token lengths — the distribution a
+    * sequence-packing planner (q71) sizes context windows from, and
+    * the quickest per-source shape check (a source whose mass jumps
+    * a bucket between snapshots changed content type). The bucket is
+    * `length(bin(n)) - 1` — floor(log2) computed as pure integer/
+    * string work, identical in both engines; a float log2 here is a
+    * cross-engine hazard (Java computes log(x)/log(2), which can land
+    * a hair under the integer at exact powers of two while DuckDB's
+    * log2 is exact, flipping the bucket). One explode-free projection
+    * + one combiner-friendly rollup; no joins, no windows. */
+  val tokenLengthHistogram: Q = Q(
+    "q107_length_histogram",
+    """WITH d AS (SELECT source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |       FROM documents)
+      |SELECT source,
+      |       CAST(length(bin(n)) - 1 AS BIGINT) AS len_bucket,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n) AS BIGINT) AS n_tokens
+      |FROM d GROUP BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    val d = t(s, dir, "documents").select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    d.select(col("source"),
+        (length(bin(col("n"))) - 1).cast("long").as("len_bucket"),
+        col("n"))
+      .groupBy("source", "len_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).cast("long").as("n_tokens"))
+  }
+
   val all: Seq[Q] = Seq(editDedup, corpusCube, tokenTruncate, funnel,
     collocations, containment, dupRateBySource, gapFilledSeries,
     lengthTrim, oovRate, splitLeakage, lmQualitySelect, boilerplate,
     dupClusterHistogram, tokenBudgetSample, retentionCohorts,
     lexicalDiversity, chunkDupBySource, effectiveTokens, temperatureMix,
-    normDedup, epochPlan, sourceKl)
+    normDedup, epochPlan, sourceKl, crossSourceDupMatrix,
+    tokenLengthHistogram)
 }

@@ -96,6 +96,20 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(Dedup.exact(docs, "text", "doc_id").count() == 5)
   }
 
+  test("normalizedExact: \\x0B and \\f strip as punctuation, not whitespace (RE2 parity)") {
+    import spark.implicits._
+    // Java's \s includes \x0B and \f; RE2/DuckDB's does not. The fold
+    // uses explicit [ \t\n\r] classes on both engine sides, so these
+    // two chars DELETE (joining their neighbors) rather than become a
+    // separator — pin that so a later "simplify to \s" breaks loudly.
+    val docs = Seq((1L, "ab"), (2L, "a\fb"), (3L, "ab"), (4L, "a b"))
+      .toDF("doc_id", "text")
+    val got = Dedup.normalizedExact(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("canonical_id") ->
+        r.getAs[Long]("n_docs")).toMap
+    assert(got == Map(1L -> 3L, 4L -> 1L), s"fold groups: $got")
+  }
+
   test("sourceUnigramKl: uniform source sits at KL 0; drifted source is positive") {
     import spark.implicits._
     // two sources with the corpus-average mix ⇒ each source's

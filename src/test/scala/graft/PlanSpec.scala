@@ -447,6 +447,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "q105 degenerated to all-pairs")
   }
 
+  test("q106: cross-source matrix never degenerates to all-pairs; text stays out of exchanges") {
+    val p = plan("q106_cross_source_dup")
+    // the candidate stage is q27's df-capped shingle equi-join; the
+    // source lookups are id->source equi-joins on the PAIR rows
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q106 degenerated to an all-pairs shape")
+    assert(!p.contains("hashpartitioning(text#"),
+      "q106 shuffles raw document text")
+    assert(!p.contains("Window"), "q106 planned a window")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "matrix rollup lacks a map-side phase")
+  }
+
+  test("q107: length histogram is one explode-free aggregation — no join, no window") {
+    val p = plan("q107_length_histogram")
+    assert(!p.contains("Join"), "q107 grew a join — it is one aggregation")
+    assert(!p.contains("Window"), "q107 planned a window")
+    // size(split(..)) counts tokens as a per-row projection; the
+    // bucket is integer bin-length work — no Generate, no text shuffle
+    assert(!p.contains("Generate"), "q107 exploded tokens to count them")
+    assert(!p.contains("hashpartitioning(text#"),
+      "q107 shuffles raw document text")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "histogram rollup lacks a map-side phase")
+  }
+
   test("q100: dup-gram rate shuffles 8-byte hashes, windowless with partials") {
     val p = plan("q100_ngram_novelty")
     // gram text never materializes: shingleHashes emits the polynomial
