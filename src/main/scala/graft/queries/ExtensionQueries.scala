@@ -1045,11 +1045,72 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).cast("long").as("n_tokens"))
   }
 
+  /** Zipf rank-frequency slope per source (q109): OLS slope of
+    * ln(freq) on ln(rank) over each source's top-100 terms — natural
+    * text tracks slope ≈ −1; templated/generated content flattens it,
+    * so the drift of this number per source is a cheap corpus-health
+    * probe. Shape: one combiner-compressed (source, term) count, then
+    * the bounded `TopKByScore` heap per source (≤k rows per group per
+    * task cross the wire — no corpus-wide sort or window; the rank is
+    * the heap position, tie-broken by the PORTABLE polynomial term
+    * hash so both engines rank identically). ln values quantize to
+    * integer micros BEFORE summing (q66's trick), so the regression's
+    * sums are exact 64-bit integers in both engines and slope_ppm is a
+    * deterministic ratio of exact integers. */
+  val zipfSlope: Q = Q(
+    "q109_zipf_slope",
+    """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tc AS (SELECT source, term, count(*) AS cnt FROM w GROUP BY 1, 2),
+      |h AS (SELECT source, cnt, list_reduce(
+      |        list_prepend(CAST(7 AS BIGINT),
+      |          list_transform(range(1, length(term) + 1),
+      |            i -> CAST(unicode(substr(term, i, 1)) AS BIGINT))),
+      |        (acc, c) -> (acc * 131 + c) % 35184372088777) AS tid
+      |      FROM tc),
+      |r AS (SELECT source, cnt,
+      |        row_number() OVER (PARTITION BY source ORDER BY cnt DESC, tid ASC) AS rk
+      |      FROM h),
+      |t AS (SELECT source,
+      |        CAST(round(ln(rk) * 1000000) AS BIGINT) AS xq,
+      |        CAST(round(ln(cnt) * 1000000) AS BIGINT) AS yq
+      |      FROM r WHERE rk <= 100)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+      |       CAST(round(CAST(count(*) * sum(xq*yq) - sum(xq) * sum(yq) AS DOUBLE)
+      |            / (count(*) * sum(xq*xq) - sum(xq) * sum(xq)) * 1000000) AS BIGINT) AS slope_ppm
+      |FROM t GROUP BY source""".stripMargin
+  ) { (s, dir) =>
+    val E = graft.functions.expressions.GraftExpressions
+    val tc = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+    val hashed = tc.select(col("source"), col("cnt"),
+      element_at(
+        E.shingleHashes(array(col("term")), 1, ordered = false, poly = true),
+        1).as("tid"))
+    val top = hashed.groupBy("source")
+      .agg(E.topKByScore(col("cnt").cast("double"), col("tid"), 100).as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+        col("p.score").cast("long").as("cnt"))
+    top
+      .select(col("source"),
+        round(log(col("rk")) * 1000000).cast("long").as("xq"),
+        round(log(col("cnt")) * 1000000).cast("long").as("yq"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("xq") * col("yq")).as("sxy"), sum(col("xq")).as("sx"),
+        sum(col("yq")).as("sy"), sum(col("xq") * col("xq")).as("sxx"))
+      .select(col("source"), col("n_terms"),
+        round((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n_terms") * col("sxx") - col("sx") * col("sx")) * 1000000)
+          .cast("long").as("slope_ppm"))
+  }
+
   val all: Seq[Q] = Seq(editDedup, corpusCube, tokenTruncate, funnel,
     collocations, containment, dupRateBySource, gapFilledSeries,
     lengthTrim, oovRate, splitLeakage, lmQualitySelect, boilerplate,
     dupClusterHistogram, tokenBudgetSample, retentionCohorts,
     lexicalDiversity, chunkDupBySource, effectiveTokens, temperatureMix,
     normDedup, epochPlan, sourceKl, crossSourceDupMatrix,
-    tokenLengthHistogram)
+    tokenLengthHistogram, zipfSlope)
 }

@@ -84,13 +84,19 @@ object LlmQueries {
         .otherwise("short").as("quality_bucket"))
   }
 
+  /** q25/q110's marker profiles: deterministic keyword scoring — the
+    * n-gram-heuristic shape of a langid model. */
+  private val markersSql = Seq("join", "filter", "agg", "query", "group", "sort")
+  private val markersStorage = Seq("table", "column", "row", "batch", "scan", "part")
+  private val markersStream = Seq("stream", "window", "spark", "vector", "dup", "hash")
+  private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
+
   /** Keyword-profile language/domain ID — the n-gram-heuristic shape of
     * a langid model, deterministic marker scoring + priority argmax. */
   val langId: Q = {
-    val m1 = Seq("join", "filter", "agg", "query", "group", "sort")
-    val m2 = Seq("table", "column", "row", "batch", "scan", "part")
-    val m3 = Seq("stream", "window", "spark", "vector", "dup", "hash")
-    def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
+    val m1 = markersSql
+    val m2 = markersStorage
+    val m3 = markersStream
     Q(
       "q25_lang_id",
       s"""WITH s AS (
@@ -984,6 +990,103 @@ object LlmQueries {
           .cast("long").as("dup_ppm"))
   }
 
+  /** Dedup-threshold policy sweep (q108): the pair/doc counts at five
+    * candidate Jaccard cutoffs in ONE pass over q27's machinery — the
+    * curve a curation owner reads to place the dedup threshold (too
+    * low eats distinct documents, too high leaves mirror farms in).
+    * The candidate generator runs once at the loosest cutoff (0.05,
+    * same df-cap hot-key guard); the five-row threshold lattice rides
+    * a broadcast cross join against the SURVIVING pairs only — never
+    * against the corpus — so the sweep costs one extra tiny exchange
+    * over a single-threshold run. n_pairs/n_docs come off one stacked
+    * aggregation (each pair contributes its two endpoints; the pair
+    * count is the stacked count halved — exact, no second agg/join). */
+  val dupThresholdSweep: Q = Q(
+    "q108_dup_threshold_sweep",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      |       FROM w WHERE len(ws) >= 3),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |j AS (SELECT doc_a, doc_b,
+      |        CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |      FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+      |                 JOIN sizes sb ON doc_b = sb.doc_id
+      |      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.05),
+      |lat(threshold_pct) AS (VALUES (5), (10), (20), (50), (90)),
+      |hit AS (SELECT threshold_pct, doc_a, doc_b FROM j CROSS JOIN lat
+      |        WHERE jaccard >= threshold_pct / 100.0),
+      |st AS (SELECT threshold_pct, unnest([doc_a, doc_b]) AS d FROM hit)
+      |SELECT CAST(threshold_pct AS BIGINT) AS threshold_pct,
+      |       CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+      |       CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+      |FROM st GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val pairs = graft.operators.Dedup.jaccardPairs(
+      graft.operators.Dedup.shingleProjection(t(s, dir, "documents"), "text", "doc_id"),
+      threshold = 0.05, maxDf = 1000)
+    val lat = Seq(5L, 10L, 20L, 50L, 90L).toDF("threshold_pct")
+    pairs.crossJoin(broadcast(lat))
+      .filter(col("jaccard") >= col("threshold_pct").cast("double") / 100.0)
+      .select(col("threshold_pct"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy("threshold_pct")
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("d")).as("n_docs"))
+  }
+
+  /** Language/domain-ID confusion matrix (q110): q25's marker-argmax
+    * prediction cross-tabulated against the table's lang label, with
+    * each cell's within-label share — the audit that tells a pipeline
+    * owner WHERE the cheap classifier disagrees with ground truth
+    * before they gate a corpus on it. Two map-side-combined aggs over
+    * the same scored scan + one label-cardinality join (AQE broadcasts
+    * the label-total side — it is |langs| rows); share_ppm is a ratio
+    * of exact counts, so cross-engine bit-equal. */
+  val langIdConfusion: Q = Q(
+    "q110_langid_confusion",
+    s"""WITH s AS (
+      |  SELECT lang,
+      |         len(list_filter(string_split(text,' '), w -> w IN (${inList(markersSql)}))) AS s_sql,
+      |         len(list_filter(string_split(text,' '), w -> w IN (${inList(markersStorage)}))) AS s_storage,
+      |         len(list_filter(string_split(text,' '), w -> w IN (${inList(markersStream)}))) AS s_stream
+      |  FROM documents),
+      |g AS (SELECT lang,
+      |        CASE WHEN s_sql >= s_storage AND s_sql >= s_stream THEN 'sql'
+      |             WHEN s_storage >= s_stream THEN 'storage'
+      |             ELSE 'stream' END AS domain_guess
+      |      FROM s),
+      |c AS (SELECT lang, domain_guess, count(*) AS n_docs FROM g GROUP BY 1, 2),
+      |t AS (SELECT lang, count(*) AS lang_total FROM g GROUP BY 1)
+      |SELECT c.lang, c.domain_guess, CAST(c.n_docs AS BIGINT) AS n_docs,
+      |       CAST(round(CAST(c.n_docs AS DOUBLE) / t.lang_total * 1000000) AS BIGINT) AS share_ppm
+      |FROM c JOIN t USING (lang)""".stripMargin
+  ) { (s, dir) =>
+    val ws = T.words(col("text"))
+    val g = t(s, dir, "documents")
+      .select(col("lang"),
+        T.markerCount(ws, markersSql).as("s_sql"),
+        T.markerCount(ws, markersStorage).as("s_storage"),
+        T.markerCount(ws, markersStream).as("s_stream"))
+      .select(col("lang"),
+        when(col("s_sql") >= col("s_storage") && col("s_sql") >= col("s_stream"), "sql")
+          .when(col("s_storage") >= col("s_stream"), "storage")
+          .otherwise("stream").as("domain_guess"))
+    val conf = g.groupBy("lang", "domain_guess").agg(count(lit(1)).as("n_docs"))
+    val tot = g.groupBy("lang").agg(count(lit(1)).as("lang_total"))
+    conf.join(tot, "lang")
+      .select(col("lang"), col("domain_guess"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("lang_total") * 1000000)
+          .cast("long").as("share_ppm"))
+  }
+
   /** Embedding-side split-leakage audit (q94): q89 catches
     * token-overlap leakage; PARAPHRASE contamination shares no 3-gram
     * yet sits next to its source in embedding space. Same composition
@@ -1060,5 +1163,5 @@ object LlmQueries {
     qualityFilter, repetition, embeddingDedup, bm25, tfidf, bigramLm,
     chunkDedup, paragraphChunkDedup, semdedupQ, annPq, annIvfPq,
     annTopKOracle, embeddingDedupOracle, embeddingSplitLeakage,
-    ngramNovelty)
+    ngramNovelty, dupThresholdSweep, langIdConfusion)
 }
