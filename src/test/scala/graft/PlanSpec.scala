@@ -485,4 +485,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q108: the threshold lattice broadcasts against pairs, never the corpus") {
+    val p = plan("q108_dup_threshold_sweep")
+    // the only nested-loop join allowed is pairs × the 5-row lattice;
+    // the candidate generator's shingle equi-join sits behind
+    // jaccardPairs' eager localCheckpoint so it isn't in this plan —
+    // its shape is asserted where it IS visible (q27/q84/q106 tests)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "threshold lattice is not a broadcast cross join")
+    assert(!p.contains("CartesianProduct"),
+      "q108 degenerated to a shuffled cartesian")
+    assert(!p.contains("Window"), "q108 planned a window")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "sweep rollup lacks a map-side phase")
+  }
+
+  test("q109: zipf slope ranks on the bounded heap — no window, no sort of the vocab") {
+    val p = plan("q109_zipf_slope")
+    assert(!p.contains("Window"), "q109 planned a window over the vocab")
+    assert(p.contains("partial_topkbyscore"),
+      "ranking is not the bounded TopKByScore heap with a map-side partial")
+    assert(!p.contains("Join"), "q109 grew a join — it is two aggregations")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "term count lacks a map-side phase")
+  }
+
+  test("q110: confusion matrix is two combined aggs + one label-size join, no window") {
+    val p = plan("q110_langid_confusion")
+    assert(!p.contains("Window"), "q110 planned a window")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "q110 degenerated to all-pairs")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "confusion rollup lacks a map-side phase")
+    // the per-label totals side is |langs| rows: must broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      "label-total join does not broadcast")
+  }
 }
