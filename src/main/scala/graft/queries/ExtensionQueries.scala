@@ -1106,11 +1106,49 @@ object ExtensionQueries {
           .cast("long").as("slope_ppm"))
   }
 
+  /** Split-balance audit (q111): the deterministic train/valid/test
+    * assignment (q57's md5 hash-threshold — a pure function of doc_id,
+    * identical to the split q89/q94 audit for leakage) cross-tabulated
+    * per source with doc and token mass, plus each cell's within-source
+    * doc share. Imbalanced small sources (a 25-doc source putting 20%
+    * of itself in test) are exactly what silently skews per-source eval
+    * metrics. One combiner rollup + a broadcast source-total join;
+    * share_ppm is a ratio of exact counts. */
+  val splitBalance: Q = Q(
+    "q111_split_balance",
+    """WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+      |             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |                        AS BIGINT) % 100 < 80 THEN 'train'
+      |                  WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |                        AS BIGINT) % 100 < 90 THEN 'valid'
+      |                  ELSE 'test' END AS split
+      |           FROM documents),
+      |c AS (SELECT source, split, count(*) AS n_docs,
+      |             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      |      FROM d GROUP BY 1, 2),
+      |t AS (SELECT source, count(*) AS src_total FROM d GROUP BY 1)
+      |SELECT c.source, c.split, CAST(c.n_docs AS BIGINT) AS n_docs, c.n_tokens,
+      |       CAST(round(CAST(c.n_docs AS DOUBLE) / t.src_total * 1000000) AS BIGINT) AS share_ppm
+      |FROM c JOIN t USING (source)""".stripMargin
+  ) { (s, dir) =>
+    import graft.operators.Sampling
+    val d = t(s, dir, "documents").select(col("source"),
+      Sampling.splitColumn(col("doc_id")).as("split"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val c = d.groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val tot = d.groupBy("source").agg(count(lit(1)).as("src_total"))
+    c.join(tot, "source")
+      .select(col("source"), col("split"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("src_total") * 1000000)
+          .cast("long").as("share_ppm"))
+  }
+
   val all: Seq[Q] = Seq(editDedup, corpusCube, tokenTruncate, funnel,
     collocations, containment, dupRateBySource, gapFilledSeries,
     lengthTrim, oovRate, splitLeakage, lmQualitySelect, boilerplate,
     dupClusterHistogram, tokenBudgetSample, retentionCohorts,
     lexicalDiversity, chunkDupBySource, effectiveTokens, temperatureMix,
     normDedup, epochPlan, sourceKl, crossSourceDupMatrix,
-    tokenLengthHistogram, zipfSlope)
+    tokenLengthHistogram, zipfSlope, splitBalance)
 }

@@ -1087,6 +1087,55 @@ object LlmQueries {
           .cast("long").as("share_ppm"))
   }
 
+  /** Length–quality correlation (q112): per-source Pearson r between
+    * a doc's token count and its stop-word ratio (the q24 quality
+    * proxy, ppm-quantized per row so every moment sum is over exact
+    * integers). A strong correlation means the quality score is
+    * secretly a length score — gate on it and you bias the corpus
+    * short or long. Moment sums accumulate as DECIMAL(38,0) (exact,
+    * order-independent, and 128-bit so n·Σxy stays exact at corpus
+    * scale where BIGINT would wrap); the final r re-derives from the
+    * exact integer moments in both engines, emitted as corr_ppm.
+    * One combiner-compressed aggregation per source, no joins. */
+  val lenQualityCorr: Q = Q(
+    "q112_len_quality_corr",
+    """WITH s AS (SELECT source,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+      |             CAST(round(CAST(len(list_filter(string_split(text, ' '),
+      |                    w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+      |                  / len(string_split(text, ' ')) * 1000000) AS BIGINT) AS y
+      |           FROM documents),
+      |a AS (SELECT source, CAST(count(*) AS DECIMAL(38,0)) AS n,
+      |        sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+      |        sum(CAST(x AS DECIMAL(38,0))) AS sx, sum(CAST(y AS DECIMAL(38,0))) AS sy,
+      |        sum(CAST(x * x AS DECIMAL(38,0))) AS sxx, sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+      |      FROM s GROUP BY source)
+      |SELECT source, CAST(n AS BIGINT) AS n_docs,
+      |       CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |               * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000) AS BIGINT) AS corr_ppm
+      |FROM a""".stripMargin
+  ) { (s, dir) =>
+    val ws = T.words(col("text"))
+    val d38 = "decimal(38,0)"
+    val sc = t(s, dir, "documents").select(col("source"),
+      size(ws).cast("long").as("x"),
+      round(T.markerCount(ws, stopWords).cast("double") / size(ws) * 1000000)
+        .cast("long").as("y"))
+    sc.groupBy("source")
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"))
+      .select(col("source"), col("n").cast("long").as("n_docs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+               * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+            * 1000000)
+          .cast("long").as("corr_ppm"))
+  }
+
   /** Embedding-side split-leakage audit (q94): q89 catches
     * token-overlap leakage; PARAPHRASE contamination shares no 3-gram
     * yet sits next to its source in embedding space. Same composition
@@ -1163,5 +1212,5 @@ object LlmQueries {
     qualityFilter, repetition, embeddingDedup, bm25, tfidf, bigramLm,
     chunkDedup, paragraphChunkDedup, semdedupQ, annPq, annIvfPq,
     annTopKOracle, embeddingDedupOracle, embeddingSplitLeakage,
-    ngramNovelty, dupThresholdSweep, langIdConfusion)
+    ngramNovelty, dupThresholdSweep, langIdConfusion, lenQualityCorr)
 }

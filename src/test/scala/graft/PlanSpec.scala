@@ -511,6 +511,30 @@ class PlanSpec extends SparkSpec {
       "term count lacks a map-side phase")
   }
 
+  test("q111: split balance is two combined aggs + a broadcast source-total join") {
+    val p = plan("q111_split_balance")
+    assert(!p.contains("Window"), "q111 planned a window")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "q111 degenerated to all-pairs")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "balance rollup lacks a map-side phase")
+    assert(p.contains("BroadcastHashJoin"),
+      "source-total join does not broadcast")
+  }
+
+  test("q112: correlation is ONE aggregation over one scan — no join, no window") {
+    val p = plan("q112_len_quality_corr")
+    assert(!p.contains("Join"), "q112 grew a join — it is one aggregation")
+    assert(!p.contains("Window"), "q112 planned a window")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "moment sums lack a map-side phase")
+    // exactly one scan (formatted mode lists each node twice — once in
+    // the tree, once in the numbered details): the quality proxy and
+    // the length come off the same projected row, not two derived frames
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      "q112 scans the corpus more than once")
+  }
+
   test("q110: confusion matrix is two combined aggs + one label-size join, no window") {
     val p = plan("q110_langid_confusion")
     assert(!p.contains("Window"), "q110 planned a window")
