@@ -20,9 +20,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // events.parquet stores INT64 TIMESTAMP(NANOS) which Spark's parquet
-      // reader rejects by default; read the raw long and convert ourselves
-      // (Tables.scala).
+      // some events.parquet vintages store INT64 TIMESTAMP(NANOS), which
+      // Spark's parquet reader rejects by default; read the raw long and
+      // let Tables.load normalize whichever vintage is present.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // production streaming state backend (spillable, incremental

@@ -972,7 +972,11 @@ object LlmQueries {
       |       CAST(round(CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
       |            / count(*) * 1000000, 0) AS BIGINT) AS dup_ppm
       |FROM e JOIN d USING (h) GROUP BY e.doc_id""".stripMargin
-  ) { (s, dir) =>
+  ) { (s, dir) => docDupGramRate(s, dir) }
+
+  /** Per-doc duplicated-8-gram stats — q100's frame, shared with the
+    * q113 quality cross-tab. Exchanges carry 8-byte poly hashes only. */
+  private def docDupGramRate(s: SparkSession, dir: String): DataFrame = {
     val hs = t(s, dir, "documents")
       .select(col("doc_id"), graft.functions.TextFunctions.words(col("text")).as("ws"))
       .select(col("doc_id"),
@@ -988,6 +992,53 @@ object LlmQueries {
       .select(col("doc_id"), col("n_grams"), col("dup_grams"),
         round(col("dup_grams").cast("double") / col("n_grams") * 1000000, 0)
           .cast("long").as("dup_ppm"))
+  }
+
+  /** Duplication × quality cross-tab (q113): q100's per-doc duplicated-
+    * 8-gram rate rolled up by q24's length-quality bucket — answers
+    * "are my low-quality docs also my duplicated ones?", which decides
+    * whether dedup and quality filtering are redundant or complementary
+    * gates. Mean dup_ppm is an exact-integer sum over the per-doc ppm
+    * values divided by an exact count; docs under 8 tokens have no
+    * 8-gram and are excluded in both engines (inner join). */
+  val dupByQuality: Q = Q(
+    "q113_dup_by_quality",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, list_transform(range(1, len(ws) - 6),
+      |        i -> array_to_string(ws[i:i+7], ' ')) AS grams
+      |      FROM w WHERE len(ws) >= 8),
+      |h AS (SELECT doc_id, list_distinct(list_transform(grams, s -> list_reduce(
+      |        list_prepend(CAST(7 AS BIGINT),
+      |          list_transform(range(1, length(s) + 1),
+      |            i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+      |        (acc, c) -> (acc * 131 + c) % 35184372088777))) AS hs
+      |      FROM g),
+      |e AS (SELECT doc_id, unnest(hs) AS h FROM h),
+      |d AS (SELECT h, count(*) AS df FROM e GROUP BY h),
+      |r AS (SELECT e.doc_id,
+      |        CAST(round(CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*) * 1000000, 0) AS BIGINT) AS dup_ppm
+      |      FROM e JOIN d USING (h) GROUP BY e.doc_id),
+      |q AS (SELECT doc_id,
+      |        CASE WHEN len(ws) >= 50 THEN 'long' WHEN len(ws) >= 20 THEN 'ok'
+      |             ELSE 'short' END AS quality_bucket
+      |      FROM w)
+      |SELECT q.quality_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CASE WHEN r.dup_ppm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |       CAST(round(CAST(sum(r.dup_ppm) AS DOUBLE) / count(*), 0) AS BIGINT) AS mean_dup_ppm
+      |FROM r JOIN q USING (doc_id) GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    val r = docDupGramRate(s, dir)
+    val nw = size(T.words(col("text")))
+    val q = t(s, dir, "documents").select(col("doc_id"),
+      when(nw >= 50, "long").when(nw >= 20, "ok")
+        .otherwise("short").as("quality_bucket"))
+    r.join(q, "doc_id")
+      .groupBy("quality_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup_ppm") > 0, 1L).otherwise(0L)).as("n_dup_docs"),
+        round(sum(col("dup_ppm")).cast("double") / count(lit(1)), 0)
+          .cast("long").as("mean_dup_ppm"))
   }
 
   /** Dedup-threshold policy sweep (q108): the pair/doc counts at five
@@ -1212,5 +1263,6 @@ object LlmQueries {
     qualityFilter, repetition, embeddingDedup, bm25, tfidf, bigramLm,
     chunkDedup, paragraphChunkDedup, semdedupQ, annPq, annIvfPq,
     annTopKOracle, embeddingDedupOracle, embeddingSplitLeakage,
-    ngramNovelty, dupThresholdSweep, langIdConfusion, lenQualityCorr)
+    ngramNovelty, dupThresholdSweep, langIdConfusion, lenQualityCorr,
+    dupByQuality)
 }

@@ -511,6 +511,17 @@ class PlanSpec extends SparkSpec {
       "term count lacks a map-side phase")
   }
 
+  test("q113: quality cross-tab rides the 8-byte gram hashes, windowless") {
+    val p = plan("q113_dup_by_quality")
+    assert(p.contains("hashpartitioning(h#"),
+      "df-count/join not keyed on the gram hash")
+    assert(!p.contains("Window"), "q113 planned a window")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "q113 degenerated to all-pairs")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "cross-tab rollup lacks a map-side phase")
+  }
+
   test("q111: split balance is two combined aggs + a broadcast source-total join") {
     val p = plan("q111_split_balance")
     assert(!p.contains("Window"), "q111 planned a window")
