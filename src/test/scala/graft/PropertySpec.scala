@@ -167,4 +167,38 @@ class PropertySpec extends SparkSpec {
       seqOk && docOk && zeroDropped
     }, runs = 8)
   }
+
+  test("TopKByScore == window row_number ranking under (score desc, id asc)") {
+    // q109's cross-engine contract: the bounded heap must emit exactly
+    // the rows a row_number window over (score desc, id asc) would keep,
+    // in the same order — including duplicate scores and duplicate
+    // (score, id) pairs, where any tie-break ambiguity must not change
+    // the emitted (rank, score) sequence.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rowsGen = Gen.listOf(for {
+      g <- Gen.oneOf("a", "b")
+      score <- Gen.chooseNum(0L, 5L) // narrow range forces score ties
+      id <- Gen.chooseNum(0L, 9L)    // and occasional (score, id) dups
+    } yield (g, score, id)).suchThat(_.nonEmpty)
+    check(Prop.forAll(rowsGen) { rows =>
+      val k = 4
+      val df = rows.toDF("g", "score", "id")
+      val heap = df.groupBy("g")
+        .agg(graft.functions.expressions.GraftExpressions
+          .topKByScore(col("score").cast("double"), col("id"), k).as("tk"))
+        .select(col("g"), posexplode(col("tk")).as(Seq("pos", "p")))
+        .select(col("g"), (col("pos") + 1).as("rn"),
+          col("p.score").cast("long").as("score"), col("p.id").as("id"))
+        .collect().map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2)))
+      val w = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+      val win = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .collect().map(r => (r.getString(0), r.getInt(3).toLong, r.getLong(1)))
+      // compare (group, rank, score) multisets: with duplicate (score,id)
+      // rows either copy may be emitted, but rank→score must agree
+      heap.sorted.sameElements(win.sorted)
+    }, runs = 8)
+  }
 }
