@@ -1144,11 +1144,65 @@ object ExtensionQueries {
           .cast("long").as("share_ppm"))
   }
 
+  /** Token-budget sensitivity sweep (q114): q96's per-source greedy
+    * hash-order fill evaluated at FOUR budgets in one pass — docs and
+    * tokens kept per (source, budget) plus budget utilization ppm, the
+    * curve that shows where each source saturates (utilization falls
+    * off once the source's token mass is exhausted). The heap prepass
+    * runs once at the LARGEST budget (every smaller budget's keep-set
+    * is a prefix of the same (hash, id) order), the cumulative window
+    * sees ≤ maxBudget rows per source, and the 4-row budget lattice
+    * broadcast-crosses the bounded prefix frame — never the corpus. */
+  val budgetSweep: Q = Q(
+    "q114_budget_sweep",
+    """WITH d AS (SELECT doc_id, source,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+      |                  AS BIGINT) AS hk
+      |           FROM documents),
+      |c AS (SELECT source, n_tokens,
+      |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |      FROM d),
+      |lat(budget) AS (VALUES (300), (600), (1200), (2400))
+      |SELECT source, CAST(budget AS BIGINT) AS budget,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST(round(CAST(sum(n_tokens) AS DOUBLE) / budget * 1000000) AS BIGINT) AS util_ppm
+      |FROM c CROSS JOIN lat WHERE cum_tokens <= budget
+      |GROUP BY source, budget""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Sampling
+    val maxBudget = 2400
+    val base = t(s, dir, "documents").select(
+      col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) " +
+        "AS BIGINT)").as("hk"))
+    val capped = Sampling.quotaPerGroup(base, Seq("source"),
+        -col("hk").cast("double"), col("doc_id"), k = maxBudget)
+      .select(col("id").as("doc_id"))
+    val w = Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = base.join(capped, Seq("doc_id"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("source"), col("n_tokens"), col("cum_tokens"))
+    val lat = Seq(300L, 600L, 1200L, 2400L).toDF("budget")
+    cum.crossJoin(broadcast(lat))
+      .filter(col("cum_tokens") <= col("budget"))
+      .groupBy("source", "budget")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        round(sum(col("n_tokens")).cast("double") / col("budget") * 1000000)
+          .cast("long").as("util_ppm"))
+  }
+
   val all: Seq[Q] = Seq(editDedup, corpusCube, tokenTruncate, funnel,
     collocations, containment, dupRateBySource, gapFilledSeries,
     lengthTrim, oovRate, splitLeakage, lmQualitySelect, boilerplate,
     dupClusterHistogram, tokenBudgetSample, retentionCohorts,
     lexicalDiversity, chunkDupBySource, effectiveTokens, temperatureMix,
     normDedup, epochPlan, sourceKl, crossSourceDupMatrix,
-    tokenLengthHistogram, zipfSlope, splitBalance)
+    tokenLengthHistogram, zipfSlope, splitBalance, budgetSweep)
 }

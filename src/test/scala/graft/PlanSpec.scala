@@ -522,6 +522,19 @@ class PlanSpec extends SparkSpec {
       "cross-tab rollup lacks a map-side phase")
   }
 
+  test("q114: budget sweep windows only the heap-bounded prefix; lattice broadcasts") {
+    val p = plan("q114_budget_sweep")
+    // exactly one window, and it runs AFTER the bounded top-B heap
+    // prepass (partial_topkbyscore), so its input is ≤ maxBudget rows
+    // per source — never the source's full row count
+    assert("Window".r.findAllIn(p).size <= 2, "q114 grew extra windows")
+    assert(p.contains("partial_topkbyscore"), "heap prepass missing")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "budget lattice is not a broadcast cross join")
+    assert(!p.contains("CartesianProduct"),
+      "q114 degenerated to a shuffled cartesian")
+  }
+
   test("q111: split balance is two combined aggs + a broadcast source-total join") {
     val p = plan("q111_split_balance")
     assert(!p.contains("Window"), "q111 planned a window")
