@@ -239,6 +239,86 @@ object Dedup {
           " ").as("clean_text"))
   }
 
+  /** Duplicated-SPAN removal — the exact-substring dedup of Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better", reference analogue: none — the reference dedups whole
+    * records only): every word position opens a `spanWords`-token
+    * window; a window whose text occurs anywhere else in the corpus
+    * (another doc, or again in the same doc) is a duplicated span,
+    * and every occurrence EXCEPT the globally-first (lexicographic
+    * (doc_id, position)) is stripped from its document — overlapping
+    * flagged windows merge, so a long verbatim quote is removed as
+    * one contiguous region even though it was detected as many
+    * overlapping k-grams. Unlike [[chunkDedup]] the window slides
+    * (stride 1, not k), so duplicated text is caught at ANY
+    * alignment, not only on chunk boundaries.
+    *
+    * Returns (doc_id, n_tokens, removed_tokens, kept_tokens,
+    * clean_text) for EVERY input document; docs shorter than
+    * `spanWords` have no window and pass through whole.
+    *
+    * Scale shape: the position-gram projection explodes to
+    * (doc_id, pos, 16-byte md5 digest) — gram TEXT is digested inside
+    * the row and never crosses an exchange (128 bits for the same
+    * false-merge argument as [[chunkDedup]]: a digest collision here
+    * deletes innocent text). The election groups by digest with
+    * map-side partial aggregation (count + min(struct(doc,pos))),
+    * keeps only duplicated digests, and joins back to the digest+
+    * position projection — both sides digest-keyed, no text. Flagged
+    * positions then collapse to ONE sorted long array per doc (ints
+    * bounded by the doc's own length), which joins the original docs
+    * by doc_id — so the corpus text crosses exactly one exchange.
+    * Interval merging is a per-row HOF over the sorted position
+    * array (union of fixed-width windows — no explode of covered
+    * positions into rows), and the keep-filter probes the covered
+    * array per token via the same sorted-bisect expression the chunk
+    * family uses. */
+  def dupSpanStrip(docs: DataFrame, textCol: String, idCol: String,
+      spanWords: Int = 8): DataFrame = {
+    require(spanWords >= 1, s"spanWords must be positive, got $spanWords")
+    val k = spanWords
+    val base = docs
+      .select(col(idCol).as("doc_id"), coalesce(col(textCol), lit("")).as("text"))
+      .withColumn("ws", T.words(col("text")))
+      .withColumn("n", size(col("ws")).cast("long"))
+    // (doc_id, pos, digest): guard the sequence — sequence(0, n-k)
+    // DESCENDS for n < k and would fabricate negative positions
+    val grams = base
+      .select(col("doc_id"), col("ws"),
+        explode(when(col("n") >= k, sequence(lit(0L), col("n") - k))
+          .otherwise(array().cast("array<bigint>"))).as("p"))
+      .select(col("doc_id"), col("p"),
+        unhex(md5(concat_ws(" ",
+          slice(col("ws"), (col("p") + 1).cast("int"), lit(k))))).as("gk"))
+    val dupWinners = grams.groupBy("gk")
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("p"))).as("w"))
+      .where(col("occ") > 1)
+      .select(col("gk"), col("w.doc_id").as("wd"), col("w.p").as("wp"))
+    val flagged = grams.join(dupWinners, Seq("gk"))
+      .where(!(col("doc_id") === col("wd") && col("p") === col("wp")))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_set(col("p"))).as("ps"))
+    // materialized union of the fixed-width windows, as a sorted
+    // distinct position array: bounded by the doc's own length (the
+    // pre-distinct flatten peaks at k× doc length — the same per-row
+    // working-set order as the gram projection itself), and it turns
+    // the per-token keep-test into an O(log n) bisect instead of an
+    // O(|ps|) lambda scan per token (the interpreted-HOF-in-hot-path
+    // trap ShingleHashes exists to avoid)
+    base.join(flagged, Seq("doc_id"), "left")
+      .withColumn("cov", array_sort(array_distinct(flatten(transform(
+        coalesce(col("ps"), array().cast("array<bigint>")),
+        p => sequence(p, p + lit(k - 1)))))))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        size(col("cov")).cast("long").as("removed_tokens"),
+        (col("n") - size(col("cov"))).as("kept_tokens"),
+        array_join(filter(col("ws"), (w, i) =>
+          !graft.functions.expressions.GraftExpressions
+            .sortedContainsLong(col("cov"), i.cast("long"))), " ")
+          .as("clean_text"))
+  }
+
   /** (doc_id, shs) projection: distinct word 3-gram shingles as sorted
     * 8-byte hashes (`ShingleHashes` — one native pass per row; no
     * shingle strings are materialized; ~50× over the interpreted

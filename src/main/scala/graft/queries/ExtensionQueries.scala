@@ -1198,11 +1198,85 @@ object ExtensionQueries {
           .cast("long").as("util_ppm"))
   }
 
+  /** Duplicated-span removal (q115): Lee-et-al-style exact-substring
+    * dedup — every 8-token sliding window that occurs anywhere else in
+    * the corpus is stripped except its globally-first occurrence, with
+    * overlapping flagged windows merged into contiguous removed
+    * regions and the document rebuilt from the surviving tokens. The
+    * sliding (stride-1) window catches duplication at ANY alignment —
+    * the gap q67's chunk-boundary dedup leaves open. Engine elects
+    * winners on 16-byte md5 digests (text never crosses an election
+    * exchange); the oracle groups the raw gram text — identical output
+    * short of a 2⁻¹²⁸ digest collision, the same accepted gap as q67. */
+  val dupSpanStrip: Q = Q(
+    "q115_dup_span_strip",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, p, array_to_string(ws[(p+1):(p+8)], ' ') AS gram
+      |      FROM w, unnest(range(0, greatest(len(ws) - 7, 0))) AS t(p)),
+      |x AS (SELECT doc_id, p,
+      |             count(*) OVER (PARTITION BY gram) AS occ,
+      |             row_number() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rn
+      |      FROM g),
+      |f AS (SELECT doc_id, p FROM x WHERE occ > 1 AND rn > 1),
+      |cov AS (SELECT DISTINCT doc_id, c FROM f, unnest(range(p, p + 8)) AS t(c)),
+      |r AS (SELECT doc_id, count(*) AS removed FROM cov GROUP BY doc_id),
+      |tok AS (SELECT doc_id, i, ws[i + 1] AS word
+      |        FROM w, unnest(range(0, len(ws))) AS t(i)),
+      |kept AS (SELECT tok.doc_id,
+      |                coalesce(string_agg(tok.word, ' ' ORDER BY tok.i), '') AS clean_text
+      |         FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.c
+      |         WHERE cov.c IS NULL GROUP BY tok.doc_id)
+      |SELECT w.doc_id, len(w.ws) AS n_tokens,
+      |       coalesce(r.removed, 0) AS removed_tokens,
+      |       len(w.ws) - coalesce(r.removed, 0) AS kept_tokens,
+      |       coalesce(kept.clean_text, '') AS clean_text
+      |FROM w LEFT JOIN r USING (doc_id)
+      |LEFT JOIN kept ON w.doc_id = kept.doc_id""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Dedup.dupSpanStrip(t(s, dir, "documents"), "text", "doc_id")
+  }
+
+  /** Span-duplication rate by source (q116): q115's removal rolled up
+    * per source — "which feed is re-crawling content verbatim" as ppm
+    * of tokens stripped. Integer token sums are exact; the one double
+    * division rounds to an integer ppm in both engines. */
+  val spanRateBySource: Q = Q(
+    "q116_span_rate_by_source",
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, p, array_to_string(ws[(p+1):(p+8)], ' ') AS gram
+      |      FROM w, unnest(range(0, greatest(len(ws) - 7, 0))) AS t(p)),
+      |x AS (SELECT doc_id, p,
+      |             count(*) OVER (PARTITION BY gram) AS occ,
+      |             row_number() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rn
+      |      FROM g),
+      |f AS (SELECT doc_id, p FROM x WHERE occ > 1 AND rn > 1),
+      |cov AS (SELECT DISTINCT doc_id, c FROM f, unnest(range(p, p + 8)) AS t(c)),
+      |r AS (SELECT doc_id, count(*) AS removed FROM cov GROUP BY doc_id)
+      |SELECT w.source, count(*) AS n_docs,
+      |       CAST(sum(len(w.ws)) AS BIGINT) AS n_tokens,
+      |       CAST(sum(coalesce(r.removed, 0)) AS BIGINT) AS removed_tokens,
+      |       CAST(round(CAST(sum(coalesce(r.removed, 0)) AS DOUBLE)
+      |            / sum(len(w.ws)) * 1000000, 0) AS BIGINT) AS removed_ppm
+      |FROM w LEFT JOIN r USING (doc_id)
+      |GROUP BY w.source""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    graft.operators.Dedup.dupSpanStrip(docs, "text", "doc_id")
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("removed_tokens")).as("removed_tokens"),
+        round(sum(col("removed_tokens")).cast("double")
+          / sum(col("n_tokens")) * 1000000, 0).cast("long").as("removed_ppm"))
+  }
+
   val all: Seq[Q] = Seq(editDedup, corpusCube, tokenTruncate, funnel,
     collocations, containment, dupRateBySource, gapFilledSeries,
     lengthTrim, oovRate, splitLeakage, lmQualitySelect, boilerplate,
     dupClusterHistogram, tokenBudgetSample, retentionCohorts,
     lexicalDiversity, chunkDupBySource, effectiveTokens, temperatureMix,
     normDedup, epochPlan, sourceKl, crossSourceDupMatrix,
-    tokenLengthHistogram, zipfSlope, splitBalance, budgetSweep)
+    tokenLengthHistogram, zipfSlope, splitBalance, budgetSweep,
+    dupSpanStrip, spanRateBySource)
 }

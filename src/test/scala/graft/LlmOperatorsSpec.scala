@@ -498,6 +498,34 @@ class LlmOperatorsSpec extends SparkSpec {
         s"missed the offset repeat: ${got(2L)}")
   }
 
+  test("dupSpanStrip: sliding dup windows merge to regions, keep-first wins, short docs pass whole") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "a b c d e f g h"),  // owns the shared run — first occurrence, intact
+      // shares doc1's "a b c d e" at a DIFFERENT alignment (chunk
+      // dedup at any fixed boundary would miss it): flagged 3-gram
+      // starts p=2,3,4 merge to covered positions {2..6} — removed as
+      // ONE 5-token region, not 3×3 tokens
+      (2L, "z z a b c d e q"),
+      (3L, "u v"),              // shorter than the window: no gram, intact
+      // within-doc repeat: second "m n o"/"n o p" occurrences flagged,
+      // covered {4..7}
+      (4L, "m n o p m n o p"),
+      (5L, "")                  // empty text: one empty token, intact
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanStrip(docs, "text", "doc_id", spanWords = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got(1L) == ((8L, 0L, 8L, "a b c d e f g h")))
+    assert(got(2L) == ((8L, 5L, 3L, "z z q")))
+    assert(got(3L) == ((2L, 0L, 2L, "u v")))
+    assert(got(4L) == ((8L, 4L, 4L, "m n o p")))
+    assert(got(5L) == ((1L, 0L, 1L, "")))
+  }
+
   test("boilerplate strip removes >= minDf chunks from EVERY doc (no owner), keeps unique content") {
     import spark.implicits._
     import graft.operators.Dedup

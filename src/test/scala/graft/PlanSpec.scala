@@ -351,6 +351,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q115/q116: span election shuffles key on the md5 digest, aggregate — never window or text") {
+    for (q <- Seq("q115_dup_span_strip", "q116_span_rate_by_source")) {
+      val p = plan(q)
+      assert(p.contains("hashpartitioning(gk#"),
+        s"$q span winner election is not keyed on the md5 digest")
+      assert(p.contains("partial_min"),
+        s"$q winner election lacks map-side combine")
+      assert(!p.contains("Window"),
+        s"$q elects winners with a window over every gram occurrence")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to all-pairs")
+    }
+  }
+
   test("q96: budget fill pre-prunes via the bounded heap; the window is source-partitioned") {
     val p = plan("q96_token_budget_sample")
     // the heap prepass bounds the window's input at `budget` rows per

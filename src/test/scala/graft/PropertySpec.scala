@@ -112,6 +112,40 @@ class PropertySpec extends SparkSpec {
     }, runs = 8)
   }
 
+  test("dupSpanStrip == brute-force keep-first span reference on random corpora") {
+    import spark.implicits._
+    check(Prop.forAll(corpusGen) { corpus =>
+      val k = 2
+      val got = graft.operators.Dedup
+        .dupSpanStrip(corpus.toDF("doc_id", "text"), "text", "doc_id", spanWords = k)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+        .toMap
+      // reference: count every k-gram occurrence globally; every
+      // occurrence of a gram with occ>1 EXCEPT the (doc_id, pos)-first
+      // covers [p, p+k-1]; kept text = uncovered tokens in order
+      val toks = corpus.map { case (id, t) => id -> t.split(" ", -1).toVector }
+      val allGrams = for {
+        (id, ws) <- toks
+        p <- 0 to ws.length - k
+      } yield (id, p, ws.slice(p, p + k).mkString(" "))
+      val occ = allGrams.groupBy(_._3).view.mapValues(_.size).toMap
+      val first = allGrams.groupBy(_._3).view
+        .mapValues(_.minBy(x => (x._1, x._2))).toMap
+      val exp = toks.map { case (id, ws) =>
+        val covered = allGrams.collect {
+          case (d, p, g) if d == id && occ(g) > 1 && first(g) != ((d, p, g)) =>
+            p until p + k
+        }.flatten.toSet
+        val keptWs = ws.zipWithIndex.collect { case (w, i) if !covered(i) => w }
+        id -> ((ws.length.toLong, covered.size.toLong,
+          (ws.length - covered.size).toLong, keptWs.mkString(" ")))
+      }.toMap
+      got == exp
+    }, runs = 8)
+  }
+
   test("bigramNll == brute-force add-one model on random corpora") {
     import spark.implicits._
     check(Prop.forAll(corpusGen) { corpus =>
