@@ -1271,6 +1271,54 @@ object ExtensionQueries {
           / sum(col("n_tokens")) * 1000000, 0).cast("long").as("removed_ppm"))
   }
 
+  /** Bloom-gated batch decontamination (q117): treat even doc_ids as
+    * yesterday's ingested corpus and odd doc_ids as today's batch;
+    * drop every batch doc sharing ANY distinct 8-gram with the seen
+    * corpus (the GPT-3-appendix-C overlap rule at ingest time). The
+    * batch's gram stream is pre-gated by a Bloom filter of the seen
+    * gram set — bloom-negative grams (almost all of them) never reach
+    * the exchange; positives are confirmed by the exact semi-join, so
+    * the result is bit-identical to the ungated join (BloomGate's
+    * no-false-negative argument) and the oracle needs no bloom at
+    * all. Grams are keyed by the engine-portable polynomial hash
+    * (q100's formula, replicated in the SQL) so both engines collide
+    * identically; production passes 128-bit digests instead. */
+  val bloomDecontaminate: Q = Q(
+    "q117_bloom_decontaminate",
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, list_transform(range(1, len(ws) - 6),
+      |        i -> array_to_string(ws[i:i+7], ' ')) AS grams
+      |      FROM w WHERE len(ws) >= 8),
+      |h AS (SELECT doc_id, list_distinct(list_transform(grams, s -> list_reduce(
+      |        list_prepend(CAST(7 AS BIGINT),
+      |          list_transform(range(1, length(s) + 1),
+      |            i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+      |        (acc, c) -> (acc * 131 + c) % 35184372088777))) AS hs
+      |      FROM g),
+      |e AS (SELECT doc_id, unnest(hs) AS h FROM h),
+      |bl AS (SELECT DISTINCT h FROM e WHERE doc_id % 2 = 0),
+      |bad AS (SELECT DISTINCT e.doc_id FROM e JOIN bl USING (h)
+      |        WHERE e.doc_id % 2 = 1)
+      |SELECT w.doc_id, w.source FROM w
+      |WHERE w.doc_id % 2 = 1
+      |  AND w.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        graft.functions.expressions.GraftExpressions.shingleHashes(
+          split(col("text"), " "), 8, ordered = false, poly = true).as("hs"))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val seen = grams(docs.filter(col("doc_id") % 2 === 0))
+    val flagged = graft.operators.BloomGate
+      .gatedSemiJoin(grams(docs.filter(col("doc_id") % 2 === 1)), "h",
+        seen, "h", expectedItems = 1 << 20)
+      .select("doc_id").distinct()
+    docs.filter(col("doc_id") % 2 === 1)
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"))
+  }
+
   val all: Seq[Q] = Seq(editDedup, corpusCube, tokenTruncate, funnel,
     collocations, containment, dupRateBySource, gapFilledSeries,
     lengthTrim, oovRate, splitLeakage, lmQualitySelect, boilerplate,
@@ -1278,5 +1326,5 @@ object ExtensionQueries {
     lexicalDiversity, chunkDupBySource, effectiveTokens, temperatureMix,
     normDedup, epochPlan, sourceKl, crossSourceDupMatrix,
     tokenLengthHistogram, zipfSlope, splitBalance, budgetSweep,
-    dupSpanStrip, spanRateBySource)
+    dupSpanStrip, spanRateBySource, bloomDecontaminate)
 }
