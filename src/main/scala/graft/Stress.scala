@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale stress harness (dev-run, not part of the driver contract):
+  * amplifies the sf corpus N× with a controlled duplicate structure,
+  * then drives the flagship dedup/decontamination pipelines while a
+  * SparkListener totals shuffle read/write bytes and spill per stage.
+  *
+  * Purpose: the correctness gate proves the operators RIGHT at small
+  * SF; this harness measures whether their cost curves stay LINEAR as
+  * the corpus grows — per-row seconds and per-row shuffle bytes at
+  * amplification N vs 4N should be flat if the shuffle keys, partial
+  * aggregation, and digest-only exchanges hold (a super-linear bend
+  * is exactly the 100 TB failure the scaladocs argue cannot happen;
+  * this makes the argument measured instead of rhetorical). Results
+  * are recorded in ARCHITECTURE.md's scale table per round.
+  *
+  * Amplified corpus: each source doc yields N replicas in
+  * independent FAMILIES of 4 (g = r/4; every token is salted with the
+  * family id, so families share NO grams and the duplicate structure
+  * is scale-INVARIANT — doubling N doubles the corpus without
+  * changing any dup family's size, which is what makes the N-vs-4N
+  * per-doc comparison a measurement of the OPERATORS, not of a
+  * corpus whose duplication rate drifts with N):
+  *   r ≡ 0, 1 (mod 4): byte-exact duplicates of the family base,
+  *   r ≡ 2 (mod 4): base plus one appended token (near-dup),
+  *   r ≡ 3 (mod 4): replica-salted + reversed word order (unique).
+  * Everything derives deterministically from (doc_id, r) — two runs
+  * at the same (sf, N) see the identical corpus.
+  *
+  * Usage:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_AMPLIFY=20 \
+  *     sbt "runMain graft.Stress"
+  * Emits one JSON line per stage and a closing summary line.
+  */
+object Stress {
+
+  /** Per-stage task-metric totals, swapped by label between stages. */
+  final class MetricsListener extends SparkListener {
+    case class Tot(var shufRead: Long = 0L, var shufWrite: Long = 0L,
+      var spillMem: Long = 0L, var spillDisk: Long = 0L, var tasks: Long = 0L)
+    @volatile var label: String = "setup"
+    val totals = new scala.collection.concurrent.TrieMap[String, Tot]()
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        val tot = totals.getOrElseUpdate(label, Tot())
+        tot.synchronized {
+          tot.shufRead += m.shuffleReadMetrics.totalBytesRead
+          tot.shufWrite += m.shuffleWriteMetrics.bytesWritten
+          tot.spillMem += m.memoryBytesSpilled
+          tot.spillDisk += m.diskBytesSpilled
+          tot.tasks += 1
+        }
+      }
+    }
+  }
+
+  def amplified(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "source")
+    val reps = spark.range(n.toLong).toDF("r")
+    docs.crossJoin(broadcast(reps))
+      .withColumn("g", concat(col("doc_id").cast("string"), lit("x"),
+        floor(col("r") / 4).cast("string")))
+      .withColumn("salted", array_join(
+        transform(split(col("text"), " "),
+          w => concat(lit("g"), col("g"), lit("_"), w)), " "))
+      .select(
+        (col("doc_id") * n + col("r")).as("doc_id"),
+        when(col("r") % 4 <= 1, col("salted"))
+          .when(col("r") % 4 === 2, concat(col("salted"), lit(" extra")))
+          .otherwise(concat(lit("u"), col("r").cast("string"), lit(" "),
+            array_join(reverse(split(col("salted"), " ")), " ")))
+          .as("text"),
+        col("source"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val n = sys.env.get("SPARK_GRAFT_AMPLIFY").map(_.toInt).getOrElse(20)
+    val spark = GraftSession.local()
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+
+    // materialize the amplified corpus once so every stage reads the
+    // same columnar files (as production would), not the generator
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_stress/" +
+      s"v2_${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}_x$n"
+    val marker = new java.io.File(s"$root/_done")
+    if (!marker.exists()) {
+      amplified(spark, sfDir, n).repartition(32)
+        .write.mode("overwrite").parquet(s"$root/documents")
+      marker.createNewFile()
+    }
+    val corpus = spark.read.parquet(s"$root/documents")
+    val nDocs = corpus.count()
+    System.err.println(s"[stress] corpus: $nDocs docs at $root")
+
+    // dev-only focus filter, mirrors Bench's SPARK_GRAFT_ONLY
+    val only = sys.env.get("SPARK_GRAFT_STAGES")
+      .map(_.split(",").map(_.trim).toSet)
+    def stage(name: String)(df: => DataFrame): Unit = if (only.forall(_.contains(name))) {
+      listener.label = name
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val m = listener.totals(name)
+      val json = f"""{"stage":"$name","sec":$sec%.2f,"docs":$nDocs,""" +
+        f""""docs_per_sec":${nDocs / sec}%.0f,""" +
+        s""""shuffle_read_b":${m.shufRead},"shuffle_write_b":${m.shufWrite},""" +
+        s""""spill_mem_b":${m.spillMem},"spill_disk_b":${m.spillDisk},"tasks":${m.tasks}}"""
+      println(json)
+    }
+
+    stage("exact_dedup") {
+      graft.operators.Dedup.exact(corpus, "text", "doc_id")
+    }
+    stage("chunk_dedup") {
+      graft.operators.Dedup.chunkDedup(corpus, "text", "doc_id")
+        .select("doc_id", "total_chunks", "kept_chunks") // prune reassembly text
+    }
+    stage("span_strip") {
+      graft.operators.Dedup.dupSpanStrip(corpus, "text", "doc_id")
+        .select("doc_id", "n_tokens", "removed_tokens", "kept_tokens")
+    }
+    stage("minhash_pairs") {
+      graft.operators.Dedup.portableMinhashLshPairs(corpus, "text", "doc_id",
+        threshold = 0.5)
+    }
+    stage("minhash_lsh_resolve") {
+      graft.operators.Dedup.resolve(
+        graft.operators.Dedup.portableMinhashLshPairs(corpus, "text", "doc_id",
+          threshold = 0.5))
+    }
+    stage("bloom_decontaminate") {
+      def grams(df: DataFrame): DataFrame = df
+        .select(col("doc_id"),
+          explode(graft.functions.expressions.GraftExpressions.shingleHashes(
+            split(col("text"), " "), 8, ordered = false, poly = true)).as("h"))
+      val seen = grams(corpus.filter(col("doc_id") % 2 === 0))
+      val flagged = graft.operators.BloomGate
+        .gatedSemiJoin(grams(corpus.filter(col("doc_id") % 2 === 1)), "h",
+          seen, "h", expectedItems = math.max(nDocs * 64, 1 << 20))
+        .select("doc_id").distinct()
+      corpus.filter(col("doc_id") % 2 === 1)
+        .join(flagged, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source")
+    }
+    val grand = listener.totals.values
+    System.err.println(
+      s"[stress] total shuffle read ${grand.map(_.shufRead).sum / (1 << 20)} MiB, " +
+        s"write ${grand.map(_.shufWrite).sum / (1 << 20)} MiB, " +
+        s"spill ${grand.map(t => t.spillMem + t.spillDisk).sum / (1 << 20)} MiB")
+    spark.stop()
+  }
+}
