@@ -74,6 +74,58 @@ object BloomGate {
       .join(seen.select(col(seenKeyCol).as(keyCol)), Seq(keyCol), "left_semi")
   }
 
+  /** OR-merge of two sketches built with the SAME (expectedItems, fpp)
+    * — the union filter matches everything either input matches. */
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val fa = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(a))
+    val fb = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(b))
+    fa.mergeInPlace(fb)
+    val bos = new ByteArrayOutputStream()
+    fa.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Read a persisted sketch; None when absent (callers fall back to
+    * the ungated path — absence is always safe). */
+  def readFile(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Array[Byte]] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bos = new ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        Some(bos.toByteArray)
+      } finally in.close()
+    }
+  }
+
+  /** Persist a sketch via write-temp + rename. The delete→rename gap
+    * can leave the path briefly absent on a non-atomic FS — readers
+    * treat absence as "no gate", so the worst case is one ungated
+    * batch, never a wrong one. */
+  def writeFile(spark: org.apache.spark.sql.SparkSession, path: String,
+      bytes: Array[Byte]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.tmp${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"bloom sketch rename failed: $path")
+    }
+  }
+
   /** Rows of `probe` whose `keyCol` value does NOT occur in
     * `seen.seenKeyCol` — semantically `probe LEFT ANTI JOIN seen`.
     * Bloom-negative rows pass straight through (no exchange);

@@ -83,6 +83,68 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(KeyedStore.read(spark, store).count() == 2)
   }
 
+  test("bloom-gated dedup ≡ ungated across batches and replays; sketch stays a store superset") {
+    import spark.implicits._
+    val plain = tmp("incdedup-plain")
+    val gated = tmp("incdedup-gated")
+    val batches = Seq(
+      Seq((1L, "alpha beta", t1), (2L, "gamma delta", t1), (3L, "ALPHA beta!", t2)),
+      Seq((4L, "alpha beta", t2), (5L, "epsilon zeta", t2)),
+      Seq((5L, "epsilon zeta", t2), (6L, "eta theta", t3))) // replayed 5
+    for (b <- batches) {
+      val df = b.toDF("doc_id", "text", "ts")
+      val p = IncrementalDedup.dedupBatch(df, "doc_id", "text", "ts", plain)
+        .select("doc_id").as[Long].collect().toSeq.sorted
+      val g = IncrementalDedup.dedupBatch(df, "doc_id", "text", "ts", gated,
+          bloomExpectedItems = Some(1000L))
+        .select("doc_id").as[Long].collect().toSeq.sorted
+      assert(p == g, s"gated batch diverged: plain=$p gated=$g")
+    }
+    // superset invariant: every fingerprint IN the store must be
+    // bloom-positive — a miss here is exactly the false negative that
+    // would let a duplicate through
+    val bloom = graft.operators.BloomGate
+      .readFile(spark, IncrementalDedup.bloomPath(gated))
+    assert(bloom.isDefined, "gated run never wrote its sketch")
+    val misses = KeyedStore.read(spark, gated)
+      .filter(!graft.operators.BloomGate.mightContain(bloom.get, col("fp")))
+      .count()
+    assert(misses == 0, s"$misses store fingerprints invisible to the sketch")
+  }
+
+  test("a store predating gating never gets a partial sketch; rebuildBloom enables it") {
+    import spark.implicits._
+    val store = tmp("incdedup-legacy")
+    // history written UNGATED — the sketch cannot be seeded from a
+    // later batch without missing these keys
+    IncrementalDedup.dedupBatch(
+      Seq((1L, "old one", t1), (2L, "old two", t1)).toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", store)
+    // gated call on the legacy store: correct result, NO sketch file
+    // (a partial one would break the superset invariant next batch)
+    val got = IncrementalDedup.dedupBatch(
+      Seq((3L, "old one", t2), (4L, "new three", t2)).toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", store, bloomExpectedItems = Some(1000L))
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(4L))
+    assert(graft.operators.BloomGate
+      .readFile(spark, IncrementalDedup.bloomPath(store)).isEmpty,
+      "partial sketch written against a pre-gating store")
+    // backfill from the store, then gating engages and stays correct
+    IncrementalDedup.rebuildBloom(spark, store, expectedItems = 1000L)
+    val got2 = IncrementalDedup.dedupBatch(
+      Seq((5L, "new three", t3), (6L, "new four", t3)).toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", store, bloomExpectedItems = Some(1000L))
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(got2 == Seq(6L))
+    val bloom = graft.operators.BloomGate
+      .readFile(spark, IncrementalDedup.bloomPath(store))
+    val misses = KeyedStore.read(spark, store)
+      .filter(!graft.operators.BloomGate.mightContain(bloom.get, col("fp")))
+      .count()
+    assert(misses == 0)
+  }
+
   test("probe prunes to the probed keys' buckets and respects key types") {
     import spark.implicits._
     val store = tmp("probe-prune")
