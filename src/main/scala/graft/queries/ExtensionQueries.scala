@@ -1319,6 +1319,60 @@ object ExtensionQueries {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Per-eval-doc contamination audit (q118): the REPORT complement of
+    * q117's drop — for every eval-side document (odd doc_id), how many
+    * of its distinct 8-grams already occur in the train side (even
+    * doc_id), as an exact count and a ppm rate. This is the number a
+    * benchmark-integrity review reads (GPT-3 appendix C reports
+    * exactly this overlap before deciding what to strike). Same
+    * bloom-gated exact-count plan as q117: the gate prunes the gram
+    * stream, the inner join keeps the count exact. Docs under 8 tokens
+    * have no gram and are excluded in both engines. */
+  val contaminationAudit: Q = Q(
+    "q118_contamination_audit",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, list_transform(range(1, len(ws) - 6),
+      |        i -> array_to_string(ws[i:i+7], ' ')) AS grams
+      |      FROM w WHERE len(ws) >= 8),
+      |h AS (SELECT doc_id, list_distinct(list_transform(grams, s -> list_reduce(
+      |        list_prepend(CAST(7 AS BIGINT),
+      |          list_transform(range(1, length(s) + 1),
+      |            i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+      |        (acc, c) -> (acc * 131 + c) % 35184372088777))) AS hs
+      |      FROM g),
+      |e AS (SELECT doc_id, unnest(hs) AS h FROM h),
+      |tr AS (SELECT DISTINCT h FROM e WHERE doc_id % 2 = 0),
+      |ev AS (SELECT doc_id, h FROM e WHERE doc_id % 2 = 1),
+      |n AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY doc_id),
+      |ht AS (SELECT ev.doc_id, count(*) AS hit_grams FROM ev JOIN tr USING (h)
+      |       GROUP BY ev.doc_id)
+      |SELECT n.doc_id, n.n_grams,
+      |       coalesce(ht.hit_grams, 0) AS hit_grams,
+      |       CAST(round(CAST(coalesce(ht.hit_grams, 0) AS DOUBLE)
+      |            / n.n_grams * 1000000, 0) AS BIGINT) AS contam_ppm
+      |FROM n LEFT JOIN ht USING (doc_id)""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        graft.functions.expressions.GraftExpressions.shingleHashes(
+          split(col("text"), " "), 8, ordered = false, poly = true).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val ev = grams(docs.filter(col("doc_id") % 2 === 1))
+    val hits = graft.operators.BloomGate
+      .gatedSemiJoin(ev, "h",
+        grams(docs.filter(col("doc_id") % 2 === 0)).select("h"), "h",
+        expectedItems = 1 << 20)
+      .groupBy("doc_id").agg(count(lit(1)).as("hit_grams"))
+    ev.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("hit_grams"), lit(0L)).as("hit_grams"),
+        round(coalesce(col("hit_grams"), lit(0L)).cast("double")
+          / col("n_grams") * 1000000, 0).cast("long").as("contam_ppm"))
+  }
+
   val all: Seq[Q] = Seq(editDedup, corpusCube, tokenTruncate, funnel,
     collocations, containment, dupRateBySource, gapFilledSeries,
     lengthTrim, oovRate, splitLeakage, lmQualitySelect, boilerplate,
@@ -1326,5 +1380,5 @@ object ExtensionQueries {
     lexicalDiversity, chunkDupBySource, effectiveTokens, temperatureMix,
     normDedup, epochPlan, sourceKl, crossSourceDupMatrix,
     tokenLengthHistogram, zipfSlope, splitBalance, budgetSweep,
-    dupSpanStrip, spanRateBySource, bloomDecontaminate)
+    dupSpanStrip, spanRateBySource, bloomDecontaminate, contaminationAudit)
 }

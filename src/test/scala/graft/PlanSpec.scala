@@ -366,13 +366,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q117: bloom gate filters the gram stream before the exact semi-join") {
-    val p = plan("q117_bloom_decontaminate")
-    assert(p.contains("might_contain"),
-      "bloom pre-gate missing — every batch gram would shuffle to the join")
-    assert(p.contains("LeftSemi"), "exact confirmation semi-join missing")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"))
+  test("q117/q118: bloom gate filters the gram stream before the exact semi-join") {
+    for (q <- Seq("q117_bloom_decontaminate", "q118_contamination_audit")) {
+      val p = plan(q)
+      assert(p.contains("might_contain"),
+        s"$q bloom pre-gate missing — every batch gram would shuffle to the join")
+      assert(p.contains("LeftSemi"), s"$q exact confirmation semi-join missing")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"))
+    }
   }
 
   test("q96: budget fill pre-prunes via the bounded heap; the window is source-partitioned") {
