@@ -404,7 +404,8 @@ object Dedup {
     * carrying only (doc_id, band, key), exact Jaccard on survivors.
     * Sized so P[miss | j≥0.5] = (1−j⁴)¹⁶ ≤ 1.2% per pair. */
   def minhashLshPairs(shingled: DataFrame, threshold: Double,
-      k: Int = 64, bandRows: Int = 4): DataFrame = {
+      k: Int = 64, bandRows: Int = 4,
+      restrictVerify: Boolean = true): DataFrame = {
     val nBands = k / bandRows
     // the projection feeds signature generation AND both verify joins;
     // ShingleHashes is one cheap native pass, so recomputing it thrice
@@ -419,21 +420,52 @@ object Dedup {
     val buckets = sigs
       .select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    // pinned: the pair frame feeds the verify join AND the
+    // candidate-id restriction of the array side — without the pin the
+    // whole bucket self-join re-executes per consumer (AQE re-plans
+    // subtrees independently, so exchange reuse cannot be relied on)
     val candIds = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+      .localCheckpoint(true)
+    val arrays = if (restrictVerify) candidateArrays(docs, candIds) else docs
     candIds
-      .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("sha")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("shb")), "doc_b")
+      .join(arrays.select(col("doc_id").as("doc_a"), col("shs").as("sha")), "doc_a")
+      .join(arrays.select(col("doc_id").as("doc_b"), col("shs").as("shb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("uni", size(col("sha")) + size(col("shb")) - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter", "uni", "jaccard")
   }
+
+  /** Verify-side array table restricted to docs that appear in at
+    * least one candidate pair — the payload-free-shuffle pattern
+    * (q77): without it, each of the two Jaccard-verify joins
+    * sort-merges the FULL shingle-array table once the corpus
+    * outgrows the broadcast ceiling (the plan transition the round-8
+    * stress run measured), i.e. two corpus-wide array shuffles to
+    * verify what is typically a ~1% candidate subset. The semi-join
+    * costs one id-only probe (candidate ids broadcast when small);
+    * the arrays then shuffle only for actual candidates. Results are
+    * identical — pairs only ever reference candidate docs.
+    *
+    * Trade (measured, round-8 stress corpus): when candidate density
+    * is EXTREME (75% of docs paired — 4-doc dup families everywhere),
+    * the restriction prunes little and its semi-join adds ~30% to the
+    * stage; `restrictVerify = false` opts a dup-saturated deployment
+    * back into the two full array shuffles. At ordinary near-dup
+    * rates (≲10%) the restriction removes the stage's dominant
+    * exchanges. */
+  private def candidateArrays(docs: DataFrame, candIds: DataFrame): DataFrame =
+    docs.join(
+      candIds.select(col("doc_a").as("doc_id"))
+        .unionByName(candIds.select(col("doc_b").as("doc_id")))
+        .distinct(),
+      Seq("doc_id"), "left_semi")
 
   /** Winnowing document sketch (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
     * the standard rolling-hash fingerprint): position-ordered shingle
@@ -653,7 +685,7 @@ object Dedup {
     * this is its checkable twin, same plan shape: bucket equi-join,
     * never all-pairs. */
   def portableMinhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, restrictVerify: Boolean = true): DataFrame = {
     val P = graft.functions.expressions.ShingleHashes.PolyMod
     // shingle sets feed three consumers (minhash agg, both verify
     // joins): pin once, like q27's survivor projection
@@ -678,9 +710,16 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+      // pinned for the same two-consumer reason as minhashLshPairs
+      .localCheckpoint(true)
+    // verify arrays restricted to candidate docs (see candidateArrays)
+    val hsCand =
+      if (restrictVerify)
+        candidateArrays(hs.select(col("doc_id"), col("hs").as("shs")), cand)
+      else hs.select(col("doc_id"), col("hs").as("shs"))
     cand
-      .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-      .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .join(hsCand.select(col("doc_id").as("doc_a"), col("shs").as("hs_a")), "doc_a")
+      .join(hsCand.select(col("doc_id").as("doc_b"), col("shs").as("hs_b")), "doc_b")
       .withColumn("inter",
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
       .withColumn("uni",
