@@ -46,8 +46,15 @@ object IncrementalChunkDedup {
   def dedupBatch(batch: DataFrame, idCol: String, textCol: String,
       tsCol: String, storePath: String, chunkWords: Int = 8,
       numBuckets: Int = KeyedStore.DefaultBuckets,
-      splitParagraphs: Boolean = false): DataFrame = {
+      splitParagraphs: Boolean = false,
+      bloomExpectedItems: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
+    // superset sketch over the store's chunk digests: bloom-negative
+    // digests (the bulk of a mostly-novel batch) skip the store probe
+    // — see StoreBloom for the invariant and crash ordering. Chunk
+    // stores carry ~docLen/chunkWords keys per document, so the gate
+    // matters even more here than at the whole-doc granularity.
+    val sb = graft.state.StoreBloom.of(spark, storePath, bloomExpectedItems)
     val docs = batch
       .groupBy(col(idCol).as("doc_id"))
       .agg(min_by(struct(col(textCol).as("text"), col(tsCol).as("ts")),
@@ -70,8 +77,10 @@ object IncrementalChunkDedup {
       if (!KeyedStore.isInitialized(spark, storePath))
         withWin.withColumn("is_kept", col("is_winner"))
       else {
+        val probeKeys = withWin.select("ch").distinct()
         val seen = KeyedStore
-          .probe(withWin.select("ch").distinct(), Seq("ch"), storePath, numBuckets)
+          .probe(sb.fold(probeKeys)(_.prune(probeKeys, "ch")),
+            Seq("ch"), storePath, numBuckets)
           .select("ch", "first_id", "first_ts", "first_idx")
         withWin.join(seen, Seq("ch"), "left")
           .withColumn("is_kept",
@@ -84,11 +93,14 @@ object IncrementalChunkDedup {
     // pin: the upsert changes the store underneath the plan, and the
     // reassembly + upsert must see the same rows
     val pinned = kept.localCheckpoint(eager = true)
+    val admitted = pinned.filter(col("is_kept"))
+    sb.foreach(_.recordBefore(admitted, "ch"))
     KeyedStore.upsert(
-      pinned.filter(col("is_kept"))
+      admitted
         .select(col("ch"), col("doc_id").as("first_id"),
           col("ts").as("first_ts"), col("chunk_idx").as("first_idx")),
       Seq("ch"), storePath, numBuckets)
+    sb.foreach(_.recordAfter(admitted, "ch"))
     pinned.groupBy("doc_id", "ts")
       .agg(
         count(lit(1)).as("total_chunks"),
@@ -110,13 +122,14 @@ object IncrementalChunkDedup {
       storePath: String, chunkWords: Int = 8,
       checkpointLocation: Option[String] = None,
       numBuckets: Int = KeyedStore.DefaultBuckets,
-      splitParagraphs: Boolean = false)(
+      splitParagraphs: Boolean = false,
+      bloomExpectedItems: Option[Long] = None)(
       onDeduped: (DataFrame, Long) => Unit): StreamingQuery = {
     val w = stream.writeStream.outputMode("append")
     checkpointLocation.foreach(c => w.option("checkpointLocation", c))
     w.foreachBatch { (batch: DataFrame, id: Long) =>
         onDeduped(dedupBatch(batch, idCol, textCol, tsCol, storePath,
-          chunkWords, numBuckets, splitParagraphs), id)
+          chunkWords, numBuckets, splitParagraphs, bloomExpectedItems), id)
         ()
       }
       .start()

@@ -41,16 +41,14 @@ object IncrementalDedup {
     * too): returns the novel rows of `batch` and upserts their
     * fingerprints. `batch`: (id, text, ts, …) with `idCol`/`tsCol`
     * naming the identity and arrival order. */
-  /** Bloom-superset sketch location for a store. The INVARIANT that
-    * makes gating safe: the sketch always over-approximates the store
-    * key set (it is written from each batch's admitted fingerprints
-    * BEFORE the store upsert, so any crash between the two leaves
-    * extra bloom keys — harmless false positives — never missing
-    * ones). A bloom-negative fingerprint is therefore provably absent
-    * from the store and skips the bucket probe entirely; per-batch
-    * probe cost shrinks from "buckets touched by the whole batch" to
-    * "buckets touched by actual re-sights + the fpp share". */
-  def bloomPath(storePath: String): String = s"$storePath/_bloom/filter.bin"
+  /** Bloom-superset sketch location (see [[graft.state.StoreBloom]]
+    * for the invariant and crash-ordering contract). Gated, a
+    * bloom-negative fingerprint is provably absent from the store and
+    * skips the bucket probe entirely; per-batch probe cost shrinks
+    * from "buckets touched by the whole batch" to "buckets touched by
+    * actual re-sights + the fpp share". */
+  def bloomPath(storePath: String): String =
+    graft.state.StoreBloom.path(storePath)
 
   def dedupBatch(batch: DataFrame, idCol: String, textCol: String,
       tsCol: String, storePath: String,
@@ -66,9 +64,7 @@ object IncrementalDedup {
         struct(col(tsCol), col(idCol))).as("r"))
       .select(col("r.*"))
     val storeInit = KeyedStore.isInitialized(spark, storePath)
-    val bloom: Option[Array[Byte]] =
-      if (bloomExpectedItems.isEmpty) None
-      else graft.operators.BloomGate.readFile(spark, bloomPath(storePath))
+    val sb = graft.state.StoreBloom.of(spark, storePath, bloomExpectedItems)
     // filter by the recorded (first_id, first_ts): unseen fp, OR seen
     // with OUR first-wins pick — the replayed-batch case (idempotency
     // note above)
@@ -83,53 +79,30 @@ object IncrementalDedup {
     }
     val novel =
       if (!storeInit) firsts
-      else bloom match {
+      else sb.flatMap(_.split(firsts, "fp")) match {
         case None => probed(firsts)
-        case Some(bytes) =>
+        case Some((defNew, maybeSeen)) =>
           // superset invariant ⇒ bloom-negatives are definitely novel
-          val gate = graft.operators.BloomGate.mightContain(bytes, col("fp"))
-          firsts.filter(!gate).unionByName(probed(firsts.filter(gate)))
+          defNew.unionByName(probed(maybeSeen))
       }
     // pin before the store changes underneath the plan, and because two
     // consumers (upsert + caller) must see the same rows
     val pinned = novel.localCheckpoint(eager = true)
-    // On an already-gated store the sketch goes down BEFORE the upsert:
-    // a crash between the two leaves extra bloom keys (false positives
-    // — safe), never missing ones. Never SEED a sketch against a store
-    // that predates gating: a bloom grown from one late batch would
-    // miss older store keys and break the superset invariant — gating
-    // stays off for such stores until `rebuildBloom` backfills it.
-    def writeSketch(items: Long): Unit = {
-      val batchSketch = graft.operators.BloomGate.build(pinned, "fp", items)
-      graft.operators.BloomGate.writeFile(spark, bloomPath(storePath),
-        bloom.map(graft.operators.BloomGate.merge(_, batchSketch))
-          .getOrElse(batchSketch))
-    }
-    if (storeInit) bloomExpectedItems.filter(_ => bloom.isDefined)
-      .foreach(writeSketch)
+    sb.foreach(_.recordBefore(pinned, "fp"))
     KeyedStore.upsert(
       pinned.select(col("fp"), col(idCol).as("first_id"), col(tsCol).as("first_ts")),
       Seq("fp"), storePath, numBuckets)
-    // The INITIALIZING upsert rewrites the whole store directory (it
-    // creates the table), so the first sketch can only be written
-    // after it. The crash window here leaves NO sketch at all — and a
-    // missing sketch disables gating, which is always correct.
-    if (!storeInit) bloomExpectedItems.foreach(writeSketch)
+    sb.foreach(_.recordAfter(pinned, "fp"))
     pinned.drop("fp")
   }
 
-  /** Backfill the bloom sketch from a full store scan — the one-time
-    * path that turns gating on for a store created before gating
-    * existed (or whose sketch file was lost). Safe at any time: the
-    * store is the source of truth and the result is a superset by
-    * construction. */
+  /** Backfill the bloom sketch for a store created before gating
+    * existed (or whose sketch file was lost) —
+    * [[graft.state.StoreBloom.rebuild]] on the fingerprint column. */
   def rebuildBloom(spark: org.apache.spark.sql.SparkSession,
       storePath: String, expectedItems: Long,
-      numBuckets: Int = KeyedStore.DefaultBuckets): Unit = {
-    val all = KeyedStore.read(spark, storePath)
-    graft.operators.BloomGate.writeFile(spark, bloomPath(storePath),
-      graft.operators.BloomGate.build(all, "fp", expectedItems))
-  }
+      numBuckets: Int = KeyedStore.DefaultBuckets): Unit =
+    graft.state.StoreBloom.rebuild(spark, storePath, "fp", expectedItems)
 
   /** Continuous form: maintain the store from a stream, handing each
     * batch's novel rows to `onNovel` (write to the corpus table, queue

@@ -50,6 +50,33 @@ class IncrementalChunkDedupSpec extends SparkSpec {
       b3, "doc_id", "text", "ts", store, chunkWords = 2))(4L) == ((1L, 0L, "")))
   }
 
+  test("bloom-gated chunk dedup ≡ ungated across batches/replays; sketch is a store superset") {
+    import spark.implicits._
+    val plain = tmp("chunkstore-plain")
+    val gated = tmp("chunkstore-gated")
+    val batches = Seq(
+      Seq((1L, "p q r s", t1), (2L, "p q x y", t1)),
+      Seq((3L, "r s z z x y", t2)),
+      Seq((3L, "r s z z x y", t2)), // replay
+      Seq((4L, "z z n n", t2)))
+    for (b <- batches) {
+      val df = b.toDF("doc_id", "text", "ts")
+      val p = collect(IncrementalChunkDedup.dedupBatch(
+        df, "doc_id", "text", "ts", plain, chunkWords = 2))
+      val g = collect(IncrementalChunkDedup.dedupBatch(
+        df, "doc_id", "text", "ts", gated, chunkWords = 2,
+        bloomExpectedItems = Some(1000L)))
+      assert(p == g, s"gated chunk batch diverged: plain=$p gated=$g")
+    }
+    val bloom = graft.operators.BloomGate
+      .readFile(spark, graft.state.StoreBloom.path(gated))
+    assert(bloom.isDefined, "gated chunk run never wrote its sketch")
+    val misses = graft.state.KeyedStore.read(spark, gated)
+      .filter(!graft.operators.BloomGate.mightContain(bloom.get, col("ch")))
+      .count()
+    assert(misses == 0, s"$misses store chunk digests invisible to the sketch")
+  }
+
   test("at-least-once delivery: duplicate doc rows collapse, store stays clean") {
     import spark.implicits._
     val store = tmp("chunkstore-dup")
