@@ -109,4 +109,37 @@ object LangModel {
         col("kl_nano"),
         (col("kl_nano").cast("double") / lit(1.0e9)).as("kl"))
   }
+
+  /** Hashing-trick linear classifier INFERENCE — the fastText /
+    * DCLM-style quality-classifier shape (reference analogue: none;
+    * this is the "train a cheap classifier offline, score the corpus
+    * in-engine" stage every modern curation pipeline runs): each
+    * token hashes into one of `dim` feature buckets and the document
+    * score is the sum of integer bucket weights over token
+    * OCCURRENCES (bag-of-hashed-features, exactly a linear model
+    * after the hashing trick). Returns (doc_id, n_tokens, score,
+    * keep) with keep = score ≥ 0.
+    *
+    * The weights here DERIVE deterministically from the bucket id
+    * (w(b) = b·2654435761 mod 2001 − 1000 ∈ [−1000, 1000] — a fixed
+    * pseudo-model, products < 2⁵³ so the math is exact in any
+    * engine's 64-bit integers), which makes the whole inference path
+    * engine-portable and hash-oracled (q119); a production deployment
+    * swaps in weights learned offline, broadcast as a literal map or
+    * joined on the bucket id — the plan shape is identical. Scale
+    * shape: everything happens inside the row (one native token-hash
+    * pass + one integer fold); the operator adds NO shuffle at all. */
+  def hashClassifierScore(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", dim: Int = 4096): DataFrame = {
+    require(dim >= 2, s"feature dim must be >= 2, got $dim")
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.expressions.GraftExpressions
+          .shingleHashes(T.words(col(textCol)), 1, ordered = true, poly = true)
+          .as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_tokens"),
+        aggregate(col("hs"), lit(0L), (acc, h) =>
+          acc + ((h % dim) * lit(2654435761L) % 2001L - 1000L)).as("score"))
+      .withColumn("keep", col("score") >= 0)
+  }
 }

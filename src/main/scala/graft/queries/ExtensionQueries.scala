@@ -1373,6 +1373,96 @@ object ExtensionQueries {
           / col("n_grams") * 1000000, 0).cast("long").as("contam_ppm"))
   }
 
+  /** Hashed linear classifier scoring (q119): fastText/DCLM-shape
+    * quality-classifier inference — tokens hash into 4096 feature
+    * buckets (the engine-portable polynomial word hash, q61's
+    * formula), the doc score sums integer bucket weights over token
+    * occurrences, keep = score ≥ 0. Weights derive deterministically
+    * from the bucket id so both engines run the identical exact
+    * integer model; production swaps in offline-learned weights with
+    * the same zero-shuffle plan. */
+  val hashClassifier: Q = Q(
+    "q119_hash_classifier",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |h AS (SELECT doc_id, list_transform(ws, s -> list_reduce(
+      |        list_prepend(CAST(7 AS BIGINT),
+      |          list_transform(range(1, length(s) + 1),
+      |            i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+      |        (acc, c) -> (acc * 131 + c) % 35184372088777)) AS hs
+      |      FROM w)
+      |SELECT doc_id, len(hs) AS n_tokens,
+      |       CAST(coalesce(list_sum(list_transform(hs,
+      |         x -> (x % 4096) * 2654435761 % 2001 - 1000)), 0) AS BIGINT) AS score,
+      |       CAST(coalesce(list_sum(list_transform(hs,
+      |         x -> (x % 4096) * 2654435761 % 2001 - 1000)), 0) AS BIGINT) >= 0 AS keep
+      |FROM h""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.LangModel.hashClassifierScore(t(s, dir, "documents"))
+  }
+
+  /** Corpus pipeline v3 (q120): the round-8 operators composed
+    * end-to-end — sliding-window span dedup (q115) rebuilds each doc
+    * from its non-duplicated tokens, a survivor gate keeps docs
+    * retaining ≥ half their tokens, the hashed linear classifier
+    * (q119) scores the CLEANED text, and the keep-set rolls up per
+    * source. Every stage is exact integer/string math, so the whole
+    * chain hash-oracles end-to-end like q74. */
+  val corpusPipelineV3: Q = Q(
+    "q120_corpus_pipeline_v3",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, p, array_to_string(ws[(p+1):(p+8)], ' ') AS gram
+      |      FROM w, unnest(range(0, greatest(len(ws) - 7, 0))) AS t(p)),
+      |x AS (SELECT doc_id, p,
+      |             count(*) OVER (PARTITION BY gram) AS occ,
+      |             row_number() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rn
+      |      FROM g),
+      |f AS (SELECT doc_id, p FROM x WHERE occ > 1 AND rn > 1),
+      |cov AS (SELECT DISTINCT doc_id, c FROM f, unnest(range(p, p + 8)) AS t(c)),
+      |r AS (SELECT doc_id, count(*) AS removed FROM cov GROUP BY doc_id),
+      |tok AS (SELECT doc_id, i, ws[i + 1] AS word
+      |        FROM w, unnest(range(0, len(ws))) AS t(i)),
+      |kept AS (SELECT tok.doc_id,
+      |                coalesce(string_agg(tok.word, ' ' ORDER BY tok.i), '') AS clean_text
+      |         FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.c
+      |         WHERE cov.c IS NULL GROUP BY tok.doc_id),
+      |spans AS (SELECT w.doc_id, len(w.ws) AS n_tokens,
+      |                 len(w.ws) - coalesce(r.removed, 0) AS kept_tokens,
+      |                 coalesce(kept.clean_text, '') AS clean_text
+      |          FROM w LEFT JOIN r USING (doc_id)
+      |          LEFT JOIN kept ON w.doc_id = kept.doc_id),
+      |surv AS (SELECT doc_id, string_split(clean_text, ' ') AS ws2 FROM spans
+      |         WHERE kept_tokens * 2 >= n_tokens AND clean_text <> ''),
+      |sc AS (SELECT doc_id, CAST(len(ws2) AS BIGINT) AS n_tok,
+      |         CAST(coalesce(list_sum(list_transform(
+      |           list_transform(ws2, s -> list_reduce(
+      |             list_prepend(CAST(7 AS BIGINT),
+      |               list_transform(range(1, length(s) + 1),
+      |                 i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+      |             (acc, c) -> (acc * 131 + c) % 35184372088777)),
+      |           x -> (x % 4096) * 2654435761 % 2001 - 1000)), 0) AS BIGINT) AS score
+      |       FROM surv)
+      |SELECT d.source, count(*) AS n_docs,
+      |       CAST(sum(sc.n_tok) AS BIGINT) AS n_tokens,
+      |       CAST(sum(sc.score) AS BIGINT) AS score_sum
+      |FROM sc JOIN documents d USING (doc_id)
+      |WHERE sc.score >= 0
+      |GROUP BY d.source""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val spans = graft.operators.Dedup.dupSpanStrip(docs, "text", "doc_id")
+    val surv = spans
+      .filter(col("kept_tokens") * 2 >= col("n_tokens") && col("clean_text") =!= "")
+      .select(col("doc_id"), col("clean_text"))
+    graft.operators.LangModel
+      .hashClassifierScore(surv, textCol = "clean_text")
+      .filter(col("keep"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("score")).as("score_sum"))
+  }
+
   val all: Seq[Q] = Seq(editDedup, corpusCube, tokenTruncate, funnel,
     collocations, containment, dupRateBySource, gapFilledSeries,
     lengthTrim, oovRate, splitLeakage, lmQualitySelect, boilerplate,
@@ -1380,5 +1470,6 @@ object ExtensionQueries {
     lexicalDiversity, chunkDupBySource, effectiveTokens, temperatureMix,
     normDedup, epochPlan, sourceKl, crossSourceDupMatrix,
     tokenLengthHistogram, zipfSlope, splitBalance, budgetSweep,
-    dupSpanStrip, spanRateBySource, bloomDecontaminate, contaminationAudit)
+    dupSpanStrip, spanRateBySource, bloomDecontaminate, contaminationAudit,
+    hashClassifier, corpusPipelineV3)
 }
