@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Item–item co-occurrence mining — the "frequently bought/viewed
+  * together" operator (item-based collaborative filtering, Sarwar et
+  * al. WWW'01; also the co-citation / co-click shape): pairs of items
+  * sharing at least `minShared` distinct basket keys, scored by
+  * support and lift. On a corpus this same operator mines document
+  * co-occurrence within user sessions or citation baskets.
+  *
+  * Reference analogue: none — part of the analytics extension
+  * surface; the nearest reference shape is its per-key top-N serving
+  * views, which consume exactly this kind of precomputed pair table.
+  */
+object CoOccurrence {
+
+  /** Co-occurring item pairs from a (basketCol, itemCol) interaction
+    * table. Returns (item_a, item_b, n_shared, n_a, n_b, lift_ppm)
+    * with item_a < item_b; `lift_ppm` is the exact integer-rational
+    * rendering floor(10⁶·N·shared / (n_a·n_b)) of lift = P(a,b) /
+    * (P(a)P(b)) — engine-portable, no FP division in the
+    * aggregation path.
+    *
+    * Scale shape: the input reduces to DISTINCT (basket, item) —
+    * one digest-thin aggregation with map-side combine — then
+    * self-joins on the basket key, so only baskets shared by two
+    * items ever pair. A hot basket with d items contributes d²
+    * pairs, the same quadratic hazard as [[Dedup.jaccardPairs]]'s
+    * shared shingles; `maxBasket` drops baskets above the cap via a
+    * broadcast left-anti join BEFORE the self-join (hot-basket list
+    * is rows/maxBasket entries — broadcastable by construction), and
+    * per-item totals count the SURVIVING interactions so lift stays
+    * exact over the capped table. Item totals are |items|-sized and
+    * join the aggregated PAIRS (orders of magnitude fewer than
+    * interactions) — AQE broadcasts them when runtime size allows. */
+  /** The distinct, hot-capped (bk, item) interaction table [[pairs]]
+    * builds on — public so the cap's join shape (broadcast left-anti)
+    * stays plan-assertable upstream of the pin. */
+  def cappedInteractions(interactions: DataFrame, basketCol: String,
+      itemCol: String, maxBasket: Int): DataFrame = {
+    val base = interactions
+      .select(col(basketCol).as("bk"), col(itemCol).as("item"))
+      .distinct()
+    if (maxBasket <= 0) base
+    else {
+      val hot = base.groupBy("bk").agg(count(lit(1)).as("__d"))
+        .filter(col("__d") > maxBasket)
+        .select("bk")
+      base.join(broadcast(hot), Seq("bk"), "left_anti")
+    }
+  }
+
+  def pairs(interactions: DataFrame, basketCol: String, itemCol: String,
+      minShared: Int = 2, maxBasket: Int = 0): DataFrame = {
+    // the capped interaction table feeds the self-join (both sides)
+    // and the item totals: pin once, like jaccardPairs' survivors
+    val surv = cappedInteractions(interactions, basketCol, itemCol, maxBasket)
+      .localCheckpoint(true)
+    val nBaskets = surv.select(col("bk")).distinct().count()
+    val totals = surv.groupBy("item").agg(count(lit(1)).as("n"))
+    val p = surv.as("a")
+      .join(surv.as("b"),
+        col("a.bk") === col("b.bk") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    p.join(totals.select(col("item").as("item_a"), col("n").as("n_a")), "item_a")
+      .join(totals.select(col("item").as("item_b"), col("n").as("n_b")), "item_b")
+      .withColumn("lift_ppm",
+        expr(s"(1000000 * ${nBaskets}L * n_shared) div (n_a * n_b)"))
+      .select("item_a", "item_b", "n_shared", "n_a", "n_b", "lift_ppm")
+  }
+
+  /** Top-k co-occurring neighbors per item by (n_shared desc, partner
+    * asc) — the serving-table form an item-to-item recommender reads.
+    * Symmetrizes [[pairs]] output and ranks on the bounded heap
+    * aggregate: k rows per item per task cross the shuffle. */
+  def topNeighbors(pairsDf: DataFrame, k: Int): DataFrame = {
+    val sym = pairsDf
+      .select(col("item_a").as("item"), col("item_b").as("partner"),
+        col("n_shared"))
+      .unionByName(pairsDf.select(col("item_b").as("item"),
+        col("item_a").as("partner"), col("n_shared")))
+    Sampling.quotaPerGroup(sym, Seq("item"),
+      col("n_shared").cast("double"), col("partner"), k)
+      .select(col("item"), col("id").as("partner"),
+        col("score").cast("long").as("n_shared"), col("rn"))
+  }
+}

@@ -95,4 +95,35 @@ object Sampling {
     quotaPerGroup(df, groupCols,
       -portableHash(concat(id.cast("string"), lit(":" + salt))).cast("double"),
       id, k)
+
+  /** Weighted fixed-size per-group sample WITHOUT replacement — the
+    * Efraimidis–Spirakis A-ES scheme (IPL 2006: keep the k rows with
+    * the best priority u^(1/w)) with the deterministic portable hash
+    * standing in for the uniform draw, in the monotone-equivalent
+    * integer form: skey = floor(h(id,salt) · 2^20 / max(w, 1)),
+    * keep the k SMALLEST skeys per group. Heavier rows draw
+    * systematically smaller keys, so inclusion probability scales
+    * with weight while membership stays a pure function of
+    * (id, salt, w) — reproducible on any layout, any engine, and
+    * stable under corpus growth elsewhere in the group. The integer
+    * floor keeps the key exact everywhere: h < 2^32 so h·2^20 < 2^52,
+    * below both BIGINT and the 53-bit double mantissa of the heap's
+    * score slot (an FP division here could flip an order at the
+    * quantization boundary between engines).
+    *
+    * Same bounded-heap execution as [[quotaPerGroup]]: at most k rows
+    * per group per task cross the shuffle, so "sample 1000 docs per
+    * source weighted by token count" over a billion-row source moves
+    * k·tasks rows, never the source. Returns (groupCols…, id, skey,
+    * rn) with rn 1..k by (skey asc, id asc). */
+  def weightedPerGroup(df: DataFrame, groupCols: Seq[String], id: Column,
+      weight: Column, k: Int, salt: String = "wsamp"): DataFrame =
+    quotaPerGroup(
+      df.withColumn("__h",
+          portableHash(concat(id.cast("string"), lit(":" + salt))))
+        .withColumn("__w", greatest(weight.cast(LongType), lit(1L)))
+        .withColumn("__skey", expr("(__h * 1048576) div __w")),
+      groupCols, -col("__skey").cast("double"), id, k)
+      .withColumn("skey", -col("score").cast(LongType))
+      .drop("score")
 }

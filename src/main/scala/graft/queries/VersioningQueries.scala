@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.{Centrality, CoOccurrence, Sampling, SnapshotDiff}
+import graft.sources.Tables
+
+/** Round-8 second wave: corpus versioning + the two scale operators
+  * that round out the selection/ranking family — snapshot diffing
+  * (the incremental-ingest primitive), weighted without-replacement
+  * sampling (Efraimidis–Spirakis on the portable hash), and exact
+  * integer PageRank (iterative weighted propagation, the centrality
+  * companion of resolve()'s min-label components). All three are
+  * fully hash-oracled: every stage is integer/string/digest math.
+  */
+object VersioningQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Corpus snapshot diff (q121): two crawl versions derived
+    * deterministically from the documents table (old = ids with
+    * id%10 ≠ 3; new = ids with id%7 ≠ 2, where every id%5 = 0 doc
+    * gained a ' v2' suffix — the extractor-rerun shape), classified
+    * added/removed/changed/unchanged per doc. The engine side
+    * compares md5 digests projected at the scan — document text
+    * never crosses the full-outer join's exchange. */
+  val snapshotDiff: Q = Q(
+    "q121_snapshot_diff",
+    """WITH o AS (SELECT doc_id, md5(text) AS oh FROM documents
+      |           WHERE doc_id % 10 <> 3),
+      |n AS (SELECT doc_id,
+      |             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+      |                      ELSE text END) AS nh
+      |      FROM documents WHERE doc_id % 7 <> 2)
+      |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |       CASE WHEN oh IS NULL THEN 'added'
+      |            WHEN nh IS NULL THEN 'removed'
+      |            WHEN oh <> nh THEN 'changed'
+      |            ELSE 'unchanged' END AS status
+      |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val oldSnap = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+    val newSnap = docs.filter(pmod(col("doc_id"), lit(7)) =!= 2)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    SnapshotDiff.diff(oldSnap, newSnap, "doc_id", "text")
+  }
+
+  /** Snapshot drift report (q122): the same diff rolled up per
+    * (source, status) — the monitor a production ingest watches for
+    * extractor breakage (changed spike) or crawl collapse (removed
+    * spike) before a bad snapshot reaches training. */
+  val snapshotDriftReport: Q = Q(
+    "q122_snapshot_drift",
+    """WITH o AS (SELECT doc_id, source, md5(text) AS oh FROM documents
+      |           WHERE doc_id % 10 <> 3),
+      |n AS (SELECT doc_id, source,
+      |             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+      |                      ELSE text END) AS nh
+      |      FROM documents WHERE doc_id % 7 <> 2)
+      |SELECT coalesce(n.source, o.source) AS source,
+      |       CASE WHEN oh IS NULL THEN 'added'
+      |            WHEN nh IS NULL THEN 'removed'
+      |            WHEN oh <> nh THEN 'changed'
+      |            ELSE 'unchanged' END AS status,
+      |       count(*) AS n_docs
+      |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      |GROUP BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val oldSnap = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+    val newSnap = docs.filter(pmod(col("doc_id"), lit(7)) =!= 2)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    SnapshotDiff.diffReport(oldSnap, newSnap, "doc_id", "text", "source")
+  }
+
+  /** Weighted without-replacement sample (q123): 5 docs per source
+    * drawn ∝ n_chars (Efraimidis–Spirakis A-ES, deterministic
+    * integer form — skey = floor(h·2^20 / w), k smallest win).
+    * Bounded-heap execution: k rows per source per task cross the
+    * shuffle, never the source. */
+  val weightedSample: Q = Q(
+    "q123_weighted_sample",
+    """WITH d AS (SELECT source, doc_id, greatest(n_chars, 1) AS w,
+      |                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsamp'), 1, 8)
+      |                       AS BIGINT) AS h
+      |           FROM documents),
+      |k AS (SELECT source, doc_id, (h * 1048576) // w AS skey,
+      |             row_number() OVER (PARTITION BY source
+      |                  ORDER BY (h * 1048576) // w ASC, doc_id ASC) AS rn
+      |      FROM d)
+      |SELECT source, doc_id, CAST(skey AS BIGINT) AS skey,
+      |       CAST(rn AS BIGINT) AS rn
+      |FROM k WHERE rn <= 5""".stripMargin
+  ) { (s, dir) =>
+    Sampling.weightedPerGroup(
+      t(s, dir, "documents").select("source", "doc_id", "n_chars"),
+      Seq("source"), col("doc_id"), col("n_chars"), k = 5)
+      .select(col("source"), col("id").as("doc_id"), col("skey"), col("rn"))
+  }
+
+  /** Co-purchase centrality (q124): exact integer PageRank, 3
+    * iterations, over the symmetric customer–part bipartite graph
+    * from orders ⋈ lineitem (customers encode as 2·custkey, parts as
+    * 2·partkey+1 — 8-byte join keys, no string node ids). The
+    * hash-oracled probe of the iterative propagation loop; FP
+    * PageRank could not oracle (addition order) — the integer form
+    * is bit-stable on any layout and any engine. */
+  val copurchaseRank: Q = Q(
+    "q124_copurchase_rank",
+    """WITH pp AS (SELECT DISTINCT o.o_custkey * 2 AS c, l.l_partkey * 2 + 1 AS p
+      |            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |e AS (SELECT c AS src, p AS dst FROM pp
+      |      UNION ALL SELECT p AS src, c AS dst FROM pp),
+      |od AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+      |nd AS (SELECT DISTINCT src AS id FROM e),
+      |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nd),
+      |p1 AS (SELECT nd.id, 150000 + coalesce(s.inflow, 0) AS pr
+      |       FROM nd LEFT JOIN (
+      |         SELECT e.dst AS id, sum((8500 * p0.pr) // (10000 * od.d)) AS inflow
+      |         FROM e JOIN od USING (src) JOIN p0 ON p0.id = e.src
+      |         GROUP BY e.dst) s USING (id)),
+      |p2 AS (SELECT nd.id, 150000 + coalesce(s.inflow, 0) AS pr
+      |       FROM nd LEFT JOIN (
+      |         SELECT e.dst AS id, sum((8500 * p1.pr) // (10000 * od.d)) AS inflow
+      |         FROM e JOIN od USING (src) JOIN p1 ON p1.id = e.src
+      |         GROUP BY e.dst) s USING (id)),
+      |p3 AS (SELECT nd.id, 150000 + coalesce(s.inflow, 0) AS pr
+      |       FROM nd LEFT JOIN (
+      |         SELECT e.dst AS id, sum((8500 * p2.pr) // (10000 * od.d)) AS inflow
+      |         FROM e JOIN od USING (src) JOIN p2 ON p2.id = e.src
+      |         GROUP BY e.dst) s USING (id))
+      |SELECT id, CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'part' END AS kind,
+      |       id // 2 AS key, CAST(pr AS BIGINT) AS pr
+      |FROM p3""".stripMargin
+  ) { (s, dir) =>
+    val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_partkey") * 2 + 1).as("p"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+      .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
+    Centrality.integerPageRank(edges, iters = 3)
+      .select(col("id"),
+        when(pmod(col("id"), lit(2)) === 0, lit("customer"))
+          .otherwise(lit("part")).as("kind"),
+        expr("id div 2").as("key"),
+        col("pr").cast(LongType).as("pr"))
+  }
+
+  /** Basket co-occurrence pairs (q125): parts bought together within
+    * an order, support ≥ 2 baskets, exact integer lift in ppm — the
+    * item-based CF pair table. Baskets (orders) are naturally
+    * small here so the hot-basket cap stays off; the cap's behavior
+    * is spec'd separately (VersioningSpec). */
+  val copurchasePairs: Q = Q(
+    "q125_copurchase_pairs",
+    """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+      |           FROM lineitem),
+      |t AS (SELECT item, count(*) AS n FROM b GROUP BY item),
+      |nb AS (SELECT count(DISTINCT bk) AS nbk FROM b),
+      |p AS (SELECT a.item AS item_a, c.item AS item_b,
+      |             count(*) AS n_shared
+      |      FROM b a JOIN b c ON a.bk = c.bk AND a.item < c.item
+      |      GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT item_a, item_b, CAST(n_shared AS BIGINT) AS n_shared,
+      |       CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+      |       (1000000 * nb.nbk * n_shared) // (ta.n * tb.n) AS lift_ppm
+      |FROM p
+      |JOIN t ta ON ta.item = p.item_a
+      |JOIN t tb ON tb.item = p.item_b
+      |CROSS JOIN nb""".stripMargin
+  ) { (s, dir) =>
+    CoOccurrence.pairs(
+      t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+      "l_orderkey", "l_partkey", minShared = 2)
+  }
+
+  /** Item-to-item serving table (q126): top-3 co-occurring partners
+    * per part by (shared baskets desc, partner asc) on the bounded
+    * heap — the precomputed neighbor list a recommender reads, ranked
+    * without a window over every pair row. */
+  val copurchaseNeighbors: Q = Q(
+    "q126_copurchase_neighbors",
+    """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+      |           FROM lineitem),
+      |p AS (SELECT a.item AS item_a, c.item AS item_b,
+      |             count(*) AS n_shared
+      |      FROM b a JOIN b c ON a.bk = c.bk AND a.item < c.item
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |s AS (SELECT item_a AS item, item_b AS partner, n_shared FROM p
+      |      UNION ALL
+      |      SELECT item_b AS item, item_a AS partner, n_shared FROM p),
+      |r AS (SELECT item, partner, CAST(n_shared AS BIGINT) AS n_shared,
+      |             CAST(row_number() OVER (PARTITION BY item
+      |                  ORDER BY n_shared DESC, partner ASC) AS BIGINT) AS rn
+      |      FROM s)
+      |SELECT item, partner, n_shared, rn FROM r WHERE rn <= 3""".stripMargin
+  ) { (s, dir) =>
+    CoOccurrence.topNeighbors(
+      CoOccurrence.pairs(
+        t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey", minShared = 2),
+      k = 3)
+  }
+
+  val all: Seq[Q] = Seq(snapshotDiff, snapshotDriftReport, weightedSample,
+    copurchaseRank, copurchasePairs, copurchaseNeighbors)
+}

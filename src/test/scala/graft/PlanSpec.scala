@@ -597,4 +597,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "label-total join does not broadcast")
   }
+
+  test("q121/q122: snapshot diff shuffles 16-byte digests, never document text") {
+    for (name <- Seq("q121_snapshot_diff", "q122_snapshot_drift")) {
+      val p = plan(name)
+      // both sides project (doc_id, md5) AT the scan; the full-outer
+      // join partitions on doc_id — text must not reach an exchange
+      assert(!p.contains("hashpartitioning(text#"),
+        s"$name shuffles raw document text")
+      assert(p.contains("FullOuter"), s"$name lost the full-outer diff join")
+      assert(!p.contains("Window"), s"$name planned a window")
+    }
+    // the drift report's rollup aggregates with a map-side phase
+    assert("HashAggregate".r.findAllIn(plan("q122_snapshot_drift")).size >= 2,
+      "q122 rollup lacks a map-side phase")
+  }
+
+  test("q123: weighted sample ranks on the bounded heap, not a window") {
+    val p = plan("q123_weighted_sample")
+    assert(p.contains("ObjectHashAggregate"),
+      "q123 lost the bounded top-k aggregate")
+    assert(!p.contains("Window"),
+      "q123 ranks with a window over every group row")
+  }
+
+  test("q125: co-occurrence is a basket equi-join with map-side pair rollup") {
+    val p = plan("q125_copurchase_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "q125 degenerated to all-pairs")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "pair rollup lacks a map-side phase")
+    assert(!p.contains("Window"), "q125 planned a window")
+  }
 }
