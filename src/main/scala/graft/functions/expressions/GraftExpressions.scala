@@ -592,6 +592,9 @@ object GraftExpressions {
     ColumnBridge.column(TopKByScore(ColumnBridge.expression(score),
       ColumnBridge.expression(id), k).toAggregateExpression())
 
+  def bpeEncode(words: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeEncode(ColumnBridge.expression(words), merges))
+
   /** Register for SQL use (`SELECT graft_dot_q(a, b)`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
