@@ -136,6 +136,26 @@ object Stress {
         graft.operators.Dedup.portableMinhashLshPairs(corpus, "text", "doc_id",
           threshold = 0.5))
     }
+    stage("snapshot_diff") {
+      // old = corpus; new drops every 7th doc and perturbs every 5th —
+      // the digest-only full-outer diff must scale with doc COUNT, not
+      // text volume (text never crosses its exchange)
+      val newSnap = corpus.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      graft.operators.SnapshotDiff.diff(corpus, newSnap, "doc_id", "text")
+    }
+    stage("bpe_train_encode") {
+      // family-salted words make every family's vocab disjoint, so the
+      // DISTINCT word table grows with the corpus — exactly the case
+      // the TakeOrderedAndProject vocab cap exists for; the stage
+      // times train (count+cap+merge loop) AND the full re-encode
+      val merges = graft.operators.Bpe.learnMerges(corpus, "text",
+        numMerges = 40, maxWords = 20000)
+      graft.operators.Bpe.encode(corpus, "text", merges)
+        .select(col("doc_id"), size(col("subwords")).as("n_subwords"))
+    }
     stage("bloom_decontaminate") {
       def grams(df: DataFrame): DataFrame = df
         .select(col("doc_id"),

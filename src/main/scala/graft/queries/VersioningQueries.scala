@@ -212,6 +212,64 @@ object VersioningQueries {
       k = 3)
   }
 
+  /** Incremental reprocess (q130): the pipeline [[SnapshotDiff]]
+    * exists to enable — only the added+changed slice of the new
+    * snapshot is reprocessed, here through exact-digest dedup against
+    * the UNCHANGED remainder (the "existing store"): a slice doc
+    * whose content digest already exists among unchanged docs is a
+    * re-post, not new content. Per-source report of (slice docs,
+    * dups-of-existing, net-new). Every stage is digest math — the
+    * whole incremental path hash-oracles, and no stage ever rescans
+    * the unchanged corpus text beyond its digest projection. */
+  val incrementalReprocess: Q = Q(
+    "q130_incremental_reprocess",
+    """WITH o AS (SELECT doc_id, md5(text) AS oh FROM documents
+      |           WHERE doc_id % 10 <> 3),
+      |n AS (SELECT doc_id, source,
+      |             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+      |                      ELSE text END) AS nh
+      |      FROM documents WHERE doc_id % 7 <> 2),
+      |d AS (SELECT n.doc_id, n.source, n.nh,
+      |             CASE WHEN o.doc_id IS NULL THEN 'added'
+      |                  WHEN o.oh <> n.nh THEN 'changed'
+      |                  ELSE 'unchanged' END AS status
+      |      FROM n LEFT JOIN o ON o.doc_id = n.doc_id),
+      |store AS (SELECT DISTINCT nh FROM d WHERE status = 'unchanged'),
+      |slice AS (SELECT d.doc_id, d.source, d.nh, d.status,
+      |                 (store.nh IS NOT NULL) AS dup_existing
+      |          FROM d LEFT JOIN store USING (nh)
+      |          WHERE d.status <> 'unchanged')
+      |SELECT source, count(*) AS n_slice,
+      |       CAST(sum(CASE WHEN dup_existing THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_dup_of_existing,
+      |       CAST(sum(CASE WHEN dup_existing THEN 0 ELSE 1 END) AS BIGINT)
+      |         AS n_net_new
+      |FROM slice GROUP BY source""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val oldSnap = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+      .select(col("doc_id"), md5(col("text")).as("oh"))
+    val newSnap = docs.filter(pmod(col("doc_id"), lit(7)) =!= 2)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("source"), md5(col("text")).as("nh"))
+    val d = newSnap.join(oldSnap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("nh"),
+        when(col("oh").isNull, lit("added"))
+          .when(col("oh") =!= col("nh"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+    val store = d.filter(col("status") === "unchanged")
+      .select(col("nh")).distinct()
+    d.filter(col("status") =!= "unchanged")
+      .join(store.withColumn("__hit", lit(true)), Seq("nh"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_slice"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_dup_of_existing"),
+        sum(when(col("__hit"), 0L).otherwise(1L)).as("n_net_new"))
+  }
+
   val all: Seq[Q] = Seq(snapshotDiff, snapshotDriftReport, weightedSample,
-    copurchaseRank, copurchasePairs, copurchaseNeighbors)
+    copurchaseRank, copurchasePairs, copurchaseNeighbors,
+    incrementalReprocess)
 }
