@@ -25,7 +25,7 @@ object Dedup {
     * into a left-anti join. `maxDf <= 0` disables the cap. All the
     * capped candidate generators (jaccard, winnow, simhash,
     * edit-distance) route here. */
-  private def dropHotKeys(df: DataFrame, keyCols: Seq[String],
+  private[operators] def dropHotKeys(df: DataFrame, keyCols: Seq[String],
       maxDf: Int): DataFrame =
     if (maxDf <= 0) df
     else {

@@ -6,7 +6,8 @@ package graft.queries
 object Registry {
   val all: Seq[Q] = RelationalQueries.all ++ AnalyticQueries.all ++
     LlmQueries.all ++ ChartQueries.all ++ PipelineQueries.all ++
-    ExtensionQueries.all ++ VersioningQueries.all ++ TokenizerQueries.all
+    ExtensionQueries.all ++ VersioningQueries.all ++ TokenizerQueries.all ++
+    CurationQueries.all
 
   def byName(name: String): Q = all.find(_.name == name).get
 }

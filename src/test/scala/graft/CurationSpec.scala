@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Linkage, Sampling}
+import graft.queries.CurationQueries
+
+class CurationSpec extends SparkSpec {
+
+  test("blockedLink: matches within blocks under threshold, df-caps hot blocks") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "Customer#000000001", "000000001"),
+      (2L, "Customer#000000002", "000000002"),
+      (3L, "Customer#000000099", "000000099"), // no right-side block
+      (4L, "Totally#Different1", "000000001")  // same block, too far
+    ).toDF("id", "txt", "blk")
+    val right = Seq(
+      (11L, "Supplier#000000001", "000000001"),
+      (12L, "Supplier#000000002", "000000002")
+    ).toDF("id", "txt", "blk")
+    val got = Linkage.blockedLink(left, right, maxEd = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet === Set((1L, 11L), (2L, 12L)))
+    assert(got((1L, 11L)) === 5L) // Customer# vs Supplier#
+    // "Totally#Different1" vs "Supplier#000000001" exceeds maxEd
+    assert(!got.keySet.exists(_._1 == 4L))
+  }
+
+  test("blockedLink: df-cap drops a hot block on either side") {
+    import spark.implicits._
+    val left = (1L to 10L).map(i => (i, s"name$i", "HOT"))
+      .toDF("id", "txt", "blk")
+    val right = Seq((100L, "name1", "HOT")).toDF("id", "txt", "blk")
+    assert(Linkage.blockedLink(left, right, maxEd = 6, maxDf = 5).isEmpty)
+    assert(Linkage.blockedLink(left, right, maxEd = 6, maxDf = 0).count() > 0)
+  }
+
+  test("rate anomaly: flags an injected spike, needs 7 warm-up days") {
+    import spark.implicits._
+    // 10 flat days then a 10x spike on day 11; counts per day below
+    val rows = for {
+      d <- 1 to 11
+      i <- 1 to (if (d == 11) 100 else 10)
+    } yield (Date.valueOf(f"2024-01-$d%02d"), "click", i)
+    val ev = rows.toDF("day", "event_type", "i")
+      .select(col("day").cast("timestamp").as("ts"), col("event_type"))
+    val d = ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val tw = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    val flagged = d.withColumn("s", sum(col("n")).over(tw))
+      .withColumn("ss", sum(col("n") * col("n")).over(tw))
+      .withColumn("k", count(lit(1)).over(tw))
+      .filter(col("k") === 7 &&
+        (lit(7) * col("n") - col("s")) * (lit(7) * col("n") - col("s")) >
+          lit(4) * (lit(7) * col("ss") - col("s") * col("s")))
+      .select("day").as[Date].collect().toSet
+    assert(flagged === Set(Date.valueOf("2024-01-11")))
+  }
+
+  test("cluster split: every dup-cluster member lands in the same split") {
+    val docs = sources.Tables.load(spark, sf, "documents")
+    val labels = Dedup.resolve(Dedup.jaccardPairs(
+      Dedup.shingleProjection(docs, "text", "doc_id"),
+      threshold = 0.5, maxDf = 1000))
+    val assigned = docs.select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("split", Sampling.splitColumn(col("canonical_id")))
+    // zero clusters straddle a split boundary
+    val straddling = assigned.groupBy("canonical_id")
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1)
+    assert(straddling.isEmpty)
+    // and the assignment is total: one row per document
+    assert(assigned.count() === docs.count())
+  }
+
+  test("quality canonical: longest member wins, ties to lowest id") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "canonical_id")
+    val chars = Seq((1L, 10L), (2L, 50L), (3L, 50L)).toDF("doc_id", "n_chars")
+    val got = labels.join(chars, Seq("doc_id"))
+      .groupBy("canonical_id")
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("canonical_id"), (-col("m.nid")).as("best_id"),
+        col("m.n_chars").as("best_chars"), col("n_members"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 2L, 50L, 3L)))
+  }
+
+  test("curation queries run on sf0.001 and return sane shapes") {
+    for (q <- CurationQueries.all) {
+      val df = q.fn(spark, sf)
+      assert(df.columns.nonEmpty, q.name)
+      df.collect() // must execute without error
+    }
+  }
+}
