@@ -161,10 +161,15 @@ object CurationQueries {
     * [[Dedup.resolve]]'s lowest-id winner — the curation policy real
     * pipelines want, because the lowest-id copy is often the
     * truncated or boilerplate-wrapped one and the longest retains the
-    * most content. One `max(struct(quality, −id))` per cluster — an
-    * arg-max that partially aggregates map-side (no window, no
-    * per-cluster sort); cluster count and membership come from the
-    * same resolution pass as q44/q133. */
+    * most content. The arg-max is `TopKByScore` at k=1 (score = char
+    * count descending, doc_id ascending on ties — deterministic): it
+    * partially aggregates map-side in an ObjectHashAggregate, one
+    * (score, id) pair per cluster per task crossing the wire. The
+    * built-in alternatives both lose the hash aggregate here —
+    * `max(struct)` and `max_by(_, struct)` carry a struct buffer,
+    * which isn't hash-mutable, so Catalyst falls back to
+    * SortAggregate's per-partition sort. Cluster membership comes
+    * from the same resolution pass as q44/q133. */
   val qualityCanonical: Q = Q(
     "q134_quality_canonical",
     """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -205,12 +210,16 @@ object CurationQueries {
     val labels = Dedup.resolve(Dedup.jaccardPairs(
       Dedup.shingleProjection(docs, "text", "doc_id"),
       threshold = 0.5, maxDf = 1000))
+    import graft.functions.expressions.{GraftExpressions => E}
     labels.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
       .groupBy("canonical_id")
-      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("m"),
+      .agg(E.topKByScore(col("n_chars").cast("double"), col("doc_id"), 1)
+          .as("tk"),
+        max(col("n_chars")).as("best_chars"),
         count(lit(1)).as("n_members"))
-      .select(col("canonical_id"), (-col("m.nid")).as("best_id"),
-        col("m.n_chars").as("best_chars"), col("n_members"))
+      .select(col("canonical_id"),
+        element_at(col("tk"), 1).getField("id").as("best_id"),
+        col("best_chars"), col("n_members"))
   }
 
   val all: Seq[Q] = Seq(rateAnomaly, recordLinkage, clusterSplit,

@@ -84,12 +84,16 @@ class CurationSpec extends SparkSpec {
     import spark.implicits._
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "canonical_id")
     val chars = Seq((1L, 10L), (2L, 50L), (3L, 50L)).toDF("doc_id", "n_chars")
+    import graft.functions.expressions.{GraftExpressions => E}
     val got = labels.join(chars, Seq("doc_id"))
       .groupBy("canonical_id")
-      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("m"),
+      .agg(E.topKByScore(col("n_chars").cast("double"), col("doc_id"), 1)
+          .as("tk"),
+        max(col("n_chars")).as("best_chars"),
         count(lit(1)).as("n_members"))
-      .select(col("canonical_id"), (-col("m.nid")).as("best_id"),
-        col("m.n_chars").as("best_chars"), col("n_members"))
+      .select(col("canonical_id"),
+        element_at(col("tk"), 1).getField("id").as("best_id"),
+        col("best_chars"), col("n_members"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === Seq((1L, 2L, 50L, 3L)))
   }

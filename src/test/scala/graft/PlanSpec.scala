@@ -630,4 +630,41 @@ class PlanSpec extends SparkSpec {
       "pair rollup lacks a map-side phase")
     assert(!p.contains("Window"), "q125 planned a window")
   }
+
+  test("q131: anomaly window runs over the calendar-bounded daily series") {
+    val p = plan("q131_rate_anomaly")
+    // the event-volume aggregation compresses map-side BEFORE the
+    // window; the window itself sees (type, day) rows only
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "daily rollup lacks a map-side phase")
+    assert(p.contains("Window"), "trailing-window frame missing")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "q131 planned a join — it is aggregation + window only")
+  }
+
+  test("q132: linkage is a block equi-join, never a name cross product") {
+    val p = plan("q132_record_linkage")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "q132 degenerated to all-pairs")
+    assert(!p.contains("Window"), "q132 planned a window")
+  }
+
+  test("q133: split is a pure projection of the canonical id — no extra shuffle") {
+    val p = plan("q133_cluster_split")
+    // exactly one corpus-sized join attaches labels; the split CASE
+    // must not introduce a window or an additional exchange
+    assert(!p.contains("Window"), "q133 planned a window")
+  }
+
+  test("q134: canonical selection is an arg-max aggregate, not a per-cluster sort") {
+    val p = plan("q134_quality_canonical")
+    assert(!p.contains("Window"), "q134 ranks with a window")
+    // max_by plans as ObjectHashAggregate (hash-based partial+final);
+    // max(struct) would fall back to SortAggregate's per-partition sort
+    assert(p.contains("ObjectHashAggregate"),
+      "arg-max lost the hash-based aggregate")
+    assert(!p.contains("SortAggregate"),
+      "q134 fell back to a sort-based aggregate")
+  }
 }
