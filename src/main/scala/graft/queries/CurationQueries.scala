@@ -222,6 +222,111 @@ object CurationQueries {
         col("best_chars"), col("n_members"))
   }
 
+  /** SimHash threshold calibration (q135): for every candidate pair
+    * the exact-Jaccard generator finds at a LOW threshold (0.3 — wide
+    * net on purpose), bucket by the Hamming distance of the pair's
+    * 45-bit polynomial SimHash signatures and report pair count +
+    * mean exact Jaccard per bucket — the calibration curve that
+    * answers "which Hamming cutoff equals Jaccard 0.8 on MY corpus"
+    * before anyone flips q29's production threshold. Composes two
+    * audited families (q27 candidates, q61 signatures); per-pair
+    * Jaccard quantizes to integer ppm before the rollup, so the mean
+    * is an identical exact-int-then-divide chain in both engines.
+    * Costs one signature projection joined onto the pair endpoints —
+    * pair-sized, not corpus-sized. */
+  val simhashCalibration: Q = Q(
+    "q135_simhash_calibration",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      |       FROM w WHERE len(ws) >= 3),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jac AS (SELECT doc_a, doc_b,
+      |               CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |        FROM pairs
+      |        JOIN sizes sa ON doc_a = sa.doc_id
+      |        JOIN sizes sb ON doc_b = sb.doc_id
+      |        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.3),
+      |h AS (SELECT doc_id,
+      |        unnest(list_transform(ws, s -> list_reduce(
+      |          list_prepend(CAST(7 AS BIGINT),
+      |            list_transform(range(1, length(s) + 1),
+      |              i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+      |          (acc, c) -> (acc * 131 + c) % 35184372088777))) AS h
+      |      FROM w),
+      |v AS (SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS vote
+      |      FROM h, (SELECT unnest(range(0, 45)) AS b) bits
+      |      GROUP BY 1, 2),
+      |sig AS (SELECT doc_id,
+      |          CAST(sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << b
+      |                        ELSE 0 END) AS BIGINT) AS s45
+      |        FROM v GROUP BY doc_id)
+      |SELECT CAST(bit_count(xor(sa.s45, sb.s45)) AS BIGINT) AS hamming,
+      |       count(*) AS n_pairs,
+      |       CAST(sum(CAST(round(jaccard * 1000000) AS BIGINT)) AS DOUBLE)
+      |         / 1000000 / count(*) AS avg_jaccard
+      |FROM jac JOIN sig sa ON jac.doc_a = sa.doc_id
+      |         JOIN sig sb ON jac.doc_b = sb.doc_id
+      |GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.jaccardPairs(
+      Dedup.shingleProjection(docs, "text", "doc_id"),
+      threshold = 0.3, maxDf = 1000)
+    val sig = Dedup.polySimhash45(docs, "text", "doc_id")
+    pairs
+      .join(sig.select(col("doc_id").as("doc_a"), col("simhash45").as("sa")),
+        "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("simhash45").as("sb")),
+        "doc_b")
+      .select(expr("cast(bit_count(sa ^ sb) as bigint)").as("hamming"),
+        round(col("jaccard") * 1000000).cast("long").as("jppm"))
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("jppm")).as("sppm"))
+      .select(col("hamming"), col("n_pairs"),
+        (col("sppm").cast("double") / 1000000 / col("n_pairs"))
+          .as("avg_jaccard"))
+  }
+
+  /** Per-entity quota cap (q136): keep each user's first 3 events per
+    * day — the rate-limit / spam-cap primitive (bot storms, runaway
+    * clients, per-author contribution caps in a crawl). Ranking runs
+    * on the bounded `TopKByScore` heap with score = −epoch-µs (ties
+    * to the lowest event id), so each map task ships at most 3 rows
+    * per (user, day) group and no window ever sees the full event
+    * volume — the per-group-bounded shape `row_number().over(...)`
+    * windows lack. µs precision matches the oracle's TIMESTAMP
+    * exactly (nanos would overflow the double's 2⁵³ integer range;
+    * epoch-µs ≈ 1.7·10¹⁵ stays exact). */
+  val eventQuota: Q = Q(
+    "q136_event_quota",
+    """WITH r AS (SELECT user_id, CAST(ts AS DATE) AS day, event_id,
+      |             row_number() OVER (
+      |               PARTITION BY user_id, CAST(ts AS DATE)
+      |               ORDER BY epoch_us(ts), event_id) AS rk
+      |           FROM events)
+      |SELECT user_id, day, CAST(rk AS BIGINT) AS rk, event_id
+      |FROM r WHERE rk <= 3""".stripMargin
+  ) { (s, dir) =>
+    import graft.functions.expressions.{GraftExpressions => E}
+    t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_id"),
+        expr("ts_ns div 1000").as("us"))
+      .groupBy("user_id", "day")
+      .agg(E.topKByScore((-col("us")).cast("double"), col("event_id"), 3)
+        .as("tk"))
+      .select(col("user_id"), col("day"),
+        posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("user_id"), col("day"),
+        (col("pos") + 1).cast("long").as("rk"), col("p.id").as("event_id"))
+  }
+
   val all: Seq[Q] = Seq(rateAnomaly, recordLinkage, clusterSplit,
-    qualityCanonical)
+    qualityCanonical, simhashCalibration, eventQuota)
 }

@@ -98,6 +98,25 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L, 50L, 3L)))
   }
 
+  test("event quota: keeps the first k by time, ties to lowest id, caps at k") {
+    import spark.implicits._
+    import graft.functions.expressions.{GraftExpressions => E}
+    // user 1: five events one day (two tied at t=2); user 2: two events
+    val ev = Seq(
+      (1L, 10L, 5L), (1L, 2L, 9L), (1L, 2L, 4L), (1L, 7L, 1L), (1L, 30L, 2L),
+      (2L, 5L, 6L), (2L, 6L, 7L)
+    ).toDF("user_id", "us", "event_id")
+    val kept = ev.groupBy("user_id")
+      .agg(E.topKByScore((-col("us")).cast("double"), col("event_id"), 3)
+        .as("tk"))
+      .select(col("user_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("user_id"), (col("pos") + 1).as("rk"), col("p.id").as("eid"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // user 1: t=2 twice (ids 4, 9 — id asc breaks the tie), then t=7
+    assert(kept === Set((1L, 1, 4L), (1L, 2, 9L), (1L, 3, 1L),
+      (2L, 1, 6L), (2L, 2, 7L)))
+  }
+
   test("curation queries run on sf0.001 and return sane shapes") {
     for (q <- CurationQueries.all) {
       val df = q.fn(spark, sf)

@@ -657,6 +657,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "q133 planned a window")
   }
 
+  test("q135: calibration joins signatures onto pairs — pair-sized, no window") {
+    val p = plan("q135_simhash_calibration")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "q135 degenerated to all-pairs")
+    assert(!p.contains("Window"), "q135 planned a window")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "bucket rollup lacks a map-side phase")
+  }
+
+  test("q136: quota ranks on the bounded heap, not a per-group window") {
+    val p = plan("q136_event_quota")
+    assert(p.contains("ObjectHashAggregate"),
+      "q136 lost the bounded top-k aggregate")
+    assert(!p.contains("Window"),
+      "q136 ranks with a window over every event row")
+  }
+
   test("q134: canonical selection is an arg-max aggregate, not a per-cluster sort") {
     val p = plan("q134_quality_canonical")
     assert(!p.contains("Window"), "q134 ranks with a window")
