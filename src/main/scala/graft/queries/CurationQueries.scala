@@ -327,6 +327,104 @@ object CurationQueries {
         (col("pos") + 1).cast("long").as("rk"), col("p.id").as("event_id"))
   }
 
+  /** Readability scoring per source (q137): Flesch reading-ease over
+    * the classic integer proxies — syllables ≈ vowel-group runs (min 1
+    * per word), sentences ≈ terminator characters (min 1 per doc) —
+    * the grade-level quality feature a curation mix reads next to
+    * q66's LM perplexity (they disagree exactly on the interesting
+    * docs: fluent-but-dense vs simple-but-garbled). Per-doc scores
+    * quantize to milli-points BEFORE the per-source mean, so the
+    * rollup sums exact integers (double sums are shuffle-order-
+    * dependent; this isn't). The vowel-run count is one
+    * `regexp_extract_all` per word inside a HOF over the word array —
+    * rides the scan, no extra shuffle beyond the source rollup. */
+  val readability: Q = Q(
+    "q137_readability",
+    """WITH d AS (SELECT source, string_split(text, ' ') AS ws,
+      |             greatest(1, length(regexp_replace(text, '[^.!?]', '', 'g')))
+      |               AS n_sent
+      |           FROM documents),
+      |m AS (SELECT source,
+      |        CAST(len(ws) AS BIGINT) AS n_words, n_sent,
+      |        CAST(list_sum(list_transform(ws, w -> greatest(1,
+      |          CAST(len(regexp_extract_all(lower(w), '[aeiou]+')) AS BIGINT))))
+      |          AS BIGINT) AS n_syll
+      |      FROM d WHERE len(ws) > 0),
+      |f AS (SELECT source,
+      |        CAST(round((206.835
+      |          - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+      |          - 84.6 * (CAST(n_syll AS DOUBLE) / n_words)) * 1000)
+      |          AS BIGINT) AS fk
+      |      FROM m)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(fk) AS BIGINT) AS sum_fk_milli,
+      |       CAST(sum(fk) AS DOUBLE) / 1000 / count(*) AS avg_flesch
+      |FROM f GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    import graft.functions.{TextFunctions => T}
+    val d = t(s, dir, "documents")
+      .select(col("source"), T.words(col("text")).as("ws"),
+        greatest(lit(1),
+          length(regexp_replace(col("text"), "[^.!?]", ""))).as("n_sent"))
+      .filter(size(col("ws")) > 0)
+      .select(col("source"), size(col("ws")).cast("long").as("n_words"),
+        col("n_sent"),
+        aggregate(
+          transform(col("ws"), w => greatest(lit(1L),
+            size(regexp_extract_all(lower(w), lit("[aeiou]+"), lit(0)))
+              .cast("long"))),
+          lit(0L), (acc, x) => acc + x).as("n_syll"))
+    d.select(col("source"),
+        round((lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sent"))
+          - lit(84.6) * (col("n_syll").cast("double") / col("n_words")))
+          * 1000).cast("long").as("fk"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("fk")).as("sum_fk_milli"))
+      .select(col("source"), col("n_docs"), col("sum_fk_milli"),
+        (col("sum_fk_milli").cast("double") / 1000 / col("n_docs"))
+          .as("avg_flesch"))
+  }
+
+  /** Event-transition matrix (q138): first-order Markov statistics
+    * over each user's time-ordered event stream — (previous type →
+    * current type) counts and integer-ppm conditional probabilities,
+    * the session-model a product-analytics layer fits (and the event
+    * analogue of q65's word-bigram LM). The lag window partitions by
+    * USER — per-partition volume is one user's own activity, bounded
+    * by behavior, never by corpus growth (the same bounded-partition
+    * class as q136's groups) — and the transition rollup + row totals
+    * are two combiner-compressed aggregations joined on the 25-row
+    * type-pair table. p_ppm is exact integer division. */
+  val eventTransitions: Q = Q(
+    "q138_event_transitions",
+    """WITH o AS (SELECT user_id, event_type,
+      |             lag(event_type) OVER (PARTITION BY user_id
+      |               ORDER BY epoch_us(ts), event_id) AS prev
+      |           FROM events),
+      |c AS (SELECT prev, event_type AS curr, count(*) AS n_trans
+      |      FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT prev, sum(n_trans) AS tt FROM c GROUP BY 1)
+      |SELECT c.prev, c.curr, c.n_trans,
+      |       CAST(c.n_trans * 1000000 // tot.tt AS BIGINT) AS p_ppm
+      |FROM c JOIN tot ON c.prev = tot.prev""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    val o = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts_ns div 1000").as("us"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val c = o.groupBy(col("prev"), col("event_type").as("curr"))
+      .agg(count(lit(1)).as("n_trans"))
+    val tot = c.groupBy("prev").agg(sum(col("n_trans")).as("tt"))
+    c.join(tot, Seq("prev"))
+      .select(col("prev"), col("curr"), col("n_trans"),
+        expr("n_trans * 1000000 div tt").as("p_ppm"))
+  }
+
   val all: Seq[Q] = Seq(rateAnomaly, recordLinkage, clusterSplit,
-    qualityCanonical, simhashCalibration, eventQuota)
+    qualityCanonical, simhashCalibration, eventQuota, readability,
+    eventTransitions)
 }

@@ -675,6 +675,23 @@ class PlanSpec extends SparkSpec {
       "q136 ranks with a window over every event row")
   }
 
+  test("q137: readability rides the scan — one rollup, no join, no window") {
+    val p = plan("q137_readability")
+    assert(!p.contains("Window"), "q137 planned a window")
+    assert(!p.contains("Join"), "q137 planned a join")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "source rollup lacks a map-side phase")
+  }
+
+  test("q138: transition lag partitions by user; totals join is pair-table-sized") {
+    val p = plan("q138_event_transitions")
+    // the lag window must be partitioned (per-user, behavior-bounded),
+    // never a global single-partition sort
+    assert(p.contains("Window"), "lag window missing")
+    assert(!p.contains("SinglePartition"),
+      "q138 planned a partition-less window")
+  }
+
   test("q134: canonical selection is an arg-max aggregate, not a per-cluster sort") {
     val p = plan("q134_quality_canonical")
     assert(!p.contains("Window"), "q134 ranks with a window")
