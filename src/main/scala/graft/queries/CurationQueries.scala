@@ -424,7 +424,79 @@ object CurationQueries {
         expr("n_trans * 1000000 div tt").as("p_ppm"))
   }
 
+  /** Data-validation report (q139): the Deequ-style constraint gate a
+    * pipeline runs on every ingested batch BEFORE anything downstream
+    * trains — null keys, domain violations, range breaches, primary-
+    * key duplication, and foreign-key orphans, as one report row per
+    * check. Scale shape: all row-local checks evaluate in ONE
+    * combiner-compressed aggregation pass over the fact table (each
+    * check is a `sum(when(...))` column — the scan is paid once, not
+    * per check); PK duplication is the same pass's two-phase distinct
+    * count; the FK check is one left-anti probe of the id projection
+    * against the (broadcastable) orders key set. The report is
+    * check-count-sized — a dashboard row, not data. */
+  val dataValidation: Q = Q(
+    "q139_data_validation",
+    """WITH m AS (SELECT
+      |    count(*) AS n,
+      |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS null_key,
+      |    CAST(sum(CASE WHEN l_quantity <= 0 OR l_quantity > 50
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+      |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc,
+      |    CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS neg_price,
+      |    CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS bad_flag,
+      |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS dup_pk
+      |  FROM lineitem),
+      |fk AS (SELECT CAST(count(*) AS BIGINT) AS orphans
+      |       FROM lineitem l
+      |       WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                         WHERE o.o_orderkey = l.l_orderkey))
+      |SELECT c.chk AS chk, m.n AS n_checked, c.v AS n_violations
+      |FROM m, fk, LATERAL (VALUES
+      |  ('null_orderkey', m.null_key),
+      |  ('quantity_range', m.bad_qty),
+      |  ('discount_range', m.bad_disc),
+      |  ('negative_price', m.neg_price),
+      |  ('returnflag_domain', m.bad_flag),
+      |  ('duplicate_pk', m.dup_pk),
+      |  ('orderkey_fk_orphans', fk.orphans)) AS c(chk, v)""".stripMargin
+  ) { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+    def viol(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    val m = li.agg(
+      count(lit(1)).as("n"),
+      viol(col("l_orderkey").isNull).as("null_key"),
+      viol(col("l_quantity") <= 0 || col("l_quantity") > 50).as("bad_qty"),
+      viol(col("l_discount") < 0 || col("l_discount") > 1).as("bad_disc"),
+      viol(col("l_extendedprice") < 0).as("neg_price"),
+      viol(!col("l_returnflag").isin("A", "N", "R")).as("bad_flag"),
+      (count(lit(1)) -
+        countDistinct(struct(col("l_orderkey"), col("l_linenumber"))))
+        .as("dup_pk"))
+    val fk = li.select(col("l_orderkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+    m.crossJoin(fk)
+      .select(col("n"), explode(array(
+        struct(lit("null_orderkey").as("chk"), col("null_key").as("v")),
+        struct(lit("quantity_range").as("chk"), col("bad_qty").as("v")),
+        struct(lit("discount_range").as("chk"), col("bad_disc").as("v")),
+        struct(lit("negative_price").as("chk"), col("neg_price").as("v")),
+        struct(lit("returnflag_domain").as("chk"), col("bad_flag").as("v")),
+        struct(lit("duplicate_pk").as("chk"), col("dup_pk").as("v")),
+        struct(lit("orderkey_fk_orphans").as("chk"), col("orphans").as("v"))))
+        .as("c"))
+      .select(col("c.chk").as("chk"), col("n").as("n_checked"),
+        col("c.v").as("n_violations"))
+  }
+
   val all: Seq[Q] = Seq(rateAnomaly, recordLinkage, clusterSplit,
     qualityCanonical, simhashCalibration, eventQuota, readability,
-    eventTransitions)
+    eventTransitions, dataValidation)
 }

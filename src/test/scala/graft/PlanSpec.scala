@@ -692,6 +692,18 @@ class PlanSpec extends SparkSpec {
       "q138 planned a partition-less window")
   }
 
+  test("q139: all row-local checks share one aggregation pass over one scan") {
+    val p = plan("q139_data_validation")
+    assert(!p.contains("Window"), "q139 planned a window")
+    // three scans total (check pass, FK probe, orders keys) — the
+    // seven checks must not each rescan the table. The tree line
+    // renders as "Scan parquet  (n)"; the details section repeats the
+    // node as "(n) Scan parquet", which the pattern excludes.
+    val scans = "Scan parquet\\s*\\(".r.findAllIn(p).size
+    assert(scans <= 3, s"q139 scans the inputs $scans times")
+    assert(p.contains("LeftAnti"), "FK orphan check lost the anti join")
+  }
+
   test("q134: canonical selection is an arg-max aggregate, not a per-cluster sort") {
     val p = plan("q134_quality_canonical")
     assert(!p.contains("Window"), "q134 ranks with a window")
