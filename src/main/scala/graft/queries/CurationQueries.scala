@@ -55,19 +55,11 @@ object CurationQueries {
       |WHERE k = 7
       |  AND (7 * n - s) * (7 * n - s) > 4 * (7 * ss - s * s)""".stripMargin
   ) { (s, dir) =>
-    val d = t(s, dir, "events")
-      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-    val tw = Window.partitionBy("event_type").orderBy("day")
-      .rowsBetween(-7, -1)
-    d.withColumn("s", sum(col("n")).over(tw))
-      .withColumn("ss", sum(col("n") * col("n")).over(tw))
-      .withColumn("k", count(lit(1)).over(tw))
-      .filter(col("k") === 7 &&
-        (lit(7) * col("n") - col("s")) * (lit(7) * col("n") - col("s")) >
-          lit(4) * (lit(7) * col("ss") - col("s") * col("s")))
-      .select(col("day"), col("event_type"), col("n"),
-        col("s").as("trail_sum"), (lit(7) * col("n") - col("s")).as("dev7"))
+    import graft.operators.Monitoring
+    Monitoring.rateAnomalies(
+      t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n")))
   }
 
   /** Cross-table record linkage (q132): match suppliers to customers
