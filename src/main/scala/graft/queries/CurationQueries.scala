@@ -488,7 +488,88 @@ object CurationQueries {
         col("c.v").as("n_violations"))
   }
 
+  /** Hopping-window rates (q140): 24-hour windows sliding every 6
+    * hours — the §2.8 window type the reference never uses (its
+    * windows are tumbling only) but any rate monitor wants: a spike
+    * is visible within one slide instead of waiting for a day
+    * boundary, at 4× the row cost (each event lands in size/slide
+    * windows — the explicit trade). Spark-first: the native
+    * `window(ts, size, slide)` generator, one combiner-compressed
+    * aggregation; the oracle replays the same epoch-aligned window
+    * arithmetic with a 4-row hop-offset lattice. Window starts ship
+    * as epoch-millis BIGINT (the q35 convention). */
+  val hoppingCounts: Q = Q(
+    "q140_hopping_counts",
+    """SELECT (epoch_ms(ts) // 21600000) * 21600000 - i.i * 21600000
+      |         AS window_start_ms,
+      |       event_type, count(*) AS n
+      |FROM events, (VALUES (0), (1), (2), (3)) i(i)
+      |GROUP BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 day", "6 hours").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n"))
+  }
+
+  /** Integer EWMA trend (q141): exponentially weighted moving average
+    * over each type's daily count series with α = 1/4 in EXACT
+    * fixed-point arithmetic — e_t = (1000·x_t + 3·e_{t−1}) div 4,
+    * e_0 = 1000·x_0 (milli-units) — the trend line a monitoring
+    * dashboard draws next to q131's spike flags (EWMA reacts to level
+    * shifts the windowed z-test treats as repeated anomalies). An
+    * EWMA is inherently sequential; here the recurrence folds INSIDE
+    * one `aggregate` HOF over each key's sorted series — per-key
+    * series length is calendar-bounded (a decade ≈ 3,650 entries),
+    * never event volume, the same bounded-series argument as q131 —
+    * so the plan is one combiner-compressed daily rollup + one
+    * per-key collect + a narrow per-row fold, no iteration, no
+    * window. Truncating integer division each step makes the fold
+    * bit-identical to the oracle's recursive CTE. */
+  val ewmaTrend: Q = Q(
+    "q141_ewma_trend",
+    """WITH RECURSIVE d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY CAST(ts AS DATE)) AS rn
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, rn, day, n, n * 1000 AS e
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.event_type, d.rn, d.day, d.n, (d.n * 1000 + 3 * r.e) // 4
+      |  FROM r JOIN d ON d.event_type = r.event_type AND d.rn = r.rn + 1)
+      |SELECT event_type, day, n, CAST(e AS BIGINT) AS ewma_milli
+      |FROM r""".stripMargin
+  ) { (s, dir) =>
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val empty = array().cast("array<bigint>")
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("sd"))
+      .withColumn("ds", transform(col("sd"), x => x.getField("day")))
+      .withColumn("ns", transform(col("sd"), x => x.getField("n")))
+      // all quantities are non-negative, so floor(truediv) IS the
+      // truncating integer division of the recurrence (and stays
+      // double-exact below 2^53 — ~4·10^15 even at 10^12 events/day)
+      .withColumn("es", aggregate(col("ns"), empty,
+        (acc, x) => concat(acc, array(
+          when(size(acc) === 0, x * 1000)
+            .otherwise(floor(
+              (x * 1000 + lit(3L) * element_at(acc, -1)) / lit(4))
+              .cast("long"))))))
+      .select(col("event_type"), col("ds"), col("ns"),
+        posexplode(col("es")).as(Seq("pos", "e")))
+      .withColumn("day", element_at(col("ds"), col("pos") + 1))
+      .withColumn("n", element_at(col("ns"), col("pos") + 1))
+      .select(col("event_type"), col("day"), col("n"),
+        col("e").as("ewma_milli"))
+  }
+
   val all: Seq[Q] = Seq(rateAnomaly, recordLinkage, clusterSplit,
     qualityCanonical, simhashCalibration, eventQuota, readability,
-    eventTransitions, dataValidation)
+    eventTransitions, dataValidation, hoppingCounts, ewmaTrend)
 }

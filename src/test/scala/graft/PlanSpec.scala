@@ -704,6 +704,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), "FK orphan check lost the anti join")
   }
 
+  test("q140: hopping windows are one aggregation — no join, no window function") {
+    val p = plan("q140_hopping_counts")
+    assert(!p.contains("Window"), "q140 planned a window function")
+    assert(!p.contains("Join"), "q140 planned a join")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "hop rollup lacks a map-side phase")
+  }
+
+  test("q141: EWMA folds per key — no iteration, no window, one rollup + one collect") {
+    val p = plan("q141_ewma_trend")
+    assert(!p.contains("Window"), "q141 planned a window function")
+    assert(!p.contains("Join"), "q141 planned a join")
+    // daily rollup (partial+final) then the per-key series collect
+    assert("HashAggregate".r.findAllIn(p).size >= 2 ||
+      p.contains("ObjectHashAggregate"),
+      "q141 lost the two-aggregation shape")
+  }
+
   test("q134: canonical selection is an arg-max aggregate, not a per-cluster sort") {
     val p = plan("q134_quality_canonical")
     assert(!p.contains("Window"), "q134 ranks with a window")
