@@ -423,6 +423,38 @@ case class SimHashSig(child: Expression) extends UnaryExpression with CodegenFal
   *
   * md5 stays outside (codegen'd builtin). Single struct output so the
   * text is scanned once even when both forms are consumed. */
+/** DEFLATE-compressed byte count of a string's UTF-8 bytes (zlib
+  * level 6, raw stream) — the compression-ratio quality signal of the
+  * curation literature (Gopher/RedPajama-class filters: template and
+  * boilerplate-heavy documents compress far below prose; random or
+  * encrypted junk compresses above it). One JDK Deflater pass per row,
+  * counting output bytes into a scratch buffer — nothing is retained.
+  * Deterministic for a fixed input (fixed level/strategy, single
+  * `deflate` stream); no SQL-engine twin exists, so consumers are
+  * rows-only + spec-bounded (CurationSpec pins monotonicity:
+  * repeated text < prose < high-entropy). */
+case class DeflateSize(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class CanonicalForms(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -594,6 +626,9 @@ object GraftExpressions {
 
   def bpeEncode(words: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(words), merges))
+
+  def deflateSize(text: Column): Column =
+    ColumnBridge.column(DeflateSize(ColumnBridge.expression(text)))
 
   /** Register for SQL use (`SELECT graft_dot_q(a, b)`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

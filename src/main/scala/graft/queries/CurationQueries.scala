@@ -569,7 +569,131 @@ object CurationQueries {
         col("e").as("ewma_milli"))
   }
 
+  /** Compression-ratio quality report (q142, rows-only): per source,
+    * the DEFLATE ratio distribution — mean ratio and the shares of
+    * highly-repetitive (ratio < 0.35: templates, boilerplate, repeated
+    * spans) and near-incompressible (> 0.9: high-entropy junk,
+    * minified/encoded blobs) documents. The Gopher/RedPajama-class
+    * quality rule the n-gram metrics miss (repetition at ANY period
+    * compresses; q48's fixed-n repetition sees only small n). One
+    * native `DeflateSize` pass per row riding the scan + one rollup;
+    * per-doc ratios quantize to integer ppm so the rollup is exact.
+    * No SQL engine has zlib → no oracle; CurationSpec pins the
+    * expression's monotonicity and determinism instead. */
+  val compressionQuality: Q = Q.rowsOnly("q142_compression_quality") { (s, dir) =>
+    import graft.functions.expressions.{GraftExpressions => E}
+    val d = t(s, dir, "documents")
+      .select(col("source"),
+        E.deflateSize(col("text")).cast("long").as("z"),
+        octet_length(col("text")).cast("long").as("b"))
+      .filter(col("b") > 0)
+      .select(col("source"), expr("z * 1000000 div b").as("r_ppm"))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("r_ppm")).as("sum_r_ppm"),
+        sum(when(col("r_ppm") < 350000, 1L).otherwise(0L)).as("n_repetitive"),
+        sum(when(col("r_ppm") > 900000, 1L).otherwise(0L)).as("n_entropy"))
+      .select(col("source"), col("n_docs"),
+        (col("sum_r_ppm").cast("double") / 1000000 / col("n_docs"))
+          .as("avg_ratio"),
+        col("n_repetitive"), col("n_entropy"))
+  }
+
+  /** Corpus pipeline v4 (q143): this round's curation stages composed
+    * end-to-end — near-dup resolution (q27 candidates + q44
+    * components) picks ONE winner per cluster by the q134 policy
+    * (longest member, ties to lowest id; clusterless docs survive as
+    * themselves), the survivor set is split by the q133 rule (hash of
+    * the CLUSTER canonical — so the assignment is leakage-proof by
+    * construction even though only winners remain), and the curated
+    * corpus rolls up to the per-(split, source) document/token budget
+    * a mixture planner consumes. Every stage is exact integer/string/
+    * digest math, so the whole chain hash-oracles end-to-end like
+    * q62/q74/q120 — and it is exactly the dedup→select→split→budget
+    * sequence a production pretraining corpus job runs. */
+  val corpusPipelineV4: Q = Q(
+    "q143_corpus_pipeline_v4",
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      |       FROM w WHERE len(ws) >= 3),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jp AS (SELECT doc_a, doc_b FROM pairs
+      |       JOIN sizes sa ON doc_a = sa.doc_id
+      |       JOIN sizes sb ON doc_b = sb.doc_id
+      |       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+      |      UNION SELECT doc_b, doc_a FROM jp),
+      |reach AS (
+      |  SELECT a AS id, b AS r FROM e
+      |  UNION
+      |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+      |lab AS (SELECT id AS doc_id, least(id, min(r)) AS canonical_id
+      |        FROM reach GROUP BY id),
+      |m AS (SELECT lab.canonical_id, lab.doc_id, d.n_chars
+      |      FROM lab JOIN documents d USING (doc_id)),
+      |bst AS (SELECT canonical_id, max(n_chars) AS bc FROM m GROUP BY 1),
+      |win AS (SELECT m.canonical_id, min(m.doc_id) AS doc_id
+      |        FROM m JOIN bst ON m.canonical_id = bst.canonical_id
+      |                       AND m.n_chars = bst.bc
+      |        GROUP BY 1),
+      |surv AS (
+      |  SELECT d.doc_id, d.source, len(string_split(d.text, ' ')) AS n_tok,
+      |         coalesce(lab.canonical_id, d.doc_id) AS canon
+      |  FROM documents d
+      |  LEFT JOIN lab USING (doc_id)
+      |  WHERE lab.doc_id IS NULL
+      |     OR d.doc_id IN (SELECT doc_id FROM win))
+      |SELECT CASE WHEN CAST('0x' || substr(md5(CAST(canon AS VARCHAR)), 1, 8)
+      |                 AS BIGINT) % 100 < 80 THEN 'train'
+      |            WHEN CAST('0x' || substr(md5(CAST(canon AS VARCHAR)), 1, 8)
+      |                 AS BIGINT) % 100 < 90 THEN 'valid'
+      |            ELSE 'test' END AS split,
+      |       source,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      |FROM surv GROUP BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    import graft.functions.{TextFunctions => T}
+    import graft.functions.expressions.{GraftExpressions => E}
+    val docs = t(s, dir, "documents")
+    val labels = Dedup.resolve(Dedup.jaccardPairs(
+        Dedup.shingleProjection(docs, "text", "doc_id"),
+        threshold = 0.5, maxDf = 1000))
+      // feeds the winner election AND the survivor join — pin once
+      .localCheckpoint(eager = true)
+    // one winner per cluster: longest member, ties to lowest id (q134)
+    val winners = labels
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy("canonical_id")
+      .agg(E.topKByScore(col("n_chars").cast("double"), col("doc_id"), 1)
+        .as("tk"))
+      .select(col("canonical_id"),
+        element_at(col("tk"), 1).getField("id").as("doc_id"))
+    // survivors: cluster winners + clusterless docs, split by canonical
+    val surv = docs
+      .select(col("doc_id"), col("source"),
+        size(T.words(col("text"))).cast("long").as("n_tok"))
+      .join(labels, Seq("doc_id"), "left")
+      .join(winners.select(col("doc_id"), lit(true).as("is_win")),
+        Seq("doc_id"), "left")
+      .filter(col("canonical_id").isNull || col("is_win"))
+      .select(col("source"), col("n_tok"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canon"))
+    surv
+      .withColumn("split", Sampling.splitColumn(col("canon")))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+  }
+
   val all: Seq[Q] = Seq(rateAnomaly, recordLinkage, clusterSplit,
     qualityCanonical, simhashCalibration, eventQuota, readability,
-    eventTransitions, dataValidation, hoppingCounts, ewmaTrend)
+    eventTransitions, dataValidation, hoppingCounts, ewmaTrend,
+    compressionQuality, corpusPipelineV4)
 }

@@ -117,6 +117,31 @@ class CurationSpec extends SparkSpec {
       (2L, 1, 6L), (2L, 2, 7L)))
   }
 
+  test("DeflateSize: repeated < prose < high-entropy; deterministic across runs") {
+    import spark.implicits._
+    import graft.functions.expressions.{GraftExpressions => E}
+    val repeated = ("spam " * 200).trim
+    val prose = (1 to 100).map(i => s"word$i token$i").mkString(" ")
+    val entropy = {
+      val rnd = new scala.util.Random(7)
+      (1 to 1000).map(_ => rnd.nextPrintableChar()).mkString
+    }
+    def sizes() = Seq(("rep", repeated), ("pro", prose), ("ent", entropy))
+      .toDF("k", "t")
+      .select(col("k"), E.deflateSize(col("t")).as("z"),
+        octet_length(col("t")).as("b"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val s1 = sizes()
+    // ratios are strictly ordered: repetition compresses hardest
+    def ratio(k: String) = s1(k)._1.toDouble / s1(k)._2
+    assert(ratio("rep") < ratio("pro"), s1)
+    assert(ratio("pro") < ratio("ent"), s1)
+    // printable-ASCII entropy tops out near log2(95)/8 ≈ 0.82 + header
+    assert(ratio("rep") < 0.35 && ratio("ent") > 0.8, s1)
+    // bit-deterministic: a second evaluation returns identical sizes
+    assert(sizes() === s1)
+  }
+
   test("curation queries run on sf0.001 and return sane shapes") {
     for (q <- CurationQueries.all) {
       val df = q.fn(spark, sf)
