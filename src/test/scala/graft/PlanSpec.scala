@@ -722,6 +722,15 @@ class PlanSpec extends SparkSpec {
       "q141 lost the two-aggregation shape")
   }
 
+  test("q143: pipeline v4 composes without a cross product or ranking window") {
+    val p = plan("q143_corpus_pipeline_v4")
+    assert(!p.contains("CartesianProduct"),
+      "q143 degenerated to a cross product")
+    assert(!p.contains("Window"), "q143 planned a ranking window")
+    assert(p.contains("ObjectHashAggregate"),
+      "winner election lost the bounded-heap aggregate")
+  }
+
   test("q134: canonical selection is an arg-max aggregate, not a per-cluster sort") {
     val p = plan("q134_quality_canonical")
     assert(!p.contains("Window"), "q134 ranks with a window")
