@@ -692,8 +692,61 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
   }
 
+  /** Robust MAD anomaly detection (q144): the median-based companion
+    * of q131's z-test — flag days where |x − median| > 3·MAD over the
+    * trailing 7 days (median absolute deviation). Robustness is the
+    * point: one past spike inflates q131's mean AND variance (masking
+    * the next spike); the median/MAD baseline ignores up to 3 of 7
+    * contaminated trailing days. With an odd window the median is an
+    * exact ELEMENT, so everything stays integer — bit-reproducible
+    * and hash-oracled. The trailing window is materialized per row by
+    * slicing each key's collected calendar-bounded series (the q141
+    * technique — 7-element sorts inside a HOF, no iteration); the
+    * oracle mirrors it with DuckDB's list() window + list_aggregate
+    * medians. MAD = 0 (≥4 identical trailing days) flags ANY
+    * deviation — the standard degenerate-baseline caveat, identical
+    * in both engines. */
+  val madAnomaly: Q = Q(
+    "q144_mad_anomaly",
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type,
+      |                  count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |w AS (SELECT day, event_type, n, list(n) OVER tw AS l,
+      |             count(*) OVER tw AS k
+      |      FROM d WINDOW tw AS (PARTITION BY event_type ORDER BY day
+      |              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |m AS (SELECT day, event_type, n, l,
+      |             CAST(list_aggregate(l, 'median') AS BIGINT) AS med
+      |      FROM w WHERE k = 7),
+      |x AS (SELECT day, event_type, n, med,
+      |             CAST(list_aggregate(
+      |               list_transform(l, v -> abs(v - med)), 'median')
+      |               AS BIGINT) AS mad
+      |      FROM m)
+      |SELECT day, event_type, n, med, mad
+      |FROM x WHERE abs(n - med) > 3 * mad""".stripMargin
+  ) { (s, dir) =>
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("sd"))
+      .withColumn("ds", transform(col("sd"), x => x.getField("day")))
+      .withColumn("ns", transform(col("sd"), x => x.getField("n")))
+      .select(col("event_type"), col("ds"), col("ns"),
+        posexplode(col("ns")).as(Seq("pos", "n")))
+      .filter(col("pos") >= 7)
+      .withColumn("win", slice(col("ns"), col("pos") - 6, lit(7)))
+      .withColumn("med", element_at(array_sort(col("win")), 4))
+      .withColumn("mad", element_at(
+        array_sort(transform(col("win"), v => abs(v - col("med")))), 4))
+      .filter(abs(col("n") - col("med")) > lit(3) * col("mad"))
+      .select(element_at(col("ds"), col("pos") + 1).as("day"),
+        col("event_type"), col("n"), col("med"), col("mad"))
+  }
+
   val all: Seq[Q] = Seq(rateAnomaly, recordLinkage, clusterSplit,
     qualityCanonical, simhashCalibration, eventQuota, readability,
     eventTransitions, dataValidation, hoppingCounts, ewmaTrend,
-    compressionQuality, corpusPipelineV4)
+    compressionQuality, corpusPipelineV4, madAnomaly)
 }
