@@ -745,8 +745,80 @@ object CurationQueries {
         col("event_type"), col("n"), col("med"), col("mad"))
   }
 
+  /** Dedup-policy churn (q145): how many documents change their
+    * canonical assignment when the Jaccard threshold moves 0.5 → 0.95
+    * — the impact analysis run BEFORE flipping a production dedup
+    * policy (q108 counts surviving pairs per threshold; this measures
+    * what actually matters downstream: resolution outcomes). Both
+    * resolutions ride ONE candidate generation — the 0.95 pair set is
+    * a filter of the 0.5 pairs, so the shingle self-join is paid
+    * once — and each label frame is the q44 pointer-doubling pass.
+    * Classes: `stable` (same canonical under both), `split_off`
+    * (clustered at 0.5, singleton at 0.95), `moved` (clustered under
+    * both, different canonical). Docs clustered under NEITHER don't
+    * report — the churn set is duplication-sized, not corpus-sized. */
+  val thresholdChurn: Q = Q(
+    "q145_threshold_churn",
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      |       FROM w WHERE len(ws) >= 3),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jac AS (SELECT doc_a, doc_b,
+      |               CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS j
+      |        FROM pairs
+      |        JOIN sizes sa ON doc_a = sa.doc_id
+      |        JOIN sizes sb ON doc_b = sb.doc_id),
+      |e5 AS (SELECT doc_a AS a, doc_b AS b FROM jac WHERE j >= 0.5
+      |       UNION SELECT doc_b, doc_a FROM jac WHERE j >= 0.5),
+      |r5 AS (SELECT a AS id, b AS r FROM e5
+      |       UNION
+      |       SELECT r5.id, e5.b FROM r5 JOIN e5 ON r5.r = e5.a),
+      |l5 AS (SELECT id AS doc_id, least(id, min(r)) AS c5
+      |       FROM r5 GROUP BY id),
+      |e7 AS (SELECT doc_a AS a, doc_b AS b FROM jac WHERE j >= 0.95
+      |       UNION SELECT doc_b, doc_a FROM jac WHERE j >= 0.95),
+      |r7 AS (SELECT a AS id, b AS r FROM e7
+      |       UNION
+      |       SELECT r7.id, e7.b FROM r7 JOIN e7 ON r7.r = e7.a),
+      |l7 AS (SELECT id AS doc_id, least(id, min(r)) AS c7
+      |       FROM r7 GROUP BY id)
+      |SELECT CASE
+      |         WHEN l7.doc_id IS NULL THEN 'split_off'
+      |         WHEN l5.c5 = l7.c7 THEN 'stable'
+      |         ELSE 'moved' END AS churn,
+      |       count(*) AS n_docs
+      |FROM l5 LEFT JOIN l7 USING (doc_id)
+      |GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    // one candidate generation at the LOOSE threshold feeds both
+    // resolutions (the tight pair set is a pure filter); pinned so the
+    // shingle self-join never re-executes
+    val jac = Dedup.jaccardPairs(
+        Dedup.shingleProjection(docs, "text", "doc_id"),
+        threshold = 0.5, maxDf = 1000)
+      .localCheckpoint(eager = true)
+    val l5 = Dedup.resolve(jac)
+      .select(col("doc_id"), col("canonical_id").as("c5"))
+    val l7 = Dedup.resolve(jac.filter(col("jaccard") >= 0.95))
+      .select(col("doc_id"), col("canonical_id").as("c7"))
+    l5.join(l7, Seq("doc_id"), "left")
+      .select(when(col("c7").isNull, lit("split_off"))
+        .when(col("c5") === col("c7"), lit("stable"))
+        .otherwise(lit("moved")).as("churn"))
+      .groupBy("churn")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   val all: Seq[Q] = Seq(rateAnomaly, recordLinkage, clusterSplit,
     qualityCanonical, simhashCalibration, eventQuota, readability,
     eventTransitions, dataValidation, hoppingCounts, ewmaTrend,
-    compressionQuality, corpusPipelineV4, madAnomaly)
+    compressionQuality, corpusPipelineV4, madAnomaly, thresholdChurn)
 }
