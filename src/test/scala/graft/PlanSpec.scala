@@ -731,6 +731,18 @@ class PlanSpec extends SparkSpec {
       "winner election lost the bounded-heap aggregate")
   }
 
+  test("q144: MAD rides the collected series — no join, no window function") {
+    val p = plan("q144_mad_anomaly")
+    assert(!p.contains("Window"), "q144 planned a window function")
+    assert(!p.contains("Join"), "q144 planned a join")
+  }
+
+  test("q145: churn never degenerates to a cross product or ranking window") {
+    val p = plan("q145_threshold_churn")
+    assert(!p.contains("CartesianProduct"), "q145 planned a cross product")
+    assert(!p.contains("Window"), "q145 planned a ranking window")
+  }
+
   test("q134: canonical selection is an arg-max aggregate, not a per-cluster sort") {
     val p = plan("q134_quality_canonical")
     assert(!p.contains("Window"), "q134 ranks with a window")
