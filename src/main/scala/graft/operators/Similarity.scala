@@ -188,6 +188,35 @@ object Similarity {
       k)
   }
 
+  /** Hard-negative mining for contrastive training: per query, the k
+    * highest-cosine OTHER-LABEL vectors inside the band [lo, hi) —
+    * close enough to be informative negatives, capped below `hi` so
+    * probable mislabeled positives/near-dups are excluded (the
+    * standard false-negative guard in contrastive batch construction).
+    *
+    * Inputs carry (vec_id, qv, nsq, label). Scale shape is [[knnTopK]]'s:
+    * the query batch is broadcast, the corpus streams through ONE scan
+    * and is never shuffled; the label filter runs before the dot
+    * product so wrong-label rows never pay the O(dims) math; the final
+    * top-k is the bounded [[graft.functions.expressions.GraftExpressions.topKByScore]]
+    * heap (map-side partial aggregation — k rows per query per
+    * partition cross the exchange, not the band's full candidate set).
+    * For query batches too large to broadcast, mine per shard of the
+    * query set — negatives are per-query, so sharding is trivially
+    * correct. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      lo: Double, hi: Double): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("label").as("qlabel"), col("qv").as("qqv"), col("nsq").as("qnsq"))
+    val scored = corpus.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        V.cosineFrom(dotQFast(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
+          .as("cosine"))
+      .filter(col("cosine") >= lo && col("cosine") < hi)
+    topKFinish(scored, k)
+  }
+
   /** Centroid model of an assigned index: per-cluster mean, re-quantized
     * so downstream scoring reuses the codegen DotProductL. */
   private def centroidsOf(assigned: DataFrame): DataFrame =

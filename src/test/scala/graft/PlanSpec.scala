@@ -743,6 +743,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "q145 planned a ranking window")
   }
 
+  test("q146: embedding audit is one scan + one aggregation — no join, no window") {
+    val p = plan("q146_embedding_audit")
+    assert(!p.contains("Join"), "q146 planned a join")
+    assert(!p.contains("Window"), "q146 planned a window function")
+  }
+
+  test("q147: hard negatives broadcast the query batch; top-k is the bounded heap") {
+    val p = plan("q147_hard_negatives")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "query batch not broadcast — corpus would shuffle")
+    assert(!p.contains("Window"), "q147 ranks with a window instead of the heap")
+    assert(p.contains("ObjectHashAggregate"), "bounded top-k heap lost its hash aggregate")
+  }
+
+  test("q148: packing report never shuffles text and never degenerates to a window over rows") {
+    val p = plan("q148_packing_efficiency")
+    assert(!p.contains("CartesianProduct"), "q148 planned a cross product")
+    // the prefix sum is the two-pass subtotal design, not a global window
+    assert(!p.contains("Window"), "q148 planned a running window over the corpus")
+  }
+
+  test("q149: sentence text never crosses an exchange — digests do") {
+    val p = plan("q149_sentence_dedup")
+    assert(!p.contains("Join"), "q149 planned a join")
+    assert(!p.contains("Window"), "q149 planned a window")
+    // the first (pre-shuffle) aggregate keys on the md5 digest, not the
+    // sentence string: every Exchange's hashpartitioning must mention d
+    // or source, never sent
+    val exchanges = p.split("\n").filter(_.contains("hashpartitioning"))
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("sent")),
+      s"sentence text used as a shuffle key:\n${exchanges.mkString("\n")}")
+  }
+
   test("q134: canonical selection is an arg-max aggregate, not a per-cluster sort") {
     val p = plan("q134_quality_canonical")
     assert(!p.contains("Window"), "q134 ranks with a window")
