@@ -221,6 +221,283 @@ object AuditQueries {
         col("n_dup").cast("double") / col("n_sentences"))
   }
 
+  /** q150: vocabulary coverage curve — the tokenizer-sizing number: the
+    * smallest vocabulary (taking terms most-frequent-first) that covers
+    * 50 / 90 / 95 / 99% of all corpus token occurrences, with the exact
+    * token mass covered at that cut. The gap between the 90% and 99%
+    * rows IS the long tail a subword tokenizer exists to absorb.
+    *
+    * Scale shape: the corpus is touched by ONE map-side-combined term
+    * count; everything after runs on the VOCAB (bounded by distinct
+    * terms, ≪ corpus — Heaps' law), where the frequency-ranked prefix
+    * sums use the two-pass per-partition-subtotal design (only one
+    * subtotal per partition is collected, twice), and the 4-row
+    * threshold table joins via broadcast. cum·100 stays in int64 up to
+    * ~9·10^16 corpus tokens. */
+  val vocabCoverage: Q = Q(
+    "q150_vocab_coverage",
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |g AS (SELECT term, count(*) AS cnt FROM w GROUP BY term),
+      |o AS (SELECT term, cnt,
+      |        CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |             AS BIGINT) AS cum,
+      |        CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rnk
+      |      FROM g),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM g)
+      |SELECT CAST(th.pct AS BIGINT) AS pct,
+      |       min(o.rnk) AS vocab_size,
+      |       min(o.cum) AS covered_tokens,
+      |       max(tot.total) AS total_tokens
+      |FROM o, tot, (VALUES (50), (90), (95), (99)) th(pct)
+      |WHERE o.cum * 100 >= th.pct * tot.total
+      |GROUP BY th.pct""".stripMargin
+  ) { (s, dir) =>
+    import graft.operators.Ranks
+    val counts = t(s, dir, "documents")
+      .select(explode(T.words(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val order = Seq(col("cnt").desc, col("term").asc)
+    val curve = Ranks.globalRunningSum(
+      Ranks.globalRunningSum(counts, order, col("cnt"), "cum"),
+      order, lit(1L), "rnk")
+    val total = counts.agg(sum(col("cnt")).cast(LongType).as("total"))
+    val thresholds = s.createDataFrame(
+      java.util.Arrays.asList(Seq(50L, 90L, 95L, 99L).map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pct",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    curve.crossJoin(broadcast(total)).crossJoin(broadcast(thresholds))
+      .filter(col("cum") * 100 >= col("pct") * col("total"))
+      .groupBy("pct")
+      .agg(min(col("rnk")).as("vocab_size"),
+        min(col("cum")).as("covered_tokens"),
+        max(col("total")).as("total_tokens"))
+  }
+
+  /** q151: dedup lineage — the per-removed-document provenance record a
+    * pipeline audit reads: WHICH doc was dropped, at WHICH stage (exact
+    * text dedup, then near-dup resolution over the exact survivors),
+    * and WHO won. Composes q11's digest election with q44's
+    * connected-component resolution; together with q101 (surviving
+    * token mass) this is the full paper-trail for "where did my corpus
+    * go" — per-document instead of per-source.
+    *
+    * Scale shape: the exact stage is one groupBy on a 16-byte digest +
+    * a digest-keyed join back (the chunkDedup discipline — the text
+    * itself never keys an exchange); the near-dup stage rides the
+    * df-capped shingle join and pointer-doubling resolution unchanged.
+    * The winner election is min(doc_id), so the lineage is
+    * deterministic under any partitioning. */
+  val dedupLineage: Q = Q(
+    "q151_dedup_lineage",
+    """WITH RECURSIVE h AS (SELECT doc_id, text, md5(text) AS hh FROM documents),
+      |hw AS (SELECT hh, min(doc_id) AS w FROM h GROUP BY hh),
+      |exact_losers AS (SELECT h.doc_id, 'exact' AS stage, hw.w AS winner_id
+      |                 FROM h JOIN hw ON h.hh = hw.hh WHERE h.doc_id <> hw.w),
+      |surv AS (SELECT h.doc_id, h.text FROM h
+      |         JOIN hw ON h.hh = hw.hh AND h.doc_id = hw.w),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM surv),
+      |sh0 AS (SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      |       FROM w WHERE len(ws) >= 3),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jp AS (SELECT doc_a, doc_b FROM pairs
+      |       JOIN sizes sa ON doc_a = sa.doc_id
+      |       JOIN sizes sb ON doc_b = sb.doc_id
+      |       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+      |      UNION SELECT doc_b, doc_a FROM jp),
+      |reach AS (
+      |  SELECT a AS id, b AS r FROM e
+      |  UNION
+      |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+      |res AS (SELECT id AS doc_id, least(id, min(r)) AS canonical_id
+      |        FROM reach GROUP BY id),
+      |near_losers AS (SELECT doc_id, 'near_dup' AS stage,
+      |                       canonical_id AS winner_id
+      |                FROM res WHERE doc_id <> canonical_id)
+      |SELECT * FROM exact_losers UNION ALL SELECT * FROM near_losers""".stripMargin
+  ) { (s, dir) =>
+    import graft.operators.Dedup
+    val docs = t(s, dir, "documents")
+    val withH = docs.select(col("doc_id"), col("text"),
+      unhex(md5(col("text"))).as("hh"))
+    val winners = withH.groupBy("hh").agg(min(col("doc_id")).as("w"))
+    val joined = withH.join(winners, "hh")
+    val exactLosers = joined.filter(col("doc_id") =!= col("w"))
+      .select(col("doc_id"), lit("exact").as("stage"),
+        col("w").as("winner_id"))
+    val survivors = joined.filter(col("doc_id") === col("w"))
+      .select(col("doc_id"), col("text"))
+    val resolved = Dedup.resolve(Dedup.jaccardPairs(
+      Dedup.shingleProjection(survivors, "text", "doc_id"),
+      threshold = 0.5, maxDf = 1000))
+    val nearLosers = resolved.filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"), lit("near_dup").as("stage"),
+        col("canonical_id").as("winner_id"))
+    exactLosers.union(nearLosers)
+  }
+
+  /** The q25 marker-profile domain-id vocabularies (shared definition —
+    * the heuristic IS these lists; a langid model drops into the same
+    * scoring slot). */
+  private val markersSql = Seq("join", "filter", "agg", "query", "group", "sort")
+  private val markersStorage = Seq("table", "column", "row", "batch", "scan", "part")
+  private val markersStream = Seq("stream", "window", "spark", "vector", "dup", "hash")
+  private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
+
+  /** q152: mixed-domain document rate — q25's marker-profile domain ID
+    * applied per SENTENCE, rolled to the share of each source's
+    * sentences that disagree with their document's overall domain.
+    * High mixed_rate marks sources whose documents straddle topics —
+    * the docs that embed poorly as one vector, chunk across topic
+    * boundaries, and pollute domain-conditional mixtures; per-sentence
+    * (or chunked) processing is the fix, and this measures where it is
+    * needed. Doc domain = argmax of SUMMED sentence marker counts, so
+    * both levels derive from one scoring pass.
+    *
+    * Scale shape: one scan, one explode, marker counts projected per
+    * sentence BEFORE any exchange (the sentence string never shuffles);
+    * then two map-side-combined aggregations keyed by (doc_id, source)
+    * and source. No join, no window. */
+  val mixedDomain: Q = Q(
+    "q152_mixed_domain",
+    s"""WITH s0 AS (SELECT doc_id, source,
+       |              trim(unnest(regexp_split_to_array(text, '[.!?]+'))) AS sent
+       |            FROM documents),
+       |s1 AS (SELECT doc_id, source, sent FROM s0 WHERE length(sent) > 0),
+       |sc AS (SELECT doc_id, source,
+       |         len(list_filter(string_split(sent, ' '),
+       |             w -> w IN (${inList(markersSql)}))) AS s_sql,
+       |         len(list_filter(string_split(sent, ' '),
+       |             w -> w IN (${inList(markersStorage)}))) AS s_storage,
+       |         len(list_filter(string_split(sent, ' '),
+       |             w -> w IN (${inList(markersStream)}))) AS s_stream
+       |       FROM s1),
+       |g AS (SELECT *,
+       |        CASE WHEN s_sql >= s_storage AND s_sql >= s_stream THEN 'sql'
+       |             WHEN s_storage >= s_stream THEN 'storage'
+       |             ELSE 'stream' END AS gg
+       |      FROM sc),
+       |d AS (SELECT doc_id, source, count(*) AS n_sent,
+       |        CAST(sum(s_sql) AS BIGINT) AS t_sql,
+       |        CAST(sum(s_storage) AS BIGINT) AS t_storage,
+       |        CAST(sum(s_stream) AS BIGINT) AS t_stream,
+       |        CAST(sum(CASE WHEN gg = 'sql' THEN 1 ELSE 0 END) AS BIGINT) AS n_sql,
+       |        CAST(sum(CASE WHEN gg = 'storage' THEN 1 ELSE 0 END) AS BIGINT) AS n_storage,
+       |        CAST(sum(CASE WHEN gg = 'stream' THEN 1 ELSE 0 END) AS BIGINT) AS n_stream
+       |      FROM g GROUP BY 1, 2),
+       |o AS (SELECT source, n_sent,
+       |        n_sent - CASE WHEN t_sql >= t_storage AND t_sql >= t_stream THEN n_sql
+       |                      WHEN t_storage >= t_stream THEN n_storage
+       |                      ELSE n_stream END AS n_off
+       |      FROM d)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN n_off > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS mixed_docs,
+       |       CAST(sum(n_sent) AS BIGINT) AS n_sentences,
+       |       CAST(sum(n_off) AS BIGINT) AS off_sentences,
+       |       CAST(sum(n_off) AS DOUBLE) / sum(n_sent) AS mixed_rate
+       |FROM o GROUP BY source""".stripMargin
+  ) { (s, dir) =>
+    val sents = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), "[.!?]+")).as("sent0"))
+      .select(col("doc_id"), col("source"), trim(col("sent0")).as("sent"))
+      .filter(length(col("sent")) > 0)
+    val ws = split(col("sent"), " ")
+    val scored = sents.select(col("doc_id"), col("source"),
+      T.markerCount(ws, markersSql).as("s_sql"),
+      T.markerCount(ws, markersStorage).as("s_storage"),
+      T.markerCount(ws, markersStream).as("s_stream"))
+      .withColumn("gg",
+        when(col("s_sql") >= col("s_storage") && col("s_sql") >= col("s_stream"), "sql")
+          .when(col("s_storage") >= col("s_stream"), "storage")
+          .otherwise("stream"))
+    val perDoc = scored.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_sent"),
+        sum(col("s_sql")).as("t_sql"),
+        sum(col("s_storage")).as("t_storage"),
+        sum(col("s_stream")).as("t_stream"),
+        sum(when(col("gg") === "sql", 1L).otherwise(0L)).as("n_sql"),
+        sum(when(col("gg") === "storage", 1L).otherwise(0L)).as("n_storage"),
+        sum(when(col("gg") === "stream", 1L).otherwise(0L)).as("n_stream"))
+      .withColumn("n_off",
+        col("n_sent") -
+          when(col("t_sql") >= col("t_storage") && col("t_sql") >= col("t_stream"),
+            col("n_sql"))
+            .when(col("t_storage") >= col("t_stream"), col("n_storage"))
+            .otherwise(col("n_stream")))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_off") > 0, 1L).otherwise(0L)).as("mixed_docs"),
+        sum(col("n_sent")).as("n_sentences"),
+        sum(col("n_off")).as("off_sentences"))
+      .withColumn("mixed_rate",
+        col("off_sentences").cast("double") / col("n_sentences"))
+  }
+
+  /** q153: kNN label purity — for each probe vector, the share of its
+    * 10 nearest neighbors that carry its own label: the standard
+    * intrinsic embedding-quality metric (a good space puts same-label
+    * points together; purity near 1/n_labels means the embedder is
+    * noise and every ANN/semdedup stage downstream is garbage-in).
+    * Complements q146: that audits the TABLE (norms, widths), this
+    * audits the GEOMETRY. Rides q31's exact-kNN machinery; the label
+    * lookup joins the model-sized probe batch back on neighbor_id via
+    * broadcast of the 500-row label table — at corpus scale the label
+    * would ride the index payload instead (documented in the scaladoc
+    * of [[Similarity.knnTopK]]'s caller contract). */
+  val knnLabelPurity: Q = Q(
+    "q153_knn_purity",
+    """WITH qz AS (SELECT vec_id, label,
+      |              list_transform(embedding,
+      |                x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv
+      |            FROM embeddings),
+      |n AS (SELECT vec_id, label, qv,
+      |        CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))
+      |             AS BIGINT) AS nsq
+      |      FROM qz),
+      |s AS (SELECT q.vec_id AS query_id, q.label AS qlabel,
+      |        c.vec_id AS neighbor_id, c.label AS nlabel,
+      |        CAST(CAST(list_sum(list_transform(range(1, 65),
+      |               i -> q.qv[i] * c.qv[i])) AS BIGINT) AS DOUBLE)
+      |          / (sqrt(q.nsq) * sqrt(c.nsq)) AS cosine
+      |      FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+      |r AS (SELECT query_id, qlabel, nlabel,
+      |        row_number() OVER (PARTITION BY query_id
+      |            ORDER BY cosine DESC, neighbor_id) AS rn
+      |      FROM s)
+      |SELECT query_id, max(qlabel) AS label,
+      |       CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_same,
+      |       CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / 10 AS purity
+      |FROM r WHERE rn <= 10
+      |GROUP BY query_id""".stripMargin
+  ) { (s, dir) =>
+    val e = quantizedL(s, dir)
+    val topk = Similarity.knnTopK(e, e.filter(col("vec_id") < 20), k = 10)
+    val labels = e.select(col("vec_id"), col("label"))
+    topk
+      .join(broadcast(labels.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "qlabel")), "query_id")
+      .join(broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "nlabel")), "neighbor_id")
+      .groupBy("query_id")
+      .agg(max(col("qlabel")).as("label"),
+        sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
+          .as("n_same"))
+      .withColumn("purity", col("n_same").cast("double") / 10)
+  }
+
   val all: Seq[Q] = Seq(embeddingAudit, hardNegatives, packingEfficiency,
-    sentenceDedup)
+    sentenceDedup, vocabCoverage, dedupLineage, mixedDomain, knnLabelPurity)
 }

@@ -777,6 +777,32 @@ class PlanSpec extends SparkSpec {
       s"sentence text used as a shuffle key:\n${exchanges.mkString("\n")}")
   }
 
+  test("q150: coverage thresholds join via broadcast; no ranking window over the vocab") {
+    val p = plan("q150_vocab_coverage")
+    assert(!p.contains("Window"), "q150 planned a window — the prefix sums must be the two-pass design")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "threshold/total tables must broadcast")
+    assert(!p.contains("CartesianProduct"), "q150 planned a non-broadcast cross product")
+  }
+
+  test("q151: lineage keys exchanges on the 16-byte digest, never the text") {
+    val p = plan("q151_dedup_lineage")
+    val exchanges = p.split("\n").filter(_.contains("hashpartitioning"))
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"document text used as a shuffle key:\n${exchanges.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), "q151 planned a cross product")
+  }
+
+  test("q152: sentence scoring projects before any exchange — no join, no window") {
+    val p = plan("q152_mixed_domain")
+    assert(!p.contains("Join"), "q152 planned a join")
+    assert(!p.contains("Window"), "q152 planned a window")
+    val exchanges = p.split("\n").filter(_.contains("hashpartitioning"))
+    assert(!exchanges.exists(_.contains("sent")),
+      s"sentence text used as a shuffle key:\n${exchanges.mkString("\n")}")
+  }
+
   test("q134: canonical selection is an arg-max aggregate, not a per-cluster sort") {
     val p = plan("q134_quality_canonical")
     assert(!p.contains("Window"), "q134 ranks with a window")
