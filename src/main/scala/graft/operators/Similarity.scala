@@ -217,6 +217,50 @@ object Similarity {
     topKFinish(scored, k)
   }
 
+  /** [[hardNegatives]]' scale path: BANDED sign-LSH candidate
+    * generation instead of the full corpus scan — for query batches too
+    * large for a per-query corpus pass to amortize. Banding (OR across
+    * `nBands` bands of `bandBits` sign bits each) is the construction
+    * that works at MID-cosine: a single wide bucket's collision
+    * probability p^bits collapses for cosθ ≈ 0.3-0.7 (p = 1 − θ/π ≈
+    * 0.6 ⇒ p^8 ≈ 2%), while 1 − (1 − p^4)^8 ≈ 67% — and it rises with
+    * cosine, so the misses concentrate where the top-k heap would have
+    * discarded anyway. The corpus is scanned once with a nBands-way
+    * band-key explode against the broadcast query bands — never
+    * shuffled; the only exchange carries scored candidates. A pair can
+    * collide in several bands, so candidates dedup on
+    * (query, neighbor) before the heap (duplicate rows carry identical
+    * exact cosines — LSH prunes candidates, never changes scores).
+    * Every emitted row satisfies the same band/label contract as the
+    * exact miner; recall floor vs [[hardNegatives]] asserted on this
+    * deterministic corpus in LlmOperatorsSpec. */
+  def hardNegativesAnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      lo: Double, hi: Double, nBands: Int = 8, bandBits: Int = 4,
+      dims: Int = 64): DataFrame = {
+    def withBands(df: DataFrame): DataFrame =
+      // band b's key draws planes [b*bandBits, (b+1)*bandBits) of the
+      // shared hyperplane family; all keys computed in one projection,
+      // then exploded to nBands (band, bkey) rows per vector
+      df.withColumn("bk", explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            V.lshBandKey(col("qv"), b, bandBits, dims).as("bkey"))): _*)))
+        .withColumn("band", col("bk.band"))
+        .withColumn("bkey", col("bk.bkey"))
+    val q = withBands(queries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("qv").as("qqv"), col("nsq").as("qnsq"), col("band"), col("bkey"))
+    topKFinish(
+      withBands(corpus).join(broadcast(q), Seq("band", "bkey"))
+        .filter(col("query_id") =!= col("vec_id") &&
+          col("label") =!= col("qlabel"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          V.cosineFrom(dotQFast(col("qqv"), col("qv")), col("qnsq"), col("nsq"))
+            .as("cosine"))
+        .filter(col("cosine") >= lo && col("cosine") < hi)
+        .dropDuplicates("query_id", "neighbor_id"),
+      k)
+  }
+
   /** Centroid model of an assigned index: per-cluster mean, re-quantized
     * so downstream scoring reuses the codegen DotProductL. */
   private def centroidsOf(assigned: DataFrame): DataFrame =

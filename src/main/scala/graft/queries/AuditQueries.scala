@@ -498,6 +498,19 @@ object AuditQueries {
       .withColumn("purity", col("n_same").cast("double") / 10)
   }
 
+  /** q154: LSH-probed hard-negative mining — q147's scale path for
+    * query batches too large to amortize a full corpus pass (the
+    * multi-probe join touches ~9/256 of the corpus per query).
+    * Probabilistic candidate generation ⇒ rows-only; the emitted rows'
+    * band/label/exact-cosine contract and the recall floor vs q147 are
+    * asserted in LlmOperatorsSpec. */
+  val hardNegativesAnn: Q = Q.rowsOnly("q154_hard_negatives_ann") { (s, dir) =>
+    val e = quantizedL(s, dir)
+    Similarity.hardNegativesAnn(e, e.filter(col("vec_id") < 20),
+      k = 5, lo = 0.2, hi = 0.8)
+  }
+
   val all: Seq[Q] = Seq(embeddingAudit, hardNegatives, packingEfficiency,
-    sentenceDedup, vocabCoverage, dedupLineage, mixedDomain, knnLabelPurity)
+    sentenceDedup, vocabCoverage, dedupLineage, mixedDomain, knnLabelPurity,
+    hardNegativesAnn)
 }

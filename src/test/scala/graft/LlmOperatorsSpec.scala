@@ -16,6 +16,34 @@ class LlmOperatorsSpec extends SparkSpec {
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("LSH hard-negative mining: rows honor the band/label contract, cosines are exact, recall holds") {
+    val exact = Registry.byName("q147_hard_negatives").fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val approxRows = Registry.byName("q154_hard_negatives_ann").fn(spark, sf)
+      .collect()
+    assert(approxRows.nonEmpty)
+    val labels = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every emitted negative is in-band, other-label, and its cosine is
+    // the EXACT value (LSH prunes candidates, never changes scores):
+    // any row also produced by the exact miner must carry the identical
+    // cosine
+    approxRows.foreach { r =>
+      val (q, n, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(c >= 0.2 && c < 0.8, s"out-of-band cosine $c for ($q,$n)")
+      assert(labels(q) != labels(n), s"same-label pair ($q,$n)")
+      exact.get((q, n)).foreach(e => assert(e == c, s"cosine drift ($q,$n): $e vs $c"))
+    }
+    // recall floor vs the exact miner on this deterministic corpus:
+    // 8 bands x 4 bits predicts 1-(1-p^4)^8 ~ 0.67 at band-middle
+    // cosines (p ~ 0.6) and the fixed sf0.001 corpus measures exactly
+    // 0.67; the 0.25 floor leaves margin only for corpus regeneration.
+    val approxSet = approxRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.keys.count(approxSet.contains).toDouble / exact.size
+    assert(recall >= 0.25, s"hard-negative recall $recall vs exact miner")
+  }
+
   test("minhash-LSH candidates recover all exact-Jaccard>=0.5 pairs") {
     val exact = pairs("q27_ngram_jaccard")
     val approx = pairs("q28_minhash_lsh")
