@@ -510,7 +510,78 @@ object AuditQueries {
       k = 5, lo = 0.2, hi = 0.8)
   }
 
+  /** q155: semantic cross-source duplication matrix — q106's provenance
+    * view with EMBEDDING near-dup pairs instead of lexical shingles:
+    * per unordered source pair, how many semantic near-dup pairs
+    * (portable sign-LSH candidates verified at cosine ≥ 0.4) connect
+    * them, with the exact cosine mass (micro-quantized so the sum is an
+    * order-independent integer — a raw double sum is shuffle-order-
+    * dependent and unverifiable). Diagonal = paraphrase re-posting
+    * within a source; off-diagonal = content laundering between
+    * sources that lexical dedup (q106) misses when the wording shifts.
+    *
+    * Scale shape: candidate generation is q77's banded equi-join with
+    * bare-id dedup before the vector fetch-back; the source lookup
+    * joins the (small) verified pair list against the id→source
+    * projection twice on doc_id; the final rollup keys on the bounded
+    * source-pair lattice. */
+  val semanticDupMatrix: Q = {
+    val planes = V.portablePlanes(16, 64)
+    val vals = planes.zipWithIndex
+      .map { case (c, p) => s"($p, ${c.mkString("[", ", ", "]")})" }
+      .mkString(",\n      |      ")
+    Q(
+      "q155_semantic_dup_matrix",
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, qv,
+        |        CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS BIGINT) AS nsq
+        |      FROM q),
+        |pl(plane, c) AS (VALUES
+        |      $vals),
+        |proj AS (SELECT vec_id, plane,
+        |           CASE WHEN list_sum(list_transform(range(1, 65), i -> qv[i] * c[i])) >= 0
+        |                THEN CAST(1 AS BIGINT) << (plane % 4) ELSE 0 END AS bit
+        |         FROM n CROSS JOIN pl),
+        |k AS (SELECT vec_id, plane // 4 AS band, CAST(sum(bit) AS BIGINT) AS key
+        |      FROM proj GROUP BY 1, 2),
+        |c AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |      FROM k x JOIN k y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+        |v AS (SELECT vec_a, vec_b,
+        |        CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS DOUBLE)
+        |          / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
+        |      FROM c JOIN n a ON c.vec_a = a.vec_id JOIN n b ON c.vec_b = b.vec_id),
+        |jp AS (SELECT vec_a, vec_b, cosine FROM v WHERE cosine >= 0.4),
+        |s AS (SELECT least(da.source, db.source) AS source_a,
+        |             greatest(da.source, db.source) AS source_b,
+        |             jp.cosine
+        |      FROM jp JOIN documents da ON jp.vec_a = da.doc_id
+        |              JOIN documents db ON jp.vec_b = db.doc_id)
+        |SELECT source_a, source_b, count(*) AS n_pairs,
+        |       CAST(sum(CAST(floor(cosine * 1000000.0) AS BIGINT)) AS BIGINT)
+        |         AS cos_micros
+        |FROM s GROUP BY 1, 2""".stripMargin
+    ) { (s, dir) =>
+      val pairs = Similarity.portableSignLshPairs(
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), V.quantize(col("embedding")).as("qv"))
+          .withColumn("nsq", dotQFast(col("qv"), col("qv"))),
+        threshold = 0.4)
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("vec_a"), col("source").as("src_a")), "vec_a")
+        .join(src.select(col("doc_id").as("vec_b"), col("source").as("src_b")), "vec_b")
+        .select(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"),
+          col("cosine"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(floor(col("cosine") * 1000000.0).cast(LongType))
+            .as("cos_micros"))
+    }
+  }
+
   val all: Seq[Q] = Seq(embeddingAudit, hardNegatives, packingEfficiency,
     sentenceDedup, vocabCoverage, dedupLineage, mixedDomain, knnLabelPurity,
-    hardNegativesAnn)
+    hardNegativesAnn, semanticDupMatrix)
 }

