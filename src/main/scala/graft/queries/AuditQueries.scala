@@ -581,7 +581,102 @@ object AuditQueries {
     }
   }
 
+  /** q156: embedding-coverage audit — per source, how many documents
+    * actually HAVE a vector: the join between the document corpus and
+    * the embedding table is the silent failure mode of every semantic
+    * stage (SemDedup, ANN decontamination, q155's matrix all no-op on
+    * uncovered docs without erroring). At sf0.1 the synthetic tables
+    * make this real: 2,000 vectors cover 5,000 docs. One int-keyed
+    * left join projecting only (doc_id, source) against bare vec_ids,
+    * then a map-side-combined rollup. */
+  val embeddingCoverage: Q = Q(
+    "q156_embedding_coverage",
+    """SELECT d.source, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_embedded,
+      |       CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+      |            AS DOUBLE) / count(*) AS coverage
+      |FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+      |GROUP BY d.source""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .join(t(s, dir, "embeddings").select(col("vec_id")),
+        col("doc_id") === col("vec_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("vec_id").isNotNull, 1L).otherwise(0L)).as("n_embedded"))
+      .withColumn("coverage",
+        col("n_embedded").cast("double") / col("n_docs"))
+  }
+
+  /** q157: dedup-signal agreement — of the lexical near-dup pairs
+    * (3-gram Jaccard ≥ 0.5, q27's df-capped generator) whose BOTH ends
+    * carry embeddings, how many the semantic signal confirms at
+    * cosine ≥ 0.4. Low agreement means the two dedup families remove
+    * DIFFERENT populations — running only one leaves the other's
+    * duplicates in the corpus (the complementarity question q113 asks
+    * of dedup × quality, asked of lexical × semantic). Pair list is
+    * tiny relative to the corpus; the embedding fetch-back is two
+    * int-keyed joins; one single-row rollup. */
+  val dedupAgreement: Q = Q(
+    "q157_dedup_agreement",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      |       FROM w WHERE len(ws) >= 3),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jp AS (SELECT doc_a, doc_b FROM pairs
+      |       JOIN sizes sa ON doc_a = sa.doc_id
+      |       JOIN sizes sb ON doc_b = sb.doc_id
+      |       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+      |qz AS (SELECT vec_id, list_transform(embedding,
+      |               x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv
+      |       FROM embeddings),
+      |n AS (SELECT vec_id, qv,
+      |        CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))
+      |             AS BIGINT) AS nsq
+      |      FROM qz),
+      |v AS (SELECT jp.doc_a, jp.doc_b,
+      |        CAST(CAST(list_sum(list_transform(range(1, 65),
+      |               i -> a.qv[i] * b.qv[i])) AS BIGINT) AS DOUBLE)
+      |          / (sqrt(a.nsq) * sqrt(b.nsq)) AS cosine
+      |      FROM jp JOIN n a ON jp.doc_a = a.vec_id
+      |              JOIN n b ON jp.doc_b = b.vec_id)
+      |SELECT count(*) AS n_pairs_with_vectors,
+      |       CAST(sum(CASE WHEN cosine >= 0.4 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_confirmed,
+      |       CAST(sum(CASE WHEN cosine >= 0.4 THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / count(*) AS agreement
+      |FROM v""".stripMargin
+  ) { (s, dir) =>
+    import graft.operators.Dedup
+    val lex = Dedup.jaccardPairs(
+      Dedup.shingleProjection(t(s, dir, "documents"), "text", "doc_id"),
+      threshold = 0.5, maxDf = 1000)
+      .select("doc_a", "doc_b")
+    val n = t(s, dir, "embeddings")
+      .select(col("vec_id"), V.quantize(col("embedding")).as("qv"))
+      .withColumn("nsq", dotQFast(col("qv"), col("qv")))
+    lex
+      .join(n.select(col("vec_id").as("doc_a"), col("qv").as("qv_a"),
+        col("nsq").as("nsq_a")), "doc_a")
+      .join(n.select(col("vec_id").as("doc_b"), col("qv").as("qv_b"),
+        col("nsq").as("nsq_b")), "doc_b")
+      .select(V.cosineFrom(dotQFast(col("qv_a"), col("qv_b")),
+        col("nsq_a"), col("nsq_b")).as("cosine"))
+      .agg(count(lit(1)).as("n_pairs_with_vectors"),
+        sum(when(col("cosine") >= 0.4, 1L).otherwise(0L)).as("n_confirmed"))
+      .withColumn("agreement",
+        col("n_confirmed").cast("double") / col("n_pairs_with_vectors"))
+  }
+
   val all: Seq[Q] = Seq(embeddingAudit, hardNegatives, packingEfficiency,
     sentenceDedup, vocabCoverage, dedupLineage, mixedDomain, knnLabelPurity,
-    hardNegativesAnn, semanticDupMatrix)
+    hardNegativesAnn, semanticDupMatrix, embeddingCoverage, dedupAgreement)
 }
