@@ -676,7 +676,116 @@ object AuditQueries {
         col("n_confirmed").cast("double") / col("n_pairs_with_vectors"))
   }
 
+  /** q158: top boilerplate sentences — the 20 most-repeated sentences
+    * corpus-wide with occurrence and source-spread counts: the concrete
+    * strip-list q149's per-source RATE points at (rate says "source X
+    * is templated", this says "...and THIS is the template"). Counts
+    * aggregate on the 16-byte digest (one map-side-combined pass over
+    * the exploded sentences — text never enters that exchange); the
+    * global top-20 plans as TakeOrderedAndProject (per-partition heaps,
+    * q73's pattern), and only the 20 winners fetch their text back via
+    * a digest-keyed join against a sentence-distinct projection. */
+  val topBoilerplate: Q = Q(
+    "q158_top_boilerplate",
+    """WITH s AS (SELECT source,
+      |             trim(unnest(regexp_split_to_array(text, '[.!?]+'))) AS sent
+      |           FROM documents),
+      |f AS (SELECT source, sent FROM s WHERE length(sent) > 0),
+      |g AS (SELECT md5(sent) AS d, count(*) AS n_occ,
+      |             count(DISTINCT source) AS n_sources,
+      |             min(sent) AS sent
+      |      FROM f GROUP BY md5(sent))
+      |SELECT d, sent, n_occ, n_sources FROM g
+      |ORDER BY n_occ DESC, d ASC LIMIT 20""".stripMargin
+  ) { (s, dir) =>
+    val sents = t(s, dir, "documents")
+      .select(col("source"),
+        explode(split(col("text"), "[.!?]+")).as("sent0"))
+      .select(col("source"), trim(col("sent0")).as("sent"))
+      .filter(length(col("sent")) > 0)
+      .select(col("source"), col("sent"), md5(col("sent")).as("d"))
+    // pinned so the two consumers below don't re-run the corpus pass
+    val counts = sents.groupBy("d")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("n_occ").desc, col("d").asc)
+      .limit(20)
+      .localCheckpoint(true)
+    // only the 20 winners fetch their text back: the broadcast semi-join
+    // drops every other sentence BEFORE any text crosses an exchange;
+    // min(sent) is digest-determined (md5 collision-free at realistic
+    // scale) but min() keeps the aggregate well-defined either way
+    val texts = sents.join(broadcast(counts.select("d")), "d")
+      .groupBy("d").agg(min(col("sent")).as("sent"))
+    counts.join(broadcast(texts), "d")
+      .select("d", "sent", "n_occ", "n_sources")
+  }
+
+  /** q159: activity concentration (exact Gini) per event type — the
+    * skew number that decides salting/AQE strategy for user-keyed
+    * shuffles (Gini → 1 means a few users own the traffic and any
+    * user-keyed aggregation has a hot key; q136's quota and
+    * HeavyHitters' salt sharding are the mitigations this measures the
+    * need for).
+    *
+    * Computed WITHOUT ranking users: Gini needs Σ rank·count over
+    * count-sorted users, and ranking 10^9 users per type is a
+    * partitioned window over corpus-scale data. Instead users collapse
+    * to a COUNT-OF-COUNTS histogram (c, m_c) — bounded by distinct
+    * activity levels, structurally ≪ users — and each equal-count
+    * block's rank mass is closed-form: c·(m·r0 + m(m−1)/2) where r0 is
+    * the block's first rank (Gini is order-invariant within ties, so
+    * the block formula is exact). The only window runs over the
+    * per-type HISTOGRAM — the q131/q141 "windowed data is structurally
+    * tiny" pattern. All moments are exact int64 (rank mass ≤ n·S;
+    * overflow needs n·S > 9·10^18); the one double division is of
+    * exact integers. */
+  val activityGini: Q = Q(
+    "q159_activity_gini",
+    """WITH u AS (SELECT event_type, user_id, count(*) AS c
+      |           FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, c,
+      |        CAST(row_number() OVER (PARTITION BY event_type
+      |             ORDER BY c, user_id) AS BIGINT) AS i
+      |      FROM u)
+      |SELECT event_type,
+      |       count(*) AS n_users,
+      |       CAST(sum(c) AS BIGINT) AS total_events,
+      |       CAST(sum(i * c) AS BIGINT) AS rank_mass,
+      |       CAST(2 * CAST(sum(i * c) AS BIGINT)
+      |            - (count(*) + 1) * CAST(sum(c) AS BIGINT) AS DOUBLE)
+      |         / (CAST(count(*) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) AS gini
+      |FROM r GROUP BY event_type""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val u = t(s, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val h = u.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blocks = h
+      .withColumn("before", coalesce(sum(col("m")).over(w), lit(0L)))
+      // block of m users, all with count c, ranks r0..r0+m-1 where
+      // r0 = before+1: sum of ranks = m*r0 + m(m-1)/2
+      .withColumn("rank_mass_block",
+        // m(m-1) is always even, so `div` is exact — and stays Long
+        // where `/` would promote the whole block mass to double
+        col("c") * (col("m") * (col("before") + 1)
+          + expr("m * (m - 1) div 2")))
+    blocks.groupBy("event_type")
+      .agg(sum(col("m")).as("n_users"),
+        sum(col("c") * col("m")).as("total_events"),
+        sum(col("rank_mass_block")).as("rank_mass"))
+      .withColumn("gini",
+        (lit(2) * col("rank_mass")
+          - (col("n_users") + 1) * col("total_events")).cast("double")
+          / (col("n_users").cast("double") * col("total_events").cast("double")))
+  }
+
   val all: Seq[Q] = Seq(embeddingAudit, hardNegatives, packingEfficiency,
     sentenceDedup, vocabCoverage, dedupLineage, mixedDomain, knnLabelPurity,
-    hardNegativesAnn, semanticDupMatrix, embeddingCoverage, dedupAgreement)
+    hardNegativesAnn, semanticDupMatrix, embeddingCoverage, dedupAgreement,
+    topBoilerplate, activityGini)
 }

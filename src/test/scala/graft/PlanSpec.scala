@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
 
 import graft.queries.Registry
 
@@ -809,6 +810,44 @@ class PlanSpec extends SparkSpec {
     // the bare-id candidate dedup must not carry qv payloads
     val exchanges = p.split("\n").filter(_.contains("hashpartitioning"))
     assert(exchanges.nonEmpty)
+  }
+
+  test("q158: winners broadcast back; no ranking window (top-k ran eagerly at the pin)") {
+    val p = plan("q158_top_boilerplate")
+    // the counts frame is localCheckpointed (so the corpus pass runs
+    // once for its two consumers): the TakeOrderedAndProject executed
+    // eagerly inside the pin and the registry plan starts from the
+    // 20-row ExistingRDD — assert the eager fragment's shape directly
+    assert(p.contains("Scan ExistingRDD"), "pinned winner list missing")
+    assert(p.contains("BroadcastHashJoin"), "winner fetch-back must broadcast")
+    assert(!p.contains("Window"), "q158 ranks with a window")
+    val eager = graft.sources.Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), "[.!?]+")).as("s0"))
+      .select(md5(trim(col("s0"))).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("d").asc).limit(20)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(eager.contains("TakeOrderedAndProject"),
+      "the winner election must plan as per-partition heaps")
+  }
+
+  test("q159: gini windows only the histogram — user-level rows never rank") {
+    val p = plan("q159_activity_gini")
+    assert(!p.contains("Join"), "q159 planned a join")
+    // the window's input must be the (event_type, c) HISTOGRAM: its
+    // partition spec orders by the count column c, and the plan carries
+    // the two pre-window aggregations (user counts, then count-of-counts)
+    assert(p.contains("Window"), "histogram prefix sum missing")
+    assert(p.split("HashAggregate").length > 4,
+      "expected user-count + histogram aggregations below the window")
+    // the Window node's own detail block must consume histogram columns
+    // (event_type, c, m), never user_id
+    val winBlock = raw"\(\d+\) Window\n((?:.+\n)*)".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(winBlock.nonEmpty, "window detail block not found")
+    assert(!winBlock.contains("user_id"),
+      s"window runs over user-level rows:\n$winBlock")
   }
 
   test("q134: canonical selection is an arg-max aggregate, not a per-cluster sort") {
