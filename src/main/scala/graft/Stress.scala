@@ -170,6 +170,32 @@ object Stress {
         .join(flagged, Seq("doc_id"), "left_anti")
         .select("doc_id", "source")
     }
+    stage("sentence_dedup") {
+      // q149's shape: sentence explode → digest projection → two
+      // map-side-combined rollups; shuffle bytes must scale with
+      // DISTINCT sentences (16-byte digests), not text volume
+      corpus
+        .select(col("source"), explode(split(col("text"), "[.!?]+")).as("s0"))
+        .select(col("source"), trim(col("s0")).as("sent"))
+        .filter(length(col("sent")) > 0)
+        .select(col("source"), unhex(md5(col("sent"))).as("d"))
+        .groupBy("source", "d").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(col("c")).as("n_sentences"), count(lit(1)).as("n_distinct"))
+    }
+    stage("vocab_coverage") {
+      // q150's shape: one corpus-sized count, then vocab-sized prefix
+      // sums (two subtotal passes) — time and shuffle must be dominated
+      // by the count stage, flat per-doc as N grows
+      val counts = corpus
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val order = Seq(col("cnt").desc, col("term").asc)
+      graft.operators.Ranks.globalRunningSum(
+        graft.operators.Ranks.globalRunningSum(counts, order, col("cnt"), "cum"),
+        order, lit(1L), "rnk")
+        .select("cum", "rnk")
+    }
     val grand = listener.totals.values
     System.err.println(
       s"[stress] total shuffle read ${grand.map(_.shufRead).sum / (1 << 20)} MiB, " +

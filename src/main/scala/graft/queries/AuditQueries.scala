@@ -784,8 +784,45 @@ object AuditQueries {
           / (col("n_users").cast("double") * col("total_events").cast("double")))
   }
 
+  /** q160: curriculum ordering plan — the deterministic training-order
+    * table a sequence writer consumes: docs phased easy→hard by length
+    * (fixed token-count thresholds, not percentiles — data-dependent
+    * cuts would make the phase of doc X depend on every other doc),
+    * shuffled WITHIN each phase by a salted portable hash (the
+    * reproducible stand-in for an RNG permutation — same property as
+    * q57's split hash, independent salt), with a global consume-order
+    * rank. Scale shape: phase and hash are pure per-row projections;
+    * the only cross-row step is the global rank, which runs on the
+    * q16/q71 two-pass per-partition-subtotal design — one subtotal per
+    * partition is collected, never rows. */
+  val curriculumPlan: Q = Q(
+    "q160_curriculum_plan",
+    """WITH d AS (SELECT doc_id,
+      |             CASE WHEN len(string_split(text, ' ')) < 30 THEN 1
+      |                  WHEN len(string_split(text, ' ')) < 60 THEN 2
+      |                  ELSE 3 END AS phase,
+      |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cur'), 1, 8)
+      |                  AS BIGINT) AS h
+      |           FROM documents)
+      |SELECT doc_id, phase,
+      |       CAST(row_number() OVER (ORDER BY phase, h, doc_id) AS BIGINT) AS ord
+      |FROM d""".stripMargin
+  ) { (s, dir) =>
+    import graft.operators.{Ranks, Sampling}
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        when(size(T.words(col("text"))) < 30, 1)
+          .when(size(T.words(col("text"))) < 60, 2)
+          .otherwise(3).as("phase"),
+        Sampling.portableHash(
+          concat(col("doc_id").cast("string"), lit(":cur"))).as("h"))
+    Ranks.globalRunningSum(d,
+      Seq(col("phase").asc, col("h").asc, col("doc_id").asc), lit(1L), "ord")
+      .select("doc_id", "phase", "ord")
+  }
+
   val all: Seq[Q] = Seq(embeddingAudit, hardNegatives, packingEfficiency,
     sentenceDedup, vocabCoverage, dedupLineage, mixedDomain, knnLabelPurity,
     hardNegativesAnn, semanticDupMatrix, embeddingCoverage, dedupAgreement,
-    topBoilerplate, activityGini)
+    topBoilerplate, activityGini, curriculumPlan)
 }
