@@ -466,6 +466,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming boilerplate monitor: sentence explode composes into windowed heavy hitters") {
+    // q158's continuous twin: a document stream exploded to sentence
+    // digests (the q149 projection — text never reaches the stateful
+    // operator's key) feeding the salted Misra-Gries top-k. The
+    // template sentence planted across documents must surface as the
+    // window's top key.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val ms = MemoryStream[(Timestamp, String)]
+      val sents = ms.toDS().toDF("ts", "text")
+        .select(col("ts"), explode(split(col("text"), "[.!?]+")).as("s0"))
+        .select(col("ts"), trim(col("s0")).as("sent"))
+        .filter(length(col("sent")) > 0)
+        .select(col("ts"), md5(col("sent")).as("d"))
+      val q = graft.streaming.HeavyHitters.windowedTopK(
+          sents, "ts", "d", windowMillis = 3600000L, graceMillis = 3600000L,
+          capacity = 8, k = 2, nSalts = 2)
+        .writeStream.format("memory").queryName("bp_t")
+        .outputMode("append").start()
+      try {
+        val base = ts("2024-01-01 10:00:00").getTime
+        val template = "subscribe to our newsletter"
+        val docs = (0 until 30).map { i =>
+          (new Timestamp(base + i), s"unique sentence number $i. $template! more text $i.")
+        } ++ (0 until 5).map { i =>
+          (new Timestamp(base + 100 + i), s"other doc $i. nothing shared here $i?")
+        }
+        ms.addData(docs: _*)
+        q.processAllAvailable()
+        // close the window so append mode emits
+        ms.addData((new Timestamp(base + 2 * 3600000L + 3600000L), "flush."))
+        q.processAllAvailable()
+        val rows = spark.table("bp_t")
+          .filter(col("windowStart") === new Timestamp(base - base % 3600000L))
+          .collect().map(r => (r.getString(1), r.getLong(2), r.getInt(4)))
+          .sortBy(_._3)
+        assert(rows.nonEmpty, "window never emitted")
+        val md5Template = java.security.MessageDigest.getInstance("MD5")
+          .digest(template.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(rows.head._1 == md5Template,
+          s"top boilerplate key wrong: ${rows.toSeq} (want $md5Template)")
+        assert(rows.head._2 >= 25, s"template count underestimated: ${rows.head}")
+      } finally q.stop()
+    }
+  }
+
   test("windowedTopK fails fast (plan time, clear fix) without the RocksDB provider") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
