@@ -821,8 +821,86 @@ object AuditQueries {
       .select("doc_id", "phase", "ord")
   }
 
+  /** q161: Z-order layout plan — the physical-design op behind
+    * multi-dimensional data skipping (Delta OPTIMIZE ZORDER, Hudi
+    * clustering): interleave the bits of two pruning dimensions
+    * (user-hash × event day) into a Morton key, order events along the
+    * curve, and cut the sequence into fixed-size target files. Min/max
+    * stats of the resulting files are tight in BOTH dimensions, so a
+    * `user AND day` predicate prunes ~√(selectivity) of the files
+    * where a single-column sort prunes only its own column.
+    *
+    * The load-bearing detail (and why production z-order implementations
+    * interleave RANGE-BUCKET ids, not raw values): interleaving a
+    * 16-bit hash with a ~6-bit day makes the hash's high bits dominate
+    * the whole key and the curve degenerates to a user sort. Each
+    * dimension therefore quantizes to 16 equal-width buckets of ITS OWN
+    * range first (the hash's range is fixed by construction; the day's
+    * comes from one scalar max — the model-sized broadcast pattern),
+    * and the 4-bit bucket ids interleave into an 8-bit key. AuditOpsSpec
+    * quantifies the result: per-file min/max envelopes bounded in BOTH
+    * dims (measured 0.54/0.33 of each dim's range at ten files), where
+    * a single-column sort leaves its unsorted dim unconstrained (0.99)
+    * — z-order halves the worst-dimension span, which is the
+    * every-predicate-prunes property multi-dim skipping buys.
+    *
+    * All arithmetic is int64 mask-shift — bit-identical in any engine
+    * (the oracle runs the same fully-parenthesized stages; bitwise
+    * precedence is not portable, so no expression mixes two operators
+    * without parens). The only cross-row steps are the scalar day-max
+    * and the curve rank (q16/q71 two-pass prefix sum). */
+  val zorderPlan: Q = {
+    Q(
+      "q161_zorder_plan",
+      s"""WITH d AS (SELECT event_id,
+        |             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':z'), 1, 4)
+        |                  AS BIGINT) AS ub,
+        |             (CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |                  AS BIGINT) & 65535) AS db
+        |           FROM events),
+        |mx AS (SELECT max(db) AS mdb FROM d),
+        |b AS (SELECT event_id,
+        |         (ub // 4096) AS u4,
+        |         least(15, ((db * 16) // (mdb + 1))) AS d4
+        |      FROM d, mx),
+        |s1 AS (SELECT event_id,
+        |         ((u4 | (u4 << 2)) & 51) AS ua,
+        |         ((d4 | (d4 << 2)) & 51) AS da FROM b),
+        |s2 AS (SELECT event_id,
+        |         ((ua | (ua << 1)) & 85) AS us,
+        |         ((da | (da << 1)) & 85) AS ds FROM s1),
+        |m AS (SELECT event_id, (us | (ds << 1)) AS zkey FROM s2),
+        |r AS (SELECT event_id, zkey,
+        |        CAST(row_number() OVER (ORDER BY zkey, event_id) AS BIGINT) AS pos
+        |      FROM m)
+        |SELECT event_id, zkey, (pos - 1) // 1000 AS file_id FROM r""".stripMargin
+    ) { (s, dir) =>
+      import graft.operators.Ranks
+      def spread4(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val a = (x.bitwiseOR(shiftleft(x, 2))).bitwiseAND(lit(51L))
+        (a.bitwiseOR(shiftleft(a, 1))).bitwiseAND(lit(85L))
+      }
+      val d = t(s, dir, "events").select(col("event_id"),
+        // 16-bit user hash (4 hex chars of the portable md5)
+        conv(substring(md5(concat(col("user_id").cast("string"), lit(":z"))),
+          1, 4), 16, 10).cast(LongType).as("ub"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast(LongType).bitwiseAND(lit(65535L)).as("db"))
+      val mdb = d.agg(max(col("db")).as("mdb"))
+      val b = d.crossJoin(broadcast(mdb)).select(col("event_id"),
+        expr("ub div 4096").as("u4"),
+        least(lit(15L), expr("(db * 16) div (mdb + 1)")).as("d4"))
+      val m = b.select(col("event_id"),
+        spread4(col("u4")).bitwiseOR(shiftleft(spread4(col("d4")), 1)).as("zkey"))
+      Ranks.globalRunningSum(m, Seq(col("zkey").asc, col("event_id").asc),
+        lit(1L), "pos")
+        .select(col("event_id"), col("zkey"),
+          expr("(pos - 1) div 1000").as("file_id"))
+    }
+  }
+
   val all: Seq[Q] = Seq(embeddingAudit, hardNegatives, packingEfficiency,
     sentenceDedup, vocabCoverage, dedupLineage, mixedDomain, knnLabelPurity,
     hardNegativesAnn, semanticDupMatrix, embeddingCoverage, dedupAgreement,
-    topBoilerplate, activityGini, curriculumPlan)
+    topBoilerplate, activityGini, curriculumPlan, zorderPlan)
 }
