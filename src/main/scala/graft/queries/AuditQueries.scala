@@ -899,8 +899,35 @@ object AuditQueries {
     }
   }
 
+  /** q162: skew-salting plan — q159 measures that user-keyed shuffles
+    * have hot keys; this emits the remedy's exact input: every user
+    * whose event count exceeds the per-task target (48 rows at test scale — production
+    * targets are ~10^6; the threshold is the operator's one knob),
+    * with the salt factor `ceil(count / target)` that
+    * [[graft.operators.Salting.saltedJoin]] (and AQE's skew split)
+    * would shard it into. The plan a job author reviews BEFORE pinning
+    * a salted join — and the broadcast-sized hot-key table the salted
+    * join itself consumes. One map-side-combined count, a pure-
+    * projection filter; output is hot keys only (structurally tiny —
+    * rows/target bounds it). */
+  val saltingPlan: Q = Q(
+    "q162_salting_plan",
+    """SELECT user_id, count(*) AS n_events,
+      |       ((count(*) + 47) // 48) AS salt_factor
+      |FROM events
+      |GROUP BY user_id
+      |HAVING count(*) > 48""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") > 48)
+      .withColumn("salt_factor", expr("(n_events + 47) div 48"))
+      .select("user_id", "n_events", "salt_factor")
+  }
+
   val all: Seq[Q] = Seq(embeddingAudit, hardNegatives, packingEfficiency,
     sentenceDedup, vocabCoverage, dedupLineage, mixedDomain, knnLabelPurity,
     hardNegativesAnn, semanticDupMatrix, embeddingCoverage, dedupAgreement,
-    topBoilerplate, activityGini, curriculumPlan, zorderPlan)
+    topBoilerplate, activityGini, curriculumPlan, zorderPlan, saltingPlan)
 }
