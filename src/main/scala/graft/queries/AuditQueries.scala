@@ -9,12 +9,19 @@ import graft.functions.expressions.GraftExpressions.dotQFast
 import graft.operators.{Sharding, Similarity}
 import graft.sources.Tables
 
-/** Round-8 wave 2: the pre-training-data QA layer around embeddings and
-  * packing — embedding-table validation (the gate before any ANN index
-  * build), hard-negative mining for contrastive training, a packing-
-  * efficiency report over the 512-token sequence writer, and
-  * sentence-granularity duplication rates (the finest-grained dedup
-  * diagnostic between q100's 8-gram rate and q67's chunk rate).
+/** Round-8 wave 2 (q146-q162): the QA/physical-design layer of the
+  * pipeline — the queries an operator runs BEFORE committing a train
+  * run or a table rewrite. Embedding side: table validation (q146),
+  * exact + banded-LSH hard-negative mining (q147/q154), kNN label
+  * purity (q153), coverage vs the doc corpus (q156), the semantic
+  * cross-source dup matrix (q155) and lexical×semantic agreement
+  * (q157). Text side: sentence-level dup rates (q149) with the
+  * concrete top-20 boilerplate strip-list (q158), mixed-domain doc
+  * rate (q152), vocabulary coverage curve (q150), per-document dedup
+  * lineage (q151), packing efficiency (q148). Layout/execution side:
+  * exact-integer activity Gini (q159), the skew-salting plan it feeds
+  * (q162), the z-order layout plan (q161), and a deterministic
+  * curriculum ordering (q160).
   */
 object AuditQueries {
 
