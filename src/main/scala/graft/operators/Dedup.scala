@@ -729,6 +729,61 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "uni", "jacc")
   }
 
+  /** MinHash calibration stats: for every banded-LSH CANDIDATE pair,
+    * the number of matching signature components (of 16) alongside the
+    * exact shingle intersection/union — the raw material of the
+    * estimator-vs-truth calibration curve (E[matches/16] = J is the
+    * MinHash guarantee; the q163 rollup checks it empirically the way
+    * q135 checks SimHash's Hamming-cosine relation). Same portable
+    * polynomial hash family as [[portableMinhashLshPairs]], so the
+    * whole pair frame oracles hash-exact. Candidates only — the
+    * calibration conditions on "pairs the LSH surfaces", which is the
+    * population a production threshold acts on. */
+  def portableMinhashPairStats(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val P = graft.functions.expressions.ShingleHashes.PolyMod
+    val hs = docs
+      .select(col(idCol).as("doc_id"), T.words(col(textCol)).as("ws"))
+      .select(col("doc_id"), graft.functions.expressions.GraftExpressions
+        .shingleHashes(col("ws"), 3, ordered = false, poly = true).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .localCheckpoint(true)
+    val e = hs.select(col("doc_id"), explode(col("hs")).as("h"))
+    val mins = (0 until 16).map(j =>
+      min((col("h") * lit(2L * j + 1) + lit(j.toLong * j + 7L)) % lit(P))
+        .as(s"m$j"))
+    val m = e.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .localCheckpoint(true) // feeds band keys AND both match-count joins
+    val bandCols = (0 until 4).map(b => struct(lit(b).as("band"),
+      concat_ws("_", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*).as("key")))
+    val bk = m.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bk.as("a")
+      .join(bk.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .localCheckpoint(true)
+    val sigA = m.select(col("doc_id").as("doc_a") +:
+      (0 until 16).map(j => col(s"m$j").as(s"a$j")): _*)
+    val sigB = m.select(col("doc_id").as("doc_b") +:
+      (0 until 16).map(j => col(s"m$j").as(s"b$j")): _*)
+    val hsCand = candidateArrays(hs.select(col("doc_id"), col("hs").as("shs")), cand)
+    cand
+      .join(sigA, "doc_a").join(sigB, "doc_b")
+      .withColumn("matches",
+        (0 until 16).map(j =>
+          when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L)).reduce(_ + _))
+      .join(hsCand.select(col("doc_id").as("doc_a"), col("shs").as("hs_a")), "doc_a")
+      .join(hsCand.select(col("doc_id").as("doc_b"), col("shs").as("hs_b")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("uni",
+        (size(col("hs_a")) + size(col("hs_b"))).cast("long") - col("inter"))
+      .select("doc_a", "doc_b", "matches", "inter", "uni")
+  }
+
   /** SimHash's deterministic core on the engine-portable polynomial
     * word hash: 45-bit frequency-weighted signatures (per-bit ±1 votes
     * over word occurrences, bit set iff the vote is positive). The

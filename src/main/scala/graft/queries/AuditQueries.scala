@@ -933,8 +933,79 @@ object AuditQueries {
       .select("user_id", "n_events", "salt_factor")
   }
 
+  /** q163: MinHash calibration curve — q135's estimator-vs-truth audit
+    * for the OTHER sketch family: per matching-component count (0..16
+    * of the signature), how many candidate pairs land there and their
+    * exact Jaccard mass (micro-quantized exact-sum, like q155's cosine
+    * mass). E[matches/16] = J is MinHash's defining guarantee; reading
+    * n_pairs and jacc_micros/n_pairs per bucket against matches/16 is
+    * how an operator picks the signature width and band threshold for
+    * a target precision. Candidates only — the population a production
+    * threshold acts on. Everything runs on the portable polynomial
+    * hash family, so the curve oracles hash-exact
+    * ([[graft.operators.Dedup.portableMinhashPairStats]]). */
+  val minhashCalibration: Q = {
+    val P = 35184372088777L
+    val minCols = (0 until 16)
+      .map(j => s"min((${2 * j + 1}*h + ${j * j + 7}) % $P) AS m$j")
+      .mkString(",\n      |        ")
+    val bandRows = (0 until 4).map(b =>
+      (0 until 4).map(r => s"m${b * 4 + r}").mkString(" || '_' || "))
+    val matchExpr = (0 until 16)
+      .map(j => s"(CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    Q(
+      "q163_minhash_calibration",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
+        |        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS grams
+        |      FROM w WHERE len(ws) >= 3),
+        |h AS (SELECT doc_id, list_distinct(list_transform(grams, s -> list_reduce(
+        |        list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(range(1, length(s) + 1),
+        |            i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+        |        (acc, c) -> (acc * 131 + c) % $P))) AS hs
+        |      FROM g),
+        |e AS (SELECT doc_id, unnest(hs) AS h FROM h),
+        |m AS (SELECT doc_id,
+        |        $minCols
+        |      FROM e GROUP BY doc_id),
+        |b AS (SELECT doc_id, 0 AS band, ${bandRows(0)} AS key FROM m
+        |      UNION ALL SELECT doc_id, 1, ${bandRows(1)} FROM m
+        |      UNION ALL SELECT doc_id, 2, ${bandRows(2)} FROM m
+        |      UNION ALL SELECT doc_id, 3, ${bandRows(3)} FROM m),
+        |c AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |      FROM b x JOIN b y
+        |      ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+        |mm AS (SELECT c.doc_a, c.doc_b,
+        |         CAST($matchExpr AS BIGINT) AS matches
+        |       FROM c JOIN m a ON c.doc_a = a.doc_id
+        |              JOIN m b ON c.doc_b = b.doc_id),
+        |v AS (SELECT c.doc_a, c.doc_b,
+        |        CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS inter,
+        |        CAST(len(ha.hs) + len(hb.hs)
+        |             - len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS uni
+        |      FROM c JOIN h ha ON c.doc_a = ha.doc_id
+        |             JOIN h hb ON c.doc_b = hb.doc_id),
+        |j AS (SELECT mm.matches, v.inter, v.uni
+        |      FROM mm JOIN v ON mm.doc_a = v.doc_a AND mm.doc_b = v.doc_b)
+        |SELECT matches, count(*) AS n_pairs,
+        |       CAST(sum(CAST(floor((CAST(inter AS DOUBLE) / uni) * 1000000.0)
+        |                AS BIGINT)) AS BIGINT) AS jacc_micros
+        |FROM j GROUP BY matches""".stripMargin
+    ) { (s, dir) =>
+      graft.operators.Dedup
+        .portableMinhashPairStats(t(s, dir, "documents"), "text", "doc_id")
+        .groupBy("matches")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(floor((col("inter").cast("double") / col("uni")) * 1000000.0)
+            .cast(LongType)).as("jacc_micros"))
+    }
+  }
+
   val all: Seq[Q] = Seq(embeddingAudit, hardNegatives, packingEfficiency,
     sentenceDedup, vocabCoverage, dedupLineage, mixedDomain, knnLabelPurity,
     hardNegativesAnn, semanticDupMatrix, embeddingCoverage, dedupAgreement,
-    topBoilerplate, activityGini, curriculumPlan, zorderPlan, saltingPlan)
+    topBoilerplate, activityGini, curriculumPlan, zorderPlan, saltingPlan,
+    minhashCalibration)
 }
