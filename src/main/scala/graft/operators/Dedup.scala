@@ -92,7 +92,10 @@ object Dedup {
     * join, or explode pass. */
   def chunked(docs: DataFrame, textCol: String, idCol: String,
       chunkWords: Int, carry: Seq[String] = Nil,
-      splitParagraphs: Boolean = false): DataFrame = {
+      splitParagraphs: Boolean = false,
+      splitSentences: Boolean = false): DataFrame = {
+    require(!(splitParagraphs && splitSentences),
+      "pick one chunking mode: splitParagraphs or splitSentences")
     val reserved = Set("ws", "c", "chunk_idx", "chunk", "doc_id")
     val clash = carry.filter(c => reserved.contains(c.toLowerCase))
     require(clash.isEmpty,
@@ -106,7 +109,17 @@ object Dedup {
         i => concat_ws(" ", slice(ws, (i * chunkWords + 1).cast("int"),
           lit(chunkWords))))
     val chunkList =
-      if (!splitParagraphs) windows(T.words(coalesce(col(textCol), lit(""))))
+      if (splitSentences) {
+        // sentence mode: one chunk per `[.!?]+`-delimited sentence
+        // (trimmed, empties dropped) — the q149/q158 grain, for
+        // stripping template sentences rather than counting them.
+        // chunkWords is unused: a sentence IS the chunk unit.
+        val sents = filter(
+          transform(split(coalesce(col(textCol), lit("")), "[.!?]+"),
+            p => trim(p)),
+          p => length(p) > 0)
+        when(size(sents) === 0, array(lit(""))).otherwise(sents)
+      } else if (!splitParagraphs) windows(T.words(coalesce(col(textCol), lit(""))))
       else {
         // (?:\r?\n){2,}: CRLF corpora (most of the crawled web) must
         // split too — bare \n{2,} never matches "\r\n\r\n" and the
@@ -210,9 +223,10 @@ object Dedup {
     * inside its aggregation group — no window. */
   def boilerplateStrip(docs: DataFrame, textCol: String, idCol: String,
       chunkWords: Int = 8, minDf: Int = 3,
-      splitParagraphs: Boolean = false): DataFrame = {
+      splitParagraphs: Boolean = false,
+      splitSentences: Boolean = false): DataFrame = {
     val chunks = chunked(docs, textCol, idCol, chunkWords,
-        splitParagraphs = splitParagraphs)
+        splitParagraphs = splitParagraphs, splitSentences = splitSentences)
       .withColumn("ck", unhex(md5(col("chunk"))))
     val ids = chunks.select("ck", "doc_id", "chunk_idx")
     val boiler = ids.groupBy("ck")

@@ -1003,9 +1003,47 @@ object AuditQueries {
     }
   }
 
+  /** q164: sentence-level boilerplate strip — the REWRITE the q149
+    * rates and q158 strip-list point at: every sentence appearing in
+    * ≥ 3 distinct documents is removed from ALL of them (q91's C4-style
+    * strip at sentence grain instead of fixed 8-word windows — template
+    * sentences rarely align to word-window boundaries, which is why the
+    * sentence chunker exists). Reassembly is whitespace-normalized
+    * (sentences re-join with spaces; terminal punctuation was the split
+    * delimiter), same contract as q91/q67. Rides `chunked`'s sentence
+    * mode through the digest-keyed winner election — the sentence text
+    * crosses exactly one doc_id-keyed exchange. */
+  val sentenceStrip: Q = Q(
+    "q164_sentence_strip",
+    """WITH c0 AS (SELECT doc_id,
+      |              list_filter(list_transform(
+      |                regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+      |                x -> length(x) > 0) AS sents
+      |            FROM documents),
+      |c1 AS (SELECT doc_id,
+      |         CASE WHEN len(sents) = 0 THEN [''] ELSE sents END AS sents
+      |       FROM c0),
+      |c AS (SELECT doc_id, i - 1 AS chunk_idx, sents[i] AS chunk
+      |      FROM c1, unnest(range(1, len(sents) + 1)) AS t(i)),
+      |bp AS (SELECT chunk FROM (
+      |         SELECT chunk, count(DISTINCT doc_id) AS df FROM c GROUP BY 1) d
+      |       WHERE df >= 3)
+      |SELECT doc_id, count(*) AS total_chunks,
+      |       CAST(sum(CASE WHEN chunk NOT IN (SELECT chunk FROM bp)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+      |       coalesce(array_to_string(list_transform(
+      |         list_sort(list(struct_pack(chunk_idx := chunk_idx, chunk := chunk))
+      |                   FILTER (WHERE chunk NOT IN (SELECT chunk FROM bp))),
+      |         x -> x.chunk), ' '), '') AS clean_text
+      |FROM c GROUP BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Dedup.boilerplateStrip(
+      t(s, dir, "documents"), "text", "doc_id", splitSentences = true)
+  }
+
   val all: Seq[Q] = Seq(embeddingAudit, hardNegatives, packingEfficiency,
     sentenceDedup, vocabCoverage, dedupLineage, mixedDomain, knnLabelPurity,
     hardNegativesAnn, semanticDupMatrix, embeddingCoverage, dedupAgreement,
     topBoilerplate, activityGini, curriculumPlan, zorderPlan, saltingPlan,
-    minhashCalibration)
+    minhashCalibration, sentenceStrip)
 }

@@ -10,6 +10,35 @@ import graft.queries.Registry
   */
 class AuditOpsSpec extends SparkSpec {
 
+  test("sentence-mode chunking: one chunk per sentence, CRLF/blank-safe, strip removes templates everywhere") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Subscribe now! First unique thought. More unique text?"),
+      (2L, "Subscribe now! Second unique thought."),
+      (3L, "Subscribe now. Third unique thought."),
+      (4L, ""),
+      (5L, "No template here. Another original line.")
+    ).toDF("doc_id", "text")
+    val chunks = graft.operators.Dedup
+      .chunked(docs, "text", "doc_id", chunkWords = 8, splitSentences = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // doc 1 has exactly its three sentences, in order, trimmed
+    assert(chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq ==
+      Seq("Subscribe now", "First unique thought", "More unique text"))
+    // empty text keeps the one-empty-chunk invariant
+    assert(chunks.filter(_._1 == 4L).map(_._3).toSeq == Seq(""))
+    // the template sentence (df=3 across docs 1-3) strips from ALL of
+    // them; unique sentences survive; punctuation variants ("now!" vs
+    // "now.") fold together because the delimiter IS the punctuation
+    val stripped = graft.operators.Dedup
+      .boilerplateStrip(docs, "text", "doc_id", minDf = 3, splitSentences = true)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(stripped(1L) == "First unique thought More unique text")
+    assert(stripped(2L) == "Second unique thought")
+    assert(stripped(3L) == "Third unique thought")
+    assert(stripped(5L) == "No template here Another original line")
+  }
+
   test("q161: z-order files are tight in BOTH dims where a day-sort is tight in one") {
     // reconstruct the two pruning dims for every event, join the plan's
     // file assignment, and compare per-file min/max envelope widths
