@@ -47,6 +47,7 @@ object IncrementalChunkDedup {
       tsCol: String, storePath: String, chunkWords: Int = 8,
       numBuckets: Int = KeyedStore.DefaultBuckets,
       splitParagraphs: Boolean = false,
+      splitSentences: Boolean = false,
       bloomExpectedItems: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
     // superset sketch over the store's chunk digests: bloom-negative
@@ -62,7 +63,7 @@ object IncrementalChunkDedup {
       .select(col("doc_id"), col("r.text").as("text"), col("r.ts").as("ts"))
     val chunks = Dedup
       .chunked(docs, "text", "doc_id", chunkWords, carry = Seq("ts"),
-        splitParagraphs = splitParagraphs)
+        splitParagraphs = splitParagraphs, splitSentences = splitSentences)
       .withColumn("ch", md5(col("chunk")))
     // in-batch winner per digest: min (ts, doc_id, chunk_idx)
     val winners = chunks.groupBy("ch")
@@ -123,13 +124,15 @@ object IncrementalChunkDedup {
       checkpointLocation: Option[String] = None,
       numBuckets: Int = KeyedStore.DefaultBuckets,
       splitParagraphs: Boolean = false,
+      splitSentences: Boolean = false,
       bloomExpectedItems: Option[Long] = None)(
       onDeduped: (DataFrame, Long) => Unit): StreamingQuery = {
     val w = stream.writeStream.outputMode("append")
     checkpointLocation.foreach(c => w.option("checkpointLocation", c))
     w.foreachBatch { (batch: DataFrame, id: Long) =>
         onDeduped(dedupBatch(batch, idCol, textCol, tsCol, storePath,
-          chunkWords, numBuckets, splitParagraphs, bloomExpectedItems), id)
+          chunkWords, numBuckets, splitParagraphs, splitSentences,
+          bloomExpectedItems), id)
         ()
       }
       .start()

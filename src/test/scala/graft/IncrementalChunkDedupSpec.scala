@@ -50,6 +50,27 @@ class IncrementalChunkDedupSpec extends SparkSpec {
       b3, "doc_id", "text", "ts", store, chunkWords = 2))(4L) == ((1L, 0L, "")))
   }
 
+  test("sentence mode: cross-batch template rejection at sentence grain") {
+    import spark.implicits._
+    val store = tmp("sentstore")
+    // batch 1 admits the template sentence once (doc 1's first
+    // occurrence) and strips its in-batch repeat in doc 2
+    val b1 = Seq(
+      (1L, "Buy now! Alpha insight.", t1),
+      (2L, "Buy now. Beta insight.", t1)).toDF("doc_id", "text", "ts")
+    val out1 = collect(IncrementalChunkDedup.dedupBatch(
+      b1, "doc_id", "text", "ts", store, splitSentences = true))
+    assert(out1(1L) == ((2L, 2L, "Buy now Alpha insight")))
+    assert(out1(2L) == ((2L, 1L, "Beta insight")))
+    // a later batch: the template is in the durable store — rejected
+    // even though this batch never saw doc 1; novel sentences survive
+    val b2 = Seq((3L, "Buy now? Gamma insight.", t2))
+      .toDF("doc_id", "text", "ts")
+    val out2 = collect(IncrementalChunkDedup.dedupBatch(
+      b2, "doc_id", "text", "ts", store, splitSentences = true))
+    assert(out2(3L) == ((2L, 1L, "Gamma insight")))
+  }
+
   test("bloom-gated chunk dedup ≡ ungated across batches/replays; sketch is a store superset") {
     import spark.implicits._
     val plain = tmp("chunkstore-plain")
