@@ -10,6 +10,32 @@ import graft.queries.Registry
   */
 class AuditOpsSpec extends SparkSpec {
 
+  test("q159's closed-form block rank mass equals brute-force sorted sum (property)") {
+    // the histogram formula c·(m·r0 + m(m−1)/2) per tie-block must
+    // reproduce Σ i·x_(i) over the count-sorted multiset for ANY
+    // multiset — checked against direct computation on random inputs
+    // (pure JVM property; the Spark plan is verified by the oracle)
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val countsGen = Gen.nonEmptyListOf(Gen.chooseNum(1L, 50L))
+    val prop = Prop.forAll(countsGen) { xs =>
+      val sorted = xs.sorted
+      val direct = sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      // histogram route: group equal counts, closed-form per block
+      val hist = xs.groupBy(identity).map { case (c, g) => (c, g.size.toLong) }
+        .toSeq.sortBy(_._1)
+      var before = 0L
+      var mass = 0L
+      hist.foreach { case (c, m) =>
+        mass += c * (m * (before + 1) + m * (m - 1) / 2)
+        before += m
+      }
+      mass == direct
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("sentence-mode chunking: one chunk per sentence, CRLF/blank-safe, strip removes templates everywhere") {
     import spark.implicits._
     val docs = Seq(
