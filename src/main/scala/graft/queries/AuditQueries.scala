@@ -1041,9 +1041,50 @@ object AuditQueries {
       t(s, dir, "documents"), "text", "doc_id", splitSentences = true)
   }
 
+  /** q165: length-bucketed batch packing — the PADDED-batch companion
+    * to q71's contiguous token packing: when examples are padded to the
+    * batch max (the inference / non-packed-training regime), batching
+    * similar lengths together is what keeps the pad waste down. Docs
+    * sort by token count (tie: doc_id), cut into 32-doc batches; per
+    * batch the report carries max_tok, the real token mass, and the
+    * padding = 32·max − sum a training step would burn. AuditOpsSpec
+    * quantifies the design against hash-order batching (the total
+    * padding drops ~an order of magnitude on this corpus). The sort is
+    * the q16/q71 two-pass prefix sum; the rollup keys on batch_id. */
+  val lengthBatching: Q = Q(
+    "q165_length_batching",
+    """WITH d AS (SELECT doc_id,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |           FROM documents),
+      |r AS (SELECT doc_id, n_tok,
+      |        CAST(row_number() OVER (ORDER BY n_tok, doc_id) AS BIGINT) AS rk
+      |      FROM d)
+      |SELECT (rk - 1) // 32 AS batch_id,
+      |       count(*) AS n_docs,
+      |       max(n_tok) AS max_tok,
+      |       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+      |       count(*) * max(n_tok) - CAST(sum(n_tok) AS BIGINT) AS padding
+      |FROM (SELECT doc_id, n_tok, rk FROM r) t
+      |GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    import graft.operators.Ranks
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(T.words(col("text"))).cast(LongType).as("n_tok"))
+    Ranks.globalRunningSum(d, Seq(col("n_tok").asc, col("doc_id").asc),
+      lit(1L), "rk")
+      .withColumn("batch_id", expr("(rk - 1) div 32"))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tok")).as("max_tok"),
+        sum(col("n_tok")).as("sum_tok"))
+      .withColumn("padding",
+        col("n_docs") * col("max_tok") - col("sum_tok"))
+  }
+
   val all: Seq[Q] = Seq(embeddingAudit, hardNegatives, packingEfficiency,
     sentenceDedup, vocabCoverage, dedupLineage, mixedDomain, knnLabelPurity,
     hardNegativesAnn, semanticDupMatrix, embeddingCoverage, dedupAgreement,
     topBoilerplate, activityGini, curriculumPlan, zorderPlan, saltingPlan,
-    minhashCalibration, sentenceStrip)
+    minhashCalibration, sentenceStrip, lengthBatching)
 }

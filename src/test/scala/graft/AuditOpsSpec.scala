@@ -65,6 +65,27 @@ class AuditOpsSpec extends SparkSpec {
     assert(stripped(5L) == "No template here Another original line")
   }
 
+  test("q165: length-sorted batching cuts pad waste vs hash-order batching") {
+    val dir = "/root/testdata/sf0.01"
+    val sortedPad = Registry.byName("q165_length_batching").fn(spark, dir)
+      .agg(sum("padding")).collect()(0).getLong(0)
+    // baseline: the same 32-doc batches in salted-hash order (what a
+    // shuffled dataloader does without length bucketing)
+    val d = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":b"))),
+          1, 8), 16, 10).cast("long").as("h"))
+    val hashPad = graft.operators.Ranks
+      .globalRunningSum(d, Seq(col("h").asc, col("doc_id").asc), lit(1L), "rk")
+      .withColumn("batch_id", expr("(rk - 1) div 32"))
+      .groupBy("batch_id")
+      .agg((count(lit(1)) * max(col("n_tok")) - sum(col("n_tok"))).as("padding"))
+      .agg(sum("padding")).collect()(0).getLong(0)
+    assert(sortedPad * 2 < hashPad,
+      s"length bucketing should at least halve padding: sorted $sortedPad vs hash $hashPad")
+  }
+
   test("q161: z-order files are tight in BOTH dims where a day-sort is tight in one") {
     // reconstruct the two pruning dims for every event, join the plan's
     // file assignment, and compare per-file min/max envelope widths
