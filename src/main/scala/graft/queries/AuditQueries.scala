@@ -1082,9 +1082,68 @@ object AuditQueries {
         col("n_docs") * col("max_tok") - col("sum_tok"))
   }
 
+  /** q166: quality-aware budget fill — q96's per-source token budget
+    * filled BEST-QUALITY-FIRST instead of hash-uniform (the
+    * DCLM/FineWeb selection regime: under a fixed token budget, take
+    * the documents a quality signal ranks highest, hash order only as
+    * the within-quality tie-break). Quality here is the integer
+    * stop-word ppm (q24/q47's prose-ness proxy — a learned classifier
+    * like q119 drops into the same ORDER BY slot). Same bounded-heap
+    * prepass as q96 (each doc carries ≥ 1 token, so the top-`budget`
+    * rows by fill order provably contain every row the cumulative
+    * window keeps); the composite heap score packs (quality_ppm, 16-bit
+    * hash) into 36 bits — exact in the heap's double where the 48-bit
+    * hash of q96 would overflow the quality-major composite. */
+  val qualityBudgetFill: Q = Q(
+    "q166_quality_budget_fill",
+    """WITH d AS (SELECT doc_id, source,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |             CAST(1000000 * len(list_filter(string_split(text, ' '),
+      |                    w -> w IN ('the', 'a', 'of', 'and', 'to')))
+      |                  // len(string_split(text, ' ')) AS BIGINT) AS q_ppm,
+      |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':q'), 1, 4)
+      |                  AS BIGINT) AS hk
+      |           FROM documents)
+      |SELECT doc_id, source, n_tokens, q_ppm, cum_tokens FROM (
+      |  SELECT doc_id, source, n_tokens, q_ppm,
+      |         CAST(sum(n_tokens) OVER (PARTITION BY source
+      |              ORDER BY q_ppm DESC, hk, doc_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              AS BIGINT) AS cum_tokens
+      |  FROM d) t
+      |WHERE cum_tokens <= 1200""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Sampling
+    val budget = 1200
+    val ws = T.words(col("text"))
+    val base = t(s, dir, "documents").select(
+      col("doc_id"), col("source"),
+      size(ws).cast(LongType).as("n_tokens"),
+      expr("CAST(1000000 * size(filter(split(text, ' '), " +
+        "w -> w IN ('the', 'a', 'of', 'and', 'to'))) " +
+        "div size(split(text, ' ')) AS BIGINT)").as("q_ppm"),
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(":q"))),
+        1, 4), 16, 10).cast(LongType).as("hk"))
+    // composite heap score: quality-major, inverted-16-bit-hash minor —
+    // <= 1e6*65536 + 65535 < 2^53, exact in a double
+    val score = (col("q_ppm") * 65536L + (lit(65535L) - col("hk"))).cast("double")
+    val capped = Sampling.quotaPerGroup(base, Seq("source"), score,
+        col("doc_id"), k = budget)
+      .select(col("id").as("doc_id"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("q_ppm").desc, col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(capped, Seq("doc_id"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("q_ppm"),
+        col("cum_tokens"))
+  }
+
   val all: Seq[Q] = Seq(embeddingAudit, hardNegatives, packingEfficiency,
     sentenceDedup, vocabCoverage, dedupLineage, mixedDomain, knnLabelPurity,
     hardNegativesAnn, semanticDupMatrix, embeddingCoverage, dedupAgreement,
     topBoilerplate, activityGini, curriculumPlan, zorderPlan, saltingPlan,
-    minhashCalibration, sentenceStrip, lengthBatching)
+    minhashCalibration, sentenceStrip, lengthBatching, qualityBudgetFill)
 }
