@@ -1141,9 +1141,104 @@ object AuditQueries {
         col("cum_tokens"))
   }
 
+  /** q167: corpus pipeline v5 — this wave's stages composed into ONE
+    * oracled plan (the q62/q74/q120/q143 tradition): sentence-level
+    * boilerplate strip (q164) → per-source quality-first token-budget
+    * fill on the CLEANED text (q166's regime — quality is re-scored
+    * after stripping, since removing templates changes a doc's
+    * stop-word profile) → curriculum phase + global training order
+    * (q160). Documents whose every sentence was boilerplate drop out
+    * between the first two stages. One end-to-end hash check proves
+    * the stages agree on every intermediate contract. */
+  val corpusPipelineV5: Q = Q(
+    "q167_corpus_pipeline_v5",
+    """WITH c0 AS (SELECT doc_id,
+      |              list_filter(list_transform(
+      |                regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+      |                x -> length(x) > 0) AS sents
+      |            FROM documents),
+      |c1 AS (SELECT doc_id,
+      |         CASE WHEN len(sents) = 0 THEN [''] ELSE sents END AS sents
+      |       FROM c0),
+      |c AS (SELECT doc_id, i - 1 AS chunk_idx, sents[i] AS chunk
+      |      FROM c1, unnest(range(1, len(sents) + 1)) AS t(i)),
+      |bp AS (SELECT chunk FROM (
+      |         SELECT chunk, count(DISTINCT doc_id) AS df FROM c GROUP BY 1) x
+      |       WHERE df >= 3),
+      |clean AS (SELECT doc_id,
+      |            coalesce(array_to_string(list_transform(
+      |              list_sort(list(struct_pack(chunk_idx := chunk_idx, chunk := chunk))
+      |                        FILTER (WHERE chunk NOT IN (SELECT chunk FROM bp))),
+      |              x -> x.chunk), ' '), '') AS text2
+      |          FROM c GROUP BY doc_id),
+      |d AS (SELECT cl.doc_id, dd.source,
+      |        CAST(len(string_split(cl.text2, ' ')) AS BIGINT) AS n_tokens,
+      |        CAST(1000000 * len(list_filter(string_split(cl.text2, ' '),
+      |               w -> w IN ('the', 'a', 'of', 'and', 'to')))
+      |             // len(string_split(cl.text2, ' ')) AS BIGINT) AS q_ppm,
+      |        CAST('0x' || substr(md5(CAST(cl.doc_id AS VARCHAR) || ':q'), 1, 4)
+      |             AS BIGINT) AS hk
+      |      FROM clean cl JOIN documents dd ON cl.doc_id = dd.doc_id
+      |      WHERE length(cl.text2) > 0),
+      |fill AS (SELECT doc_id, source, n_tokens, q_ppm FROM (
+      |    SELECT doc_id, source, n_tokens, q_ppm,
+      |           CAST(sum(n_tokens) OVER (PARTITION BY source
+      |                ORDER BY q_ppm DESC, hk, doc_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |                AS BIGINT) AS cum
+      |    FROM d) t WHERE cum <= 1200),
+      |ph AS (SELECT doc_id, source, n_tokens, q_ppm,
+      |         CASE WHEN n_tokens < 30 THEN 1
+      |              WHEN n_tokens < 60 THEN 2
+      |              ELSE 3 END AS phase,
+      |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cur'), 1, 8)
+      |              AS BIGINT) AS h
+      |       FROM fill)
+      |SELECT doc_id, source, n_tokens, q_ppm, phase,
+      |       CAST(row_number() OVER (ORDER BY phase, h, doc_id) AS BIGINT) AS ord
+      |FROM ph""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Dedup, Ranks, Sampling}
+    val budget = 1200
+    val cleaned = Dedup.boilerplateStrip(
+      t(s, dir, "documents"), "text", "doc_id", splitSentences = true)
+      .filter(length(col("clean_text")) > 0)
+      .select(col("doc_id"), col("clean_text").as("text2"))
+    val base = cleaned
+      .join(t(s, dir, "documents").select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text2"), " ")).cast(LongType).as("n_tokens"),
+        expr("CAST(1000000 * size(filter(split(text2, ' '), " +
+          "w -> w IN ('the', 'a', 'of', 'and', 'to'))) " +
+          "div size(split(text2, ' ')) AS BIGINT)").as("q_ppm"),
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":q"))),
+          1, 4), 16, 10).cast(LongType).as("hk"))
+    val score = (col("q_ppm") * 65536L + (lit(65535L) - col("hk"))).cast("double")
+    val capped = Sampling.quotaPerGroup(base, Seq("source"), score,
+        col("doc_id"), k = budget)
+      .select(col("id").as("doc_id"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("q_ppm").desc, col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = base.join(capped, Seq("doc_id"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") <= budget)
+    val phased = filled.select(col("doc_id"), col("source"),
+      col("n_tokens"), col("q_ppm"),
+      when(col("n_tokens") < 30, 1).when(col("n_tokens") < 60, 2)
+        .otherwise(3).as("phase"),
+      Sampling.portableHash(
+        concat(col("doc_id").cast("string"), lit(":cur"))).as("h"))
+    Ranks.globalRunningSum(phased,
+      Seq(col("phase").asc, col("h").asc, col("doc_id").asc), lit(1L), "ord")
+      .select("doc_id", "source", "n_tokens", "q_ppm", "phase", "ord")
+  }
+
   val all: Seq[Q] = Seq(embeddingAudit, hardNegatives, packingEfficiency,
     sentenceDedup, vocabCoverage, dedupLineage, mixedDomain, knnLabelPurity,
     hardNegativesAnn, semanticDupMatrix, embeddingCoverage, dedupAgreement,
     topBoilerplate, activityGini, curriculumPlan, zorderPlan, saltingPlan,
-    minhashCalibration, sentenceStrip, lengthBatching, qualityBudgetFill)
+    minhashCalibration, sentenceStrip, lengthBatching, qualityBudgetFill,
+    corpusPipelineV5)
 }

@@ -850,6 +850,15 @@ class PlanSpec extends SparkSpec {
       s"window runs over user-level rows:\n$winBlock")
   }
 
+  test("q167: pipeline v5 never degenerates to a cross product; fill window is per-source") {
+    val p = plan("q167_corpus_pipeline_v5")
+    assert(!p.contains("CartesianProduct"), "q167 planned a cross product")
+    // exactly one Window (the per-source budget fill over the heap-capped
+    // prefix); the curriculum rank is the prefix-sum, not a second window
+    val wins = p.split("\n").count(_.trim.startsWith("Window"))
+    assert(wins <= 1, s"q167 planned $wins windows — the rank must stay windowless")
+  }
+
   test("q134: canonical selection is an arg-max aggregate, not a per-cluster sort") {
     val p = plan("q134_quality_canonical")
     assert(!p.contains("Window"), "q134 ranks with a window")
