@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 import graft.core._
@@ -108,6 +109,78 @@ class PropertySpec extends SparkSpec {
         val kept = chunks.filter(c => seen.add(c))
         id -> ((chunks.length.toLong, kept.length.toLong, kept.mkString(" ")))
       }.toMap
+      got == exp
+    }, runs = 8)
+  }
+
+  private val punctTextGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.chooseNum(1, 8)
+    texts <- Gen.listOfN(n,
+      Gen.chooseNum(0, 12).flatMap(len =>
+        Gen.listOfN(len,
+          Gen.oneOf("a", "b", "cd", ".", "!", "?", " ", "..", "a.b"))))
+  } yield texts.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString("")) }
+
+  test("sentence-mode chunked == regex-split reference on random punctuated text") {
+    import spark.implicits._
+    check(Prop.forAll(punctTextGen) { corpus =>
+      val got = graft.operators.Dedup
+        .chunked(corpus.toDF("doc_id", "text"), "text", "doc_id",
+          chunkWords = 8, splitSentences = true)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .groupBy(_._1)
+        .map { case (id, rs) => id -> rs.sortBy(_._2).map(_._3).toList }
+      // reference: split on [.!?]+ runs, trim, drop empties; all-empty
+      // docs keep the one-empty-chunk invariant; indexes are dense 0..n
+      val exp = corpus.map { case (id, text) =>
+        val sents = text.split("[.!?]+", -1).map(_.trim).filter(_.nonEmpty).toList
+        id -> (if (sents.isEmpty) List("") else sents)
+      }.toMap
+      got == exp
+    }, runs = 8)
+  }
+
+  test("exact hardNegatives == brute-force band/label top-k on random labeled vectors") {
+    import spark.implicits._
+    val vecGen: Gen[List[(Long, Int, List[Double])]] = for {
+      n <- Gen.chooseNum(4, 14)
+      rows <- Gen.listOfN(n, for {
+        label <- Gen.chooseNum(0, 2)
+        v <- Gen.listOfN(4, Gen.chooseNum(-5, 5).map(_.toDouble))
+          .suchThat(_.exists(_ != 0.0)) // zero vectors have no cosine
+      } yield (label, v))
+    } yield rows.zipWithIndex.map { case ((l, v), i) => (i.toLong, l, v) }
+    // NoShrink: shrinking truncates the inner vectors to ragged widths,
+    // which violates the fixed-dims contract the operator requires
+    check(Prop.forAllNoShrink(vecGen) { rows =>
+      val df = rows.toDF("vec_id", "label", "embedding")
+      val q = graft.operators.Similarity.quantize(df, "embedding", "vec_id")
+        .join(df.select(col("vec_id"), col("label")), "vec_id")
+      val (lo, hi, k) = (-0.5, 0.9, 2)
+      val got = graft.operators.Similarity
+        .hardNegatives(q, q.filter(col("vec_id") < 3), k, lo, hi)
+        .collect()
+        .map(r => (r.getLong(0), r.getAs[Number](3).longValue(), r.getLong(1)))
+        .toSet
+      // brute-force reference on the SAME quantized integers
+      def qz(v: List[Double]) = v.map(x => math.floor(x * (1L << 20)).toLong)
+      val byId = rows.map(r => r._1 -> ((r._2, qz(r._3)))).toMap
+      def cos(a: List[Long], b: List[Long]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+          math.sqrt(b.map(x => x * x).sum.toDouble))
+      }
+      val exp = (for {
+        (qid, (qlab, qv)) <- byId.toSeq if qid < 3
+        cands = byId.toSeq
+          .filter { case (nid, (nlab, _)) => nid != qid && nlab != qlab }
+          .map { case (nid, (_, nv)) => (nid, cos(qv, nv)) }
+          .filter { case (_, c) => c >= lo && c < hi }
+          .sortBy { case (nid, c) => (-c, nid) }
+          .take(k).zipWithIndex
+        ((nid, _), pos) <- cands
+      } yield (qid, pos + 1L, nid)).toSet
       got == exp
     }, runs = 8)
   }
