@@ -1,0 +1,307 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.{VectorFunctions => V}
+import graft.functions.expressions.GraftExpressions.dotQFast
+import graft.operators.{Dedup, RangeJoin, Relevance, Scd, Similarity}
+import graft.sources.Tables
+
+/** Round-8 wave 3 (q168-q172): the warehouse/retrieval layer — the
+  * operators that make the engine a drop-in for the serving-side and
+  * join-shaped work around the pipeline. Prefix-filtered similarity
+  * join (q168 — q27's exact answers from the AllPairs/PPJoin candidate
+  * generator, measured ~3× fewer candidate rows), SCD type-2 history
+  * build (q169 — the interval form of the reference's latest-per-key
+  * KTables, what an as-of probe consults when the question is "what
+  * was the state WHEN"), binned range join (q170 — interval×point as a
+  * hash equi-join instead of the BroadcastNestedLoopJoin Spark plans
+  * for a bare BETWEEN), reciprocal-rank-fusion hybrid retrieval (q171
+  * — integer-exact tf-idf lexical ranks fused with exact-cosine
+  * semantic ranks, the standard two-tower serving merge), and
+  * cross-source quantile normalization (q172 — per-source percentile
+  * scores via the windowless histogram pattern, making quality scores
+  * comparable across sources with different scales).
+  */
+object WarehouseQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** q168: prefix-filtered exact Jaccard join — the SAME answer set as
+    * q27 (the oracle SQL is q27's verbatim) from the AllPairs/PPJoin
+    * candidate generator: only each document's ⌊(1−t)·n⌋+1-element
+    * sorted-hash PREFIX enters the self-join, plus the length filter
+    * t·max(|A|,|B|) ≤ min(|A|,|B|) inside the join condition. The df
+    * cap applies to the representation first (identical to q27), so
+    * equality is exact, not approximate. PrefixFilterSpec measures the
+    * candidate reduction and asserts pair-set equality against
+    * [[graft.operators.Dedup.jaccardPairs]]. */
+  val prefixFilterJoin: Q = Q(
+    "q168_prefix_filter_join",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT doc_id,
+      |         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      |       FROM w WHERE len(ws) >= 3),
+      |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000),
+      |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS uni,
+      |       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON doc_a = sa.doc_id
+      |JOIN sizes sb ON doc_b = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5""".stripMargin
+  ) { (s, dir) =>
+    Dedup.prefixFilterJaccardPairs(
+      Dedup.shingleProjection(t(s, dir, "documents"), "text", "doc_id"),
+      threshold = 0.5, maxDf = 1000)
+  }
+
+  /** q169: SCD type-2 history — per-user event_type runs as
+    * [valid_from, valid_to) interval rows with version numbers and an
+    * is_current flag ([[graft.operators.Scd.buildHistory]]). Bounds are
+    * epoch-micros BIGINTs (`ts_ns div 1000` / `epoch_us(ts)` — the
+    * integer timeline both engines agree on bit-for-bit). Windows are
+    * all partitioned by user_id: each key's history sorts inside its
+    * own partition, nothing global. */
+  val scd2History: Q = Q(
+    "q169_scd2_history",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      |           FROM events),
+      |o AS (SELECT user_id, event_type, ts_us, event_id,
+      |        lag(event_type) OVER (PARTITION BY user_id
+      |          ORDER BY ts_us, event_id) AS prev
+      |      FROM e),
+      |c AS (SELECT user_id, event_type, ts_us, event_id,
+      |        CASE WHEN prev IS NULL OR prev <> event_type
+      |             THEN 1 ELSE 0 END AS chg
+      |      FROM o),
+      |v AS (SELECT user_id, event_type, ts_us, chg,
+      |        CAST(sum(chg) OVER (PARTITION BY user_id
+      |             ORDER BY ts_us, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |             AS BIGINT) AS version
+      |      FROM c)
+      |SELECT user_id, event_type, version, valid_from, valid_to,
+      |       valid_to IS NULL AS is_current
+      |FROM (SELECT user_id, event_type, version, ts_us AS valid_from,
+      |        lead(ts_us) OVER (PARTITION BY user_id ORDER BY version)
+      |          AS valid_to
+      |      FROM v WHERE chg = 1) r""".stripMargin
+  ) { (s, dir) =>
+    Scd.buildHistory(
+      t(s, dir, "events").select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_id")),
+      keyCol = "user_id", stateCol = "event_type",
+      tsCol = "ts_us", tieCol = "event_id")
+      .select(col("user_id"), col("event_type"), col("version"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
+
+  /** q170: binned range join — events against 40 OVERLAPPING analysis
+    * windows (2×step wide at 1×step stride, derived from the data's own
+    * [min, max] span so the query is self-contained), rolled up to
+    * per-window event count, distinct users, and exact integer value
+    * mass. The plan is the point: [[graft.operators.RangeJoin]] grids
+    * the timeline so the interval×point match runs as a HASH equi-join
+    * on the bin id plus a residual filter — PlanSpec asserts no
+    * BroadcastNestedLoopJoin/cartesian appears, which is what Spark
+    * would otherwise plan for a bare BETWEEN join and the first thing
+    * that dies at corpus scale. The [t0, t1] fetch is a 2-long scalar
+    * collect (model-sized, like the k-means centroids). */
+  val rangeJoinWindows: Q = Q(
+    "q170_range_join_windows",
+    """WITH b AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+      |           FROM events),
+      |g AS (SELECT CAST(i AS BIGINT) AS window_id,
+      |        t0 + i * ((t1 - t0) // 40 + 1) AS lo,
+      |        t0 + i * ((t1 - t0) // 40 + 1) + 2 * ((t1 - t0) // 40 + 1) AS hi
+      |      FROM b, unnest(range(0, 40)) AS t(i)),
+      |e AS (SELECT epoch_us(ts) AS ts_us, user_id,
+      |        CAST(floor(value * 1000000.0) AS BIGINT) AS v_us
+      |      FROM events)
+      |SELECT window_id, lo, hi, count(*) AS n_events,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       CAST(sum(v_us) AS BIGINT) AS value_micros
+      |FROM g JOIN e ON e.ts_us >= g.lo AND e.ts_us < g.hi
+      |GROUP BY 1, 2, 3""".stripMargin
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events").select(
+      expr("ts_ns div 1000").as("ts_us"), col("user_id"),
+      floor(col("value") * 1000000.0).cast(LongType).as("v_us"))
+    val bounds = ev.agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+      .head()
+    val (t0, t1) = (bounds.getLong(0), bounds.getLong(1))
+    val step = (t1 - t0) / 40L + 1L
+    val wins = s.range(40).select(col("id").as("window_id"),
+      (lit(t0) + col("id") * lit(step)).as("lo"),
+      (lit(t0) + col("id") * lit(step) + lit(2L * step)).as("hi"))
+    RangeJoin.binnedPointJoin(ev, "ts_us", wins, "lo", "hi",
+        binWidth = 2L * step)
+      .groupBy("window_id", "lo", "hi")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("v_us")).cast(LongType).as("value_micros"))
+  }
+
+  /** q171: reciprocal-rank-fusion hybrid retrieval — the standard
+    * serving-side merge of a lexical and a semantic ranker (Cormack et
+    * al. SIGIR'09; the default hybrid mode in Elasticsearch/Vespa/
+    * OpenSearch). Lexical: integer tf·idf_q postings (q65's exact
+    * family) summed over the query's distinct terms, top-10 by (score
+    * desc, id). Semantic: q31's exact-cosine top-10 over the aligned
+    * embedding table. Fusion: Σ 10⁹ div (60 + rank) — integer floor
+    * division, so every score and tie-break is engine-exact; absent
+    * ranks contribute 0 and render as rank 0. Scale shape: the
+    * 10-query term table broadcasts into the postings join (corpus
+    * never shuffles for it), the kNN streams the corpus once against
+    * the broadcast query batch with the bounded top-k heap, and the
+    * per-query fusion windows rank ≤20 rows each. */
+  val rrfHybrid: Q = Q(
+    "q171_rrf_hybrid",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |             FROM documents),
+      |p AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |d AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+      |nn AS (SELECT count(*) AS n_docs FROM documents),
+      |post AS (SELECT doc_id, term,
+      |           tf * CAST(round(ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1))
+      |                * 1000000.0) AS BIGINT) AS w
+      |         FROM p JOIN d USING (term) CROSS JOIN nn),
+      |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM (
+      |         SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |         FROM documents WHERE doc_id < 10) t),
+      |lex AS (SELECT qt.query_id, post.doc_id,
+      |          CAST(sum(post.w) AS BIGINT) AS lex_score
+      |        FROM qt JOIN post USING (term)
+      |        WHERE post.doc_id <> qt.query_id
+      |        GROUP BY 1, 2),
+      |lr AS (SELECT query_id, doc_id, CAST(rn AS BIGINT) AS lex_rn FROM (
+      |         SELECT query_id, doc_id,
+      |                row_number() OVER (PARTITION BY query_id
+      |                  ORDER BY lex_score DESC, doc_id) AS rn
+      |         FROM lex) t WHERE rn <= 10),
+      |qz AS (SELECT vec_id, list_transform(embedding,
+      |         x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv
+      |       FROM embeddings),
+      |n AS (SELECT vec_id, qv,
+      |        CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))
+      |             AS BIGINT) AS nsq
+      |      FROM qz),
+      |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+      |         CAST(CAST(list_sum(list_transform(range(1, 65),
+      |                i -> q.qv[i] * c.qv[i])) AS BIGINT) AS DOUBLE)
+      |           / (sqrt(q.nsq) * sqrt(c.nsq)) AS cosine
+      |       FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      |sr AS (SELECT query_id, doc_id, CAST(rn AS BIGINT) AS sem_rn FROM (
+      |         SELECT query_id, doc_id,
+      |                row_number() OVER (PARTITION BY query_id
+      |                  ORDER BY cosine DESC, doc_id) AS rn
+      |         FROM sc) t WHERE rn <= 10),
+      |f AS (SELECT coalesce(lr.query_id, sr.query_id) AS query_id,
+      |        coalesce(lr.doc_id, sr.doc_id) AS doc_id,
+      |        coalesce(1000000000 // (60 + lr.lex_rn), 0)
+      |          + coalesce(1000000000 // (60 + sr.sem_rn), 0) AS rrf,
+      |        coalesce(lr.lex_rn, 0) AS lex_rn,
+      |        coalesce(sr.sem_rn, 0) AS sem_rn
+      |      FROM lr FULL OUTER JOIN sr
+      |        ON lr.query_id = sr.query_id AND lr.doc_id = sr.doc_id)
+      |SELECT query_id, doc_id, rrf, lex_rn, sem_rn FROM (
+      |  SELECT query_id, doc_id, rrf, lex_rn, sem_rn,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY rrf DESC, doc_id) AS rn
+      |  FROM f) t
+      |WHERE rn <= 10""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val qt = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val lex = Relevance.tfidfPostings(docs)
+      .join(broadcast(qt), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("tfidf_q")).cast(LongType).as("lex_score"))
+    val lw = Window.partitionBy("query_id")
+      .orderBy(col("lex_score").desc, col("doc_id"))
+    val lr = lex.withColumn("lex_rn", row_number().over(lw).cast(LongType))
+      .filter(col("lex_rn") <= 10).select("query_id", "doc_id", "lex_rn")
+    val qn = t(s, dir, "embeddings")
+      .select(col("vec_id"), V.quantize(col("embedding")).as("qv"))
+      .withColumn("nsq", dotQFast(col("qv"), col("qv")))
+    val sr = Similarity.knnTopK(qn, qn.filter(col("vec_id") < 10), k = 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rn").cast(LongType).as("sem_rn"))
+    val fused = lr.join(sr, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr("1000000000 div (60 + lex_rn)"), lit(0L))
+          + coalesce(expr("1000000000 div (60 + sem_rn)"), lit(0L))).as("rrf"),
+        coalesce(col("lex_rn"), lit(0L)).as("lex_rn"),
+        coalesce(col("sem_rn"), lit(0L)).as("sem_rn"))
+    val fw = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rn", row_number().over(fw))
+      .filter(col("rn") <= 10)
+      .select("query_id", "doc_id", "rrf", "lex_rn", "sem_rn")
+  }
+
+  /** q172: cross-source quantile normalization — each document's token
+    * count mapped to its within-source percentile (ppm, floor), the
+    * rank transform that makes a score comparable ACROSS sources whose
+    * raw scales differ (a "long" forum post and a "long" paper are
+    * different absolute lengths; their percentiles align). Windowless
+    * on the corpus (q87's histogram pattern, per source): the
+    * cumulative count comes from a triangular join of the per-source
+    * LENGTH HISTOGRAM — O(L²) on histogram rows, zero corpus-wide
+    * windows — and joins back to documents on the (source, n_tok)
+    * histogram key. A corpus-wide `percent_rank` window would sort one
+    * reducer per source; the histogram is bounded by distinct lengths,
+    * not rows. */
+  val quantileNorm: Q = Q(
+    "q172_quantile_norm",
+    """WITH d AS (SELECT doc_id, source,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |           FROM documents),
+      |h AS (SELECT source, n_tok, count(*) AS c FROM d GROUP BY 1, 2),
+      |cum AS (SELECT source, n_tok,
+      |          CAST(sum(c) OVER (PARTITION BY source ORDER BY n_tok
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+      |               AS BIGINT) AS cnt_lt
+      |        FROM h),
+      |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+      |      FROM d GROUP BY 1)
+      |SELECT d.doc_id, d.source, d.n_tok,
+      |       1000000 * cum.cnt_lt // n.n_src AS pct_ppm
+      |FROM d
+      |JOIN cum ON d.source = cum.source AND d.n_tok = cum.n_tok
+      |JOIN n ON d.source = n.source""".stripMargin
+  ) { (s, dir) =>
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+    val h = d.groupBy("source", "n_tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val cum = h.as("a")
+      .join(h.as("b"),
+        col("a.source") === col("b.source") && col("b.n_tok") < col("a.n_tok"),
+        "left")
+      .groupBy(col("a.source").as("source"), col("a.n_tok").as("n_tok"))
+      .agg(coalesce(sum(col("b.c")), lit(0L)).cast(LongType).as("cnt_lt"))
+    val nsrc = d.groupBy("source").agg(count(lit(1)).cast(LongType).as("n_src"))
+    d.join(cum, Seq("source", "n_tok"))
+      .join(nsrc, Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        expr("1000000 * cnt_lt div n_src").as("pct_ppm"))
+  }
+
+  val all: Seq[Q] = Seq(prefixFilterJoin, scd2History, rangeJoinWindows,
+    rrfHybrid, quantileNorm)
+}

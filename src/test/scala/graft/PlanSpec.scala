@@ -859,6 +859,58 @@ class PlanSpec extends SparkSpec {
     assert(wins <= 1, s"q167 planned $wins windows — the rank must stay windowless")
   }
 
+  test("q168: prefix join verifies on arrays, never a cross product; prefix slice guards the generator") {
+    val p = plan("q168_prefix_filter_join")
+    // the candidate subtree ran eagerly at the localCheckpoint pin, so
+    // the visible plan is the verify phase: exact array intersect, no
+    // non-equi join anywhere
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q168 degenerated to a non-equi join")
+    assert(p.contains("array_intersect"), "verify lost the exact intersect")
+    // the slice IS the generator: assert it on the un-pinned candidate
+    // frame the operator builds (same construction, pre-checkpoint)
+    val sh = graft.operators.Dedup.shingleProjection(
+      graft.sources.Tables.load(spark, sf, "documents"), "text", "doc_id")
+    val pl = least(size(col("shs")), (floor(size(col("shs")) * 0.5) + lit(1)).cast("int"))
+    val pref = sh.select(col("doc_id"), explode(slice(col("shs"), lit(1), pl)).as("h"))
+    val cand = pref.as("a").join(pref.as("b"),
+      col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+    val cp = cand.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(cp.contains("slice(") && !cp.contains("CartesianProduct"), cp.take(800))
+  }
+
+  test("q169: every SCD2 window is key-partitioned — no global sort") {
+    val p = plan("q169_scd2_history")
+    val specs = p.split("windowspecdefinition\\(").drop(1)
+    assert(specs.nonEmpty, "no window in the SCD2 plan?")
+    specs.foreach(s => assert(s.startsWith("user_id"),
+      s"window not partitioned by user_id: ${s.take(60)}"))
+  }
+
+  test("q170: the range join runs as a hash equi-join, not a nested loop") {
+    val p = plan("q170_range_join_windows")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "binned range join degenerated to a nested loop — the bare-BETWEEN plan")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), "no hash join on the bin id")
+  }
+
+  test("q171: query terms broadcast into postings; fusion windows are per-query") {
+    val p = plan("q171_rrf_hybrid")
+    assert(p.contains("BroadcastHashJoin"),
+      "query-term table must broadcast — the corpus may not shuffle for 10 queries")
+    val specs = p.split("windowspecdefinition\\(").drop(1)
+    specs.foreach(s => assert(s.startsWith("query_id"),
+      s"fusion window not per-query: ${s.take(60)}"))
+  }
+
+  test("q172: quantile normalization is windowless on the corpus") {
+    val p = plan("q172_quantile_norm")
+    assert(!p.contains("windowspecdefinition"),
+      "percentiles must come from the histogram join, not a per-source window")
+    assert(!p.contains("CartesianProduct"), "q172 planned a cross product")
+  }
+
   test("q134: canonical selection is an arg-max aggregate, not a per-cluster sort") {
     val p = plan("q134_quality_canonical")
     assert(!p.contains("Window"), "q134 ranks with a window")
