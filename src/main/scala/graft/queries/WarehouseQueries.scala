@@ -302,6 +302,66 @@ object WarehouseQueries {
         expr("1000000 * cnt_lt div n_src").as("pct_ppm"))
   }
 
+  /** q173: as-of probe of the SCD2 history — "what was the state
+    * WHEN": the purchase stream enriched with the user's activity
+    * state (the q169 history built from all NON-purchase events) valid
+    * at each purchase's timestamp. The left join keeps purchases that
+    * precede any state (state_at null). Scale shape: the probe is an
+    * EQUI join on user_id (both sides shuffle once on the same key —
+    * the co-partitioned as-of pattern) with the interval containment
+    * as a residual predicate; per-user intervals tile, so each
+    * purchase matches at most one row and no post-join dedup runs.
+    * This is the serving query the reference answers with RocksDB
+    * point gets against latest-per-key state — here against FULL
+    * history, any point in time. */
+  val asofHistoryProbe: Q = Q(
+    "q173_asof_history_probe",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      |           FROM events),
+      |hs AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+      |o AS (SELECT user_id, event_type, ts_us, event_id,
+      |        lag(event_type) OVER (PARTITION BY user_id
+      |          ORDER BY ts_us, event_id) AS prev
+      |      FROM hs),
+      |c AS (SELECT user_id, event_type, ts_us, event_id,
+      |        CASE WHEN prev IS NULL OR prev <> event_type
+      |             THEN 1 ELSE 0 END AS chg
+      |      FROM o),
+      |v AS (SELECT user_id, event_type, ts_us, chg,
+      |        CAST(sum(chg) OVER (PARTITION BY user_id
+      |             ORDER BY ts_us, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |             AS BIGINT) AS version
+      |      FROM c),
+      |hist AS (SELECT user_id, event_type AS state_at, version,
+      |           ts_us AS valid_from,
+      |           lead(ts_us) OVER (PARTITION BY user_id ORDER BY version)
+      |             AS valid_to
+      |         FROM v WHERE chg = 1),
+      |p AS (SELECT event_id, user_id, ts_us FROM e
+      |      WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts_us, h.state_at, h.version
+      |FROM p LEFT JOIN hist h ON p.user_id = h.user_id
+      |  AND p.ts_us >= h.valid_from
+      |  AND (h.valid_to IS NULL OR p.ts_us < h.valid_to)""".stripMargin
+  ) { (s, dir) =>
+    val e = t(s, dir, "events").select(col("user_id"), col("event_type"),
+      expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+    val hist = Scd.buildHistory(e.filter(col("event_type") =!= "purchase"),
+        "user_id", "event_type", "ts_us", "event_id")
+      .select(col("user_id"), col("event_type").as("state_at"),
+        col("version"), col("valid_from"), col("valid_to"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    p.join(hist,
+        p("user_id") === hist("user_id") &&
+          col("ts_us") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts_us") < col("valid_to")),
+        "left")
+      .select(p("event_id"), p("user_id"), col("ts_us"),
+        col("state_at"), col("version"))
+  }
+
   val all: Seq[Q] = Seq(prefixFilterJoin, scd2History, rangeJoinWindows,
-    rrfHybrid, quantileNorm)
+    rrfHybrid, quantileNorm, asofHistoryProbe)
 }
