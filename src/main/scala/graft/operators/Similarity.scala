@@ -188,6 +188,72 @@ object Similarity {
       k)
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98 — the standard diversified top-k): greedily select k
+    * items per query maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s),
+    * ties broken by ascending id. Returns (query_id, doc_id, ord) with
+    * ord = selection order 1..k.
+    *
+    * Inputs: `cands` = (query_id, doc_id, rel) — a prior retrieval's
+    * top-N per query; `sims` = (query_id, a, b, sim) pairwise
+    * similarities BETWEEN candidates of the same query, both
+    * directions present (a missing pair scores 0 — disjoint items).
+    *
+    * Scale shape: the loop runs k rounds, NOT k×|queries| — all
+    * queries advance together, so each round is one per-query argmax
+    * (a row_number over the ≤N remaining candidates of each query —
+    * partition-parallel, nothing global) plus one equi-join updating
+    * each survivor's RUNNING max-similarity against only the newly
+    * picked item (the standard incremental form: max over S grows one
+    * element per round, so maxsim folds with `greatest`). Rounds are
+    * localCheckpoint-pinned like [[graft.operators.Dedup.resolve]]'s
+    * pointer doubling — the lineage stays O(1) per round. Candidate
+    * sets ride a (query_id)-keyed shuffle once per round; the corpus
+    * itself is never touched. */
+  def mmrSelect(cands: DataFrame, sims: DataFrame, k: Int,
+      lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && lambda > 0.0 && lambda <= 1.0,
+      s"need k >= 1 and 0 < lambda <= 1, got k=$k lambda=$lambda")
+    import org.apache.spark.sql.expressions.Window
+    val byScore = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    // maxsim starts NULL, not 0: similarities can be NEGATIVE, and a
+    // zero floor would silently clamp max_{s∈S} sim(d,s) upward. The
+    // empty-set round scores on relevance alone (coalesce to 0 is
+    // order-neutral there); `greatest` skips nulls on first update.
+    var remaining = cands.select(col("query_id"), col("doc_id"),
+        col("rel").cast("double").as("rel"))
+      .withColumn("maxsim", lit(null).cast("double"))
+      .localCheckpoint(true)
+    var selected: DataFrame = null
+    (1 to k).foreach { r =>
+      val pick = remaining
+        .withColumn("score",
+          col("rel") * lambda - coalesce(col("maxsim"), lit(0.0)) * (1.0 - lambda))
+        .withColumn("rn", row_number().over(byScore))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("doc_id"), lit(r.toLong).as("ord"))
+        .localCheckpoint(true)
+      selected = if (selected == null) pick else selected.unionByName(pick)
+      if (r < k) {
+        remaining = remaining
+          .join(pick.select(col("query_id"), col("doc_id").as("picked")),
+            Seq("query_id"))
+          .filter(col("doc_id") =!= col("picked"))
+          .join(sims.select(col("query_id"), col("a").as("doc_id"),
+            col("b").as("picked"), col("sim")),
+            Seq("query_id", "doc_id", "picked"), "left")
+          .withColumn("maxsim",
+            // a pair absent from `sims` counts as similarity 0
+            // (disjoint items); greatest skips the initial null
+            greatest(col("maxsim"), coalesce(col("sim"), lit(0.0))))
+          .select("query_id", "doc_id", "rel", "maxsim")
+          .localCheckpoint(true)
+      }
+    }
+    selected
+  }
+
   /** Hard-negative mining for contrastive training: per query, the k
     * highest-cosine OTHER-LABEL vectors inside the band [lo, hi) —
     * close enough to be informative negatives, capped below `hi` so

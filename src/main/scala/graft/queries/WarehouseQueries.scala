@@ -362,6 +362,89 @@ object WarehouseQueries {
         col("state_at"), col("version"))
   }
 
+  /** q174: MMR diversified top-k (Carbonell & Goldstein SIGIR'98) —
+    * the greedy re-rank that trades raw relevance for coverage:
+    * per query, 5 items selected from q31's exact top-10 maximizing
+    * λ·rel − (1−λ)·max-sim-to-already-selected (λ=0.5, ties by id).
+    * [[graft.operators.Similarity.mmrSelect]] advances ALL queries
+    * together — k rounds total, each one per-query argmax + one
+    * equi-join updating the running max against only the newly picked
+    * item. The oracle UNROLLS the five greedy stages as chained CTEs
+    * (each: score remaining candidates against the selected set, pick
+    * the argmax) — iterative-operator oracling in the q124 PageRank
+    * tradition, exact because every score is the same IEEE expression
+    * on both engines and max/greatest are order-exact. */
+  val mmrDiversify: Q = {
+    val cos = "CAST(CAST(list_sum(list_transform(range(1, 65), " +
+      "i -> x.qv[i] * y.qv[i])) AS BIGINT) AS DOUBLE) / (sqrt(x.nsq) * sqrt(y.nsq))"
+    val stages = (2 to 5).map { r =>
+      s"""m$r AS (SELECT c.query_id, c.doc_id,
+        |          0.5 * c.cosine - 0.5 * max(sm.sim) AS score
+        |        FROM cand c
+        |        JOIN sel${r - 1} p ON p.query_id = c.query_id
+        |        JOIN sims sm ON sm.query_id = c.query_id
+        |          AND sm.a = c.doc_id AND sm.b = p.doc_id
+        |        LEFT JOIN sel${r - 1} ex ON ex.query_id = c.query_id
+        |          AND ex.doc_id = c.doc_id
+        |        WHERE ex.doc_id IS NULL
+        |        GROUP BY c.query_id, c.doc_id, c.cosine),
+        |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL
+        |        SELECT query_id, doc_id, $r AS ord FROM (
+        |          SELECT query_id, doc_id, row_number() OVER (
+        |            PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+        |          FROM m$r) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    Q(
+      "q174_mmr_diversify",
+      s"""WITH qz AS (SELECT vec_id, list_transform(embedding,
+        |         x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv
+        |       FROM embeddings),
+        |n AS (SELECT vec_id, qv,
+        |        CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))
+        |             AS BIGINT) AS nsq
+        |      FROM qz),
+        |scs AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |         CAST(CAST(list_sum(list_transform(range(1, 65),
+        |                i -> q.qv[i] * c.qv[i])) AS BIGINT) AS DOUBLE)
+        |           / (sqrt(q.nsq) * sqrt(c.nsq)) AS cosine
+        |       FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |cand AS (SELECT query_id, doc_id, cosine FROM (
+        |          SELECT query_id, doc_id, cosine, row_number() OVER (
+        |            PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rn
+        |          FROM scs) t WHERE rn <= 10),
+        |sims AS (SELECT c1.query_id, c1.doc_id AS a, c2.doc_id AS b,
+        |           $cos AS sim
+        |         FROM cand c1 JOIN cand c2 ON c1.query_id = c2.query_id
+        |           AND c1.doc_id <> c2.doc_id
+        |         JOIN n x ON x.vec_id = c1.doc_id
+        |         JOIN n y ON y.vec_id = c2.doc_id),
+        |sel1 AS (SELECT query_id, doc_id, 1 AS ord FROM (
+        |          SELECT query_id, doc_id, row_number() OVER (
+        |            PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rn
+        |          FROM cand) t WHERE rn = 1),
+        |$stages
+        |SELECT query_id, doc_id, CAST(ord AS BIGINT) AS ord FROM sel5""".stripMargin
+    ) { (s, dir) =>
+      val qn = t(s, dir, "embeddings")
+        .select(col("vec_id"), V.quantize(col("embedding")).as("qv"))
+        .withColumn("nsq", dotQFast(col("qv"), col("qv")))
+      val cand = Similarity.knnTopK(qn, qn.filter(col("vec_id") < 10), k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("cosine").as("rel"))
+      val cv = cand.select("query_id", "doc_id")
+        .join(qn.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+      val sims = cv.as("x")
+        .join(cv.as("y"),
+          col("x.query_id") === col("y.query_id") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.query_id").as("query_id"),
+          col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          V.cosineFrom(dotQFast(col("x.qv"), col("y.qv")),
+            col("x.nsq"), col("y.nsq")).as("sim"))
+      Similarity.mmrSelect(cand, sims, k = 5, lambda = 0.5)
+    }
+  }
+
   val all: Seq[Q] = Seq(prefixFilterJoin, scd2History, rangeJoinWindows,
-    rrfHybrid, quantileNorm, asofHistoryProbe)
+    rrfHybrid, quantileNorm, asofHistoryProbe, mmrDiversify)
 }

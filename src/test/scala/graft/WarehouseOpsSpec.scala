@@ -161,6 +161,49 @@ class WarehouseOpsSpec extends SparkSpec {
     }
   }
 
+  test("mmrSelect equals the brute-force greedy (property, negative sims included)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    import graft.operators.Similarity
+    // one query, n candidates with random rel and random SYMMETRIC
+    // sims in [-1, 1]; reference = direct greedy with true running max
+    val caseGen = for {
+      n <- Gen.chooseNum(2, 8)
+      rels <- Gen.listOfN(n, Gen.chooseNum(-100, 100))
+      simsU <- Gen.listOfN(n * n, Gen.chooseNum(-100, 100))
+    } yield (n, rels.map(_ / 100.0), simsU.map(_ / 100.0))
+    val prop = Prop.forAll(caseGen) { case (n, rels, simsU) =>
+      val ids = (0 until n).map(_.toLong)
+      val sim = Map.newBuilder[(Long, Long), Double]
+      for (i <- 0 until n; j <- 0 until n if i != j)
+        sim += ((i.toLong, j.toLong) ->
+          (if (i < j) simsU(i * n + j) else simsU(j * n + i)))
+      val simMap = sim.result()
+      val k = math.min(4, n)
+      // brute force
+      var selected = Vector.empty[Long]
+      var rem = ids.toSet
+      val ref = (1 to k).map { r =>
+        val best = rem.toSeq.map { d =>
+          val m = if (selected.isEmpty) 0.0
+            else selected.map(s => simMap((d, s))).max
+          (0.5 * rels(d.toInt) - 0.5 * m, d)
+        }.minBy { case (s, d) => (-s, d) }._2
+        selected :+= best; rem -= best
+        (best, r.toLong)
+      }.toSet
+      val cands = ids.map(i => (7L, i, rels(i.toInt))).toDF("query_id", "doc_id", "rel")
+      val simsDf = simMap.toSeq.map { case ((a, b), s) => (7L, a, b, s) }
+        .toDF("query_id", "a", "b", "sim")
+      val got = Similarity.mmrSelect(cands, simsDf, k)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      got == ref
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("quantile normalization: ppm in range, monotone in score, zero at the minimum") {
     val rows = Registry.byName("q172_quantile_norm").fn(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tok"),
