@@ -445,6 +445,72 @@ object WarehouseQueries {
     }
   }
 
+  /** q175: mergeable-sketch rollup — the pre-aggregation pattern that
+    * makes distinct counts AFFORDABLE at 100 TB: per (event_type, day)
+    * the engine keeps a DataSketches HLL sketch (a few KB, built in one
+    * map-side-combinable pass), and ANY coarser grain — per-type
+    * totals here — re-aggregates by sketch UNION without revisiting
+    * rows. Exact distincts cannot re-aggregate from counts (users
+    * overlap across days); sketches can, which is why every serious
+    * OLAP store pre-computes them. Register-max union is
+    * order-independent, so the estimate is deterministic — but still
+    * an estimate ⇒ rows-only; WarehouseOpsSpec pins union-of-daily ==
+    * direct-sketch equality and ≤5% relative error against q176's
+    * exact twin. */
+  val hllRollup: Q = Q.rowsOnly("q175_hll_rollup") { (s, dir) =>
+    val ev = t(s, dir, "events").select(col("event_type"),
+      to_date(timestamp_millis(expr("ts_ns div 1000000"))).as("d"),
+      col("user_id"))
+    val daily = ev.groupBy("event_type", "d")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+  }
+
+  /** q176: the exact twin of q175 (the q61/q63/q93 treatment), and the
+    * one-dedup-multi-grain pattern in its exact form: ONE distinct
+    * pass at the finest grain — (event_type, day, user) — then every
+    * coarser rollup reads that deduped frame, never the raw events.
+    * `sum_daily_users` (the sum of per-day distincts) over
+    * `total_users` (distinct across the period) is the revisit factor
+    * a DAU/MAU dashboard reports; computing the total exactly needs
+    * the second distinct over (type, user) because users overlap
+    * across days — exactly the re-aggregation sketches (q175) do for
+    * free. Both aggregations are combiner-friendly; no windows, no
+    * joins. */
+  val distinctRollup: Q = Q(
+    "q176_distinct_rollup",
+    """WITH g AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS d, user_id
+      |           FROM events),
+      |daily AS (SELECT event_type, d, count(*) AS du
+      |          FROM g GROUP BY 1, 2),
+      |per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |          CAST(sum(du) AS BIGINT) AS sum_daily_users
+      |        FROM daily GROUP BY 1),
+      |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS total_users
+      |        FROM (SELECT DISTINCT event_type, user_id FROM g) t GROUP BY 1)
+      |SELECT per.event_type, n_days, sum_daily_users, total_users
+      |FROM per JOIN tot USING (event_type)""".stripMargin
+  ) { (s, dir) =>
+    val g = t(s, dir, "events").select(col("event_type"),
+        to_date(timestamp_millis(expr("ts_ns div 1000000"))).as("d"),
+        col("user_id"))
+      .distinct()
+      .localCheckpoint(true)
+    val daily = g.groupBy("event_type", "d")
+      .agg(count(lit(1)).as("du"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("du")).cast(LongType).as("sum_daily_users"))
+    val totals = g.select("event_type", "user_id").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("total_users"))
+    daily.join(totals, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("sum_daily_users"),
+        col("total_users"))
+  }
+
   val all: Seq[Q] = Seq(prefixFilterJoin, scd2History, rangeJoinWindows,
-    rrfHybrid, quantileNorm, asofHistoryProbe, mmrDiversify)
+    rrfHybrid, quantileNorm, asofHistoryProbe, mmrDiversify, hllRollup,
+    distinctRollup)
 }

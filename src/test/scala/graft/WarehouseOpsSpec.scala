@@ -204,6 +204,33 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("HLL rollup: union-of-daily equals direct sketch; <=5% error vs exact twin") {
+    val ev = Tables.load(spark, sf, "events").select(col("event_type"),
+      to_date(timestamp_millis(expr("ts_ns div 1000000"))).as("d"),
+      col("user_id"))
+    // union of per-day sketches vs one direct sketch over the period:
+    // register-max union makes these EQUAL, not just close — the
+    // property that lets a cube pre-aggregate at fine grain only
+    val viaUnion = ev.groupBy("event_type", "d")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaUnion === direct, "sketch union must reproduce the direct sketch")
+    val exact = Registry.byName("q176_distinct_rollup").fn(spark, sf)
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("total_users"))
+      .toMap
+    assert(exact.keySet === viaUnion.keySet)
+    exact.foreach { case (k, ex) =>
+      val err = math.abs(viaUnion(k).toDouble - ex) / ex
+      assert(err <= 0.05, s"$k: estimate ${viaUnion(k)} vs exact $ex (err $err)")
+    }
+  }
+
   test("quantile normalization: ppm in range, monotone in score, zero at the minimum") {
     val rows = Registry.byName("q172_quantile_norm").fn(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tok"),
