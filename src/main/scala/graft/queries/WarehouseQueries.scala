@@ -510,7 +510,55 @@ object WarehouseQueries {
         col("total_users"))
   }
 
+  /** q177: audience-overlap matrix — exact distinct-user intersection
+    * per unordered event-type pair with Jaccard ppm, the audience-
+    * analysis staple ("how much do viewers and purchasers overlap")
+    * and the SET-EXPRESSION companion to q175/q176: counts cannot
+    * answer intersections (users overlap), sketches only estimate
+    * them, the exact form is this self-join on the DEDUPED
+    * (type, user) frame. Scale shape: the join keys on user_id and
+    * each user carries at most |types| rows, so per-user fanout is
+    * bounded by C(|types|, 2) — no hot-key risk at any corpus size;
+    * the type-cardinality totals broadcast back onto the pair rows. */
+  val audienceOverlap: Q = Q(
+    "q177_audience_overlap",
+    """WITH g AS (SELECT DISTINCT event_type, user_id FROM events),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |        CAST(count(*) AS BIGINT) AS both_users
+      |      FROM g a JOIN g b
+      |        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |      GROUP BY 1, 2),
+      |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+      |      FROM g GROUP BY 1)
+      |SELECT type_a, type_b, both_users,
+      |       na.n_users AS users_a, nb.n_users AS users_b,
+      |       1000000 * both_users
+      |         // (na.n_users + nb.n_users - both_users) AS jaccard_ppm
+      |FROM p
+      |JOIN n na ON type_a = na.event_type
+      |JOIN n nb ON type_b = nb.event_type""".stripMargin
+  ) { (s, dir) =>
+    val g = t(s, dir, "events").select("event_type", "user_id").distinct()
+      .localCheckpoint(true)
+    val p = g.as("a")
+      .join(g.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("both_users"))
+    val n = g.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    p.join(broadcast(n).withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("n_users", "users_a"), Seq("type_a"))
+      .join(broadcast(n).withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("n_users", "users_b"), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("both_users"),
+        col("users_a"), col("users_b"),
+        expr("1000000 * both_users div (users_a + users_b - both_users)")
+          .as("jaccard_ppm"))
+  }
+
   val all: Seq[Q] = Seq(prefixFilterJoin, scd2History, rangeJoinWindows,
     rrfHybrid, quantileNorm, asofHistoryProbe, mmrDiversify, hllRollup,
-    distinctRollup)
+    distinctRollup, audienceOverlap)
 }
