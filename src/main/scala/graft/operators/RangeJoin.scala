@@ -38,9 +38,15 @@ object RangeJoin {
       s"points/intervals column names must be disjoint, both have: " +
         overlap.mkString(", "))
     // pmod: floorDiv semantics for negative domains too — (x - mod) / w
-    // is the floor division both engines agree on
+    // is the floor division both engines agree on. The division runs in
+    // DECIMAL(38,0), not Column./'s DOUBLE: an epoch-NANOS timeline
+    // (~2^60) exceeds a double's 2^53 integer range, and a bin id off
+    // by one silently drops matches at bin borders. The numerator is an
+    // exact multiple of binWidth, so the decimal quotient is an exact
+    // integer and the long cast is lossless.
     def bin(c: org.apache.spark.sql.Column) =
-      ((c - pmod(c, lit(binWidth))) / lit(binWidth)).cast("long")
+      ((c - pmod(c, lit(binWidth))).cast("decimal(38,0)") / lit(binWidth))
+        .cast("long")
     val binned = intervals.withColumn("__bin",
       explode(sequence(bin(col(loCol)), bin(col(hiCol) - lit(1)))))
     points.withColumn("__bin", bin(col(ptCol)))

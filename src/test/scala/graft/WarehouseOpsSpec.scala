@@ -139,6 +139,16 @@ class WarehouseOpsSpec extends SparkSpec {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
+
+    // epoch-nanos regime: beyond double's 2^53 integer range, where a
+    // double-division bin id would round and drop border matches
+    val base = 1L << 60
+    val bigPts = (0L until 8L).map(i => (i, base + i * 1000L)).toDF("pt_id", "pt")
+    val bigIvs = Seq((0L, base + 1000L, base + 3001L)).toDF("iv_id", "lo", "hi")
+    val bigGot = RangeJoin.binnedPointJoin(bigPts, "pt", bigIvs, "lo", "hi",
+        binWidth = 1000L)
+      .select("pt_id").collect().map(_.getLong(0)).sorted
+    assert(bigGot.toSeq === Seq(1L, 2L, 3L), s"got ${bigGot.toSeq}")
   }
 
   test("RRF fusion: scores recompute from the rank columns; both-list docs sum") {
