@@ -558,7 +558,81 @@ object WarehouseQueries {
           .as("jaccard_ppm"))
   }
 
+  /** q178: positional phrase search — the retrieval capability the
+    * bag-of-words rankers (tf-idf q65, BM25 q50, RRF q171) cannot
+    * express: EXACT consecutive-token phrase matches from a positional
+    * posting join. The relational trick: explode (doc, pos, term),
+    * join the phrase's (idx, word) rows on the term, and group by
+    * (doc, phrase, pos − idx) — a phrase occurrence starting at s
+    * contributes its idx-j word from position s+j, so the group at
+    * start s holds ALL DISTINCT idx values iff the full phrase sits at
+    * s. `count(DISTINCT idx) = len` (not count(*)) makes repeated-word
+    * phrases correct — "batch batch batch" is in the phrase list
+    * precisely to pin that. Overlapping occurrences count separately.
+    * Scale shape: the posting explode is restricted to the phrases'
+    * terms by a broadcast join BEFORE any exchange, the match is one
+    * map-side-combinable aggregation keyed by (doc, phrase, start),
+    * and the rollup touches only hit rows; a standing deployment
+    * persists the positional postings table once and reuses it per
+    * query batch. */
+  val phraseSearch: Q = {
+    val phrases = Seq(
+      (0L, "table scan", Seq("table", "scan")),
+      (1L, "sort merge", Seq("sort", "merge")),
+      (2L, "spark join", Seq("spark", "join")),
+      (3L, "batch batch batch", Seq("batch", "batch", "batch")))
+    val phRows = phrases.flatMap { case (id, _, ws) =>
+      ws.zipWithIndex.map { case (w, i) => s"($id, $i, '$w')" } }
+      .mkString(", ")
+    val labRows = phrases.map { case (id, lab, _) => s"($id, '$lab')" }
+      .mkString(", ")
+    val plRows = phrases.map { case (id, _, ws) => s"($id, ${ws.size})" }
+      .mkString(", ")
+    Q(
+      "q178_phrase_search",
+      s"""WITH pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS term
+        |             FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |                   FROM documents) t,
+        |                  unnest(range(1, len(ws) + 1)) AS u(i)),
+        |ph AS (SELECT * FROM (VALUES $phRows)
+        |       AS v(phrase_id, idx, term)),
+        |lab AS (SELECT * FROM (VALUES $labRows) AS v(phrase_id, phrase)),
+        |pl AS (SELECT * FROM (VALUES $plRows) AS v(phrase_id, plen)),
+        |m AS (SELECT p.doc_id, h.phrase_id, p.pos - h.idx AS start,
+        |        count(DISTINCT h.idx) AS nidx
+        |      FROM pos p JOIN ph h ON p.term = h.term
+        |      GROUP BY 1, 2, 3),
+        |hits AS (SELECT m.doc_id, m.phrase_id
+        |         FROM m JOIN pl USING (phrase_id) WHERE m.nidx = pl.plen)
+        |SELECT lab.phrase,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM hits JOIN lab USING (phrase_id)
+        |GROUP BY 1""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val pos = t(s, dir, "documents").select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      val ph = phrases.flatMap { case (id, _, ws) =>
+        ws.zipWithIndex.map { case (w, i) => (id, i.toLong, w) } }
+        .toDF("phrase_id", "idx", "term")
+      val lab = phrases.map(p => (p._1, p._2)).toDF("phrase_id", "phrase")
+      val pl = phrases.map(p => (p._1, p._3.size.toLong))
+        .toDF("phrase_id", "plen")
+      val m = pos.join(broadcast(ph), Seq("term"))
+        .groupBy(col("doc_id"), col("phrase_id"),
+          (col("pos") - col("idx")).as("start"))
+        .agg(countDistinct(col("idx")).as("nidx"))
+      m.join(broadcast(pl), Seq("phrase_id"))
+        .filter(col("nidx") === col("plen"))
+        .join(broadcast(lab), Seq("phrase_id"))
+        .groupBy("phrase")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+    }
+  }
+
   val all: Seq[Q] = Seq(prefixFilterJoin, scd2History, rangeJoinWindows,
     rrfHybrid, quantileNorm, asofHistoryProbe, mmrDiversify, hllRollup,
-    distinctRollup, audienceOverlap)
+    distinctRollup, audienceOverlap, phraseSearch)
 }

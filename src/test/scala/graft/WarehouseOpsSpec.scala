@@ -241,6 +241,27 @@ class WarehouseOpsSpec extends SparkSpec {
     }
   }
 
+  test("phrase search equals brute-force sliding-window counts (incl. repeated-word phrase)") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val phrases = Seq("table scan", "sort merge", "spark join",
+      "batch batch batch").map(p => p -> p.split(" ").toSeq)
+    val expect = phrases.map { case (lab, ws) =>
+      val hits = docs.map { case (_, toks) =>
+        toks.sliding(ws.size).count(_ == ws)
+      }
+      lab -> ((hits.count(_ > 0).toLong, hits.sum.toLong))
+    }.filter(_._2._1 > 0).toMap
+    val got = Registry.byName("q178_phrase_search").fn(spark, sf)
+      .collect()
+      .map(r => r.getAs[String]("phrase") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_occurrences"))))
+      .toMap
+    assert(got === expect)
+    assert(expect.nonEmpty, "corpus should contain at least one phrase hit")
+  }
+
   test("quantile normalization: ppm in range, monotone in score, zero at the minimum") {
     val rows = Registry.byName("q172_quantile_norm").fn(spark, sf).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tok"),
