@@ -46,6 +46,12 @@ object IncrementalScd {
       tsCol: String, tieCol: String, storePath: String, batchId: Long,
       numBuckets: Int = KeyedStore.DefaultBuckets): DataFrame = {
     val spark = batch.sparkSession
+    require(batch.schema(tieCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"tieCol '$tieCol' must be LongType: the store's open run re-enters " +
+        "the collapse as a pseudo-event with tie Long.MinValue, which must " +
+        "sort before every real event at the same timestamp (a narrower " +
+        "type would truncate the sentinel; cast the tie column first)")
     val ev = batch.select(col(keyCol), col(stateCol), col(tsCol), col(tieCol))
     // pre-batch open run per key: the store row, except on replay
     // (batch_id == batchId) where prev_* IS the pre-batch state
