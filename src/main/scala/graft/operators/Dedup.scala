@@ -436,7 +436,7 @@ object Dedup {
     * and the PPJoin length filter (t·|A| ≤ |B| ≤ |A|/t, applied inside
     * the join condition) discards size-incompatible collisions before
     * they aggregate. Same answers, measured ~2-4× fewer candidate rows
-    * on the test corpus (PrefixFilterSpec), asymptotically (1−t)²× the
+    * on the test corpus (WarehouseOpsSpec), asymptotically (1−t)²× the
     * exploded join traffic.
     *
     * `maxDf` caps the REPRESENTATION exactly like [[jaccardPairs]]
@@ -480,21 +480,7 @@ object Dedup {
           .filter(size(col("shs")) > 0)
           .localCheckpoint(true)
       }
-    // prefix length ⌊(1−t)·n⌋+1 (capped at n when t is tiny); sized
-    // rows feed the PPJoin length filter inside the join condition
-    val pLen = least(size(col("shs")),
-      (floor(size(col("shs")) * lit(1.0 - threshold)) + lit(1)).cast("int"))
-    val pref = capped
-      .select(col("doc_id"), size(col("shs")).cast("long").as("n"),
-        explode(slice(col("shs"), lit(1), pLen)).as("h"))
-    val candIds = pref.as("a")
-      .join(pref.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
-          // length filter: J ≥ t ⟹ t·max(na,nb) ≤ min(na,nb)
-          col("a.n") * lit(threshold) <= col("b.n") &&
-          col("b.n") * lit(threshold) <= col("a.n"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val candIds = prefixCandidatePairs(capped, threshold)
       .localCheckpoint(true)
     val arrays = if (restrictVerify) candidateArrays(capped, candIds) else capped
     candIds
@@ -506,6 +492,50 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter", "uni", "jaccard")
+  }
+
+  /** The AllPairs candidate generator [[prefixFilterJaccardPairs]]
+    * verifies: distinct (doc_a, doc_b) pairs whose sorted-hash
+    * PREFIXES collide, with the PPJoin length filter in the join
+    * condition. Exposed separately so PlanSpec can assert the slice
+    * on the operator's OWN construction (the checkpoint pin hides it
+    * from the final plan).
+    *
+    * Prefix length: the exact-rational bound is n − ⌈t·n⌉ + 1, but
+    * the ACCEPT filter is IEEE `inter/uni >= t` on the rounded
+    * quotient, which can admit pairs whose exact Jaccard sits one ulp
+    * below t (inter = ⌈t·n⌉ − 1) — and computing ⌈t·n⌉ through double
+    * multiplication can itself land one off at representation
+    * boundaries (10 × (1−0.8) = 1.9999…96). So the ceiling is taken
+    * in exact integer arithmetic on the ppm-quantized threshold and
+    * the prefix extends 2 elements past the rational bound: one for
+    * the IEEE accept slack, one for ppm quantization of t (exact for
+    * n ≤ 2·10⁶ distinct shingles — far past any real document). A
+    * longer prefix can only ADD candidates, never lose a pair; the
+    * cost is ~2 extra posting rows per document. */
+  def prefixCandidatePairs(capped: DataFrame,
+      threshold: Double): DataFrame = {
+    val tPpm = math.round(threshold * 1000000.0)
+    val n = size(col("shs")).cast("long")
+    // exact ⌈t'·n⌉ on the ppm-quantized threshold (⌈a/b⌉ as
+    // ⌊(a+b−1)/b⌋; the double division is exact-floorable because the
+    // integer gap 10⁻⁶ dwarfs the ulp at n·10⁶ ≤ 2⁵³), then −2 slack
+    val ceilTn = ((n * lit(tPpm) + lit(999999L)) / lit(1000000L)).cast("long")
+    val oMin = greatest(lit(1L), ceilTn - lit(2L))
+    val pLen = least(n, n - oMin + lit(1L)).cast("int")
+    val pref = capped
+      .select(col("doc_id"), n.as("n"),
+        explode(slice(col("shs"), lit(1), pLen)).as("h"))
+    pref.as("a")
+      .join(pref.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          // length filter: J ≥ t ⟹ t·max(na,nb) ≤ min(na,nb); the −1
+          // mirrors the accept slack so a boundary pair is never
+          // length-filtered out of candidacy
+          col("a.n") * lit(tPpm) - lit(1000000L) <= col("b.n") * lit(1000000L) &&
+          col("b.n") * lit(tPpm) - lit(1000000L) <= col("a.n") * lit(1000000L))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** MinHash + banded LSH near-dup pairs with exact verify — the scale

@@ -26,9 +26,10 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Join `points` (at `ptCol`, integral) to every interval in
-    * `intervals` with `loCol <= pt < hiCol` (half-open; lo/hi integral,
-    * lo < hi). Column names must be disjoint across the two frames.
-    * Returns matched rows carrying both frames' columns. */
+    * `intervals` with `loCol <= pt < hiCol` (half-open; lo/hi
+    * integral; a row with lo >= hi matches nothing and is dropped
+    * before binning). Column names must be disjoint across the two
+    * frames. Returns matched rows carrying both frames' columns. */
   def binnedPointJoin(points: DataFrame, ptCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
       binWidth: Long): DataFrame = {
@@ -47,8 +48,16 @@ object RangeJoin {
     def bin(c: org.apache.spark.sql.Column) =
       ((c - pmod(c, lit(binWidth))).cast("decimal(38,0)") / lit(binWidth))
         .cast("long")
-    val binned = intervals.withColumn("__bin",
-      explode(sequence(bin(col(loCol)), bin(col(hiCol) - lit(1)))))
+    // inverted intervals (lo >= hi) are dropped BEFORE the explode:
+    // `lo <= pt < hi` is unsatisfiable for them, so this is exact
+    // semantics — and without the guard, sequence() auto-steps -1 on a
+    // descending range, so ONE corrupt row (swapped bounds) would
+    // enumerate every bin from bin(lo) down to bin(hi-1): ~10¹²
+    // elements on a microsecond timeline, an executor-killing
+    // explosion instead of an empty match set.
+    val binned = intervals.filter(col(loCol) < col(hiCol))
+      .withColumn("__bin",
+        explode(sequence(bin(col(loCol)), bin(col(hiCol) - lit(1)))))
     points.withColumn("__bin", bin(col(ptCol)))
       .join(binned,
         Seq("__bin"))

@@ -217,6 +217,12 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val byScore = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id"))
+    // pinned once: every update round joins sims, and without the pin
+    // each round's eager checkpoint re-runs the caller's ENTIRE sims
+    // lineage (in q174: embeddings load + kNN + pairwise cosines,
+    // k−1 extra times)
+    val simsP = sims.select(col("query_id"), col("a"), col("b"), col("sim"))
+      .localCheckpoint(true)
     // maxsim starts NULL, not 0: similarities can be NEGATIVE, and a
     // zero floor would silently clamp max_{s∈S} sim(d,s) upward. The
     // empty-set round scores on relevance alone (coalesce to 0 is
@@ -240,7 +246,7 @@ object Similarity {
           .join(pick.select(col("query_id"), col("doc_id").as("picked")),
             Seq("query_id"))
           .filter(col("doc_id") =!= col("picked"))
-          .join(sims.select(col("query_id"), col("a").as("doc_id"),
+          .join(simsP.select(col("query_id"), col("a").as("doc_id"),
             col("b").as("picked"), col("sim")),
             Seq("query_id", "doc_id", "picked"), "left")
           .withColumn("maxsim",

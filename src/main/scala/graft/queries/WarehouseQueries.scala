@@ -33,11 +33,13 @@ object WarehouseQueries {
 
   /** q168: prefix-filtered exact Jaccard join — the SAME answer set as
     * q27 (the oracle SQL is q27's verbatim) from the AllPairs/PPJoin
-    * candidate generator: only each document's ⌊(1−t)·n⌋+1-element
-    * sorted-hash PREFIX enters the self-join, plus the length filter
+    * candidate generator: only each document's short sorted-hash
+    * PREFIX (n − ⌈t·n⌉ + 1 rationally, +2 boundary slack — see
+    * [[graft.operators.Dedup.prefixCandidatePairs]]) enters the
+    * self-join, plus the length filter
     * t·max(|A|,|B|) ≤ min(|A|,|B|) inside the join condition. The df
     * cap applies to the representation first (identical to q27), so
-    * equality is exact, not approximate. PrefixFilterSpec measures the
+    * equality is exact, not approximate. WarehouseOpsSpec measures the
     * candidate reduction and asserts pair-set equality against
     * [[graft.operators.Dedup.jaccardPairs]]. */
   val prefixFilterJoin: Q = Q(

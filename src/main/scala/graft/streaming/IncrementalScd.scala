@@ -18,9 +18,16 @@ import graft.state.KeyedStore
   * for the batch's own keys.
   *
   * Equivalence contract (spec'd): for any split of an event stream
-  * into batches that respects per-key timestamp order, the emitted
-  * closed intervals plus the store's open runs equal the batch
-  * rebuild's output exactly — versions, bounds, tie-breaks and all.
+  * into batches that respects per-key (timestamp, tie) order, the
+  * emitted closed intervals plus the store's open runs equal the
+  * batch rebuild's output exactly — versions, bounds, tie-breaks and
+  * all. The one committed boundary: an event arriving in a LATER
+  * batch with the open run's exact start timestamp but a SMALLER tie
+  * orders after the open run (its position is already committed —
+  * internally the open run re-enters the collapse with a
+  * (is_real=0, tie) struct key that sorts before every real event at
+  * that timestamp, whatever the tie value), deterministically
+  * yielding a zero-length closed interval if the state differs.
   * Out-of-order WITHIN a batch is fine (the collapse sorts); an event
   * arriving in a LATER batch with a timestamp before its key's open
   * run start is dropped (counted nowhere — the caller owns late-data
@@ -46,12 +53,6 @@ object IncrementalScd {
       tsCol: String, tieCol: String, storePath: String, batchId: Long,
       numBuckets: Int = KeyedStore.DefaultBuckets): DataFrame = {
     val spark = batch.sparkSession
-    require(batch.schema(tieCol).dataType ==
-        org.apache.spark.sql.types.LongType,
-      s"tieCol '$tieCol' must be LongType: the store's open run re-enters " +
-        "the collapse as a pseudo-event with tie Long.MinValue, which must " +
-        "sort before every real event at the same timestamp (a narrower " +
-        "type would truncate the sentinel; cast the tie column first)")
     val ev = batch.select(col(keyCol), col(stateCol), col(tsCol), col(tieCol))
     // pre-batch open run per key: the store row, except on replay
     // (batch_id == batchId) where prev_* IS the pre-batch state
@@ -82,13 +83,23 @@ object IncrementalScd {
     // union-constraint rewrite (duplicate attribute ids)
     val eff = eff0.localCheckpoint(true)
     // open runs re-enter the collapse as pseudo-events ordered BEFORE
-    // any real event at the same timestamp; late real events (before
-    // the open run start) drop
+    // any real event at the same timestamp. The internal tie is the
+    // STRUCT (is_real, tie): (0, _) < (1, anything), so the ordering
+    // guarantee holds for EVERY tie value — a sentinel like
+    // Long.MinValue would collide with a real event carrying that tie
+    // at the open run's start timestamp and make the collapse order
+    // nondeterministic. Late real events (before the open run start)
+    // drop.
+    val tieSt = "__tie"
     val pseudo = eff.select(col(keyCol), col("eff_state").as(stateCol),
-      col("eff_from").as(tsCol), lit(Long.MinValue).as(tieCol))
+      col("eff_from").as(tsCol),
+      struct(lit(0).as("r"),
+        lit(null).cast(batch.schema(tieCol).dataType).as("t")).as(tieSt))
     val live = ev.join(eff.select(col(keyCol), col("eff_from")), Seq(keyCol), "left")
       .filter(col("eff_from").isNull || col(tsCol) >= col("eff_from"))
       .drop("eff_from")
+      .withColumn(tieSt, struct(lit(1).as("r"), col(tieCol).as("t")))
+      .drop(tieCol)
     // fresh-lineage rebrand at the union boundary: both children carry
     // constraints referencing pruned attributes (the late-event bound's
     // eff_from; the probe's store columns), which Catalyst's
@@ -99,7 +110,7 @@ object IncrementalScd {
     def rebrand(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
     val runs = Scd.buildHistory(rebrand(live).unionByName(rebrand(pseudo)),
-        keyCol, stateCol, tsCol, tieCol)
+        keyCol, stateCol, tsCol, tieSt)
       .join(eff.select(col(keyCol), col("eff_version")), Seq(keyCol), "left")
       .withColumn("version",
         col("version") + coalesce(col("eff_version") - 1L, lit(0L)))

@@ -99,6 +99,25 @@ class IncrementalScdSpec extends SparkSpec {
     assert(open.length === 1 && open.head.getAs[String]("state") === "a")
   }
 
+  test("equal-ts event with tie == Long.MinValue orders after the open run, deterministically") {
+    // the code-review scenario: a sentinel-valued real tie at the open
+    // run's start timestamp must NOT race the pseudo-event; the struct
+    // (is_real, tie) key commits the open run first, so the outcome is
+    // a deterministic zero-length close of 'a' and a new open 'z' run
+    val store = tmp("incscd-sentinel")
+    IncrementalScd.scdBatch(df(Seq((5L, "a", 100L, 10L))),
+      "user_id", "state", "ts_us", "event_id", store, 0L)
+    val closed = IncrementalScd.scdBatch(
+      df(Seq((5L, "z", 100L, Long.MinValue))),
+      "user_id", "state", "ts_us", "event_id", store, 1L)
+      .collect().map(runKey).toSet
+    assert(closed === Set((5L, "a", 1L, 100L, Some(100L))))
+    val open = IncrementalScd.openRuns(spark, store, "user_id", "state")
+      .filter(col("user_id") === 5L).collect()
+    assert(open.length === 1 && open.head.getAs[String]("state") === "z" &&
+      open.head.getAs[Long]("version") === 2L)
+  }
+
   test("streaming wrapper: closed intervals accrue across batches and a restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

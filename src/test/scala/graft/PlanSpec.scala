@@ -867,14 +867,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "q168 degenerated to a non-equi join")
     assert(p.contains("array_intersect"), "verify lost the exact intersect")
-    // the slice IS the generator: assert it on the un-pinned candidate
-    // frame the operator builds (same construction, pre-checkpoint)
+    // the slice IS the generator: assert it on the OPERATOR'S OWN
+    // un-pinned candidate construction (prefixCandidatePairs is the
+    // exact method prefixFilterJaccardPairs checkpoints), so a
+    // regression in the operator fails here — no rebuilt copy to drift
     val sh = graft.operators.Dedup.shingleProjection(
       graft.sources.Tables.load(spark, sf, "documents"), "text", "doc_id")
-    val pl = least(size(col("shs")), (floor(size(col("shs")) * 0.5) + lit(1)).cast("int"))
-    val pref = sh.select(col("doc_id"), explode(slice(col("shs"), lit(1), pl)).as("h"))
-    val cand = pref.as("a").join(pref.as("b"),
-      col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+    val cand = graft.operators.Dedup.prefixCandidatePairs(sh, threshold = 0.5)
     val cp = cand.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(cp.contains("slice(") && !cp.contains("CartesianProduct"), cp.take(800))
   }

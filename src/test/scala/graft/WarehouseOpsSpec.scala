@@ -26,19 +26,13 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(base.nonEmpty, "corpus must contain near-dup pairs")
     assert(pref === base)
     // candidate reduction: distinct colliding pairs from full sets vs
-    // from prefixes (the join traffic the generator actually pays)
+    // the OPERATOR'S OWN prefix generator (no rebuilt copy to drift)
     val full = sh.select(col("doc_id"), explode(col("shs")).as("h"))
     val fullCands = full.as("a")
       .join(full.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
-    val pl = least(size(col("shs")),
-      (floor(size(col("shs")) * 0.5) + lit(1)).cast("int"))
-    val prefEx = sh.select(col("doc_id"), explode(slice(col("shs"), lit(1), pl)).as("h"))
-    val prefCands = prefEx.as("a")
-      .join(prefEx.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val prefCands = Dedup.prefixCandidatePairs(sh, threshold = 0.5).count()
     assert(prefCands < fullCands,
       s"prefix candidates ($prefCands) must undercut full-set candidates ($fullCands)")
     info(s"candidate pairs: full-set $fullCands -> prefix $prefCands " +
@@ -72,6 +66,18 @@ class WarehouseOpsSpec extends SparkSpec {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, res.status.toString)
+
+    // IEEE-boundary regression (code-review finding): A=[1..10],
+    // B=[3..10] at t=0.8 has exact Jaccard 8/10 == 0.8 — accepted by
+    // the double >= filter, but floor(10 * (1.0-0.8)) = floor(1.999…96)
+    // made the original prefix one short and the pair was silently
+    // lost; the integer-ceiling + slack bound must find it
+    val boundary = Seq(
+      (0L, (1L to 10L).toArray),
+      (1L, (3L to 10L).toArray)).toDF("doc_id", "shs")
+    val got = Dedup.prefixFilterJaccardPairs(boundary, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 1L, 8L)), s"boundary pair lost: ${got.toSeq}")
   }
 
   test("SCD2 history: runs collapse, intervals tile, one current row per key") {
