@@ -99,6 +99,69 @@ class IncrementalScdSpec extends SparkSpec {
     assert(open.length === 1 && open.head.getAs[String]("state") === "a")
   }
 
+  test("buildHistory equals brute-force collapse on random streams (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val evGen = Gen.listOfN(30, for {
+      k <- Gen.chooseNum(1L, 4L)
+      st <- Gen.oneOf("a", "b", "c")
+      ts <- Gen.chooseNum(0L, 20L) // small domain forces ts ties
+    } yield (k, st, ts)).map(_.zipWithIndex
+      .map { case ((k, st, ts), i) => (k, st, ts, i.toLong) })
+    val prop = Prop.forAll(evGen) { evs =>
+      val expect = evs.groupBy(_._1).flatMap { case (k, rows) =>
+        val sorted = rows.sortBy(r => (r._3, r._4))
+        val runs = sorted.foldLeft(Vector.empty[(String, Long)]) {
+          case (acc, (_, st, ts, _)) =>
+            if (acc.nonEmpty && acc.last._1 == st) acc
+            else acc :+ (st, ts)
+        }
+        runs.zipWithIndex.map { case ((st, from), i) =>
+          (k, st, i + 1L, from,
+            if (i + 1 < runs.length) Some(runs(i + 1)._2) else None)
+        }
+      }.toSet
+      val got = Scd.buildHistory(df(evs), "user_id", "state", "ts_us",
+        "event_id").collect().map(runKey).toSet
+      got == expect
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("random batch splits reproduce the batch rebuild (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // per-key-ordered stream (the fixture), random cut points.
+    // Cut 10 is excluded: it falls between key 3's two same-timestamp
+    // events whose LIST order (p id=301, q id=300) inverts their
+    // (ts, tie) order — splitting there violates the operator's
+    // documented per-key (ts, tie) batch-order precondition (the
+    // committed-boundary semantics of that case are pinned by the
+    // Long.MinValue test below)
+    val cutsGen = Gen.listOf(Gen.chooseNum(1, 9)).map(cs =>
+      (cs.distinct.sorted :+ 11).distinct)
+    val prop = Prop.forAll(cutsGen) { cuts =>
+      val store = tmp("incscd-prop")
+      var closed = Set.empty[Run]
+      var from = 0
+      cuts.zipWithIndex.foreach { case (to, bid) =>
+        closed ++= IncrementalScd.scdBatch(df(events.slice(from, to)),
+          "user_id", "state", "ts_us", "event_id", store, bid.toLong)
+          .collect().map(runKey).toSet
+        from = to
+      }
+      val open = IncrementalScd.openRuns(spark, store, "user_id", "state")
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("state"),
+          r.getAs[Long]("version"), r.getAs[Long]("valid_from"),
+          None: Option[Long])).toSet
+      (closed ++ open) == batchRebuild(events)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("equal-ts event with tie == Long.MinValue orders after the open run, deterministically") {
     // the code-review scenario: a sentinel-valued real tie at the open
     // run's start timestamp must NOT race the pseudo-event; the struct
