@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.LongType
 
 import graft.functions.{VectorFunctions => V}
 import graft.functions.expressions.GraftExpressions.dotQFast
-import graft.operators.{Dedup, RangeJoin, Relevance, Scd, Similarity}
+import graft.operators.{Dedup, RangeJoin, Relevance, Scd, Similarity, TextIndex}
 import graft.sources.Tables
 
 /** Round-8 wave 3 (q168-q172): the warehouse/retrieval layer — the
@@ -634,7 +634,62 @@ object WarehouseQueries {
     }
   }
 
+  /** Shared persisted text index for q179/q180 — the AnnIndex root
+    * pattern: algorithm version + leaf-file source fingerprint in the
+    * path, so a regenerated corpus rebuilds instead of serving stale
+    * postings; built at most once per (corpus, version). */
+  private def textIndex(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val fp = graft.operators.AnnIndex.sourceFingerprint(
+      s, s"$dir/documents.parquet")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_text_index/" +
+      s"${tag}_v${TextIndex.AlgoVersion}_$fp"
+    TextIndex.ensure(t(s, dir, "documents").select("doc_id", "text"), root)
+    root
+  }
+
+  /** q179: BM25 served FROM THE PERSISTED INDEX — the build-once/
+    * probe-many serving form of q171's lexical ranker (the reference's
+    * materialize-then-point-query pattern applied to ranked
+    * retrieval): the corpus was scanned once at `TextIndex.ensure`;
+    * this query touches only the term-bucket directories the 10
+    * queries' terms hash into (partition-pruned — TextIndexSpec
+    * asserts the tbucket filter reaches the scan). Rows-only by the
+    * same reasoning as the `Relevance.bm25` scaladoc: per-(query,doc)
+    * scores sum term contributions in aggregation order, so the
+    * doubles aren't bit-pinned; TextIndexSpec asserts 1e-9 relative
+    * agreement with the corpus-scan form, whose own q50 instance IS
+    * hash-oracled. */
+  val indexBm25: Q = Q.rowsOnly("q179_index_bm25") { (s, dir) =>
+    val root = textIndex(s, dir)
+    val qt = t(s, dir, "documents").filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    TextIndex.bm25(s, root, qt)
+  }
+
+  /** q180: phrase search FROM THE PERSISTED INDEX — q178's exact
+    * output (its oracle SQL verbatim) served from the positional
+    * postings instead of a fresh corpus tokenize; integer counts, so
+    * the index path hash-oracles end-to-end. */
+  val indexPhrase: Q = {
+    val phrases = Seq(
+      (0L, "table scan", Seq("table", "scan")),
+      (1L, "sort merge", Seq("sort", "merge")),
+      (2L, "spark join", Seq("spark", "join")),
+      (3L, "batch batch batch", Seq("batch", "batch", "batch")))
+    Q("q180_index_phrase", phraseSearch.oracle.get) { (s, dir) =>
+      import s.implicits._
+      val root = textIndex(s, dir)
+      val ph = phrases.flatMap { case (id, lab, ws) =>
+        ws.zipWithIndex.map { case (w, i) => (id, lab, i.toLong, w) } }
+        .toDF("phrase_id", "phrase", "idx", "term")
+      TextIndex.phraseHits(s, root, ph)
+    }
+  }
+
   val all: Seq[Q] = Seq(prefixFilterJoin, scd2History, rangeJoinWindows,
     rrfHybrid, quantileNorm, asofHistoryProbe, mmrDiversify, hllRollup,
-    distinctRollup, audienceOverlap, phraseSearch)
+    distinctRollup, audienceOverlap, phraseSearch, indexBm25, indexPhrase)
 }

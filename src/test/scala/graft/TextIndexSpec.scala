@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Relevance, TextIndex}
+import graft.queries.Registry
+import graft.sources.Tables
+
+/** Persisted inverted index: build-once semantics, bucket-pruned
+  * probes, and agreement of the index-served BM25/phrase paths with
+  * their corpus-scan forms.
+  */
+class TextIndexSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private lazy val docs =
+    Tables.load(spark, sf, "documents").select("doc_id", "text")
+
+  test("ensure builds once; a second ensure leaves the artifacts untouched") {
+    val root = tmp("tidx")
+    TextIndex.ensure(docs, root)
+    assert(TextIndex.isBuilt(spark, root))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtimes: Map[String, Long] = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$root/postings"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    val before = mtimes
+    TextIndex.ensure(docs, root)
+    assert(mtimes === before, "second ensure must not rewrite the index")
+  }
+
+  test("index-served BM25 agrees with the corpus scan to 1e-9 relative") {
+    val root = tmp("tidx-bm25")
+    TextIndex.ensure(docs, root)
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .distinct().localCheckpoint(true)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Double]("score")).toMap
+    val fromIndex = toMap(TextIndex.bm25(spark, root, queries))
+    val fromScan = toMap(Relevance.bm25(
+      Tables.load(spark, sf, "documents"), queries))
+    assert(fromIndex.keySet === fromScan.keySet)
+    fromIndex.foreach { case (k, v) =>
+      val ref = fromScan(k)
+      assert(math.abs(v - ref) <= 1e-9 * math.max(math.abs(ref), 1e-12),
+        s"$k: index $v vs scan $ref")
+    }
+    assert(fromIndex.nonEmpty)
+  }
+
+  test("index-served phrase hits equal the corpus-scan query exactly") {
+    val fromIndex = Registry.byName("q180_index_phrase").fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val fromScan = Registry.byName("q178_phrase_search").fn(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromIndex === fromScan)
+    assert(fromIndex.nonEmpty)
+  }
+
+  test("probe reads only the touched term buckets (partition-pruned scan)") {
+    import spark.implicits._
+    val root = tmp("tidx-prune")
+    TextIndex.ensure(docs, root)
+    val probe = TextIndex.probePostings(spark, root,
+      Seq("spark", "join").toDF("term"))
+    val plan = probe.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    assert(plan.contains("tbucket"),
+      "tbucket filter lost — the scan would read every bucket directory:\n" +
+        plan.take(600))
+    val terms = probe.select("term").collect().map(_.getString(0)).toSet
+    assert(terms === Set("spark", "join"))
+  }
+
+  test("maxDf drops stop terms from the index, keeps the rest") {
+    // pick the cap from the corpus's own df distribution so both the
+    // dropped and kept sides are provably nonempty (the tiny fixture's
+    // vocabulary is almost all high-df)
+    val full = tmp("tidx-full")
+    TextIndex.build(docs, full)
+    val dfs = spark.read.parquet(s"$full/postings")
+      .select("df").collect().map(_.getLong(0)).sorted
+    val cap = dfs(dfs.length / 2).toInt
+    assume(dfs.head <= cap && dfs.last > cap, "degenerate df distribution")
+    val capped = tmp("tidx-cap")
+    TextIndex.build(docs, capped, maxDf = cap)
+    val kept = spark.read.parquet(s"$capped/postings")
+    assert(kept.filter(col("df") > cap).count() === 0L)
+    assert(kept.count() === dfs.count(_ <= cap).toLong)
+  }
+}
