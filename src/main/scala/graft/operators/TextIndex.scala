@@ -49,22 +49,34 @@ object TextIndex {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** The per-term posting rows for a document frame — shared by
+    * [[build]] (whole corpus) and [[append]] (the new slice). */
+  private def postingRows(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), T.words(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("dl"),
+        posexplode(col("ws")).as(Seq("p", "term")))
+    toks.groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).cast("long").as("tf"),
+        sort_array(collect_list(col("p"))).as("positions"))
+      .groupBy("term")
+      .agg(count(lit(1)).cast("long").as("df"),
+        sort_array(collect_list(struct(col("doc_id"), col("tf"),
+          col("dl"), col("positions")))).as("postings"))
+  }
+
+  private def writeMarker(spark: SparkSession, root: String): Unit = {
+    val mp = new Path(root, Marker)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(mp, true).close()
+  }
+
   /** Build the index from (doc_id, text) docs. `maxDf > 0` drops terms
     * in more than `maxDf` documents from the INDEX (the classic
     * stop-list cap — their idf ≈ 0 contribution is the trade). */
   def build(docs: DataFrame, root: String, maxDf: Int = 0): Unit = {
     val spark = docs.sparkSession
-    val toks = docs
-      .select(col("doc_id"), T.words(col("text")).as("ws"))
-      .select(col("doc_id"), size(col("ws")).as("dl"),
-        posexplode(col("ws")).as(Seq("p", "term")))
-    val perDoc = toks.groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).cast("long").as("tf"),
-        sort_array(collect_list(col("p"))).as("positions"))
-    val rows = perDoc.groupBy("term")
-      .agg(count(lit(1)).cast("long").as("df"),
-        sort_array(collect_list(struct(col("doc_id"), col("tf"),
-          col("dl"), col("positions")))).as("postings"))
+    val rows = postingRows(docs)
     val kept = if (maxDf > 0) rows.filter(col("df") <= maxDf) else rows
     kept
       .withColumn("tbucket", pmod(xxhash64(col("term")), lit(Buckets)).cast("int"))
@@ -72,11 +84,74 @@ object TextIndex {
       .parquet(s"$root/postings")
     docs.select(col("doc_id"), size(T.words(col("text"))).as("dl"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("dl")).cast("long").as("sum_dl"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
-    val mp = new Path(root, Marker)
-    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.create(mp, true).close()
+    writeMarker(spark, root)
+  }
+
+  /** Append NEW documents to a built index without touching unrelated
+    * buckets: the slice's posting rows full-outer-merge with the
+    * existing rows of exactly the term buckets the slice's terms hash
+    * into (posting lists concatenate and re-sort; dfs add — exact
+    * because appended doc_ids must be NEW, the post-dedup ingestion
+    * contract of the incremental family), and only those bucket
+    * directories rewrite (dynamic partition overwrite). Spec'd:
+    * append-then-probe == rebuild-over-union, bit-for-bit including
+    * avgdl (dl sums are exact longs).
+    *
+    * Concurrency: runs under the same cross-process build lock; the
+    * commit marker comes down first and returns last, so a concurrent
+    * probe fails FAST ("no text index") instead of reading a
+    * half-rewritten bucket slice. `maxDf` capping applies to the
+    * merged rows (a term crossing the cap through the append leaves
+    * the index, matching what a rebuild would do). */
+  def append(newDocs: DataFrame, root: String, maxDf: Int = 0): Unit = {
+    val spark = newDocs.sparkSession
+    AnnIndex.withBuildLock(spark, root) {
+      require(isBuilt(spark, root),
+        s"append against unbuilt index $root (run ensure/build first)")
+      val newRows = postingRows(newDocs)
+        .withColumn("tbucket",
+          pmod(xxhash64(col("term")), lit(Buckets)).cast("int"))
+        .localCheckpoint(true)
+      val touched = newRows.select("tbucket").distinct()
+        .collect().map(_.getInt(0))
+      val existing = spark.read.parquet(s"$root/postings")
+        .filter(col("tbucket").isin(touched.map(Integer.valueOf): _*))
+      val merged = existing.as("o")
+        .join(newRows.as("n"), Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("o.df"), lit(0L)) + coalesce(col("n.df"), lit(0L)))
+            .as("df"),
+          when(col("o.postings").isNull, col("n.postings"))
+            .when(col("n.postings").isNull, col("o.postings"))
+            .otherwise(sort_array(concat(col("o.postings"), col("n.postings"))))
+            .as("postings"))
+        .withColumn("tbucket",
+          pmod(xxhash64(col("term")), lit(Buckets)).cast("int"))
+      val kept = if (maxDf > 0) merged.filter(col("df") <= maxDf) else merged
+      // pin before overwriting the directory the plan reads from
+      val pinned = kept.localCheckpoint(true)
+      val oldStats = spark.read.parquet(s"$root/stats").head()
+      val delta = newDocs
+        .select(col("doc_id"), size(T.words(col("text"))).as("dl"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("dl")).cast("long").as("s")).head()
+      val (n2, s2) = (oldStats.getAs[Long]("n_docs") + delta.getAs[Long]("n"),
+        oldStats.getAs[Long]("sum_dl") + delta.getAs[Long]("s"))
+      // marker down: probes fail fast for the duration of the rewrite
+      val mp = new Path(root, Marker)
+      val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(mp, false)
+      pinned.write.partitionBy("tbucket").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(s"$root/postings")
+      import spark.implicits._
+      Seq((n2, s2, s2.toDouble / n2)).toDF("n_docs", "sum_dl", "avgdl")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
+      writeMarker(spark, root)
+    }
   }
 
   /** Build if absent (cross-process safe, builds exactly once). */

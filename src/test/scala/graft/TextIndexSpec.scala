@@ -81,6 +81,28 @@ class TextIndexSpec extends SparkSpec {
     assert(terms === Set("spark", "join"))
   }
 
+  test("append-then-probe equals rebuild-over-union, bit-for-bit") {
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val appended = tmp("tidx-app")
+    TextIndex.build(half1, appended)
+    TextIndex.append(half2, appended)
+    val rebuilt = tmp("tidx-reb")
+    TextIndex.build(docs, rebuilt)
+    def rows(root: String) = spark.read.parquet(s"$root/postings")
+      .drop("tbucket").orderBy("term").collect().map(_.toString).toSeq
+    assert(rows(appended) === rows(rebuilt))
+    def stats(root: String) = spark.read.parquet(s"$root/stats")
+      .head().toString
+    assert(stats(appended) === stats(rebuilt))
+    // the served surfaces agree too: phrase hits are integer-exact
+    import spark.implicits._
+    val ph = Seq((0L, "spark join", 0L, "spark"), (0L, "spark join", 1L, "join"))
+      .toDF("phrase_id", "phrase", "idx", "term")
+    assert(TextIndex.phraseHits(spark, appended, ph).collect().map(_.toString).sorted
+      === TextIndex.phraseHits(spark, rebuilt, ph).collect().map(_.toString).sorted)
+  }
+
   test("maxDf drops stop terms from the index, keeps the rest") {
     // pick the cap from the corpus's own df distribution so both the
     // dropped and kept sides are provably nonempty (the tiny fixture's
