@@ -103,6 +103,44 @@ class TextIndexSpec extends SparkSpec {
       === TextIndex.phraseHits(spark, rebuilt, ph).collect().map(_.toString).sorted)
   }
 
+  test("the text ingest loop composes: incremental dedup gates what index append admits") {
+    // stream batch -> IncrementalDedup (novel survivors only) ->
+    // TextIndex.append -> serve: the text twin of the ANN ingest loop.
+    // Duplicates must never reach the index; appended novelty must be
+    // immediately servable through BM25 and phrase probes.
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t1 = Timestamp.valueOf("2020-04-08 00:00:00")
+    val store = tmp("tloop-store")
+    val root = tmp("tloop-idx")
+
+    val b1 = Seq((0L, "spark join order table", t1),
+      (1L, "merge sort batch window", t1)).toDF("doc_id", "text", "ts")
+    val n1 = graft.streaming.IncrementalDedup
+      .dedupBatch(b1, "doc_id", "text", "ts", store)
+    TextIndex.build(n1.select("doc_id", "text"), root)
+
+    // batch 2: an exact dup of doc 0 plus one genuinely new doc
+    val b2 = Seq((10L, "spark join order table", t1),
+      (11L, "vector scan spark filter", t1)).toDF("doc_id", "text", "ts")
+    val n2 = graft.streaming.IncrementalDedup
+      .dedupBatch(b2, "doc_id", "text", "ts", store)
+    assert(n2.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(11L))
+    TextIndex.append(n2.select("doc_id", "text"), root)
+
+    // the dup never entered; the novelty serves immediately
+    val post = spark.read.parquet(s"$root/postings")
+      .select(explode(col("postings.doc_id")).as("d"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(post === Set(0L, 1L, 11L),
+      s"dup leaked into (or novelty missing from) the index: $post")
+    val hits = TextIndex.bm25(spark, root,
+      Seq((99L, "vector"), (99L, "filter")).toDF("query_id", "term"))
+      .orderBy(col("score").desc).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hits === Seq(11L), s"appended doc not servable: $hits")
+  }
+
   test("maxDf drops stop terms from the index, keeps the rest") {
     // pick the cap from the corpus's own df distribution so both the
     // dropped and kept sides are provably nonempty (the tiny fixture's
