@@ -217,11 +217,12 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val byScore = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id"))
-    // pinned once: every update round joins sims, and without the pin
-    // each round's eager checkpoint re-runs the caller's ENTIRE sims
-    // lineage (in q174: embeddings load + kNN + pairwise cosines,
-    // k−1 extra times)
-    val simsP = sims.select(col("query_id"), col("a"), col("b"), col("sim"))
+    // pinned once, LAZILY: every update round joins sims, and without
+    // the pin each round's eager checkpoint re-runs the caller's
+    // ENTIRE sims lineage (in q174: embeddings load + kNN + pairwise
+    // cosines, k−1 extra times); lazy because k == 1 runs zero update
+    // rounds and must not pay the materialization at all
+    lazy val simsP = sims.select(col("query_id"), col("a"), col("b"), col("sim"))
       .localCheckpoint(true)
     // maxsim starts NULL, not 0: similarities can be NEGATIVE, and a
     // zero floor would silently clamp max_{s∈S} sim(d,s) upward. The

@@ -40,7 +40,7 @@ import graft.functions.{TextFunctions => T}
   */
 object TextIndex {
 
-  val AlgoVersion = 1
+  val AlgoVersion = 2 // v2: schema file, df-tombstone cap, max_df in stats
   val Buckets = 16
   private val Marker = "_INDEX_COMMITTED"
 
@@ -71,24 +71,54 @@ object TextIndex {
     fs.create(mp, true).close()
   }
 
-  /** Build the index from (doc_id, text) docs. `maxDf > 0` drops terms
-    * in more than `maxDf` documents from the INDEX (the classic
-    * stop-list cap — their idf ≈ 0 contribution is the trade). */
+  /** Over-cap terms stay in the index as DF-TOMBSTONES: the true df
+    * with an EMPTY posting list (`slice(postings, 1, 0)` — an empty
+    * array of the right type). Dropping the row entirely (the first
+    * cut) broke [[append]] two ways: a build-dropped term reappearing
+    * in an appended slice full-outer-merged against NOTHING, so its
+    * df restarted at the slice's count (near-maximal idf over an
+    * incomplete posting list — silently wrong rankings), and a
+    * touched bucket whose merged rows were ALL filtered wrote zero
+    * rows, which dynamic partition overwrite interprets as "leave the
+    * old directory alone" — stale over-cap postings kept serving.
+    * With tombstones a term row never disappears, so df accumulates
+    * exactly and every touched bucket always rewrites. */
+  private def applyCap(rows: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf <= 0) rows
+    else rows.withColumn("postings",
+      when(col("df") > maxDf, slice(col("postings"), 1, 0))
+        .otherwise(col("postings")))
+
+  /** Build the index from (doc_id, text) docs. `maxDf > 0` tombstones
+    * terms in more than `maxDf` documents (true df kept, postings
+    * emptied — the classic stop-list cap; their idf ≈ 0 contribution
+    * is the trade). The cap is RECORDED in stats and reapplied by
+    * [[append]], so the two paths cannot diverge. */
   def build(docs: DataFrame, root: String, maxDf: Int = 0): Unit = {
     val spark = docs.sparkSession
-    val rows = postingRows(docs)
-    val kept = if (maxDf > 0) rows.filter(col("df") <= maxDf) else rows
-    kept
+    val kept = applyCap(postingRows(docs), maxDf)
       .withColumn("tbucket", pmod(xxhash64(col("term")), lit(Buckets)).cast("int"))
-      .write.partitionBy("tbucket").mode("overwrite")
+    kept.write.partitionBy("tbucket").mode("overwrite")
       .parquet(s"$root/postings")
+    // the schema file makes an EMPTY index (or an empty probe of a
+    // bucketless read) readable: partitioned writes of zero rows emit
+    // no part files, and a schemaless parquet read of that throws
+    kept.limit(0).coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/schema")
     docs.select(col("doc_id"), size(T.words(col("text"))).as("dl"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("dl")).cast("long").as("sum_dl"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .withColumn("max_df", lit(maxDf))
       .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
     writeMarker(spark, root)
   }
+
+  /** The postings table read with the recorded schema — works even
+    * when the directory holds no part files (empty index). */
+  private def readPostings(spark: SparkSession, root: String): DataFrame =
+    spark.read.schema(spark.read.parquet(s"$root/schema").schema)
+      .parquet(s"$root/postings")
 
   /** Append NEW documents to a built index without touching unrelated
     * buckets: the slice's posting rows full-outer-merge with the
@@ -103,21 +133,35 @@ object TextIndex {
     * Concurrency: runs under the same cross-process build lock; the
     * commit marker comes down first and returns last, so a concurrent
     * probe fails FAST ("no text index") instead of reading a
-    * half-rewritten bucket slice. `maxDf` capping applies to the
-    * merged rows (a term crossing the cap through the append leaves
-    * the index, matching what a rebuild would do). */
-  def append(newDocs: DataFrame, root: String, maxDf: Int = 0): Unit = {
+    * half-rewritten bucket slice. The build-time `maxDf` (recorded in
+    * stats) is reapplied to the merged dfs — a term crossing the cap
+    * through the append becomes a df-tombstone, exactly as a rebuild
+    * over the union would tombstone it.
+    *
+    * Durability: the merged rows are STAGED to disk before the
+    * postings directory is overwritten. A localCheckpoint pin is not
+    * a safe barrier here on a real cluster — checkpoint blocks live
+    * in executor storage, and an executor lost mid-overwrite would
+    * recompute its partitions FROM LINEAGE, re-reading the
+    * half-rewritten directory and committing corrupted rows. The
+    * staging write makes the overwrite's input durable and
+    * lineage-free. */
+  def append(newDocs: DataFrame, root: String): Unit = {
     val spark = newDocs.sparkSession
     AnnIndex.withBuildLock(spark, root) {
       require(isBuilt(spark, root),
         s"append against unbuilt index $root (run ensure/build first)")
+      val oldStats = spark.read.parquet(s"$root/stats").head()
+      val maxDf = oldStats.getAs[Int]("max_df")
       val newRows = postingRows(newDocs)
         .withColumn("tbucket",
           pmod(xxhash64(col("term")), lit(Buckets)).cast("int"))
         .localCheckpoint(true)
       val touched = newRows.select("tbucket").distinct()
         .collect().map(_.getInt(0))
-      val existing = spark.read.parquet(s"$root/postings")
+      // empty slice: nothing to merge, count, or rewrite
+      if (touched.nonEmpty) {
+      val existing = readPostings(spark, root)
         .filter(col("tbucket").isin(touched.map(Integer.valueOf): _*))
       val merged = existing.as("o")
         .join(newRows.as("n"), Seq("term"), "full_outer")
@@ -130,10 +174,9 @@ object TextIndex {
             .as("postings"))
         .withColumn("tbucket",
           pmod(xxhash64(col("term")), lit(Buckets)).cast("int"))
-      val kept = if (maxDf > 0) merged.filter(col("df") <= maxDf) else merged
-      // pin before overwriting the directory the plan reads from
-      val pinned = kept.localCheckpoint(true)
-      val oldStats = spark.read.parquet(s"$root/stats").head()
+      val staging = s"$root/.staging-append"
+      applyCap(merged, maxDf)
+        .write.mode("overwrite").parquet(staging)
       val delta = newDocs
         .select(col("doc_id"), size(T.words(col("text"))).as("dl"))
         .agg(count(lit(1)).cast("long").as("n"),
@@ -144,13 +187,17 @@ object TextIndex {
       val mp = new Path(root, Marker)
       val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(mp, false)
-      pinned.write.partitionBy("tbucket").mode("overwrite")
+      spark.read.parquet(staging)
+        .write.partitionBy("tbucket").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(s"$root/postings")
       import spark.implicits._
       Seq((n2, s2, s2.toDouble / n2)).toDF("n_docs", "sum_dl", "avgdl")
+        .withColumn("max_df", lit(maxDf))
         .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
       writeMarker(spark, root)
+      fs.delete(new Path(staging), true)
+      }
     }
   }
 
@@ -173,7 +220,7 @@ object TextIndex {
       .withColumn("tbucket", pmod(xxhash64(col("term")), lit(Buckets)).cast("int"))
       .localCheckpoint(true)
     val touched = t.select("tbucket").distinct().collect().map(_.getInt(0))
-    spark.read.parquet(s"$root/postings")
+    readPostings(spark, root)
       .filter(col("tbucket").isin(touched.map(Integer.valueOf): _*))
       .join(broadcast(t.select("term")), Seq("term"), "left_semi")
       .drop("tbucket")
@@ -185,7 +232,11 @@ object TextIndex {
     * relative. `queries`: (query_id, term) long form. */
   def bm25(spark: SparkSession, root: String, queries: DataFrame,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val stats = spark.read.parquet(s"$root/stats")
+    // fail-fast BEFORE touching stats: an unbuilt root (or an append's
+    // marker-down rewrite window) must surface as the designed error,
+    // not a raw path-does-not-exist from the stats read
+    require(isBuilt(spark, root), s"no text index at $root (run ensure first)")
+    val stats = spark.read.parquet(s"$root/stats").drop("max_df")
     val post = probePostings(spark, root, queries.select("term"))
       .select(col("term"), col("df"), explode(col("postings")).as("p"))
       .select(col("term"), col("df"), col("p.doc_id").as("doc_id"),
@@ -211,6 +262,7 @@ object TextIndex {
     * tokenize. `phrases`: (phrase_id, phrase, idx, term) long form. */
   def phraseHits(spark: SparkSession, root: String,
       phrases: DataFrame): DataFrame = {
+    require(isBuilt(spark, root), s"no text index at $root (run ensure first)")
     val occ = probePostings(spark, root, phrases.select("term"))
       .select(col("term"), explode(col("postings")).as("p"))
       .select(col("term"), col("p.doc_id").as("doc_id"),

@@ -577,12 +577,16 @@ object WarehouseQueries {
     * and the rollup touches only hit rows; a standing deployment
     * persists the positional postings table once and reuses it per
     * query batch. */
+  /** The one phrase list q178 and q180 share — a single definition so
+    * the index-served query can never desynchronize from the
+    * corpus-scan query whose oracle SQL it reuses. */
+  private val phrases = Seq(
+    (0L, "table scan", Seq("table", "scan")),
+    (1L, "sort merge", Seq("sort", "merge")),
+    (2L, "spark join", Seq("spark", "join")),
+    (3L, "batch batch batch", Seq("batch", "batch", "batch")))
+
   val phraseSearch: Q = {
-    val phrases = Seq(
-      (0L, "table scan", Seq("table", "scan")),
-      (1L, "sort merge", Seq("sort", "merge")),
-      (2L, "spark join", Seq("spark", "join")),
-      (3L, "batch batch batch", Seq("batch", "batch", "batch")))
     val phRows = phrases.flatMap { case (id, _, ws) =>
       ws.zipWithIndex.map { case (w, i) => s"($id, $i, '$w')" } }
       .mkString(", ")
@@ -673,12 +677,7 @@ object WarehouseQueries {
     * output (its oracle SQL verbatim) served from the positional
     * postings instead of a fresh corpus tokenize; integer counts, so
     * the index path hash-oracles end-to-end. */
-  val indexPhrase: Q = {
-    val phrases = Seq(
-      (0L, "table scan", Seq("table", "scan")),
-      (1L, "sort merge", Seq("sort", "merge")),
-      (2L, "spark join", Seq("spark", "join")),
-      (3L, "batch batch batch", Seq("batch", "batch", "batch")))
+  val indexPhrase: Q =
     Q("q180_index_phrase", phraseSearch.oracle.get) { (s, dir) =>
       import s.implicits._
       val root = textIndex(s, dir)
@@ -687,7 +686,6 @@ object WarehouseQueries {
         .toDF("phrase_id", "phrase", "idx", "term")
       TextIndex.phraseHits(s, root, ph)
     }
-  }
 
   val all: Seq[Q] = Seq(prefixFilterJoin, scd2History, rangeJoinWindows,
     rrfHybrid, quantileNorm, asofHistoryProbe, mmrDiversify, hllRollup,

@@ -141,10 +141,9 @@ class TextIndexSpec extends SparkSpec {
     assert(hits === Seq(11L), s"appended doc not servable: $hits")
   }
 
-  test("maxDf drops stop terms from the index, keeps the rest") {
+  test("maxDf tombstones stop terms (true df, empty postings); append accumulates df across the cap") {
     // pick the cap from the corpus's own df distribution so both the
-    // dropped and kept sides are provably nonempty (the tiny fixture's
-    // vocabulary is almost all high-df)
+    // tombstoned and kept sides are provably nonempty
     val full = tmp("tidx-full")
     TextIndex.build(docs, full)
     val dfs = spark.read.parquet(s"$full/postings")
@@ -153,8 +152,28 @@ class TextIndexSpec extends SparkSpec {
     assume(dfs.head <= cap && dfs.last > cap, "degenerate df distribution")
     val capped = tmp("tidx-cap")
     TextIndex.build(docs, capped, maxDf = cap)
-    val kept = spark.read.parquet(s"$capped/postings")
-    assert(kept.filter(col("df") > cap).count() === 0L)
-    assert(kept.count() === dfs.count(_ <= cap).toLong)
+    val rows = spark.read.parquet(s"$capped/postings")
+      .select(col("df"), size(col("postings")).as("np")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    // every term row survives; over-cap terms carry their TRUE df with
+    // an EMPTY posting list, under-cap terms keep their postings
+    assert(rows.length === dfs.length)
+    assert(rows.filter(_._1 > cap).forall(_._2 == 0))
+    assert(rows.filter(_._1 <= cap).forall(_._2 > 0))
+
+    // the code-review scenario: a capped build + an append that pushes
+    // terms over the cap must equal a capped rebuild over the union —
+    // df accumulates (never restarts at the slice's count) and newly
+    // over-cap terms tombstone
+    val h1 = docs.filter(col("doc_id") % 2 === 0)
+    val h2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val appended = tmp("tidx-cap-app")
+    TextIndex.build(h1, appended, maxDf = cap)
+    TextIndex.append(h2, appended)
+    val rebuilt = tmp("tidx-cap-reb")
+    TextIndex.build(docs, rebuilt, maxDf = cap)
+    def all(root: String) = spark.read.parquet(s"$root/postings")
+      .drop("tbucket").orderBy("term").collect().map(_.toString).toSeq
+    assert(all(appended) === all(rebuilt))
   }
 }
