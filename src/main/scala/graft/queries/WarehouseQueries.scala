@@ -687,7 +687,44 @@ object WarehouseQueries {
       TextIndex.phraseHits(s, root, ph)
     }
 
+  /** q181: GROUPING SETS — the arbitrary-lattice member of the
+    * grand-total family (q15 ROLLUP walks the prefix chain, q79 CUBE
+    * the full lattice; real reports want a HAND-PICKED set: by
+    * (type, day-of-week), by type, by dow, and the grand total, but
+    * NOT (day-of-week)×nothing-else twice). One aggregation pass —
+    * Spark expands the sets map-side exactly like rollup/cube, no
+    * self-union of scans; `grouping_id()` (bitmask, BIGINT on both
+    * engines) disambiguates the lattice members wherever a grouping
+    * column is null. */
+  val groupingSets: Q = Q(
+    "q181_grouping_sets",
+    """SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |       CAST(grouping_id(event_type, CAST(dayofweek(ts) AS BIGINT))
+      |            AS BIGINT) AS gid
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type, CAST(dayofweek(ts) AS BIGINT)),
+      |                        (event_type), (CAST(dayofweek(ts) AS BIGINT)),
+      |                        ())""".stripMargin
+  ) { (s, dir) =>
+    // DuckDB's dayofweek: 0=Sunday..6=Saturday; Spark's dayofweek:
+    // 1=Sunday..7 — align with -1
+    val ev = t(s, dir, "events").select(col("event_type"),
+      (dayofweek(timestamp_millis(expr("ts_ns div 1000000"))) - lit(1))
+        .cast(LongType).as("dow"),
+      col("user_id"))
+    ev.groupingSets(
+        Seq(Seq(col("event_type"), col("dow")), Seq(col("event_type")),
+          Seq(col("dow")), Seq()),
+        col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        grouping_id().as("gid"))
+  }
+
   val all: Seq[Q] = Seq(prefixFilterJoin, scd2History, rangeJoinWindows,
     rrfHybrid, quantileNorm, asofHistoryProbe, mmrDiversify, hllRollup,
-    distinctRollup, audienceOverlap, phraseSearch, indexBm25, indexPhrase)
+    distinctRollup, audienceOverlap, phraseSearch, indexBm25, indexPhrase,
+    groupingSets)
 }
