@@ -196,6 +196,46 @@ object Stress {
         order, lit(1L), "rnk")
         .select("cum", "rnk")
     }
+    stage("prefix_filter_pairs") {
+      // q168's AllPairs shape vs minhash_pairs above: candidate join
+      // traffic is prefix-bounded, the verify fetch-back O(candidates);
+      // per-doc cost and shuffle must stay flat as N grows (dup
+      // families are scale-invariant, so candidates grow linearly)
+      graft.operators.Dedup.prefixFilterJaccardPairs(
+        graft.operators.Dedup.shingleProjection(corpus, "text", "doc_id"),
+        threshold = 0.5, maxDf = 1000)
+    }
+    stage("scd2_history") {
+      // q169's shape on a synthesized change stream (≈20 events/key,
+      // state from the source column): every window is key-partitioned,
+      // so the sort cost is per-key and the curve must stay linear
+      val ev = corpus.select(
+        (col("doc_id") % (nDocs / 20 + 1)).as("user_id"),
+        col("source").as("state"), col("doc_id").as("ts_us"),
+        col("doc_id").as("event_id"))
+      graft.operators.Scd.buildHistory(ev, "user_id", "state",
+        "ts_us", "event_id")
+    }
+    stage("range_join_binned") {
+      // q170's shape: 1,000 overlapping windows over the doc_id
+      // timeline, hash equi-join on bin ids — join traffic scales with
+      // points + windows×span/bin, never points×windows
+      val step = nDocs / 1000L + 1L
+      val wins = spark.range(1000).select(col("id").as("window_id"),
+        (col("id") * step).as("lo"), (col("id") * step + 2L * step).as("hi"))
+      graft.operators.RangeJoin.binnedPointJoin(
+          corpus.select(col("doc_id").as("pt"), col("source")), "pt",
+          wins, "lo", "hi", binWidth = 2L * step)
+        .groupBy("window_id").agg(count(lit(1)).as("n"))
+    }
+    stage("positional_postings") {
+      // TextIndex.build's dominant stage (the per-term posting-list
+      // collect): shuffle bytes scale with token count; the family-
+      // salted vocab keeps posting lists bounded, so no single-term
+      // straggler appears as N grows
+      graft.operators.TextIndex.postingRowsForStress(corpus)
+        .select(col("term"), col("df"), size(col("postings")).as("np"))
+    }
     val grand = listener.totals.values
     System.err.println(
       s"[stress] total shuffle read ${grand.map(_.shufRead).sum / (1 << 20)} MiB, " +

@@ -65,6 +65,11 @@ object TextIndex {
           col("dl"), col("positions")))).as("postings"))
   }
 
+  /** [[postingRows]] exposed for the scale-stress harness (the build's
+    * dominant stage, measured in isolation). */
+  private[graft] def postingRowsForStress(docs: DataFrame): DataFrame =
+    postingRows(docs)
+
   private def writeMarker(spark: SparkSession, root: String): Unit = {
     val mp = new Path(root, Marker)
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
