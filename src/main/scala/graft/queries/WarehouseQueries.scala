@@ -723,8 +723,34 @@ object WarehouseQueries {
         grouping_id().as("gid"))
   }
 
+  /** q182: UNPIVOT/melt — the inverse of q14's pivot, closing the
+    * reshaping pair: the wide day×type frame (built exactly as q14
+    * builds it, decimal-exact sums cast to double) melts back to long
+    * (day, event_type, sum_value) rows, and the round-trip must equal
+    * the direct long-form aggregation — which IS the oracle. The melt
+    * is a per-row expression expansion (no shuffle beyond the pivot's
+    * own aggregation); absent (day, type) cells surface as nulls in
+    * the wide frame and are dropped, matching the long form where the
+    * group simply doesn't exist. */
+  val unpivotSeries: Q = Q(
+    "q182_unpivot_series",
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val wide = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))))
+      .select(col("day") +: types.map(c => col(c).cast("double").as(c)): _*)
+    wide.unpivot(Array(col("day")), types.map(col).toArray,
+        "event_type", "sum_value")
+      .filter(col("sum_value").isNotNull)
+  }
+
   val all: Seq[Q] = Seq(prefixFilterJoin, scd2History, rangeJoinWindows,
     rrfHybrid, quantileNorm, asofHistoryProbe, mmrDiversify, hllRollup,
     distinctRollup, audienceOverlap, phraseSearch, indexBm25, indexPhrase,
-    groupingSets)
+    groupingSets, unpivotSeries)
 }
