@@ -709,10 +709,10 @@ object WarehouseQueries {
       |                        ())""".stripMargin
   ) { (s, dir) =>
     // DuckDB's dayofweek: 0=Sunday..6=Saturday; Spark's dayofweek:
-    // 1=Sunday..7 — align with -1
+    // 1=Sunday..7 — align with -1 (ts is already the normalized
+    // TimestampType column from Tables.load, same as q182 reads)
     val ev = t(s, dir, "events").select(col("event_type"),
-      (dayofweek(timestamp_millis(expr("ts_ns div 1000000"))) - lit(1))
-        .cast(LongType).as("dow"),
+      (dayofweek(col("ts")) - lit(1)).cast(LongType).as("dow"),
       col("user_id"))
     ev.groupingSets(
         Seq(Seq(col("event_type"), col("dow")), Seq(col("event_type")),
@@ -736,7 +736,9 @@ object WarehouseQueries {
     "q182_unpivot_series",
     """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      |FROM events GROUP BY 1, 2""".stripMargin
+      |FROM events
+      |WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+      |GROUP BY 1, 2""".stripMargin
   ) { (s, dir) =>
     val types = Seq("click", "view", "purchase", "signup", "error")
     val wide = t(s, dir, "events")
