@@ -751,8 +751,72 @@ object WarehouseQueries {
       .filter(col("sum_value").isNotNull)
   }
 
+  /** q183: per-source length-distribution summary — EXACT median and
+    * mode without a corpus-wide sort: both statistics read off the
+    * (source, n_tok) HISTOGRAM (q87/q172's windowless pattern). Lower
+    * median = smallest length whose cumulative count reaches
+    * ⌈(n+1)/2⌉ (the cumulative from the triangular histogram join);
+    * mode = smallest length attaining the max bin count (the
+    * max-count join makes the tie-break explicit and identical on
+    * both engines — SQL's mode() is tie-unspecified). A percentile
+    * window would sort one reducer per source; the histogram is
+    * bounded by distinct lengths, not rows. */
+  val lengthSummary: Q = Q(
+    "q183_length_summary",
+    """WITH d AS (SELECT source,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |           FROM documents),
+      |h AS (SELECT source, n_tok, CAST(count(*) AS BIGINT) AS c
+      |      FROM d GROUP BY 1, 2),
+      |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+      |      FROM d GROUP BY 1),
+      |cum AS (SELECT a.source, a.n_tok, CAST(sum(b.c) AS BIGINT) AS cm
+      |        FROM h a JOIN h b
+      |          ON a.source = b.source AND b.n_tok <= a.n_tok
+      |        GROUP BY 1, 2),
+      |med AS (SELECT cum.source, min(cum.n_tok) AS median_tok
+      |        FROM cum JOIN n ON cum.source = n.source
+      |        WHERE 2 * cum.cm >= n.n_src + 1 GROUP BY 1),
+      |mm AS (SELECT source, min(n_tok) AS min_tok, max(n_tok) AS max_tok
+      |       FROM h GROUP BY 1),
+      |mc AS (SELECT source, max(c) AS maxc FROM h GROUP BY 1),
+      |md AS (SELECT h.source, min(h.n_tok) AS mode_tok
+      |       FROM h JOIN mc ON h.source = mc.source AND h.c = mc.maxc
+      |       GROUP BY 1)
+      |SELECT n.source, n.n_src, mm.min_tok, mm.max_tok,
+      |       med.median_tok, md.mode_tok
+      |FROM n
+      |JOIN mm ON n.source = mm.source
+      |JOIN med ON n.source = med.source
+      |JOIN md ON n.source = md.source""".stripMargin
+  ) { (s, dir) =>
+    val d = t(s, dir, "documents").select(col("source"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+    // the histogram feeds four consumers (cumsum both join sides,
+    // min/max, the mode's max-count join) — pin it once
+    val h = d.groupBy("source", "n_tok")
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val n = d.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val cum = h.as("a")
+      .join(h.as("b"),
+        col("a.source") === col("b.source") && col("b.n_tok") <= col("a.n_tok"))
+      .groupBy(col("a.source").as("source"), col("a.n_tok").as("n_tok"))
+      .agg(sum(col("b.c")).cast(LongType).as("cm"))
+    val med = cum.join(n, Seq("source"))
+      .filter(lit(2L) * col("cm") >= col("n_src") + lit(1L))
+      .groupBy("source").agg(min(col("n_tok")).as("median_tok"))
+    val mm = h.groupBy("source")
+      .agg(min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
+    val mc = h.groupBy("source").agg(max(col("c")).as("maxc"))
+    val md = h.join(mc, Seq("source")).filter(col("c") === col("maxc"))
+      .groupBy("source").agg(min(col("n_tok")).as("mode_tok"))
+    n.join(mm, Seq("source")).join(med, Seq("source")).join(md, Seq("source"))
+      .select(col("source"), col("n_src"), col("min_tok"), col("max_tok"),
+        col("median_tok"), col("mode_tok"))
+  }
+
   val all: Seq[Q] = Seq(prefixFilterJoin, scd2History, rangeJoinWindows,
     rrfHybrid, quantileNorm, asofHistoryProbe, mmrDiversify, hllRollup,
     distinctRollup, audienceOverlap, phraseSearch, indexBm25, indexPhrase,
-    groupingSets, unpivotSeries)
+    groupingSets, unpivotSeries, lengthSummary)
 }
