@@ -9,12 +9,20 @@ import org.apache.spark.sql.SparkSession
   * and emits ONE JSON line for the driver (BENCH_r{N}.json).
   *
   * Output contract: stdout carries the full result JSON line, then a
-  * COMPACT summary line (total / counts only) printed LAST — the driver
-  * archives a bounded tail of the output, and the ~5 KB per-query line
+  * COMPACT summary line printed LAST — the driver archives a bounded
+  * 2000-char tail of the output, and the ~8 KB per-query line
   * truncates from the left inside that window (BENCH_r07.json lost its
   * leading `"total"`), while the trailing compact line always survives
-  * whole and parses. The full JSON is also written to bench_out.json
-  * (cwd) as the durable record. All progress goes to stderr.
+  * whole and parses. Since r9 the compact line is SELF-CONTAINED (the
+  * r8 verdict's task 3): it carries the COMPLETE per-query map in
+  * `queries`, encoded to fit the tail window — keys are the bare query
+  * numbers ("01".."183", the `qNN` registry prefix minus its `q`),
+  * values integer CENTISECONDS (declared by `unit`; -100 marks a
+  * failed query, matching the full line's -1 s). At ~9 bytes/entry the
+  * 183-query map plus sbt's trailing `[success]` line fits the 2000-
+  * char window with ~150 bytes to spare; the full-precision
+  * full-name form stays in the first line and bench_out.json. All
+  * progress goes to stderr.
   *
   * Each query is driven through a `noop`-format write, not `count()`:
   * count lets Catalyst prune projection-only work (rendering columns,
@@ -87,9 +95,19 @@ object Bench {
     Files.write(Paths.get("bench_out.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
     println(json)
-    // compact trailer, printed LAST: complete inside any log-tail window
+    // compact trailer, printed LAST and SELF-CONTAINED: the complete
+    // per-query map (bare query numbers, integer centiseconds) fits
+    // whole inside the driver's 2000-char log-tail window
+    def qnum(name: String): String = name.takeWhile(_ != '_').drop(1)
+    val qsCs = results
+      .map { case (k, v) => "\"" + qnum(k) + "\":" + math.round(v * 100) }
+      .mkString("{", ",", "}")
+    val errCs = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + qnum(k) + "\":\"" + v.take(40) + "\"" }
+      .mkString("{", ",", "}")
     println(s"""{"total":$total,"n_queries":${results.size},""" +
-      s""""n_errors":${errors.size}$filteredTag,"sf":"$sfDir"}""")
+      s""""n_errors":${errors.size},"unit":"centisec",""" +
+      s""""queries":$qsCs,"errors":$errCs$filteredTag,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -39,15 +39,17 @@ object RangeJoin {
       s"points/intervals column names must be disjoint, both have: " +
         overlap.mkString(", "))
     // pmod: floorDiv semantics for negative domains too — (x - mod) / w
-    // is the floor division both engines agree on. The division runs in
-    // DECIMAL(38,0), not Column./'s DOUBLE: an epoch-NANOS timeline
-    // (~2^60) exceeds a double's 2^53 integer range, and a bin id off
-    // by one silently drops matches at bin borders. The numerator is an
-    // exact multiple of binWidth, so the decimal quotient is an exact
-    // integer and the long cast is lossless.
+    // is the floor division both engines agree on. BOTH the subtraction
+    // and the division run in DECIMAL(38,0), not long/DOUBLE: an
+    // epoch-NANOS timeline (~2^60) exceeds a double's 2^53 integer
+    // range, and a long subtraction would WRAP for values within one
+    // binWidth of Long.MinValue (x - pmod < Long.MinValue), yielding a
+    // wrong bin id and silently dropped matches at the domain edge.
+    // The numerator is an exact multiple of binWidth, so the decimal
+    // quotient is an exact integer and the long cast is lossless.
     def bin(c: org.apache.spark.sql.Column) =
-      ((c - pmod(c, lit(binWidth))).cast("decimal(38,0)") / lit(binWidth))
-        .cast("long")
+      ((c.cast("decimal(38,0)") - pmod(c, lit(binWidth)).cast("decimal(38,0)"))
+        / lit(binWidth)).cast("long")
     // inverted intervals (lo >= hi) are dropped BEFORE the explode:
     // `lo <= pt < hi` is unsatisfiable for them, so this is exact
     // semantics — and without the guard, sequence() auto-steps -1 on a

@@ -40,9 +40,14 @@ import graft.functions.{TextFunctions => T}
   */
 object TextIndex {
 
-  val AlgoVersion = 2 // v2: schema file, df-tombstone cap, max_df in stats
+  val AlgoVersion = 3 // v3: forward index (doc -> terms/dl) enabling upsert
   val Buckets = 16
   private val Marker = "_INDEX_COMMITTED"
+
+  private def tbucketOf(term: org.apache.spark.sql.Column) =
+    pmod(xxhash64(term), lit(Buckets)).cast("int")
+  private def dbucketOf(docId: org.apache.spark.sql.Column) =
+    pmod(xxhash64(docId), lit(Buckets)).cast("int")
 
   def isBuilt(spark: SparkSession, root: String): Boolean = {
     val p = new Path(root, Marker)
@@ -69,6 +74,19 @@ object TextIndex {
     * dominant stage, measured in isolation). */
   private[graft] def postingRowsForStress(docs: DataFrame): DataFrame =
     postingRows(docs)
+
+  /** The FORWARD index rows for a document frame: (doc_id, dl,
+    * terms: sorted distinct array, dbucket). The inverse mapping the
+    * posting table cannot answer without a full scan — "which term
+    * rows mention doc X" — which is exactly what [[upsert]] needs to
+    * retract a replaced/deleted document: its touched term set. Also
+    * the source of the stats aggregate (n_docs, sum_dl), so the
+    * corpus is tokenized once per slice for both artifacts. */
+  private def fwdRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), T.words(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("dl"),
+        array_sort(array_distinct(col("ws"))).as("terms"))
+      .withColumn("dbucket", dbucketOf(col("doc_id")))
 
   private def writeMarker(spark: SparkSession, root: String): Unit = {
     val mp = new Path(root, Marker)
@@ -101,16 +119,30 @@ object TextIndex {
     * [[append]], so the two paths cannot diverge. */
   def build(docs: DataFrame, root: String, maxDf: Int = 0): Unit = {
     val spark = docs.sparkSession
+    // marker DOWN first: a rebuild over an existing root must not keep
+    // serving isBuilt==true while the postings directory is mid-
+    // overwrite (append's discipline, applied here too)
+    val mp = new Path(root, Marker)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(mp, false)
     val kept = applyCap(postingRows(docs), maxDf)
-      .withColumn("tbucket", pmod(xxhash64(col("term")), lit(Buckets)).cast("int"))
+      .withColumn("tbucket", tbucketOf(col("term")))
     kept.write.partitionBy("tbucket").mode("overwrite")
       .parquet(s"$root/postings")
-    // the schema file makes an EMPTY index (or an empty probe of a
+    // the schema files make an EMPTY index (or an empty probe of a
     // bucketless read) readable: partitioned writes of zero rows emit
     // no part files, and a schemaless parquet read of that throws
     kept.limit(0).coalesce(1).write.mode("overwrite")
       .parquet(s"$root/schema")
-    docs.select(col("doc_id"), size(T.words(col("text"))).as("dl"))
+    val fwd = fwdRows(docs)
+    fwd.write.partitionBy("dbucket").mode("overwrite")
+      .parquet(s"$root/fwd")
+    fwd.limit(0).coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/fwd_schema")
+    // stats aggregate off the (small, just-written) forward index — the
+    // same (n_docs, sum_dl) a direct doc scan would produce, without a
+    // third corpus tokenize
+    readFwd(spark, root)
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("dl")).cast("long").as("sum_dl"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
@@ -125,6 +157,11 @@ object TextIndex {
     spark.read.schema(spark.read.parquet(s"$root/schema").schema)
       .parquet(s"$root/postings")
 
+  /** The forward index read with its recorded schema. */
+  private def readFwd(spark: SparkSession, root: String): DataFrame =
+    spark.read.schema(spark.read.parquet(s"$root/fwd_schema").schema)
+      .parquet(s"$root/fwd")
+
   /** Append NEW documents to a built index without touching unrelated
     * buckets: the slice's posting rows full-outer-merge with the
     * existing rows of exactly the term buckets the slice's terms hash
@@ -137,8 +174,13 @@ object TextIndex {
     *
     * Concurrency: runs under the same cross-process build lock; the
     * commit marker comes down first and returns last, so a concurrent
-    * probe fails FAST ("no text index") instead of reading a
-    * half-rewritten bucket slice. The build-time `maxDf` (recorded in
+    * probe STARTED during the rewrite fails fast ("no text index")
+    * instead of reading a half-rewritten bucket slice. Best-effort,
+    * not a guarantee: the probe's marker check and its bucket read are
+    * not atomic, so a probe that passed the check just before the
+    * marker drops can still observe the rewrite — true isolation
+    * needs a versioned snapshot path, out of scope for this
+    * single-writer ingest contract. The build-time `maxDf` (recorded in
     * stats) is reapplied to the merged dfs — a term crossing the cap
     * through the append becomes a df-tombstone, exactly as a rebuild
     * over the union would tombstone it.
@@ -159,8 +201,7 @@ object TextIndex {
       val oldStats = spark.read.parquet(s"$root/stats").head()
       val maxDf = oldStats.getAs[Int]("max_df")
       val newRows = postingRows(newDocs)
-        .withColumn("tbucket",
-          pmod(xxhash64(col("term")), lit(Buckets)).cast("int"))
+        .withColumn("tbucket", tbucketOf(col("term")))
         .localCheckpoint(true)
       val touched = newRows.select("tbucket").distinct()
         .collect().map(_.getInt(0))
@@ -177,13 +218,24 @@ object TextIndex {
             .when(col("n.postings").isNull, col("o.postings"))
             .otherwise(sort_array(concat(col("o.postings"), col("n.postings"))))
             .as("postings"))
-        .withColumn("tbucket",
-          pmod(xxhash64(col("term")), lit(Buckets)).cast("int"))
+        .withColumn("tbucket", tbucketOf(col("term")))
       val staging = s"$root/.staging-append"
       applyCap(merged, maxDf)
         .write.mode("overwrite").parquet(staging)
-      val delta = newDocs
-        .select(col("doc_id"), size(T.words(col("text"))).as("dl"))
+      // forward index: the appended docs' rows join the touched
+      // dbuckets (appended ids are NEW, so merge = old bucket rows +
+      // new rows), staged through the same discipline
+      val newFwd = fwdRows(newDocs).localCheckpoint(true)
+      val touchedD = newFwd.select("dbucket").distinct()
+        .collect().map(_.getInt(0))
+      val fwdStaging = s"$root/.staging-append-fwd"
+      readFwd(spark, root)
+        .filter(col("dbucket").isin(touchedD.map(Integer.valueOf): _*))
+        .select("doc_id", "dl", "terms", "dbucket")
+        .write.mode("overwrite").parquet(fwdStaging)
+      newFwd.select("doc_id", "dl", "terms", "dbucket")
+        .write.mode("append").parquet(fwdStaging)
+      val delta = newFwd
         .agg(count(lit(1)).cast("long").as("n"),
           sum(col("dl")).cast("long").as("s")).head()
       val (n2, s2) = (oldStats.getAs[Long]("n_docs") + delta.getAs[Long]("n"),
@@ -196,13 +248,184 @@ object TextIndex {
         .write.partitionBy("tbucket").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(s"$root/postings")
+      spark.read.parquet(fwdStaging)
+        .write.partitionBy("dbucket").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(s"$root/fwd")
       import spark.implicits._
       Seq((n2, s2, s2.toDouble / n2)).toDF("n_docs", "sum_dl", "avgdl")
         .withColumn("max_df", lit(maxDf))
         .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
       writeMarker(spark, root)
       fs.delete(new Path(staging), true)
+      fs.delete(new Path(fwdStaging), true)
       }
+    }
+  }
+
+  /** UPSERT a batch against a built index: each input row REPLACES the
+    * document with its `doc_id` (or inserts it if new); a row with
+    * NULL `text` is a TOMBSTONE — the document is deleted. The
+    * reference's KTable upsert/tombstone semantics
+    * (covid19-stats Covid19Stats.java's latest-per-key tables) applied
+    * to the retrieval index, closing the ingest loop append() alone
+    * cannot: real feeds re-send and retract documents.
+    *
+    * Mechanics: the forward index answers "which term rows mention the
+    * upserted ids" (bucket-pruned on dbucket), so retraction touches
+    * only the term buckets those terms hash into. Within the touched
+    * buckets, rows whose term is NOT in the upserted docs' term sets
+    * pass through byte-identical; the rest explode, drop the upserted
+    * ids' entries, regroup, and full-outer-merge with the replacement
+    * content's posting rows. df re-counts from the surviving lists, so
+    * it is exact; n_docs/sum_dl correct by the old fwd rows' dl. A
+    * term whose whole posting list vanishes is dropped, and a touched
+    * partition left with ZERO rows is deleted EXPLICITLY — dynamic
+    * partition overwrite skips empty partitions, which would otherwise
+    * leave the old directory serving stale postings.
+    *
+    * Requires an UNCAPPED index (maxDf == 0): a df-tombstoned term has
+    * no posting list to delete from, so deletions that bring its df
+    * back under the cap could not recover the postings a rebuild would
+    * have — upsert == rebuild would silently break. The cap is a
+    * stop-list for append-only corpora; mutable corpora rely on idf.
+    *
+    * The batch must be pre-collapsed: one row per doc_id (last-wins
+    * collapsing is the caller's contract, checked here).
+    *
+    * Spec'd: upsert-then-probe == rebuild-over-current-set bit-for-bit
+    * including stats and the forward index, for mixes of replace /
+    * insert / delete, and delete-everything. */
+  def upsert(docs: DataFrame, root: String): Unit = {
+    val spark = docs.sparkSession
+    AnnIndex.withBuildLock(spark, root) {
+      require(isBuilt(spark, root),
+        s"upsert against unbuilt index $root (run ensure/build first)")
+      val oldStats = spark.read.parquet(s"$root/stats").head()
+      val maxDf = oldStats.getAs[Int]("max_df")
+      require(maxDf == 0,
+        s"upsert requires an uncapped index (maxDf=0, got $maxDf): a " +
+          "df-tombstoned term cannot recover its postings when deletions " +
+          "bring its df back under the cap")
+      val dups = docs.agg(
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("d"))
+        .head().getLong(0)
+      require(dups == 0,
+        s"upsert batch has $dups duplicate doc_id rows — collapse last-wins first")
+      val ids = docs.select("doc_id").localCheckpoint(true)
+      val live = docs.filter(col("text").isNotNull)
+        .select("doc_id", "text").localCheckpoint(true)
+      // which of the upserted ids exist, and what terms did they carry
+      val touchedD = ids.select(dbucketOf(col("doc_id")).as("dbucket"))
+        .distinct().collect().map(_.getInt(0))
+      val fwdTouched = readFwd(spark, root)
+        .filter(col("dbucket").isin(touchedD.map(Integer.valueOf): _*))
+        .localCheckpoint(true)
+      val oldMine = fwdTouched
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+      val newRows = postingRows(live).localCheckpoint(true)
+      val oldTerms = oldMine.select(explode(col("terms")).as("term")).distinct()
+        .localCheckpoint(true)
+      val touchedT = oldTerms.select(tbucketOf(col("term")).as("tbucket"))
+        .unionByName(newRows.select(tbucketOf(col("term")).as("tbucket")))
+        .distinct().collect().map(_.getInt(0))
+      val staging = s"$root/.staging-upsert"
+      val fwdStaging = s"$root/.staging-upsert-fwd"
+      if (touchedT.nonEmpty) {
+        val existing = readPostings(spark, root)
+          .filter(col("tbucket").isin(touchedT.map(Integer.valueOf): _*))
+        // pass-through rows: their term appears in NO upserted doc (old
+        // or new), so their posting lists cannot mention an upserted id
+        val pass = existing
+          .join(broadcast(oldTerms), Seq("term"), "left_anti")
+        val stripped = existing
+          .join(broadcast(oldTerms), Seq("term"), "left_semi")
+          .select(col("term"), explode(col("postings")).as("p"))
+          .join(broadcast(ids.select(col("doc_id").as("__uid"))),
+            col("p.doc_id") === col("__uid"), "left_anti")
+          .groupBy("term")
+          .agg(count(lit(1)).cast("long").as("df"),
+            sort_array(collect_list(col("p"))).as("postings"))
+        val merged = stripped.as("o")
+          .join(newRows.as("n"), Seq("term"), "full_outer")
+          .select(col("term"),
+            (coalesce(col("o.df"), lit(0L)) + coalesce(col("n.df"), lit(0L)))
+              .as("df"),
+            when(col("o.postings").isNull, col("n.postings"))
+              .when(col("n.postings").isNull, col("o.postings"))
+              .otherwise(sort_array(concat(col("o.postings"), col("n.postings"))))
+              .as("postings"))
+          .withColumn("tbucket", tbucketOf(col("term")))
+        // two writes, not a union: pass and merged share `existing`'s
+        // lineage, the unionByName constraint-rewrite trap
+        pass.select("term", "df", "postings", "tbucket")
+          .write.mode("overwrite").parquet(staging)
+        merged.select("term", "df", "postings", "tbucket")
+          .write.mode("append").parquet(staging)
+      }
+      // forward index: touched dbuckets minus upserted ids, plus the
+      // live replacements' rows
+      val newFwd = fwdRows(live).localCheckpoint(true)
+      val touchedDAll = (touchedD.toSet ++
+        newFwd.select("dbucket").distinct().collect().map(_.getInt(0))).toArray
+      fwdTouched.join(broadcast(ids), Seq("doc_id"), "left_anti")
+        .select("doc_id", "dl", "terms", "dbucket")
+        .write.mode("overwrite").parquet(fwdStaging)
+      newFwd.select("doc_id", "dl", "terms", "dbucket")
+        .write.mode("append").parquet(fwdStaging)
+      // stats corrections from the old fwd rows and the new content
+      val oldAgg = oldMine.agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col("dl")), lit(0L)).cast("long").as("s")).head()
+      val newAgg = newFwd.agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col("dl")), lit(0L)).cast("long").as("s")).head()
+      val n2 = oldStats.getAs[Long]("n_docs") -
+        oldAgg.getAs[Long]("n") + newAgg.getAs[Long]("n")
+      val s2 = (if (oldStats.isNullAt(oldStats.fieldIndex("sum_dl"))) 0L
+        else oldStats.getAs[Long]("sum_dl")) -
+        oldAgg.getAs[Long]("s") + newAgg.getAs[Long]("s")
+      // marker down: probes fail fast for the duration of the rewrite
+      val mp = new Path(root, Marker)
+      val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(mp, false)
+      if (touchedT.nonEmpty) {
+        // read staging with the RECORDED schema: a delete-heavy batch
+        // can stage zero rows (overwrite of an empty frame emits no
+        // part files), and a schemaless read of that throws
+        val staged = spark.read
+          .schema(spark.read.parquet(s"$root/schema").schema)
+          .parquet(staging)
+        val present = staged.select("tbucket").distinct()
+          .collect().map(_.getInt(0)).toSet
+        staged.write.partitionBy("tbucket").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(s"$root/postings")
+        // a touched bucket with zero surviving rows: dynamic overwrite
+        // left its old directory — delete it, a rebuild would not have it
+        (touchedT.toSet -- present).foreach { b =>
+          fs.delete(new Path(s"$root/postings/tbucket=$b"), true) }
+      }
+      val stagedFwd = spark.read
+        .schema(spark.read.parquet(s"$root/fwd_schema").schema)
+        .parquet(fwdStaging)
+      val presentD = stagedFwd.select("dbucket").distinct()
+        .collect().map(_.getInt(0)).toSet
+      stagedFwd.write.partitionBy("dbucket").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(s"$root/fwd")
+      (touchedDAll.toSet -- presentD).foreach { b =>
+        fs.delete(new Path(s"$root/fwd/dbucket=$b"), true) }
+      import spark.implicits._
+      // an emptied corpus writes NULL sum_dl/avgdl, exactly as a
+      // rebuild's aggregate over zero docs would
+      Seq((n2, if (n2 == 0) None else Some(s2),
+        if (n2 == 0) None else Some(s2.toDouble / n2)))
+        .toDF("n_docs", "sum_dl", "avgdl")
+        .withColumn("max_df", lit(maxDf))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
+      writeMarker(spark, root)
+      fs.delete(new Path(staging), true)
+      fs.delete(new Path(fwdStaging), true)
     }
   }
 
@@ -235,8 +458,10 @@ object TextIndex {
     * [[Relevance.bm25]] (query_id, doc_id, score; zero-score docs
     * omitted), spec'd to agree with the corpus-scan form to 1e-9
     * relative. `queries`: (query_id, term) long form. */
-  def bm25(spark: SparkSession, root: String, queries: DataFrame,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** Per-(query, doc, term) BM25 contributions from the index — the
+    * shared core of [[bm25]] and [[bm25Micros]]. */
+  private def termScores(spark: SparkSession, root: String,
+      queries: DataFrame, k1: Double, b: Double): DataFrame = {
     // fail-fast BEFORE touching stats: an unbuilt root (or an append's
     // marker-down rewrite window) must surface as the designed error,
     // not a raw path-does-not-exist from the stats read
@@ -256,9 +481,29 @@ object TextIndex {
         col("idf") * (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) *
             (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+  }
+
+  def bm25(spark: SparkSession, root: String, queries: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    termScores(spark, root, queries, k1, b)
       .groupBy("query_id", "doc_id")
       .agg(sum(col("term_score")).as("score"))
-  }
+
+  /** [[bm25]] with the score QUANTIZED per term to integer MICRO-units
+    * before the sum: each term's double contribution — bit-identical
+    * across engines because its inputs (tf, df, dl, n_docs, avgdl) and
+    * expression tree are — rounds to `round(ts * 1e6)` as a long, and
+    * the per-(query, doc) total is then an exact integer sum, immune
+    * to aggregation order. This is what lets the index-served scorer
+    * hash-oracle against DuckDB (q179): the raw-double [[bm25]] sums
+    * in aggregation order, so its last bits float. Returns (query_id,
+    * doc_id, score_u6). */
+  def bm25Micros(spark: SparkSession, root: String, queries: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    termScores(spark, root, queries, k1, b)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(round(col("term_score") * lit(1000000.0)).cast("long"))
+        .as("score_u6"))
 
   /** Phrase hits served FROM THE INDEX — same output contract as
     * q178's corpus-scan form (phrase, n_docs, n_occurrences), exact:

@@ -474,7 +474,7 @@ object CurationQueries {
       .join(t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey")),
         Seq("l_orderkey"), "left_anti")
       .agg(count(lit(1)).as("orphans"))
-    m.crossJoin(fk)
+    m.crossJoin(broadcast(fk))
       .select(col("n"), explode(array(
         struct(lit("null_orderkey").as("chk"), col("null_key").as("v")),
         struct(lit("quantity_range").as("chk"), col("bad_qty").as("v")),

@@ -152,7 +152,7 @@ object ExtensionQueries {
       .filter(col("n_pair") >= 5)
     val c1 = uni.groupBy("w").agg(count(lit(1)).as("c1"))
     val tot = uni.agg(count(lit(1)).as("n"))
-      .crossJoin(bg.agg(count(lit(1)).as("b")))
+      .crossJoin(broadcast(bg.agg(count(lit(1)).as("b"))))
     c2.crossJoin(broadcast(tot))
       .join(c1.select(col("w").as("w1"), col("c1").as("c1a")), "w1")
       .join(c1.select(col("w").as("w2"), col("c1").as("c1b")), "w2")
@@ -268,7 +268,7 @@ object ExtensionQueries {
       .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
     val types = ev.select("event_type").distinct()
     val cnt = ev.groupBy("day", "event_type").agg(count(lit(1)).as("cn"))
-    days.crossJoin(types)
+    days.crossJoin(broadcast(types))
       .join(cnt, Seq("day", "event_type"), "left")
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("event_type"), coalesce(col("cn"), lit(0L)).as("n"))
@@ -317,7 +317,7 @@ object ExtensionQueries {
     // bounds: the length at sorted position ceil(p·N) — one tiny agg
     // over (histogram × one-row total); N derives from the pinned
     // histogram, not a third corpus scan
-    val bounds = cum.crossJoin(hist.agg(sum(col("c")).as("cnt")))
+    val bounds = cum.crossJoin(broadcast(hist.agg(sum(col("c")).as("cnt"))))
       .agg(
         min(when(col("cum") >= expr("(5 * cnt + 99) div 100"), col("n")))
           .as("lo"),

@@ -658,19 +658,43 @@ object WarehouseQueries {
     * retrieval): the corpus was scanned once at `TextIndex.ensure`;
     * this query touches only the term-bucket directories the 10
     * queries' terms hash into (partition-pruned — TextIndexSpec
-    * asserts the tbucket filter reaches the scan). Rows-only by the
-    * same reasoning as the `Relevance.bm25` scaladoc: per-(query,doc)
-    * scores sum term contributions in aggregation order, so the
-    * doubles aren't bit-pinned; TextIndexSpec asserts 1e-9 relative
-    * agreement with the corpus-scan form, whose own q50 instance IS
-    * hash-oracled. */
-  val indexBm25: Q = Q.rowsOnly("q179_index_bm25") { (s, dir) =>
+    * asserts the tbucket filter reaches the scan).
+    *
+    * HASH-ORACLED since r9 via `TextIndex.bm25Micros`: each term's
+    * double contribution is bit-identical across engines (identical
+    * integer inputs, identical expression tree — the q50 argument),
+    * so quantizing it to integer MICROS before the per-(query, doc)
+    * sum makes the total an exact BIGINT, immune to aggregation
+    * order — the one thing that kept the raw-double form rows-only.
+    * TextIndexSpec separately pins the raw-double path to the
+    * corpus-scan form at 1e-9. */
+  val indexBm25: Q = Q(
+    "q179_index_bm25",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |d AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+      |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM d GROUP BY 1, 2, 3),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                 CAST(sum(len(ws)) AS DOUBLE) / count(*) AS avgdl
+      |          FROM w),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |q AS (SELECT DISTINCT doc_id AS query_id, term FROM d WHERE doc_id < 10)
+      |SELECT q.query_id, tf.doc_id,
+      |       CAST(sum(CAST(round(
+      |         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      |           * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |           * 1000000.0) AS BIGINT)) AS BIGINT) AS score_u6
+      |FROM q JOIN tf ON q.term = tf.term
+      |JOIN df ON tf.term = df.term
+      |CROSS JOIN stats
+      |GROUP BY 1, 2""".stripMargin
+  ) { (s, dir) =>
     val root = textIndex(s, dir)
     val qt = t(s, dir, "documents").filter(col("doc_id") < 10)
       .select(col("doc_id").as("query_id"),
         explode(split(col("text"), " ")).as("term"))
       .distinct()
-    TextIndex.bm25(s, root, qt)
+    TextIndex.bm25Micros(s, root, qt)
   }
 
   /** q180: phrase search FROM THE PERSISTED INDEX — q178's exact
@@ -753,9 +777,11 @@ object WarehouseQueries {
 
   /** q183: per-source length-distribution summary — EXACT median and
     * mode without a corpus-wide sort: both statistics read off the
-    * (source, n_tok) HISTOGRAM (q87/q172's windowless pattern). Lower
-    * median = smallest length whose cumulative count reaches
-    * ⌈(n+1)/2⌉ (the cumulative from the triangular histogram join);
+    * (source, n_tok) HISTOGRAM (q87/q172's windowless pattern).
+    * Median = smallest length whose cumulative count reaches
+    * ⌈(n+1)/2⌉ — the UPPER median for even n (e.g. n=4 selects the
+    * 3rd sorted element; both engines share the rank formula so the
+    * choice is consistent, just named correctly here);
     * mode = smallest length attaining the max bin count (the
     * max-count join makes the tie-break explicit and identical on
     * both engines — SQL's mode() is tie-unspecified). A percentile

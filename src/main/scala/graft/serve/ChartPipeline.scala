@@ -49,7 +49,7 @@ object ChartPipeline {
     }
     val frame =
       if (dims.isEmpty) spine
-      else spine.crossJoin(daily.select(dims.map(col): _*).distinct())
+      else spine.crossJoin(broadcast(daily.select(dims.map(col): _*).distinct()))
     frame.join(broadcast(daily.drop("label")), Seq("day") ++ dims, "left")
       .select(
         col("day") +: date_format(col("day"), labelFmt).as("label") +:
@@ -356,7 +356,7 @@ object ChartPipeline {
         "'backgroundColor', element_at(colors, (i % size(colors)) + 1), " +
         "'borderWidth', '3', 'barThickness', '10', 'pointRadius', '0', " +
         "'yAxisID', 'left-y-axis'))")
-    seriesCol.crossJoin(labelsCol)
+    seriesCol.crossJoin(broadcast(labelsCol))
       .withColumn("colors", colorArr)
       .select(
         lit(chartKey).as("key"),

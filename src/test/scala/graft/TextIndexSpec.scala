@@ -21,6 +21,18 @@ class TextIndexSpec extends SparkSpec {
   private lazy val docs =
     Tables.load(spark, sf, "documents").select("doc_id", "text")
 
+  // schema-file reads: a fully-emptied index has zero part files
+  private def postingsOf(root: String): Seq[String] =
+    spark.read.schema(spark.read.parquet(s"$root/schema").schema)
+      .parquet(s"$root/postings")
+      .drop("tbucket").orderBy("term").collect().map(_.toString).toSeq
+  private def fwdOf(root: String): Seq[String] =
+    spark.read.schema(spark.read.parquet(s"$root/fwd_schema").schema)
+      .parquet(s"$root/fwd")
+      .drop("dbucket").orderBy("doc_id").collect().map(_.toString).toSeq
+  private def statsOf(root: String): String =
+    spark.read.parquet(s"$root/stats").head().toString
+
   test("ensure builds once; a second ensure leaves the artifacts untouched") {
     val root = tmp("tidx")
     TextIndex.ensure(docs, root)
@@ -95,6 +107,7 @@ class TextIndexSpec extends SparkSpec {
     def stats(root: String) = spark.read.parquet(s"$root/stats")
       .head().toString
     assert(stats(appended) === stats(rebuilt))
+    assert(fwdOf(appended) === fwdOf(rebuilt))
     // the served surfaces agree too: phrase hits are integer-exact
     import spark.implicits._
     val ph = Seq((0L, "spark join", 0L, "spark"), (0L, "spark join", 1L, "join"))
@@ -139,6 +152,77 @@ class TextIndexSpec extends SparkSpec {
       .orderBy(col("score").desc).select("doc_id")
       .collect().map(_.getLong(0)).toSeq
     assert(hits === Seq(11L), s"appended doc not servable: $hits")
+  }
+
+  test("upsert (replace + insert + delete) equals rebuild over the current set, bit-for-bit") {
+    import spark.implicits._
+    // quarter the corpus by residue: build over residues 0-2, then one
+    // upsert batch REPLACES residue-0 docs with residue-3 docs' text
+    // (re-keyed), INSERTS genuinely new ids, and DELETES residue-1
+    val base = docs.filter(col("doc_id") % 4 < 3)
+    val root = tmp("tidx-up")
+    TextIndex.build(base, root)
+    val replace = docs.filter(col("doc_id") % 4 === 3)
+      .select((col("doc_id") - 3).as("doc_id"), col("text"))
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val insert = Seq((maxId + 1, "upsert fresh spark document"),
+      (maxId + 2, "another inserted row row row")).toDF("doc_id", "text")
+    val delete = docs.filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id"), lit(null).cast("string").as("text"))
+    val batch = replace.unionByName(insert).unionByName(delete)
+    TextIndex.upsert(batch, root)
+    // the current set a from-scratch build would see
+    val current = base.join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(batch.filter(col("text").isNotNull))
+    val rebuilt = tmp("tidx-up-reb")
+    TextIndex.build(current, rebuilt)
+    assert(postingsOf(root) === postingsOf(rebuilt))
+    assert(fwdOf(root) === fwdOf(rebuilt))
+    assert(statsOf(root) === statsOf(rebuilt))
+    // replacing with identical content is idempotent
+    TextIndex.upsert(batch.filter(col("text").isNotNull), root)
+    assert(postingsOf(root) === postingsOf(rebuilt))
+    assert(statsOf(root) === statsOf(rebuilt))
+    // a deleted doc no longer serves; an inserted one does
+    val hits = TextIndex.bm25(spark, root,
+      Seq((1L, "upsert"), (1L, "fresh")).toDF("query_id", "term"))
+      .orderBy(col("score").desc).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(hits.headOption === Some(maxId + 1))
+  }
+
+  test("upsert deleting every document leaves the empty index a rebuild-over-nothing would") {
+    import spark.implicits._
+    val root = tmp("tidx-empty")
+    val five = docs.limit(5).localCheckpoint(true)
+    TextIndex.build(five, root)
+    TextIndex.upsert(
+      five.select(col("doc_id"), lit(null).cast("string").as("text")), root)
+    assert(TextIndex.isBuilt(spark, root))
+    // every touched partition emptied -> explicitly deleted (dynamic
+    // overwrite alone would have left the old directories serving)
+    assert(postingsOf(root).isEmpty)
+    assert(fwdOf(root).isEmpty)
+    val st = spark.read.parquet(s"$root/stats").head()
+    assert(st.getAs[Long]("n_docs") === 0L)
+    assert(st.isNullAt(st.fieldIndex("sum_dl")))
+    assert(st.isNullAt(st.fieldIndex("avgdl")))
+    assert(TextIndex.bm25(spark, root,
+      Seq((1L, "spark")).toDF("query_id", "term")).count() === 0L)
+  }
+
+  test("upsert guards: capped index refused; duplicate batch ids refused") {
+    import spark.implicits._
+    val root = tmp("tidx-guard")
+    TextIndex.build(docs.limit(20), root, maxDf = 5)
+    val e1 = intercept[IllegalArgumentException] {
+      TextIndex.upsert(Seq((0L, "x")).toDF("doc_id", "text"), root) }
+    assert(e1.getMessage.contains("uncapped"))
+    val root2 = tmp("tidx-guard2")
+    TextIndex.build(docs.limit(20), root2)
+    val e2 = intercept[IllegalArgumentException] {
+      TextIndex.upsert(Seq((0L, "x"), (0L, "y")).toDF("doc_id", "text"), root2) }
+    assert(e2.getMessage.contains("duplicate"))
   }
 
   test("maxDf tombstones stop terms (true df, empty postings); append accumulates df across the cap") {
