@@ -464,22 +464,7 @@ object Dedup {
       maxDf: Int = 0, restrictVerify: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefix filtering needs 0 < t <= 1, got $threshold")
-    val capped =
-      if (maxDf <= 0) shingled
-      else {
-        val hot = shingled.select(explode(col("shs")).as("h"))
-          .groupBy("h").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf)
-          .agg(sort_array(collect_list(col("h"))).as("hot"))
-        // pinned: three consumers (prefix explode + both verify join
-        // sides) would each re-run the hot aggregation and the scan
-        shingled.crossJoin(broadcast(hot))
-          .select(col("doc_id"),
-            filter(col("shs"), x => !graft.functions.expressions
-              .GraftExpressions.sortedContainsLong(col("hot"), x)).as("shs"))
-          .filter(size(col("shs")) > 0)
-          .localCheckpoint(true)
-      }
+    val capped = cappedShingles(shingled, maxDf)
     val candIds = prefixCandidatePairs(capped, threshold)
       .localCheckpoint(true)
     val arrays = if (restrictVerify) candidateArrays(capped, candIds) else capped
@@ -493,6 +478,31 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter", "uni", "jaccard")
   }
+
+  /** The df-capped shingle arrays [[prefixFilterJaccardPairs]] cuts
+    * prefixes from: hot shingles (df > maxDf) leave the sets IN-ROW —
+    * the hot set (stop-phrase-sized) collapses to one sorted array,
+    * broadcast-crossed and binary-search-probed per element, so the
+    * arrays keep their sort order and no corpus-wide shuffle is spent
+    * on capping. Exposed `private[graft]` so the scale-stress harness
+    * can measure the candidate stage in isolation (the q168 verify
+    * remainder = full stage − this + candidates). */
+  private[graft] def cappedShingles(shingled: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf <= 0) shingled
+    else {
+      val hot = shingled.select(explode(col("shs")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf)
+        .agg(sort_array(collect_list(col("h"))).as("hot"))
+      // pinned: three consumers (prefix explode + both verify join
+      // sides) would each re-run the hot aggregation and the scan
+      shingled.crossJoin(broadcast(hot))
+        .select(col("doc_id"),
+          filter(col("shs"), x => !graft.functions.expressions
+            .GraftExpressions.sortedContainsLong(col("hot"), x)).as("shs"))
+        .filter(size(col("shs")) > 0)
+        .localCheckpoint(true)
+    }
 
   /** The AllPairs candidate generator [[prefixFilterJaccardPairs]]
     * verifies: distinct (doc_a, doc_b) pairs whose sorted-hash

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -394,7 +395,103 @@ object PipelineQueries {
       .filter(Sampling.splitColumn(col("doc_id")) === "train")
   }
 
+  /** q188: contamination SPANS — q56 says WHICH documents leak
+    * benchmark 4-grams and how many; this says WHERE and HOW MUCH
+    * text: every hit position's gram covers tokens [p, p+3], and
+    * overlapping/adjacent covers merge into maximal spans via
+    * gaps-and-islands (new island when p exceeds the running max end —
+    * a doc-partitioned running-max window, per-key sort only). The
+    * span view is what surgical decontamination needs: excise the
+    * contaminated spans instead of dropping whole documents. Same
+    * BenchMod/NgramN contract as q56. */
+  val contaminationSpans: Q = Q(
+    "q188_contamination_spans",
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g0 AS (SELECT doc_id, unnest(range(1, len(w) - ${NgramN - 2})) AS p1, w
+       |       FROM tok WHERE len(w) >= $NgramN),
+       |g AS (SELECT doc_id, p1 - 1 AS p,
+       |             array_to_string(w[p1:p1+${NgramN - 1}], ' ') AS g
+       |      FROM g0),
+       |bng AS (SELECT DISTINCT g FROM g WHERE doc_id % $BenchMod = 0),
+       |hits AS (SELECT g.doc_id, g.p FROM g JOIN bng USING (g)
+       |         WHERE g.doc_id % $BenchMod <> 0),
+       |isl AS (SELECT doc_id, p,
+       |          CASE WHEN max(p) OVER (PARTITION BY doc_id ORDER BY p
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |                 IS NULL
+       |            OR p > max(p) OVER (PARTITION BY doc_id ORDER BY p
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |                 + $NgramN
+       |          THEN 1 ELSE 0 END AS ni
+       |        FROM hits),
+       |isl2 AS (SELECT doc_id, p,
+       |           CAST(sum(ni) OVER (PARTITION BY doc_id ORDER BY p)
+       |                AS BIGINT) AS island
+       |         FROM isl),
+       |sp AS (SELECT doc_id, island, min(p) AS s, max(p) + ${NgramN - 1} AS e
+       |       FROM isl2 GROUP BY 1, 2)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |       CAST(sum(e - s + 1) AS BIGINT) AS covered_tokens
+       |FROM sp GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val grams = docs
+      .select(col("doc_id"), T.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= NgramN)
+      .select(col("doc_id"), posexplode(
+        Decontaminate.wordNgrams(col("ws"), NgramN)).as(Seq("p", "g")))
+    val bench = grams.filter(col("doc_id") % BenchMod === 0)
+      .select("g").distinct()
+    val hits = grams.filter(col("doc_id") % BenchMod =!= 0)
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .select("doc_id", "p")
+    val wPrev = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("p")
+    val spans = hits
+      .withColumn("pm", max(col("p")).over(wPrev))
+      // merge OVERLAPPING (p <= pm + 3) and ADJACENT (p = pm + 4)
+      // covers: a new island only opens past a genuine gap
+      .withColumn("ni",
+        when(col("pm").isNull || col("p") > col("pm") + lit(NgramN), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("ni")).over(wRun))
+      .groupBy("doc_id", "island")
+      .agg(min(col("p")).as("s"), (max(col("p")) + lit(NgramN - 1)).as("e"))
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + lit(1)).as("covered_tokens"))
+  }
+
+  /** q189: template-duplication profile — documents that are the SAME
+    * text modulo numbers (timestamps, ids, counters): normalize
+    * (lowercase, digit runs → '0', whitespace collapsed), md5 the
+    * template, and report the GROUP-SIZE HISTOGRAM (how many templates
+    * have 1, 2, … members). Catches the boilerplate class exact dedup
+    * (q11) misses — machine-generated pages differing only in serial
+    * numbers — with one corpus scan + two digest-keyed counts; the
+    * histogram form stays meaningful on corpora with few or no
+    * template dups (every row still asserts the group structure),
+    * where a "groups ≥ 2 only" listing would be empty. */
+  val templateDedup: Q = Q(
+    "q189_template_dedup",
+    """WITH t AS (SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+      |             '[0-9]+', '0', 'g'), ' +', ' ', 'g'))) AS tpl
+      |           FROM documents),
+      |g AS (SELECT tpl, CAST(count(*) AS BIGINT) AS group_size
+      |      FROM t GROUP BY 1)
+      |SELECT group_size, CAST(count(*) AS BIGINT) AS n_templates
+      |FROM g GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[0-9]+", "0"), " +", " "))).as("tpl"))
+      .groupBy("tpl").agg(count(lit(1)).as("group_size"))
+      .groupBy("group_size").agg(count(lit(1)).as("n_templates"))
+  }
+
   val all: Seq[Q] =
     Seq(decontaminate, hashSplit, mixtureSample, shardPack, domainQuota,
-      corpusPipeline, groupSample, seqPack, redact, vocabTop, corpusPipelineV2)
+      corpusPipeline, groupSample, seqPack, redact, vocabTop, corpusPipelineV2,
+      contaminationSpans, templateDedup)
 }

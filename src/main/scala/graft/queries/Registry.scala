@@ -7,7 +7,8 @@ object Registry {
   val all: Seq[Q] = RelationalQueries.all ++ AnalyticQueries.all ++
     LlmQueries.all ++ ChartQueries.all ++ PipelineQueries.all ++
     ExtensionQueries.all ++ VersioningQueries.all ++ TokenizerQueries.all ++
-    CurationQueries.all ++ AuditQueries.all ++ WarehouseQueries.all
+    CurationQueries.all ++ AuditQueries.all ++ WarehouseQueries.all ++
+    SequenceQueries.all
 
   def byName(name: String): Q = all.find(_.name == name).get
 }

@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ranks
+import graft.sources.Tables
+
+/** Round-9 wave: ordered-event analytics over the `events` stream
+  * table — the warehouse patterns that interrogate SEQUENCE, not just
+  * totals: activity streaks (gaps-and-islands), conversion funnels
+  * (ordered-step reachability), Markov transition matrices (lag
+  * pairs), and cumulative distinct users (first-seen + global prefix
+  * sum). The reference's analyzer answers "how much per day"
+  * (Covid19Stats.java daily aggregates); these answer "in what order",
+  * the natural next question of the same event stream.
+  *
+  * Scale shape: every window here partitions by `user_id` (or by a
+  * histogram key) — per-key sorts, never a global ORDER BY window; the
+  * one genuinely global ordering (q187's cumulative day series) runs
+  * through [[Ranks.globalRunningSum]]'s two-phase range-partitioned
+  * prefix sum, the q16/q150 machinery, so no single-partition window
+  * appears anywhere in the wave (PlanSpec-asserted).
+  */
+object SequenceQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** q184: longest consecutive-day activity streak per user, rolled up
+    * to a histogram — the classic GAPS-AND-ISLANDS: distinct active
+    * days, island id = epoch-day − row_number (constant within a
+    * consecutive run), island length = count, longest = max. The
+    * user-partitioned window sorts each user's few hundred days
+    * locally; nothing global. */
+  val activityStreaks: Q = Q(
+    "q184_activity_streaks",
+    """WITH d AS (SELECT DISTINCT user_id,
+      |                  CAST(date_trunc('day', ts) AS DATE) AS day
+      |           FROM events),
+      |r AS (SELECT user_id, day,
+      |             (day - DATE '1970-01-01')
+      |               - row_number() OVER (PARTITION BY user_id ORDER BY day)
+      |               AS grp
+      |      FROM d),
+      |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS len
+      |      FROM r GROUP BY user_id, grp),
+      |m AS (SELECT user_id, max(len) AS longest FROM s GROUP BY 1)
+      |SELECT longest AS streak_days, CAST(count(*) AS BIGINT) AS n_users
+      |FROM m GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    val d = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val runs = d
+      .withColumn("grp",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+          - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(max(col("len")).as("longest"))
+    runs.groupBy(col("longest").as("streak_days"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** q185: three-step conversion funnel (view → click → purchase),
+    * each step within 7 days of the previous — ordered-step
+    * reachability via sequential earliest-timestamp joins (the
+    * set-algebra funnel: step N's population is an equi-join of the
+    * raw stream against step N−1's first-reach frame, all user-keyed
+    * shuffles; no per-user sort, no window). One row: the three
+    * population counts. */
+  val eventFunnel: Q = Q(
+    "q185_event_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click'
+      |        AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 7 DAY
+      |      GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t3
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase'
+      |        AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 7 DAY
+      |      GROUP BY 1)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM p)
+      |         AS n_view_click_purchase""".stripMargin
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    def firstReach(prev: DataFrame, prevTs: String, step: String,
+        outTs: String): DataFrame =
+      ev.filter(col("event_type") === step)
+        .join(prev, Seq("user_id"))
+        .filter(col("ts") > col(prevTs) &&
+          col("ts") <= col(prevTs) + expr("INTERVAL 7 DAY"))
+        .groupBy("user_id").agg(min(col("ts")).as(outTs))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val c = firstReach(v, "t1", "click", "t2")
+    val p = firstReach(c, "t2", "purchase", "t3")
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_view_click"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_view_click_purchase"))))
+  }
+
+  /** q186: event-type transition matrix — consecutive (prev → next)
+    * pairs per user in (ts, event_id) order via `lag` over the
+    * user-partitioned window, with the transition probability in exact
+    * integer ppm (floor-div: both engines share `div`-semantics on
+    * positive longs, so no float crosses the oracle). The Markov view
+    * of the stream a session-based recommender or anomaly detector
+    * consumes. */
+  val eventTransitions: Q = Q(
+    "q186_event_transitions",
+    """WITH l AS (SELECT user_id, event_type AS next_type,
+      |                  lag(event_type) OVER (PARTITION BY user_id
+      |                    ORDER BY ts, event_id) AS prev_type
+      |           FROM events),
+      |c AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot
+      |      FROM c GROUP BY 1)
+      |SELECT c.prev_type, c.next_type, c.n,
+      |       CAST((1000000 * c.n) // t.tot AS BIGINT) AS p_ppm
+      |FROM c JOIN t USING (prev_type)""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val c = t(s, dir, "events")
+      .select(col("user_id"), col("event_type").as("next_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+    val tot = c.groupBy("prev_type").agg(sum(col("n")).as("tot"))
+    c.join(broadcast(tot), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("(1000000 * n) div tot").as("p_ppm"))
+  }
+
+  /** q187: cumulative distinct users per day WITHOUT a distinct-over-
+    * window (which would carry a per-day set): each user collapses to
+    * their FIRST active day (one user-keyed aggregate), days roll up
+    * new-user counts, and the running total is the q16/q150 two-phase
+    * range-partitioned prefix sum — the pattern that turns "count
+    * distinct so far" into linear work at any scale. */
+  val cumulativeUsers: Q = Q(
+    "q187_cumulative_users",
+    """WITH f AS (SELECT user_id,
+      |                  min(CAST(date_trunc('day', ts) AS DATE)) AS day
+      |           FROM events GROUP BY 1),
+      |nu AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+      |       FROM f GROUP BY 1),
+      |days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
+      |         FROM events)
+      |SELECT d.day, coalesce(nu.new_users, 0) AS new_users,
+      |       CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY d.day)
+      |            AS BIGINT) AS cum_users
+      |FROM days d LEFT JOIN nu USING (day)""".stripMargin
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    val nu = ev.groupBy("user_id").agg(min(to_date(col("ts"))).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val days = ev.select(to_date(col("ts")).as("day")).distinct()
+    val joined = days.join(nu, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"))
+    Ranks.globalRunningSum(joined, Seq(col("day").asc),
+      col("new_users"), "cum_users")
+      .select("day", "new_users", "cum_users")
+  }
+
+  val all: Seq[Q] =
+    Seq(activityStreaks, eventFunnel, eventTransitions, cumulativeUsers)
+}

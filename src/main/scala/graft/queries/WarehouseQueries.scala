@@ -841,8 +841,50 @@ object WarehouseQueries {
         col("median_tok"), col("mode_tok"))
   }
 
+  /** q190: per-priority revenue DECILES — NTILE-style cut points
+    * without NTILE's global sort: prices quantize to exact integer
+    * cents, the (priority, cents) histogram absorbs the corpus, the
+    * cumulative count is a priority-partitioned window over the
+    * HISTOGRAM (bounded by distinct prices, not rows), and decile d's
+    * boundary is the smallest price whose cumulative count reaches
+    * ⌈d·n/10⌉ — the exact integer rank both engines share (q183's
+    * median machinery generalized to the full quantile ladder). */
+  val revenueDeciles: Q = Q(
+    "q190_revenue_deciles",
+    """WITH o AS (SELECT o_orderpriority AS priority,
+      |                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |           FROM orders),
+      |h AS (SELECT priority, cents, CAST(count(*) AS BIGINT) AS c
+      |      FROM o GROUP BY 1, 2),
+      |n AS (SELECT priority, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+      |cum AS (SELECT priority, cents,
+      |               CAST(sum(c) OVER (PARTITION BY priority ORDER BY cents)
+      |                    AS BIGINT) AS cm
+      |        FROM h),
+      |d AS (SELECT unnest(range(1, 10)) AS decile)
+      |SELECT cum.priority, d.decile,
+      |       min(CASE WHEN cum.cm >= (d.decile * n.n + 9) // 10
+      |                THEN cum.cents END) AS cents
+      |FROM cum JOIN n USING (priority) CROSS JOIN d
+      |GROUP BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    val o = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("priority"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+    val h = o.groupBy("priority", "cents").agg(count(lit(1)).as("c"))
+    val n = h.groupBy("priority").agg(sum(col("c")).as("n"))
+    val cum = h.withColumn("cm",
+      sum(col("c")).over(Window.partitionBy("priority").orderBy("cents")))
+    val d = s.range(1, 10).toDF("decile")
+    cum.join(n, Seq("priority"))
+      .crossJoin(broadcast(d))
+      .groupBy("priority", "decile")
+      .agg(min(when(col("cm") >= expr("(decile * n + 9) div 10"),
+        col("cents"))).as("cents"))
+  }
+
   val all: Seq[Q] = Seq(prefixFilterJoin, scd2History, rangeJoinWindows,
     rrfHybrid, quantileNorm, asofHistoryProbe, mmrDiversify, hllRollup,
     distinctRollup, audienceOverlap, phraseSearch, indexBm25, indexPhrase,
-    groupingSets, unpivotSeries, lengthSummary)
+    groupingSets, unpivotSeries, lengthSummary, revenueDeciles)
 }

@@ -257,4 +257,40 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Seq[String], Seq[String])].head()
     assert(g._1 == Seq("a b c d", "b c d e") && g._2.isEmpty)
   }
+
+  test("q188 spans: window-merged islands equal brute-force interval union") {
+    import spark.implicits._
+    // re-derive the hit positions independently of the query's window
+    // machinery, merge [p, p+3] intervals brute-force in Scala, and
+    // compare per-doc (n_spans, covered) — guards the shared-formula
+    // risk of the oracle computing islands with the SAME window logic
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 4)
+      .select(col("doc_id"),
+        posexplode(Decontaminate.wordNgrams(col("ws"), 4)).as(Seq("p", "g")))
+    val bench = grams.filter(col("doc_id") % 20 === 0)
+      .select("g").distinct()
+    val hitPos = grams.filter(col("doc_id") % 20 =!= 0)
+      .join(bench, Seq("g"), "left_semi")
+      .select("doc_id", "p").as[(Long, Int)].collect()
+      .groupBy(_._1).map { case (d, ps) => d -> ps.map(_._2).sorted }
+    val expected = hitPos.map { case (d, ps) =>
+      val spans = ps.foldLeft(List.empty[(Int, Int)]) {
+        case (Nil, p) => List((p, p + 3))
+        case ((s, e) :: rest, p) =>
+          if (p <= e + 1) (s, math.max(e, p + 3)) :: rest
+          else (p, p + 3) :: (s, e) :: rest
+      }
+      d -> ((spans.length.toLong, spans.map { case (s, e) => e - s + 1L }.sum))
+    }
+    val got = graft.queries.Registry.byName("q188_contamination_spans")
+      .fn(spark, sf).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expected, s"first diff: ${
+      (got.keySet ++ expected.keySet).find(k =>
+        got.get(k) != expected.get(k)).map(k =>
+        s"doc $k got ${got.get(k)} want ${expected.get(k)}")}")
+    assert(got.nonEmpty, "no contaminated docs at this sf — vacuous test")
+  }
 }
