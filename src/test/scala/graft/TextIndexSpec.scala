@@ -211,6 +211,30 @@ class TextIndexSpec extends SparkSpec {
       Seq((1L, "spark")).toDF("query_id", "term")).count() === 0L)
   }
 
+  test("upsert crash window: marker down -> probes fail fast with the designed error; ensure() recovers") {
+    import spark.implicits._
+    val root = tmp("tidx-crash")
+    val ten = docs.limit(10).localCheckpoint(true)
+    TextIndex.build(ten, root)
+    // simulate dying inside the rewrite window (after the marker drop,
+    // before the commit): the on-disk state a crashed upsert leaves
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_INDEX_COMMITTED"), false)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.bm25(spark, root, Seq((1L, "spark")).toDF("query_id", "term"))
+    }
+    assert(e.getMessage.contains("no text index"),
+      s"probe in the crash window must fail with the designed error, got: ${e.getMessage}")
+    // recovery is a rebuild: ensure() sees the missing marker
+    TextIndex.ensure(ten, root)
+    assert(TextIndex.isBuilt(spark, root))
+    val rebuilt = tmp("tidx-crash-reb")
+    TextIndex.build(ten, rebuilt)
+    assert(postingsOf(root) === postingsOf(rebuilt))
+    assert(statsOf(root) === statsOf(rebuilt))
+  }
+
   test("upsert guards: capped index refused; duplicate batch ids refused") {
     import spark.implicits._
     val root = tmp("tidx-guard")
