@@ -71,7 +71,8 @@ object Bench {
           })
         } catch {
           case e: Throwable =>
-            errors += name -> e.toString.replaceAll("[\"\\n\\r]", " ").take(200)
+            errors += name -> e.toString
+              .replaceAll("[\\\\\"\\n\\r]", " ").take(200)
             -1.0
         }
       name -> t

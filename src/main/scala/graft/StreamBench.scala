@@ -77,9 +77,12 @@ object StreamBench {
     try {
       ms.addData(batch(0, warmupRows, keys))
       q.processAllAvailable()
+      // pre-materialize the feeds: driver-side row construction must
+      // not charge data-generation cost to the engine's rows/sec
+      val feeds = (1 to batches).map(i => batch(i, batchRows, keys))
       val t0 = System.nanoTime()
-      (1 to batches).foreach { i =>
-        ms.addData(batch(i, batchRows, keys))
+      feeds.foreach { f =>
+        ms.addData(f)
         q.processAllAvailable()
       }
       val sec = (System.nanoTime() - t0) / 1e9

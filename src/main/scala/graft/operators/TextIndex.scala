@@ -325,10 +325,19 @@ object TextIndex {
         .join(broadcast(ids), Seq("doc_id"), "left_semi")
         .localCheckpoint(true)
       val newRows = postingRows(live).localCheckpoint(true)
-      val oldTerms = oldMine.select(explode(col("terms")).as("term")).distinct()
+      // AFFECTED terms: every term any upserted doc's OLD version
+      // carried (those rows must drop the retracted ids) UNION every
+      // term the REPLACEMENT content carries (those rows must merge
+      // with the new postings — an existing row whose term arrives
+      // only via new content would otherwise pass through unchanged
+      // while the merge emitted a SECOND row for the same term, df
+      // split across the two)
+      val affectedTerms = oldMine.select(explode(col("terms")).as("term"))
+        .unionByName(newRows.select("term"))
+        .distinct()
         .localCheckpoint(true)
-      val touchedT = oldTerms.select(tbucketOf(col("term")).as("tbucket"))
-        .unionByName(newRows.select(tbucketOf(col("term")).as("tbucket")))
+      val touchedT = affectedTerms
+        .select(tbucketOf(col("term")).as("tbucket"))
         .distinct().collect().map(_.getInt(0))
       val staging = s"$root/.staging-upsert"
       val fwdStaging = s"$root/.staging-upsert-fwd"
@@ -337,10 +346,11 @@ object TextIndex {
           .filter(col("tbucket").isin(touchedT.map(Integer.valueOf): _*))
         // pass-through rows: their term appears in NO upserted doc (old
         // or new), so their posting lists cannot mention an upserted id
+        // and no new postings will merge into them
         val pass = existing
-          .join(broadcast(oldTerms), Seq("term"), "left_anti")
+          .join(broadcast(affectedTerms), Seq("term"), "left_anti")
         val stripped = existing
-          .join(broadcast(oldTerms), Seq("term"), "left_semi")
+          .join(broadcast(affectedTerms), Seq("term"), "left_semi")
           .select(col("term"), explode(col("postings")).as("p"))
           .join(broadcast(ids.select(col("doc_id").as("__uid"))),
             col("p.doc_id") === col("__uid"), "left_anti")
@@ -367,8 +377,6 @@ object TextIndex {
       // forward index: touched dbuckets minus upserted ids, plus the
       // live replacements' rows
       val newFwd = fwdRows(live).localCheckpoint(true)
-      val touchedDAll = (touchedD.toSet ++
-        newFwd.select("dbucket").distinct().collect().map(_.getInt(0))).toArray
       fwdTouched.join(broadcast(ids), Seq("doc_id"), "left_anti")
         .select("doc_id", "dl", "terms", "dbucket")
         .write.mode("overwrite").parquet(fwdStaging)
@@ -413,7 +421,7 @@ object TextIndex {
       stagedFwd.write.partitionBy("dbucket").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(s"$root/fwd")
-      (touchedDAll.toSet -- presentD).foreach { b =>
+      (touchedD.toSet -- presentD).foreach { b =>
         fs.delete(new Path(s"$root/fwd/dbucket=$b"), true) }
       import spark.implicits._
       // an emptied corpus writes NULL sum_dl/avgdl, exactly as a

@@ -211,6 +211,34 @@ class TextIndexSpec extends SparkSpec {
       Seq((1L, "spark")).toDF("query_id", "term")).count() === 0L)
   }
 
+  test("upsert insert sharing a term with an UNTOUCHED doc merges into one row (no split df)") {
+    import spark.implicits._
+    // the code-review scenario: doc 1 holds 'zebra'; the batch only
+    // INSERTS doc 2, also holding 'zebra'. doc 1's row is not retracted
+    // (no old version of an upserted id mentions 'zebra'), but it must
+    // still MERGE with the new postings — the first cut passed it
+    // through unchanged AND emitted a second new-content row, df split
+    // 1/1 where a rebuild holds one row with df=2
+    val root = tmp("tidx-share")
+    val base = Seq((1L, "zebra stripes pattern"), (2L, "ocean wave"))
+      .toDF("doc_id", "text")
+    TextIndex.build(base, root)
+    TextIndex.upsert(Seq((3L, "zebra runs fast")).toDF("doc_id", "text"), root)
+    val zebra = spark.read.parquet(s"$root/postings")
+      .filter(col("term") === "zebra")
+      .select(col("df"), col("postings.doc_id").as("ids")).collect()
+    assert(zebra.length === 1,
+      s"'zebra' must be ONE row, got ${zebra.length} (split df)")
+    assert(zebra.head.getLong(0) === 2L)
+    assert(zebra.head.getAs[Seq[Long]]("ids").sorted === Seq(1L, 3L))
+    val rebuilt = tmp("tidx-share-reb")
+    TextIndex.build(base.unionByName(
+      Seq((3L, "zebra runs fast")).toDF("doc_id", "text")), rebuilt)
+    assert(postingsOf(root) === postingsOf(rebuilt))
+    assert(fwdOf(root) === fwdOf(rebuilt))
+    assert(statsOf(root) === statsOf(rebuilt))
+  }
+
   test("upsert crash window: marker down -> probes fail fast with the designed error; ensure() recovers") {
     import spark.implicits._
     val root = tmp("tidx-crash")
