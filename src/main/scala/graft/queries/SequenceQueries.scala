@@ -171,6 +171,57 @@ object SequenceQueries {
       .select("day", "new_users", "cum_users")
   }
 
+  /** q193: top session-opening paths — sessionize by 30-minute
+    * inactivity gap (lag + running sum per user, the q35 rule), take
+    * each session's first three events in (ts, event_id) order, and
+    * census the resulting path strings. Session counts per opening
+    * trigram are what funnel design and bot detection read first.
+    * The collected triple is ordered DETERMINISTICALLY on both
+    * engines: rank attaches before collection and the array sorts by
+    * rank, never by collection order. */
+  val sessionPaths: Q = Q(
+    "q193_session_paths",
+    """WITH o AS (SELECT user_id, event_type, ts, event_id,
+      |                  epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |                    (PARTITION BY user_id ORDER BY ts, event_id)
+      |                    AS gap_us
+      |           FROM events),
+      |s AS (SELECT user_id, event_type, ts, event_id,
+      |             CAST(sum(CASE WHEN gap_us IS NULL
+      |                            OR gap_us > 1800000000 THEN 1
+      |                       ELSE 0 END) OVER
+      |               (PARTITION BY user_id ORDER BY ts, event_id)
+      |               AS BIGINT) AS sid
+      |      FROM o),
+      |r AS (SELECT user_id, sid, event_type,
+      |             row_number() OVER (PARTITION BY user_id, sid
+      |               ORDER BY ts, event_id) AS rn
+      |      FROM s),
+      |p AS (SELECT user_id, sid,
+      |             array_to_string(list(event_type ORDER BY rn), '>') AS path
+      |      FROM r WHERE rn <= 3 GROUP BY 1, 2)
+      |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      |FROM p GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+        (unix_micros(col("ts"))
+          - lag(unix_micros(col("ts")), 1).over(wOrd)).as("gap_us"))
+      .withColumn("sid",
+        sum(when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1)
+          .otherwise(0)).over(wOrd))
+    val wSess = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    ev.withColumn("rn", row_number().over(wSess))
+      .filter(col("rn") <= 3)
+      .groupBy("user_id", "sid")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+  }
+
   val all: Seq[Q] =
-    Seq(activityStreaks, eventFunnel, eventTransitions, cumulativeUsers)
+    Seq(activityStreaks, eventFunnel, eventTransitions, cumulativeUsers,
+      sessionPaths)
 }

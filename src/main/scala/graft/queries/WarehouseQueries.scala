@@ -883,8 +883,104 @@ object WarehouseQueries {
         col("cents"))).as("cents"))
   }
 
+  /** q191: column profile of the customer dimension — the DESCRIBE/
+    * data-quality primitive (row count, null count, distinct
+    * cardinality per column) via [[graft.operators.Profiling]]'s
+    * single-pass multi-distinct aggregation; the q162-family audit
+    * checks consume exactly this shape when validating an ingest. */
+  val columnProfile: Q = Q(
+    "q191_column_profile",
+    """SELECT 'c_acctbal' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_null,
+      |       CAST(count(DISTINCT c_acctbal) AS BIGINT) AS n_distinct
+      |FROM customer
+      |UNION ALL
+      |SELECT 'c_mktsegment', CAST(count(*) AS BIGINT),
+      |       CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT),
+      |       CAST(count(DISTINCT c_mktsegment) AS BIGINT)
+      |FROM customer
+      |UNION ALL
+      |SELECT 'c_name', CAST(count(*) AS BIGINT),
+      |       CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT),
+      |       CAST(count(DISTINCT c_name) AS BIGINT)
+      |FROM customer
+      |UNION ALL
+      |SELECT 'c_nationkey', CAST(count(*) AS BIGINT),
+      |       CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT),
+      |       CAST(count(DISTINCT c_nationkey) AS BIGINT)
+      |FROM customer""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Profiling.profile(t(s, dir, "customer"),
+      Seq("c_acctbal", "c_mktsegment", "c_name", "c_nationkey"))
+  }
+
+  /** q192: RFM segmentation — the classic customer-value cross-tab:
+    * recency (days from last order to the corpus's latest order date),
+    * frequency (order count), monetary (lifetime cents — exact: each
+    * order rounds to integer cents BEFORE the sum, so the total is an
+    * order-free long). Fixed threshold buckets keep every boundary in
+    * integer arithmetic; output is the segment census a CRM consumes.
+    * One orders scan + one customer-keyed aggregate + a broadcast
+    * 1-row max-date; nothing global. */
+  val customerRfm: Q = Q(
+    "q192_customer_rfm",
+    """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+      |per AS (SELECT o_custkey,
+      |               (mx.mxd - max(CAST(o_orderdate AS DATE))) AS rec_days,
+      |               CAST(count(*) AS BIGINT) AS freq,
+      |               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |                    AS BIGINT) AS cents
+      |        FROM orders CROSS JOIN mx
+      |        GROUP BY o_custkey, mx.mxd),
+      |seg AS (SELECT
+      |          CASE WHEN rec_days <= 90 THEN 'r_hot'
+      |               WHEN rec_days <= 365 THEN 'r_warm'
+      |               ELSE 'r_cold' END AS r_bucket,
+      |          CASE WHEN freq >= 20 THEN 'f_high'
+      |               WHEN freq >= 8 THEN 'f_mid'
+      |               ELSE 'f_low' END AS f_bucket,
+      |          CASE WHEN cents >= 40000000 THEN 'm_high'
+      |               WHEN cents >= 15000000 THEN 'm_mid'
+      |               ELSE 'm_low' END AS m_bucket,
+      |          cents
+      |        FROM per)
+      |SELECT r_bucket, f_bucket, m_bucket,
+      |       CAST(count(*) AS BIGINT) AS n_customers,
+      |       CAST(sum(cents) AS BIGINT) AS total_cents
+      |FROM seg GROUP BY 1, 2, 3""".stripMargin
+  ) { (s, dir) =>
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+    val mx = o.agg(max(col("od")).as("mxd"))
+    val per = o.crossJoin(broadcast(mx))
+      .groupBy("o_custkey", "mxd")
+      .agg(count(lit(1)).as("freq"), sum(col("cents")).as("cents"),
+        max(col("od")).as("last_od"))
+      .withColumn("rec_days", datediff(col("mxd"), col("last_od")))
+    per
+      .select(
+        when(col("rec_days") <= 90, "r_hot")
+          .when(col("rec_days") <= 365, "r_warm")
+          .otherwise("r_cold").as("r_bucket"),
+        when(col("freq") >= 20, "f_high")
+          .when(col("freq") >= 8, "f_mid")
+          .otherwise("f_low").as("f_bucket"),
+        when(col("cents") >= 40000000L, "m_high")
+          .when(col("cents") >= 15000000L, "m_mid")
+          .otherwise("m_low").as("m_bucket"),
+        col("cents"))
+      .groupBy("r_bucket", "f_bucket", "m_bucket")
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("total_cents"))
+  }
+
   val all: Seq[Q] = Seq(prefixFilterJoin, scd2History, rangeJoinWindows,
     rrfHybrid, quantileNorm, asofHistoryProbe, mmrDiversify, hllRollup,
     distinctRollup, audienceOverlap, phraseSearch, indexBm25, indexPhrase,
-    groupingSets, unpivotSeries, lengthSummary, revenueDeciles)
+    groupingSets, unpivotSeries, lengthSummary, revenueDeciles,
+    columnProfile, customerRfm)
 }
