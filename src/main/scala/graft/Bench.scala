@@ -16,13 +16,14 @@ import org.apache.spark.sql.SparkSession
   * whole and parses. Since r9 the compact line is SELF-CONTAINED (the
   * r8 verdict's task 3): it carries the COMPLETE per-query map in
   * `queries`, encoded to fit the tail window — keys are the bare query
-  * numbers ("01".."183", the `qNN` registry prefix minus its `q`),
-  * values integer CENTISECONDS (declared by `unit`; -100 marks a
-  * failed query, matching the full line's -1 s). At ~9 bytes/entry the
-  * 183-query map plus sbt's trailing `[success]` line fits the 2000-
-  * char window with ~150 bytes to spare; the full-precision
-  * full-name form stays in the first line and bench_out.json. All
-  * progress goes to stderr.
+  * numbers ("01".."193", the `qNN` registry prefix minus its `q`),
+  * values integer CENTISECONDS (declared by `unit`; -1 marks a failed
+  * query) and `errors` only the failed query NUMBERS, so the trailer
+  * size is registry-bound, not failure-bound. A registry grown past
+  * the ~1900-char budget degrades to deciseconds (unit says so)
+  * instead of truncating. Full-precision full-name results and error
+  * messages stay in the first line and bench_out.json. All progress
+  * goes to stderr.
   *
   * Each query is driven through a `noop`-format write, not `count()`:
   * count lets Catalyst prune projection-only work (rendering columns,
@@ -97,18 +98,39 @@ object Bench {
       (json + "\n").getBytes(StandardCharsets.UTF_8))
     println(json)
     // compact trailer, printed LAST and SELF-CONTAINED: the complete
-    // per-query map (bare query numbers, integer centiseconds) fits
-    // whole inside the driver's 2000-char log-tail window
+    // per-query map (bare query numbers, integer centiseconds; -1 =
+    // failed) must fit whole inside the driver's 2000-char log-tail
+    // window TOGETHER with sbt's trailing [success]/[error] line.
+    // Error MESSAGES stay in the full first line and bench_out.json;
+    // the trailer carries only the failed query numbers (an array), so
+    // a failure-heavy run cannot blow the budget — the r8 trailer's
+    // per-error strings could. If the registry outgrows centiseconds
+    // (~220 queries), degrade to deciseconds rather than truncate.
     def qnum(name: String): String = name.takeWhile(_ != '_').drop(1)
-    val qsCs = results
-      .map { case (k, v) => "\"" + qnum(k) + "\":" + math.round(v * 100) }
-      .mkString("{", ",", "}")
-    val errCs = errors.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + qnum(k) + "\":\"" + v.take(40) + "\"" }
-      .mkString("{", ",", "}")
-    println(s"""{"total":$total,"n_queries":${results.size},""" +
-      s""""n_errors":${errors.size},"unit":"centisec",""" +
-      s""""queries":$qsCs,"errors":$errCs$filteredTag,"sf":"$sfDir"}""")
+    def trailer(scale: Int, unit: String): String = {
+      val qs = results
+        .map { case (k, v) =>
+          "\"" + qnum(k) + "\":" + (if (v < 0) -1 else math.round(v * scale)) }
+        .mkString("{", ",", "}")
+      val errQs = errors.keys.toSeq.sorted
+        .map("\"" + qnum(_) + "\"").mkString("[", ",", "]")
+      f"""{"total":$total%.2f,"n_queries":${results.size},""" +
+        s""""n_errors":${errors.size},"unit":"$unit",""" +
+        s""""queries":$qs,"errors":$errQs$filteredTag,""" +
+        s""""sf":"${Paths.get(sfDir).getFileName}"}"""
+    }
+    val budget = 1900 // 2000-char tail minus sbt's closing line
+    val t1 = trailer(100, "centisec")
+    val line =
+      if (t1.length <= budget) t1
+      else {
+        val t2 = trailer(10, "decisec")
+        if (t2.length > budget) System.err.println(
+          s"[bench] WARNING: compact trailer ${t2.length} chars exceeds " +
+            s"the $budget-char tail budget even at decisec — shrink it")
+        t2
+      }
+    println(line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

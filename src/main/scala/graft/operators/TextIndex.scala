@@ -162,6 +162,35 @@ object TextIndex {
     spark.read.schema(spark.read.parquet(s"$root/fwd_schema").schema)
       .parquet(s"$root/fwd")
 
+  /** append/upsert need the v3 forward-index layout; an index root
+    * persisted by pre-v3 code has the commit marker but no `fwd/`, and
+    * without this check the failure is a raw path-does-not-exist from
+    * deep inside the merge instead of a designed error. */
+  private def requireV3Layout(spark: SparkSession, root: String, op: String): Unit = {
+    val p = new Path(s"$root/fwd_schema")
+    val ok = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    require(ok, s"$op against index $root built by a pre-v$AlgoVersion " +
+      "layout (no forward index) — delete the root and rebuild")
+  }
+
+  /** The full-outer posting merge shared by [[append]] and [[upsert]]:
+    * dfs add (each side's df is exact over its own posting list and the
+    * lists are disjoint by contract), a one-sided term passes its list
+    * through, a both-sided term concatenates and re-sorts. Extracted so
+    * the spec'd "incremental == rebuild bit-for-bit" invariant has ONE
+    * implementation to hold. */
+  private def mergePostings(old: DataFrame, fresh: DataFrame): DataFrame =
+    old.as("o")
+      .join(fresh.as("n"), Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("o.df"), lit(0L)) + coalesce(col("n.df"), lit(0L)))
+          .as("df"),
+        when(col("o.postings").isNull, col("n.postings"))
+          .when(col("n.postings").isNull, col("o.postings"))
+          .otherwise(sort_array(concat(col("o.postings"), col("n.postings"))))
+          .as("postings"))
+      .withColumn("tbucket", tbucketOf(col("term")))
+
   /** Append NEW documents to a built index without touching unrelated
     * buckets: the slice's posting rows full-outer-merge with the
     * existing rows of exactly the term buckets the slice's terms hash
@@ -198,6 +227,7 @@ object TextIndex {
     AnnIndex.withBuildLock(spark, root) {
       require(isBuilt(spark, root),
         s"append against unbuilt index $root (run ensure/build first)")
+      requireV3Layout(spark, root, "append")
       val oldStats = spark.read.parquet(s"$root/stats").head()
       val maxDf = oldStats.getAs[Int]("max_df")
       val newRows = postingRows(newDocs)
@@ -209,16 +239,7 @@ object TextIndex {
       if (touched.nonEmpty) {
       val existing = readPostings(spark, root)
         .filter(col("tbucket").isin(touched.map(Integer.valueOf): _*))
-      val merged = existing.as("o")
-        .join(newRows.as("n"), Seq("term"), "full_outer")
-        .select(col("term"),
-          (coalesce(col("o.df"), lit(0L)) + coalesce(col("n.df"), lit(0L)))
-            .as("df"),
-          when(col("o.postings").isNull, col("n.postings"))
-            .when(col("n.postings").isNull, col("o.postings"))
-            .otherwise(sort_array(concat(col("o.postings"), col("n.postings"))))
-            .as("postings"))
-        .withColumn("tbucket", tbucketOf(col("term")))
+      val merged = mergePostings(existing, newRows)
       val staging = s"$root/.staging-append"
       applyCap(merged, maxDf)
         .write.mode("overwrite").parquet(staging)
@@ -301,17 +322,27 @@ object TextIndex {
     AnnIndex.withBuildLock(spark, root) {
       require(isBuilt(spark, root),
         s"upsert against unbuilt index $root (run ensure/build first)")
+      requireV3Layout(spark, root, "upsert")
       val oldStats = spark.read.parquet(s"$root/stats").head()
       val maxDf = oldStats.getAs[Int]("max_df")
       require(maxDf == 0,
         s"upsert requires an uncapped index (maxDf=0, got $maxDf): a " +
           "df-tombstoned term cannot recover its postings when deletions " +
           "bring its df back under the cap")
-      val dups = docs.agg(
-        (count(lit(1)) - countDistinct(col("doc_id"))).as("d"))
-        .head().getLong(0)
-      require(dups == 0,
-        s"upsert batch has $dups duplicate doc_id rows — collapse last-wins first")
+      // name the two input defects separately: a NULL doc_id is not a
+      // "duplicate" (countDistinct skips nulls, so the old single check
+      // blamed dedup for a malformed key), and a null key would match
+      // nothing in the retraction joins — silently dropped
+      val chk = docs.agg(
+        count(when(col("doc_id").isNull, lit(1))).as("nulls"),
+        (count(col("doc_id")) - countDistinct(col("doc_id"))).as("d"))
+        .head()
+      require(chk.getLong(0) == 0,
+        s"upsert batch has ${chk.getLong(0)} NULL doc_id rows — a " +
+          "tombstone is a non-null doc_id with NULL text")
+      require(chk.getLong(1) == 0,
+        s"upsert batch has ${chk.getLong(1)} duplicate doc_id rows — " +
+          "collapse last-wins first")
       val ids = docs.select("doc_id").localCheckpoint(true)
       val live = docs.filter(col("text").isNotNull)
         .select("doc_id", "text").localCheckpoint(true)
@@ -357,16 +388,7 @@ object TextIndex {
           .groupBy("term")
           .agg(count(lit(1)).cast("long").as("df"),
             sort_array(collect_list(col("p"))).as("postings"))
-        val merged = stripped.as("o")
-          .join(newRows.as("n"), Seq("term"), "full_outer")
-          .select(col("term"),
-            (coalesce(col("o.df"), lit(0L)) + coalesce(col("n.df"), lit(0L)))
-              .as("df"),
-            when(col("o.postings").isNull, col("n.postings"))
-              .when(col("n.postings").isNull, col("o.postings"))
-              .otherwise(sort_array(concat(col("o.postings"), col("n.postings"))))
-              .as("postings"))
-          .withColumn("tbucket", tbucketOf(col("term")))
+        val merged = mergePostings(stripped, newRows)
         // two writes, not a union: pass and merged share `existing`'s
         // lineage, the unionByName constraint-rewrite trap
         pass.select("term", "df", "postings", "tbucket")
@@ -453,7 +475,7 @@ object TextIndex {
       terms: DataFrame): DataFrame = {
     require(isBuilt(spark, root), s"no text index at $root (run ensure first)")
     val t = terms.select("term").distinct()
-      .withColumn("tbucket", pmod(xxhash64(col("term")), lit(Buckets)).cast("int"))
+      .withColumn("tbucket", tbucketOf(col("term")))
       .localCheckpoint(true)
     val touched = t.select("tbucket").distinct().collect().map(_.getInt(0))
     readPostings(spark, root)

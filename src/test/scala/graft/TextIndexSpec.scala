@@ -275,6 +275,33 @@ class TextIndexSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException] {
       TextIndex.upsert(Seq((0L, "x"), (0L, "y")).toDF("doc_id", "text"), root2) }
     assert(e2.getMessage.contains("duplicate"))
+    // a NULL doc_id is named as such, not blamed on deduplication (and
+    // must not slip through to match nothing in the retraction joins)
+    val e3 = intercept[IllegalArgumentException] {
+      TextIndex.upsert(
+        Seq((Some(0L), Some("x")), (None, Some("y")))
+          .toDF("doc_id", "text"), root2) }
+    assert(e3.getMessage.contains("NULL doc_id"))
+  }
+
+  test("append/upsert against a pre-v3 root (no forward index) fail with the designed rebuild message") {
+    import spark.implicits._
+    val root = tmp("tidx-prev3")
+    TextIndex.build(docs.limit(10), root)
+    // simulate an index persisted by v2 code: committed, but no fwd layout
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "fwd"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "fwd_schema"), true)
+    val batch = Seq((9000L, "fresh doc")).toDF("doc_id", "text")
+    val ea = intercept[IllegalArgumentException] { TextIndex.append(batch, root) }
+    assert(ea.getMessage.contains("pre-v3") && ea.getMessage.contains("rebuild"),
+      s"append on a v2 root must name the layout gap, got: ${ea.getMessage}")
+    val eu = intercept[IllegalArgumentException] { TextIndex.upsert(batch, root) }
+    assert(eu.getMessage.contains("pre-v3") && eu.getMessage.contains("rebuild"))
+    // probes are unaffected: the v2 read path never touches fwd/
+    assert(TextIndex.bm25(spark, root,
+      Seq((1L, "spark")).toDF("query_id", "term")).count() >= 0)
   }
 
   test("maxDf tombstones stop terms (true df, empty postings); append accumulates df across the cap") {
