@@ -535,6 +535,33 @@ object TextIndex {
       .agg(sum(round(col("term_score") * lit(1000000.0)).cast("long"))
         .as("score_u6"))
 
+  /** CONJUNCTIVE (AND) boolean retrieval served FROM THE INDEX: docs
+    * containing EVERY term of each query, ranked by the micro-quantized
+    * BM25 of [[bm25Micros]] (exact BIGINT, aggregation-order-immune),
+    * top `k` per query by (score desc, doc_id asc) on the bounded-heap
+    * top-k aggregate — k rows per query per task cross the shuffle, no
+    * window over the full candidate set. The AND constraint rides the
+    * same per-(query, doc) aggregate that sums the score: a doc
+    * qualifies iff its matched-term count equals the query's term
+    * count, so conjunctive filtering costs zero extra passes over the
+    * postings. Returns (query_id, doc_id, score_u6, rn). */
+  def booleanBm25(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val q = queries.select("query_id", "term").distinct()
+    val nt = q.groupBy("query_id").agg(count(lit(1)).as("ntq"))
+    val conj = termScores(spark, root, q, k1, b)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(round(col("term_score") * lit(1000000.0)).cast("long"))
+        .as("score_u6"),
+        countDistinct(col("term")).as("nm"))
+      .join(broadcast(nt), Seq("query_id"))
+      .filter(col("nm") === col("ntq"))
+    Sampling.quotaPerGroup(conj, Seq("query_id"),
+      col("score_u6").cast("double"), col("doc_id"), k)
+      .select(col("query_id"), col("id").as("doc_id"),
+        col("score").cast("long").as("score_u6"), col("rn"))
+  }
+
   /** Phrase hits served FROM THE INDEX — same output contract as
     * q178's corpus-scan form (phrase, n_docs, n_occurrences), exact:
     * the (doc, phrase, pos − idx) grouping with count(DISTINCT idx)

@@ -1,0 +1,427 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.{TextFunctions => T}
+import graft.operators.LangModel
+import graft.sources.Tables
+
+/** Round-9 wave: the STATISTICAL-INFERENCE layer over the corpus and
+  * event tables — the tests an analyst runs BEFORE trusting the
+  * aggregates the rest of the engine serves: is source independent of
+  * language (chi-square / Cramér's V), do two quality gates agree
+  * beyond chance (Cohen's kappa), is the daily series autocorrelated
+  * (ACF), where did its level shift (CUSUM changepoint) — plus the
+  * warehouse hygiene pair: the full FK-orphan audit and winsorized
+  * robust means. The reference stops at descriptive aggregates
+  * (Covid19Stats.java's daily sums); these are the inferential
+  * follow-ups on the same tables.
+  *
+  * Exactness discipline (the q112 pattern): every moment/count
+  * accumulates as exact integers (BIGINT or DECIMAL(38,0)); doubles
+  * appear only in FINAL per-row expressions computed from identical
+  * integer inputs with identical expression trees on both engines —
+  * so hash oracles hold despite the float math. Where a SUM of
+  * doubles is unavoidable (chi-square's per-cell contributions), each
+  * cell quantizes to integer micro-units FIRST (the q179 bm25Micros
+  * argument) and the sum is an order-immune BIGINT.
+  */
+object StatQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val stopWords = Seq("the", "a", "of", "and", "to")
+  private val d38 = "decimal(38,0)"
+
+  /** q194: chi-square test of independence between `source` and
+    * `lang`, with Cramér's V — "is the language mix a property of the
+    * source?", the first question a mixture designer asks before
+    * per-source language quotas. The full r×c grid (CROSS JOIN of the
+    * margins, zero-observed cells included — dropping them understates
+    * chi²) gets expected counts e = r·c/N; each cell's (o−e)²/e
+    * quantizes to integer micros before the one order-immune BIGINT
+    * sum. Everything upstream is three grouped counts over one scan;
+    * the grid is |sources|×|langs| — dimension-sized, broadcast. */
+  val chiSquare: Q = Q(
+    "q194_chi_square",
+    """WITH d AS (SELECT source, lang FROM documents),
+      |o AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+      |      FROM d GROUP BY 1, 2),
+      |r AS (SELECT source, CAST(count(*) AS BIGINT) AS rtot
+      |      FROM d GROUP BY 1),
+      |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS ctot
+      |      FROM d GROUP BY 1),
+      |tt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |              CAST(count(DISTINCT source) AS BIGINT) AS n_src,
+      |              CAST(count(DISTINCT lang) AS BIGINT) AS n_lang
+      |       FROM d),
+      |g AS (SELECT r.source, c.lang, r.rtot, c.ctot,
+      |             coalesce(o.o, 0) AS o
+      |      FROM r CROSS JOIN c
+      |      LEFT JOIN o ON o.source = r.source AND o.lang = c.lang),
+      |x AS (SELECT CAST(round((g.o - CAST(g.rtot * g.ctot AS DOUBLE) / tt.n)
+      |               * (g.o - CAST(g.rtot * g.ctot AS DOUBLE) / tt.n)
+      |               / (CAST(g.rtot * g.ctot AS DOUBLE) / tt.n)
+      |               * 1000000) AS BIGINT) AS contrib_u6,
+      |             tt.n, tt.n_src, tt.n_lang
+      |      FROM g CROSS JOIN tt),
+      |s AS (SELECT CAST(sum(contrib_u6) AS BIGINT) AS chi2_u6,
+      |             max(n) AS n_docs, max(n_src) AS n_src,
+      |             max(n_lang) AS n_lang
+      |      FROM x)
+      |SELECT n_docs, n_src, n_lang,
+      |       (n_src - 1) * (n_lang - 1) AS dof, chi2_u6,
+      |       CAST(round(sqrt((chi2_u6 / 1000000.0)
+      |            / (n_docs * least(n_src - 1, n_lang - 1))) * 1000000)
+      |            AS BIGINT) AS cramers_v_ppm
+      |FROM s""".stripMargin
+  ) { (s, dir) =>
+    val d = t(s, dir, "documents").select("source", "lang")
+    val o = d.groupBy("source", "lang").agg(count(lit(1)).as("o"))
+    val r = d.groupBy("source").agg(count(lit(1)).as("rtot"))
+    val c = d.groupBy("lang").agg(count(lit(1)).as("ctot"))
+    val tt = d.agg(count(lit(1)).as("n"),
+      countDistinct(col("source")).as("n_src"),
+      countDistinct(col("lang")).as("n_lang"))
+    val e = (col("rtot") * col("ctot")).cast("double") / col("n")
+    val g = broadcast(r).crossJoin(broadcast(c))
+      .join(o, Seq("source", "lang"), "left")
+      .select(col("rtot"), col("ctot"), coalesce(col("o"), lit(0L)).as("o"))
+      .crossJoin(broadcast(tt))
+    g.select(
+        round((col("o") - e) * (col("o") - e) / e * 1000000)
+          .cast(LongType).as("contrib_u6"),
+        col("n"), col("n_src"), col("n_lang"))
+      .agg(sum(col("contrib_u6")).as("chi2_u6"),
+        max(col("n")).as("n_docs"), max(col("n_src")).as("n_src"),
+        max(col("n_lang")).as("n_lang"))
+      .select(col("n_docs"), col("n_src"), col("n_lang"),
+        ((col("n_src") - 1) * (col("n_lang") - 1)).as("dof"),
+        col("chi2_u6"),
+        round(sqrt((col("chi2_u6") / 1000000.0)
+            / (col("n_docs") * least(col("n_src") - 1, col("n_lang") - 1)))
+          * 1000000).cast(LongType).as("cramers_v_ppm"))
+  }
+
+  /** q195: Cohen's kappa between two INDEPENDENT quality gates — the
+    * hash-feature linear classifier (q119's keep flag) and the
+    * stopword-ratio rule (q112's quality proxy at a 10% threshold).
+    * Raw agreement po flatters any pair of skewed gates; kappa
+    * subtracts chance agreement pe, the standard inter-annotator
+    * number. One scan, one global aggregate; the 2×2 cells are exact
+    * BIGINTs, the chance products promote to DECIMAL(38,0) (corpus-
+    * scale N² overflows BIGINT), and kappa is one final double
+    * expression from identical exact inputs. */
+  val cohensKappa: Q = Q(
+    "q195_cohens_kappa",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |h AS (SELECT doc_id, len(ws) AS nw, list_transform(ws, s -> list_reduce(
+      |        list_prepend(CAST(7 AS BIGINT),
+      |          list_transform(range(1, length(s) + 1),
+      |            i -> CAST(unicode(substr(s, i, 1)) AS BIGINT))),
+      |        (acc, c) -> (acc * 131 + c) % 35184372088777)) AS hs,
+      |      len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'and', 'to')))
+      |        AS stp
+      |      FROM w),
+      |f AS (SELECT doc_id,
+      |        CAST(coalesce(list_sum(list_transform(hs,
+      |          x -> (x % 4096) * 2654435761 % 2001 - 1000)), 0) AS BIGINT)
+      |          >= 0 AS a,
+      |        CAST(round(CAST(stp AS DOUBLE) / nw * 1000000) AS BIGINT)
+      |          >= 100000 AS b
+      |      FROM h),
+      |cc AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_tt,
+      |         CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_tf,
+      |         CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_ft,
+      |         CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_ff
+      |       FROM f)
+      |SELECT n_tt, n_tf, n_ft, n_ff,
+      |       CAST(round(CAST(CAST(n AS DECIMAL(38,0)) * (n_tt + n_ff)
+      |              - (CAST(n_tt + n_tf AS DECIMAL(38,0)) * (n_tt + n_ft)
+      |                 + CAST(n_ft + n_ff AS DECIMAL(38,0)) * (n_tf + n_ff))
+      |              AS DOUBLE)
+      |            / CAST(CAST(n AS DECIMAL(38,0)) * n
+      |              - (CAST(n_tt + n_tf AS DECIMAL(38,0)) * (n_tt + n_ft)
+      |                 + CAST(n_ft + n_ff AS DECIMAL(38,0)) * (n_tf + n_ff))
+      |              AS DOUBLE)
+      |            * 1000000) AS BIGINT) AS kappa_ppm
+      |FROM cc""".stripMargin
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents")
+    val ws = T.words(col("text"))
+    val cls = LangModel.hashClassifierScore(docs)
+      .select(col("doc_id"), col("keep").as("a"))
+    val rule = docs.select(col("doc_id"),
+      (round(T.markerCount(ws, stopWords).cast("double") / size(ws) * 1000000)
+        .cast(LongType) >= 100000L).as("b"))
+    def cell(c: org.apache.spark.sql.Column) =
+      sum(when(c, 1L).otherwise(0L))
+    val pe = (col("n_tt") + col("n_tf")).cast(d38) * (col("n_tt") + col("n_ft")) +
+      (col("n_ft") + col("n_ff")).cast(d38) * (col("n_tf") + col("n_ff"))
+    cls.join(rule, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        cell(col("a") && col("b")).as("n_tt"),
+        cell(col("a") && !col("b")).as("n_tf"),
+        cell(!col("a") && col("b")).as("n_ft"),
+        cell(!col("a") && !col("b")).as("n_ff"))
+      .select(col("n_tt"), col("n_tf"), col("n_ft"), col("n_ff"),
+        round((col("n").cast(d38) * (col("n_tt") + col("n_ff")) - pe)
+            .cast("double")
+          / (col("n").cast(d38) * col("n") - pe).cast("double")
+          * 1000000).cast(LongType).as("kappa_ppm"))
+  }
+
+  /** q196: autocorrelation function of the daily event-count series
+    * per event type, lags 1..7 — the seasonality probe (a weekly cycle
+    * shows as an ACF spike at lag 7) that decides whether q141's EWMA
+    * band needs a seasonal term. The series is the DAY-grain aggregate
+    * (calendar-bounded: its size is days×types regardless of corpus
+    * scale, so everything after the first aggregation is free); lag
+    * pairs come from ONE equi-join of the ranked series against itself
+    * on (type, rn+lag) — no per-lag window pass; moments accumulate in
+    * DECIMAL(38,0) exactly as q112's correlation does. Degenerate
+    * (zero-variance) series are filtered on the exact integer moments,
+    * identically on both engines. */
+  val acfDaily: Q = Q(
+    "q196_acf_daily",
+    """WITH dc AS (SELECT event_type,
+      |                   CAST(date_trunc('day', ts) AS DATE) AS day,
+      |                   CAST(count(*) AS BIGINT) AS x
+      |            FROM events GROUP BY 1, 2),
+      |rk AS (SELECT event_type, x,
+      |              CAST(row_number() OVER (PARTITION BY event_type
+      |                ORDER BY day) AS BIGINT) AS rn
+      |       FROM dc),
+      |l AS (SELECT unnest(range(1, 8)) AS lag_k),
+      |p AS (SELECT a.event_type, l.lag_k, a.x AS x, b.x AS y
+      |      FROM rk a CROSS JOIN l
+      |      JOIN rk b ON b.event_type = a.event_type
+      |        AND b.rn = a.rn + l.lag_k),
+      |m AS (SELECT event_type, lag_k,
+      |        CAST(count(*) AS DECIMAL(38,0)) AS n,
+      |        sum(CAST(x AS DECIMAL(38,0))) AS sx,
+      |        sum(CAST(y AS DECIMAL(38,0))) AS sy,
+      |        sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+      |        sum(CAST(y * y AS DECIMAL(38,0))) AS syy,
+      |        sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
+      |      FROM p GROUP BY 1, 2)
+      |SELECT event_type, CAST(lag_k AS BIGINT) AS lag_k,
+      |       CAST(n AS BIGINT) AS n_pairs,
+      |       CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |               * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+      |            * 1000000) AS BIGINT) AS acf_ppm
+      |FROM m
+      |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin
+  ) { (s, dir) =>
+    val dc = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val rk = dc.select(col("event_type"), col("x"),
+      row_number().over(
+        Window.partitionBy("event_type").orderBy("day")).cast(LongType)
+        .as("rn"))
+      .localCheckpoint(true) // tiny (days × types); reused on both join sides
+    val lags = s.range(1, 8).select(col("id").as("lag_k"))
+    val p = rk.crossJoin(broadcast(lags))
+      .withColumn("rn_b", col("rn") + col("lag_k"))
+      .join(rk.select(col("event_type"), col("rn").as("rn_b"),
+        col("x").as("y")), Seq("event_type", "rn_b"))
+    val m = p.groupBy("event_type", "lag_k")
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"))
+    m.filter(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+        col("n") * col("syy") - col("sy") * col("sy") > 0)
+      .select(col("event_type"), col("lag_k"), col("n").cast(LongType).as("n_pairs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+               * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+            * 1000000).cast(LongType).as("acf_ppm"))
+  }
+
+  /** q197: CUSUM changepoint per event type — the day where the
+    * cumulative deviation from the series mean peaks, i.e. where the
+    * level most plausibly shifted (Page 1954's cumulative-sum test in
+    * its scan-statistic form). Kept EXACT by scaling out the mean's
+    * division: S_k = prefix_k − k·mean peaks where |n·prefix_k −
+    * k·total| does, an all-BIGINT argmax (ties break to the earliest
+    * day, both engines). Windows partition by event type over the
+    * calendar-bounded daily series — nothing global, nothing float. */
+  val cusumChangepoint: Q = Q(
+    "q197_cusum_changepoint",
+    """WITH dc AS (SELECT event_type,
+      |                   CAST(date_trunc('day', ts) AS DATE) AS day,
+      |                   CAST(count(*) AS BIGINT) AS x
+      |            FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, day,
+      |             CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day)
+      |                  AS BIGINT) AS pre,
+      |             CAST(row_number() OVER (PARTITION BY event_type
+      |               ORDER BY day) AS BIGINT) AS k
+      |      FROM dc),
+      |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(x) AS BIGINT) AS tot
+      |      FROM dc GROUP BY 1),
+      |sc AS (SELECT w.event_type, w.day,
+      |              abs(t.n * w.pre - w.k * t.tot) AS dev
+      |       FROM w JOIN t USING (event_type)),
+      |mx AS (SELECT event_type, max(dev) AS max_dev FROM sc GROUP BY 1)
+      |SELECT sc.event_type, min(sc.day) AS cp_day,
+      |       CAST(mx.max_dev AS BIGINT) AS dev_scaled, t.n AS n_days
+      |FROM sc
+      |JOIN mx ON mx.event_type = sc.event_type AND sc.dev = mx.max_dev
+      |JOIN t ON t.event_type = sc.event_type
+      |GROUP BY 1, 3, 4""".stripMargin
+  ) { (s, dir) =>
+    val dc = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true) // tiny (days × types); feeds windows + totals
+    val win = Window.partitionBy("event_type").orderBy("day")
+    val w = dc.select(col("event_type"), col("day"),
+      sum(col("x")).over(win).as("pre"),
+      row_number().over(win).cast(LongType).as("k"))
+    val tot = dc.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("tot"))
+    val sc = w.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("day"),
+        abs(col("n") * col("pre") - col("k") * col("tot")).as("dev"),
+        col("n"))
+    val mx = sc.groupBy("event_type").agg(max(col("dev")).as("max_dev"))
+    sc.join(broadcast(mx), Seq("event_type"))
+      .filter(col("dev") === col("max_dev"))
+      .groupBy(col("event_type"), col("max_dev").as("dev_scaled"),
+        col("n").as("n_days"))
+      .agg(min(col("day")).as("cp_day"))
+      .select("event_type", "cp_day", "dev_scaled", "n_days")
+  }
+
+  /** q200: full referential-integrity audit — orphan rows AND distinct
+    * orphan keys for every FK edge of the star (lineitem→orders/part/
+    * supplier, orders→customer); q139's single orphan check widened to
+    * the whole FK graph with per-key granularity, the first report a
+    * warehouse loader runs after ingest. Each edge is one anti-join on
+    * its key — shuffle-partitioned on both sides (dimension tables are
+    * NOT broadcast here by hint: at 100 TB part/orders are fact-sized;
+    * AQE broadcasts the ones that measure small). Zero rows violating
+    * is the EXPECTED answer on clean data — the audit's value is the
+    * loud nonzero. */
+  val fkOrphans: Q = Q(
+    "q200_fk_orphans",
+    """SELECT 'lineitem->orders' AS rel,
+      |       CAST(count(*) AS BIGINT) AS n_orphan_rows,
+      |       CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_orphan_keys
+      |FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'lineitem->part',
+      |       CAST(count(*) AS BIGINT),
+      |       CAST(count(DISTINCT l.l_partkey) AS BIGINT)
+      |FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM part p
+      |                  WHERE p.p_partkey = l.l_partkey)
+      |UNION ALL
+      |SELECT 'lineitem->supplier',
+      |       CAST(count(*) AS BIGINT),
+      |       CAST(count(DISTINCT l.l_suppkey) AS BIGINT)
+      |FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM supplier s
+      |                  WHERE s.s_suppkey = l.l_suppkey)
+      |UNION ALL
+      |SELECT 'orders->customer',
+      |       CAST(count(*) AS BIGINT),
+      |       CAST(count(DISTINCT o.o_custkey) AS BIGINT)
+      |FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                  WHERE c.c_custkey = o.o_custkey)""".stripMargin
+  ) { (s, dir) =>
+    def edge(child: DataFrame, key: String, parent: DataFrame,
+        pkey: String, name: String): DataFrame =
+      child.select(col(key).as("k"))
+        .join(parent.select(col(pkey).as("k")), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_rows"),
+          countDistinct(col("k")).as("n_orphan_keys"))
+        .select(lit(name).as("rel"),
+          col("n_orphan_rows"), col("n_orphan_keys"))
+    val li = t(s, dir, "lineitem")
+    edge(li, "l_orderkey", t(s, dir, "orders"), "o_orderkey",
+        "lineitem->orders")
+      .unionByName(edge(li, "l_partkey", t(s, dir, "part"), "p_partkey",
+        "lineitem->part"))
+      .unionByName(edge(li, "l_suppkey", t(s, dir, "supplier"), "s_suppkey",
+        "lineitem->supplier"))
+      .unionByName(edge(t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey", "orders->customer"))
+  }
+
+  /** q201: winsorized mean document length per source — the robust
+    * location estimate a curation dashboard shows next to q183's
+    * median: clamp lengths to the exact [p05, p95] rank thresholds and
+    * average. Thresholds read off the (source, n_tok) HISTOGRAM's
+    * cumulative counts (q190's quantile machinery: the window runs
+    * over distinct lengths, not rows), the clamped sum is exact
+    * integer arithmetic over the same histogram, and the mean ships as
+    * floor-div micros — no double ever forms. */
+  val winsorizedMean: Q = Q(
+    "q201_winsorized_mean",
+    """WITH d AS (SELECT source,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |           FROM documents),
+      |h AS (SELECT source, n_tok, CAST(count(*) AS BIGINT) AS c
+      |      FROM d GROUP BY 1, 2),
+      |n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+      |cum AS (SELECT source, n_tok,
+      |               CAST(sum(c) OVER (PARTITION BY source ORDER BY n_tok)
+      |                    AS BIGINT) AS cm
+      |        FROM h),
+      |lo AS (SELECT cum.source, min(cum.n_tok) AS lo_tok
+      |       FROM cum JOIN n USING (source)
+      |       WHERE cum.cm >= (5 * n.n + 99) // 100 GROUP BY 1),
+      |hi AS (SELECT cum.source, min(cum.n_tok) AS hi_tok
+      |       FROM cum JOIN n USING (source)
+      |       WHERE cum.cm >= (95 * n.n + 99) // 100 GROUP BY 1),
+      |w AS (SELECT h.source,
+      |             CAST(sum(greatest(least(h.n_tok, hi.hi_tok), lo.lo_tok)
+      |                      * h.c) AS BIGINT) AS wsum
+      |      FROM h JOIN lo USING (source) JOIN hi USING (source)
+      |      GROUP BY 1)
+      |SELECT w.source, lo.lo_tok, hi.hi_tok, n.n AS n_docs,
+      |       (1000000 * w.wsum) // n.n AS wins_mean_u6
+      |FROM w JOIN lo USING (source) JOIN hi USING (source)
+      |JOIN n USING (source)""".stripMargin
+  ) { (s, dir) =>
+    val d = t(s, dir, "documents").select(col("source"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+    val h = d.groupBy("source", "n_tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // histogram feeds cum, clamp sum, totals
+    val n = h.groupBy("source").agg(sum(col("c")).as("n"))
+    val cum = h.select(col("source"), col("n_tok"),
+      sum(col("c")).over(
+        Window.partitionBy("source").orderBy("n_tok")).as("cm"))
+    val ranked = cum.join(broadcast(n), Seq("source"))
+    val lo = ranked.filter(col("cm") >= expr("(5 * n + 99) div 100"))
+      .groupBy("source").agg(min(col("n_tok")).as("lo_tok"))
+    val hi = ranked.filter(col("cm") >= expr("(95 * n + 99) div 100"))
+      .groupBy("source").agg(min(col("n_tok")).as("hi_tok"))
+    h.join(broadcast(lo), Seq("source")).join(broadcast(hi), Seq("source"))
+      .groupBy(col("source"), col("lo_tok"), col("hi_tok"))
+      .agg(sum(greatest(least(col("n_tok"), col("hi_tok")), col("lo_tok"))
+        * col("c")).as("wsum"))
+      .join(broadcast(n), Seq("source"))
+      .select(col("source"), col("lo_tok"), col("hi_tok"),
+        col("n").as("n_docs"),
+        expr("(1000000 * wsum) div n").as("wins_mean_u6"))
+  }
+
+  val all: Seq[Q] = Seq(chiSquare, cohensKappa, acfDaily,
+    cusumChangepoint, fkOrphans, winsorizedMean)
+}

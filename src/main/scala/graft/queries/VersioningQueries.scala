@@ -269,7 +269,38 @@ object VersioningQueries {
         sum(when(col("__hit"), 0L).otherwise(1L)).as("n_net_new"))
   }
 
+  /** q199: per-item TRIANGLE counts in the co-purchase graph (q125's
+    * edge set, minShared ≥ 2) — the local-cohesion census: an item in
+    * many triangles sits inside a tight product community, not a
+    * chain; triangle density is the standard community-vs-noise signal
+    * before clustering the graph. The engine runs
+    * [[Centrality.triangleCounts]]' degree-ordered orientation (hub-
+    * safe: no degree² wedge fan-out — the scale argument lives there);
+    * the oracle enumerates naively on a < b < c. Both produce the
+    * identical triangle SET, so the per-node rollup hash-matches while
+    * the engine keeps the shape that survives a power-law degree
+    * distribution at 100 TB. */
+  val triangleCount: Q = Q(
+    "q199_triangle_count",
+    """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+      |           FROM lineitem),
+      |p AS (SELECT a.item AS ia, c.item AS ib
+      |      FROM b a JOIN b c ON a.bk = c.bk AND a.item < c.item
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |tr AS (SELECT e1.ia AS a, e1.ib AS b2, e2.ib AS c
+      |       FROM p e1
+      |       JOIN p e2 ON e2.ia = e1.ib
+      |       JOIN p e3 ON e3.ia = e1.ia AND e3.ib = e2.ib),
+      |m AS (SELECT unnest([a, b2, c]) AS item FROM tr)
+      |SELECT item, CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM m GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    Centrality.triangleCounts(CoOccurrence.pairs(
+      t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+      "l_orderkey", "l_partkey", minShared = 2))
+  }
+
   val all: Seq[Q] = Seq(snapshotDiff, snapshotDriftReport, weightedSample,
     copurchaseRank, copurchasePairs, copurchaseNeighbors,
-    incrementalReprocess)
+    incrementalReprocess, triangleCount)
 }

@@ -711,6 +711,67 @@ object WarehouseQueries {
       TextIndex.phraseHits(s, root, ph)
     }
 
+  /** The inline conjunctive query set for q198 — common corpus terms
+    * so every query has AND-matching docs at both scale factors. */
+  private val boolQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "join"),
+    2L -> Seq("data", "filter", "sort"),
+    3L -> Seq("window", "batch"),
+    4L -> Seq("hash", "row", "merge"),
+    5L -> Seq("stream", "table"))
+
+  /** q198: CONJUNCTIVE boolean retrieval FROM THE PERSISTED INDEX —
+    * docs containing EVERY query term, ranked by the micro-quantized
+    * BM25 of q179, top-10 per query by (score desc, doc_id asc). The
+    * AND constraint rides the same per-(query, doc) aggregate that
+    * sums the score (matched-term count == query term count), so
+    * conjunctive filtering is free, and the top-k runs on the
+    * bounded-heap aggregate — k rows per query per task cross the
+    * shuffle, no window over the candidate set. Hash-oracled
+    * end-to-end against the corpus-scan SQL: scores are exact BIGINT
+    * micros (the q179 argument), ranks integer with a total-order
+    * tie-break. */
+  val indexBoolean: Q = {
+    val valuesSql = boolQueries.flatMap { case (id, ts) =>
+      ts.map(w => s"(CAST($id AS BIGINT), '$w')") }.mkString(", ")
+    Q(
+      "q198_index_boolean",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |d AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM d GROUP BY 1, 2, 3),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                 CAST(sum(len(ws)) AS DOUBLE) / count(*) AS avgdl
+        |          FROM w),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |q AS (SELECT * FROM (VALUES $valuesSql) AS t(query_id, term)),
+        |nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS ntq
+        |       FROM q GROUP BY 1),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |         CAST(sum(CAST(round(
+        |           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |             * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |             * 1000000.0) AS BIGINT)) AS BIGINT) AS score_u6,
+        |         CAST(count(DISTINCT tf.term) AS BIGINT) AS nm
+        |       FROM q JOIN tf ON q.term = tf.term
+        |       JOIN df ON tf.term = df.term
+        |       CROSS JOIN stats
+        |       GROUP BY 1, 2)
+        |SELECT sc.query_id, sc.doc_id, sc.score_u6,
+        |       CAST(row_number() OVER (PARTITION BY sc.query_id
+        |         ORDER BY sc.score_u6 DESC, sc.doc_id) AS BIGINT) AS rn
+        |FROM sc JOIN nt USING (query_id)
+        |WHERE sc.nm = nt.ntq
+        |QUALIFY rn <= 10""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val root = textIndex(s, dir)
+      val qt = boolQueries.flatMap { case (id, ts) => ts.map(id -> _) }
+        .toDF("query_id", "term")
+      TextIndex.booleanBm25(s, root, qt, k = 10)
+    }
+  }
+
   /** q181: GROUPING SETS — the arbitrary-lattice member of the
     * grand-total family (q15 ROLLUP walks the prefix chain, q79 CUBE
     * the full lattice; real reports want a HAND-PICKED set: by
@@ -981,6 +1042,6 @@ object WarehouseQueries {
   val all: Seq[Q] = Seq(prefixFilterJoin, scd2History, rangeJoinWindows,
     rrfHybrid, quantileNorm, asofHistoryProbe, mmrDiversify, hllRollup,
     distinctRollup, audienceOverlap, phraseSearch, indexBm25, indexPhrase,
-    groupingSets, unpivotSeries, lengthSummary, revenueDeciles,
-    columnProfile, customerRfm)
+    indexBoolean, groupingSets, unpivotSeries, lengthSummary,
+    revenueDeciles, columnProfile, customerRfm)
 }

@@ -131,4 +131,50 @@ class VersioningSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a === b)
   }
+
+  /** Brute-force per-node triangle counts: every 3-subset of nodes
+    * whose 3 edges all exist. */
+  private def bruteTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val tris = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      k <- (j + 1) until nodes.size
+      a = nodes(i); b = nodes(j); c = nodes(k)
+      if es((a, b)) && es((b, c)) && es((a, c))
+    } yield Seq(a, b, c)
+    tris.flatten.groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  test("triangleCounts matches brute force on fixed graphs incl. hubs and cliques") {
+    // K5 (every node in C(4,2)=6 triangles), a star hub (0 triangles —
+    // the degree² hazard the orientation bounds), a path, and a
+    // two-triangle bowtie sharing node 100
+    val cases: Seq[Seq[(Long, Long)]] = Seq(
+      for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j),
+      (1L to 10L).map(i => (0L, i)),
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)),
+      Seq((100L, 101L), (101L, 102L), (100L, 102L),
+        (100L, 103L), (103L, 104L), (100L, 104L))
+    ).map(_.toSeq)
+    cases.foreach { es =>
+      val got = Centrality.triangleCounts(es.toDF("item_a", "item_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === bruteTriangles(es), s"graph $es")
+    }
+  }
+
+  test("triangleCounts matches brute force on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val n = 12 + trial
+      val es = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.3
+      } yield (a, b)).toSeq
+      val got = Centrality.triangleCounts(es.toDF("item_a", "item_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === bruteTriangles(es), s"trial $trial, ${es.size} edges")
+    }
+  }
 }
