@@ -221,7 +221,142 @@ object SequenceQueries {
       .groupBy("path").agg(count(lit(1)).as("n_sessions"))
   }
 
+  /** q203: TIME-TO-CONVERT histogram — the follow-up question to
+    * q185's funnel counts: of the users who completed view → click →
+    * purchase, how long did the whole journey take? Reuses q185's
+    * sequential first-reach chain (user-keyed equi-joins, no windows)
+    * and buckets t3 − t1 into whole hours — exact integer floor-div of
+    * the epoch-micros delta, so the histogram hash-oracles. */
+  val funnelLatency: Q = Q(
+    "q203_funnel_latency",
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click'
+      |        AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 7 DAY
+      |      GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t3
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase'
+      |        AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 7 DAY
+      |      GROUP BY 1),
+      |dt AS (SELECT p.user_id,
+      |              (epoch_us(p.t3) - epoch_us(v.t1)) // 3600000000 AS hours
+      |       FROM p JOIN v USING (user_id))
+      |SELECT CAST(hours AS BIGINT) AS hours_to_convert,
+      |       CAST(count(*) AS BIGINT) AS n_users
+      |FROM dt GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    val ev = t(s, dir, "events")
+    def firstReach(prev: DataFrame, prevTs: String, step: String,
+        outTs: String): DataFrame =
+      ev.filter(col("event_type") === step)
+        .join(prev, Seq("user_id"))
+        .filter(col("ts") > col(prevTs) &&
+          col("ts") <= col(prevTs) + expr("INTERVAL 7 DAY"))
+        .groupBy("user_id").agg(min(col("ts")).as(outTs))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val c = firstReach(v, "t1", "click", "t2")
+    val p = firstReach(c, "t2", "purchase", "t3")
+    p.join(v, Seq("user_id"))
+      // Column./ is DOUBLE division — `div` keeps the bucket id an
+      // exact BIGINT like the oracle's `//`
+      .select((unix_micros(col("t3")) - unix_micros(col("t1"))).as("dus"))
+      .select(expr("dus div 3600000000").as("hours_to_convert"))
+      .groupBy("hours_to_convert").agg(count(lit(1)).as("n_users"))
+  }
+
+  /** q204: DAU / rolling-7-day-AU stickiness per day — the product
+    * metric a "distinct over a sliding window" naively computes with a
+    * per-day set carry. Exact at scale instead: the DISTINCT
+    * (user, day) table expands each row to the ≤7 window-end days it
+    * supports (a bounded 7× fan-out of the already-collapsed day
+    * grain, not of raw events), re-distincts (a user active twice
+    * inside one window counts once), and counts — all exact integer
+    * work, keyed shuffles only. Left-edge days keep their partial
+    * windows, same on both engines. */
+  val stickiness: Q = Q(
+    "q204_stickiness",
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |                   CAST(date_trunc('day', ts) AS DATE) AS day
+      |            FROM events),
+      |days AS (SELECT DISTINCT day FROM ud),
+      |o AS (SELECT unnest(range(0, 7)) AS o),
+      |ex AS (SELECT DISTINCT ud.user_id,
+      |              ud.day + CAST(o.o AS INTEGER) AS day
+      |       FROM ud CROSS JOIN o),
+      |wau AS (SELECT ex.day, CAST(count(*) AS BIGINT) AS wau7
+      |        FROM ex JOIN days ON days.day = ex.day GROUP BY 1),
+      |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1)
+      |SELECT dau.day, dau.dau, wau.wau7,
+      |       (1000000 * dau.dau) // wau.wau7 AS stickiness_ppm
+      |FROM dau JOIN wau USING (day)""".stripMargin
+  ) { (s, dir) =>
+    val ud = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .localCheckpoint(true) // day-grain, feeds dau + the window fan-out
+    val days = ud.select("day").distinct()
+    val offsets = s.range(0, 7).select(col("id").cast("int").as("o"))
+    val ex = ud.crossJoin(broadcast(offsets))
+      .select(col("user_id"), date_add(col("day"), col("o")).as("day"))
+      .distinct()
+    val wau = ex.join(broadcast(days), Seq("day"))
+      .groupBy("day").agg(count(lit(1)).as("wau7"))
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau7"),
+        expr("(1000000 * dau) div wau7").as("stickiness_ppm"))
+  }
+
+  /** q205: session BOUNCE RATE per day — share of sessions (q193's
+    * 30-minute-gap rule) that contain a single event, keyed by the
+    * session's start day. The engagement-quality number a traffic
+    * dashboard pairs with q35's session lengths; exact integer ppm. */
+  val bounceRate: Q = Q(
+    "q205_bounce_rate",
+    """WITH o AS (SELECT user_id, ts, event_id,
+      |                  epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |                    (PARTITION BY user_id ORDER BY ts, event_id)
+      |                    AS gap_us
+      |           FROM events),
+      |s AS (SELECT user_id, ts,
+      |             CAST(sum(CASE WHEN gap_us IS NULL
+      |                            OR gap_us > 1800000000 THEN 1
+      |                       ELSE 0 END) OVER
+      |               (PARTITION BY user_id ORDER BY ts, event_id)
+      |               AS BIGINT) AS sid
+      |      FROM o),
+      |g AS (SELECT user_id, sid, min(ts) AS t0,
+      |             CAST(count(*) AS BIGINT) AS nev
+      |      FROM s GROUP BY 1, 2)
+      |SELECT CAST(date_trunc('day', t0) AS DATE) AS day,
+      |       CAST(count(*) AS BIGINT) AS n_sessions,
+      |       CAST(sum(CASE WHEN nev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_bounce,
+      |       (1000000 * CAST(sum(CASE WHEN nev = 1 THEN 1 ELSE 0 END)
+      |                       AS BIGINT)) // count(*) AS bounce_ppm
+      |FROM g GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (unix_micros(col("ts"))
+          - lag(unix_micros(col("ts")), 1).over(wOrd)).as("gap_us"))
+      .withColumn("sid",
+        sum(when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1)
+          .otherwise(0)).over(wOrd))
+      .groupBy("user_id", "sid")
+      .agg(min(col("ts")).as("t0"), count(lit(1)).as("nev"))
+    sess.groupBy(to_date(col("t0")).as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("nev") === 1, 1L).otherwise(0L)).as("n_bounce"))
+      .select(col("day"), col("n_sessions"), col("n_bounce"),
+        expr("(1000000 * n_bounce) div n_sessions").as("bounce_ppm"))
+  }
+
   val all: Seq[Q] =
     Seq(activityStreaks, eventFunnel, eventTransitions, cumulativeUsers,
-      sessionPaths)
+      sessionPaths, funnelLatency, stickiness, bounceRate)
 }

@@ -772,6 +772,101 @@ object WarehouseQueries {
     }
   }
 
+  /** q202: PSEUDO-RELEVANCE-FEEDBACK query expansion FROM THE INDEX —
+    * the classic two-pass retrieval refinement (Rocchio/RM1 shape):
+    * pass 1 ranks docs by q179's micro-quantized BM25 and keeps the
+    * top 5 per query (bounded-heap, (score desc, doc_id asc)); pass 2
+    * proposes the 5 terms that best characterize those feedback docs —
+    * total term frequency across the feedback set × the term's
+    * idf (micro-quantized per term, so the product is an exact
+    * BIGINT), original query terms excluded. Everything the second
+    * pass touches is feedback-sized: the 25 feedback docs join back to
+    * the corpus by id, their candidate terms probe the index's
+    * partition-pruned postings for df, and the final ranking windows
+    * over a per-query candidate set bounded by the feedback docs'
+    * vocabulary — no corpus-sized shuffle anywhere after pass 1's
+    * index probe. Hash-oracled end-to-end against the corpus-scan
+    * SQL (integer tf totals, quantized idf, total-order tie-breaks). */
+  val prfExpansion: Q = {
+    val valuesSql = boolQueries.flatMap { case (id, ts) =>
+      ts.map(w => s"(CAST($id AS BIGINT), '$w')") }.mkString(", ")
+    Q(
+      "q202_prf_expansion",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |d AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM d GROUP BY 1, 2, 3),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                 CAST(sum(len(ws)) AS DOUBLE) / count(*) AS avgdl
+        |          FROM w),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |q AS (SELECT * FROM (VALUES $valuesSql) AS t(query_id, term)),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |         CAST(sum(CAST(round(
+        |           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |             * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |             * 1000000.0) AS BIGINT)) AS BIGINT) AS score_u6
+        |       FROM q JOIN tf ON q.term = tf.term
+        |       JOIN df ON tf.term = df.term
+        |       CROSS JOIN stats
+        |       GROUP BY 1, 2),
+        |top AS (SELECT query_id, doc_id FROM (
+        |          SELECT query_id, doc_id,
+        |                 row_number() OVER (PARTITION BY query_id
+        |                   ORDER BY score_u6 DESC, doc_id) AS r
+        |          FROM sc) WHERE r <= 5),
+        |cand AS (SELECT t.query_id, tf.term,
+        |                CAST(sum(tf.tf) AS BIGINT) AS tf_total
+        |         FROM top t JOIN tf ON tf.doc_id = t.doc_id
+        |         WHERE NOT EXISTS (SELECT 1 FROM q
+        |                           WHERE q.query_id = t.query_id
+        |                             AND q.term = tf.term)
+        |         GROUP BY 1, 2),
+        |x AS (SELECT cand.query_id, cand.term, cand.tf_total, df.df,
+        |        cand.tf_total * CAST(round(
+        |          ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |          * 1000000) AS BIGINT) AS score_u6
+        |      FROM cand JOIN df USING (term) CROSS JOIN stats)
+        |SELECT query_id, term, tf_total, df, score_u6,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY score_u6 DESC, term) AS BIGINT) AS rn
+        |FROM x QUALIFY rn <= 5""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val root = textIndex(s, dir)
+      val qt = boolQueries.flatMap { case (id, ts) => ts.map(id -> _) }
+        .toDF("query_id", "term")
+      val top = graft.operators.Sampling.quotaPerGroup(
+          TextIndex.bm25Micros(s, root, qt), Seq("query_id"),
+          col("score_u6").cast("double"), col("doc_id"), 5)
+        .select(col("query_id"), col("id").as("doc_id"))
+        .localCheckpoint(true) // 25 feedback rows; reused by two joins
+      val docTerms = t(s, dir, "documents")
+        .join(broadcast(top), Seq("doc_id"))
+        .select(col("query_id"),
+          explode(split(col("text"), " ")).as("term"))
+      val cand = docTerms.groupBy("query_id", "term")
+        .agg(count(lit(1)).as("tf_total"))
+        .join(broadcast(qt), Seq("query_id", "term"), "left_anti")
+      val dfs = TextIndex.probePostings(s, root, cand.select("term"))
+        .select(col("term"), col("df"))
+      val nDocs = s.read.parquet(s"$root/stats").select("n_docs")
+      val x = cand.join(dfs, Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("query_id"), col("term"), col("tf_total"), col("df"),
+          (col("tf_total") * round(
+            log((col("n_docs").cast("double") - col("df") + lit(0.5))
+              / (col("df") + lit(0.5)) + lit(1.0)) * 1000000)
+            .cast(LongType)).as("score_u6"))
+      // candidate set per query is feedback-vocabulary-bounded (the 5
+      // docs' distinct terms), so this window sorts hundreds of rows
+      // per query, never corpus-sized partitions
+      x.withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("score_u6").desc, col("term"))).cast(LongType))
+        .filter(col("rn") <= 5)
+    }
+  }
+
   /** q181: GROUPING SETS — the arbitrary-lattice member of the
     * grand-total family (q15 ROLLUP walks the prefix chain, q79 CUBE
     * the full lattice; real reports want a HAND-PICKED set: by
@@ -1042,6 +1137,6 @@ object WarehouseQueries {
   val all: Seq[Q] = Seq(prefixFilterJoin, scd2History, rangeJoinWindows,
     rrfHybrid, quantileNorm, asofHistoryProbe, mmrDiversify, hllRollup,
     distinctRollup, audienceOverlap, phraseSearch, indexBm25, indexPhrase,
-    indexBoolean, groupingSets, unpivotSeries, lengthSummary,
+    indexBoolean, prfExpansion, groupingSets, unpivotSeries, lengthSummary,
     revenueDeciles, columnProfile, customerRfm)
 }
