@@ -569,6 +569,70 @@ object CurationQueries {
         col("e").as("ewma_milli"))
   }
 
+  /** Holt LINEAR-TREND smoothing (q208): q141's EWMA upgraded with a
+    * trend accumulator — level l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}),
+    * trend b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}, α = β = 1/4, in exact
+    * fixed-point milli-units. A level-only EWMA lags a steadily
+    * growing series forever; Holt's trend term closes that gap — the
+    * one-step forecast a capacity planner reads is l + b. The trend
+    * can go NEGATIVE, where Spark's `div` (truncate toward zero) and
+    * DuckDB's `//` disagree — both engines therefore divide as
+    * floor(x/4.0), exact below 2^53 and floor-identical on both
+    * sides. Same bounded-series fold as q141: one daily rollup, one
+    * per-key collect of the calendar-bounded series, one narrow HOF
+    * pass carrying a (level, trend) struct. */
+  val holtTrend: Q = Q(
+    "q208_holt_trend",
+    """WITH RECURSIVE d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY CAST(ts AS DATE)) AS rn
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, rn, day, n,
+      |         CAST(n * 1000 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.event_type, d.rn, d.day, d.n,
+      |         CAST(floor((d.n * 1000 + 3 * (r.l + r.b)) / 4.0) AS BIGINT),
+      |         CAST(floor((CAST(floor((d.n * 1000 + 3 * (r.l + r.b)) / 4.0)
+      |                          AS BIGINT) - r.l + 3 * r.b) / 4.0) AS BIGINT)
+      |  FROM r JOIN d ON d.event_type = r.event_type AND d.rn = r.rn + 1)
+      |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+      |       l AS level_milli, b AS trend_milli,
+      |       l + b AS forecast_milli
+      |FROM r""".stripMargin
+  ) { (s, dir) =>
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val empty = array().cast("array<struct<l:bigint,b:bigint>>")
+    def floorDiv4(x: org.apache.spark.sql.Column) =
+      floor(x.cast("double") / lit(4.0)).cast("long")
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("sd"))
+      .withColumn("ds", transform(col("sd"), x => x.getField("day")))
+      .withColumn("ns", transform(col("sd"), x => x.getField("n")))
+      .withColumn("hs", aggregate(col("ns"), empty, (acc, x) => {
+        val prev = element_at(acc, -1)
+        val l = floorDiv4(x * 1000 +
+          lit(3L) * (prev.getField("l") + prev.getField("b")))
+        val b = floorDiv4(l - prev.getField("l") +
+          lit(3L) * prev.getField("b"))
+        concat(acc, array(
+          when(size(acc) === 0,
+            struct((x * 1000).cast("long").as("l"), lit(0L).as("b")))
+            .otherwise(struct(l.as("l"), b.as("b")))))
+      }))
+      .select(col("event_type"), col("ds"), col("ns"),
+        posexplode(col("hs")).as(Seq("pos", "h")))
+      .select(col("event_type"),
+        element_at(col("ds"), col("pos") + 1).as("day"),
+        element_at(col("ns"), col("pos") + 1).as("n"),
+        col("h.l").as("level_milli"), col("h.b").as("trend_milli"),
+        (col("h.l") + col("h.b")).as("forecast_milli"))
+  }
+
   /** Compression-ratio quality report (q142, rows-only): per source,
     * the DEFLATE ratio distribution — mean ratio and the shares of
     * highly-repetitive (ratio < 0.35: templates, boilerplate, repeated
@@ -820,5 +884,6 @@ object CurationQueries {
   val all: Seq[Q] = Seq(rateAnomaly, recordLinkage, clusterSplit,
     qualityCanonical, simhashCalibration, eventQuota, readability,
     eventTransitions, dataValidation, hoppingCounts, ewmaTrend,
-    compressionQuality, corpusPipelineV4, madAnomaly, thresholdChurn)
+    holtTrend, compressionQuality, corpusPipelineV4, madAnomaly,
+    thresholdChurn)
 }

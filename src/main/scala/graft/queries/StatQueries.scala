@@ -80,30 +80,40 @@ object StatQueries {
       |            AS BIGINT) AS cramers_v_ppm
       |FROM s""".stripMargin
   ) { (s, dir) =>
-    val d = t(s, dir, "documents").select("source", "lang")
-    val o = d.groupBy("source", "lang").agg(count(lit(1)).as("o"))
-    val r = d.groupBy("source").agg(count(lit(1)).as("rtot"))
-    val c = d.groupBy("lang").agg(count(lit(1)).as("ctot"))
+    chiSquareReport(t(s, dir, "documents").select("source", "lang"),
+      "source", "lang", "n_docs", "n_src", "n_lang")
+  }
+
+  /** The chi-square core shared by q194 and q207: `d` is the long-form
+    * (aCol, bCol) observation table; returns the one-row report with
+    * caller-named count columns. See q194's scaladoc for the grid +
+    * micro-quantization exactness argument. */
+  private def chiSquareReport(d: DataFrame, aCol: String, bCol: String,
+      nName: String, naName: String, nbName: String): DataFrame = {
+    val o = d.groupBy(aCol, bCol).agg(count(lit(1)).as("o"))
+    val r = d.groupBy(aCol).agg(count(lit(1)).as("rtot"))
+    val c = d.groupBy(bCol).agg(count(lit(1)).as("ctot"))
     val tt = d.agg(count(lit(1)).as("n"),
-      countDistinct(col("source")).as("n_src"),
-      countDistinct(col("lang")).as("n_lang"))
+      countDistinct(col(aCol)).as("na"),
+      countDistinct(col(bCol)).as("nb"))
     val e = (col("rtot") * col("ctot")).cast("double") / col("n")
     val g = broadcast(r).crossJoin(broadcast(c))
-      .join(o, Seq("source", "lang"), "left")
+      .join(o, Seq(aCol, bCol), "left")
       .select(col("rtot"), col("ctot"), coalesce(col("o"), lit(0L)).as("o"))
       .crossJoin(broadcast(tt))
     g.select(
         round((col("o") - e) * (col("o") - e) / e * 1000000)
           .cast(LongType).as("contrib_u6"),
-        col("n"), col("n_src"), col("n_lang"))
+        col("n"), col("na"), col("nb"))
       .agg(sum(col("contrib_u6")).as("chi2_u6"),
-        max(col("n")).as("n_docs"), max(col("n_src")).as("n_src"),
-        max(col("n_lang")).as("n_lang"))
-      .select(col("n_docs"), col("n_src"), col("n_lang"),
-        ((col("n_src") - 1) * (col("n_lang") - 1)).as("dof"),
+        max(col("n")).as("n"), max(col("na")).as("na"),
+        max(col("nb")).as("nb"))
+      .select(col("n").as(nName), col("na").as(naName),
+        col("nb").as(nbName),
+        ((col("na") - 1) * (col("nb") - 1)).as("dof"),
         col("chi2_u6"),
         round(sqrt((col("chi2_u6") / 1000000.0)
-            / (col("n_docs") * least(col("n_src") - 1, col("n_lang") - 1)))
+            / (col("n") * least(col("na") - 1, col("nb") - 1)))
           * 1000000).cast(LongType).as("cramers_v_ppm"))
   }
 
@@ -422,6 +432,64 @@ object StatQueries {
         expr("(1000000 * wsum) div n").as("wins_mean_u6"))
   }
 
+  /** q207: SOURCE-DRIFT significance between the two q121 snapshot
+    * versions — the inferential upgrade of q122's drift report: is the
+    * new crawl's source mix a chance fluctuation or a real shift?
+    * Chi-square over the (version × source) table via the q194 core.
+    * The engine builds the version column in ONE documents scan (each
+    * doc explodes into the ≤2 version tags its id qualifies for — no
+    * union of two filtered scans of the same relation); the oracle's
+    * UNION ALL is the same multiset. */
+  val sourceDriftChi2: Q = Q(
+    "q207_source_drift_chi2",
+    """WITH d AS (
+      |  SELECT 'old' AS version, source FROM documents
+      |  WHERE doc_id % 10 <> 3
+      |  UNION ALL
+      |  SELECT 'new' AS version, source FROM documents
+      |  WHERE doc_id % 7 <> 2),
+      |o AS (SELECT version, source, CAST(count(*) AS BIGINT) AS o
+      |      FROM d GROUP BY 1, 2),
+      |r AS (SELECT version, CAST(count(*) AS BIGINT) AS rtot
+      |      FROM d GROUP BY 1),
+      |c AS (SELECT source, CAST(count(*) AS BIGINT) AS ctot
+      |      FROM d GROUP BY 1),
+      |tt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |              CAST(count(DISTINCT version) AS BIGINT) AS na,
+      |              CAST(count(DISTINCT source) AS BIGINT) AS nb
+      |       FROM d),
+      |g AS (SELECT r.version, c.source, r.rtot, c.ctot,
+      |             coalesce(o.o, 0) AS o
+      |      FROM r CROSS JOIN c
+      |      LEFT JOIN o ON o.version = r.version AND o.source = c.source),
+      |x AS (SELECT CAST(round((g.o - CAST(g.rtot * g.ctot AS DOUBLE) / tt.n)
+      |               * (g.o - CAST(g.rtot * g.ctot AS DOUBLE) / tt.n)
+      |               / (CAST(g.rtot * g.ctot AS DOUBLE) / tt.n)
+      |               * 1000000) AS BIGINT) AS contrib_u6,
+      |             tt.n, tt.na, tt.nb
+      |      FROM g CROSS JOIN tt),
+      |s AS (SELECT CAST(sum(contrib_u6) AS BIGINT) AS chi2_u6,
+      |             max(n) AS n_obs, max(na) AS n_versions,
+      |             max(nb) AS n_sources
+      |      FROM x)
+      |SELECT n_obs, n_versions, n_sources,
+      |       (n_versions - 1) * (n_sources - 1) AS dof, chi2_u6,
+      |       CAST(round(sqrt((chi2_u6 / 1000000.0)
+      |            / (n_obs * least(n_versions - 1, n_sources - 1)))
+      |            * 1000000) AS BIGINT) AS cramers_v_ppm
+      |FROM s""".stripMargin
+  ) { (s, dir) =>
+    val emptyS = array().cast("array<string>")
+    val d = t(s, dir, "documents")
+      .select(col("source"), explode(concat(
+        when(pmod(col("doc_id"), lit(10)) =!= 3, array(lit("old")))
+          .otherwise(emptyS),
+        when(pmod(col("doc_id"), lit(7)) =!= 2, array(lit("new")))
+          .otherwise(emptyS))).as("version"))
+    chiSquareReport(d.select("version", "source"),
+      "version", "source", "n_obs", "n_versions", "n_sources")
+  }
+
   val all: Seq[Q] = Seq(chiSquare, cohensKappa, acfDaily,
-    cusumChangepoint, fkOrphans, winsorizedMean)
+    cusumChangepoint, fkOrphans, winsorizedMean, sourceDriftChi2)
 }

@@ -300,7 +300,54 @@ object VersioningQueries {
       "l_orderkey", "l_partkey", minShared = 2))
   }
 
+  /** q206: LOCAL CLUSTERING COEFFICIENT per item — q199's triangle
+    * census normalized by the wedge capacity: cc = 2·tri / (deg·(deg−1))
+    * in exact integer ppm, the per-node "how clique-like is my
+    * neighborhood" number community detection thresholds on. One
+    * degree rollup + a left join onto the (hub-safe, q199) triangle
+    * counts; zero-triangle nodes stay in the report — a high-degree
+    * item with cc = 0 is a CONNECTOR, the interesting anti-community
+    * signal a triangles-only view silently drops. Only deg ≥ 2 nodes
+    * qualify (a degree-1 node has no wedge to close). */
+  val clusteringCoefficient: Q = Q(
+    "q206_clustering_coeff",
+    """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+      |           FROM lineitem),
+      |p AS (SELECT a.item AS ia, c.item AS ib
+      |      FROM b a JOIN b c ON a.bk = c.bk AND a.item < c.item
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |deg AS (SELECT item, CAST(count(*) AS BIGINT) AS deg FROM (
+      |          SELECT ia AS item FROM p
+      |          UNION ALL SELECT ib AS item FROM p) GROUP BY 1),
+      |tr AS (SELECT e1.ia AS a, e1.ib AS b2, e2.ib AS c
+      |       FROM p e1
+      |       JOIN p e2 ON e2.ia = e1.ib
+      |       JOIN p e3 ON e3.ia = e1.ia AND e3.ib = e2.ib),
+      |tc AS (SELECT item, CAST(count(*) AS BIGINT) AS n_triangles
+      |       FROM (SELECT unnest([a, b2, c]) AS item FROM tr) GROUP BY 1)
+      |SELECT deg.item, deg.deg,
+      |       coalesce(tc.n_triangles, 0) AS n_triangles,
+      |       (2000000 * coalesce(tc.n_triangles, 0))
+      |         // (deg.deg * (deg.deg - 1)) AS cc_ppm
+      |FROM deg LEFT JOIN tc USING (item)
+      |WHERE deg.deg >= 2""".stripMargin
+  ) { (s, dir) =>
+    val e = CoOccurrence.pairs(
+        t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey", minShared = 2)
+      .select("item_a", "item_b").localCheckpoint(true)
+    val deg = e.select(col("item_a").as("item"))
+      .unionByName(e.select(col("item_b").as("item")))
+      .groupBy("item").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(Centrality.triangleCounts(e), Seq("item"), "left")
+      .select(col("item"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("(2000000 * coalesce(n_triangles, 0)) div (deg * (deg - 1))")
+          .as("cc_ppm"))
+  }
+
   val all: Seq[Q] = Seq(snapshotDiff, snapshotDriftReport, weightedSample,
     copurchaseRank, copurchasePairs, copurchaseNeighbors,
-    incrementalReprocess, triangleCount)
+    incrementalReprocess, triangleCount, clusteringCoefficient)
 }
