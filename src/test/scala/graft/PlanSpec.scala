@@ -910,6 +910,47 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "q172 planned a cross product")
   }
 
+  test("q204: the sliding-window fan-out broadcasts the 7-offset spine, never a cartesian") {
+    val p = plan("q204_stickiness")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 7-row offset spine must broadcast into the (user, day) grain")
+    assert(!p.contains("CartesianProduct"), "q204 planned a shuffled cartesian")
+  }
+
+  test("q199/q206: triangle enumeration never plans a cartesian or a global window") {
+    Seq("q199_triangle_count", "q206_clustering_coeff").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n planned a cross product")
+      assert(!p.contains("windowspecdefinition"),
+        s"$n ranks with a window — the wedge join must stay a keyed equi-join")
+    }
+  }
+
+  test("q202: PRF pass 2 broadcasts the feedback-doc and query-term tables") {
+    val p = plan("q202_prf_expansion")
+    // the 25-row feedback list joins the documents scan broadcast, and
+    // the query terms anti-join broadcast — the corpus never shuffles
+    // for pass 2's candidate build
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val specs = p.split("windowspecdefinition\\(").drop(1)
+    specs.foreach(s => assert(s.startsWith("query_id"),
+      s"expansion ranking window not per-query: ${s.take(60)}"))
+  }
+
+  test("q196/q197: series windows partition by event_type, never global") {
+    // q196's ranking window executes inside the eager checkpoint pin, so
+    // the final plan may show none; whatever windows DO appear in either
+    // plan must be event_type-keyed, and neither may plan a cartesian
+    val specs = Seq("q196_acf_daily", "q197_cusum_changepoint").flatMap { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n planned a cross product")
+      p.split("windowspecdefinition\\(").drop(1).map(n -> _)
+    }
+    assert(specs.nonEmpty, "expected at least one keyed window across the pair")
+    specs.foreach { case (n, s) => assert(s.startsWith("event_type"),
+      s"$n window not event_type-partitioned: ${s.take(60)}") }
+  }
+
   test("q134: canonical selection is an arg-max aggregate, not a per-cluster sort") {
     val p = plan("q134_quality_canonical")
     assert(!p.contains("Window"), "q134 ranks with a window")
