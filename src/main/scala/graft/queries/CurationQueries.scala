@@ -633,6 +633,69 @@ object CurationQueries {
         (col("h.l") + col("h.b")).as("forecast_milli"))
   }
 
+  /** q210: ANOMALY CONSENSUS — q131's windowed z-test and q144's MAD
+    * detector agree, or they don't, and the difference IS the triage
+    * signal: `both` pages someone, `z_only` is usually variance
+    * inflation from a prior spike (z's weakness), `mad_only` is a
+    * shift the z-test's own inflated variance hid (MAD's strength).
+    * One daily rollup feeds both detectors (each calendar-bounded
+    * per-type series work, as adjudicated for q131/q144), and the
+    * verdicts full-outer-join on (day, type). The composition is
+    * exactly the two oracled detector chains glued — every branch
+    * already hash-green on its own. */
+  val anomalyConsensus: Q = Q(
+    "q210_anomaly_consensus",
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type,
+      |                  count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |w1 AS (SELECT day, event_type, n,
+      |         CAST(sum(n) OVER tw AS BIGINT) AS s,
+      |         CAST(sum(n * n) OVER tw AS BIGINT) AS ss,
+      |         count(*) OVER tw AS k
+      |       FROM d WINDOW tw AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |zf AS (SELECT day, event_type, n FROM w1
+      |       WHERE k = 7
+      |         AND (7 * n - s) * (7 * n - s) > 4 * (7 * ss - s * s)),
+      |w2 AS (SELECT day, event_type, n, list(n) OVER tw AS l,
+      |              count(*) OVER tw AS k
+      |       FROM d WINDOW tw AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |m AS (SELECT day, event_type, n, l,
+      |             CAST(list_aggregate(l, 'median') AS BIGINT) AS med
+      |      FROM w2 WHERE k = 7),
+      |mf AS (SELECT day, event_type, n FROM (
+      |         SELECT day, event_type, n, med,
+      |                CAST(list_aggregate(
+      |                  list_transform(l, v -> abs(v - med)), 'median')
+      |                  AS BIGINT) AS mad
+      |         FROM m) WHERE abs(n - med) > 3 * mad)
+      |SELECT coalesce(zf.day, mf.day) AS day,
+      |       coalesce(zf.event_type, mf.event_type) AS event_type,
+      |       CAST(coalesce(zf.n, mf.n) AS BIGINT) AS n,
+      |       CASE WHEN zf.day IS NULL THEN 'mad_only'
+      |            WHEN mf.day IS NULL THEN 'z_only'
+      |            ELSE 'both' END AS detector
+      |FROM zf FULL OUTER JOIN mf
+      |  ON zf.day = mf.day AND zf.event_type = mf.event_type""".stripMargin
+  ) { (s, dir) =>
+    import graft.operators.Monitoring
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // tiny; feeds both detectors
+    val zf = Monitoring.rateAnomalies(daily)
+      .select(col("day"), col("event_type"), col("n").as("n_z"))
+    val mf = madAnomalies(daily)
+      .select(col("day"), col("event_type"), col("n").as("n_m"))
+    zf.join(mf, Seq("day", "event_type"), "full_outer")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n_z"), col("n_m")).as("n"),
+        when(col("n_z").isNull, "mad_only")
+          .when(col("n_m").isNull, "z_only")
+          .otherwise("both").as("detector"))
+  }
+
   /** Compression-ratio quality report (q142, rows-only): per source,
     * the DEFLATE ratio distribution — mean ratio and the shares of
     * highly-repetitive (ratio < 0.35: templates, boilerplate, repeated
@@ -790,9 +853,14 @@ object CurationQueries {
       |SELECT day, event_type, n, med, mad
       |FROM x WHERE abs(n - med) > 3 * mad""".stripMargin
   ) { (s, dir) =>
-    val daily = t(s, dir, "events")
+    madAnomalies(t(s, dir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  /** The q144 MAD detector over a (event_type, day, n) daily frame —
+    * shared with q210's consensus view. */
+  private def madAnomalies(daily: DataFrame): DataFrame =
     daily.groupBy("event_type")
       .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("sd"))
       .withColumn("ds", transform(col("sd"), x => x.getField("day")))
@@ -807,7 +875,6 @@ object CurationQueries {
       .filter(abs(col("n") - col("med")) > lit(3) * col("mad"))
       .select(element_at(col("ds"), col("pos") + 1).as("day"),
         col("event_type"), col("n"), col("med"), col("mad"))
-  }
 
   /** Dedup-policy churn (q145): how many documents change their
     * canonical assignment when the Jaccard threshold moves 0.5 → 0.95
@@ -885,5 +952,5 @@ object CurationQueries {
     qualityCanonical, simhashCalibration, eventQuota, readability,
     eventTransitions, dataValidation, hoppingCounts, ewmaTrend,
     holtTrend, compressionQuality, corpusPipelineV4, madAnomaly,
-    thresholdChurn)
+    thresholdChurn, anomalyConsensus)
 }

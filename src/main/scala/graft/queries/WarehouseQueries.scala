@@ -867,6 +867,100 @@ object WarehouseQueries {
     }
   }
 
+  /** q209: SNIPPET extraction FROM THE POSITIONAL INDEX — for each
+    * q198 conjunctive top-10 hit, the 10-token window containing the
+    * most query-term occurrences (ties → earliest start): the
+    * "why did this doc match" view a search UI renders under every
+    * result, and the second operator (after q178/q180's phrase
+    * search) that positional postings exist to serve. Per-(query, doc)
+    * hit lists are tens of positions, so the window self-join and the
+    * max-count/min-start election (q183's mode pattern — no
+    * tie-unspecified max_by, no window function) stay keyed and tiny;
+    * nothing corpus-sized moves after the partition-pruned posting
+    * probe. All-integer, hash-oracled end-to-end. */
+  val indexSnippet: Q = {
+    val valuesSql = boolQueries.flatMap { case (id, ts) =>
+      ts.map(w => s"(CAST($id AS BIGINT), '$w')") }.mkString(", ")
+    Q(
+      "q209_index_snippet",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |d AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM d GROUP BY 1, 2, 3),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                 CAST(sum(len(ws)) AS DOUBLE) / count(*) AS avgdl
+        |          FROM w),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |q AS (SELECT * FROM (VALUES $valuesSql) AS t(query_id, term)),
+        |nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS ntq
+        |       FROM q GROUP BY 1),
+        |sc AS (SELECT q.query_id, tf.doc_id,
+        |         CAST(sum(CAST(round(
+        |           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |             * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |             * 1000000.0) AS BIGINT)) AS BIGINT) AS score_u6,
+        |         CAST(count(DISTINCT tf.term) AS BIGINT) AS nm
+        |       FROM q JOIN tf ON q.term = tf.term
+        |       JOIN df ON tf.term = df.term
+        |       CROSS JOIN stats GROUP BY 1, 2),
+        |top AS (SELECT query_id, doc_id FROM (
+        |          SELECT sc.query_id, sc.doc_id,
+        |                 row_number() OVER (PARTITION BY sc.query_id
+        |                   ORDER BY sc.score_u6 DESC, sc.doc_id) AS r
+        |          FROM sc JOIN nt USING (query_id)
+        |          WHERE sc.nm = nt.ntq) WHERE r <= 10),
+        |pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS term
+        |        FROM w, unnest(range(1, len(ws) + 1)) AS u(i)),
+        |hits AS (SELECT t.query_id, p.doc_id, p.pos
+        |         FROM pos p JOIN q ON p.term = q.term
+        |         JOIN top t ON t.query_id = q.query_id
+        |           AND t.doc_id = p.doc_id),
+        |c AS (SELECT h1.query_id, h1.doc_id, h1.pos AS start,
+        |             CAST(count(*) AS BIGINT) AS n_hits
+        |      FROM hits h1 JOIN hits h2
+        |        ON h2.query_id = h1.query_id AND h2.doc_id = h1.doc_id
+        |        AND h2.pos >= h1.pos AND h2.pos < h1.pos + 10
+        |      GROUP BY 1, 2, 3),
+        |mx AS (SELECT query_id, doc_id, max(n_hits) AS n_hits
+        |       FROM c GROUP BY 1, 2)
+        |SELECT c.query_id, c.doc_id, min(c.start) AS snippet_start,
+        |       mx.n_hits
+        |FROM c JOIN mx ON mx.query_id = c.query_id
+        |  AND mx.doc_id = c.doc_id AND c.n_hits = mx.n_hits
+        |GROUP BY 1, 2, 4""".stripMargin
+    ) { (s, dir) =>
+      import s.implicits._
+      val root = textIndex(s, dir)
+      val qt = boolQueries.flatMap { case (id, ts) => ts.map(id -> _) }
+        .toDF("query_id", "term")
+      val top = TextIndex.booleanBm25(s, root, qt, k = 10)
+        .select("query_id", "doc_id").localCheckpoint(true)
+      val hits = TextIndex.probePostings(s, root, qt.select("term"))
+        .select(col("term"), explode(col("postings")).as("p"))
+        .select(col("term"), col("p.doc_id").as("doc_id"),
+          explode(col("p.positions")).as("pos"))
+        .join(broadcast(qt), Seq("term"))
+        .join(broadcast(top), Seq("query_id", "doc_id"), "left_semi")
+        .select(col("query_id"), col("doc_id"), col("pos").cast(LongType)
+          .as("pos"))
+        .localCheckpoint(true) // tens of positions per (query, doc)
+      val c = hits.as("h1").join(hits.as("h2"),
+          col("h2.query_id") === col("h1.query_id") &&
+            col("h2.doc_id") === col("h1.doc_id") &&
+            col("h2.pos") >= col("h1.pos") &&
+            col("h2.pos") < col("h1.pos") + 10)
+        .groupBy(col("h1.query_id").as("query_id"),
+          col("h1.doc_id").as("doc_id"), col("h1.pos").as("start"))
+        .agg(count(lit(1)).as("n_hits"))
+      val mx = c.groupBy("query_id", "doc_id")
+        .agg(max(col("n_hits")).as("n_hits"))
+      c.join(mx, Seq("query_id", "doc_id", "n_hits"))
+        .groupBy(col("query_id"), col("doc_id"), col("n_hits"))
+        .agg(min(col("start")).as("snippet_start"))
+        .select("query_id", "doc_id", "snippet_start", "n_hits")
+    }
+  }
+
   /** q181: GROUPING SETS — the arbitrary-lattice member of the
     * grand-total family (q15 ROLLUP walks the prefix chain, q79 CUBE
     * the full lattice; real reports want a HAND-PICKED set: by
@@ -1137,6 +1231,6 @@ object WarehouseQueries {
   val all: Seq[Q] = Seq(prefixFilterJoin, scd2History, rangeJoinWindows,
     rrfHybrid, quantileNorm, asofHistoryProbe, mmrDiversify, hllRollup,
     distinctRollup, audienceOverlap, phraseSearch, indexBm25, indexPhrase,
-    indexBoolean, prfExpansion, groupingSets, unpivotSeries, lengthSummary,
-    revenueDeciles, columnProfile, customerRfm)
+    indexBoolean, prfExpansion, indexSnippet, groupingSets, unpivotSeries,
+    lengthSummary, revenueDeciles, columnProfile, customerRfm)
 }
