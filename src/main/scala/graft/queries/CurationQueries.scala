@@ -633,6 +633,77 @@ object CurationQueries {
         (col("h.l") + col("h.b")).as("forecast_milli"))
   }
 
+  /** q211: FORECAST BACKTEST — does q208's Holt smoother actually
+    * predict? For every day t ≥ 2, the one-step-ahead forecast is
+    * l_{t−1} + b_{t−1} (state BEFORE seeing x_t); the per-type report
+    * is the mean absolute percentage error of those honest forecasts,
+    * in exact ppm: Σ|1000·x_t − f_t| and Σ1000·x_t are integer sums,
+    * mape_ppm their floor-div ratio. The number that decides whether
+    * the trend line is a capacity-planning input or just a chart
+    * decoration. Same bounded-series HOF fold as q208; same
+    * floor(x/4.0) division (the trend — and hence the error — can go
+    * negative). */
+  val forecastBacktest: Q = Q(
+    "q211_forecast_backtest",
+    """WITH RECURSIVE d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY CAST(ts AS DATE)) AS rn
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, rn, n,
+      |         CAST(n * 1000 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+      |         CAST(NULL AS BIGINT) AS f
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.event_type, d.rn, d.n,
+      |         CAST(floor((d.n * 1000 + 3 * (r.l + r.b)) / 4.0) AS BIGINT),
+      |         CAST(floor((CAST(floor((d.n * 1000 + 3 * (r.l + r.b)) / 4.0)
+      |                          AS BIGINT) - r.l + 3 * r.b) / 4.0) AS BIGINT),
+      |         r.l + r.b
+      |  FROM r JOIN d ON d.event_type = r.event_type AND d.rn = r.rn + 1)
+      |SELECT event_type,
+      |       CAST(count(f) AS BIGINT) AS n_forecasts,
+      |       CAST(sum(abs(n * 1000 - f)) AS BIGINT) AS abs_err_milli,
+      |       (1000000 * CAST(sum(abs(n * 1000 - f)) AS BIGINT))
+      |         // CAST(sum(CASE WHEN f IS NOT NULL THEN n * 1000 END)
+      |                AS BIGINT) AS mape_ppm
+      |FROM r GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val empty = array().cast("array<struct<l:bigint,b:bigint,f:bigint>>")
+    def floorDiv4(x: org.apache.spark.sql.Column) =
+      floor(x.cast("double") / lit(4.0)).cast("long")
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("sd"))
+      .withColumn("ns", transform(col("sd"), x => x.getField("n")))
+      .withColumn("hs", aggregate(col("ns"), empty, (acc, x) => {
+        val prev = element_at(acc, -1)
+        val f = prev.getField("l") + prev.getField("b")
+        val l = floorDiv4(x * 1000 + lit(3L) * f)
+        val b = floorDiv4(l - prev.getField("l") +
+          lit(3L) * prev.getField("b"))
+        concat(acc, array(
+          when(size(acc) === 0,
+            struct((x * 1000).cast("long").as("l"), lit(0L).as("b"),
+              lit(null).cast("long").as("f")))
+            .otherwise(struct(l.as("l"), b.as("b"), f.as("f")))))
+      }))
+      .select(col("event_type"), col("ns"),
+        posexplode(col("hs")).as(Seq("pos", "h")))
+      .select(col("event_type"),
+        (element_at(col("ns"), col("pos") + 1) * 1000).as("x_milli"),
+        col("h.f").as("f"))
+      .groupBy("event_type")
+      .agg(count(col("f")).as("n_forecasts"),
+        sum(abs(col("x_milli") - col("f"))).as("abs_err_milli"),
+        sum(when(col("f").isNotNull, col("x_milli"))).as("sx"))
+      .select(col("event_type"), col("n_forecasts"), col("abs_err_milli"),
+        expr("(1000000 * abs_err_milli) div sx").as("mape_ppm"))
+  }
+
   /** q210: ANOMALY CONSENSUS — q131's windowed z-test and q144's MAD
     * detector agree, or they don't, and the difference IS the triage
     * signal: `both` pages someone, `z_only` is usually variance
@@ -952,5 +1023,5 @@ object CurationQueries {
     qualityCanonical, simhashCalibration, eventQuota, readability,
     eventTransitions, dataValidation, hoppingCounts, ewmaTrend,
     holtTrend, compressionQuality, corpusPipelineV4, madAnomaly,
-    thresholdChurn, anomalyConsensus)
+    thresholdChurn, anomalyConsensus, forecastBacktest)
 }
