@@ -92,11 +92,22 @@ object Centrality {
     * `edges`: distinct undirected edges as (item_a, item_b) with
     * item_a < item_b, no self-loops (the [[CoOccurrence.pairs]]
     * contract). Returns (item, n_triangles) for nodes in ≥1 triangle. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangleCountsWithDegrees(edges)
+      .filter(col("n_triangles") > 0)
+      .select("item", "n_triangles")
+
+  /** [[triangleCounts]] for EVERY node, with its degree attached:
+    * (item, deg, n_triangles) where zero-triangle nodes carry 0 — the
+    * frame clustering-coefficient reports read directly (q206), the
+    * edge set pinned and the degree rollup computed ONCE for both the
+    * orientation and the report. */
+  def triangleCountsWithDegrees(edges: DataFrame): DataFrame = {
     val e = edges.select("item_a", "item_b").localCheckpoint(true)
     val deg = e.select(col("item_a").as("v"))
       .unionByName(e.select(col("item_b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true) // reused by the orientation joins + output
     val aLower = col("da") < col("db") ||
       (col("da") === col("db") && col("item_a") < col("item_b"))
     val or = e
@@ -119,7 +130,12 @@ object Centrality {
         col("e2.dst").as("w"))
     val tri = wedges.join(or.select(col("src").as("v"), col("dst").as("w")),
       Seq("v", "w"), "left_semi")
-    tri.select(explode(array(col("u"), col("v"), col("w"))).as("item"))
-      .groupBy("item").agg(count(lit(1)).as("n_triangles"))
+    val counts = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("tri"))
+    deg.select(col("v").as("item"), col("d").as("deg"))
+      .join(counts, Seq("item"), "left")
+      .select(col("item"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("n_triangles"))
   }
 }

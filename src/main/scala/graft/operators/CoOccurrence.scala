@@ -52,6 +52,28 @@ object CoOccurrence {
     }
   }
 
+  /** The pair self-join over a pinned survivor table — the core both
+    * [[pairs]] and [[pairCounts]] wrap. */
+  private def pairCountsOf(surv: DataFrame, minShared: Int): DataFrame =
+    surv.as("a")
+      .join(surv.as("b"),
+        col("a.bk") === col("b.bk") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+
+  /** Co-occurring pairs WITHOUT the lift scoring: (item_a, item_b,
+    * n_shared) only. The graph consumers (triangle counting,
+    * clustering coefficients) want just the edge set — [[pairs]]' lift
+    * columns cost an eager basket-count action plus two item-totals
+    * joins they would immediately discard. */
+  def pairCounts(interactions: DataFrame, basketCol: String,
+      itemCol: String, minShared: Int = 2, maxBasket: Int = 0): DataFrame =
+    pairCountsOf(
+      cappedInteractions(interactions, basketCol, itemCol, maxBasket)
+        .localCheckpoint(true),
+      minShared)
+
   def pairs(interactions: DataFrame, basketCol: String, itemCol: String,
       minShared: Int = 2, maxBasket: Int = 0): DataFrame = {
     // the capped interaction table feeds the self-join (both sides)
@@ -60,12 +82,7 @@ object CoOccurrence {
       .localCheckpoint(true)
     val nBaskets = surv.select(col("bk")).distinct().count()
     val totals = surv.groupBy("item").agg(count(lit(1)).as("n"))
-    val p = surv.as("a")
-      .join(surv.as("b"),
-        col("a.bk") === col("b.bk") && col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+    val p = pairCountsOf(surv, minShared)
     p.join(totals.select(col("item").as("item_a"), col("n").as("n_a")), "item_a")
       .join(totals.select(col("item").as("item_b"), col("n").as("n_b")), "item_b")
       .withColumn("lift_ppm",

@@ -603,10 +603,23 @@ object CurationQueries {
       |       l + b AS forecast_milli
       |FROM r""".stripMargin
   ) { (s, dir) =>
+    holtSeries(s, dir)
+      .select(col("event_type"), col("day"), col("n"),
+        col("l").as("level_milli"), col("b").as("trend_milli"),
+        (col("l") + col("b")).as("forecast_milli"))
+  }
+
+  /** The q208 Holt fold shared with q211's backtest: per (type, day),
+    * the state AFTER the observation (l, b) and the honest one-step
+    * forecast f = l_{t−1} + b_{t−1} that was standing BEFORE it (NULL
+    * on each series' first day). One implementation so a recurrence
+    * change cannot leave the backtest validating a different
+    * smoother. */
+  private def holtSeries(s: SparkSession, dir: String): DataFrame = {
     val daily = t(s, dir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
-    val empty = array().cast("array<struct<l:bigint,b:bigint>>")
+    val empty = array().cast("array<struct<l:bigint,b:bigint,f:bigint>>")
     def floorDiv4(x: org.apache.spark.sql.Column) =
       floor(x.cast("double") / lit(4.0)).cast("long")
     daily.groupBy("event_type")
@@ -615,34 +628,35 @@ object CurationQueries {
       .withColumn("ns", transform(col("sd"), x => x.getField("n")))
       .withColumn("hs", aggregate(col("ns"), empty, (acc, x) => {
         val prev = element_at(acc, -1)
-        val l = floorDiv4(x * 1000 +
-          lit(3L) * (prev.getField("l") + prev.getField("b")))
+        val f = prev.getField("l") + prev.getField("b")
+        val l = floorDiv4(x * 1000 + lit(3L) * f)
         val b = floorDiv4(l - prev.getField("l") +
           lit(3L) * prev.getField("b"))
         concat(acc, array(
           when(size(acc) === 0,
-            struct((x * 1000).cast("long").as("l"), lit(0L).as("b")))
-            .otherwise(struct(l.as("l"), b.as("b")))))
+            struct((x * 1000).cast("long").as("l"), lit(0L).as("b"),
+              lit(null).cast("long").as("f")))
+            .otherwise(struct(l.as("l"), b.as("b"), f.as("f")))))
       }))
       .select(col("event_type"), col("ds"), col("ns"),
         posexplode(col("hs")).as(Seq("pos", "h")))
       .select(col("event_type"),
         element_at(col("ds"), col("pos") + 1).as("day"),
         element_at(col("ns"), col("pos") + 1).as("n"),
-        col("h.l").as("level_milli"), col("h.b").as("trend_milli"),
-        (col("h.l") + col("h.b")).as("forecast_milli"))
+        col("h.l").as("l"), col("h.b").as("b"), col("h.f").as("f"))
   }
 
   /** q211: FORECAST BACKTEST — does q208's Holt smoother actually
     * predict? For every day t ≥ 2, the one-step-ahead forecast is
     * l_{t−1} + b_{t−1} (state BEFORE seeing x_t); the per-type report
-    * is the mean absolute percentage error of those honest forecasts,
-    * in exact ppm: Σ|1000·x_t − f_t| and Σ1000·x_t are integer sums,
-    * mape_ppm their floor-div ratio. The number that decides whether
-    * the trend line is a capacity-planning input or just a chart
-    * decoration. Same bounded-series HOF fold as q208; same
-    * floor(x/4.0) division (the trend — and hence the error — can go
-    * negative). */
+    * is the WEIGHTED absolute percentage error of those honest
+    * forecasts, in exact ppm: wape_ppm = Σ|1000·x_t − f_t| div
+    * Σ1000·x_t (WAPE, the volume-weighted form — NOT per-day-averaged
+    * MAPE, which would let a near-zero-volume day's huge percentage
+    * error dominate; both sums are exact integers). The number that
+    * decides whether the trend line is a capacity-planning input or
+    * just a chart decoration. Engine side rides [[holtSeries]], the
+    * ONE fold q208 draws too. */
   val forecastBacktest: Q = Q(
     "q211_forecast_backtest",
     """WITH RECURSIVE d AS (
@@ -667,41 +681,17 @@ object CurationQueries {
       |       CAST(sum(abs(n * 1000 - f)) AS BIGINT) AS abs_err_milli,
       |       (1000000 * CAST(sum(abs(n * 1000 - f)) AS BIGINT))
       |         // CAST(sum(CASE WHEN f IS NOT NULL THEN n * 1000 END)
-      |                AS BIGINT) AS mape_ppm
+      |                AS BIGINT) AS wape_ppm
       |FROM r GROUP BY 1""".stripMargin
   ) { (s, dir) =>
-    val daily = t(s, dir, "events")
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
-    val empty = array().cast("array<struct<l:bigint,b:bigint,f:bigint>>")
-    def floorDiv4(x: org.apache.spark.sql.Column) =
-      floor(x.cast("double") / lit(4.0)).cast("long")
-    daily.groupBy("event_type")
-      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("sd"))
-      .withColumn("ns", transform(col("sd"), x => x.getField("n")))
-      .withColumn("hs", aggregate(col("ns"), empty, (acc, x) => {
-        val prev = element_at(acc, -1)
-        val f = prev.getField("l") + prev.getField("b")
-        val l = floorDiv4(x * 1000 + lit(3L) * f)
-        val b = floorDiv4(l - prev.getField("l") +
-          lit(3L) * prev.getField("b"))
-        concat(acc, array(
-          when(size(acc) === 0,
-            struct((x * 1000).cast("long").as("l"), lit(0L).as("b"),
-              lit(null).cast("long").as("f")))
-            .otherwise(struct(l.as("l"), b.as("b"), f.as("f")))))
-      }))
-      .select(col("event_type"), col("ns"),
-        posexplode(col("hs")).as(Seq("pos", "h")))
-      .select(col("event_type"),
-        (element_at(col("ns"), col("pos") + 1) * 1000).as("x_milli"),
-        col("h.f").as("f"))
+    holtSeries(s, dir)
+      .select(col("event_type"), (col("n") * 1000).as("x_milli"), col("f"))
       .groupBy("event_type")
       .agg(count(col("f")).as("n_forecasts"),
         sum(abs(col("x_milli") - col("f"))).as("abs_err_milli"),
         sum(when(col("f").isNotNull, col("x_milli"))).as("sx"))
       .select(col("event_type"), col("n_forecasts"), col("abs_err_milli"),
-        expr("(1000000 * abs_err_milli) div sx").as("mape_ppm"))
+        expr("(1000000 * abs_err_milli) div sx").as("wape_ppm"))
   }
 
   /** q210: ANOMALY CONSENSUS — q131's windowed z-test and q144's MAD

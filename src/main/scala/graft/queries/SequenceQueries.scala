@@ -89,7 +89,19 @@ object SequenceQueries {
       |       (SELECT CAST(count(*) AS BIGINT) FROM p)
       |         AS n_view_click_purchase""".stripMargin
   ) { (s, dir) =>
-    val ev = t(s, dir, "events")
+    val (v, c, p) = funnelChain(t(s, dir, "events"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_view_click"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_view_click_purchase"))))
+  }
+
+  /** The q185 first-reach chain shared with q203: (v, c, p) frames
+    * with each user's first qualifying timestamp per stage (t1/t2/t3).
+    * ONE implementation of the funnel contract (step names, 7-day
+    * window, strict-after / within boundaries) so a rule change cannot
+    * leave the latency view computing a different funnel than the
+    * count view. */
+  private def funnelChain(ev: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     def firstReach(prev: DataFrame, prevTs: String, step: String,
         outTs: String): DataFrame =
       ev.filter(col("event_type") === step)
@@ -101,9 +113,7 @@ object SequenceQueries {
       .groupBy("user_id").agg(min(col("ts")).as("t1"))
     val c = firstReach(v, "t1", "click", "t2")
     val p = firstReach(c, "t2", "purchase", "t3")
-    v.agg(count(lit(1)).as("n_view"))
-      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_view_click"))))
-      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_view_click_purchase"))))
+    (v, c, p)
   }
 
   /** q186: event-type transition matrix — consecutive (prev → next)
@@ -248,18 +258,7 @@ object SequenceQueries {
       |       CAST(count(*) AS BIGINT) AS n_users
       |FROM dt GROUP BY 1""".stripMargin
   ) { (s, dir) =>
-    val ev = t(s, dir, "events")
-    def firstReach(prev: DataFrame, prevTs: String, step: String,
-        outTs: String): DataFrame =
-      ev.filter(col("event_type") === step)
-        .join(prev, Seq("user_id"))
-        .filter(col("ts") > col(prevTs) &&
-          col("ts") <= col(prevTs) + expr("INTERVAL 7 DAY"))
-        .groupBy("user_id").agg(min(col("ts")).as(outTs))
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("ts")).as("t1"))
-    val c = firstReach(v, "t1", "click", "t2")
-    val p = firstReach(c, "t2", "purchase", "t3")
+    val (v, _, p) = funnelChain(t(s, dir, "events"))
     p.join(v, Seq("user_id"))
       // Column./ is DOUBLE division — `div` keeps the bucket id an
       // exact BIGINT like the oracle's `//`

@@ -75,9 +75,11 @@ object StatQueries {
       |      FROM x)
       |SELECT n_docs, n_src, n_lang,
       |       (n_src - 1) * (n_lang - 1) AS dof, chi2_u6,
-      |       CAST(round(sqrt((chi2_u6 / 1000000.0)
-      |            / (n_docs * least(n_src - 1, n_lang - 1))) * 1000000)
-      |            AS BIGINT) AS cramers_v_ppm
+      |       CASE WHEN least(n_src - 1, n_lang - 1) = 0
+      |            THEN CAST(NULL AS BIGINT)
+      |            ELSE CAST(round(sqrt((chi2_u6 / 1000000.0)
+      |              / (n_docs * least(n_src - 1, n_lang - 1))) * 1000000)
+      |              AS BIGINT) END AS cramers_v_ppm
       |FROM s""".stripMargin
   ) { (s, dir) =>
     chiSquareReport(t(s, dir, "documents").select("source", "lang"),
@@ -112,9 +114,15 @@ object StatQueries {
         col("nb").as(nbName),
         ((col("na") - 1) * (col("nb") - 1)).as("dof"),
         col("chi2_u6"),
-        round(sqrt((col("chi2_u6") / 1000000.0)
-            / (col("n") * least(col("na") - 1, col("nb") - 1)))
-          * 1000000).cast(LongType).as("cramers_v_ppm"))
+        // a one-category dimension makes V's denominator 0 (and chi²
+        // 0): sqrt(0/0) is NaN, which Spark's cast and DuckDB's cast
+        // treat differently — the degenerate table reports NULL V on
+        // both engines instead
+        when(least(col("na") - 1, col("nb") - 1) === 0,
+          lit(null).cast(LongType))
+          .otherwise(round(sqrt((col("chi2_u6") / 1000000.0)
+              / (col("n") * least(col("na") - 1, col("nb") - 1)))
+            * 1000000).cast(LongType)).as("cramers_v_ppm"))
   }
 
   /** q195: Cohen's kappa between two INDEPENDENT quality gates — the
@@ -216,9 +224,9 @@ object StatQueries {
       |        CAST(count(*) AS DECIMAL(38,0)) AS n,
       |        sum(CAST(x AS DECIMAL(38,0))) AS sx,
       |        sum(CAST(y AS DECIMAL(38,0))) AS sy,
-      |        sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
-      |        sum(CAST(y * y AS DECIMAL(38,0))) AS syy,
-      |        sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
+      |        sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+      |        sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
+      |        sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy
       |      FROM p GROUP BY 1, 2)
       |SELECT event_type, CAST(lag_k AS BIGINT) AS lag_k,
       |       CAST(n AS BIGINT) AS n_pairs,
@@ -242,12 +250,17 @@ object StatQueries {
       .withColumn("rn_b", col("rn") + col("lag_k"))
       .join(rk.select(col("event_type"), col("rn").as("rn_b"),
         col("x").as("y")), Seq("event_type", "rn_b"))
+    // operands cast to decimal BEFORE the multiply: counts at the
+    // 10^12-events/day scale square past BIGINT, and a wrapped product
+    // inside the cast would sum silently wrong ((19,0)×(19,0) widens
+    // to an exact (38,0) product on both engines)
+    val d19 = "decimal(19,0)"
     val m = p.groupBy("event_type", "lag_k")
       .agg(count(lit(1)).cast(d38).as("n"),
         sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
-        sum((col("x") * col("x")).cast(d38)).as("sxx"),
-        sum((col("y") * col("y")).cast(d38)).as("syy"),
-        sum((col("x") * col("y")).cast(d38)).as("sxy"))
+        sum(col("x").cast(d19) * col("x").cast(d19)).as("sxx"),
+        sum(col("y").cast(d19) * col("y").cast(d19)).as("syy"),
+        sum(col("x").cast(d19) * col("y").cast(d19)).as("sxy"))
     m.filter(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
         col("n") * col("syy") - col("sy") * col("sy") > 0)
       .select(col("event_type"), col("lag_k"), col("n").cast(LongType).as("n_pairs"),
@@ -262,7 +275,9 @@ object StatQueries {
     * level most plausibly shifted (Page 1954's cumulative-sum test in
     * its scan-statistic form). Kept EXACT by scaling out the mean's
     * division: S_k = prefix_k − k·mean peaks where |n·prefix_k −
-    * k·total| does, an all-BIGINT argmax (ties break to the earliest
+    * k·total| does — an exact-integer argmax with the products run in
+    * DECIMAL(19,0)× (a decade of 10^12-events/day days pushes them
+    * past BIGINT; ties break to the earliest
     * day, both engines). Windows partition by event type over the
     * calendar-bounded daily series — nothing global, nothing float. */
   val cusumChangepoint: Q = Q(
@@ -281,7 +296,8 @@ object StatQueries {
       |             CAST(sum(x) AS BIGINT) AS tot
       |      FROM dc GROUP BY 1),
       |sc AS (SELECT w.event_type, w.day,
-      |              abs(t.n * w.pre - w.k * t.tot) AS dev
+      |              abs(CAST(t.n AS DECIMAL(19,0)) * w.pre
+      |                  - CAST(w.k AS DECIMAL(19,0)) * t.tot) AS dev
       |       FROM w JOIN t USING (event_type)),
       |mx AS (SELECT event_type, max(dev) AS max_dev FROM sc GROUP BY 1)
       |SELECT sc.event_type, min(sc.day) AS cp_day,
@@ -301,9 +317,16 @@ object StatQueries {
       row_number().over(win).cast(LongType).as("k"))
     val tot = dc.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("x")).as("tot"))
+    // the n·prefix and k·total products run in decimal: a decade of
+    // 10^12-events/day days pushes them past BIGINT, and a silent wrap
+    // would elect the wrong argmax (the reported dev_scaled column
+    // stays BIGINT — it overflows only when the products exceed
+    // 9.2·10^18, where the cast fails LOUDLY instead of wrapping)
+    val d19 = "decimal(19,0)"
     val sc = w.join(broadcast(tot), Seq("event_type"))
       .select(col("event_type"), col("day"),
-        abs(col("n") * col("pre") - col("k") * col("tot")).as("dev"),
+        abs(col("n").cast(d19) * col("pre")
+          - col("k").cast(d19) * col("tot")).as("dev"),
         col("n"))
     val mx = sc.groupBy("event_type").agg(max(col("dev")).as("max_dev"))
     sc.join(broadcast(mx), Seq("event_type"))
@@ -311,7 +334,8 @@ object StatQueries {
       .groupBy(col("event_type"), col("max_dev").as("dev_scaled"),
         col("n").as("n_days"))
       .agg(min(col("day")).as("cp_day"))
-      .select("event_type", "cp_day", "dev_scaled", "n_days")
+      .select(col("event_type"), col("cp_day"),
+        col("dev_scaled").cast(LongType).as("dev_scaled"), col("n_days"))
   }
 
   /** q200: full referential-integrity audit — orphan rows AND distinct
@@ -474,9 +498,11 @@ object StatQueries {
       |      FROM x)
       |SELECT n_obs, n_versions, n_sources,
       |       (n_versions - 1) * (n_sources - 1) AS dof, chi2_u6,
-      |       CAST(round(sqrt((chi2_u6 / 1000000.0)
-      |            / (n_obs * least(n_versions - 1, n_sources - 1)))
-      |            * 1000000) AS BIGINT) AS cramers_v_ppm
+      |       CASE WHEN least(n_versions - 1, n_sources - 1) = 0
+      |            THEN CAST(NULL AS BIGINT)
+      |            ELSE CAST(round(sqrt((chi2_u6 / 1000000.0)
+      |              / (n_obs * least(n_versions - 1, n_sources - 1)))
+      |              * 1000000) AS BIGINT) END AS cramers_v_ppm
       |FROM s""".stripMargin
   ) { (s, dir) =>
     val emptyS = array().cast("array<string>")

@@ -295,7 +295,7 @@ object VersioningQueries {
       |SELECT item, CAST(count(*) AS BIGINT) AS n_triangles
       |FROM m GROUP BY 1""".stripMargin
   ) { (s, dir) =>
-    Centrality.triangleCounts(CoOccurrence.pairs(
+    Centrality.triangleCounts(CoOccurrence.pairCounts(
       t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
       "l_orderkey", "l_partkey", minShared = 2))
   }
@@ -332,19 +332,12 @@ object VersioningQueries {
       |FROM deg LEFT JOIN tc USING (item)
       |WHERE deg.deg >= 2""".stripMargin
   ) { (s, dir) =>
-    val e = CoOccurrence.pairs(
+    Centrality.triangleCountsWithDegrees(CoOccurrence.pairCounts(
         t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
-        "l_orderkey", "l_partkey", minShared = 2)
-      .select("item_a", "item_b").localCheckpoint(true)
-    val deg = e.select(col("item_a").as("item"))
-      .unionByName(e.select(col("item_b").as("item")))
-      .groupBy("item").agg(count(lit(1)).as("deg"))
-    deg.filter(col("deg") >= 2)
-      .join(Centrality.triangleCounts(e), Seq("item"), "left")
-      .select(col("item"), col("deg"),
-        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
-        expr("(2000000 * coalesce(n_triangles, 0)) div (deg * (deg - 1))")
-          .as("cc_ppm"))
+        "l_orderkey", "l_partkey", minShared = 2))
+      .filter(col("deg") >= 2)
+      .select(col("item"), col("deg"), col("n_triangles"),
+        expr("(2000000 * n_triangles) div (deg * (deg - 1))").as("cc_ppm"))
   }
 
   val all: Seq[Q] = Seq(snapshotDiff, snapshotDriftReport, weightedSample,
