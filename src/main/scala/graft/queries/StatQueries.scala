@@ -90,7 +90,7 @@ object StatQueries {
     * (aCol, bCol) observation table; returns the one-row report with
     * caller-named count columns. See q194's scaladoc for the grid +
     * micro-quantization exactness argument. */
-  private def chiSquareReport(d: DataFrame, aCol: String, bCol: String,
+  private[graft] def chiSquareReport(d: DataFrame, aCol: String, bCol: String,
       nName: String, naName: String, nbName: String): DataFrame = {
     val o = d.groupBy(aCol, bCol).agg(count(lit(1)).as("o"))
     val r = d.groupBy(aCol).agg(count(lit(1)).as("rtot"))

@@ -284,6 +284,21 @@ class TextIndexSpec extends SparkSpec {
     assert(e3.getMessage.contains("NULL doc_id"))
   }
 
+  test("booleanBm25: a query term absent from the corpus empties that query, not just weakens it") {
+    import spark.implicits._
+    val root = tmp("tidx-bool")
+    TextIndex.ensure(docs, root)
+    val qt = Seq((1L, "spark"), (2L, "spark"), (2L, "zzz_not_a_word"))
+      .toDF("query_id", "term")
+    val got = TextIndex.booleanBm25(spark, root, qt, k = 5)
+    // query 1 (known term) returns hits; query 2's unknown term has no
+    // posting row, so the matched-term count can never reach the query
+    // size — conjunctive semantics demand ZERO rows, not "ignore the
+    // unknown term and rank by the rest"
+    assert(got.filter(col("query_id") === 1L).count() > 0)
+    assert(got.filter(col("query_id") === 2L).count() === 0)
+  }
+
   test("append/upsert against a pre-v3 root (no forward index) fail with the designed rebuild message") {
     import spark.implicits._
     val root = tmp("tidx-prev3")
