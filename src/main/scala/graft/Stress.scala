@@ -280,6 +280,26 @@ object Stress {
           wins, "lo", "hi", binWidth = 2L * step)
         .groupBy("window_id").agg(count(lit(1)).as("n"))
     }
+    stage("triangle_counts") {
+      // q199's operator on a graph built to punish naive wedge
+      // enumeration: a K4 per 4-doc group (constant local structure —
+      // per-node triangle count is scale-INVARIANT) plus ONE global
+      // hub adjacent to every group. The hub's degree grows linearly
+      // with the corpus, so an unoriented wedge build would fan out
+      // |groups|² pairs at it; under the degree-ordered orientation
+      // every hub edge points INTO the hub (it is the (degree, id)-
+      // maximal endpoint), so it fans out ZERO wedges — the curve
+      // staying linear IS the hub-safety argument, measured.
+      val ids = corpus.select(col("doc_id").as("v"))
+        .withColumn("fam", expr("v div 4")).localCheckpoint(true)
+      val k4 = ids.as("a").join(ids.as("b"),
+          col("a.fam") === col("b.fam") && col("a.v") < col("b.v"))
+        .select(col("a.v").as("item_a"), col("b.v").as("item_b"))
+      val hub = ids.filter(expr("v % 4 = 0"))
+        .select(lit(-1L).as("item_a"), col("v").as("item_b"))
+      graft.operators.Centrality.triangleCountsWithDegrees(
+        k4.unionByName(hub))
+    }
     stage("positional_postings") {
       // TextIndex.build's dominant stage (the per-term posting-list
       // collect): shuffle bytes scale with token count; the family-
