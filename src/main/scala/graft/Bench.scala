@@ -75,6 +75,13 @@ object Bench {
             errors += name -> e.toString
               .replaceAll("[\\\\\"\\n\\r]", " ").take(200)
             -1.0
+        } finally {
+          // release the blocks THIS query pinned (eager localCheckpoints
+          // etc.) so later queries measure themselves, not accumulated
+          // block-manager eviction pressure — the r9 driver record's
+          // q91 15.29s-in-process / 0.98s-isolated spread was exactly
+          // this residue landing on the late lexical tail
+          GraftSession.releaseCaches(spark)
         }
       name -> t
     }
@@ -98,40 +105,50 @@ object Bench {
       (json + "\n").getBytes(StandardCharsets.UTF_8))
     println(json)
     // compact trailer, printed LAST and SELF-CONTAINED: the complete
-    // per-query map (bare query numbers, integer centiseconds; -1 =
-    // failed) must fit whole inside the driver's 2000-char log-tail
-    // window TOGETHER with sbt's trailing [success]/[error] line.
-    // Error MESSAGES stay in the full first line and bench_out.json;
-    // the trailer carries only the failed query numbers (an array), so
-    // a failure-heavy run cannot blow the budget — the r8 trailer's
-    // per-error strings could. If the registry outgrows centiseconds
-    // (~220 queries), degrade to deciseconds rather than truncate.
+    // per-query map (bare query numbers, integer times; -1 = failed)
+    // must fit whole inside the driver's 2000-char log-tail window
+    // TOGETHER with sbt's trailing [success]/[error] line. Error
+    // MESSAGES stay in the full first line and bench_out.json; the
+    // trailer carries only the failed query numbers (an array), so a
+    // failure-heavy run cannot blow the budget — the r8 trailer's
+    // per-error strings could. Degradation ladder as the registry
+    // grows (centiseconds overflowed at 211 queries, r9): centisec →
+    // decisec → whole seconds → finally DROP the per-query map and
+    // keep only the totals + failed query numbers, so the line that
+    // prints always fits and always parses — never a truncated tail.
+    println(compactTrailer(results, errors, total, filteredTag, sfDir))
+    spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
+  }
+
+  /** Budget for the compact trailer: the driver archives a 2000-char
+    * tail; leave room for sbt's closing [success]/[error] line. */
+  val TrailerBudget = 1900
+
+  private[graft] def compactTrailer(results: Seq[(String, Double)],
+      errors: Map[String, String], total: Double, filteredTag: String,
+      sfDir: String): String = {
     def qnum(name: String): String = name.takeWhile(_ != '_').drop(1)
-    def trailer(scale: Int, unit: String): String = {
-      val qs = results
-        .map { case (k, v) =>
-          "\"" + qnum(k) + "\":" + (if (v < 0) -1 else math.round(v * scale)) }
-        .mkString("{", ",", "}")
-      val errQs = errors.keys.toSeq.sorted
-        .map("\"" + qnum(_) + "\"").mkString("[", ",", "]")
+    val errQs = errors.keys.toSeq.sorted
+      .map("\"" + qnum(_) + "\"").mkString("[", ",", "]")
+    def trailer(qs: String, unit: String): String =
       f"""{"total":$total%.2f,"n_queries":${results.size},""" +
         s""""n_errors":${errors.size},"unit":"$unit",""" +
         s""""queries":$qs,"errors":$errQs$filteredTag,""" +
         s""""sf":"${Paths.get(sfDir).getFileName}"}"""
+    def withScale(scale: Int, unit: String): String = trailer(
+      results.map { case (k, v) =>
+        "\"" + qnum(k) + "\":" + (if (v < 0) -1 else math.round(v * scale)) }
+        .mkString("{", ",", "}"),
+      unit)
+    val ladder = Seq(withScale(100, "centisec"), withScale(10, "decisec"),
+      withScale(1, "sec"), trailer("{}", "omitted"))
+    ladder.find(_.length <= TrailerBudget).getOrElse {
+      // unreachable in practice (the map-free form is a few hundred
+      // chars), but never print an over-budget line that truncates
+      System.err.println("[bench] WARNING: even the map-free trailer " +
+        "exceeds the tail budget — emitting it anyway")
+      ladder.last
     }
-    val budget = 1900 // 2000-char tail minus sbt's closing line
-    val t1 = trailer(100, "centisec")
-    val line =
-      if (t1.length <= budget) t1
-      else {
-        val t2 = trailer(10, "decisec")
-        if (t2.length > budget) System.err.println(
-          s"[bench] WARNING: compact trailer ${t2.length} chars exceeds " +
-            s"the $budget-char tail budget even at decisec — shrink it")
-        t2
-      }
-    println(line)
-    spark.stop()
-    if (errors.nonEmpty) sys.exit(1)
   }
 }

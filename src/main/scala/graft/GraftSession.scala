@@ -41,4 +41,20 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Release every block the last query pinned: several query fns use
+    * eager `localCheckpoint(true)` to cut iterative lineage (resolve,
+    * PageRank) or pin reused frames, and those checkpoint RDD blocks
+    * stay in the block manager until unpersisted. A long multi-query
+    * run (Bench's 211 queries in one JVM) that never releases them
+    * accumulates block-manager pressure whose eviction cost lands on
+    * whichever queries run LATE — the r9 driver record measured q91 at
+    * 15.29s in-process vs 0.98s isolated for exactly this reason.
+    * Called between Bench queries so each measurement sees a clean
+    * block manager; safe anywhere because graft queries never rely on
+    * cross-query persisted state. */
+  def releaseCaches(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    spark.catalog.clearCache()
+  }
 }

@@ -411,14 +411,27 @@ object LlmQueries {
         .otherwise("small").as("kind"))
   }
 
-  /** Multimodal decode plumbing (STUB codec — see Multimodal.scala):
-    * partition-wise decode to a typed schema + declarative frame
-    * sampling. Rows-only (the stub is JVM-hash-based). */
-  val multimodalDecode: Q = Q.rowsOnly("q34_multimodal_decode") { (s, dir) =>
-    val meta = Multimodal.decodeMeta(s, Multimodal.withPayload(t(s, dir, "documents")))
-    Multimodal.sampleFrames(meta.toDF(), stride = 24)
-      .select(col("doc_id"), col("n_bytes"), col("mime"), col("width"),
-        col("height"), col("n_frames"), size(col("sampled_frames")).as("n_sampled"))
+  /** Multimodal REAL decode (JDK ImageIO — see Multimodal.scala):
+    * encode a content-derived PNG per document, decode it back
+    * partition-wise, report the TRUE raster dimensions. HASH-ORACLED:
+    * the image dimensions are a pure function of `md5(text)` (byte 0 →
+    * width, byte 1 → height), which DuckDB recomputes independently
+    * from the hex digest — a dimension the decoder misreads by one
+    * pixel fails the hash. Payload byte length and pixel means are
+    * DEFLATE-dependent (not SQL-predictable) and are covered by the
+    * encode→decode round-trip spec instead. */
+  val multimodalDecode: Q = Q(
+    "q34_multimodal_decode",
+    """WITH m AS (SELECT doc_id, md5(text) AS d FROM documents)
+      |SELECT doc_id, 'image/png' AS mime,
+      |       8*(1 + ((strpos('0123456789abcdef', substr(d,1,1))-1)*16
+      |               + strpos('0123456789abcdef', substr(d,2,1))-1) % 16) AS width,
+      |       8*(1 + ((strpos('0123456789abcdef', substr(d,3,1))-1)*16
+      |               + strpos('0123456789abcdef', substr(d,4,1))-1) % 12) AS height
+      |FROM m""".stripMargin
+  ) { (s, dir) =>
+    Multimodal.decodeMeta(s, Multimodal.withPayload(t(s, dir, "documents")))
+      .toDF().select(col("doc_id"), col("mime"), col("width"), col("height"))
   }
 
   /** Winnowing rolling-hash fingerprints (SIGMOD'03): near-dup
@@ -503,15 +516,16 @@ object LlmQueries {
         threshold = 0.5, maxDf = 1000))
   }
 
-  /** Multimodal near-dup pipeline end-to-end: payload bytes →
-    * partition-wise feature extraction (hashed byte-4-gram profile;
-    * a learned encoder drops into the same slot) → quantized
-    * embeddings → LSH-bucketed near-dup pairs. The media analog of
-    * text dedup; near-dup payloads land close, identical ones at
-    * cosine 1. Hash-derived features ⇒ rows-only; planted-dup recall
-    * in spec. */
+  /** Multimodal near-dup pipeline end-to-end over REAL PNG payloads:
+    * ImageIO-encoded payload bytes → partition-wise feature extraction
+    * (hashed byte-4-gram profile; a learned encoder drops into the
+    * same slot) → quantized embeddings → LSH-bucketed near-dup pairs.
+    * The media analog of text dedup: identical payloads land at cosine
+    * 1, and the high-entropy PNG streams keep distinct payloads
+    * near-orthogonal. Hash-derived features ⇒ rows-only; planted-dup
+    * recall in spec. */
   val multimodalNeardup: Q = Q.rowsOnly("q45_multimodal_neardup") { (s, dir) =>
-    val emb = Multimodal.embedStub(s, Multimodal.withPayload(t(s, dir, "documents")))
+    val emb = Multimodal.embedBytes(s, Multimodal.withPayload(t(s, dir, "documents")))
     graft.operators.Similarity.neardupPairsLsh(
       graft.operators.Similarity.quantize(emb, "embedding", "doc_id"),
       threshold = 0.9)

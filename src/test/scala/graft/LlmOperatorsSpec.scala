@@ -155,15 +155,15 @@ class LlmOperatorsSpec extends SparkSpec {
     import graft.operators.{Multimodal, Similarity}
     val docs = graft.sources.Tables.load(spark, sf, "documents")
       .select("doc_id", "text")
-    // plant: byte-identical copies under new ids — identical payloads
-    // must produce identical stub embeddings, hence cosine-1 pairs
+    // plant: byte-identical copies under new ids — identical text means
+    // an identical encoded PNG, hence identical fingerprints (cosine 1)
     val planted = docs.filter(col("doc_id") < 20)
       .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-    val emb = Multimodal.embedStub(spark,
+    val emb = Multimodal.embedBytes(spark,
       Multimodal.withPayload(docs.unionAll(planted)))
     // determinism: same payload, same embedding across runs
     val e1 = emb.filter(col("doc_id") === 0).collect().head.getSeq[Float](1)
-    val e2 = Multimodal.embedStub(spark, Multimodal.withPayload(docs))
+    val e2 = Multimodal.embedBytes(spark, Multimodal.withPayload(docs))
       .filter(col("doc_id") === 0).collect().head.getSeq[Float](1)
     assert(e1 == e2)
     val found = Similarity.neardupPairsLsh(
@@ -173,24 +173,80 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(hits == 20, s"multimodal near-dup recall $hits/20: cosine-1 pairs share buckets")
   }
 
-  test("multimodal decode is deterministic, typed, and frame-sampled") {
+  test("multimodal decode round-trip: encoded W×H and pixel content come back exactly") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    import spark.implicits._
+    // two hand-built images with KNOWN pixel content, encoded by
+    // ImageIO in the test: a solid color (means are the color) and a
+    // gradient (means computed by the same loop that fills it) — if
+    // decodeMeta echoed metadata instead of scanning the raster, or
+    // misread a dimension by one pixel, these exact checks fail
+    def png(img: BufferedImage): Array[Byte] = {
+      val b = new ByteArrayOutputStream(); ImageIO.write(img, "png", b); b.toByteArray
+    }
+    val solid = new BufferedImage(37, 21, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 37; y <- 0 until 21) solid.setRGB(x, y, (10 << 16) | (200 << 8) | 77)
+    val grad = new BufferedImage(64, 32, BufferedImage.TYPE_INT_RGB)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    for (x <- 0 until 64; y <- 0 until 32) {
+      val (r, g, b) = (x % 256, (y * 7) % 256, (x + y) % 256)
+      sr += r; sg += g; sb += b
+      grad.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val n = 64L * 32
+    val payloads = Seq((1L, png(solid)), (2L, png(grad)),
+      (3L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val meta = Multimodal.decodeMeta(spark, payloads)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).width == 37 && meta(1L).height == 21)
+    assert((meta(1L).mean_r, meta(1L).mean_g, meta(1L).mean_b) == ((10, 200, 77)))
+    assert(meta(1L).mime == "image/png")
+    assert(meta(2L).width == 64 && meta(2L).height == 32)
+    assert((meta(2L).mean_r.toLong, meta(2L).mean_g.toLong, meta(2L).mean_b.toLong)
+      == ((sr / n, sg / n, sb / n)))
+    // undecodable bytes degrade to a typed "unknown" row, never a crash
+    assert(meta(3L).width == -1 && meta(3L).mime == "application/octet-stream")
+  }
+
+  test("corpus payloads are real PNGs whose decoded dims match the md5 contract") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val withP = Multimodal.withPayload(docs)
+    // n_bytes is the true encoded length and every payload carries the
+    // PNG signature
+    assert(withP.filter(octet_length(col("payload")) =!= col("n_bytes")).count() == 0)
+    assert(withP.filter(hex(substring(col("payload"), 1, 4)) =!= lit("89504E47")).count() == 0)
+    // decoded dims == the md5-derived params q34's oracle recomputes,
+    // for every document (a full encode→decode round trip on the corpus)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val meta = Multimodal.decodeMeta(spark, withP).collect()
+    assert(meta.length == texts.size)
+    meta.foreach { m =>
+      val (w, h, _) = Multimodal.imageParams(texts(m.doc_id))
+      assert(m.width == w && m.height == h,
+        s"doc ${m.doc_id}: decoded ${m.width}x${m.height}, encoded ${w}x$h")
+      assert(m.mime == "image/png")
+    }
+    // determinism across runs (same text → byte-identical PNG → same
+    // decode), the property q34's hash oracle rides on
     val run1 = Registry.byName("q34_multimodal_decode").fn(spark, sf).collect()
     val run2 = Registry.byName("q34_multimodal_decode").fn(spark, sf).collect()
     assert(run1.toSet == run2.toSet)
-    run1.foreach { r: Row =>
-      val frames = r.getAs[Int]("n_frames")
-      val sampled = r.getAs[Int]("n_sampled")
-      assert(sampled == (frames + 23) / 24,
-        s"doc ${r.getAs[Long]("doc_id")}: $frames frames, $sampled sampled")
-      assert(r.getAs[Int]("width") % 160 == 0)
-    }
   }
 
-  test("payload metadata matches the source text bytes") {
-    val docs = graft.sources.Tables.load(spark, sf, "documents")
-    val bad = Multimodal.withPayload(docs)
-      .filter(octet_length(col("payload")) =!= col("n_bytes")).count()
-    assert(bad == 0)
+  test("frame sampling over declared video metadata: every stride-th index") {
+    import spark.implicits._
+    val meta = Seq((1L, 240), (2L, 24), (3L, 1), (4L, 25))
+      .toDF("doc_id", "n_frames")
+    val rows = Multimodal.sampleFrames(meta, stride = 24)
+      .select(col("doc_id"), col("sampled_frames")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(rows(1L) == (0 until 240 by 24).toSeq)
+    assert(rows(2L) == Seq(0))
+    assert(rows(3L) == Seq(0))
+    assert(rows(4L) == Seq(0, 24))
   }
 
   test("DotProductL (codegen) equals the declarative zip_with/aggregate dot") {
@@ -223,28 +279,43 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(self.forall(_.getInt(0) == 64))
   }
 
-  test("multimodal resize slot: deterministic, scaled payload, truthful dims") {
+  test("multimodal resize: real rescale with aspect-true dims, deterministic, corrupt-safe") {
     import graft.operators.Multimodal
-    val payloads = Multimodal.withPayload(
-      graft.sources.Tables.load(spark, sf, "documents").limit(50))
-    val resized = Multimodal.resizeStub(spark, payloads, targetWidth = 320)
+    val docs = graft.sources.Tables.load(spark, sf, "documents").limit(50)
+    val payloads = Multimodal.withPayload(docs)
+    val src = Multimodal.decodeMeta(spark, payloads).collect()
+      .map(m => m.doc_id -> m).toMap
+    val resized = Multimodal.resizePng(spark, payloads, targetWidth = 320)
     val rows = resized.collect()
     assert(rows.length == 50)
-    assert(rows.forall(_.getAs[Int]("width") == 320))
-    assert(rows.forall(_.getAs[Int]("height") == 180))
-    assert(rows.forall(_.getAs[Array[Byte]]("payload").nonEmpty))
+    rows.foreach { r =>
+      val m = src(r.getLong(0))
+      val expH = math.max(1, math.round(m.height.toDouble * 320 / m.width).toInt)
+      assert(r.getAs[Int]("width") == 320)
+      assert(r.getAs[Int]("height") == expH,
+        s"doc ${r.getLong(0)}: ${m.width}x${m.height} → 320 expects h=$expH, " +
+          s"got ${r.getAs[Int]("height")}")
+    }
+    // the OUTPUT payload is itself a decodable PNG of the claimed dims
+    val roundTrip = Multimodal.decodeMeta(spark,
+      resized.select("doc_id", "payload")).collect()
+    assert(roundTrip.forall(m => m.width == 320 &&
+      m.height == math.max(1, math.round(src(m.doc_id).height.toDouble * 320 /
+        src(m.doc_id).width).toInt)))
     // deterministic: same input, same bytes
-    val again = Multimodal.resizeStub(spark, payloads, targetWidth = 320)
+    val again = Multimodal.resizePng(spark, payloads, targetWidth = 320)
       .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload").toSeq)).toMap
     assert(rows.forall(r =>
       again(r.getLong(0)) == r.getAs[Array[Byte]]("payload").toSeq))
-    // empty payload passes through instead of indexing bytes(-1)
+    // empty/corrupt payloads pass through with 0x0 dims, never a crash
     import spark.implicits._
-    val empty = Multimodal.resizeStub(spark,
-      Seq((99L, Array.empty[Byte])).toDF("doc_id", "payload"), targetWidth = 320)
-      .collect()
-    assert(empty.length == 1 &&
-      empty(0).getAs[Array[Byte]]("payload").isEmpty)
+    val bad = Multimodal.resizePng(spark,
+      Seq((99L, Array.empty[Byte]), (98L, Array[Byte](9, 9, 9)))
+        .toDF("doc_id", "payload"), targetWidth = 320)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Array[Byte]]("payload").toSeq, r.getAs[Int]("width")))).toMap
+    assert(bad(99L) == ((Seq.empty[Byte], 0)))
+    assert(bad(98L) == ((Seq[Byte](9, 9, 9), 0)))
   }
 
   test("MaxMultiplicity counts the densest element in one pass") {
