@@ -343,6 +343,13 @@ object TextIndex {
       require(chk.getLong(1) == 0,
         s"upsert batch has ${chk.getLong(1)} duplicate doc_id rows — " +
           "collapse last-wins first")
+      // NOTE on join strategy: ids/affectedTerms are batch-derived and
+      // batch-SIZED — a KTable-style re-feed can make them arbitrarily
+      // large, so none of the joins below carries a broadcast() hint (an
+      // explicit hint forces a driver-side collect that OOMs on a big
+      // batch). The frames are localCheckpoint-ed, so AQE sees their
+      // TRUE sizes and picks broadcast for the common small batch while
+      // degrading gracefully to a shuffle join for a bulk re-feed.
       val ids = docs.select("doc_id").localCheckpoint(true)
       val live = docs.filter(col("text").isNotNull)
         .select("doc_id", "text").localCheckpoint(true)
@@ -353,7 +360,7 @@ object TextIndex {
         .filter(col("dbucket").isin(touchedD.map(Integer.valueOf): _*))
         .localCheckpoint(true)
       val oldMine = fwdTouched
-        .join(broadcast(ids), Seq("doc_id"), "left_semi")
+        .join(ids, Seq("doc_id"), "left_semi")
         .localCheckpoint(true)
       val newRows = postingRows(live).localCheckpoint(true)
       // AFFECTED terms: every term any upserted doc's OLD version
@@ -379,11 +386,11 @@ object TextIndex {
         // or new), so their posting lists cannot mention an upserted id
         // and no new postings will merge into them
         val pass = existing
-          .join(broadcast(affectedTerms), Seq("term"), "left_anti")
+          .join(affectedTerms, Seq("term"), "left_anti")
         val stripped = existing
-          .join(broadcast(affectedTerms), Seq("term"), "left_semi")
+          .join(affectedTerms, Seq("term"), "left_semi")
           .select(col("term"), explode(col("postings")).as("p"))
-          .join(broadcast(ids.select(col("doc_id").as("__uid"))),
+          .join(ids.select(col("doc_id").as("__uid")),
             col("p.doc_id") === col("__uid"), "left_anti")
           .groupBy("term")
           .agg(count(lit(1)).cast("long").as("df"),
@@ -399,7 +406,7 @@ object TextIndex {
       // forward index: touched dbuckets minus upserted ids, plus the
       // live replacements' rows
       val newFwd = fwdRows(live).localCheckpoint(true)
-      fwdTouched.join(broadcast(ids), Seq("doc_id"), "left_anti")
+      fwdTouched.join(ids, Seq("doc_id"), "left_anti")
         .select("doc_id", "dl", "terms", "dbucket")
         .write.mode("overwrite").parquet(fwdStaging)
       newFwd.select("doc_id", "dl", "terms", "dbucket")

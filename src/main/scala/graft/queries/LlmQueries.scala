@@ -522,10 +522,18 @@ object LlmQueries {
     * same slot) → quantized embeddings → LSH-bucketed near-dup pairs.
     * The media analog of text dedup: identical payloads land at cosine
     * 1, and the high-entropy PNG streams keep distinct payloads
-    * near-orthogonal. Hash-derived features ⇒ rows-only; planted-dup
-    * recall in spec. */
+    * near-orthogonal. The ingest models the case the operator exists
+    * for — RE-UPLOADED media: a fixed slice of payloads re-arrives
+    * under offset ids (re-sends are the norm in real feeds; the corpus
+    * itself carries byte-identical text pairs only at sf0.1), and the
+    * pipeline must recover every re-send pair. Hash-derived features ⇒
+    * rows-only; planted-dup recall floor in spec. */
   val multimodalNeardup: Q = Q.rowsOnly("q45_multimodal_neardup") { (s, dir) =>
-    val emb = Multimodal.embedBytes(s, Multimodal.withPayload(t(s, dir, "documents")))
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val resent = docs.filter(col("doc_id") < 25)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+    val emb = Multimodal.embedBytes(s,
+      Multimodal.withPayload(docs.unionByName(resent)))
     graft.operators.Similarity.neardupPairsLsh(
       graft.operators.Similarity.quantize(emb, "embedding", "doc_id"),
       threshold = 0.9)

@@ -204,7 +204,19 @@ object StatQueries {
     * on (type, rn+lag) — no per-lag window pass; moments accumulate in
     * DECIMAL(38,0) exactly as q112's correlation does. Degenerate
     * (zero-variance) series are filtered on the exact integer moments,
-    * identically on both engines. */
+    * identically on both engines.
+    *
+    * GRAIN BOUND (this is the template sub-day-grain series will copy):
+    * the `localCheckpoint(true)` pin + the two-sided reuse of `rk` are
+    * justified ONLY while the ranked series is calendar-bounded (days ×
+    * types — a few thousand rows at any corpus scale). At second/minute
+    * grain the series grows with the time span: drop the eager pin
+    * (let both sides re-derive from the day aggregate) and keep the
+    * event_type-leading hash equi-join, which then shuffles PER SERIES
+    * — the lag fan-out stays 7× and the ranking window stays
+    * key-partitioned, so nothing goes quadratic or global. PlanSpec
+    * asserts the join keys keep event_type first and the only
+    * nested-loop join is the 7-row lag spine broadcast. */
   val acfDaily: Q = Q(
     "q196_acf_daily",
     """WITH dc AS (SELECT event_type,

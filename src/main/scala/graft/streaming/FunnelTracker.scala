@@ -37,7 +37,20 @@ final case class FunnelConversion(userId: Long, t1Us: Long, t2Us: Long,
   *
   * Scale: state is one tiny record per user, partitioned by the
   * grouping key — no global state, no driver loop; identical code
-  * path under batch and Structured Streaming.
+  * path under batch and Structured Streaming. CAVEAT — state keys are
+  * UNBOUNDED: unlike [[EwmaTracker]]'s calendar-bounded (day, type)
+  * keys, one record per ALL-TIME user accumulates on a long-running
+  * stream with churning users (`GroupStateTimeout.NoTimeout` below).
+  * That is not an oversight: the no-re-arm contract (q185's semantics
+  * — the window hangs off the FIRST step-0 event EVER, later events
+  * never re-open it) requires remembering every user who has armed,
+  * because evicting a dead funnel's record would let that user's next
+  * step-0 event re-arm as if first. A deployment that can bound the
+  * funnel's lookback (e.g. a campaign window: "first view AFTER the
+  * campaign start") can safely add a generous state timeout of
+  * lookback + stepTimeout·(steps-1); with no such bound, budget state
+  * at ~one small record per distinct user (RocksDB state store holds
+  * this spilled, so memory is not the limit — store size is).
   */
 object FunnelTracker {
 

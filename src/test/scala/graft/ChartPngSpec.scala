@@ -1,0 +1,139 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+
+import graft.render.ChartPng
+
+/** Engine-side PNG rendering of the byte-exact chart JSON — the hop the
+  * reference delegates to an external REST service
+  * (VisualizationService.java:39-45). Golden-dimensions gates: the PNG
+  * decodes, the canvas is exactly the requested size, each series
+  * leaves pixels of ITS OWN declared color on a transparent background,
+  * and rendering is byte-deterministic. */
+class ChartPngSpec extends SparkSpec {
+
+  private def decode(png: Array[Byte]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    assert(img != null, "renderer emitted an undecodable PNG")
+    img
+  }
+
+  private def colorCount(img: java.awt.image.BufferedImage, r: Int, g: Int, b: Int): Int = {
+    var n = 0
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val p = img.getRGB(x, y)
+      if ((p >>> 24) != 0 && ((p >> 16) & 0xff) == r &&
+        ((p >> 8) & 0xff) == g && (p & 0xff) == b) n += 1
+    }
+    n
+  }
+
+  private def opaqueCount(img: java.awt.image.BufferedImage): Int = {
+    var n = 0
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      if ((img.getRGB(x, y) >>> 24) != 0) n += 1
+    n
+  }
+
+  test("line chart request renders at the default 750x450 with the series color on transparent") {
+    import spark.implicits._
+    val daily = Seq(
+      (java.sql.Date.valueOf("2020-05-01"), "May 01", 10L),
+      (java.sql.Date.valueOf("2020-05-02"), "May 02", 12L),
+      (java.sql.Date.valueOf("2020-05-03"), "May 03", 7L))
+      .toDF("day", "label", "value")
+    val json = graft.serve.ChartPipeline
+      .singleSeries(daily, "doublingrate", "Doubling Rate")
+      .collect().head.getString(1)
+    val png = ChartPng.render(json)
+    val img = decode(png)
+    assert(img.getWidth == 750 && img.getHeight == 450,
+      s"requested 750x450, decoded ${img.getWidth}x${img.getHeight}")
+    // the series is Red rgb(255, 99, 132) with stroke width 3 across the
+    // plot area — hundreds of pixels of exactly that color
+    assert(colorCount(img, 255, 99, 132) > 200, "line series color missing")
+    // transparent background: most of the canvas stays alpha-0
+    val opaque = opaqueCount(img)
+    assert(opaque > 500 && opaque < 750 * 450 / 2,
+      s"$opaque opaque pixels — background must stay transparent")
+    // byte-deterministic (the property dedup/goldens on PNGs ride on)
+    assert(ChartPng.render(json).toSeq == png.toSeq)
+    // different data must render different bytes
+    val json2 = graft.serve.ChartPipeline
+      .singleSeries(daily.withColumn("value", col("value") * 3),
+        "doublingrate", "Doubling Rate")
+      .collect().head.getString(1)
+    assert(ChartPng.render(json2).toSeq != png.toSeq)
+  }
+
+  test("horizontalBar chart renders at its explicit 1000x600 with all three series colors and a title") {
+    import spark.implicits._
+    val deltas = Seq(
+      ("Kerala", 120L, 40L, 3L),
+      ("Delhi", 80L, 30L, 2L),
+      ("Goa", 10L, 5L, 1L))
+      .toDF("state", "deltaConfirmed", "deltaRecovered", "deltaDeaths")
+    val json = graft.serve.ChartPipeline
+      .barChart(deltas, "today", "May 01").collect().head.getString(1)
+    val img = decode(ChartPng.render(json))
+    assert(img.getWidth == 1000 && img.getHeight == 600)
+    // Active grey, Recovered blue, Deaths red — each dataset must leave
+    // bar pixels of its own color
+    assert(colorCount(img, 201, 203, 207) > 50, "Active (grey) bars missing")
+    assert(colorCount(img, 54, 162, 235) > 50, "Recovered (blue) bars missing")
+    assert(colorCount(img, 255, 99, 132) > 10, "Deaths (red) bars missing")
+    // the title band (top rows) carries drawn pixels
+    var topOpaque = 0
+    for (y <- 0 until 24; x <- 0 until img.getWidth)
+      if ((img.getRGB(x, y) >>> 24) != 0) topOpaque += 1
+    assert(topOpaque > 20, "title text missing from the top band")
+  }
+
+  test("multi-series trend renders every ranked series in its rotation color") {
+    import spark.implicits._
+    val longForm = Seq(
+      ("A", java.sql.Date.valueOf("2020-05-01"), "May 01", 5L),
+      ("A", java.sql.Date.valueOf("2020-05-02"), "May 02", 6L),
+      ("B", java.sql.Date.valueOf("2020-05-01"), "May 01", 50L),
+      ("B", java.sql.Date.valueOf("2020-05-02"), "May 02", 60L))
+      .toDF("series", "day", "label", "value")
+    val json = graft.serve.ChartPipeline
+      .multiSeries(longForm, "top5statestrend").collect().head.getString(1)
+    val img = decode(ChartPng.render(json))
+    // rank 1 = B takes Red, rank 2 = A takes Yellow (TrendColors order)
+    assert(colorCount(img, 255, 99, 132) > 100, "rank-1 series (red) missing")
+    assert(colorCount(img, 255, 205, 86) > 100, "rank-2 series (yellow) missing")
+  }
+
+  test("renderCharts is a distributed per-row map emitting one decodable PNG per request") {
+    import spark.implicits._
+    val daily = Seq(
+      (java.sql.Date.valueOf("2020-05-01"), "May 01", 10L),
+      (java.sql.Date.valueOf("2020-05-02"), "May 02", 12L))
+      .toDF("day", "label", "value")
+    val reqs = graft.serve.ChartPipeline
+      .singleSeries(daily, "chart-a", "A")
+      .unionByName(graft.serve.ChartPipeline
+        .singleSeries(daily.withColumn("value", col("value") + 5), "chart-b", "B"))
+    val out = ChartPng.renderCharts(reqs, "key", "value")
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("png")).toMap
+    assert(out.keySet == Set("chart-a", "chart-b"))
+    out.values.foreach { png =>
+      val img = decode(png)
+      assert(img.getWidth == 750 && img.getHeight == 450)
+    }
+    assert(out("chart-a").toSeq != out("chart-b").toSeq)
+  }
+
+  test("color parsing: Chart.js rgb strings, hex forms, unknown falls back to grey") {
+    import java.awt.Color
+    assert(ChartPng.parseColor("rgb(54, 162, 235)") == new Color(54, 162, 235))
+    assert(ChartPng.parseColor("rgb(255,99,132)") == new Color(255, 99, 132))
+    assert(ChartPng.parseColor("#ccc") == new Color(204, 204, 204))
+    assert(ChartPng.parseColor("#1a2b3c") == new Color(26, 43, 60))
+    assert(ChartPng.parseColor("nonsense") == new Color(201, 203, 207))
+  }
+}

@@ -951,6 +951,33 @@ class PlanSpec extends SparkSpec {
       s"$n window not event_type-partitioned: ${s.take(60)}") }
   }
 
+  test("q196: the lag self-join stays a hash EQUI-join on (event_type, rn+lag)") {
+    // the pattern sub-day-grain series will copy (ARCHITECTURE: the
+    // 7-way spine fan-out then ONE self-join) — the join must plan as a
+    // broadcast/shuffled HASH join keyed on the series id, never a
+    // nested-loop or range join, or the fan-out goes quadratic when the
+    // series outgrows day grain
+    val p = plan("q196_acf_daily")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("SortMergeJoin"),
+      "lag pairing lost its hash equi-join: " + p.take(1500))
+    // the hash-join keys are (event_type, rn_b) — the series id leads,
+    // so a sub-day-grain series shuffles/probes per series, never globally
+    val keys = p.linesIterator.dropWhile(!_.startsWith("Left keys"))
+      .take(2).mkString(" ")
+    assert(keys.contains("event_type") && keys.contains("rn_b"),
+      s"equi-join keys lost the series id: $keys")
+    // the ONLY nested-loop join allowed is the 7-row lag-spine
+    // broadcast (Cross with a single-column lag_k build side); the
+    // rk-vs-rk pairing must never degenerate to one
+    // count node DETAIL headers — formatted explain prints every node
+    // once in the tree and once in the details section
+    val bnlj = "(?m)^\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"$bnlj nested-loop joins planned")
+    if (bnlj == 1) assert(p.contains("Input [1]: [lag_k#"),
+      "the nested-loop join is not the 1-column lag spine broadcast")
+  }
+
   test("q134: canonical selection is an arg-max aggregate, not a per-cluster sort") {
     val p = plan("q134_quality_canonical")
     assert(!p.contains("Window"), "q134 ranks with a window")
