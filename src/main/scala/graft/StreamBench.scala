@@ -10,24 +10,28 @@ import graft.core._
 import graft.streaming.DeltaTracker
 
 /** Streaming throughput micro-bench (the r8 verdict's task 4): rows/sec
-  * through the engine's hottest stateful streaming path —
-  * MemoryStream → DeltaTracker.statewise (flatMapGroupsWithState) →
-  * foreachBatch parquet store — at two micro-batch sizes.
+  * through the engine's two hottest stateful streaming paths —
+  * (1) MemoryStream → DeltaTracker.statewise (flatMapGroupsWithState) →
+  * foreachBatch parquet store, and (2, r10) MemoryStream →
+  * IncrementalDedup (durable KeyedStore + bloom gate, the LLM
+  * pipeline's actual streaming workhorse) → novel-rows parquet sink —
+  * each at two micro-batch sizes.
   *
   * The comparison frame is the reference's operational envelope
   * (BASELINE.md: Kafka Streams on 3-8 threads, 10 s commit interval,
   * ≤100-record polls — i.e. designed for ~10-100 records/sec feeds):
-  * the number this main prints is how many rows/sec the SAME topology
-  * (per-key running delta, every input emitting one output) sustains
-  * here, state store + sink write included. MemoryStream feeds from the
-  * driver, so the figure is a single-node envelope — the operator
-  * itself is key-partitioned (state scales with key cardinality across
-  * executors; no global state, no driver loop).
+  * the numbers this main prints are how many rows/sec the SAME
+  * topologies sustain here, state store + sink write included.
+  * MemoryStream feeds from the driver, so the figures are a
+  * single-node envelope — both operators are key-partitioned (state
+  * scales with key cardinality across executors; the dedup store's
+  * per-batch cost is bucket-pruned, not store-sized).
   *
-  * Emits ONE JSON line: {"metric":"stream_rows_per_sec","runs":[...]}.
+  * Emits one JSON line per harness:
+  * {"metric":"stream_rows_per_sec"|"incdedup_rows_per_sec","runs":[…]}.
   * A warmup batch is fed outside the clock (state-store init + codegen
   * JIT dominate a cold first micro-batch). StreamBenchSpec runs the
-  * same harness small and asserts exactly-once row accounting.
+  * same harnesses small and asserts exactly-once row accounting.
   */
 object StreamBench {
 
@@ -92,6 +96,69 @@ object StreamBench {
     } finally q.stop()
   }
 
+  /** One micro-batch of document events with a known duplicate
+    * structure: global row index g takes the TEXT of row (g − g%10 + 3)
+    * when g%10 < 3 — each decade of rows carries one 4-copy text group
+    * + 6 unique texts, so exactly 7 novel documents per decade survive
+    * the dedup (first-wins collapses the copy group to one row).
+    * Batches own disjoint global-index ranges (rows % 10 == 0), so the
+    * expected novel count is exact: 0.7 × rows × batches — the
+    * accounting assertion. Texts lead with the key token (uniqueness is
+    * STRUCTURAL — a vocab-modulus text could collide across decades and
+    * silently shrink the novel count) followed by 19 shared-vocabulary
+    * tokens, deterministic in (i, rows). */
+  def dedupBatch(i: Int, rows: Int): Seq[(Long, String, Long)] = {
+    require(rows % 10 == 0, s"rows must cover whole decades, got $rows")
+    (0 until rows).map { j =>
+      val g = i.toLong * rows + j
+      val key = if (g % 10 < 3) g - g % 10 + 3 else g
+      val text = s"k$key " + (1 until 20)
+        .map(t => "w" + ((key * 31 + t * 7) % 50021)).mkString(" ")
+      (g, text, 1586300000000000L + g)
+    }
+  }
+
+  /** Feed `batches` micro-batches through the full incremental-dedup
+    * topology (in-batch first-wins → bloom gate → bucket-pruned store
+    * probe → novel rows out + fingerprint upsert) and time the
+    * processing, warmup batch excluded. `storedRows` counts the novel
+    * rows the sink persisted for the measured batches — exactly
+    * 0.7 × totalRows by construction. */
+  def runDedup(spark: SparkSession, batchRows: Int, batches: Int,
+      outDir: String): Result = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long)]
+    val novelDir = s"$outDir/novel"
+    val q = graft.streaming.IncrementalDedup.run(
+      ms.toDF().toDF("doc_id", "text", "ts_us"),
+      "doc_id", "text", "ts_us", s"$outDir/store",
+      checkpointLocation = Some(s"$outDir/ck"),
+      bloomExpectedItems = Some(batchRows.toLong * (batches + 1))) {
+      (novel, _) => novel.write.mode("append").parquet(novelDir): Unit
+    }
+    try {
+      val warmupRows = math.max(10, math.min(batchRows, 1000) / 10 * 10)
+      ms.addData(dedupBatch(0, warmupRows))
+      q.processAllAvailable()
+      val warmupNovel = spark.read.parquet(novelDir).count()
+      val feeds = (1 to batches).map(i => dedupBatch(i, batchRows))
+      val t0 = System.nanoTime()
+      feeds.foreach { f => ms.addData(f); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val total = batchRows.toLong * batches
+      val stored = spark.read.parquet(novelDir).count() - warmupNovel
+      Result(batchRows, batches, 0, total, stored, sec, total / sec)
+    } finally q.stop()
+  }
+
+  private def runsJson(results: Seq[Result]): String = results.map { r =>
+    s"""{"batch_rows":${r.batchRows},"batches":${r.batches},""" +
+      s""""keys":${r.keys},"total_rows":${r.totalRows},""" +
+      s""""stored_rows":${r.storedRows},"sec":${r.sec},""" +
+      s""""rows_per_sec":${math.round(r.rowsPerSec)}}"""
+  }.mkString("[", ",", "]")
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession
       .configure(SparkSession.builder(), GraftSession.defaultCpus)
@@ -100,18 +167,20 @@ object StreamBench {
     val sizes = Seq((10000, 10), (100000, 5))
     val results = sizes.map { case (rows, n) =>
       val dir = Files.createTempDirectory("streambench").toFile.getAbsolutePath
-      System.err.println(s"[streambench] batchRows=$rows batches=$n")
+      System.err.println(s"[streambench] delta batchRows=$rows batches=$n")
       run(spark, rows, n, 40, dir)
     }
-    val runs = results.map { r =>
-      s"""{"batch_rows":${r.batchRows},"batches":${r.batches},""" +
-        s""""keys":${r.keys},"total_rows":${r.totalRows},""" +
-        s""""stored_rows":${r.storedRows},"sec":${r.sec},""" +
-        s""""rows_per_sec":${math.round(r.rowsPerSec)}}"""
-    }.mkString("[", ",", "]")
-    println(s"""{"metric":"stream_rows_per_sec","runs":$runs}""")
+    println(s"""{"metric":"stream_rows_per_sec","runs":${runsJson(results)}}""")
+    val dedupSizes = Seq((10000, 10), (100000, 3))
+    val dedupResults = dedupSizes.map { case (rows, n) =>
+      val dir = Files.createTempDirectory("streambench-dd").toFile.getAbsolutePath
+      System.err.println(s"[streambench] incdedup batchRows=$rows batches=$n")
+      runDedup(spark, rows, n, dir)
+    }
+    println(s"""{"metric":"incdedup_rows_per_sec","runs":${runsJson(dedupResults)}}""")
     spark.stop()
-    if (results.exists(r => r.storedRows != r.totalRows)) {
+    if (results.exists(r => r.storedRows != r.totalRows) ||
+      dedupResults.exists(r => r.storedRows * 10 != r.totalRows * 7)) {
       System.err.println("[streambench] row accounting mismatch")
       sys.exit(1)
     }

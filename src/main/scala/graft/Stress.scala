@@ -41,7 +41,8 @@ object Stress {
   /** Per-stage task-metric totals, swapped by label between stages. */
   final class MetricsListener extends SparkListener {
     case class Tot(var shufRead: Long = 0L, var shufWrite: Long = 0L,
-      var spillMem: Long = 0L, var spillDisk: Long = 0L, var tasks: Long = 0L)
+      var spillMem: Long = 0L, var spillDisk: Long = 0L,
+      var outBytes: Long = 0L, var tasks: Long = 0L)
     @volatile var label: String = "setup"
     val totals = new scala.collection.concurrent.TrieMap[String, Tot]()
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -53,6 +54,7 @@ object Stress {
           tot.shufWrite += m.shuffleWriteMetrics.bytesWritten
           tot.spillMem += m.memoryBytesSpilled
           tot.spillDisk += m.diskBytesSpilled
+          tot.outBytes += m.outputMetrics.bytesWritten
           tot.tasks += 1
         }
       }
@@ -308,6 +310,71 @@ object Stress {
       graft.operators.TextIndex.postingRowsForStress(corpus)
         .select(col("term"), col("df"), size(col("postings")).as("np"))
     }
+    // ---- text-index UPSERT locality curve (r9 verdict task 4) ----
+    // A FIXED 200-doc replace batch over a FIXED 40-term vocabulary
+    // (seed upsert re-establishes version A every run, the measured
+    // upsert replaces A -> B — old+new term sets both live inside the
+    // vocab, so the touched term-bucket count is batch-determined).
+    // Two series against indexes built over the amplified corpora:
+    //   (a) n_buckets PINNED at 16 across 25k/100k/400k docs — every
+    //       bucket is touched, so rewrite bytes grow WITH the index
+    //       (the honest falsification of the r9 "sublinear" claim);
+    //   (b) n_buckets SCALED with corpus (16@x5, 64@x20, 256@x80) —
+    //       rewrite bytes ~ touched_buckets x bucket_size, flat-ish
+    //       while the index grows 16x (the knob restores locality).
+    // `side` effects (parquet writes) are what we measure: out_bytes is
+    // the listener's task outputMetrics total for the stage — staging +
+    // dynamic overwrite + fwd + stats, i.e. everything the upsert puts
+    // on disk.
+    def upsertDoc(i: Int, ver: Int): (Long, String) =
+      (10000000L + i, (0 until 20)
+        .map(t => "uv" + ((i * 7 + t * 3 + ver) % 40)).mkString(" "))
+    def upsertCurve(nAmp: Int, nb: Int): Unit = {
+      val name = s"upsert_x${nAmp}_b$nb"
+      if (only.forall(_.contains(name))) {
+        import spark.implicits._
+        val corpusN =
+          if (nAmp == n) corpus
+          else {
+            val r = s"${System.getProperty("java.io.tmpdir")}/graft_stress/" +
+              s"v2_${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}_x$nAmp"
+            val m = new java.io.File(s"$r/_done")
+            if (!m.exists()) {
+              amplified(spark, sfDir, nAmp).repartition(32)
+                .write.mode("overwrite").parquet(s"$r/documents")
+              m.createNewFile()
+            }
+            spark.read.parquet(s"$r/documents")
+          }
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_stress/" +
+          s"tidx_${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}_x${nAmp}_b$nb"
+        listener.label = s"${name}_build"
+        graft.operators.TextIndex.ensure(
+          corpusN.select("doc_id", "text"), root, maxDf = 0, numBuckets = nb)
+        listener.label = s"${name}_seed"
+        graft.operators.TextIndex.upsert(
+          (0 until 200).map(upsertDoc(_, 0)).toDF("doc_id", "text"), root)
+        listener.label = name
+        val t0 = System.nanoTime()
+        graft.operators.TextIndex.upsert(
+          (0 until 200).map(upsertDoc(_, 1)).toDF("doc_id", "text"), root)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val m = listener.totals(name)
+        val idxBytes = {
+          val p = new org.apache.hadoop.fs.Path(s"$root/postings")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getContentSummary(p).getLength
+        }
+        println(f"""{"stage":"$name","sec":$sec%.2f,""" +
+          s""""docs":${nDocs / n * nAmp},"n_buckets":$nb,""" +
+          s""""out_bytes":${m.outBytes},"index_bytes":$idxBytes,""" +
+          s""""shuffle_write_b":${m.shufWrite},"tasks":${m.tasks}}""")
+      }
+    }
+    // series (a): pinned buckets, growing index
+    upsertCurve(5, 16); upsertCurve(20, 16); upsertCurve(80, 16)
+    // series (b): buckets scaled with the corpus
+    upsertCurve(20, 64); upsertCurve(80, 256)
     val grand = listener.totals.values
     System.err.println(
       s"[stress] total shuffle read ${grand.map(_.shufRead).sum / (1 << 20)} MiB, " +

@@ -17,11 +17,13 @@ import graft.functions.{TextFunctions => T}
   * Layout under `root`:
   *   - `postings/tbucket=N/` — one row per TERM: (term, df, postings:
   *     array<struct<doc_id, tf, dl, positions: array<int>>>), bucketed
-  *     by `pmod(xxhash64(term), Buckets)`. A query for k terms reads
+  *     by `pmod(xxhash64(term), n_buckets)` (a build-time knob recorded
+  *     in stats — see [[Buckets]]). A query for k terms reads
   *     at most k bucket directories (Spark partition-prunes the
   *     `tbucket IN (…)` filter) — the KeyedStore trick, with the
   *     posting LIST as the value so a term is one row.
-  *   - `stats/` — one row: (n_docs, avgdl), the BM25 corpus constants.
+  *   - `stats/` — one row: (n_docs, sum_dl, avgdl, max_df,
+  *     n_buckets) — the BM25 corpus constants + the layout contract.
   *   - `_INDEX_COMMITTED` — written last; its absence means rebuild.
   *
   * Builds are serialized by [[AnnIndex.withBuildLock]] (same
@@ -41,13 +43,35 @@ import graft.functions.{TextFunctions => T}
 object TextIndex {
 
   val AlgoVersion = 3 // v3: forward index (doc -> terms/dl) enabling upsert
+
+  /** Default bucket count. A BUILD-TIME KNOB since r10 (recorded in
+    * stats as `n_buckets`, honored by every reader): upsert/append
+    * rewrite whole touched bucket directories, so the rewrite cost of a
+    * fixed batch is ≈ touched_buckets × (index_bytes / n_buckets) —
+    * with the bucket count pinned, a batch whose term set spans all
+    * buckets rewrites a FIXED FRACTION of the index, i.e. cost linear
+    * in index size. Scaling `numBuckets` with corpus size at build time
+    * is what keeps a fixed batch's rewrite bytes governed by the BATCH
+    * (its distinct-term bucket span), not the index — the measured
+    * curve lives in ARCHITECTURE §4. Probes only get cheaper with more
+    * buckets (a k-term query prunes to ≤ k of them); the trade is file
+    * count, the usual small-files economics. */
   val Buckets = 16
   private val Marker = "_INDEX_COMMITTED"
 
-  private def tbucketOf(term: org.apache.spark.sql.Column) =
-    pmod(xxhash64(term), lit(Buckets)).cast("int")
-  private def dbucketOf(docId: org.apache.spark.sql.Column) =
-    pmod(xxhash64(docId), lit(Buckets)).cast("int")
+  private def tbucketOf(term: org.apache.spark.sql.Column, n: Int) =
+    pmod(xxhash64(term), lit(n)).cast("int")
+  private def dbucketOf(docId: org.apache.spark.sql.Column, n: Int) =
+    pmod(xxhash64(docId), lit(n)).cast("int")
+
+  /** The bucket count an existing index was BUILT with (recorded in
+    * stats; indexes persisted before the knob existed default to the
+    * original fixed [[Buckets]]). Readers must derive bucket ids with
+    * THIS value — a mismatched modulus probes the wrong directories. */
+  private def bucketsOf(stats: org.apache.spark.sql.Row): Int =
+    if (stats.schema.fieldNames.contains("n_buckets"))
+      stats.getAs[Int]("n_buckets")
+    else Buckets
 
   def isBuilt(spark: SparkSession, root: String): Boolean = {
     val p = new Path(root, Marker)
@@ -82,11 +106,11 @@ object TextIndex {
     * retract a replaced/deleted document: its touched term set. Also
     * the source of the stats aggregate (n_docs, sum_dl), so the
     * corpus is tokenized once per slice for both artifacts. */
-  private def fwdRows(docs: DataFrame): DataFrame =
+  private def fwdRows(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), T.words(col("text")).as("ws"))
       .select(col("doc_id"), size(col("ws")).as("dl"),
         array_sort(array_distinct(col("ws"))).as("terms"))
-      .withColumn("dbucket", dbucketOf(col("doc_id")))
+      .withColumn("dbucket", dbucketOf(col("doc_id"), n))
 
   private def writeMarker(spark: SparkSession, root: String): Unit = {
     val mp = new Path(root, Marker)
@@ -117,7 +141,10 @@ object TextIndex {
     * emptied — the classic stop-list cap; their idf ≈ 0 contribution
     * is the trade). The cap is RECORDED in stats and reapplied by
     * [[append]], so the two paths cannot diverge. */
-  def build(docs: DataFrame, root: String, maxDf: Int = 0): Unit = {
+  def build(docs: DataFrame, root: String, maxDf: Int = 0,
+      numBuckets: Int = Buckets): Unit = {
+    require(numBuckets >= 1 && numBuckets <= 65536,
+      s"numBuckets must be in [1, 65536], got $numBuckets")
     val spark = docs.sparkSession
     // marker DOWN first: a rebuild over an existing root must not keep
     // serving isBuilt==true while the postings directory is mid-
@@ -126,7 +153,7 @@ object TextIndex {
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(mp, false)
     val kept = applyCap(postingRows(docs), maxDf)
-      .withColumn("tbucket", tbucketOf(col("term")))
+      .withColumn("tbucket", tbucketOf(col("term"), numBuckets))
     kept.write.partitionBy("tbucket").mode("overwrite")
       .parquet(s"$root/postings")
     // the schema files make an EMPTY index (or an empty probe of a
@@ -134,7 +161,7 @@ object TextIndex {
     // no part files, and a schemaless parquet read of that throws
     kept.limit(0).coalesce(1).write.mode("overwrite")
       .parquet(s"$root/schema")
-    val fwd = fwdRows(docs)
+    val fwd = fwdRows(docs, numBuckets)
     fwd.write.partitionBy("dbucket").mode("overwrite")
       .parquet(s"$root/fwd")
     fwd.limit(0).coalesce(1).write.mode("overwrite")
@@ -147,6 +174,7 @@ object TextIndex {
         sum(col("dl")).cast("long").as("sum_dl"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
       .withColumn("max_df", lit(maxDf))
+      .withColumn("n_buckets", lit(numBuckets))
       .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
     writeMarker(spark, root)
   }
@@ -179,7 +207,7 @@ object TextIndex {
     * through, a both-sided term concatenates and re-sorts. Extracted so
     * the spec'd "incremental == rebuild bit-for-bit" invariant has ONE
     * implementation to hold. */
-  private def mergePostings(old: DataFrame, fresh: DataFrame): DataFrame =
+  private def mergePostings(old: DataFrame, fresh: DataFrame, n: Int): DataFrame =
     old.as("o")
       .join(fresh.as("n"), Seq("term"), "full_outer")
       .select(col("term"),
@@ -189,7 +217,7 @@ object TextIndex {
           .when(col("n.postings").isNull, col("o.postings"))
           .otherwise(sort_array(concat(col("o.postings"), col("n.postings"))))
           .as("postings"))
-      .withColumn("tbucket", tbucketOf(col("term")))
+      .withColumn("tbucket", tbucketOf(col("term"), n))
 
   /** Append NEW documents to a built index without touching unrelated
     * buckets: the slice's posting rows full-outer-merge with the
@@ -230,8 +258,9 @@ object TextIndex {
       requireV3Layout(spark, root, "append")
       val oldStats = spark.read.parquet(s"$root/stats").head()
       val maxDf = oldStats.getAs[Int]("max_df")
+      val nb = bucketsOf(oldStats)
       val newRows = postingRows(newDocs)
-        .withColumn("tbucket", tbucketOf(col("term")))
+        .withColumn("tbucket", tbucketOf(col("term"), nb))
         .localCheckpoint(true)
       val touched = newRows.select("tbucket").distinct()
         .collect().map(_.getInt(0))
@@ -239,14 +268,14 @@ object TextIndex {
       if (touched.nonEmpty) {
       val existing = readPostings(spark, root)
         .filter(col("tbucket").isin(touched.map(Integer.valueOf): _*))
-      val merged = mergePostings(existing, newRows)
+      val merged = mergePostings(existing, newRows, nb)
       val staging = s"$root/.staging-append"
       applyCap(merged, maxDf)
         .write.mode("overwrite").parquet(staging)
       // forward index: the appended docs' rows join the touched
       // dbuckets (appended ids are NEW, so merge = old bucket rows +
       // new rows), staged through the same discipline
-      val newFwd = fwdRows(newDocs).localCheckpoint(true)
+      val newFwd = fwdRows(newDocs, nb).localCheckpoint(true)
       val touchedD = newFwd.select("dbucket").distinct()
         .collect().map(_.getInt(0))
       val fwdStaging = s"$root/.staging-append-fwd"
@@ -276,6 +305,7 @@ object TextIndex {
       import spark.implicits._
       Seq((n2, s2, s2.toDouble / n2)).toDF("n_docs", "sum_dl", "avgdl")
         .withColumn("max_df", lit(maxDf))
+        .withColumn("n_buckets", lit(nb))
         .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
       writeMarker(spark, root)
       fs.delete(new Path(staging), true)
@@ -325,6 +355,7 @@ object TextIndex {
       requireV3Layout(spark, root, "upsert")
       val oldStats = spark.read.parquet(s"$root/stats").head()
       val maxDf = oldStats.getAs[Int]("max_df")
+      val nb = bucketsOf(oldStats)
       require(maxDf == 0,
         s"upsert requires an uncapped index (maxDf=0, got $maxDf): a " +
           "df-tombstoned term cannot recover its postings when deletions " +
@@ -354,7 +385,7 @@ object TextIndex {
       val live = docs.filter(col("text").isNotNull)
         .select("doc_id", "text").localCheckpoint(true)
       // which of the upserted ids exist, and what terms did they carry
-      val touchedD = ids.select(dbucketOf(col("doc_id")).as("dbucket"))
+      val touchedD = ids.select(dbucketOf(col("doc_id"), nb).as("dbucket"))
         .distinct().collect().map(_.getInt(0))
       val fwdTouched = readFwd(spark, root)
         .filter(col("dbucket").isin(touchedD.map(Integer.valueOf): _*))
@@ -375,7 +406,7 @@ object TextIndex {
         .distinct()
         .localCheckpoint(true)
       val touchedT = affectedTerms
-        .select(tbucketOf(col("term")).as("tbucket"))
+        .select(tbucketOf(col("term"), nb).as("tbucket"))
         .distinct().collect().map(_.getInt(0))
       val staging = s"$root/.staging-upsert"
       val fwdStaging = s"$root/.staging-upsert-fwd"
@@ -395,7 +426,7 @@ object TextIndex {
           .groupBy("term")
           .agg(count(lit(1)).cast("long").as("df"),
             sort_array(collect_list(col("p"))).as("postings"))
-        val merged = mergePostings(stripped, newRows)
+        val merged = mergePostings(stripped, newRows, nb)
         // two writes, not a union: pass and merged share `existing`'s
         // lineage, the unionByName constraint-rewrite trap
         pass.select("term", "df", "postings", "tbucket")
@@ -405,7 +436,7 @@ object TextIndex {
       }
       // forward index: touched dbuckets minus upserted ids, plus the
       // live replacements' rows
-      val newFwd = fwdRows(live).localCheckpoint(true)
+      val newFwd = fwdRows(live, nb).localCheckpoint(true)
       fwdTouched.join(ids, Seq("doc_id"), "left_anti")
         .select("doc_id", "dl", "terms", "dbucket")
         .write.mode("overwrite").parquet(fwdStaging)
@@ -459,6 +490,7 @@ object TextIndex {
         if (n2 == 0) None else Some(s2.toDouble / n2)))
         .toDF("n_docs", "sum_dl", "avgdl")
         .withColumn("max_df", lit(maxDf))
+        .withColumn("n_buckets", lit(nb))
         .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
       writeMarker(spark, root)
       fs.delete(new Path(staging), true)
@@ -467,11 +499,12 @@ object TextIndex {
   }
 
   /** Build if absent (cross-process safe, builds exactly once). */
-  def ensure(docs: DataFrame, root: String, maxDf: Int = 0): Unit = {
+  def ensure(docs: DataFrame, root: String, maxDf: Int = 0,
+      numBuckets: Int = Buckets): Unit = {
     val spark = docs.sparkSession
     if (!isBuilt(spark, root))
       AnnIndex.withBuildLock(spark, root) {
-        if (!isBuilt(spark, root)) build(docs, root, maxDf)
+        if (!isBuilt(spark, root)) build(docs, root, maxDf, numBuckets)
       }
   }
 
@@ -481,8 +514,9 @@ object TextIndex {
   def probePostings(spark: SparkSession, root: String,
       terms: DataFrame): DataFrame = {
     require(isBuilt(spark, root), s"no text index at $root (run ensure first)")
+    val nb = bucketsOf(spark.read.parquet(s"$root/stats").head())
     val t = terms.select("term").distinct()
-      .withColumn("tbucket", tbucketOf(col("term")))
+      .withColumn("tbucket", tbucketOf(col("term"), nb))
       .localCheckpoint(true)
     val touched = t.select("tbucket").distinct().collect().map(_.getInt(0))
     readPostings(spark, root)
@@ -503,7 +537,7 @@ object TextIndex {
     // marker-down rewrite window) must surface as the designed error,
     // not a raw path-does-not-exist from the stats read
     require(isBuilt(spark, root), s"no text index at $root (run ensure first)")
-    val stats = spark.read.parquet(s"$root/stats").drop("max_df")
+    val stats = spark.read.parquet(s"$root/stats").select("n_docs", "avgdl")
     val post = probePostings(spark, root, queries.select("term"))
       .select(col("term"), col("df"), explode(col("postings")).as("p"))
       .select(col("term"), col("df"), col("p.doc_id").as("doc_id"),

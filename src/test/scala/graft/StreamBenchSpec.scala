@@ -20,4 +20,19 @@ class StreamBenchSpec extends SparkSpec {
       .filter("delta.deltaConfirmed <= 0").count()
     assert(neg === 0L, s"$neg rows with non-positive delta — degenerate feed")
   }
+
+  test("incdedup micro-bench: exactly the 7-in-10 novel rows land, once each") {
+    val dir = Files.createTempDirectory("sbspec-dd").toFile.getAbsolutePath
+    val r = StreamBench.runDedup(spark, batchRows = 400, batches = 3, dir)
+    assert(r.totalRows === 1200L)
+    // decade structure: 3 copy rows + 1 original collapse to 1 novel,
+    // 6 unique rows stay — 7 novel per 10 fed
+    assert(r.storedRows === 840L,
+      s"expected 840 novel rows (0.7 x 1200), got ${r.storedRows}")
+    assert(r.rowsPerSec > 0.0)
+    // and the sink holds no duplicate texts — the store really gated
+    val dupTexts = spark.read.parquet(s"$dir/novel")
+      .groupBy("text").count().filter("count > 1").count()
+    assert(dupTexts === 0L, s"$dupTexts duplicate texts escaped the dedup")
+  }
 }

@@ -116,6 +116,61 @@ class TextIndexSpec extends SparkSpec {
       === TextIndex.phraseHits(spark, rebuilt, ph).collect().map(_.toString).sorted)
   }
 
+  test("bucket-count knob: layout honors it, content is bucket-invariant, append/upsert stay bit-exact") {
+    // the 100 TB upsert-locality knob (ARCHITECTURE §4): more buckets =
+    // finer rewrite granularity; results must not depend on it
+    val r16 = tmp("tidx-b16")
+    val r64 = tmp("tidx-b64")
+    TextIndex.build(docs, r16)
+    TextIndex.build(docs, r64, numBuckets = 64)
+    // stats records the knob; the layout actually fans out past 16 dirs
+    assert(spark.read.parquet(s"$r64/stats").head()
+      .getAs[Int]("n_buckets") == 64)
+    val fs = new org.apache.hadoop.fs.Path(r64)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs64 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$r64/postings"))
+      .count(_.getPath.getName.startsWith("tbucket="))
+    assert(dirs64 > 16 && dirs64 <= 64, s"64-bucket build wrote $dirs64 dirs")
+    // content is bucket-invariant (tbucket dropped)
+    assert(postingsOf(r64) === postingsOf(r16))
+    assert(fwdOf(r64) === fwdOf(r16))
+    // served BM25 identical across bucket counts
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .distinct().localCheckpoint(true)
+    def served(root: String) = TextIndex.bm25Micros(spark, root, queries)
+      .collect().map(_.toString).sorted.toSeq
+    assert(served(r64) === served(r16))
+    // append and upsert against the 64-bucket index == rebuild at 64
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val app = tmp("tidx-b64app")
+    TextIndex.build(half1, app, numBuckets = 64)
+    TextIndex.append(half2, app)
+    assert(postingsOf(app) === postingsOf(r64))
+    assert(statsOf(app) === statsOf(r64))
+    val up = tmp("tidx-b64up")
+    TextIndex.build(docs, up, numBuckets = 64)
+    import spark.implicits._
+    val batch = docs.filter(col("doc_id") < 4)
+      .select(col("doc_id"), concat(col("text"), lit(" r10salt")).as("text"))
+      .unionByName(Seq((900001L, "brand new b64 doc")).toDF("doc_id", "text"))
+      .unionByName(docs.filter(col("doc_id") === 5)
+        .select(col("doc_id"), lit(null.asInstanceOf[String]).as("text")))
+    TextIndex.upsert(batch, up)
+    val cur = docs.filter(col("doc_id") =!= 5)
+      .select(col("doc_id"),
+        when(col("doc_id") < 4, concat(col("text"), lit(" r10salt")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(Seq((900001L, "brand new b64 doc")).toDF("doc_id", "text"))
+    val reb = tmp("tidx-b64reb")
+    TextIndex.build(cur, reb, numBuckets = 64)
+    assert(postingsOf(up) === postingsOf(reb))
+    assert(fwdOf(up) === fwdOf(reb))
+    assert(statsOf(up) === statsOf(reb))
+  }
+
   test("the text ingest loop composes: incremental dedup gates what index append admits") {
     // stream batch -> IncrementalDedup (novel survivors only) ->
     // TextIndex.append -> serve: the text twin of the ANN ingest loop.
