@@ -66,22 +66,48 @@ object Multimodal {
     (w, h, if (seed == 0L) 0x9e3779b97f4a7c15L else seed)
   }
 
-  /** Deterministic full-entropy pixel fill (xorshift64*): high-entropy
-    * pixel content keeps the PNG DEFLATE stream incompressible, so two
-    * different documents' payloads share almost no byte 4-grams — the
-    * property that makes byte-fingerprint near-dup (q45) discriminative
-    * instead of collapsing on shared zero-runs. */
-  private def fillNoise(img: BufferedImage, seed0: Long): Unit = {
+  /** Deterministic pixel fill: a doc-specific LOW-FREQUENCY structure
+    * (a seeded 5×4 coarse grid, bilinear-interpolated — the kind of
+    * large-scale luminance pattern real photographs have) plus ±32
+    * per-channel xorshift64* noise. The two components serve the two
+    * dedup families: the noise keeps the PNG DEFLATE stream
+    * incompressible so different documents share almost no byte
+    * 4-grams (q45's byte-fingerprint near-dup stays discriminative),
+    * while the structure survives resizing/re-encoding so the
+    * PERCEPTUAL hash (q213) recognizes a rescaled copy — pure iid
+    * noise would average to a flat gray whose aHash bits are coin
+    * flips. */
+  private def fillStructuredNoise(img: BufferedImage, seed0: Long): Unit = {
     val w = img.getWidth
     val h = img.getHeight
-    val px = new Array[Int](w * h)
-    var s = seed0
-    var i = 0
-    while (i < px.length) {
+    var s = if (seed0 == 0L) 0x9e3779b97f4a7c15L else seed0
+    def next(): Long = {
       s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
-      val r = s * 0x2545f4914f6cdd1dL
-      px(i) = (r >>> 24).toInt & 0xffffff
-      i += 1
+      s * 0x2545f4914f6cdd1dL
+    }
+    val (gw, gh) = (5, 4)
+    val cg = Array.fill(gh, gw)(((next() >>> 40) & 0xff).toInt)
+    val px = new Array[Int](w * h)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      val fy = if (h == 1) 0.0 else y.toDouble * (gh - 1) / (h - 1)
+      val y0 = fy.toInt; val y1 = math.min(gh - 1, y0 + 1); val ty = fy - y0
+      var x = 0
+      while (x < w) {
+        val fx = if (w == 1) 0.0 else x.toDouble * (gw - 1) / (w - 1)
+        val x0 = fx.toInt; val x1 = math.min(gw - 1, x0 + 1); val tx = fx - x0
+        val sv = cg(y0)(x0) * (1 - tx) * (1 - ty) + cg(y0)(x1) * tx * (1 - ty) +
+          cg(y1)(x0) * (1 - tx) * ty + cg(y1)(x1) * tx * ty
+        val r64 = next()
+        def ch(shift: Int): Int = {
+          val nz = ((r64 >>> shift) & 0x3f).toInt - 32
+          math.max(0, math.min(255, (sv + nz).toInt))
+        }
+        px(i) = (ch(0) << 16) | (ch(8) << 8) | ch(16)
+        i += 1; x += 1
+      }
+      y += 1
     }
     img.setRGB(0, 0, w, h, px, 0, w)
   }
@@ -99,7 +125,7 @@ object Multimodal {
   private[operators] def pngFor(text: String): Array[Byte] = {
     val (w, h, seed) = imageParams(text)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-    fillNoise(img, seed)
+    fillStructuredNoise(img, seed)
     encodePng(img)
   }
 
@@ -219,6 +245,87 @@ object Multimodal {
     * payloads near-orthogonal, so q45's LSH near-dup recovers exactly
     * the payload-duplicate pairs. A vision/audio encoder drops into the
     * same mapPartitions slot unchanged. */
+  /** Perceptual hash (aHash): REAL decode → average-pool the luma
+    * (r+g+b) onto an 8×8 grid → threshold each cell at the grid mean →
+    * pack 64 bits. Pooling + thresholding keep the bits stable under
+    * rescaling and re-encoding — the property byte-level fingerprints
+    * (q45's `embedBytes`) fundamentally lack, because a resized PNG
+    * shares no bytes with its source. Requires decodable payloads of
+    * at least 8×8 (the `withPayload`/`resizePng(≥128)` contract);
+    * undecodable or undersized payloads are dropped with their ids
+    * intact in the input, never an exception. */
+  def perceptualHash(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    val G = 8
+    payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          val img = decode(bytes)
+          if (img == null || img.getWidth < G || img.getHeight < G) None
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            val cells = new Array[Double](G * G)
+            var cy = 0
+            while (cy < G) {
+              val y0 = cy * h / G; val y1 = (cy + 1) * h / G
+              var cx = 0
+              while (cx < G) {
+                val x0 = cx * w / G; val x1 = (cx + 1) * w / G
+                var sum = 0L
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    val p = px(y * w + x)
+                    sum += ((p >>> 16) & 0xff) + ((p >>> 8) & 0xff) + (p & 0xff)
+                    x += 1
+                  }
+                  y += 1
+                }
+                cells(cy * G + cx) = sum.toDouble / ((y1 - y0) * (x1 - x0))
+                cx += 1
+              }
+              cy += 1
+            }
+            val mean = cells.sum / cells.length
+            var hash = 0L
+            var i = 0
+            while (i < cells.length) {
+              if (cells(i) > mean) hash |= 1L << i
+              i += 1
+            }
+            Some((id, hash))
+          }
+        }
+      }.toDF("doc_id", "phash")
+  }
+
+  /** Near-duplicate pairs by perceptual hash, Hamming distance ≤
+    * `maxHamming` — EXACT for that contract when `maxHamming < 8`: the
+    * 64-bit hash splits into 8 bands of 8 bits, a pair within distance
+    * d < 8 must agree EXACTLY on ≥ 1 band (pigeonhole), so the banded
+    * equi-join generates a candidate superset and `bit_count(xor)`
+    * verifies — the standard LSH shape: one shuffle keyed on (band,
+    * value), candidates bounded by band-bucket occupancy, never an
+    * all-pairs comparison. */
+  def perceptualDupPairs(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 8,
+      s"banded recall guarantee needs maxHamming in [0, 8), got $maxHamming")
+    val bands = hashes.select(col("doc_id"), col("phash"),
+      explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("bval", expr("(phash >> (band * 8)) & 255"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   def embedBytes(spark: SparkSession, payloads: DataFrame,
       dims: Int = 64): DataFrame = {
     import spark.implicits._

@@ -539,6 +539,55 @@ object LlmQueries {
       threshold = 0.9)
   }
 
+  /** Multimodal REAL resize round-trip, HASH-ORACLED: every payload is
+    * rescaled to width 64 (aspect preserved) and the OUTPUT PNG is
+    * decoded back — the reported dimensions are what ImageIO reads out
+    * of the re-encoded raster, while DuckDB independently predicts them
+    * from the md5 contract (w0, h0 from the digest; h1 = max(1,
+    * floor(h0·64/w0 + 0.5)), the same floor(x+0.5) both engines
+    * compute on identical IEEE doubles). A resize that drops a row or
+    * an encode that lies about dims fails the hash. */
+  val multimodalResize: Q = Q(
+    "q212_multimodal_resize",
+    """WITH m AS (SELECT doc_id, md5(text) AS d FROM documents),
+      |p AS (SELECT doc_id,
+      |        8*(1 + ((strpos('0123456789abcdef', substr(d,1,1))-1)*16
+      |                + strpos('0123456789abcdef', substr(d,2,1))-1) % 16) AS w0,
+      |        8*(1 + ((strpos('0123456789abcdef', substr(d,3,1))-1)*16
+      |                + strpos('0123456789abcdef', substr(d,4,1))-1) % 12) AS h0
+      |      FROM m)
+      |SELECT doc_id, 64 AS width,
+      |       greatest(1, CAST(floor(CAST(h0 AS DOUBLE) * 64 / w0 + 0.5)
+      |         AS BIGINT)) AS height
+      |FROM p""".stripMargin
+  ) { (s, dir) =>
+    val resized = Multimodal.resizePng(s,
+      Multimodal.withPayload(t(s, dir, "documents")), targetWidth = 64)
+    Multimodal.decodeMeta(s, resized.select("doc_id", "payload"))
+      .toDF().select(col("doc_id"), col("width"),
+        col("height").cast("long").as("height"))
+  }
+
+  /** PERCEPTUAL media dedup: decode → 8×8 average-pooled luma aHash →
+    * banded Hamming-≤7 pairs (exact for that contract — pigeonhole
+    * guarantees a clean 8-bit band). Finds what q45's byte-level
+    * fingerprints fundamentally cannot: a RESIZED/re-encoded copy
+    * shares no payload bytes with its source but keeps its large-scale
+    * luminance pattern, so the pooled hash matches. The ingest models
+    * exactly that: a slice of payloads re-arrives RESCALED to width 128
+    * under offset ids, and the pipeline must pair each with its
+    * original. Decode-derived ⇒ rows-only; resize-recall spec. */
+  val multimodalPerceptual: Q = Q.rowsOnly("q213_perceptual_dedup") { (s, dir) =>
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val payloads = Multimodal.withPayload(docs)
+    val rescaled = Multimodal.resizePng(s,
+        payloads.filter(col("doc_id") < 25), targetWidth = 128)
+      .select((col("doc_id") + lit(20000000L)).as("doc_id"), col("payload"))
+    Multimodal.perceptualDupPairs(
+      Multimodal.perceptualHash(s,
+        payloads.select("doc_id", "payload").unionByName(rescaled)))
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
     * standard pretraining-corpus filter): token-count band, mean word
     * length band, symbol-to-word ratio, minimum stopword evidence —
@@ -1286,5 +1335,5 @@ object LlmQueries {
     chunkDedup, paragraphChunkDedup, semdedupQ, annPq, annIvfPq,
     annTopKOracle, embeddingDedupOracle, embeddingSplitLeakage,
     ngramNovelty, dupThresholdSweep, langIdConfusion, lenQualityCorr,
-    dupByQuality)
+    dupByQuality, multimodalResize, multimodalPerceptual)
 }

@@ -236,6 +236,41 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(run1.toSet == run2.toSet)
   }
 
+  test("perceptual hash pairs rescaled copies with originals — where byte fingerprints cannot") {
+    import graft.operators.{Multimodal, Similarity}
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").filter(col("doc_id") < 25)
+    val payloads = Multimodal.withPayload(docs)
+    val rescaled = Multimodal.resizePng(spark, payloads, targetWidth = 128)
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("payload"))
+    val all = payloads.select("doc_id", "payload").unionByName(rescaled)
+    // determinism across runs
+    val h1 = Multimodal.perceptualHash(spark, all).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h2 = Multimodal.perceptualHash(spark, all).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 == h2)
+    assert(h1.size == 50)
+    // EVERY rescaled copy pairs with its own original within Hamming 7
+    val pairs = Multimodal.perceptualDupPairs(
+        Multimodal.perceptualHash(spark, all))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 25L).foreach { i =>
+      assert(pairs.contains((i, i + 20000000L)),
+        s"doc $i: rescaled copy not recovered (hamming > 7)")
+    }
+    // the contrast that justifies the operator: the BYTE-level
+    // fingerprint (q45's embedBytes) finds NONE of these pairs — a
+    // resized PNG shares no compressed bytes with its source
+    val bytePairs = Similarity.neardupPairsLsh(
+        Similarity.quantize(Multimodal.embedBytes(spark, all),
+          "embedding", "doc_id"), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 25L).forall(i => !bytePairs.contains((i, i + 20000000L))),
+      "byte-level fingerprints unexpectedly matched a rescaled copy — " +
+        "the perceptual operator would be redundant")
+  }
+
   test("frame sampling over declared video metadata: every stride-th index") {
     import spark.implicits._
     val meta = Seq((1L, 240), (2L, 24), (3L, 1), (4L, 25))
