@@ -52,7 +52,7 @@ object ChartPng {
   }
 
   private final case class Series(kind: String, label: String,
-      data: Array[Double], color: Color)
+      data: Array[Double], color: Color, yAxis: String)
 
   /** Render one chart-request JSON (ChartJson.requestJson output) to
     * PNG bytes. Pure function of the JSON string — byte-deterministic,
@@ -70,20 +70,31 @@ object ChartPng {
         if (d.path("type").isMissingNode) chartType else d.path("type").asText(chartType),
         d.path("label").asText(""),
         asSeq(d.path("data")).map(_.asDouble()).toArray,
-        parseColor(d.path("borderColor").asText("")))
+        parseColor(d.path("borderColor").asText("")),
+        d.path("yAxisID").asText("left-y-axis"))
     }
     val titleNode = chart.path("options").path("title")
     val title =
       if (titleNode.path("display").asBoolean(false)) Some(titleNode.path("text").asText(""))
       else None
-    renderChart(w, h, chartType, labels, series, title)
+    val scales = chart.path("options").path("scales")
+    val xStacked = asSeq(scales.path("xAxes")).headOption
+      .exists(_.path("stacked").asBoolean(false))
+    val yStacked = asSeq(scales.path("yAxes"))
+      .map(a => a.path("id").asText("left-y-axis") ->
+        a.path("stacked").asBoolean(false)).toMap
+    renderChart(w, h, chartType, labels, series, title, xStacked, yStacked)
   }
 
   private def asSeq(n: JsonNode): Seq[JsonNode] =
     (0 until n.size()).map(n.get)
 
+  private def clean(v: Double): Double =
+    if (v.isNaN || v.isInfinite) 0.0 else math.max(0.0, v)
+
   private def renderChart(w: Int, h: Int, chartType: String,
-      labels: Seq[String], series: Seq[Series], title: Option[String]): Array[Byte] = {
+      labels: Seq[String], series: Seq[Series], title: Option[String],
+      xStacked: Boolean, yStacked: Map[String, Boolean]): Array[Byte] = {
     require(w >= 40 && h >= 40, s"canvas ${w}x$h too small to chart")
     // transparent background: ARGB canvas, alpha stays 0 where nothing
     // is drawn — the request's backgroundColor contract
@@ -94,7 +105,9 @@ object ChartPng {
         RenderingHints.VALUE_ANTIALIAS_OFF) // bit-stable output
       val axis = new Color(120, 120, 120)
       val top = if (title.isDefined) 28 else 12
-      val (left, right, bottom) = (46, 12, 26)
+      val hasRight = series.exists(_.yAxis == "right-y-axis") &&
+        chartType != "horizontalBar"
+      val (left, right, bottom) = (46, if (hasRight) 46 else 12, 26)
       val (x0, y0, x1, y1) = (left, top, w - right, h - bottom)
       title.foreach { t =>
         g.setColor(axis)
@@ -105,14 +118,38 @@ object ChartPng {
       g.setColor(axis)
       g.drawLine(x0, y1, x1, y1) // x axis
       g.drawLine(x0, y0, x0, y1) // y axis
-      val vMax0 = series.iterator.flatMap(_.data)
-        .filter(v => !v.isNaN && !v.isInfinite).foldLeft(0.0)(math.max)
-      val vMax = if (vMax0 <= 0.0) 1.0 else vMax0
+      if (hasRight) g.drawLine(x1, y0, x1, y1)
       val n = math.max(1, labels.size)
       g.setFont(new Font(Font.SANS_SERIF, Font.PLAIN, 10))
       val fm = g.getFontMetrics
+      def axisMax(axisId: String): Double = {
+        val own = series.filter(_.yAxis == axisId)
+        val stacked = yStacked.getOrElse(axisId, false)
+        // Chart.js stacking applies to BAR datasets; lines overlay at
+        // their own values on the same axis
+        val bars = own.filter(_.kind != "line")
+        val barMax =
+          if (bars.isEmpty) 0.0
+          else if (stacked)
+            (0 until n).iterator
+              .map(i => bars.map(s => clean(s.data.lift(i).getOrElse(0.0))).sum)
+              .foldLeft(0.0)(math.max)
+          else bars.iterator.flatMap(_.data).map(clean).foldLeft(0.0)(math.max)
+        val lineMax = own.filter(_.kind == "line").iterator
+          .flatMap(_.data).map(clean).foldLeft(0.0)(math.max)
+        val m = math.max(barMax, lineMax)
+        if (m <= 0.0) 1.0 else m
+      }
       if (chartType == "horizontalBar") {
-        // value axis horizontal, one bar row per (label, dataset)
+        // value axis horizontal; stacked requests (the today/yesterday
+        // delta charts set both axes stacked) draw one composite bar
+        // per label, segments in dataset order
+        val vMax =
+          if (xStacked)
+            (0 until n).iterator
+              .map(i => series.map(s => clean(s.data.lift(i).getOrElse(0.0))).sum)
+              .foldLeft(0.0)(math.max).max(1e-9)
+          else axisMax("left-y-axis")
         (0 to 4).foreach { t =>
           val v = vMax * t / 4
           val x = x0 + ((x1 - x0).toLong * t / 4).toInt
@@ -121,10 +158,25 @@ object ChartPng {
           g.drawString(fmtTick(v), x - 8, y1 + 14)
         }
         val rowH = (y1 - y0).toDouble / n
-        series.zipWithIndex.foreach { case (s, si) =>
+        if (xStacked) {
+          (0 until n).foreach { i =>
+            var off = 0
+            val y = y0 + (i * rowH).toInt + 2
+            val bh = math.max(2, math.min(10, rowH.toInt - 4))
+            series.foreach { s =>
+              val vv = clean(s.data.lift(i).getOrElse(0.0))
+              val len = ((x1 - x0) * vv / vMax).toInt
+              if (len > 0 || vv > 0) {
+                g.setColor(s.color)
+                g.fillRect(x0 + 1 + off, y, math.max(1, len), bh)
+                off += math.max(1, len)
+              }
+            }
+          }
+        } else series.zipWithIndex.foreach { case (s, si) =>
           g.setColor(s.color)
           s.data.take(n).zipWithIndex.foreach { case (v, i) =>
-            val vv = if (v.isNaN || v.isInfinite) 0.0 else math.max(0.0, v)
+            val vv = clean(v)
             val len = ((x1 - x0) * vv / vMax).toInt
             val y = y0 + (i * rowH).toInt + 2 + si * 11
             g.fillRect(x0 + 1, y, math.max(if (vv > 0) 1 else 0, len), 10)
@@ -136,12 +188,17 @@ object ChartPng {
           g.drawString(abbrev(l, 7), 2, y)
         }
       } else {
+        val leftMax = axisMax("left-y-axis")
+        val rightMax = axisMax("right-y-axis")
         (0 to 4).foreach { t =>
-          val v = vMax * t / 4
           val y = y1 - ((y1 - y0).toLong * t / 4).toInt
           g.setColor(axis)
           g.drawLine(x0 - 3, y, x0, y)
-          g.drawString(fmtTick(v), 2, y + 4)
+          g.drawString(fmtTick(leftMax * t / 4), 2, y + 4)
+          if (hasRight) {
+            g.drawLine(x1, y, x1 + 3, y)
+            g.drawString(fmtTick(rightMax * t / 4), x1 + 5, y + 4)
+          }
         }
         // x labels: sample so they never overlap
         val step = math.max(1, n / math.max(1, (x1 - x0) / 60))
@@ -152,29 +209,42 @@ object ChartPng {
             g.drawString(abbrev(l, 10), x - fm.stringWidth(abbrev(l, 10)) / 2, y1 + 14)
           }
         }
-        def yPos(v: Double): Int = {
-          val vv = if (v.isNaN || v.isInfinite) 0.0 else math.max(0.0, v)
-          y1 - ((y1 - y0) * vv / vMax).toInt
+        def yPos(v: Double, axisId: String): Int = {
+          val m = if (axisId == "right-y-axis") rightMax else leftMax
+          y1 - ((y1 - y0) * clean(v) / m).toInt
         }
+        // stacked bars accumulate per label across the BAR datasets of
+        // a stacked axis, in dataset order
+        val stackOff = new Array[Int](n)
         series.zipWithIndex.foreach { case (s, si) =>
           g.setColor(s.color)
           if (s.kind == "bar") {
+            val stacked = yStacked.getOrElse(s.yAxis, false)
             s.data.take(n).zipWithIndex.foreach { case (v, i) =>
-              val x = xPos(x0, x1, n, i) - 5 + si * 11 -
-                (series.count(_.kind == "bar") - 1) * 5
-              val y = yPos(v)
-              g.fillRect(x, y, 10, math.max(if (v > 0) 1 else 0, y1 - y))
+              val hpx = ((y1 - y0) * clean(v) /
+                (if (s.yAxis == "right-y-axis") rightMax else leftMax)).toInt
+              if (stacked) {
+                val yTop = y1 - stackOff(i) - hpx
+                g.fillRect(xPos(x0, x1, n, i) - 5, yTop, 10,
+                  math.max(if (clean(v) > 0) 1 else 0, hpx))
+                stackOff(i) += hpx
+              } else {
+                val x = xPos(x0, x1, n, i) - 5 + si * 11 -
+                  (series.count(_.kind == "bar") - 1) * 5
+                g.fillRect(x, y1 - hpx, 10,
+                  math.max(if (clean(v) > 0) 1 else 0, hpx))
+              }
             }
           } else { // line (the default mark)
             g.setStroke(new BasicStroke(3f)) // ChartDataset borderWidth "3"
             var prev: Option[(Int, Int)] = None
             s.data.take(n).zipWithIndex.foreach { case (v, i) =>
-              val p = (xPos(x0, x1, n, i), yPos(v))
+              val p = (xPos(x0, x1, n, i), yPos(v, s.yAxis))
               prev.foreach { q => g.drawLine(q._1, q._2, p._1, p._2) }
               prev = Some(p)
             }
             if (s.data.length == 1) { // single point: dot, no segment
-              val p = (xPos(x0, x1, n, 0), yPos(s.data(0)))
+              val p = (xPos(x0, x1, n, 0), yPos(s.data(0), s.yAxis))
               g.fillRect(p._1 - 1, p._2 - 1, 3, 3)
             }
             g.setStroke(new BasicStroke(1f))

@@ -128,6 +128,69 @@ class ChartPngSpec extends SparkSpec {
     assert(out("chart-a").toSeq != out("chart-b").toSeq)
   }
 
+  test("stacked horizontalBar: per-label composite bars, dataset segments in order") {
+    import spark.implicits._
+    // one dominant state: its Active (grey) segment must extend far
+    // right, and since segments STACK, the blue segment starts after
+    // the grey one on the same row — blue pixels must appear to the
+    // right of where a non-stacked layout would start them
+    val deltas = Seq(("Kerala", 1000L, 400L, 50L))
+      .toDF("state", "deltaConfirmed", "deltaRecovered", "deltaDeaths")
+    val json = graft.serve.ChartPipeline
+      .barChart(deltas, "today", "May 01").collect().head.getString(1)
+    val img = decode(ChartPng.render(json))
+    // active = 550, recovered = 400, deaths = 50 → total 1000 spans the
+    // full plot width; the grey segment alone is 55% of it
+    val grey = colorCount(img, 201, 203, 207)
+    val blue = colorCount(img, 54, 162, 235)
+    val red = colorCount(img, 255, 99, 132)
+    assert(grey > blue && blue > red && red > 0,
+      s"segment sizes must follow values: grey=$grey blue=$blue red=$red")
+    // stacking: all three colors share the SAME row band (one composite
+    // bar), so there exists a y with both grey and blue pixels
+    val rows = (0 until img.getHeight).filter { y =>
+      (0 until img.getWidth).exists { x =>
+        val p = img.getRGB(x, y); (p >>> 24) != 0 &&
+          ((p >> 16) & 0xff) == 201 && ((p >> 8) & 0xff) == 203
+      }
+    }
+    assert(rows.exists { y =>
+      (0 until img.getWidth).exists { x =>
+        val p = img.getRGB(x, y); (p >>> 24) != 0 &&
+          ((p >> 16) & 0xff) == 54 && ((p >> 8) & 0xff) == 162
+      }
+    }, "blue segment does not share a row with grey — bars not stacked")
+  }
+
+  test("dual-axis testing trend: right-axis line scales independently of the stacked bars") {
+    import spark.implicits._
+    val daily = Seq(
+      (java.sql.Date.valueOf("2020-05-01"), "May 01", 1000L, 50L),
+      (java.sql.Date.valueOf("2020-05-02"), "May 02", 2000L, 80L),
+      (java.sql.Date.valueOf("2020-05-03"), "May 03", 1500L, 60L),
+      (java.sql.Date.valueOf("2020-05-04"), "May 04", 1800L, 90L),
+      (java.sql.Date.valueOf("2020-05-05"), "May 05", 2200L, 70L))
+      .toDF("day", "label", "tested", "positive")
+    val json = graft.serve.ChartPipeline
+      .testingTrendChart(daily, "testingtrend").collect().head.getString(1)
+    val img = decode(ChartPng.render(json))
+    // bars: Positive (red) + Tested (green) stacked on the left axis
+    assert(colorCount(img, 255, 99, 132) > 30, "Positive bars missing")
+    assert(colorCount(img, 75, 192, 192) > 100, "Tested bars missing")
+    // the 5-day moving positivity line (blue) rides the RIGHT axis:
+    // its values are ~3-5% — against the left axis (max 2280) it would
+    // be flat on the x-axis; right-axis scaling must lift it well into
+    // the plot. Blue pixels must exist ABOVE the bottom 20% band.
+    val blueHigh = (0 until (img.getHeight * 3) / 4).map { y =>
+      (0 until img.getWidth).count { x =>
+        val p = img.getRGB(x, y); (p >>> 24) != 0 &&
+          ((p >> 16) & 0xff) == 54 && ((p >> 8) & 0xff) == 162 && (p & 0xff) == 235
+      }
+    }.sum
+    assert(blueHigh > 50,
+      "right-axis line is flat on the x-axis — dual-axis scaling missing")
+  }
+
   test("color parsing: Chart.js rgb strings, hex forms, unknown falls back to grey") {
     import java.awt.Color
     assert(ChartPng.parseColor("rgb(54, 162, 235)") == new Color(54, 162, 235))
