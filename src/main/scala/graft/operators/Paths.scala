@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-hop breadth-first distances over an edge table — the graph
+  * DISTANCE companion of [[Centrality]] (how central) and
+  * [[Dedup.resolve]] (which component): how FAR is every node from a
+  * seed set. On a corpus graph this answers crawl-frontier questions
+  * (how many hops from the seed domains), on a co-purchase graph
+  * recommendation-reach ones (what fraction of the catalog sits
+  * within k hops of the hub items), and on a dedup cluster graph
+  * containment-chain depth.
+  *
+  * Reference analogue: none — the reference has no graph operators;
+  * part of the LLM-pipeline extension surface
+  * (`/root/reference` is a Kafka Streams app, see SURVEY.md §2).
+  */
+object Paths {
+
+  /** Multi-source unweighted BFS, bounded at `maxHops`: returns
+    * (id, dist) for every node whose shortest-path distance from the
+    * nearest seed is ≤ maxHops, dist exact (0 for the seeds).
+    * Unreachable-within-bound nodes are absent, not NULL — callers
+    * that need the complement left-anti-join the node set.
+    *
+    * Frontier discipline: layer h expands ONLY the nodes first
+    * discovered at layer h−1 (a BFS invariant: in an unweighted graph
+    * the frontier at hop h−1 is exactly the distance-(h−1) set, so
+    * frontier-only expansion finds every distance-h node and nothing
+    * it finds twice survives the anti-join). That keeps each
+    * iteration's join proportional to the NEW layer, not the
+    * accumulated reach — on a 100 TB graph whose BFS saturates in a
+    * few hops, the alternative (re-expanding the full reached set,
+    * which is how the unrolled SQL oracle states it) re-joins the
+    * whole reach every round. Both forms compute the identical
+    * distance map, which is what lets q214/q215 hash-oracle this
+    * loop against DuckDB's unrolled form.
+    *
+    * Scale shape: the edge list pins once ([[Centrality]]'s
+    * discipline) and every iteration is one equi-join frontier⋈edges
+    * on src (both hash-partitioned on the join key), one map-side-
+    * combining DISTINCT on dst, and one left-anti against the
+    * accumulated distance table keyed on id. A mega-hub in the
+    * frontier replicates its one row across the edge partitions —
+    * the AQE skew-join shape, never a crossJoin. The distance table
+    * `localCheckpoint`s per layer (lineage cut; also what makes the
+    * anti-join read a materialized table instead of recomputing h−1
+    * layers). A fixed hop count — no convergence probe — keeps the
+    * loop action-free between pins and the result deterministic. */
+  def boundedDistances(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64,
+      s"maxHops must be in [1, 64], got $maxHops")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var dist = seeds.select(col("id")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var frontier = dist.select("id")
+    for (h <- 1 to maxHops) {
+      val fresh = e
+        .join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"))
+        .distinct()
+        .join(dist.select("id"), Seq("id"), "left_anti")
+        .withColumn("dist", lit(h.toLong))
+        .localCheckpoint(true)
+      dist = dist.unionByName(fresh).localCheckpoint(true)
+      frontier = fresh.select("id")
+    }
+    dist
+  }
+}
