@@ -8,7 +8,8 @@ object Registry {
     LlmQueries.all ++ ChartQueries.all ++ PipelineQueries.all ++
     ExtensionQueries.all ++ VersioningQueries.all ++ TokenizerQueries.all ++
     CurationQueries.all ++ AuditQueries.all ++ WarehouseQueries.all ++
-    SequenceQueries.all ++ StatQueries.all ++ GraphQueries.all
+    SequenceQueries.all ++ StatQueries.all ++ GraphQueries.all ++
+    AttributionQueries.all
 
   def byName(name: String): Q = all.find(_.name == name).get
 }

@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.AttributionQueries
+
+/** Cross-model invariants of the attribution family (q216/q217/q218)
+  * on sf0.001 — conservation laws the oracle's value-hash can't state
+  * (every purchase credited once, floors lose < 1 unit per touch,
+  * decay weights bounded by the window) — plus a driver-side pin of
+  * the shift-based decay schedule.
+  */
+class AttributionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val q216: DataFrame =
+    AttributionQueries.lastTouch.fn(spark, sf).cache()
+  private lazy val q217: DataFrame =
+    AttributionQueries.linear.fn(spark, sf).cache()
+  private lazy val q218: DataFrame =
+    AttributionQueries.timeDecay.fn(spark, sf).cache()
+
+  test("last-touch: every purchase is credited exactly once") {
+    val purchases = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    val credited = q216.agg(sum("n_conv")).head().getLong(0)
+    assert(credited === purchases)
+  }
+
+  test("last-touch: shares partition the ppm space (floor slack < #channels)") {
+    val shares = q216.select("share_ppm").as[Long].collect()
+    assert(shares.sum <= 1000000L)
+    assert(shares.sum > 1000000L - shares.length)
+  }
+
+  test("linear: per-conversion credits sum to ~1e6 (floor slack < n_touches)") {
+    // channel-level invariant: total credit <= 1e6 * converted purchases,
+    // and > (1e6 - maxTouches) * converted  — the floor loses < 1 unit
+    // per touch. Converted = purchases with >= 1 in-window touch.
+    val convertedTotal = q217.agg(sum("credit_u6")).head().getLong(0)
+    val nConverted = q216.filter(col("channel") =!= "none")
+      .agg(sum("n_conv")).head().getLong(0)
+    assert(convertedTotal <= 1000000L * nConverted)
+    val nTouches = q217.agg(sum("n_touches")).head().getLong(0)
+    assert(convertedTotal > 1000000L * nConverted - nTouches)
+  }
+
+  test("time-decay: credit is bounded by linear touch count and positive") {
+    // each touch's decayed weight is in (0, 1e6]: sum <= 1e6 * n_touches
+    val r = q218.select(sum("decay_credit_u6"), sum("n_touches")).head()
+    val (credit, touches) = (r.getLong(0), r.getLong(1))
+    assert(credit > 0L && credit <= 1000000L * touches)
+    // weights floor at 1e6 >> 6 = 15625 for 6-day-old touches: a
+    // touch can never contribute 0 inside the 7-day window
+    assert(credit >= 15625L * touches)
+  }
+
+  test("formula pin: the decay weight is an exact shift, not pow()") {
+    // replicate one credit by hand: age 0 days -> 1e6; 1 -> 500000;
+    // 6 -> 15625 — the same integers the SQL's (1<<d) form yields
+    val expected = Seq(0, 1, 2, 3, 4, 5, 6).map(d => 1000000L >> d)
+    assert(expected === Seq(1000000L, 500000L, 250000L, 125000L,
+      62500L, 31250L, 15625L))
+  }
+
+  test("models agree on channel universe; only last-touch adds 'none'") {
+    val chans217 = q217.select("channel").as[String].collect().toSet
+    val chans218 = q218.select("channel").as[String].collect().toSet
+    assert(chans217 === chans218)
+    val chans216 = q216.select("channel").as[String].collect().toSet
+    assert((chans216 -- chans217) subsetOf Set("none"))
+  }
+}
