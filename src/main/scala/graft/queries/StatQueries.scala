@@ -528,6 +528,149 @@ object StatQueries {
       "version", "source", "n_obs", "n_versions", "n_sources")
   }
 
+  /** q222: MANN-WHITNEY U (one-vs-rest, per source) on document char
+    * length — the nonparametric "is this source's length distribution
+    * shifted against the rest of the corpus?" drift test, the
+    * rank-based companion of q207's categorical chi². The key scale
+    * property: all 20 one-vs-rest tests share ONE global ranking —
+    * U_k = R_k − n_k(n_k+1)/2 needs only source k's rank-sum in the
+    * combined sample, and the combined sample is the whole corpus for
+    * every k. So the plan is one ranking + one per-source aggregate,
+    * not 20 pairwise re-rankings. Tied values take average ranks kept
+    * exact as DOUBLED integers (the q221 discipline); the tie
+    * correction Σ(t³−t) accumulates in DECIMAL(38,0) (t³ overflows
+    * BIGINT once a tie group passes 2×10⁶ rows; DuckDB's HUGEINT sum
+    * is exact the same way). z is ONE final double expression —
+    * normal approximation with tie-corrected variance — from
+    * identical exact integers on both engines.
+    *
+    * The global ORDER BY rank is the one non-keyed window (same
+    * standing as q190's decile ranks): Spark executes it as a
+    * range-partitioned sort, not a single-reducer window, because
+    * the window has no PARTITION BY but rank() needs only
+    * range-local ordering plus partition offsets. */
+  val mannWhitney: Q = Q(
+    "q222_mann_whitney",
+    """WITH f AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+      |r AS (SELECT source,
+      |        2 * rank() OVER (ORDER BY x)
+      |          + count(*) OVER (PARTITION BY x) - 1 AS r2
+      |      FROM f),
+      |tt AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+      |              CAST(sum(CAST(t*t*t - t AS HUGEINT)) AS DOUBLE) AS tie3
+      |       FROM (SELECT count(*) AS t FROM f GROUP BY x)),
+      |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_k,
+      |             CAST(sum(r2) AS BIGINT) AS r2sum
+      |      FROM r GROUP BY source)
+      |SELECT source, n_k, r2sum,
+      |       CAST(round((
+      |         (CAST(r2sum AS DOUBLE) / 2 - CAST(n_k AS DOUBLE) * (n_k + 1) / 2
+      |            - CAST(n_k AS DOUBLE) * (tt.n - n_k) / 2)
+      |         / sqrt(CAST(n_k AS DOUBLE) * (tt.n - n_k) / 12.0
+      |             * ((tt.n + 1) - tt.tie3 / (CAST(tt.n AS DOUBLE) * (tt.n - 1))))
+      |       ) * 1000) AS BIGINT) AS z_milli
+      |FROM g CROSS JOIN tt""".stripMargin
+  ) { (s, dir) =>
+    mannWhitneyReport(t(s, dir, "documents")
+      .select(col("source"), col("n_chars").cast(LongType).as("x")))
+  }
+
+  /** The one-vs-rest Mann-Whitney core behind q222: `f` is the long
+    * (source, x) observation table; returns (source, n_k, r2sum,
+    * z_milli). See q222's scaladoc for the shared-ranking and
+    * exactness arguments. */
+  private[graft] def mannWhitneyReport(f: DataFrame): DataFrame = {
+    val r2 = (lit(2) * rank().over(Window.orderBy(col("x")))
+      + count(lit(1)).over(Window.partitionBy("x")) - 1).cast(LongType)
+    val tt = f.groupBy("x").agg(count(lit(1)).as("tcnt"))
+      .agg(sum(col("tcnt")).cast(LongType).as("n"),
+        sum((col("tcnt") * col("tcnt") * col("tcnt") - col("tcnt"))
+          .cast(d38)).cast("double").as("tie3"))
+    val nD = col("n_k").cast("double")
+    f.select(col("source"), r2.as("r2"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_k"), sum(col("r2")).as("r2sum"))
+      .crossJoin(broadcast(tt))
+      .select(col("source"), col("n_k"), col("r2sum"),
+        round((
+          (col("r2sum").cast("double") / 2 - nD * (col("n_k") + 1) / 2
+            - nD * (col("n") - col("n_k")) / 2)
+          / sqrt(nD * (col("n") - col("n_k")) / 12.0
+            * ((col("n") + 1) - col("tie3")
+              / (col("n").cast("double") * (col("n") - 1))))
+        ) * 1000).cast(LongType).as("z_milli"))
+  }
+
+  /** q223: WELCH'S T (one-vs-rest, per source) on the same signal —
+    * the parametric twin of q222 for mean shift under unequal
+    * variances, plus the Satterthwaite effective df. Same one-pass
+    * shape: per-source exact moment sums (Σx, Σx² in DECIMAL(38,0) —
+    * corpus-scale Σx² overflows BIGINT) and the rest-of-corpus
+    * moments by subtraction from the broadcast global row; t and df
+    * are single final double expressions from identical exact
+    * integers. No window at all — two grouped aggregates and a
+    * broadcast. */
+  val welchT: Q = Q(
+    "q223_welch_t",
+    """WITH f AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+      |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n1,
+      |             CAST(sum(x) AS DOUBLE) AS s1,
+      |             CAST(sum(CAST(x*x AS HUGEINT)) AS DOUBLE) AS q1
+      |      FROM f GROUP BY source),
+      |tt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |              CAST(sum(x) AS DOUBLE) AS s,
+      |              CAST(sum(CAST(x*x AS HUGEINT)) AS DOUBLE) AS q
+      |       FROM f),
+      |w AS (SELECT source, n1, CAST(tt.n - n1 AS BIGINT) AS n2,
+      |             s1 / n1 AS m1, (tt.s - s1) / (tt.n - n1) AS m2,
+      |             (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+      |             ((tt.q - q1) - (tt.s - s1) * (tt.s - s1) / (tt.n - n1))
+      |               / (tt.n - n1 - 1) AS v2
+      |      FROM g CROSS JOIN tt)
+      |SELECT source, n1, n2,
+      |       CAST(round((m1 - m2) / sqrt(v1 / n1 + v2 / n2) * 1000)
+      |         AS BIGINT) AS t_milli,
+      |       CAST(round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+      |           / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+      |              + (v2 / n2) * (v2 / n2) / (n2 - 1)) * 1000)
+      |         AS BIGINT) AS df_milli
+      |FROM w""".stripMargin
+  ) { (s, dir) =>
+    welchReport(t(s, dir, "documents")
+      .select(col("source"), col("n_chars").cast(LongType).as("x")))
+  }
+
+  /** The one-vs-rest Welch core behind q223: `f` is the long
+    * (source, x) observation table; returns (source, n1, n2, t_milli,
+    * df_milli). See q223's scaladoc. */
+  private[graft] def welchReport(f: DataFrame): DataFrame = {
+    val g = f.groupBy("source").agg(count(lit(1)).as("n1"),
+      sum(col("x").cast(d38)).cast("double").as("s1"),
+      sum((col("x") * col("x")).cast(d38)).cast("double").as("q1"))
+    val tt = f.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(d38)).cast("double").as("s"),
+      sum((col("x") * col("x")).cast(d38)).cast("double").as("q"))
+    val w = g.crossJoin(broadcast(tt))
+      .select(col("source"), col("n1"),
+        (col("n") - col("n1")).cast(LongType).as("n2"),
+        (col("s1") / col("n1")).as("m1"),
+        ((col("s") - col("s1")) / (col("n") - col("n1"))).as("m2"),
+        ((col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1))
+          .as("v1"),
+        (((col("q") - col("q1")) - (col("s") - col("s1"))
+          * (col("s") - col("s1")) / (col("n") - col("n1")))
+          / (col("n") - col("n1") - 1)).as("v2"))
+    val se2 = col("v1") / col("n1") + col("v2") / col("n2")
+    w.select(col("source"), col("n1"), col("n2"),
+      round((col("m1") - col("m2")) / sqrt(se2) * 1000)
+        .cast(LongType).as("t_milli"),
+      round(se2 * se2
+          / ((col("v1") / col("n1")) * (col("v1") / col("n1")) / (col("n1") - 1)
+            + (col("v2") / col("n2")) * (col("v2") / col("n2")) / (col("n2") - 1))
+        * 1000).cast(LongType).as("df_milli"))
+  }
+
   val all: Seq[Q] = Seq(chiSquare, cohensKappa, acfDaily,
-    cusumChangepoint, fkOrphans, winsorizedMean, sourceDriftChi2)
+    cusumChangepoint, fkOrphans, winsorizedMean, sourceDriftChi2,
+    mannWhitney, welchT)
 }

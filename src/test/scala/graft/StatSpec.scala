@@ -40,4 +40,45 @@ class StatSpec extends SparkSpec {
     assert(r.getAs[Long]("chi2_u6") === 0L)
     assert(r.isNullAt(r.fieldIndex("cramers_v_ppm")))
   }
+
+  private def mw(rows: Seq[(String, Long)]) =
+    StatQueries.mannWhitneyReport(rows.toDF("source", "x"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+  test("Mann-Whitney hand case: disjoint tie-free groups") {
+    // A = {1,2,3}, B = {4,5,6}: R_A = 6 (doubled 12), U_A = 0,
+    // mu = 4.5, sigma = sqrt(9/12*7) = 2.29129 -> z = -1.96396
+    val r = mw(Seq("a" -> 1L, "a" -> 2L, "a" -> 3L,
+      "b" -> 4L, "b" -> 5L, "b" -> 6L))
+    assert(r("a").getAs[Long]("r2sum") === 12L)
+    assert(r("a").getAs[Long]("z_milli") === -1964L)
+    // symmetry of one-vs-rest on two groups: z_B = -z_A
+    assert(r("b").getAs[Long]("z_milli") === 1964L)
+  }
+
+  test("Mann-Whitney: ties take average ranks and shrink sigma") {
+    // A = {1,2}, B = {2,3}: ranks 1, 2.5, 2.5, 4 (doubled 2,5,5,8)
+    // R_A = 3.5 -> U_A = 3.5 - 3 = 0.5; mu = 2; tie3 = 2^3-2 = 6
+    // sigma = sqrt(4/12*(5 - 6/12)) = sqrt(1.5) = 1.22474
+    // z = -1.5/1.22474 = -1.22474 -> -1225
+    val r = mw(Seq("a" -> 1L, "a" -> 2L, "b" -> 2L, "b" -> 3L))
+    assert(r("a").getAs[Long]("r2sum") === 7L)
+    assert(r("a").getAs[Long]("z_milli") === -1225L)
+  }
+
+  test("Welch hand case: unequal variances and Satterthwaite df") {
+    // A = (1,2,3): m=2, v=1. B = (10,12,14,16): m=13, v=20/3.
+    // se2 = 1/3 + 5/3 = 2 -> t = -11/sqrt(2) = -7.77817
+    // df = 4 / ((1/3)^2/2 + (5/3)^2/3) = 4.07547
+    val r = StatQueries.welchReport(
+      Seq("a" -> 1L, "a" -> 2L, "a" -> 3L,
+        "b" -> 10L, "b" -> 12L, "b" -> 14L, "b" -> 16L)
+        .toDF("source", "x"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("a").getAs[Long]("n1") === 3L && r("a").getAs[Long]("n2") === 4L)
+    assert(r("a").getAs[Long]("t_milli") === -7778L)
+    assert(r("a").getAs[Long]("df_milli") === 4075L)
+    // the complementary test flips the sign
+    assert(r("b").getAs[Long]("t_milli") === 7778L)
+  }
 }
