@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Mergeable frequency sketching — the COUNT-MIN companion of the
+  * membership/cardinality sketches already in the engine (the bloom
+  * gates in `streaming/Incremental*`, HLL in q175): point-frequency
+  * estimates over a stream or corpus WITHOUT the full-shuffle groupBy
+  * the exact answer costs. At 100 TB the exact token histogram is a
+  * terabyte-scale shuffle on the token column; the sketch is one
+  * map-side pass whose per-partition state is a fixed depth×width
+  * counter grid, merged counter-wise (exact, commutative) into a
+  * single KB-scale object — the canonical "heavy hitters without a
+  * shuffle" trade (Cormode & Muthukrishnan, J.Alg 2005).
+  *
+  * Reference analogue: none — part of the LLM-pipeline extension
+  * surface (the reference's nearest shape is its KTable count stores,
+  * which are exact per-key).
+  */
+object Sketches {
+
+  /** Build a count-min sketch over a string column in one distributed
+    * pass (`DataFrameStatFunctions.countMinSketch`, which runs a
+    * treeAggregate of per-partition grids). Deterministic for a fixed
+    * seed on ANY partitioning: every counter is a sum of per-item
+    * increments, and sums commute — the same argument that makes the
+    * engine's integer aggregates layout-stable. */
+  def stringCms(items: DataFrame, column: String, eps: Double,
+      confidence: Double, seed: Int): CountMinSketch =
+    items.stat.countMinSketch(column, eps, confidence, seed)
+
+  /** The q224 body: estimate the exact top-`k` tokens' frequencies
+    * from a CMS and report estimate vs truth. The exact top-k (the
+    * oracle twin q73's shape) is computed alongside to EXPOSE the
+    * sketch error in the output: (term, true_n, est_n, over_n) with
+    * over_n = est−true ≥ 0 guaranteed by construction (CMS never
+    * underestimates) and over_n ≤ ε·N with the sketch's confidence.
+    * The k-row probe set and the sketch are both model-sized driver
+    * objects (the PQ-codebook collect discipline); everything
+    * corpus-sized stays distributed. */
+  def cmsVsExactTopK(spark: SparkSession, docs: DataFrame, k: Int,
+      eps: Double, confidence: Double, seed: Int): DataFrame = {
+    import spark.implicits._
+    val tok = docs.select(explode(split(col("text"), " ")).as("term"))
+    val cms = stringCms(tok, "term", eps, confidence, seed)
+    val top = tok.groupBy("term").agg(count(lit(1)).as("true_n"))
+      .orderBy(col("true_n").desc, col("term").asc)
+      .limit(k)
+      .as[(String, Long)].collect()
+    top.toSeq
+      .map { case (term, trueN) =>
+        val est = cms.estimateCount(term)
+        (term, trueN, est, est - trueN)
+      }
+      .toDF("term", "true_n", "est_n", "over_n")
+  }
+}

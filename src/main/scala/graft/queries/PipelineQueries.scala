@@ -307,6 +307,20 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** q224: count-min-sketch HEAVY HITTERS — q73's exact top-20 probed
+    * against a one-pass mergeable CMS (ε=0.0005, 99%, seed 42), the
+    * shuffle-free frequency path for 100 TB token streams (see
+    * [[graft.operators.Sketches]]). Output exposes the sketch error
+    * per term: over_n = estimate − truth is ≥ 0 by construction and
+    * ≤ ε·N at the sketch's confidence. rows-only (DuckDB cannot
+    * replay Spark's CMS hash family); exact twin = q73 (identical
+    * term set and true counts), and SketchSpec pins the CMS
+    * guarantees including merge-of-halves == whole-corpus-sketch. */
+  val cmsHeavyHitters: Q = Q.rowsOnly("q224_cms_heavy_hitters") { (s, dir) =>
+    graft.operators.Sketches.cmsVsExactTopK(s, t(s, dir, "documents"),
+      k = 20, eps = 0.0005, confidence = 0.99, seed = 42)
+  }
+
   /** The round-5 assembly line as ONE composed plan — chunk-level
     * dedup with reassembly → self-trained bigram-LM quality gate
     * (drop avg_nll > 3.45, i.e. the least-plausible tail) → train
@@ -493,5 +507,5 @@ object PipelineQueries {
   val all: Seq[Q] =
     Seq(decontaminate, hashSplit, mixtureSample, shardPack, domainQuota,
       corpusPipeline, groupSample, seqPack, redact, vocabTop, corpusPipelineV2,
-      contaminationSpans, templateDedup)
+      contaminationSpans, templateDedup, cmsHeavyHitters)
 }

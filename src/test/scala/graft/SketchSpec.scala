@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+import graft.queries.{PipelineQueries, Registry}
+import graft.sources.Tables
+
+/** The count-min guarantees q224 relies on: never-underestimate,
+  * ε·N overestimate bound, and exact counter-wise mergeability
+  * (sketch of the whole corpus == merge of half-corpus sketches,
+  * estimate-for-estimate). */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+  private lazy val tok = docs.select(explode(split(col("text"), " ")).as("term"))
+
+  test("q224: estimates never undercount and respect the eps*N bound") {
+    val rows = PipelineQueries.cmsHeavyHitters.fn(spark, sf).collect()
+    assert(rows.length === 20)
+    val n = tok.count()
+    for (r <- rows) {
+      val over = r.getAs[Long]("over_n")
+      assert(over >= 0L, s"${r.getString(0)} undercounted")
+      // eps = 0.0005; the 99% per-query bound, with slack for the
+      // tiny sf0.001 corpus where eps*N < 1 forces over_n == 0 almost
+      // surely — a violation here means the sketch is broken, not
+      // unlucky
+      assert(over <= math.max(1L, (0.0005 * 3 * n).toLong),
+        s"${r.getString(0)} over=$over n=$n")
+    }
+  }
+
+  test("q224 term set and true counts equal the exact twin q73") {
+    val twin = Registry.byName("q73_vocab_top").fn(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val got = PipelineQueries.cmsHeavyHitters.fn(spark, sf)
+      .select("term", "true_n").as[(String, Long)].collect().toMap
+    assert(got === twin)
+  }
+
+  test("merge of half-corpus sketches == whole-corpus sketch") {
+    val h1 = tok.filter(crc32(col("term")) % 2 === 0)
+    val h2 = tok.filter(crc32(col("term")) % 2 === 1)
+    val whole = Sketches.stringCms(tok, "term", 0.001, 0.99, 7)
+    val merged = Sketches.stringCms(h1, "term", 0.001, 0.99, 7)
+      .mergeInPlace(Sketches.stringCms(h2, "term", 0.001, 0.99, 7))
+    assert(merged.totalCount() === whole.totalCount())
+    val probes = tok.distinct().limit(50).as[String].collect()
+    for (p <- probes)
+      assert(merged.estimateCount(p) === whole.estimateCount(p), p)
+  }
+
+  test("determinism: same seed + different partitioning, same estimates") {
+    val a = Sketches.stringCms(tok, "term", 0.001, 0.99, 7)
+    val b = Sketches.stringCms(tok.repartition(13), "term", 0.001, 0.99, 7)
+    val probes = tok.distinct().limit(50).as[String].collect()
+    for (p <- probes)
+      assert(a.estimateCount(p) === b.estimateCount(p), p)
+  }
+}
