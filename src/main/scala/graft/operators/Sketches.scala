@@ -31,6 +31,54 @@ object Sketches {
       confidence: Double, seed: Int): CountMinSketch =
     items.stat.countMinSketch(column, eps, confidence, seed)
 
+  /** All terms with frequency STRICTLY above N/(k+1), found without
+    * ever shuffling the full token table — the Misra-Gries
+    * candidate-then-recount pipeline (Misra & Gries '82; mergeability
+    * per Agarwal et al. PODS'12):
+    *
+    *  1. Each partition keeps a bounded k-counter summary (admit new
+    *     terms while < k counters live; otherwise decrement ALL — the
+    *     classic amortized-O(1) eviction). Final estimate undercounts
+    *     by at most N_p/(k+1), so any term with f_p > N_p/(k+1)
+    *     SURVIVES its partition.
+    *  2. Pigeonhole across partitions: f(t) > N/(k+1) = ΣN_p/(k+1)
+    *     forces f_p(t) > N_p/(k+1) in at least one partition — the
+    *     survivor UNION is a superset of every global heavy hitter.
+    *  3. The union is ≤ k·partitions terms — broadcast it, semi-join
+    *     the token stream, and recount the candidates EXACTLY; the
+    *     final filter cnt·(k+1) > N keeps precisely the true
+    *     above-threshold set.
+    *
+    * The candidate set itself is arrival-order-dependent (MG eviction
+    * ties), but the OUTPUT is not: step 3's exact filter makes the
+    * result the well-defined "all terms above threshold" relation —
+    * which is why q225 can hash-oracle against DuckDB's full groupBy
+    * even though the two plans prune completely differently. Shuffle
+    * cost: only candidate-term tokens ever reach an exchange. */
+  def frequentTerms(items: DataFrame, column: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val tok = items.select(col(column).as("term"))
+    val cands = tok.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (m.contains(t)) m(t) += 1L
+        else if (m.size < k) m(t) = 1L
+        else m.mapValuesInPlace((_, v) => v - 1L)
+          .filterInPlace((_, v) => v > 0L)
+      }
+      m.keysIterator
+    }.toDF("term").distinct()
+    val total = tok.agg(count(lit(1)).as("n"))
+    tok.join(broadcast(cands), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * (k + 1) > col("n"))
+      .select(col("term"), col("cnt"),
+        expr("(1000000 * cnt) div n").cast("long").as("share_ppm"))
+  }
+
   /** The q224 body: estimate the exact top-`k` tokens' frequencies
     * from a CMS and report estimate vs truth. The exact top-k (the
     * oracle twin q73's shape) is computed alongside to EXPOSE the

@@ -321,6 +321,32 @@ object PipelineQueries {
       k = 20, eps = 0.0005, confidence = 0.99, seed = 42)
   }
 
+  /** q225: FREQUENT TERMS above a relative threshold via the
+    * Misra-Gries candidate-then-recount pipeline — every term holding
+    * > 1/(k+1) of the corpus token mass (k=199 → 0.5%), computed
+    * without shuffling the full token table (see
+    * [[graft.operators.Sketches.frequentTerms]]'s guarantee chain).
+    * The oracle states the SEMANTICS (full groupBy + threshold
+    * filter); the engine plan prunes to ≤ k·partitions candidates
+    * before its only exchange — identical relation, which is the
+    * point: the sketch pass is a pure optimization, not an
+    * approximation, once the exact recount filter runs. */
+  val frequentTerms: Q = Q(
+    "q225_frequent_terms",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+      |             FROM documents),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+      |g AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM tok GROUP BY term)
+      |SELECT term, cnt, CAST((1000000 * cnt) // n.n AS BIGINT) AS share_ppm
+      |FROM g CROSS JOIN n WHERE cnt * 200 > n.n""".stripMargin
+  ) { (s, dir) =>
+    graft.operators.Sketches.frequentTerms(
+      t(s, dir, "documents")
+        .select(explode(T.words(col("text"))).as("term")),
+      "term", k = 199)
+  }
+
   /** The round-5 assembly line as ONE composed plan — chunk-level
     * dedup with reassembly → self-trained bigram-LM quality gate
     * (drop avg_nll > 3.45, i.e. the least-plausible tail) → train
@@ -507,5 +533,5 @@ object PipelineQueries {
   val all: Seq[Q] =
     Seq(decontaminate, hashSplit, mixtureSample, shardPack, domainQuota,
       corpusPipeline, groupSample, seqPack, redact, vocabTop, corpusPipelineV2,
-      contaminationSpans, templateDedup, cmsHeavyHitters)
+      contaminationSpans, templateDedup, cmsHeavyHitters, frequentTerms)
 }

@@ -59,4 +59,36 @@ class SketchSpec extends SparkSpec {
     for (p <- probes)
       assert(a.estimateCount(p) === b.estimateCount(p), p)
   }
+
+  test("Misra-Gries: output equals the exact threshold relation") {
+    val k = 199
+    val exact = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .crossJoin(tok.agg(count(lit(1)).as("n")))
+      .filter(col("cnt") * (k + 1) > col("n"))
+      .select("term", "cnt").as[(String, Long)].collect().toMap
+    val got = Sketches.frequentTerms(tok, "term", k)
+      .select("term", "cnt").as[(String, Long)].collect().toMap
+    assert(got === exact)
+    assert(got.nonEmpty, "threshold relation empty at this sf — vacuous")
+  }
+
+  test("Misra-Gries: layout-independent output despite order-dependent candidates") {
+    val a = Sketches.frequentTerms(tok, "term", 99)
+      .select("term", "cnt").as[(String, Long)].collect().toSet
+    val b = Sketches.frequentTerms(tok.repartition(17), "term", 99)
+      .select("term", "cnt").as[(String, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  test("Misra-Gries: adversarial burying never drops a heavy hitter") {
+    // one heavy term delivered FIRST, then buried under > k distinct
+    // noise terms (the eviction-pressure worst case), single partition
+    val heavy = Seq.fill(60)("hot")
+    val noise = (1 to 400).map(i => s"noise_$i")
+    val data = (heavy ++ noise).toDF("term").coalesce(1)
+    val got = Sketches.frequentTerms(data, "term", k = 9)
+      .select("term").as[String].collect()
+    // threshold N/(k+1) = 460/10 = 46 < 60: hot MUST survive
+    assert(got.toSeq === Seq("hot"))
+  }
 }
