@@ -544,11 +544,11 @@ object StatQueries {
     * normal approximation with tie-corrected variance — from
     * identical exact integers on both engines.
     *
-    * The global ORDER BY rank is the one non-keyed window (same
-    * standing as q190's decile ranks): Spark executes it as a
-    * range-partitioned sort, not a single-reducer window, because
-    * the window has no PARTITION BY but rank() needs only
-    * range-local ordering plus partition offsets. */
+    * The one global ordering runs at DISTINCT-VALUE grain through the
+    * two-phase range-partitioned prefix sum (see
+    * [[mannWhitneyReport]]) — never a partition-less window over
+    * rows; the oracle states the same ranking with window functions
+    * because DuckDB may single-thread its 500-row grid freely. */
   val mannWhitney: Q = Q(
     "q222_mann_whitney",
     """WITH f AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
@@ -578,18 +578,33 @@ object StatQueries {
   /** The one-vs-rest Mann-Whitney core behind q222: `f` is the long
     * (source, x) observation table; returns (source, n_k, r2sum,
     * z_milli). See q222's scaladoc for the shared-ranking and
-    * exactness arguments. */
+    * exactness arguments.
+    *
+    * The tie-averaged rank of a row depends only on its VALUE —
+    * doubled, r2(x) = 2·cum(x) − t(x) + 1 where cum is the inclusive
+    * count prefix over the value order — so ranking runs at
+    * DISTINCT-VALUE grain: one grouped count, one two-phase
+    * range-partitioned prefix sum over the value table
+    * ([[graft.operators.Ranks.globalRunningSum]] — never a
+    * partition-less window over rows), and one hash join of
+    * (source, value) counts back onto the value grid. Rows are never
+    * globally sorted; only distinct values are. */
   private[graft] def mannWhitneyReport(f: DataFrame): DataFrame = {
-    val r2 = (lit(2) * rank().over(Window.orderBy(col("x")))
-      + count(lit(1)).over(Window.partitionBy("x")) - 1).cast(LongType)
-    val tt = f.groupBy("x").agg(count(lit(1)).as("tcnt"))
-      .agg(sum(col("tcnt")).cast(LongType).as("n"),
-        sum((col("tcnt") * col("tcnt") * col("tcnt") - col("tcnt"))
+    val byVal = f.groupBy("x").agg(count(lit(1)).as("t"))
+    val withCum = graft.operators.Ranks.globalRunningSum(
+      byVal, Seq(col("x")), col("t"), "cum")
+    val r2tab = withCum.select(col("x"),
+      (lit(2) * col("cum") - col("t") + 1).cast(LongType).as("r2"))
+      .localCheckpoint(true)
+    val tt = byVal
+      .agg(sum(col("t")).cast(LongType).as("n"),
+        sum((col("t") * col("t") * col("t") - col("t"))
           .cast(d38)).cast("double").as("tie3"))
     val nD = col("n_k").cast("double")
-    f.select(col("source"), r2.as("r2"))
+    f.groupBy("source", "x").agg(count(lit(1)).as("c"))
+      .join(r2tab, Seq("x"))
       .groupBy("source")
-      .agg(count(lit(1)).as("n_k"), sum(col("r2")).as("r2sum"))
+      .agg(sum(col("c")).as("n_k"), sum(col("c") * col("r2")).as("r2sum"))
       .crossJoin(broadcast(tt))
       .select(col("source"), col("n_k"), col("r2sum"),
         round((

@@ -988,4 +988,64 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"),
       "q134 fell back to a sort-based aggregate")
   }
+
+  test("q216-q218: attribution joins stay hash equi-joins on user_id; windows key on the conversion") {
+    for (n <- Seq("q216_attribution_last_touch", "q217_attribution_linear",
+        "q218_attribution_time_decay")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n planned a cross product")
+      // the 7-day range predicate must ride a HASH join as a residual,
+      // never demote the join to a nested loop over users
+      assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("SortMergeJoin"), s"$n lost its hash equi-join")
+      // only q216's total-row broadcast may plan a nested loop (1-row)
+      val bnlj = "(?m)^\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnlj <= 1, s"$n planned $bnlj nested-loop joins")
+      // any window must partition by the conversion id, never globally
+      p.split("windowspecdefinition\\(").drop(1).foreach(s =>
+        assert(s.startsWith("conv_id"),
+          s"$n window not conv_id-partitioned: ${s.take(50)}"))
+    }
+  }
+
+  test("q219/q220: eval windows partition by query term; the 5-term set broadcasts") {
+    for (n <- Seq("q219_retrieval_ndcg", "q220_retrieval_mrr")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n planned a cross product")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$n lost the broadcast of the 5-term query set")
+      val specs = p.split("windowspecdefinition\\(").drop(1)
+      assert(specs.nonEmpty, s"$n lost its ranking windows")
+      specs.foreach(s => assert(s.startsWith("term"),
+        s"$n window not term-partitioned: ${s.take(50)}"))
+    }
+  }
+
+  test("q222: rank runs at value grain via the prefix sum — no window at all") {
+    val p = plan("q222_mann_whitney")
+    assert(!p.contains("CartesianProduct"), "q222 planned a cross product")
+    assert(!p.contains("Window"),
+      "q222 reacquired a window — ranks must ride the value-grain prefix sum")
+    // exactly one 1-row broadcast cross (the global tie/total row)
+    val bnlj = "(?m)^\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"q222 planned $bnlj nested-loop joins")
+    // the value-grid join back onto (source, x) counts is a hash join
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("SortMergeJoin"), "r2 grid join lost its hash form")
+  }
+
+  test("q223: Welch plans two aggregates and a 1-row broadcast — no window, no shuffle join") {
+    val p = plan("q223_welch_t")
+    assert(!p.contains("Window"), "q223 acquired a window")
+    assert(!p.contains("CartesianProduct"), "q223 planned a cross product")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "moment sums lost their partial phase")
+  }
+
+  test("q225: candidates broadcast back as a LEFT-SEMI before the only exchange") {
+    val p = plan("q225_frequent_terms")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "candidate recount lost its broadcast semi-join: " + p.take(1500))
+    assert(!p.contains("CartesianProduct"), "q225 planned a cross product")
+  }
 }
