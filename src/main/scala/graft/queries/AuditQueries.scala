@@ -1235,10 +1235,71 @@ object AuditQueries {
       .select("doc_id", "source", "n_tokens", "q_ppm", "phase", "ord")
   }
 
+  /** q226: BENFORD'S-LAW audit of the price column — the
+    * data-forensics screen for fabricated or mechanically-generated
+    * monetary values (naturally-occurring multiplicative amounts put
+    * ~30.1% of leading digits at 1; uniform generators put ~11.1%
+    * everywhere). Leading digit extracts from the exact integer-cents
+    * rendering (never from the double's scientific form); expected
+    * shares are log10(1+1/d) micro-quantized through the identical
+    * ln-ratio expression on both engines, and each digit's χ²
+    * contribution is a final double from those exact integers. On the
+    * synthetic testdata the audit CORRECTLY screams: observed ppm sit
+    * near 1/9 across digits, nothing like the Benford curve — the
+    * query's value is that the verdict is measured, digit by digit.
+    * One scan, one 9-row grid (broadcast spine), no window. */
+  val benfordAudit: Q = Q(
+    "q226_benford_audit",
+    """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |           FROM lineitem WHERE l_extendedprice > 0),
+      |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |      FROM c),
+      |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed
+      |      FROM d GROUP BY digit),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+      |g AS (SELECT gd.digit, coalesce(o.observed, 0) AS observed, n.n,
+      |             CAST(round(ln(1.0 + 1.0 / gd.digit) / ln(10.0) * 1000000)
+      |               AS BIGINT) AS expected_ppm
+      |      FROM (SELECT unnest(range(1, 10)) AS digit) gd
+      |      LEFT JOIN o USING (digit) CROSS JOIN n)
+      |SELECT digit, observed,
+      |       CAST((1000000 * observed) // n AS BIGINT) AS observed_ppm,
+      |       expected_ppm,
+      |       CAST(round((observed - CAST(expected_ppm AS DOUBLE) * n / 1000000)
+      |           * (observed - CAST(expected_ppm AS DOUBLE) * n / 1000000)
+      |           / (CAST(expected_ppm AS DOUBLE) * n / 1000000) * 1000000)
+      |         AS BIGINT) AS chi2_contrib_u6
+      |FROM g""".stripMargin
+  ) { (s, dir) =>
+    val d = t(s, dir, "lineitem")
+      .filter(col("l_extendedprice") > 0)
+      .select(substring(round(col("l_extendedprice") * 100)
+        .cast(LongType).cast("string"), 1, 1).cast(LongType).as("digit"))
+    val o = d.groupBy("digit").agg(count(lit(1)).as("observed"))
+    val n = d.agg(count(lit(1)).as("n"))
+    val spine = s.range(1, 10).select(col("id").as("digit"))
+      .withColumn("expected_ppm",
+        round(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+          * 1000000).cast(LongType))
+    val e = col("expected_ppm").cast("double") * col("n") / 1000000
+    // the digit-grouped counts are the ≤9-row side — broadcast THEM
+    // (the preserved side of a left join can never be the build side)
+    spine
+      .join(broadcast(o), Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("observed"), lit(0L)).as("observed"),
+        col("expected_ppm"))
+      .crossJoin(broadcast(n))
+      .select(col("digit"), col("observed"),
+        expr("(1000000 * observed) div n").cast(LongType).as("observed_ppm"),
+        col("expected_ppm"),
+        round((col("observed") - e) * (col("observed") - e) / e * 1000000)
+          .cast(LongType).as("chi2_contrib_u6"))
+  }
+
   val all: Seq[Q] = Seq(embeddingAudit, hardNegatives, packingEfficiency,
     sentenceDedup, vocabCoverage, dedupLineage, mixedDomain, knnLabelPurity,
     hardNegativesAnn, semanticDupMatrix, embeddingCoverage, dedupAgreement,
     topBoilerplate, activityGini, curriculumPlan, zorderPlan, saltingPlan,
     minhashCalibration, sentenceStrip, lengthBatching, qualityBudgetFill,
-    corpusPipelineV5)
+    corpusPipelineV5, benfordAudit)
 }

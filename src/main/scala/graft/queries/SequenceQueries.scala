@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.operators.Ranks
 import graft.sources.Tables
@@ -355,7 +356,61 @@ object SequenceQueries {
         expr("(1000000 * n_bounce) div n_sessions").as("bounce_ppm"))
   }
 
+  /** q227: WEEKDAY SEASONALITY PROFILE per event type — the "does
+    * this metric breathe with the week?" companion of q196's ACF:
+    * ACF detects that a weekly cycle exists; this measures its SHAPE
+    * as a per-weekday index (1e6 = that weekday behaves like the
+    * type's average day). Each weekday's rate normalizes by the
+    * number of CALENDAR days of that weekday actually present in the
+    * window (taken from the data, so a 30-day window's 4-vs-5
+    * imbalance can't masquerade as seasonality). Counts and day
+    * tallies are exact BIGINTs; the index is one final double
+    * expression from them (never an integer product that could
+    * overflow at corpus scale). Day-of-week is pinned to the
+    * 0=Sunday..6 convention on both engines (Spark's dayofweek is
+    * 1-based, DuckDB's 0-based — the Spark side subtracts 1).
+    * Shape: one scan into two grouped counts and two dimension-sized
+    * grids (7 weekdays, |types| rows) joined via broadcast. */
+  val weekdayProfile: Q = Q(
+    "q227_weekday_profile",
+    """WITH e AS (SELECT event_type,
+      |                  CAST(date_trunc('day', ts) AS DATE) AS day,
+      |                  CAST(dayofweek(ts) AS BIGINT) AS dow
+      |           FROM events),
+      |days AS (SELECT dow, CAST(count(DISTINCT day) AS BIGINT) AS n_days
+      |         FROM (SELECT DISTINCT day, dow FROM e) GROUP BY dow),
+      |cal AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS total_days
+      |        FROM e),
+      |c AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_events
+      |      FROM e GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS total
+      |        FROM e GROUP BY 1)
+      |SELECT c.event_type, c.dow, c.n_events, days.n_days,
+      |       CAST(round(CAST(c.n_events AS DOUBLE) * cal.total_days
+      |           / (CAST(days.n_days AS DOUBLE) * tot.total) * 1000000)
+      |         AS BIGINT) AS idx_ppm
+      |FROM c JOIN days USING (dow) JOIN tot USING (event_type)
+      |CROSS JOIN cal""".stripMargin
+  ) { (s, dir) =>
+    val e = t(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        (dayofweek(col("ts")) - 1).cast(LongType).as("dow"))
+    val days = e.select("day", "dow").distinct()
+      .groupBy("dow").agg(count(lit(1)).as("n_days"))
+    val cal = e.select("day").distinct()
+      .agg(count(lit(1)).as("total_days"))
+    val c = e.groupBy("event_type", "dow").agg(count(lit(1)).as("n_events"))
+    val tot = e.groupBy("event_type").agg(count(lit(1)).as("total"))
+    c.join(broadcast(days), Seq("dow"))
+      .join(broadcast(tot), Seq("event_type"))
+      .crossJoin(broadcast(cal))
+      .select(col("event_type"), col("dow"), col("n_events"), col("n_days"),
+        round(col("n_events").cast("double") * col("total_days")
+            / (col("n_days").cast("double") * col("total")) * 1000000)
+          .cast(LongType).as("idx_ppm"))
+  }
+
   val all: Seq[Q] =
     Seq(activityStreaks, eventFunnel, eventTransitions, cumulativeUsers,
-      sessionPaths, funnelLatency, stickiness, bounceRate)
+      sessionPaths, funnelLatency, stickiness, bounceRate, weekdayProfile)
 }

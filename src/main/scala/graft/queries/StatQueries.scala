@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -685,7 +685,128 @@ object StatQueries {
         * 1000).cast(LongType).as("df_milli"))
   }
 
+  /** q228: KAPLAN-MEIER survival of signup→first-purchase conversion,
+    * cohorted by signup weekday with ADMINISTRATIVE censoring at a
+    * 3-day horizon — the survival-analysis member of the inference
+    * family: "how fast do cohorts convert, counting the users who
+    * haven't yet?" (a plain conversion rate silently drops them).
+    * Durations are exact epoch-nanos day floors; each cohort's
+    * day-grain (dur, deaths, censored) grid is horizon-bounded
+    * (≤ horizon+1 rows — the q208 calendar-bounded-fold discipline),
+    * so the KM product folds per cohort inside one `aggregate` HOF:
+    * s ← ⌊s·(n−d)/n⌋ in exact ppm integer arithmetic (the division is
+    * a DECIMAL(38,0) exact floor, never a 2⁵³-lossy double), with the
+    * risk set carried as n ← n−d−c. Censor-only days multiply by
+    * n/n = 1 exactly, so gaps and event-free days cannot drift the
+    * curve. The oracle states the identical recurrence as a recursive
+    * CTE over the same grid.
+    *
+    * Shape: two user-grain aggregates (first signup, first purchase
+    * after it) joined on user_id, one grouped grid, one fold over
+    * ≤ 4 rows per cohort — no window wider than a cohort, nothing
+    * collected beyond the 7×4 grid. */
+  val kaplanMeier: Q = Q(
+    "q228_kaplan_meier",
+    """WITH RECURSIVE s AS (SELECT user_id, min(ts) AS t0 FROM events
+      |           WHERE event_type = 'signup' GROUP BY user_id),
+      |wend AS (SELECT max(ts) AS tmax FROM events),
+      |p AS (SELECT e.user_id, min(e.ts) AS tp
+      |      FROM events e JOIN s ON e.user_id = s.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > s.t0
+      |      GROUP BY e.user_id),
+      |raw AS (SELECT s.user_id, CAST(dayofweek(s.t0) AS BIGINT) AS cohort,
+      |             CASE WHEN p.tp IS NULL THEN 0 ELSE 1 END AS ev0,
+      |             CAST((epoch_ns(coalesce(p.tp, wend.tmax)) - epoch_ns(s.t0))
+      |                  // 86400000000000 AS BIGINT) AS dur0
+      |      FROM s LEFT JOIN p USING (user_id) CROSS JOIN wend),
+      |h AS (SELECT cohort,
+      |             CASE WHEN ev0 = 1 AND dur0 <= 3 THEN 1 ELSE 0 END AS ev,
+      |             least(dur0, 3) AS dur
+      |      FROM raw),
+      |grid AS (SELECT cohort, dur, CAST(sum(ev) AS BIGINT) AS d,
+      |                CAST(sum(1 - ev) AS BIGINT) AS c,
+      |                row_number() OVER (PARTITION BY cohort ORDER BY dur)
+      |                  AS rn
+      |         FROM h GROUP BY cohort, dur),
+      |tot AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n0
+      |        FROM h GROUP BY cohort),
+      |r AS (
+      |  SELECT grid.cohort, grid.rn, grid.dur, grid.d, grid.c,
+      |         tot.n0 AS n_at_risk,
+      |         (1000000 * (tot.n0 - grid.d)) // tot.n0 AS s_ppm
+      |  FROM grid JOIN tot USING (cohort) WHERE grid.rn = 1
+      |  UNION ALL
+      |  SELECT grid.cohort, grid.rn, grid.dur, grid.d, grid.c,
+      |         r.n_at_risk - r.d - r.c AS n_at_risk,
+      |         (r.s_ppm * ((r.n_at_risk - r.d - r.c) - grid.d))
+      |            // (r.n_at_risk - r.d - r.c) AS s_ppm
+      |  FROM r JOIN grid ON grid.cohort = r.cohort AND grid.rn = r.rn + 1)
+      |SELECT cohort, dur, d, c, n_at_risk, CAST(s_ppm AS BIGINT) AS s_ppm
+      |FROM r""".stripMargin
+  ) { (s, dir) =>
+    kaplanMeierReport(t(s, dir, "events"), horizonDays = 3)
+  }
+
+  /** The KM core behind q228 (also the spec's hand-case entry):
+    * cohorted administrative-censoring KM over an events table with
+    * (user_id, ts/ts_ns, event_type). See q228's scaladoc. */
+  private[graft] def kaplanMeierReport(events: DataFrame,
+      horizonDays: Int): DataFrame = {
+    require(horizonDays >= 1, s"horizon must be >= 1, got $horizonDays")
+    val s0 = events.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t0"),
+        min(col("ts_ns")).as("t0_ns"))
+    val wend = events.agg(max(col("ts_ns")).as("tmax_ns"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns"))
+      .join(s0.select("user_id", "t0_ns"), Seq("user_id"))
+      .filter(col("ts_ns") > col("t0_ns"))
+      .groupBy("user_id").agg(min(col("ts_ns")).as("tp_ns"))
+    val raw = s0.join(p, Seq("user_id"), "left")
+      .crossJoin(broadcast(wend))
+      .select(
+        (dayofweek(col("t0")) - 1).cast(LongType).as("cohort"),
+        when(col("tp_ns").isNull, 0L).otherwise(1L).as("ev0"),
+        expr("(coalesce(tp_ns, tmax_ns) - t0_ns) div 86400000000000")
+          .cast(LongType).as("dur0"))
+    val h = raw.select(col("cohort"),
+      when(col("ev0") === 1 && col("dur0") <= horizonDays, 1L)
+        .otherwise(0L).as("ev"),
+      least(col("dur0"), lit(horizonDays.toLong)).as("dur"))
+    val grid = h.groupBy("cohort", "dur")
+      .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+    // exact ppm floor-div inside the fold: longs wrap past 2^63 and
+    // doubles lose bits past 2^53, so the quotient computes in
+    // DECIMAL(38,0) — exact for cohorts up to 10^31 users
+    def divQ(a: Column, b: Column): Column =
+      ((a - pmod(a, b)).cast(d38) / b.cast(d38)).cast(LongType)
+    val stepT = "array<struct<dur:bigint,d:bigint,c:bigint," +
+      "n_at_risk:bigint,s_ppm:bigint,n_next:bigint>>"
+    grid.groupBy("cohort")
+      .agg(sort_array(collect_list(struct(col("dur"), col("d"), col("c"))))
+          .as("sd"),
+        sum(col("d") + col("c")).as("n0"))
+      .withColumn("ks", aggregate(col("sd"), array().cast(stepT),
+        (acc, x) => {
+          val prev = element_at(acc, -1)
+          val n = when(size(acc) === 0, col("n0"))
+            .otherwise(prev.getField("n_next"))
+          val sPrev = when(size(acc) === 0, lit(1000000L))
+            .otherwise(prev.getField("s_ppm"))
+          val sNew = divQ(sPrev * (n - x.getField("d")), n)
+          concat(acc, array(struct(
+            x.getField("dur").as("dur"), x.getField("d").as("d"),
+            x.getField("c").as("c"), n.as("n_at_risk"),
+            sNew.as("s_ppm"),
+            (n - x.getField("d") - x.getField("c")).as("n_next"))))
+        }))
+      .select(col("cohort"), explode(col("ks")).as("k"))
+      .select(col("cohort"), col("k.dur").as("dur"), col("k.d").as("d"),
+        col("k.c").as("c"), col("k.n_at_risk").as("n_at_risk"),
+        col("k.s_ppm").as("s_ppm"))
+  }
+
   val all: Seq[Q] = Seq(chiSquare, cohensKappa, acfDaily,
     cusumChangepoint, fkOrphans, winsorizedMean, sourceDriftChi2,
-    mannWhitney, welchT)
+    mannWhitney, welchT, kaplanMeier)
 }

@@ -1,8 +1,6 @@
 package graft
 
-import java.sql.Timestamp
-
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 import graft.queries.AttributionQueries
@@ -12,26 +10,31 @@ import graft.queries.AttributionQueries
   * (every purchase credited once, floors lose < 1 unit per touch,
   * decay weights bounded by the window) — plus a driver-side pin of
   * the shift-based decay schedule.
+  *
+  * Results are COLLECTED once, never `.cache()`d: a cached plan on the
+  * shared session would be picked up by PlanSpec's explain of the same
+  * query (the InMemoryRelation embeds the child plan text and doubles
+  * every node count a regex sees) — the exact cross-suite interference
+  * the bench-hygiene fix exists to prevent.
   */
 class AttributionSpec extends SparkSpec {
-  import spark.implicits._
 
-  private lazy val q216: DataFrame =
-    AttributionQueries.lastTouch.fn(spark, sf).cache()
-  private lazy val q217: DataFrame =
-    AttributionQueries.linear.fn(spark, sf).cache()
-  private lazy val q218: DataFrame =
-    AttributionQueries.timeDecay.fn(spark, sf).cache()
+  private lazy val q216: Array[Row] =
+    AttributionQueries.lastTouch.fn(spark, sf).collect()
+  private lazy val q217: Array[Row] =
+    AttributionQueries.linear.fn(spark, sf).collect()
+  private lazy val q218: Array[Row] =
+    AttributionQueries.timeDecay.fn(spark, sf).collect()
 
   test("last-touch: every purchase is credited exactly once") {
     val purchases = graft.sources.Tables.load(spark, sf, "events")
       .filter(col("event_type") === "purchase").count()
-    val credited = q216.agg(sum("n_conv")).head().getLong(0)
+    val credited = q216.map(_.getAs[Long]("n_conv")).sum
     assert(credited === purchases)
   }
 
   test("last-touch: shares partition the ppm space (floor slack < #channels)") {
-    val shares = q216.select("share_ppm").as[Long].collect()
+    val shares = q216.map(_.getAs[Long]("share_ppm"))
     assert(shares.sum <= 1000000L)
     assert(shares.sum > 1000000L - shares.length)
   }
@@ -40,18 +43,18 @@ class AttributionSpec extends SparkSpec {
     // channel-level invariant: total credit <= 1e6 * converted purchases,
     // and > (1e6 - maxTouches) * converted  — the floor loses < 1 unit
     // per touch. Converted = purchases with >= 1 in-window touch.
-    val convertedTotal = q217.agg(sum("credit_u6")).head().getLong(0)
-    val nConverted = q216.filter(col("channel") =!= "none")
-      .agg(sum("n_conv")).head().getLong(0)
+    val convertedTotal = q217.map(_.getAs[Long]("credit_u6")).sum
+    val nConverted = q216.filter(_.getAs[String]("channel") != "none")
+      .map(_.getAs[Long]("n_conv")).sum
     assert(convertedTotal <= 1000000L * nConverted)
-    val nTouches = q217.agg(sum("n_touches")).head().getLong(0)
+    val nTouches = q217.map(_.getAs[Long]("n_touches")).sum
     assert(convertedTotal > 1000000L * nConverted - nTouches)
   }
 
   test("time-decay: credit is bounded by linear touch count and positive") {
     // each touch's decayed weight is in (0, 1e6]: sum <= 1e6 * n_touches
-    val r = q218.select(sum("decay_credit_u6"), sum("n_touches")).head()
-    val (credit, touches) = (r.getLong(0), r.getLong(1))
+    val credit = q218.map(_.getAs[Long]("decay_credit_u6")).sum
+    val touches = q218.map(_.getAs[Long]("n_touches")).sum
     assert(credit > 0L && credit <= 1000000L * touches)
     // weights floor at 1e6 >> 6 = 15625 for 6-day-old touches: a
     // touch can never contribute 0 inside the 7-day window
@@ -67,10 +70,10 @@ class AttributionSpec extends SparkSpec {
   }
 
   test("models agree on channel universe; only last-touch adds 'none'") {
-    val chans217 = q217.select("channel").as[String].collect().toSet
-    val chans218 = q218.select("channel").as[String].collect().toSet
+    val chans217 = q217.map(_.getAs[String]("channel")).toSet
+    val chans218 = q218.map(_.getAs[String]("channel")).toSet
     assert(chans217 === chans218)
-    val chans216 = q216.select("channel").as[String].collect().toSet
+    val chans216 = q216.map(_.getAs[String]("channel")).toSet
     assert((chans216 -- chans217) subsetOf Set("none"))
   }
 }

@@ -66,6 +66,36 @@ class StatSpec extends SparkSpec {
     assert(r("a").getAs[Long]("z_milli") === -1225L)
   }
 
+  test("Kaplan-Meier hand case: events, late conversion, never-converter") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    // all four users sign up Monday 2024-01-01 00:00 UTC (cohort 1):
+    // u1 converts day 0, u2 day 1, u3 day 5 (past the 3-day horizon ->
+    // censored at 3), u4 never (censored at window end = u3's purchase)
+    val base = 1704067200L * 1000000L // 2024-01-01 00:00:00 UTC, micros
+    val day = 86400L * 1000000L
+    val rows = Seq(
+      (1L, "signup", base), (2L, "signup", base),
+      (3L, "signup", base), (4L, "signup", base),
+      (1L, "purchase", base + day / 2),
+      (2L, "purchase", base + day + day / 5),
+      (3L, "purchase", base + 5 * day))
+    val ev = rows.toDF("user_id", "event_type", "us")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"),
+        (col("us") * 1000L).as("ts_ns"))
+    val got = StatQueries.kaplanMeierReport(ev, horizonDays = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("dur"),
+        (r.getAs[Long]("d"), r.getAs[Long]("c"),
+          r.getAs[Long]("n_at_risk"), r.getAs[Long]("s_ppm"))))
+      .toMap
+    // n0=4: day0 s=(4-1)/4; day1 s=750000*(3-1)/3; day3 censor-only
+    assert(got(0L) === ((1L, 0L, 4L, 750000L)))
+    assert(got(1L) === ((1L, 0L, 3L, 500000L)))
+    assert(got(3L) === ((0L, 2L, 2L, 500000L)), "censor-only day moved s")
+    assert(got.size === 3)
+  }
+
   test("Welch hand case: unequal variances and Satterthwaite df") {
     // A = (1,2,3): m=2, v=1. B = (10,12,14,16): m=13, v=20/3.
     // se2 = 1/3 + 5/3 = 2 -> t = -11/sqrt(2) = -7.77817
