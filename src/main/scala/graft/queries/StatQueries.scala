@@ -747,10 +747,11 @@ object StatQueries {
     kaplanMeierReport(t(s, dir, "events"), horizonDays = 3)
   }
 
-  /** The KM core behind q228 (also the spec's hand-case entry):
-    * cohorted administrative-censoring KM over an events table with
-    * (user_id, ts/ts_ns, event_type). See q228's scaladoc. */
-  private[graft] def kaplanMeierReport(events: DataFrame,
+  /** Shared survival-duration builder (q228 KM + q229 log-rank):
+    * per signup user, the signup weekday (0=Sunday), whether the
+    * first subsequent purchase landed within `horizonDays` (ev), and
+    * the horizon-censored duration in exact day floors. */
+  private def survivalDurations(events: DataFrame,
       horizonDays: Int): DataFrame = {
     require(horizonDays >= 1, s"horizon must be >= 1, got $horizonDays")
     val s0 = events.filter(col("event_type") === "signup")
@@ -762,17 +763,26 @@ object StatQueries {
       .join(s0.select("user_id", "t0_ns"), Seq("user_id"))
       .filter(col("ts_ns") > col("t0_ns"))
       .groupBy("user_id").agg(min(col("ts_ns")).as("tp_ns"))
-    val raw = s0.join(p, Seq("user_id"), "left")
+    s0.join(p, Seq("user_id"), "left")
       .crossJoin(broadcast(wend))
       .select(
-        (dayofweek(col("t0")) - 1).cast(LongType).as("cohort"),
+        (dayofweek(col("t0")) - 1).cast(LongType).as("dow"),
         when(col("tp_ns").isNull, 0L).otherwise(1L).as("ev0"),
         expr("(coalesce(tp_ns, tmax_ns) - t0_ns) div 86400000000000")
           .cast(LongType).as("dur0"))
-    val h = raw.select(col("cohort"),
-      when(col("ev0") === 1 && col("dur0") <= horizonDays, 1L)
-        .otherwise(0L).as("ev"),
-      least(col("dur0"), lit(horizonDays.toLong)).as("dur"))
+      .select(col("dow"),
+        when(col("ev0") === 1 && col("dur0") <= horizonDays, 1L)
+          .otherwise(0L).as("ev"),
+        least(col("dur0"), lit(horizonDays.toLong)).as("dur"))
+  }
+
+  /** The KM core behind q228 (also the spec's hand-case entry):
+    * cohorted administrative-censoring KM over an events table with
+    * (user_id, ts/ts_ns, event_type). See q228's scaladoc. */
+  private[graft] def kaplanMeierReport(events: DataFrame,
+      horizonDays: Int): DataFrame = {
+    val h = survivalDurations(events, horizonDays)
+      .select(col("dow").as("cohort"), col("ev"), col("dur"))
     val grid = h.groupBy("cohort", "dur")
       .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
     // exact ppm floor-div inside the fold: longs wrap past 2^63 and
@@ -806,7 +816,128 @@ object StatQueries {
         col("k.s_ppm").as("s_ppm"))
   }
 
+  /** q229: LOG-RANK test between the weekend-signup and
+    * weekday-signup survival curves (7-day horizon) — the hypothesis
+    * test that belongs with q228's estimate: "are those two KM curves
+    * actually different?" At each event day, group 1's observed
+    * deaths compare against the hypergeometric expectation
+    * d·n₁/n given the pooled risk set, with variance
+    * d·(n₁/n)·(1−n₁/n)·(n−d)/(n−1); z = Σ(O−E)/√ΣV. The day grid is
+    * horizon-bounded, so the risk-set suffix sums ride the SAME
+    * aggregate-HOF fold as q228 — ascending with n(t) = N − prefix of
+    * removals, never a window (the oracle may window its 8-row grid
+    * freely). Per-day O−E and V micro-quantize from exact integers;
+    * the two sums are order-immune BIGINTs; z is one final double. */
+  val logRank: Q = Q(
+    "q229_logrank_test",
+    """WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+      |           WHERE event_type = 'signup' GROUP BY user_id),
+      |wend AS (SELECT max(ts) AS tmax FROM events),
+      |p AS (SELECT e.user_id, min(e.ts) AS tp
+      |      FROM events e JOIN s ON e.user_id = s.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > s.t0
+      |      GROUP BY e.user_id),
+      |raw AS (SELECT s.user_id,
+      |             CASE WHEN dayofweek(s.t0) IN (0, 6) THEN 1 ELSE 0 END
+      |               AS grp,
+      |             CASE WHEN p.tp IS NULL THEN 0 ELSE 1 END AS ev0,
+      |             CAST((epoch_ns(coalesce(p.tp, wend.tmax))
+      |                   - epoch_ns(s.t0)) // 86400000000000 AS BIGINT)
+      |               AS dur0
+      |      FROM s LEFT JOIN p USING (user_id) CROSS JOIN wend),
+      |h AS (SELECT grp,
+      |             CASE WHEN ev0 = 1 AND dur0 <= 7 THEN 1 ELSE 0 END AS ev,
+      |             least(dur0, 7) AS dur FROM raw),
+      |g AS (SELECT dur,
+      |        CAST(sum(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+      |        CAST(sum(ev) AS BIGINT) AS d,
+      |        CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+      |        CAST(count(*) AS BIGINT) AS r
+      |      FROM h GROUP BY dur),
+      |ns AS (SELECT dur, d1, d,
+      |         CAST(sum(r1) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED
+      |              PRECEDING AND CURRENT ROW) AS BIGINT) AS n1,
+      |         CAST(sum(r) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED
+      |              PRECEDING AND CURRENT ROW) AS BIGINT) AS n
+      |       FROM g),
+      |x AS (SELECT dur, d1, d, n1, n,
+      |        d1 - CAST(d AS DOUBLE) * n1 / n AS ome,
+      |        CASE WHEN n <= 1 THEN 0.0
+      |             ELSE CAST(d AS DOUBLE) * n1 / n * (n - n1) / n
+      |                  * (n - d) / (n - 1) END AS v
+      |      FROM ns WHERE d > 0),
+      |agg AS (SELECT
+      |          CAST(sum(CAST(round(ome * 1000000) AS BIGINT)) AS BIGINT)
+      |            AS ome_u6,
+      |          CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT)
+      |            AS var_u6,
+      |          CAST(sum(d) AS BIGINT) AS n_events
+      |        FROM x)
+      |SELECT n_events, ome_u6, var_u6,
+      |       CAST(round(ome_u6 / sqrt(CAST(var_u6 AS DOUBLE) * 1000000)
+      |           * 1000) AS BIGINT) AS z_milli
+      |FROM agg""".stripMargin
+  ) { (s, dir) =>
+    logRankReport(survivalDurations(t(s, dir, "events"), horizonDays = 7)
+      .select(when(col("dow").isin(0L, 6L), 1L).otherwise(0L).as("grp"),
+        col("ev"), col("dur")))
+  }
+
+  /** The log-rank core behind q229 (also the spec's hand-case entry):
+    * `h` is the per-subject (grp ∈ {0,1}, ev ∈ {0,1}, dur) table.
+    * See q229's scaladoc. */
+  private[graft] def logRankReport(h: DataFrame): DataFrame = {
+    val g = h.groupBy("dur").agg(
+      sum(when(col("grp") === 1, col("ev")).otherwise(0L)).as("d1"),
+      sum(col("ev")).as("d"),
+      sum(when(col("grp") === 1, 1L).otherwise(0L)).as("r1"),
+      count(lit(1)).as("r"))
+    // horizon-bounded grid -> one global fold carrying the ASCENDING
+    // removal prefix: n(t) = N - prefix_{<t}(r), n1(t) likewise
+    val stepT = "array<struct<ome_u6:bigint,v_u6:bigint,d:bigint," +
+      "cum_r1:bigint,cum_r:bigint>>"
+    g.groupBy()
+      .agg(sort_array(collect_list(
+          struct(col("dur"), col("d1"), col("d"), col("r1"), col("r"))))
+          .as("sd"),
+        sum(col("r1")).as("tot1"), sum(col("r")).as("tot"))
+      .withColumn("ks", aggregate(col("sd"), array().cast(stepT),
+        (acc, x) => {
+          val prev = element_at(acc, -1)
+          val cumR1 = when(size(acc) === 0, lit(0L))
+            .otherwise(prev.getField("cum_r1"))
+          val cumR = when(size(acc) === 0, lit(0L))
+            .otherwise(prev.getField("cum_r"))
+          val n1 = col("tot1") - cumR1
+          val n = col("tot") - cumR
+          val d = x.getField("d")
+          val d1 = x.getField("d1")
+          val ome = d1 - d.cast("double") * n1 / n
+          val v = when(n <= 1, lit(0.0))
+            .otherwise(d.cast("double") * n1 / n * (n - n1) / n
+              * (n - d) / (n - 1))
+          concat(acc, array(struct(
+            when(d > 0, round(ome * 1000000).cast(LongType))
+              .otherwise(0L).as("ome_u6"),
+            when(d > 0, round(v * 1000000).cast(LongType))
+              .otherwise(0L).as("v_u6"),
+            d.as("d"),
+            (cumR1 + x.getField("r1")).as("cum_r1"),
+            (cumR + x.getField("r")).as("cum_r"))))
+        }))
+      .select(
+        aggregate(col("ks"), lit(0L), (a, x) => a + x.getField("d"))
+          .as("n_events"),
+        aggregate(col("ks"), lit(0L), (a, x) => a + x.getField("ome_u6"))
+          .as("ome_u6"),
+        aggregate(col("ks"), lit(0L), (a, x) => a + x.getField("v_u6"))
+          .as("var_u6"))
+      .select(col("n_events"), col("ome_u6"), col("var_u6"),
+        round(col("ome_u6") / sqrt(col("var_u6").cast("double") * 1000000)
+          * 1000).cast(LongType).as("z_milli"))
+  }
+
   val all: Seq[Q] = Seq(chiSquare, cohensKappa, acfDaily,
     cusumChangepoint, fkOrphans, winsorizedMean, sourceDriftChi2,
-    mannWhitney, welchT, kaplanMeier)
+    mannWhitney, welchT, kaplanMeier, logRank)
 }

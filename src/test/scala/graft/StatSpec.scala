@@ -96,6 +96,24 @@ class StatSpec extends SparkSpec {
     assert(got.size === 3)
   }
 
+  test("log-rank hand cases: identical curves z=0; total separation") {
+    def report(rows: Seq[(Long, Long, Long)]) =
+      StatQueries.logRankReport(rows.toDF("grp", "ev", "dur")).head()
+    // mirrored groups: every day's O1 equals its expectation exactly
+    val same = report(Seq(
+      (0L, 1L, 0L), (0L, 1L, 1L), (0L, 0L, 2L),
+      (1L, 1L, 0L), (1L, 1L, 1L), (1L, 0L, 2L)))
+    assert(same.getAs[Long]("ome_u6") === 0L)
+    assert(same.getAs[Long]("z_milli") === 0L)
+    // grp1 converts day 0, grp0 never: O-E = 1, V = 2*(1/2)(1/2)(2/3)
+    val sep = report(Seq(
+      (1L, 1L, 0L), (1L, 1L, 0L), (0L, 0L, 2L), (0L, 0L, 2L)))
+    assert(sep.getAs[Long]("n_events") === 2L)
+    assert(sep.getAs[Long]("ome_u6") === 1000000L)
+    assert(sep.getAs[Long]("var_u6") === 333333L)
+    assert(sep.getAs[Long]("z_milli") === 1732L)
+  }
+
   test("Welch hand case: unequal variances and Satterthwaite df") {
     // A = (1,2,3): m=2, v=1. B = (10,12,14,16): m=13, v=20/3.
     // se2 = 1/3 + 5/3 = 2 -> t = -11/sqrt(2) = -7.77817
