@@ -302,6 +302,31 @@ object Stress {
       graft.operators.Centrality.triangleCountsWithDegrees(
         k4.unionByName(hub))
     }
+    stage("bfs_distances") {
+      // q214/q215's operator on the same hub-adversarial graph as
+      // triangle_counts: BFS from the hub reaches every v%4==0 node at
+      // hop 1 (a frontier of |groups| rows — the hub's one rank row
+      // replicates across edge partitions, the AQE skew shape) and the
+      // rest at hop 2, then two empty layers. Frontier joins, distinct
+      // and anti-join traffic must all scale linearly with the corpus;
+      // a super-linear bend means the anti-join re-shuffles the
+      // accumulated reach instead of the new layer.
+      val ids = corpus.select(col("doc_id").as("v"))
+        .withColumn("fam", expr("v div 4")).localCheckpoint(true)
+      val k4 = ids.as("a").join(ids.as("b"),
+          col("a.fam") === col("b.fam") && col("a.v") < col("b.v"))
+        .select(col("a.v").as("item_a"), col("b.v").as("item_b"))
+      val hub = ids.filter(expr("v % 4 = 0"))
+        .select(lit(-1L).as("item_a"), col("v").as("item_b"))
+      val pairs = k4.unionByName(hub)
+      val edges = pairs
+        .select(col("item_a").as("src"), col("item_b").as("dst"))
+        .unionByName(pairs
+          .select(col("item_b").as("src"), col("item_a").as("dst")))
+      graft.operators.Paths.boundedDistances(edges,
+        spark.range(1).select(lit(-1L).as("id")), maxHops = 4)
+        .groupBy("dist").agg(count(lit(1)).as("n"))
+    }
     stage("positional_postings") {
       // TextIndex.build's dominant stage (the per-term posting-list
       // collect): shuffle bytes scale with token count; the family-
