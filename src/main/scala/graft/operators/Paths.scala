@@ -46,8 +46,17 @@ object Paths {
     * the AQE skew-join shape, never a crossJoin. The distance table
     * `localCheckpoint`s per layer (lineage cut; also what makes the
     * anti-join read a materialized table instead of recomputing h−1
-    * layers). A fixed hop count — no convergence probe — keeps the
-    * loop action-free between pins and the result deterministic. */
+    * layers).
+    *
+    * The loop stops early once a layer comes back empty: BFS
+    * frontiers shrink to nothing exactly once, so every later layer
+    * is empty too and the result is identical to running all
+    * `maxHops` rounds — a saturated or shallow graph skips the dead
+    * layers' join + distinct + anti-join + two pins. The emptiness
+    * probe is an `isEmpty` on the layer ALREADY materialized by its
+    * eager checkpoint — one cached-partition read, not a recompute —
+    * so the loop stays effectively action-free beyond the pins it was
+    * paying anyway, and the output stays deterministic. */
   def boundedDistances(edges: DataFrame, seeds: DataFrame,
       maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 64,
@@ -57,7 +66,9 @@ object Paths {
       .withColumn("dist", lit(0L))
       .localCheckpoint(true)
     var frontier = dist.select("id")
-    for (h <- 1 to maxHops) {
+    var h = 1
+    var exhausted = false
+    while (h <= maxHops && !exhausted) {
       val fresh = e
         .join(frontier.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"))
@@ -65,8 +76,12 @@ object Paths {
         .join(dist.select("id"), Seq("id"), "left_anti")
         .withColumn("dist", lit(h.toLong))
         .localCheckpoint(true)
-      dist = dist.unionByName(fresh).localCheckpoint(true)
-      frontier = fresh.select("id")
+      if (fresh.isEmpty) exhausted = true
+      else {
+        dist = dist.unionByName(fresh).localCheckpoint(true)
+        frontier = fresh.select("id")
+      }
+      h += 1
     }
     dist
   }

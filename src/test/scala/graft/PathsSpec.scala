@@ -64,6 +64,14 @@ class PathsSpec extends SparkSpec {
     assert(d === bruteBfs(g, Seq(0L, 3L), 4))
   }
 
+  test("early exit: a shallow graph under a huge bound matches brute force") {
+    // diameter 2 from node 0 on a star; maxHops 64 must early-exit
+    // after the first empty layer and return the identical map
+    val star: Seq[(Long, Long)] = (1L to 5L).map(i => (0L, i))
+    assert(run(star, Seq(0L), 64) === bruteBfs(star, Seq(0L), 64))
+    assert(run(star, Seq(1L), 64) === bruteBfs(star, Seq(1L), 64))
+  }
+
   test("seed duplicated in the seed table counts once at dist 0") {
     val d = run(g, Seq(0L, 0L), 2)
     assert(d(0L) === 0L)
