@@ -148,6 +148,38 @@ object Multimodal {
       }.toDF("doc_id", "payload", "n_bytes")
   }
 
+  /** Payload byte-contract version — bump when [[pngFor]]'s output
+    * changes (digest params, noise fill, encoder), so a store root
+    * keyed on it rebuilds instead of serving stale bytes. */
+  val PayloadVersion = 1
+
+  private def payloadsBuilt(spark: SparkSession, root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/payloads/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Build-once/read-many payload materialization — the persisted-index
+    * contract (AnnIndex/TextIndex `ensure`) applied to media: the first
+    * call per (store root) ImageIO-encodes every document's PNG and
+    * writes the (doc_id, payload, n_bytes) table to `root/payloads`;
+    * every later call — across queries AND processes (the AnnIndex
+    * build lock + a `_SUCCESS` marker make the build exactly-once) —
+    * READS the bytes. That is the shape of a real media pipeline: the
+    * query layer reads payloads from blob storage, it does not
+    * re-synthesize them per query, so decode/resize/fingerprint
+    * operators measure THEIR OWN cost, not the fixture encoder's.
+    * Callers key the root on a source fingerprint + [[PayloadVersion]]
+    * so a regenerated corpus or a changed byte contract rebuilds. */
+  def ensurePayloads(docs: DataFrame, root: String): DataFrame = {
+    val spark = docs.sparkSession
+    if (!payloadsBuilt(spark, root))
+      graft.operators.AnnIndex.withBuildLock(spark, root) {
+        if (!payloadsBuilt(spark, root))
+          withPayload(docs).write.mode("overwrite").parquet(s"$root/payloads")
+      }
+    spark.read.parquet(s"$root/payloads")
+  }
+
   private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
 
   private def sniffMime(bytes: Array[Byte]): String =

@@ -210,6 +210,27 @@ class LlmOperatorsSpec extends SparkSpec {
     assert(meta(3L).width == -1 && meta(3L).mime == "application/octet-stream")
   }
 
+  test("payload store: builds exactly once, then serves bytes identical to a fresh encode") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-media-spec-").toString
+    def bytesOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Byte]] =
+      df.select("doc_id", "payload").collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val stored = bytesOf(Multimodal.ensurePayloads(docs, root))
+    // byte-identical to a fresh encode — reading the store is
+    // indistinguishable from re-running the encoder
+    assert(stored == bytesOf(Multimodal.withPayload(docs)))
+    // the second call READS: the _SUCCESS marker is not rewritten
+    val marker = new java.io.File(s"$root/payloads/_SUCCESS")
+    assert(marker.exists())
+    val mtime = marker.lastModified()
+    assert(bytesOf(Multimodal.ensurePayloads(docs, root)) == stored)
+    assert(marker.lastModified() == mtime,
+      "second ensurePayloads rebuilt the store instead of reading it")
+  }
+
   test("corpus payloads are real PNGs whose decoded dims match the md5 contract") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
     val withP = Multimodal.withPayload(docs)
