@@ -1,0 +1,324 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.sources.Tables
+
+/** Distribution-shape analytics: concentration (HHI), two-sample
+  * distribution distance (Kolmogorov-Smirnov), rank association
+  * (Kendall tau-b), and information-theoretic profiles (Shannon
+  * entropy, Jensen-Shannon divergence) — the corpus-health numbers a
+  * mixture designer reads before weighting sources, next to the
+  * hypothesis tests of `StatQueries` (chi², Mann-Whitney, Welch) and
+  * the inequality audit of q159's exact Gini.
+  *
+  * Exactness contract (the repo-wide oracle discipline): every count
+  * and currency amount is an exact 64-bit (or DECIMAL(38,0)/HUGEINT)
+  * integer; ratios quantize to ppm by INTEGER floor-division; the two
+  * transcendental queries (entropy, JSD) micro-quantize each term to
+  * integer BEFORE the order-immune BIGINT sum (the q50/q194
+  * technique — exact integer inputs, one fixed-shape IEEE expression,
+  * 10⁻⁶ quanta ~10 orders above cross-libm ln() ulp divergence).
+  */
+object DistributionQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val d38 = "decimal(38,0)"
+
+  /** q230: Herfindahl-Hirschman revenue concentration per market
+    * segment — Σ(customer share)² in ppm, the standard "is this
+    * segment's demand a monopsony?" number and the concentration twin
+    * of q159's Gini (HHI weights the head, Gini the whole curve).
+    *
+    * Exact end to end: order totals land as integer cents (the q226
+    * idiom — one round both engines compute identically), per-customer
+    * revenue is a BIGINT sum, Σrev² runs in DECIMAL(38,0) (rev² ~1e16
+    * × 10⁴ customers overflows BIGINT; the decimal has 13 digits of
+    * headroom at 10⁶× this scale factor), and the ppm is one integral
+    * division of nonneg exact integers — floor on both engines.
+    *
+    * Scale shape: pre-aggregate orders to customer grain BEFORE the
+    * customer join (the join input shrinks from orders to customers),
+    * join strategy left to AQE (both sides are fact-sized at 100 TB —
+    * the q200 argument), then one segment-grain rollup. No window, no
+    * sort. */
+  val marketHhi: Q = Q(
+    "q230_market_hhi",
+    """WITH o AS (SELECT o_custkey,
+      |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |           FROM orders),
+      |r AS (SELECT c.c_mktsegment AS segment, o.o_custkey,
+      |             CAST(sum(o.cents) AS BIGINT) AS rev
+      |      FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+      |      GROUP BY 1, 2),
+      |s AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_cust,
+      |             CAST(sum(rev) AS BIGINT) AS tot,
+      |             sum(CAST(rev AS HUGEINT) * rev) AS sq
+      |      FROM r GROUP BY 1)
+      |SELECT segment, n_cust, tot,
+      |       CAST((1000000 * sq) // (CAST(tot AS HUGEINT) * tot) AS BIGINT)
+      |         AS hhi_ppm
+      |FROM s ORDER BY segment""".stripMargin
+  ) { (s, dir) =>
+    val rev = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      .groupBy("o_custkey").agg(sum(col("cents")).as("rev"))
+    rev
+      .join(t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("segment")), Seq("o_custkey"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_cust"), sum(col("rev")).as("tot"),
+        sum(col("rev").cast(d38) * col("rev")).as("sq"))
+      .select(col("segment"), col("n_cust"), col("tot"),
+        expr(s"CAST((CAST(1000000 AS $d38) * sq) DIV " +
+          s"(CAST(tot AS $d38) * tot) AS BIGINT)").as("hhi_ppm"))
+  }
+
+  /** q231: two-sample KOLMOGOROV-SMIRNOV distance between the
+    * BUILDING and MACHINERY segments' order-value distributions —
+    * D = max|F₁−F₂| over the empirical CDFs, the distribution-shape
+    * drift test that catches what the mean-based q223 cannot (equal
+    * means, different tails).
+    *
+    * Exact: with x in integer cents, F₁(x)−F₂(x) = c₁(x)/n₁ − c₂(x)/n₂
+    * compares as the INTEGER |c₁·n₂ − c₂·n₁| (common denominator
+    * n₁·n₂ ~ 10⁹ and the scaled max ~10¹⁵ both fit BIGINT), so D
+    * needs no doubles at all; the reported ppm is one integral floor
+    * division.
+    *
+    * Scale shape: the CDF prefix runs at DISTINCT-VALUE grain through
+    * the two-phase range-partitioned prefix sum
+    * ([[graft.operators.Ranks.globalRunningSum]] — the q222 ranking
+    * discipline, never a partition-less window), once per group
+    * column; totals ride one broadcast 1-row frame. */
+  val ksTest: Q = Q(
+    "q231_ks_test",
+    """WITH f AS (SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1
+      |                       ELSE 2 END AS g,
+      |             CAST(round(o.o_totalprice * 100) AS BIGINT) AS x
+      |           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |           WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      |v AS (SELECT x,
+      |        CAST(count(*) FILTER (WHERE g = 1) AS BIGINT) AS c1,
+      |        CAST(count(*) FILTER (WHERE g = 2) AS BIGINT) AS c2
+      |      FROM f GROUP BY x),
+      |cum AS (SELECT x,
+      |          CAST(sum(c1) OVER (ORDER BY x) AS BIGINT) AS f1,
+      |          CAST(sum(c2) OVER (ORDER BY x) AS BIGINT) AS f2
+      |        FROM v),
+      |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+      |             CAST(sum(c2) AS BIGINT) AS n2 FROM v),
+      |d AS (SELECT n.n1, n.n2,
+      |             max(abs(cum.f1 * n.n2 - cum.f2 * n.n1)) AS d_scaled
+      |      FROM cum CROSS JOIN n GROUP BY n.n1, n.n2)
+      |SELECT n1, n2, CAST(d_scaled AS BIGINT) AS d_scaled,
+      |       CAST((1000000 * d_scaled) // (n1 * n2) AS BIGINT) AS d_ppm
+      |FROM d""".stripMargin
+  ) { (s, dir) =>
+    val f = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast(LongType).as("x"))
+      .join(t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_custkey").as("o_custkey"),
+          when(col("c_mktsegment") === "BUILDING", 1L).otherwise(2L).as("g")),
+        Seq("o_custkey"))
+    val byVal = f.groupBy("x").agg(
+      sum(when(col("g") === 1L, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("g") === 2L, 1L).otherwise(0L)).as("c2"))
+    val cum = graft.operators.Ranks.globalRunningSum(
+      graft.operators.Ranks.globalRunningSum(
+        byVal, Seq(col("x")), col("c1"), "f1"),
+      Seq(col("x")), col("c2"), "f2")
+    val n = byVal.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    cum.crossJoin(broadcast(n))
+      .select(col("n1"), col("n2"),
+        abs(col("f1") * col("n2") - col("f2") * col("n1")).as("d"))
+      .groupBy("n1", "n2").agg(max(col("d")).as("d_scaled"))
+      .select(col("n1"), col("n2"), col("d_scaled"),
+        expr("(1000000 * d_scaled) div (n1 * n2)").as("d_ppm"))
+  }
+
+  /** q232: KENDALL TAU-B rank association between the daily event
+    * COUNT and the daily event VALUE sum — "do busy days monetize?"
+    * as a monotone-association number, the rank twin of q221's
+    * Spearman (tau counts pair inversions; Spearman correlates rank
+    * positions — tau is the one with the clean tie correction).
+    *
+    * Exact: both series are integers (a count; a cents sum), so every
+    * pair classifies exactly into concordant / discordant / x-tied /
+    * y-tied / both-tied; tau-b = (nc−nd)/√((nc+nd+ty)(nc+nd+tx))
+    * is one fixed IEEE expression over those five BIGINTs (√ is
+    * correctly rounded on both engines), reported in milli.
+    *
+    * Scale shape: the pair join is DAY-grain — calendar-bounded (the
+    * q141/q144 argument: |days|² pairs is a constant of the calendar,
+    * not the data), broadcast on one side; everything below it is one
+    * grouped scan of events. */
+  val kendallTau: Q = Q(
+    "q232_kendall_tau",
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+      |             CAST(count(*) AS BIGINT) AS x,
+      |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |           FROM events GROUP BY 1),
+      |p AS (SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+      |      FROM d a JOIN d b ON a.day < b.day),
+      |agg AS (SELECT
+      |    CAST(count(*) FILTER (WHERE (xa < xb AND ya < yb)
+      |                             OR (xa > xb AND ya > yb)) AS BIGINT) AS nc,
+      |    CAST(count(*) FILTER (WHERE (xa < xb AND ya > yb)
+      |                             OR (xa > xb AND ya < yb)) AS BIGINT) AS nd,
+      |    CAST(count(*) FILTER (WHERE xa = xb AND ya <> yb) AS BIGINT) AS tx,
+      |    CAST(count(*) FILTER (WHERE ya = yb AND xa <> xb) AS BIGINT) AS ty,
+      |    CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days
+      |  FROM p)
+      |SELECT n_days, nc, nd,
+      |       CAST(round(1000.0 * (nc - nd)
+      |         / sqrt(CAST(nc + nd + ty AS DOUBLE) * (nc + nd + tx)))
+      |         AS BIGINT) AS tau_milli
+      |FROM agg""".stripMargin
+  ) { (s, dir) =>
+    val d = t(s, dir, "events")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("value") * 100).cast(LongType)).as("y"))
+    val a = d.select(col("day").as("day_a"), col("x").as("xa"),
+      col("y").as("ya"))
+    val b = d.select(col("day").as("day_b"), col("x").as("xb"),
+      col("y").as("yb"))
+    val p = a.join(broadcast(b), col("day_a") < col("day_b"))
+    val nDays = d.agg(count(lit(1)).as("n_days"))
+    p.agg(
+        sum(when((col("xa") < col("xb") && col("ya") < col("yb")) ||
+          (col("xa") > col("xb") && col("ya") > col("yb")), 1L)
+          .otherwise(0L)).as("nc"),
+        sum(when((col("xa") < col("xb") && col("ya") > col("yb")) ||
+          (col("xa") > col("xb") && col("ya") < col("yb")), 1L)
+          .otherwise(0L)).as("nd"),
+        sum(when(col("xa") === col("xb") && col("ya") =!= col("yb"), 1L)
+          .otherwise(0L)).as("tx"),
+        sum(when(col("ya") === col("yb") && col("xa") =!= col("xb"), 1L)
+          .otherwise(0L)).as("ty"))
+      .crossJoin(broadcast(nDays))
+      .select(col("n_days"), col("nc"), col("nd"),
+        round(lit(1000.0) * (col("nc") - col("nd"))
+          / sqrt((col("nc") + col("nd") + col("ty")).cast("double")
+            * (col("nc") + col("nd") + col("tx"))))
+          .cast(LongType).as("tau_milli"))
+  }
+
+  /** q233: SHANNON ENTROPY of the event-type mix per day, in integer
+    * micro-nats — the mix-diversity series a drift monitor plots next
+    * to q207's chi² (entropy collapses when one type takes over, chi²
+    * says whether the change is significant).
+    *
+    * Exactness: each type's term (c/n)·ln(n/c) is one fixed IEEE
+    * expression over two exact integers, micro-quantized to BIGINT
+    * BEFORE the per-day sum (the q50 order-immunity technique), so
+    * the total is exact under any aggregation schedule; c = n gives
+    * ln(1) = 0 exactly on both engines.
+    *
+    * Scale shape: one grouped count at (day, type) grain, one
+    * day-grain rollup — map-side combinable all the way; no window,
+    * no sort, no collect. */
+  val eventEntropy: Q = Q(
+    "q233_event_entropy",
+    """WITH c AS (SELECT CAST(ts AS DATE) AS day, event_type,
+      |             CAST(count(*) AS BIGINT) AS c
+      |           FROM events GROUP BY 1, 2),
+      |n AS (SELECT day, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1)
+      |SELECT c.day, n.n,
+      |       CAST(sum(CAST(round(1000000.0 * (CAST(c.c AS DOUBLE) / n.n)
+      |         * ln(CAST(n.n AS DOUBLE) / c.c)) AS BIGINT)) AS BIGINT) AS h_u6
+      |FROM c JOIN n ON c.day = n.day
+      |GROUP BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    val c = t(s, dir, "events")
+      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val n = c.groupBy("day").agg(sum(col("c")).as("n"))
+    c.join(n, Seq("day"))
+      .select(col("day"), col("n"),
+        round(lit(1000000.0) * (col("c").cast("double") / col("n"))
+          * log(col("n").cast("double") / col("c")))
+          .cast(LongType).as("term_u6"))
+      .groupBy("day", "n").agg(sum(col("term_u6")).as("h_u6"))
+  }
+
+  /** q234: JENSEN-SHANNON DIVERGENCE between the vocabulary
+    * distributions of the corpus' two source halves (src0-9 vs
+    * src10-19) — the symmetric, always-finite mixture distance a data
+    * composer uses to quantify "how different are these two feeds"
+    * before blending (KL alone blows up on any term one side lacks;
+    * JSD's mixture midpoint never does).
+    *
+    * Exactness: per-term counts (cp, cq) and totals (np, nq) are
+    * exact integers; each term's ½(p·ln(p/m) + q·ln(q/m)) with
+    * m = (p+q)/2 is one fixed-shape IEEE expression (identical
+    * operand order on both engines), micro-quantized to BIGINT before
+    * the one order-immune sum; a zero count contributes exactly its
+    * surviving half (x·ln x → 0 guarded by CASE on both sides).
+    *
+    * Scale shape: explode → one (term, half)-grain count with map-side
+    * combine → 1-row broadcast totals → term-grain map + one sum.
+    * Distinct terms cross the wire, not occurrences. */
+  val vocabJsd: Q = Q(
+    "q234_vocab_jsd",
+    """WITH w AS (SELECT CASE WHEN CAST(substr(source, 4, 8) AS INT) < 10
+      |                       THEN 1 ELSE 2 END AS h,
+      |             unnest(string_split(text, ' ')) AS term
+      |           FROM documents),
+      |c AS (SELECT term,
+      |        CAST(count(*) FILTER (WHERE h = 1) AS BIGINT) AS cp,
+      |        CAST(count(*) FILTER (WHERE h = 2) AS BIGINT) AS cq
+      |      FROM w GROUP BY term),
+      |n AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+      |             CAST(sum(cq) AS BIGINT) AS nq,
+      |             CAST(count(*) AS BIGINT) AS n_terms FROM c)
+      |SELECT n.n_terms, n.np, n.nq,
+      |       CAST(sum(CAST(round(1000000.0 * 0.5 * (
+      |         CASE WHEN c.cp > 0 THEN (CAST(c.cp AS DOUBLE) / n.np)
+      |           * ln((CAST(c.cp AS DOUBLE) / n.np)
+      |             / ((CAST(c.cp AS DOUBLE) / n.np
+      |                + CAST(c.cq AS DOUBLE) / n.nq) / 2)) ELSE 0.0 END
+      |         + CASE WHEN c.cq > 0 THEN (CAST(c.cq AS DOUBLE) / n.nq)
+      |           * ln((CAST(c.cq AS DOUBLE) / n.nq)
+      |             / ((CAST(c.cp AS DOUBLE) / n.np
+      |                + CAST(c.cq AS DOUBLE) / n.nq) / 2)) ELSE 0.0 END))
+      |         AS BIGINT)) AS BIGINT) AS jsd_u6
+      |FROM c CROSS JOIN n
+      |GROUP BY 1, 2, 3""".stripMargin
+  ) { (s, dir) =>
+    val w = t(s, dir, "documents")
+      .select(
+        when(substring(col("source"), 4, 8).cast("int") < 10, 1L)
+          .otherwise(2L).as("h"),
+        explode(split(col("text"), " ")).as("term"))
+    val c = w.groupBy("term").agg(
+      sum(when(col("h") === 1L, 1L).otherwise(0L)).as("cp"),
+      sum(when(col("h") === 2L, 1L).otherwise(0L)).as("cq"))
+    val n = c.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"),
+      count(lit(1)).as("n_terms"))
+    val withN = c.crossJoin(broadcast(n))
+    val p = col("cp").cast("double") / col("np")
+    val q = col("cq").cast("double") / col("nq")
+    val m = (p + q) / lit(2)
+    val contrib = round(lit(1000000.0) * lit(0.5) * (
+      when(col("cp") > 0, p * log(p / m)).otherwise(lit(0.0))
+        + when(col("cq") > 0, q * log(q / m)).otherwise(lit(0.0))))
+      .cast(LongType)
+    withN.select(col("n_terms"), col("np"), col("nq"),
+        contrib.as("contrib_u6"))
+      .groupBy("n_terms", "np", "nq")
+      .agg(sum(col("contrib_u6")).as("jsd_u6"))
+  }
+
+  val all: Seq[Q] =
+    Seq(marketHhi, ksTest, kendallTau, eventEntropy, vocabJsd)
+}

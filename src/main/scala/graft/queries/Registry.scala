@@ -9,7 +9,8 @@ object Registry {
     ExtensionQueries.all ++ VersioningQueries.all ++ TokenizerQueries.all ++
     CurationQueries.all ++ AuditQueries.all ++ WarehouseQueries.all ++
     SequenceQueries.all ++ StatQueries.all ++ GraphQueries.all ++
-    AttributionQueries.all ++ RetrievalQueries.all
+    AttributionQueries.all ++ RetrievalQueries.all ++
+    DistributionQueries.all
 
   def byName(name: String): Q = all.find(_.name == name).get
 }
