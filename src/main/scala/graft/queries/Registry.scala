@@ -10,7 +10,7 @@ object Registry {
     CurationQueries.all ++ AuditQueries.all ++ WarehouseQueries.all ++
     SequenceQueries.all ++ StatQueries.all ++ GraphQueries.all ++
     AttributionQueries.all ++ RetrievalQueries.all ++
-    DistributionQueries.all
+    DistributionQueries.all ++ ResolutionQueries.all
 
   def byName(name: String): Q = all.find(_.name == name).get
 }
