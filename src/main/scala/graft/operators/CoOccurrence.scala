@@ -90,6 +90,26 @@ object CoOccurrence {
       .select("item_a", "item_b", "n_shared", "n_a", "n_b", "lift_ppm")
   }
 
+  /** Directed ASSOCIATION RULES from the undirected pair table
+    * (Agrawal/Srikant VLDB'94's support-confidence frame over the
+    * already-capped pairs): each pair emits both directions with
+    * confidence(a→b) = P(b|a) = n_shared/n_antecedent in exact ppm
+    * (integral floor division — engine-portable like lift_ppm), gated
+    * at `minConfPpm`. Pair-table-sized: a projection + union + one
+    * integer division over [[pairs]]' output, no new pass over the
+    * interactions. */
+  def rules(pairsDf: DataFrame, minConfPpm: Long = 0L): DataFrame = {
+    val fwd = pairsDf.select(col("item_a").as("antecedent"),
+      col("item_b").as("consequent"), col("n_shared"),
+      col("n_a").as("n_ant"), col("lift_ppm"))
+    val bwd = pairsDf.select(col("item_b").as("antecedent"),
+      col("item_a").as("consequent"), col("n_shared"),
+      col("n_b").as("n_ant"), col("lift_ppm"))
+    fwd.unionByName(bwd)
+      .withColumn("conf_ppm", expr("(1000000 * n_shared) div n_ant"))
+      .filter(col("conf_ppm") >= minConfPpm)
+  }
+
   /** Top-k co-occurring neighbors per item by (n_shared desc, partner
     * asc) — the serving-table form an item-to-item recommender reads.
     * Symmetrizes [[pairs]] output and ranks on the bounded heap

@@ -410,7 +410,62 @@ object SequenceQueries {
           .cast(LongType).as("idx_ppm"))
   }
 
+  /** q237: WEEKLY COHORT RETENTION MATRIX — users bucketed by
+    * first-seen week, each cohort's share still active N weeks later,
+    * the canonical product-health triangle (q204's stickiness is one
+    * scalar of it; this is the full surface). Week indexing is pure
+    * integer day arithmetic from the corpus' own first activity day
+    * (a broadcast 1-row global — no engine-specific week-truncation
+    * semantics to disagree on), retention is integral-floor ppm, and
+    * week 0 is the cohort size BY CONSTRUCTION (a user's first day is
+    * in their own cohort week), so the denominator row always exists.
+    *
+    * Scale shape: distinct (user, day) grain first (one combinable
+    * aggregation), per-user first day second, an equi-join back on
+    * user_id, then a (cohort, week) rollup — counts cross the wire at
+    * user-day grain, the matrix is calendar² rows. No window. */
+  val cohortRetention: Q = Q(
+    "q237_cohort_retention",
+    """WITH u AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |           FROM events),
+      |f AS (SELECT user_id, min(day) AS first_day FROM u GROUP BY 1),
+      |g AS (SELECT min(first_day) AS day0 FROM f),
+      |r AS (SELECT CAST(date_diff('day', g.day0, f.first_day) // 7
+      |               AS BIGINT) AS cohort_w,
+      |             CAST(date_diff('day', f.first_day, u.day) // 7
+      |               AS BIGINT) AS week_n,
+      |             u.user_id
+      |      FROM u JOIN f USING (user_id) CROSS JOIN g),
+      |c AS (SELECT cohort_w, week_n,
+      |             CAST(count(DISTINCT user_id) AS BIGINT) AS active
+      |      FROM r GROUP BY 1, 2),
+      |s AS (SELECT cohort_w, active AS cohort_size FROM c WHERE week_n = 0)
+      |SELECT c.cohort_w, c.week_n, c.active, s.cohort_size,
+      |       (1000000 * c.active) // s.cohort_size AS retained_ppm
+      |FROM c JOIN s USING (cohort_w)""".stripMargin
+  ) { (s, dir) =>
+    val u = t(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val f = u.groupBy("user_id").agg(min(col("day")).as("first_day"))
+    val g = f.agg(min(col("first_day")).as("day0"))
+    val r = u.join(f, Seq("user_id")).crossJoin(broadcast(g))
+      .select(
+        expr("datediff(first_day, day0) div 7").as("cohort_w"),
+        expr("datediff(day, first_day) div 7").as("week_n"),
+        col("user_id"))
+    val c = r.groupBy("cohort_w", "week_n")
+      .agg(countDistinct(col("user_id")).as("active"))
+    val sizes = c.filter(col("week_n") === 0)
+      .select(col("cohort_w"), col("active").as("cohort_size"))
+    c.join(broadcast(sizes), Seq("cohort_w"))
+      .select(col("cohort_w"), col("week_n"), col("active"),
+        col("cohort_size"),
+        expr("(1000000 * active) div cohort_size").as("retained_ppm"))
+  }
+
   val all: Seq[Q] =
     Seq(activityStreaks, eventFunnel, eventTransitions, cumulativeUsers,
-      sessionPaths, funnelLatency, stickiness, bounceRate, weekdayProfile)
+      sessionPaths, funnelLatency, stickiness, bounceRate, weekdayProfile,
+      cohortRetention)
 }

@@ -212,6 +212,49 @@ object VersioningQueries {
       k = 3)
   }
 
+  /** Directed association rules (q238): the support-confidence mining
+    * step over q125's co-purchase pair table — confidence(a→b) =
+    * n_shared/n_a in exact ppm, both directions per pair, gated at
+    * 10% — calibrated to this corpus' basket sparsity (max observed
+    * confidence 14.3%), keeping the head of the rule distribution
+    * without emptying it. Rides
+    * [[CoOccurrence.rules]]: pair-table-sized, no new pass over
+    * lineitem beyond q125's own plan. */
+  val assocRules: Q = Q(
+    "q238_assoc_rules",
+    """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+      |           FROM lineitem),
+      |t AS (SELECT item, count(*) AS n FROM b GROUP BY item),
+      |nb AS (SELECT count(DISTINCT bk) AS nbk FROM b),
+      |p AS (SELECT a.item AS item_a, c.item AS item_b,
+      |             count(*) AS n_shared
+      |      FROM b a JOIN b c ON a.bk = c.bk AND a.item < c.item
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |pl AS (SELECT item_a, item_b, CAST(n_shared AS BIGINT) AS n_shared,
+      |              CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+      |              (1000000 * nb.nbk * n_shared) // (ta.n * tb.n) AS lift_ppm
+      |       FROM p
+      |       JOIN t ta ON ta.item = p.item_a
+      |       JOIN t tb ON tb.item = p.item_b
+      |       CROSS JOIN nb),
+      |r AS (SELECT item_a AS antecedent, item_b AS consequent, n_shared,
+      |             n_a AS n_ant, lift_ppm FROM pl
+      |      UNION ALL
+      |      SELECT item_b AS antecedent, item_a AS consequent, n_shared,
+      |             n_b AS n_ant, lift_ppm FROM pl)
+      |SELECT antecedent, consequent, n_shared, n_ant, lift_ppm,
+      |       (1000000 * n_shared) // n_ant AS conf_ppm
+      |FROM r WHERE (1000000 * n_shared) // n_ant >= 100000""".stripMargin
+  ) { (s, dir) =>
+    CoOccurrence.rules(
+      CoOccurrence.pairs(
+        t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey", minShared = 2),
+      minConfPpm = 100000L)
+      .select("antecedent", "consequent", "n_shared", "n_ant",
+        "lift_ppm", "conf_ppm")
+  }
+
   /** Incremental reprocess (q130): the pipeline [[SnapshotDiff]]
     * exists to enable — only the added+changed slice of the new
     * snapshot is reprocessed, here through exact-digest dedup against
@@ -342,5 +385,6 @@ object VersioningQueries {
 
   val all: Seq[Q] = Seq(snapshotDiff, snapshotDriftReport, weightedSample,
     copurchaseRank, copurchasePairs, copurchaseNeighbors,
-    incrementalReprocess, triangleCount, clusteringCoefficient)
+    incrementalReprocess, triangleCount, clusteringCoefficient,
+    assocRules)
 }
