@@ -1048,4 +1048,53 @@ class PlanSpec extends SparkSpec {
       "candidate recount lost its broadcast semi-join: " + p.take(1500))
     assert(!p.contains("CartesianProduct"), "q225 planned a cross product")
   }
+
+  test("distribution wave (q230-q234, q237): window-free, no cartesian") {
+    // the wave's design rule: prefix sums ride the range-partitioned
+    // two-phase pass (q231), series pairing rides calendar-bounded
+    // broadcasts (q232), everything else is grouped aggregation — a
+    // Window or CartesianProduct appearing anywhere is a regression
+    Seq("q230_market_hhi", "q231_ks_test", "q232_kendall_tau",
+      "q233_event_entropy", "q234_vocab_jsd", "q237_cohort_retention")
+      .foreach { n =>
+        val p = plan(n)
+        assert(!p.contains("CartesianProduct"), s"$n planned a cross product")
+        assert(!p.contains(" Window"), s"$n planned a window")
+        assert("HashAggregate".r.findAllIn(p).size >= 2,
+          s"$n lost its partial aggregation phase")
+      }
+  }
+
+  test("q232: the day-pair join is the calendar-bounded broadcast, nothing bigger") {
+    // the non-equi (day_a < day_b) pairing is inherent to Kendall; it
+    // must plan as a BROADCAST nested loop over the day-grain aggregate
+    // (|days|² is a constant of the calendar), never a shuffled
+    // cartesian over event rows
+    val p = plan("q232_kendall_tau")
+    // the INNER join is the day pairing (the other BNLJ is the final
+    // 1-row totals cross); the tree prints root-first, so its children
+    // — the two day-grain HashAggregate chains — appear BELOW it
+    val joinIdx = p.indexOf("BroadcastNestedLoopJoin Inner")
+    assert(joinIdx >= 0, "day pairing lost its broadcast: " + p.take(1500))
+    assert(p.substring(joinIdx).contains("HashAggregate"),
+      "the pair join's inputs are not day-grain aggregates")
+  }
+
+  test("q235/q236: fuzzy matching is block-joined on the noun key") {
+    // the matcher expressions are quadratic in NAME length, so the
+    // candidate generator must be a hash EQUI-join on the blocking key
+    // (same noun), never an all-pairs nested loop over names
+    Seq("q235_typo_pairs", "q236_fuzzy_scores").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("SortMergeJoin"),
+        s"$n lost its blocking equi-join: " + p.take(1500))
+      assert(!p.contains("BroadcastNestedLoopJoin")
+        && !p.contains("CartesianProduct"),
+        s"$n planned an all-pairs join")
+      // the matcher evaluates inside whole-stage codegen, not a UDF
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$n matcher fell out of codegen")
+    }
+  }
 }
