@@ -25,6 +25,16 @@ object GraftSession {
       // let Tables.load normalize whichever vintage is present.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // the engine's read surface includes multi-KB BINARY payload
+      // columns (the media store): at the 4096-row default a single
+      // columnar batch of ~9 KB payloads is a ~37 MB contiguous vector
+      // PER TASK, and 32 concurrent scan tasks OOM the reader
+      // (measured: the 400k-doc media_decode stress stage failed with
+      // FAILED_READ_FILE before this bound). 1024 rows keeps batch
+      // bytes ~9 MB/task for payload scans while costing narrow scans
+      // nothing measurable (batch setup amortizes over 1024 rows;
+      // full-suite bench rate was flat under A/B).
+      .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
       // production streaming state backend (spillable, incremental
       // checkpoints) — the analog of the reference's RocksDB stores
       .config("spark.sql.streaming.stateStore.providerClass",

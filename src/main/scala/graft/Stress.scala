@@ -400,6 +400,32 @@ object Stress {
     upsertCurve(5, 16); upsertCurve(20, 16); upsertCurve(80, 16)
     // series (b): buckets scaled with the corpus
     upsertCurve(20, 64); upsertCurve(80, 256)
+    // ---- media codec curve (r10): the ImageIO class, measured ----
+    // Encode / decode / perceptual-hash are pure per-row codec work on
+    // mapPartitions — ZERO shuffle of media bytes by construction, so
+    // the scale claim is docs/sec staying flat (cost linear in pixels)
+    // and shuffle_read/write staying ~0 as the corpus grows. The
+    // payload table materializes once per amplified root (the
+    // ensurePayloads contract), so decode/phash measure their own
+    // cost, not the encoder's.
+    val wantsMediaReads =
+      only.forall(s => s.contains("media_decode") || s.contains("media_phash"))
+    if (wantsMediaReads)
+      graft.operators.Multimodal.ensurePayloads(
+        corpus.select("doc_id", "text"), s"$root/media")
+    stage("media_encode") {
+      graft.operators.Multimodal.withPayload(corpus.select("doc_id", "text"))
+    }
+    stage("media_decode") {
+      graft.operators.Multimodal.decodeMeta(spark,
+        graft.operators.Multimodal.ensurePayloads(
+          corpus.select("doc_id", "text"), s"$root/media")).toDF()
+    }
+    stage("media_phash") {
+      graft.operators.Multimodal.perceptualHash(spark,
+        graft.operators.Multimodal.ensurePayloads(
+          corpus.select("doc_id", "text"), s"$root/media"))
+    }
     val grand = listener.totals.values
     System.err.println(
       s"[stress] total shuffle read ${grand.map(_.shufRead).sum / (1 << 20)} MiB, " +
