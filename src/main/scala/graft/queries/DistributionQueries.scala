@@ -319,6 +319,166 @@ object DistributionQueries {
       .agg(sum(col("contrib_u6")).as("jsd_u6"))
   }
 
+  /** q240: LEAD-LAG cross-correlation between the 'view' and
+    * 'purchase' daily series at lags −3..+3 — "do views lead
+    * purchases, and by how many days?", the causal-ordering probe a
+    * funnel analyst runs before attribution. Pearson r at each lag
+    * from EXACT integer moments (Σx, Σy, Σxy, Σx², Σy² over the
+    * aligned day pairs — DECIMAL(38,0) products, the q223 overflow
+    * discipline), one fixed IEEE expression per lag, reported in
+    * milli.
+    *
+    * Scale shape: two day-grain aggregates, a 7-row lag spine
+    * broadcast-fanned against one side (the q196 pattern), one hash
+    * equi-join on the shifted day, one (lag)-grain moment rollup.
+    * Calendar-bounded throughout. */
+  val leadLag: Q = Q(
+    "q240_lead_lag",
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type,
+      |             CAST(count(*) AS BIGINT) AS c
+      |           FROM events WHERE event_type IN ('view', 'purchase')
+      |           GROUP BY 1, 2),
+      |x AS (SELECT day, c FROM d WHERE event_type = 'view'),
+      |y AS (SELECT day, c FROM d WHERE event_type = 'purchase'),
+      |lags AS (SELECT unnest(range(-3, 4)) AS lag),
+      |p AS (SELECT l.lag, x.c AS xv, y.c AS yv
+      |      FROM lags l CROSS JOIN x
+      |      JOIN y ON y.day = x.day + to_days(CAST(l.lag AS INT))),
+      |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+      |        sum(CAST(xv AS HUGEINT) * yv) AS sxy,
+      |        sum(CAST(xv AS HUGEINT) * xv) AS sxx,
+      |        sum(CAST(yv AS HUGEINT) * yv) AS syy
+      |      FROM p GROUP BY lag)
+      |SELECT CAST(lag AS BIGINT) AS lag, n,
+      |       CAST(round(1000.0 *
+      |         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * sy)
+      |         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |             - CAST(sx AS DOUBLE) * sx)
+      |           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |             - CAST(sy AS DOUBLE) * sy))) AS BIGINT) AS r_milli
+      |FROM m""".stripMargin
+  ) { (s, dir) =>
+    val d = t(s, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val x = d.filter(col("event_type") === "view").select("day", "c")
+    val y = d.filter(col("event_type") === "purchase")
+      .select(col("day").as("day_y"), col("c").as("yv"))
+    val lags = s.range(-3, 4).select(col("id").as("lag"))
+    val p = x.crossJoin(broadcast(lags))
+      .select(col("lag"), col("c").as("xv"),
+        date_add(col("day"), col("lag").cast("int")).as("day_y"))
+      .join(y, Seq("day_y"))
+    val nD = col("n").cast("double")
+    p.groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xv")).as("sx"), sum(col("yv")).as("sy"),
+        sum(col("xv").cast(d38) * col("yv")).as("sxy"),
+        sum(col("xv").cast(d38) * col("xv")).as("sxx"),
+        sum(col("yv").cast(d38) * col("yv")).as("syy"))
+      .select(col("lag"), col("n"),
+        round(lit(1000.0) *
+          (nD * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy"))
+          / sqrt((nD * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx"))
+            * (nD * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy"))))
+          .cast(LongType).as("r_milli"))
+  }
+
+  /** q241: THEIL INDEX of customer revenue inequality per segment —
+    * T = Σ (xᵢ/X)·ln(xᵢ·n/X), the decomposable member of the
+    * inequality family (q159 Gini weights the whole curve, q230 HHI
+    * the head; Theil is the one that splits into within/between-group
+    * terms). Per-customer terms micro-quantize to integers before the
+    * order-immune sum (the q233/q234 technique); revenue is exact
+    * integer cents throughout.
+    *
+    * Scale shape: customer-grain revenue rollup, segment totals as a
+    * dimension-sized broadcast join back, term-grain map, one sum. */
+  val theilIndex: Q = Q(
+    "q241_theil_index",
+    """WITH o AS (SELECT o_custkey,
+      |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |           FROM orders),
+      |r AS (SELECT c.c_mktsegment AS segment, o.o_custkey,
+      |             CAST(sum(o.cents) AS BIGINT) AS rev
+      |      FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+      |      GROUP BY 1, 2),
+      |s AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_cust,
+      |             CAST(sum(rev) AS BIGINT) AS tot
+      |      FROM r GROUP BY 1)
+      |SELECT r.segment, s.n_cust, s.tot,
+      |       CAST(sum(CAST(round(1000000.0
+      |         * (CAST(r.rev AS DOUBLE) / s.tot)
+      |         * ln(CAST(r.rev AS DOUBLE) * s.n_cust / s.tot))
+      |         AS BIGINT)) AS BIGINT) AS theil_u6
+      |FROM r JOIN s ON r.segment = s.segment
+      |GROUP BY 1, 2, 3""".stripMargin
+  ) { (s, dir) =>
+    val rev = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      .groupBy("o_custkey").agg(sum(col("cents")).as("rev"))
+      .join(t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("segment")), Seq("o_custkey"))
+    val seg = rev.groupBy("segment")
+      .agg(count(lit(1)).as("n_cust"), sum(col("rev")).as("tot"))
+    rev.join(broadcast(seg), Seq("segment"))
+      .select(col("segment"), col("n_cust"), col("tot"),
+        round(lit(1000000.0)
+          * (col("rev").cast("double") / col("tot"))
+          * log(col("rev").cast("double") * col("n_cust") / col("tot")))
+          .cast(LongType).as("term_u6"))
+      .groupBy("segment", "n_cust", "tot")
+      .agg(sum(col("term_u6")).as("theil_u6"))
+  }
+
+  /** q242: FANO FACTOR (variance-to-mean ratio) of each event type's
+    * daily count series — the burstiness index (1 = Poisson-like,
+    * > 1 = bursty/overdispersed) a capacity planner reads next to
+    * q144's MAD anomalies. Exact integer moments over the
+    * calendar-bounded series; one fixed IEEE expression per type,
+    * reported in milli (population variance, the n-denominator
+    * form). */
+  val fanoFactor: Q = Q(
+    "q242_fano_factor",
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |             CAST(count(*) AS BIGINT) AS c
+      |           FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(c) AS BIGINT) AS s,
+      |        sum(CAST(c AS HUGEINT) * c) AS ss
+      |      FROM d GROUP BY 1)
+      |SELECT event_type, n, s,
+      |       CAST(round(1000.0
+      |         * (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+      |             - CAST(s AS DOUBLE) * s)
+      |         / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))) AS BIGINT)
+      |         AS fano_milli
+      |FROM m""".stripMargin
+  ) { (s, dir) =>
+    val nD = col("n").cast("double")
+    t(s, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c").cast(d38) * col("c")).as("ss"))
+      .select(col("event_type"), col("n"), col("s"),
+        round(lit(1000.0)
+          * (nD * col("ss").cast("double")
+            - col("s").cast("double") * col("s"))
+          / (nD * col("s").cast("double")))
+          .cast(LongType).as("fano_milli"))
+  }
+
   val all: Seq[Q] =
-    Seq(marketHhi, ksTest, kendallTau, eventEntropy, vocabJsd)
+    Seq(marketHhi, ksTest, kendallTau, eventEntropy, vocabJsd,
+      leadLag, theilIndex, fanoFactor)
 }
