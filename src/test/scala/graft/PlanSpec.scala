@@ -1055,7 +1055,8 @@ class PlanSpec extends SparkSpec {
     // broadcasts (q232), everything else is grouped aggregation — a
     // Window or CartesianProduct appearing anywhere is a regression
     Seq("q230_market_hhi", "q231_ks_test", "q232_kendall_tau",
-      "q233_event_entropy", "q234_vocab_jsd", "q237_cohort_retention")
+      "q233_event_entropy", "q234_vocab_jsd", "q237_cohort_retention",
+      "q240_lead_lag", "q241_theil_index", "q242_fano_factor")
       .foreach { n =>
         val p = plan(n)
         assert(!p.contains("CartesianProduct"), s"$n planned a cross product")
