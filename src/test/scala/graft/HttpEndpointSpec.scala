@@ -1,0 +1,74 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import javax.imageio.ImageIO
+
+import graft.serve.HttpEndpoint
+
+/** S7 through a REAL HTTP round-trip: the endpoint serves the
+  * byte-exact chart JSON of the registered queries, rasterizes it to
+  * PNG in-engine, recomputes on /refresh, and speaks correct status
+  * codes — the reference controller's surface plus verifiable
+  * bodies. */
+class HttpEndpointSpec extends SparkSpec {
+
+  private lazy val handle = HttpEndpoint.start(spark, sf, port = 0)
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def get(path: String): HttpResponse[Array[Byte]] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${handle.port}$path"))
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+
+  test("/today serves exactly the registered q42 chart JSON") {
+    val r = get("/today")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").orElse("") == "application/json")
+    val expected = graft.queries.Registry.byName("q42_chart_json")
+      .fn(spark, sf).collect().head.getString(0)
+    assert(new String(r.body(), "UTF-8") == expected)
+  }
+
+  test("every chart route returns a parseable ChartRequest body") {
+    Seq("/today", "/yesterday", "/testing", "/history").foreach { p =>
+      val r = get(p)
+      assert(r.statusCode() == 200, s"$p -> ${r.statusCode()}")
+      val body = new String(r.body(), "UTF-8")
+      assert(body.startsWith("""{"backgroundColor":"transparent""""),
+        s"$p body is not a ChartRequest: ${body.take(60)}")
+    }
+  }
+
+  test("/charts/<route>.png rasterizes the JSON at its declared size") {
+    val r = get("/charts/today.png")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").orElse("") == "image/png")
+    val img = ImageIO.read(new ByteArrayInputStream(r.body()))
+    assert(img != null, "endpoint served an undecodable PNG")
+    // q42's request declares 750x450
+    assert(img.getWidth == 750 && img.getHeight == 450)
+  }
+
+  test("/refresh recomputes every chart family and reports the count") {
+    val r = get("/refresh")
+    assert(r.statusCode() == 200)
+    assert(new String(r.body(), "UTF-8") == """{"recomputed":4}""")
+  }
+
+  test("unknown paths 404, non-GET 405") {
+    assert(get("/nope").statusCode() == 404)
+    val post = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${handle.port}/today"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(post.statusCode() == 405)
+  }
+
+  test("handle stops cleanly (runs last — relies on suite order)") {
+    handle.stop()
+    intercept[Exception] { get("/today") }
+  }
+}
