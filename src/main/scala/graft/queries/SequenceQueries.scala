@@ -464,8 +464,104 @@ object SequenceQueries {
         expr("(1000000 * active) div cohort_size").as("retained_ppm"))
   }
 
+  /** q243: SEASONALLY ADJUSTED daily series — q227's weekday index
+    * APPLIED: each (type, day) count divided by its weekday's index so
+    * a Sunday dip stops masquerading as an anomaly (the pre-pass
+    * q131/q144's detectors want on weekly-seasonal traffic). Fully
+    * integer-exact — the index's rational form cancels into one
+    * integral floor division of DECIMAL(38,0)/HUGEINT products:
+    * adj_ppm = 10⁶·c·n_days(dow)·total(type) div (n_dow(type,dow)·
+    * total_days) — no rounding anywhere, stronger than q227's own
+    * ppm rendering. Dimension-sized index tables broadcast onto the
+    * (type, day) grain; no window. */
+  val seasonalAdjusted: Q = Q(
+    "q243_seasonal_adjusted",
+    """WITH e AS (SELECT event_type,
+      |                  CAST(date_trunc('day', ts) AS DATE) AS day,
+      |                  CAST(dayofweek(ts) AS BIGINT) AS dow
+      |           FROM events),
+      |c AS (SELECT event_type, day, dow, CAST(count(*) AS BIGINT) AS c
+      |      FROM e GROUP BY 1, 2, 3),
+      |days AS (SELECT dow, CAST(count(DISTINCT day) AS BIGINT) AS n_days
+      |         FROM (SELECT DISTINCT day, dow FROM e) GROUP BY dow),
+      |cal AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS total_days
+      |        FROM e),
+      |dowc AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_dow
+      |         FROM e GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS total
+      |        FROM e GROUP BY 1)
+      |SELECT c.event_type, c.day, c.c,
+      |       CAST((1000000 * CAST(c.c AS HUGEINT) * days.n_days * tot.total)
+      |            // (CAST(dowc.n_dow AS HUGEINT) * cal.total_days)
+      |         AS BIGINT) AS adj_ppm
+      |FROM c JOIN days USING (dow)
+      |JOIN dowc ON dowc.event_type = c.event_type AND dowc.dow = c.dow
+      |JOIN tot ON tot.event_type = c.event_type
+      |CROSS JOIN cal""".stripMargin
+  ) { (s, dir) =>
+    val e = t(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        (dayofweek(col("ts")) - 1).cast(LongType).as("dow"))
+    val c = e.groupBy("event_type", "day", "dow")
+      .agg(count(lit(1)).as("c"))
+    val days = e.select("day", "dow").distinct()
+      .groupBy("dow").agg(count(lit(1)).as("n_days"))
+    val cal = e.select("day").distinct().agg(count(lit(1)).as("total_days"))
+    val dowc = e.groupBy("event_type", "dow").agg(count(lit(1)).as("n_dow"))
+    val tot = e.groupBy("event_type").agg(count(lit(1)).as("total"))
+    c.join(broadcast(days), Seq("dow"))
+      .join(broadcast(dowc), Seq("event_type", "dow"))
+      .join(broadcast(tot), Seq("event_type"))
+      .crossJoin(broadcast(cal))
+      .select(col("event_type"), col("day"), col("c"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * c * n_days * total)" +
+          " DIV (CAST(n_dow AS DECIMAL(38,0)) * total_days) AS BIGINT)")
+          .as("adj_ppm"))
+  }
+
+  /** q244: ANY-ORDER SET COMPLETION — users who performed ALL THREE of
+    * view/click/purchase in any order, histogrammed by the days
+    * between their first and last FIRST-occurrence (q185's ordered
+    * funnel misses the browse-after-buy path; task-completion
+    * analyses want the unordered form). One conditional-min
+    * aggregation per user (no pivot shuffle beyond the user rollup),
+    * exact day arithmetic on first-occurrence timestamps. */
+  val setCompletion: Q = Q(
+    "q244_set_completion",
+    """WITH f AS (SELECT user_id,
+      |             min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+      |             min(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+      |             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      |           FROM events
+      |           WHERE event_type IN ('view', 'click', 'purchase')
+      |           GROUP BY 1),
+      |d AS (SELECT user_id,
+      |        date_diff('day', CAST(least(tv, tc, tp) AS DATE),
+      |          CAST(greatest(tv, tc, tp) AS DATE)) AS days_to_complete
+      |      FROM f
+      |      WHERE tv IS NOT NULL AND tc IS NOT NULL AND tp IS NOT NULL)
+      |SELECT CAST(days_to_complete AS BIGINT) AS days_to_complete,
+      |       CAST(count(*) AS BIGINT) AS n_users
+      |FROM d GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("tv"),
+        min(when(col("event_type") === "click", col("ts"))).as("tc"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+      .filter(col("tv").isNotNull && col("tc").isNotNull &&
+        col("tp").isNotNull)
+      .select(datediff(
+        to_date(greatest(col("tv"), col("tc"), col("tp"))),
+        to_date(least(col("tv"), col("tc"), col("tp"))))
+        .cast(LongType).as("days_to_complete"))
+      .groupBy("days_to_complete").agg(count(lit(1)).as("n_users"))
+  }
+
   val all: Seq[Q] =
     Seq(activityStreaks, eventFunnel, eventTransitions, cumulativeUsers,
       sessionPaths, funnelLatency, stickiness, bounceRate, weekdayProfile,
-      cohortRetention)
+      cohortRetention, seasonalAdjusted, setCompletion)
 }
