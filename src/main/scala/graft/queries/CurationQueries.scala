@@ -1009,9 +1009,53 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** q245: TEMPERATURE-SAMPLING MIXTURE WEIGHTS (α = 1/2) per source —
+    * the standard up-weighting of small sources when composing a
+    * multi-source training mix (the multilingual-sampling exponent of
+    * Conneau/Lample 2019: wᵢ ∝ nᵢ^α flattens the head without
+    * drowning the tail). FULLY exact despite the fractional exponent:
+    * α = 1/2 makes each source's raw weight ⌊√nᵢ⌋, which is an exact
+    * integer on both engines for any BIGINT count below 2⁵¹ (IEEE
+    * sqrt is correctly rounded, and √(k²−1) sits more than one ulp
+    * below k while k² < 2⁵¹ — so the floor can never round a
+    * non-square up); shares are then integral floor-division ppm over
+    * exact integer sums — no order-dependent double summation ever
+    * forms, where a naive Σ√nᵢ of doubles would hash-diverge on
+    * aggregation order. Token counts, not doc counts, weight the mix
+    * (the unit that actually fills a training batch). Two grouped
+    * aggregations and a 1-row broadcast. */
+  val mixtureWeights: Q = Q(
+    "q245_mixture_weights",
+    """WITH n AS (SELECT source,
+      |             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+      |               AS n_tokens
+      |           FROM documents GROUP BY 1),
+      |w AS (SELECT source, n_tokens,
+      |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_raw
+      |      FROM n),
+      |tot AS (SELECT CAST(sum(w_raw) AS BIGINT) AS w_tot,
+      |               CAST(sum(n_tokens) AS BIGINT) AS n_tot FROM w)
+      |SELECT w.source, w.n_tokens, w.w_raw,
+      |       (1000000 * w.n_tokens) // tot.n_tot AS raw_ppm,
+      |       (1000000 * w.w_raw) // tot.w_tot AS sampled_ppm
+      |FROM w CROSS JOIN tot""".stripMargin
+  ) { (s, dir) =>
+    val n = t(s, dir, "documents")
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " "))).as("n_tokens"))
+      .withColumn("w_raw",
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = n.agg(sum(col("w_raw")).as("w_tot"),
+      sum(col("n_tokens")).as("n_tot"))
+    n.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("w_raw"),
+        expr("(1000000 * n_tokens) div n_tot").as("raw_ppm"),
+        expr("(1000000 * w_raw) div w_tot").as("sampled_ppm"))
+  }
+
   val all: Seq[Q] = Seq(rateAnomaly, recordLinkage, clusterSplit,
     qualityCanonical, simhashCalibration, eventQuota, readability,
     eventTransitions, dataValidation, hoppingCounts, ewmaTrend,
     holtTrend, compressionQuality, corpusPipelineV4, madAnomaly,
-    thresholdChurn, anomalyConsensus, forecastBacktest)
+    thresholdChurn, anomalyConsensus, forecastBacktest, mixtureWeights)
 }
