@@ -152,6 +152,51 @@ object StreamBench {
     } finally q.stop()
   }
 
+  /** Deterministic (day, type, Δcount) delta rows: 365 day keys × 37
+    * types, counts 1..5 — each global row index lands on a fixed cell,
+    * so the total fed count per day is reproducible and the tracker's
+    * final per-day `n` must equal it exactly (counts only grow, so the
+    * max emission per day IS the final state — the accounting
+    * assertion). */
+  def entropyBatch(i: Int, rows: Int): Seq[graft.streaming.TypeCount] =
+    (0 until rows).map { j =>
+      val g = i.toLong * rows + j
+      graft.streaming.TypeCount((g % 365).toInt, "t" + (g % 37), (g % 5) + 1)
+    }
+
+  /** Feed `batches` micro-batches of count deltas through
+    * [[graft.streaming.EntropyTracker]] (day-keyed FMGWS, one mix map
+    * per day, one entropy emission per touched day per batch) and time
+    * the processing, warmup excluded. `storedRows` reports the summed
+    * final per-day counts for the exactly-once accounting check. */
+  def runEntropy(spark: SparkSession, batchRows: Int,
+      batches: Int): Result = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[graft.streaming.TypeCount]
+    val name = s"sb_entropy_${batchRows}_$batches"
+    val q = graft.streaming.EntropyTracker.track(ms.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      val warmupRows = math.max(10, math.min(batchRows, 1000))
+      ms.addData(entropyBatch(0, warmupRows))
+      q.processAllAvailable()
+      val feeds = (1 to batches).map(i => entropyBatch(i, batchRows))
+      val t0 = System.nanoTime()
+      feeds.foreach { f => ms.addData(f); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val total = batchRows.toLong * batches
+      val fedC = (entropyBatch(0, warmupRows) ++ feeds.flatten).map(_.c).sum
+      val finalN = spark.table(name)
+        .groupBy("day").agg(org.apache.spark.sql.functions.max("n").as("n"))
+        .agg(org.apache.spark.sql.functions.sum("n")).collect().head.getLong(0)
+      require(finalN == fedC,
+        s"entropy accounting: final per-day counts $finalN != fed $fedC")
+      Result(batchRows, batches, 365, total, finalN, sec, total / sec)
+    } finally q.stop()
+  }
+
   private def runsJson(results: Seq[Result]): String = results.map { r =>
     s"""{"batch_rows":${r.batchRows},"batches":${r.batches},""" +
       s""""keys":${r.keys},"total_rows":${r.totalRows},""" +
@@ -178,6 +223,12 @@ object StreamBench {
       runDedup(spark, rows, n, dir)
     }
     println(s"""{"metric":"incdedup_rows_per_sec","runs":${runsJson(dedupResults)}}""")
+    val entropySizes = Seq((10000, 10), (100000, 5))
+    val entropyResults = entropySizes.map { case (rows, n) =>
+      System.err.println(s"[streambench] entropy batchRows=$rows batches=$n")
+      runEntropy(spark, rows, n)
+    }
+    println(s"""{"metric":"entropy_rows_per_sec","runs":${runsJson(entropyResults)}}""")
     spark.stop()
     if (results.exists(r => r.storedRows != r.totalRows) ||
       dedupResults.exists(r => r.storedRows * 10 != r.totalRows * 7)) {

@@ -35,4 +35,14 @@ class StreamBenchSpec extends SparkSpec {
       .groupBy("text").count().filter("count > 1").count()
     assert(dupTexts === 0L, s"$dupTexts duplicate texts escaped the dedup")
   }
+
+  test("entropy micro-bench: final per-day counts equal the fed deltas exactly") {
+    // runEntropy REQUIRE-asserts the accounting internally (summed
+    // final per-day n == total fed count incl. warmup); this drives it
+    // small and checks the surfaced numbers
+    val r = StreamBench.runEntropy(spark, batchRows = 400, batches = 3)
+    assert(r.totalRows === 1200L)
+    assert(r.keys === 365)
+    assert(r.rowsPerSec > 0.0)
+  }
 }
