@@ -1049,14 +1049,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "q225 planned a cross product")
   }
 
-  test("distribution wave (q230-q234, q237): window-free, no cartesian") {
+  test("distribution wave (q230-q245): window-free, no cartesian") {
     // the wave's design rule: prefix sums ride the range-partitioned
     // two-phase pass (q231), series pairing rides calendar-bounded
     // broadcasts (q232), everything else is grouped aggregation — a
     // Window or CartesianProduct appearing anywhere is a regression
     Seq("q230_market_hhi", "q231_ks_test", "q232_kendall_tau",
       "q233_event_entropy", "q234_vocab_jsd", "q237_cohort_retention",
-      "q240_lead_lag", "q241_theil_index", "q242_fano_factor")
+      "q240_lead_lag", "q241_theil_index", "q242_fano_factor",
+      "q243_seasonal_adjusted", "q244_set_completion",
+      "q245_mixture_weights")
       .foreach { n =>
         val p = plan(n)
         assert(!p.contains("CartesianProduct"), s"$n planned a cross product")
