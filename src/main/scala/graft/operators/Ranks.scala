@@ -71,31 +71,62 @@ object Ranks {
     * `order` must be a total order for a deterministic result. Output
     * column `out` is LongType; sums must stay within Long range. */
   def globalRunningSum(df: DataFrame, order: Seq[Column], value: Column,
-      out: String, numPartitions: Int = 0): DataFrame = {
+      out: String, numPartitions: Int = 0): DataFrame =
+    globalRunningSums(df, order, Seq(value -> out), numPartitions)
+
+  /** N running sums in ONE two-phase pass — a caller needing several
+    * prefix columns over the same order (q231's two per-group CDFs)
+    * would otherwise pay a full range exchange + sort PER COLUMN; here
+    * every extra column costs one Long of subtotal per partition and
+    * one addition per row. Same construction and determinism contract
+    * as the single-column form above. */
+  def globalRunningSums(df: DataFrame, order: Seq[Column],
+      values: Seq[(Column, String)], numPartitions: Int = 0): DataFrame = {
+    require(values.nonEmpty, "need at least one value column")
     val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val v = "__grs_v"
-    val sorted = df.withColumn(v, value.cast(LongType))
+    val k = values.size
+    val tmp = values.indices.map(i => s"__grs_v$i")
+    val withVals = values.zipWithIndex.foldLeft(df) {
+      case (d, ((v, _), i)) => d.withColumn(tmp(i), v.cast(LongType))
+    }
+    val sorted = withVals
       .repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
-    val vIdx = sorted.schema.fieldIndex(v)
+    val idxs = tmp.map(sorted.schema.fieldIndex).toArray
     val rdd = sorted.rdd
     val subtotals = rdd.mapPartitionsWithIndex({ (i, it) =>
-      var s = 0L
-      it.foreach(r => if (!r.isNullAt(vIdx)) s = Math.addExact(s, r.getLong(vIdx)))
+      val s = new Array[Long](k)
+      it.foreach { r =>
+        var j = 0
+        while (j < k) {
+          if (!r.isNullAt(idxs(j)))
+            s(j) = Math.addExact(s(j), r.getLong(idxs(j)))
+          j += 1
+        }
+      }
       Iterator((i, s))
     }, preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
-    val offsets = subtotals.scanLeft(0L)(Math.addExact).dropRight(1)
+    val offsets = subtotals.scanLeft(new Array[Long](k)) { (a, b) =>
+      Array.tabulate(k)(j => Math.addExact(a(j), b(j)))
+    }.dropRight(1)
     val summed = rdd.mapPartitionsWithIndex { (i, it) =>
-      var acc = offsets(i)
+      val acc = offsets(i).clone()
       it.map { r =>
-        if (!r.isNullAt(vIdx)) acc = Math.addExact(acc, r.getLong(vIdx))
-        Row.fromSeq(r.toSeq :+ acc)
+        var j = 0
+        while (j < k) {
+          if (!r.isNullAt(idxs(j)))
+            acc(j) = Math.addExact(acc(j), r.getLong(idxs(j)))
+          j += 1
+        }
+        Row.fromSeq(r.toSeq ++ acc.toSeq)
       }
     }
-    spark.createDataFrame(summed,
-      sorted.schema.add(out, LongType, nullable = false)).drop(v)
+    val schema = values.foldLeft(sorted.schema) {
+      case (sc, (_, out)) => sc.add(out, LongType, nullable = false)
+    }
+    spark.createDataFrame(summed, schema).drop(tmp: _*)
   }
 }

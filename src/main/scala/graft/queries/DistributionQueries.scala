@@ -92,11 +92,13 @@ object DistributionQueries {
     * needs no doubles at all; the reported ppm is one integral floor
     * division.
     *
-    * Scale shape: the CDF prefix runs at DISTINCT-VALUE grain through
-    * the two-phase range-partitioned prefix sum
-    * ([[graft.operators.Ranks.globalRunningSum]] — the q222 ranking
-    * discipline, never a partition-less window), once per group
-    * column; totals ride one broadcast 1-row frame. */
+    * Scale shape: BOTH groups' CDF prefixes run at DISTINCT-VALUE
+    * grain through ONE two-phase range-partitioned pass
+    * ([[graft.operators.Ranks.globalRunningSums]] — the q222 ranking
+    * discipline, never a partition-less window; the multi-column form
+    * exists so the second CDF costs one Long per partition instead of
+    * a second range exchange); totals ride one broadcast 1-row
+    * frame. */
   val ksTest: Q = Q(
     "q231_ks_test",
     """WITH f AS (SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1
@@ -132,10 +134,8 @@ object DistributionQueries {
     val byVal = f.groupBy("x").agg(
       sum(when(col("g") === 1L, 1L).otherwise(0L)).as("c1"),
       sum(when(col("g") === 2L, 1L).otherwise(0L)).as("c2"))
-    val cum = graft.operators.Ranks.globalRunningSum(
-      graft.operators.Ranks.globalRunningSum(
-        byVal, Seq(col("x")), col("c1"), "f1"),
-      Seq(col("x")), col("c2"), "f2")
+    val cum = graft.operators.Ranks.globalRunningSums(
+      byVal, Seq(col("x")), Seq(col("c1") -> "f1", col("c2") -> "f2"))
     val n = byVal.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
     cum.crossJoin(broadcast(n))
       .select(col("n1"), col("n2"),

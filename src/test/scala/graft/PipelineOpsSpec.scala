@@ -129,6 +129,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dist == ref)
   }
 
+  test("globalRunningSums: one fused pass equals per-column single passes") {
+    import spark.implicits._
+    val base = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("a"),
+      col("n_chars").cast("long").as("b"))
+    val fused = Ranks.globalRunningSums(base, Seq(col("doc_id")),
+        Seq(col("a") -> "ca", col("b") -> "cb"))
+      .select(col("doc_id"), col("ca"), col("cb"))
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    def single(v: String, out: String) =
+      Ranks.globalRunningSum(base, Seq(col("doc_id")), col(v), out)
+        .select(col("doc_id"), col(out)).as[(Long, Long)].collect().toMap
+    val (ca, cb) = (single("a", "ca"), single("b", "cb"))
+    assert(fused.map { case (k, (x, _)) => k -> x } == ca)
+    assert(fused.map { case (k, (_, y)) => k -> y } == cb)
+  }
+
   test("packByBudget invariants: monotone shards, every shard starts under budget") {
     import spark.implicits._
     val budget = 500L
