@@ -56,23 +56,53 @@ object Ranks {
   }
 
   /** Global inclusive running sum of `value` (null counts as 0) in
-    * `order` — the prefix-sum sibling of [[globalRowNumber]], and the
-    * scalable form of `sum(v) OVER (ORDER BY …)`, which Spark executes
-    * in ONE task. Same two-phase construction: range-partition on the
-    * sort key, sort within partitions, then (job 1) per-partition
-    * subtotals — one Long per partition, collected to the driver —
-    * become exclusive partition offsets, and (job 2) a streaming
-    * accumulation pass adds them back. Both jobs run over the SAME RDD
-    * graph, so the range exchange's shuffle files are computed once and
-    * reused — `repartitionByRange`'s nondeterministic re-sampling
-    * cannot split the two passes (the q16 lesson). Like zipWithIndex,
-    * the subtotal job runs EAGERLY at call time.
+    * `order` — the prefix-sum sibling of [[globalRowNumber]], the
+    * scalable form of `sum(v) OVER (ORDER BY …)` (which Spark executes
+    * in ONE task). Since r10 this routes through the NATIVE Catalyst
+    * operator ([[graft.plans.RunningSum]] → `RunningSumExec`,
+    * registered by `GraftExtensions`): the planner owns the range
+    * exchange (EnsureRequirements inserts it from the operator's
+    * required distribution + ordering), rows stay UnsafeRow end to
+    * end (the RDD form paid a Row conversion each way), and the
+    * subtotal job runs at ACTION time instead of eagerly at call
+    * time. The fused multi-column RDD form below remains for callers
+    * needing several prefixes over one order. Simple attribute
+    * references in `order`/`value` (incl. `.asc` and `lit`s) resolve
+    * against `df`'s analyzed output; `numPartitions` is accepted for
+    * API compatibility but the planner chooses the exchange's
+    * partitioning (correctness is partition-count-independent by
+    * construction).
     *
     * `order` must be a total order for a deterministic result. Output
-    * column `out` is LongType; sums must stay within Long range. */
+    * column `out` is LongType; sums must stay within Long range
+    * (`Math.addExact` fails loudly). */
   def globalRunningSum(df: DataFrame, order: Seq[Column], value: Column,
-      out: String, numPartitions: Int = 0): DataFrame =
-    globalRunningSums(df, order, Seq(value -> out), numPartitions)
+      out: String, numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Cast, Expression, SortOrder}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val lp = df.queryExecution.analyzed
+    val resolver = df.sparkSession.sessionState.conf.resolver
+    def resolve(e: Expression): Expression = e.transformUp {
+      case u: UnresolvedAttribute =>
+        val n = u.nameParts.last
+        lp.output.filter(a => resolver(a.name, n)) match {
+          case collection.Seq(a) => a
+          case other => sys.error(
+            s"globalRunningSum: '$n' resolved to ${other.size} columns " +
+              s"of ${lp.output.map(_.name)}")
+        }
+    }
+    val orderExprs = order.map(c => resolve(ColumnBridge.catalystExpression(c)) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    })
+    val v1 = resolve(ColumnBridge.catalystExpression(value))
+    val v = if (v1.dataType == LongType) v1 else Cast(v1, LongType)
+    val outAttr = AttributeReference(out, LongType, nullable = false)()
+    ColumnBridge.ofRows(df.sparkSession,
+      graft.plans.RunningSum(orderExprs, v, outAttr, lp))
+  }
 
   /** N running sums in ONE two-phase pass — a caller needing several
     * prefix columns over the same order (q231's two per-group CDFs)

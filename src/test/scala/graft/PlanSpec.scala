@@ -1083,6 +1083,24 @@ class PlanSpec extends SparkSpec {
       "the pair join's inputs are not day-grain aggregates")
   }
 
+  test("q187: the prefix sum plans as the native RunningSumExec over one range exchange") {
+    // the custom operator tier: the planner must own the range
+    // exchange (EnsureRequirements inserts it from RunningSumExec's
+    // required distribution) — no ExistingRDD boundary, no Window.
+    // (q222 also rides the operator but pins its output with an eager
+    // localCheckpoint, so ITS final plan shows the checkpoint scan —
+    // the operator ran inside it.)
+    val p = plan("q187_cumulative_users")
+    // the exec node prints as "RunningSum" (nodeName strips Exec)
+    assert("(?m)^\\(\\d+\\) RunningSum\\b".r.findFirstIn(p).isDefined,
+      "q187 lost the native running-sum operator: " + p.take(1200))
+    assert(!p.contains(" Window"), "q187 fell back to a window")
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      "the running sum lost its range exchange")
+    assert(!p.contains("Scan ExistingRDD"),
+      "q187 still crosses an RDD boundary")
+  }
+
   test("q235/q236: fuzzy matching is block-joined on the noun key") {
     // the matcher expressions are quadratic in NAME length, so the
     // candidate generator must be a hash EQUI-join on the blocking key
