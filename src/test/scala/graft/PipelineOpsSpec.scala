@@ -129,6 +129,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dist == ref)
   }
 
+  test("globalRunningSum edge cases: empty input, negative values, duplicate-safe order") {
+    import spark.implicits._
+    // empty frame: the operator yields an empty result, no crash in
+    // the subtotal job
+    val empty = Seq.empty[(Long, Long)].toDF("id", "v")
+    assert(Ranks.globalRunningSum(empty, Seq(col("id")), col("v"), "cum")
+      .count() == 0L)
+    // negative values: the prefix can DECREASE — offsets must carry sign
+    val d = Seq((1L, 5L), (2L, -8L), (3L, 2L)).toDF("id", "v")
+    val got = Ranks.globalRunningSum(d, Seq(col("id")), col("v"), "cum")
+      .select(col("id"), col("cum")).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 5L, 2L -> -3L, 3L -> -1L))
+  }
+
   test("globalRunningSums: one fused pass equals per-column single passes") {
     import spark.implicits._
     val base = docs.select(col("doc_id"),
