@@ -478,7 +478,113 @@ object DistributionQueries {
           .cast(LongType).as("fano_milli"))
   }
 
+  /** q246: MANN-KENDALL trend test per event type — "is this series
+    * monotonically drifting?" without assuming a distribution (the
+    * hypothesis-test companion of q208's Holt trend estimate; q232
+    * measures association BETWEEN two series, this tests trend OF one
+    * against time). S = Σ sign(y_b − y_a) over day pairs is an exact
+    * integer; the tie-corrected variance and the continuity-corrected
+    * z are one fixed IEEE expression over exact BIGINTs, in milli.
+    * Pair join calendar-bounded per type (the q232 argument). */
+  val mannKendall: Q = Q(
+    "q246_mann_kendall",
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |             CAST(count(*) AS BIGINT) AS y
+      |           FROM events GROUP BY 1, 2),
+      |p AS (SELECT a.event_type,
+      |        CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+      |             ELSE 0 END AS sgn
+      |      FROM d a JOIN d b ON a.event_type = b.event_type
+      |                       AND a.day < b.day),
+      |s AS (SELECT event_type, CAST(sum(sgn) AS BIGINT) AS s_stat
+      |      FROM p GROUP BY 1),
+      |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM d GROUP BY 1),
+      |t AS (SELECT event_type,
+      |        CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      |      FROM (SELECT event_type, y, CAST(count(*) AS BIGINT) AS t
+      |            FROM d GROUP BY 1, 2)
+      |      GROUP BY 1)
+      |SELECT n.event_type, n.n, s.s_stat,
+      |       CAST(round(1000.0 *
+      |         (CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
+      |               WHEN s.s_stat < 0 THEN s.s_stat + 1 ELSE 0 END)
+      |         / sqrt((CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+      |             - t.tie_term) / 18.0)) AS BIGINT) AS z_milli
+      |FROM n JOIN s ON n.event_type = s.event_type
+      |JOIN t ON n.event_type = t.event_type""".stripMargin
+  ) { (s, dir) =>
+    val d = t(s, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val a = d.select(col("event_type"), col("day").as("day_a"),
+      col("y").as("ya"))
+    val b = d.select(col("event_type"), col("day").as("day_b"),
+      col("y").as("yb"))
+    val sStat = a.join(broadcast(b), Seq("event_type"))
+      .filter(col("day_a") < col("day_b"))
+      .select(col("event_type"),
+        when(col("yb") > col("ya"), 1L)
+          .when(col("yb") < col("ya"), -1L).otherwise(0L).as("sgn"))
+      .groupBy("event_type").agg(sum(col("sgn")).as("s_stat"))
+    val n = d.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val ties = d.groupBy("event_type", "y").agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+        .as("tie_term"))
+    val nD = col("n").cast("double")
+    n.join(sStat, Seq("event_type")).join(ties, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("s_stat"),
+        round(lit(1000.0) *
+          when(col("s_stat") > 0, col("s_stat") - 1)
+            .when(col("s_stat") < 0, col("s_stat") + 1).otherwise(0L)
+          / sqrt((nD * (col("n") - 1) * (lit(2) * col("n") + 5)
+            - col("tie_term")) / 18.0))
+          .cast(LongType).as("z_milli"))
+  }
+
+  /** q247: SEN'S SLOPE per event type — the robust trend MAGNITUDE
+    * that pairs with q246's significance (median of all pairwise
+    * slopes shrugs off the outlier days that wreck least squares).
+    * Each slope is ONE IEEE division of exact integers (count delta /
+    * day gap), so both engines materialize identical doubles; the
+    * median is the same exact-interpolation percentile on both
+    * (Spark `percentile(0.5)` == DuckDB `median` for doubles), micro-
+    * quantized. Pairs are calendar-bounded per type. */
+  val senSlope: Q = Q(
+    "q247_sen_slope",
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |             CAST(count(*) AS BIGINT) AS y
+      |           FROM events GROUP BY 1, 2),
+      |p AS (SELECT a.event_type,
+      |        (CAST(b.y AS DOUBLE) - a.y)
+      |          / date_diff('day', a.day, b.day) AS slope
+      |      FROM d a JOIN d b ON a.event_type = b.event_type
+      |                       AND a.day < b.day)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(round(1000000.0 * median(slope)) AS BIGINT)
+      |         AS slope_u6
+      |FROM p GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    val d = t(s, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val a = d.select(col("event_type"), col("day").as("day_a"),
+      col("y").as("ya"))
+    val b = d.select(col("event_type"), col("day").as("day_b"),
+      col("y").as("yb"))
+    a.join(broadcast(b), Seq("event_type"))
+      .filter(col("day_a") < col("day_b"))
+      .select(col("event_type"),
+        ((col("yb").cast("double") - col("ya"))
+          / datediff(col("day_b"), col("day_a"))).as("slope"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(lit(1000000.0) * expr("percentile(slope, 0.5)"))
+          .cast(LongType).as("slope_u6"))
+  }
+
   val all: Seq[Q] =
     Seq(marketHhi, ksTest, kendallTau, eventEntropy, vocabJsd,
-      leadLag, theilIndex, fanoFactor)
+      leadLag, theilIndex, fanoFactor, mannKendall, senSlope)
 }

@@ -1049,7 +1049,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "q225 planned a cross product")
   }
 
-  test("distribution wave (q230-q245): window-free, no cartesian") {
+  test("distribution wave (q230-q247): window-free, no cartesian") {
     // the wave's design rule: prefix sums ride the range-partitioned
     // two-phase pass (q231), series pairing rides calendar-bounded
     // broadcasts (q232), everything else is grouped aggregation — a
@@ -1058,7 +1058,7 @@ class PlanSpec extends SparkSpec {
       "q233_event_entropy", "q234_vocab_jsd", "q237_cohort_retention",
       "q240_lead_lag", "q241_theil_index", "q242_fano_factor",
       "q243_seasonal_adjusted", "q244_set_completion",
-      "q245_mixture_weights")
+      "q245_mixture_weights", "q246_mann_kendall", "q247_sen_slope")
       .foreach { n =>
         val p = plan(n)
         assert(!p.contains("CartesianProduct"), s"$n planned a cross product")
