@@ -52,6 +52,54 @@ object LlmQueries {
       kClusters = 16, iters = 2, m = 8, pqK = 16)
   }
 
+  /** q248: HEAPS'-LAW vocabulary growth curve — cumulative distinct
+    * terms vs cumulative tokens in doc_id ingestion order, sampled at
+    * every 50th document: the sublinearity check (V ≈ K·nᵝ, β < 1)
+    * that tells a tokenizer/corpus designer whether vocabulary is
+    * saturating or the feed keeps injecting novelty (a linear curve
+    * means near-disjoint shards — dedup or language mixing is off).
+    *
+    * Exact and window-free: "distinct terms so far" collapses each
+    * term to its FIRST document (one min-aggregate — the q187
+    * first-seen technique at term grain), then BOTH prefix columns
+    * (new-term count, token count) ride ONE fused range-partitioned
+    * pass ([[graft.operators.Ranks.globalRunningSums]]); the curve
+    * samples to corpus/50 rows at the very end. */
+  val heapsLaw: Q = Q(
+    "q248_heaps_law",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |tok AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tok FROM w),
+      |first_seen AS (SELECT term, min(doc_id) AS doc_id
+      |               FROM (SELECT doc_id, unnest(ws) AS term FROM w)
+      |               GROUP BY term),
+      |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS new_terms
+      |       FROM first_seen GROUP BY doc_id),
+      |c AS (SELECT tok.doc_id,
+      |        CAST(sum(tok.n_tok) OVER (ORDER BY tok.doc_id) AS BIGINT)
+      |          AS cum_tokens,
+      |        CAST(sum(coalesce(nt.new_terms, 0))
+      |          OVER (ORDER BY tok.doc_id) AS BIGINT) AS cum_vocab
+      |      FROM tok LEFT JOIN nt ON tok.doc_id = nt.doc_id)
+      |SELECT doc_id, cum_tokens, cum_vocab
+      |FROM c WHERE doc_id % 50 = 0""".stripMargin
+  ) { (s, dir) =>
+    val w = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val tok = w.select(col("doc_id"), size(col("ws")).cast(LongType).as("n_tok"))
+    val newTerms = w
+      .select(col("doc_id"), explode(col("ws")).as("term"))
+      .groupBy("term").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("new_terms"))
+    val joined = tok.join(newTerms, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+    graft.operators.Ranks.globalRunningSums(joined, Seq(col("doc_id")),
+        Seq(col("n_tok") -> "cum_tokens", col("new_terms") -> "cum_vocab"))
+      .filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select("doc_id", "cum_tokens", "cum_vocab")
+  }
+
   /** Shared materialized PNG payload store for q34/q45/q212/q213 — the
     * `annIndex` persisted-artifact pattern applied to media: payloads
     * are ImageIO-ENCODED exactly once per (corpus fingerprint, payload
@@ -1356,5 +1404,5 @@ object LlmQueries {
     chunkDedup, paragraphChunkDedup, semdedupQ, annPq, annIvfPq,
     annTopKOracle, embeddingDedupOracle, embeddingSplitLeakage,
     ngramNovelty, dupThresholdSweep, langIdConfusion, lenQualityCorr,
-    dupByQuality, multimodalResize, multimodalPerceptual)
+    dupByQuality, multimodalResize, multimodalPerceptual, heapsLaw)
 }
