@@ -100,6 +100,49 @@ object LlmQueries {
       .select("doc_id", "cum_tokens", "cum_vocab")
   }
 
+  /** q249: VOCABULARY COVERAGE AT RANK — "the K most frequent terms
+    * cover P% of all tokens" at K = 10/100/1000, the number that sizes
+    * stopword lists and tokenizer vocabularies (q109's Zipf slope says
+    * the law; this says where to cut). Exact integers end to end:
+    * term totals rank by (count desc, term asc) through the two-phase
+    * [[graft.operators.Ranks.globalRowNumber]], the cumulative mass
+    * rides the native RunningSum operator over the rank order, and
+    * coverage is integral-floor ppm against a broadcast 1-row total.
+    * Both global passes are VOCAB-grain (distinct terms), never token
+    * occurrences. */
+  val vocabCoverage: Q = Q(
+    "q249_vocab_coverage",
+    """WITH tf AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+      |            FROM (SELECT unnest(string_split(text, ' ')) AS term
+      |                  FROM documents)
+      |            GROUP BY term),
+      |r AS (SELECT n,
+      |        CAST(row_number() OVER (ORDER BY n DESC, term ASC)
+      |          AS BIGINT) AS rk
+      |      FROM tf),
+      |c AS (SELECT rk, CAST(sum(n) OVER (ORDER BY rk) AS BIGINT) AS cum
+      |      FROM r),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM tf)
+      |SELECT c.rk, c.cum, tot.total,
+      |       (1000000 * c.cum) // tot.total AS coverage_ppm
+      |FROM c CROSS JOIN tot
+      |WHERE c.rk IN (5, 10, 20)""".stripMargin
+  ) { (s, dir) =>
+    val tf = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val ranked = graft.operators.Ranks.globalRowNumber(tf,
+      Seq(col("n").desc, col("term").asc), "rk")
+      .select(col("n"), col("rk").cast(LongType).as("rk"))
+    val cum = graft.operators.Ranks.globalRunningSum(ranked,
+      Seq(col("rk").asc), col("n"), "cum")
+    val tot = tf.agg(sum(col("n")).as("total"))
+    cum.filter(col("rk").isin(5L, 10L, 20L))
+      .crossJoin(broadcast(tot))
+      .select(col("rk"), col("cum"), col("total"),
+        expr("(1000000 * cum) div total").as("coverage_ppm"))
+  }
+
   /** Shared materialized PNG payload store for q34/q45/q212/q213 — the
     * `annIndex` persisted-artifact pattern applied to media: payloads
     * are ImageIO-ENCODED exactly once per (corpus fingerprint, payload
@@ -1404,5 +1447,6 @@ object LlmQueries {
     chunkDedup, paragraphChunkDedup, semdedupQ, annPq, annIvfPq,
     annTopKOracle, embeddingDedupOracle, embeddingSplitLeakage,
     ngramNovelty, dupThresholdSweep, langIdConfusion, lenQualityCorr,
-    dupByQuality, multimodalResize, multimodalPerceptual, heapsLaw)
+    dupByQuality, multimodalResize, multimodalPerceptual, heapsLaw,
+    vocabCoverage)
 }
