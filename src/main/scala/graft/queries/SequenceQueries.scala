@@ -560,8 +560,46 @@ object SequenceQueries {
       .groupBy("days_to_complete").agg(count(lit(1)).as("n_users"))
   }
 
+  /** q250: REPEAT-PURCHASE CADENCE — the histogram of whole-day gaps
+    * between each user's consecutive purchases, the reorder-cycle
+    * number replenishment and retention models key on (q203 measures
+    * the funnel's first view→purchase latency; this measures the
+    * purchase→purchase rhythm of users who came back). The
+    * consecutive-pair lag rides a USER-keyed window ((user, ts,
+    * event_id) total order — the q138 transition-lag discipline,
+    * never a global sort); gaps are exact integer day arithmetic on
+    * epoch-microsecond timestamps. */
+  val purchaseCadence: Q = Q(
+    "q250_purchase_cadence",
+    """WITH p AS (SELECT user_id, ts, event_id FROM events
+      |           WHERE event_type = 'purchase'),
+      |g AS (SELECT user_id,
+      |        date_diff('day',
+      |          CAST(lag(ts) OVER (PARTITION BY user_id
+      |               ORDER BY ts, event_id) AS DATE),
+      |          CAST(ts AS DATE)) AS gap_days
+      |      FROM p)
+      |SELECT CAST(gap_days AS BIGINT) AS gap_days,
+      |       CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM g WHERE gap_days IS NOT NULL
+      |GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_days",
+        datediff(col("ts").cast("date"), lag(col("ts"), 1).over(w)
+          .cast("date")).cast(LongType))
+      .filter(col("gap_days").isNotNull)
+      .groupBy("gap_days")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   val all: Seq[Q] =
     Seq(activityStreaks, eventFunnel, eventTransitions, cumulativeUsers,
       sessionPaths, funnelLatency, stickiness, bounceRate, weekdayProfile,
-      cohortRetention, seasonalAdjusted, setCompletion)
+      cohortRetention, seasonalAdjusted, setCompletion, purchaseCadence)
 }
