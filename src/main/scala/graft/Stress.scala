@@ -408,8 +408,14 @@ object Stress {
     // payload table materializes once per amplified root (the
     // ensurePayloads contract), so decode/phash measure their own
     // cost, not the encoder's.
-    val wantsMediaReads =
-      only.forall(s => s.contains("media_decode") || s.contains("media_phash"))
+    // pre-build whenever ANY media-read stage will run, so the one-time
+    // payload encode never lands inside a timed media stage. (`only` is
+    // an Option[Set], so Option.forall already meant "unfiltered, or the
+    // stage list names a media read" — but it READ like a per-stage
+    // collection forall, ADVICE r10; the isEmpty||exists form is the
+    // same predicate spelled unambiguously.)
+    val wantsMediaReads = only.isEmpty ||
+      only.exists(s => s.contains("media_decode") || s.contains("media_phash"))
     if (wantsMediaReads)
       graft.operators.Multimodal.ensurePayloads(
         corpus.select("doc_id", "text"), s"$root/media")

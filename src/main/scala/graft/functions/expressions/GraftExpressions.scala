@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -603,7 +603,12 @@ case class TopKByScore(scoreExpr: Expression, idExpr: Expression, k: Int,
   * not a document matcher (documents go through the shingle/winnow
   * family instead). */
 case class DamerauLevenshtein(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+
+  // declared input types make a non-string child a clean ANALYSIS error
+  // (ADVICE r10: without them it passed analysis and ClassCastException'd
+  // at runtime; Spark's own Levenshtein declares the same)
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
 
   override def dataType: DataType = IntegerType
 
@@ -683,7 +688,9 @@ object DamerauLevenshtein {
   * Codegen via static call; O(|a|·window) per row — name-grade like
   * [[DamerauLevenshtein]]. */
 case class JaroWinkler(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
 
   override def dataType: DataType = DoubleType
 

@@ -43,6 +43,12 @@ case class RunningSum(order: Seq[SortOrder], value: Expression,
     outAttr: AttributeReference, child: LogicalPlan) extends UnaryNode {
   require(value.dataType == LongType,
     s"running-sum value must be LongType, got ${value.dataType}")
+  // the exec appends one non-null long column; an outAttr declaring any
+  // other shape would make the UnsafeProjection silently misread it
+  require(outAttr.dataType == LongType,
+    s"running-sum output attribute must be LongType, got ${outAttr.dataType}")
+  require(!outAttr.nullable,
+    "running-sum output attribute must be non-nullable (nulls count as 0)")
   override def output: Seq[Attribute] = child.output :+ outAttr
   override def producedAttributes: AttributeSet = AttributeSet(outAttr)
   override def maxRows: Option[Long] = child.maxRows

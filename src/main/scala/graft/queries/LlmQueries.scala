@@ -101,7 +101,7 @@ object LlmQueries {
   }
 
   /** q249: VOCABULARY COVERAGE AT RANK — "the K most frequent terms
-    * cover P% of all tokens" at K = 10/100/1000, the number that sizes
+    * cover P% of all tokens" at K = 5/10/20, the number that sizes
     * stopword lists and tokenizer vocabularies (q109's Zipf slope says
     * the law; this says where to cut). Exact integers end to end:
     * term totals rank by (count desc, term asc) through the two-phase

@@ -93,35 +93,44 @@ object HttpEndpoint {
       ex.getResponseBody.write(body)
       ex.close()
     }
-    def handle(f: HttpExchange => Unit): HttpHandler = new HttpHandler {
-      override def handle(ex: HttpExchange): Unit =
-        try {
-          if (ex.getRequestMethod != "GET")
-            respond(ex, 405, "text/plain", "GET only".getBytes(StandardCharsets.UTF_8))
-          else f(ex)
-        } catch {
-          case e: Throwable =>
-            respond(ex, 500, "text/plain",
-              String.valueOf(e.getMessage).getBytes(StandardCharsets.UTF_8))
-        }
-    }
+    // com.sun.net.httpserver matches contexts by LONGEST STRING PREFIX,
+    // so without an exact-path check /todayfoo and /today/anything land
+    // in the /today handler with a 200 instead of reaching the root 404
+    // fallback. Each handler therefore re-checks the literal route
+    // (null `route` = the fallback context, which accepts any path).
+    def handle(route: String)(f: HttpExchange => Unit): HttpHandler =
+      new HttpHandler {
+        override def handle(ex: HttpExchange): Unit =
+          try {
+            if (route != null && ex.getRequestURI.getPath != route)
+              respond(ex, 404, "text/plain",
+                "not found".getBytes(StandardCharsets.UTF_8))
+            else if (ex.getRequestMethod != "GET")
+              respond(ex, 405, "text/plain", "GET only".getBytes(StandardCharsets.UTF_8))
+            else f(ex)
+          } catch {
+            case e: Throwable =>
+              respond(ex, 500, "text/plain",
+                String.valueOf(e.getMessage).getBytes(StandardCharsets.UTF_8))
+          }
+      }
 
     routes.foreach { case (name, body) =>
-      server.createContext(s"/$name", handle { ex =>
+      server.createContext(s"/$name", handle(s"/$name") { ex =>
         respond(ex, 200, "application/json",
           body().getBytes(StandardCharsets.UTF_8))
       })
-      server.createContext(s"/charts/$name.png", handle { ex =>
+      server.createContext(s"/charts/$name.png", handle(s"/charts/$name.png") { ex =>
         respond(ex, 200, "image/png", graft.render.ChartPng.render(body()))
       })
     }
-    server.createContext("/refresh", handle { ex =>
+    server.createContext("/refresh", handle("/refresh") { ex =>
       routes.values.foreach(_.apply())
       respond(ex, 200, "application/json",
         s"""{"recomputed":${routes.size}}""".getBytes(StandardCharsets.UTF_8))
     })
     // everything else: 404 (the root context catches unmatched paths)
-    server.createContext("/", handle { ex =>
+    server.createContext("/", handle(null) { ex =>
       respond(ex, 404, "text/plain",
         "not found".getBytes(StandardCharsets.UTF_8))
     })

@@ -60,6 +60,12 @@ class HttpEndpointSpec extends SparkSpec {
 
   test("unknown paths 404, non-GET 405") {
     assert(get("/nope").statusCode() == 404)
+    // com.sun.net.httpserver context matching is longest-string-PREFIX:
+    // without the handlers' exact-path check these land in /today with
+    // a 200 (ADVICE r10)
+    assert(get("/todayfoo").statusCode() == 404)
+    assert(get("/today/anything").statusCode() == 404)
+    assert(get("/charts/today.pngx").statusCode() == 404)
     val post = client.send(
       HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${handle.port}/today"))
         .POST(HttpRequest.BodyPublishers.noBody()).build(),
