@@ -14,16 +14,26 @@ import org.apache.spark.sql.SparkSession
   * truncates from the left inside that window (BENCH_r07.json lost its
   * leading `"total"`), while the trailing compact line always survives
   * whole and parses. Since r9 the compact line is SELF-CONTAINED (the
-  * r8 verdict's task 3): it carries the COMPLETE per-query map in
-  * `queries`, encoded to fit the tail window — keys are the bare query
-  * numbers ("01".."193", the `qNN` registry prefix minus its `q`),
-  * values integer CENTISECONDS (declared by `unit`; -1 marks a failed
-  * query) and `errors` only the failed query NUMBERS, so the trailer
-  * size is registry-bound, not failure-bound. A registry grown past
-  * the ~1900-char budget degrades to deciseconds (unit says so)
-  * instead of truncating. Full-precision full-name results and error
-  * messages stay in the first line and bench_out.json. All progress
-  * goes to stderr.
+  * r8 verdict's task 3): it carries the COMPLETE per-query data,
+  * encoded to fit the tail window, degrading through a unit ladder as
+  * the registry grows instead of truncating. Full-precision full-name
+  * results and error messages stay in the first line and
+  * bench_out.json. All progress goes to stderr.
+  *
+  * SELF-ADJUDICATION (r10 verdict, task 2): a median-of-3 is provably
+  * poisonable by a 2-of-3-slow contention window — exactly what
+  * inflated BENCH_r10's q28/q29/q49/q134/q180, each exonerated only by
+  * a judge re-running them isolated. Two additions make the record
+  * prove that about itself:
+  *
+  *  - every query reports its MIN across the repeats alongside the
+  *    median — a contention-robust floor (a spike whose min sits in
+  *    its historical band is box noise, not a regression, with no
+  *    re-run needed);
+  *  - the q27 control ([[ControlQuery]], datum ~1.9 s at sf0.1 since
+  *    r5) runs FIRST and LAST, both readings embedded in the JSON —
+  *    a record whose control readings sit at datum was taken on a
+  *    quiet box; elevated readings timestamp the contention.
   *
   * Each query is driven through a `noop`-format write, not `count()`:
   * count lets Catalyst prune projection-only work (rendering columns,
@@ -32,6 +42,11 @@ import org.apache.spark.sql.SparkSession
   * in an `errors` map and the process exits non-zero.
   */
 object Bench {
+
+  /** The control query: small, stable, plan-audited since r5 — its two
+    * readings bracket the run and calibrate every other number. */
+  val ControlQuery = "q27_ngram_jaccard"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = GraftSession.defaultCpus
@@ -41,12 +56,12 @@ object Bench {
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
 
-    // Per-query warmup run, then the MEDIAN of `repeats` measured runs:
-    // at these scale factors Catalyst analysis + whole-stage-codegen JIT
-    // dominates a cold first execution, and this box's scheduler is noisy
-    // (two identical-code r5 runs differed 27% total on min-of-two) — the
-    // median of repeated steady-state runs makes round-over-round deltas
-    // signal instead of scheduler luck.
+    // Per-query warmup run, then `repeats` measured runs: at these scale
+    // factors Catalyst analysis + whole-stage-codegen JIT dominates a
+    // cold first execution, and this box's scheduler is noisy (two
+    // identical-code r5 runs differed 27% total on min-of-two). The
+    // MEDIAN is the headline (round-over-round deltas stay signal); the
+    // MIN is the adjudication floor (see the scaladoc above).
     val repeats = sys.env.get("SPARK_GRAFT_REPEATS").map(_.toInt).getOrElse(3)
     require(repeats >= 1, s"SPARK_GRAFT_REPEATS must be >= 1, got $repeats")
     def median(xs: Seq[Double]): Double = {
@@ -54,39 +69,61 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // warmup + repeats; returns (median, min). Always releases pinned
+    // blocks afterward (eager localCheckpoints etc.) so later queries
+    // measure themselves, not accumulated block-manager eviction
+    // pressure — the r9 q91 15.29s/0.98s spread was exactly residue.
+    def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double) =
+      try {
+        runOnce(fn)
+        val ts = (1 to repeats).map { _ =>
+          val t0 = System.nanoTime()
+          runOnce(fn)
+          (System.nanoTime() - t0) / 1e9
+        }
+        (median(ts), ts.min)
+      } finally GraftSession.releaseCaches(spark)
+
     // dev-only focus filter (unset for driver runs = all queries)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     var errors = Map.empty[String, String]
+    def record(e: Throwable, name: String): Unit =
+      errors += name -> e.toString.replaceAll("[\\\\\"\\n\\r]", " ").take(200)
+
+    // control bracket: FIRST reading (the suite's own q27 pass below is
+    // mid-run and subject to whatever contention the record disputes)
+    val controlFn = SparkEntry.queries.get(ControlQuery)
+    def controlReading(tag: String): Option[(Double, Double)] = controlFn.map { fn =>
+      System.err.println(s"[bench] control($tag) $ControlQuery")
+      try measure(fn)
+      catch { case e: Throwable => record(e, s"control_$tag"); (-1.0, -1.0) }
+    }
+    val ctrlFirst = controlReading("first")
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      System.err.println(s"[bench] $name")
-      val t =
-        try {
-          runOnce(fn)
-          median((1 to repeats).map { _ =>
-            val t0 = System.nanoTime()
-            runOnce(fn)
-            (System.nanoTime() - t0) / 1e9
-          })
-        } catch {
-          case e: Throwable =>
-            errors += name -> e.toString
-              .replaceAll("[\\\\\"\\n\\r]", " ").take(200)
-            -1.0
-        } finally {
-          // release the blocks THIS query pinned (eager localCheckpoints
-          // etc.) so later queries measure themselves, not accumulated
-          // block-manager eviction pressure — the r9 driver record's
-          // q91 15.29s-in-process / 0.98s-isolated spread was exactly
-          // this residue landing on the late lexical tail
-          GraftSession.releaseCaches(spark)
-        }
-      name -> t
+        System.err.println(s"[bench] $name")
+        val (med, min) =
+          try measure(fn)
+          catch { case e: Throwable => record(e, name); (-1.0, -1.0) }
+        (name, med, min)
+      }
+    val ctrlLast = controlReading("last")
+    val ctrl = (ctrlFirst, ctrlLast) match {
+      case (Some((fm, fn0)), Some((lm, ln))) => Some((fm, fn0, lm, ln))
+      case _ => None
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    def jmap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map { case (k, m, _) => k -> m })
+    val mins = jmap(results.map { case (k, _, m) => k -> m })
+    val ctrlJson = ctrl
+      .map { case (fm, fn0, lm, ln) => s"""{"first":[$fm,$fn0],"last":[$lm,$ln]}""" }
+      .getOrElse("null")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
@@ -100,23 +137,13 @@ object Bench {
       ""","filtered":true"""
     } else ""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson$filteredTag,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""mins":$mins,"control":$ctrlJson,"errors":$errJson$filteredTag,""" +
+        s""""sf":"$sfDir"}"""
     Files.write(Paths.get("bench_out.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
     println(json)
-    // compact trailer, printed LAST and SELF-CONTAINED: the complete
-    // per-query map (bare query numbers, integer times; -1 = failed)
-    // must fit whole inside the driver's 2000-char log-tail window
-    // TOGETHER with sbt's trailing [success]/[error] line. Error
-    // MESSAGES stay in the full first line and bench_out.json; the
-    // trailer carries only the failed query numbers (an array), so a
-    // failure-heavy run cannot blow the budget — the r8 trailer's
-    // per-error strings could. Degradation ladder as the registry
-    // grows (centiseconds overflowed at 211 queries, r9): centisec →
-    // decisec → whole seconds → finally DROP the per-query map and
-    // keep only the totals + failed query numbers, so the line that
-    // prints always fits and always parses — never a truncated tail.
-    println(compactTrailer(results, errors, total, filteredTag, sfDir))
+    println(compactTrailer(results, errors, total, filteredTag, sfDir, ctrl))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
@@ -125,24 +152,63 @@ object Bench {
     * tail; leave room for sbt's closing [success]/[error] line. */
   val TrailerBudget = 1900
 
-  private[graft] def compactTrailer(results: Seq[(String, Double)],
+  /** The compact trailer, printed LAST and SELF-CONTAINED: complete
+    * per-query data inside the driver's 2000-char log-tail window,
+    * TOGETHER with sbt's trailing [success]/[error] line. Error
+    * MESSAGES stay in the full first line and bench_out.json; the
+    * trailer carries only the failed query NUMBERS (an array), so a
+    * failure-heavy run cannot blow the budget. Degradation ladder as
+    * the registry grows (centiseconds overflowed at 211 queries in r9;
+    * the decisec MAP overflowed at 249 in r10, which cost the archived
+    * record its whole per-query map):
+    *
+    *  1. centisec — med map `queries` + min map `qmins`, bare query
+    *     numbers as keys;
+    *  2. decisec — same maps, coarser unit;
+    *  3. sec — same maps, whole seconds;
+    *  4. ds-arrays — `qmed`/`qmin` VALUE ARRAYS in deciseconds,
+    *     ordered by registry-name sort (the keys are recoverable by
+    *     sorting `SparkEntry.queries.keys`; -1 = failed) — ~4 chars
+    *     per value instead of ~10 per map entry, which keeps FULL
+    *     per-query data in the record at 250+ queries;
+    *  5. ds-minarray — `qmin` only (the adjudication floor outranks
+    *     the median when only one fits);
+    *  6. omitted — totals + failed numbers only.
+    *
+    * Every form carries `ctrl_cs` — the q27 control bracket as
+    * [first_med, first_min, last_med, last_min] in centiseconds
+    * (-1 = unavailable) — so any record is self-normalizing. */
+  private[graft] def compactTrailer(results: Seq[(String, Double, Double)],
       errors: Map[String, String], total: Double, filteredTag: String,
-      sfDir: String): String = {
+      sfDir: String, ctrl: Option[(Double, Double, Double, Double)]): String = {
     def qnum(name: String): String = name.takeWhile(_ != '_').drop(1)
+    def cs(v: Double): Long = if (v < 0) -1 else math.round(v * 100)
     val errQs = errors.keys.toSeq.sorted
       .map("\"" + qnum(_) + "\"").mkString("[", ",", "]")
-    def trailer(qs: String, unit: String): String =
+    val ctrlCs = ctrl
+      .map { case (a, b, c, d) => Seq(a, b, c, d).map(cs).mkString("[", ",", "]") }
+      .getOrElse("[-1,-1,-1,-1]")
+    def trailer(unit: String, payload: String): String =
       f"""{"total":$total%.2f,"n_queries":${results.size},""" +
-        s""""n_errors":${errors.size},"unit":"$unit",""" +
-        s""""queries":$qs,"errors":$errQs$filteredTag,""" +
+        s""""n_errors":${errors.size},"unit":"$unit",$payload,""" +
+        s""""ctrl_cs":$ctrlCs,"errors":$errQs$filteredTag,""" +
         s""""sf":"${Paths.get(sfDir).getFileName}"}"""
-    def withScale(scale: Int, unit: String): String = trailer(
-      results.map { case (k, v) =>
-        "\"" + qnum(k) + "\":" + (if (v < 0) -1 else math.round(v * scale)) }
-        .mkString("{", ",", "}"),
-      unit)
-    val ladder = Seq(withScale(100, "centisec"), withScale(10, "decisec"),
-      withScale(1, "sec"), trailer("{}", "omitted"))
+    def scaled(v: Double, scale: Int): Long =
+      if (v < 0) -1 else math.round(v * scale)
+    def mapsForm(scale: Int, unit: String): String = {
+      def m(sel: ((String, Double, Double)) => Double): String =
+        results.map(r => "\"" + qnum(r._1) + "\":" + scaled(sel(r), scale))
+          .mkString("{", ",", "}")
+      trailer(unit, s""""queries":${m(_._2)},"qmins":${m(_._3)}""")
+    }
+    def arr(sel: ((String, Double, Double)) => Double): String =
+      results.map(r => scaled(sel(r), 10)).mkString("[", ",", "]")
+    val ladder = Seq(
+      mapsForm(100, "centisec"), mapsForm(10, "decisec"), mapsForm(1, "sec"),
+      trailer("ds-arrays",
+        s""""queries":{},"qmed":${arr(_._2)},"qmin":${arr(_._3)}"""),
+      trailer("ds-minarray", s""""queries":{},"qmin":${arr(_._3)}"""),
+      trailer("omitted", """"queries":{}"""))
     ladder.find(_.length <= TrailerBudget).getOrElse {
       // unreachable in practice (the map-free form is a few hundred
       // chars), but never print an over-budget line that truncates

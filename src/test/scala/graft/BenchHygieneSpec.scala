@@ -29,41 +29,67 @@ class BenchHygieneSpec extends SparkSpec {
     assert(spark.range(10).count() == 10)
   }
 
-  test("compact trailer degrades centisec → decisec → sec → map-free, never over budget") {
-    def results(n: Int, sec: Double): Seq[(String, Double)] =
-      (1 to n).map(i => (f"q$i%03d_name" -> sec))
+  private val ctrl = Some((1.93, 1.88, 2.01, 1.90))
+
+  test("compact trailer degrades maps → value arrays → min array → map-free, never over budget") {
+    def results(n: Int, sec: Double): Seq[(String, Double, Double)] =
+      (1 to n).map(i => (f"q$i%03d_name", sec, sec * 0.9))
     def unitOf(t: String): String =
-      "\"unit\":\"([a-z]+)\"".r.findFirstMatchIn(t).get.group(1)
-    val ranks = Seq("centisec", "decisec", "sec", "omitted")
-    // small registry: full centisecond precision preserved
-    val small = Bench.compactTrailer(results(50, 1.234), Map.empty, 61.7, "", "sf0.1")
+      "\"unit\":\"([a-z-]+)\"".r.findFirstMatchIn(t).get.group(1)
+    val ranks = Seq("centisec", "decisec", "sec", "ds-arrays", "ds-minarray", "omitted")
+    // small registry: full centisecond precision preserved, med + min maps
+    val small = Bench.compactTrailer(results(50, 1.234), Map.empty, 61.7, "", "sf0.1", ctrl)
     assert(unitOf(small) == "centisec" && small.contains("\"001\":123"))
+    assert(small.contains("\"qmins\":") && small.contains("\"001\":111"),
+      "min map missing from the map form: " + small.take(300))
     assert(small.length <= Bench.TrailerBudget)
     // sweep the registry size: EVERY emitted line fits the budget, the
     // chosen unit only ever coarsens as the registry grows, and the
-    // ladder actually visits its middle rungs and the map-free floor
-    // (the r9 ADVICE finding: the old code printed an over-budget
-    // decisec line once the registry outgrew two rungs)
+    // ladder actually visits the rungs the current registry needs.
+    // The ARRAY rungs are the r10 fix: at 249 queries the decisec MAP
+    // overflowed and the archived record lost all per-query data —
+    // the value-array form keeps med+min per query to ~400 queries.
     val sweep = (1 to 300).map(_ * 10).map { n =>
-      val t = Bench.compactTrailer(results(n, 4.04), Map.empty, n * 4.04, "", "sf0.1")
+      val t = Bench.compactTrailer(results(n, 4.04), Map.empty, n * 4.04, "", "sf0.1", ctrl)
       assert(t.length <= Bench.TrailerBudget,
         s"n=$n: ${t.length} chars exceeds the tail budget")
       ranks.indexOf(unitOf(t))
     }
     assert(sweep == sweep.sorted, "unit must coarsen monotonically with registry size")
     assert(sweep.contains(ranks.indexOf("decisec")), "sweep never hit decisec")
-    assert(sweep.contains(ranks.indexOf("sec")), "sweep never hit whole seconds")
-    assert(sweep.last == ranks.indexOf("omitted"), "the largest registries must drop the map")
+    assert(sweep.contains(ranks.indexOf("ds-arrays")), "sweep never hit the array form")
+    assert(sweep.last >= ranks.indexOf("ds-minarray"),
+      "the largest registries must at least drop to the min array")
+    // the CURRENT registry size (~250) must keep FULL per-query data:
+    val current = Bench.compactTrailer(results(250, 4.04), Map.empty, 1010.0, "", "sf0.1", ctrl)
+    assert(ranks.indexOf(unitOf(current)) <= ranks.indexOf("ds-arrays"),
+      s"250 queries lost per-query data: ${unitOf(current)}")
+    assert(current.contains("\"qmin\":[") || current.contains("\"qmins\":"),
+      "250-query trailer lost the adjudication floor")
     // map-free floor: totals + failed query NUMBERS survive, map is {}
     val huge = Bench.compactTrailer(results(3000, 111.2),
-      Map("q0007_x" -> "boom"), 333600.0, "", "sf0.1")
+      Map("q0007_x" -> "boom"), 333600.0, "", "sf0.1", ctrl)
     assert(huge.contains("\"unit\":\"omitted\"") && huge.contains("\"queries\":{}"))
     assert(huge.contains("\"errors\":[\"0007\"]"))
     assert(huge.length <= Bench.TrailerBudget)
     // failed queries mark -1 in the per-query map forms
     val withFail = Bench.compactTrailer(
-      results(5, 0.5) :+ ("q006_bad" -> -1.0), Map("q006_bad" -> "err"),
-      2.5, "", "sf0.1")
+      results(5, 0.5) :+ (("q006_bad", -1.0, -1.0)), Map("q006_bad" -> "err"),
+      2.5, "", "sf0.1", ctrl)
     assert(withFail.contains("\"006\":-1") && withFail.contains("\"errors\":[\"006\"]"))
+  }
+
+  test("every trailer form carries the q27 control bracket in centiseconds") {
+    def results(n: Int): Seq[(String, Double, Double)] =
+      (1 to n).map(i => (f"q$i%03d_name", 4.0, 3.6))
+    // present at every ladder rung, small and huge registries alike
+    Seq(5, 250, 3000).foreach { n =>
+      val t = Bench.compactTrailer(results(n), Map.empty, n * 4.0, "", "sf0.1", ctrl)
+      assert(t.contains("\"ctrl_cs\":[193,188,201,190]"),
+        s"n=$n trailer lost the control bracket: ${t.take(200)}")
+    }
+    // a run without the control query still emits a parseable marker
+    val noCtrl = Bench.compactTrailer(results(5), Map.empty, 20.0, "", "sf0.1", None)
+    assert(noCtrl.contains("\"ctrl_cs\":[-1,-1,-1,-1]"))
   }
 }
