@@ -1099,6 +1099,19 @@ class PlanSpec extends SparkSpec {
       "the running sum lost its range exchange")
     assert(!p.contains("Scan ExistingRDD"),
       "q187 still crosses an RDD boundary")
+    // r10 task 3: the node implements CodegenSupport — its per-row work
+    // (evaluate, addExact, emit) must compile INTO the whole-stage
+    // pipeline, not run as an interpreted eval + UnsafeProjection loop.
+    // AQE collapses codegen stages only at materialization, so execute
+    // first, then assert the FINAL plan's "*(k)" codegen marker on the
+    // RunningSum line (pipelined with the Sort feeding it).
+    val df = graft.queries.Registry.byName("q187_cumulative_users")
+      .fn(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) RunningSum\\b".r.findFirstIn(finalPlan).isDefined,
+      "RunningSumExec dropped out of whole-stage codegen:\n" +
+        finalPlan.take(1200))
   }
 
   test("q235/q236: fuzzy matching is block-joined on the noun key") {
