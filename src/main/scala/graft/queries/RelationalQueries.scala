@@ -307,7 +307,46 @@ object RelationalQueries {
         get_json_object(col("props"), "$.k").cast(LongType).as("k"))
   }
 
+  /** The SERVING ROW — the reference bot's per-state response (current
+    * total, delta vs the previous day, doubling rate:
+    * UserRequestConsumer.java:87-142 assembles these from the state
+    * stores per request). One row per key, latest day only. The Spark
+    * side is [[graft.serve.LiveServing.servingRows]] — the EXACT code
+    * [[graft.serve.LiveEndpoint]] serves over a live stream's view —
+    * over the q05 daily-total frame, so this oracle pins the live HTTP
+    * body's semantics in batch. latest-per-key rides the KTable
+    * operator ([[graft.state.MaterializedViews.latestPerKey]]). */
+  val stateServing: Q = Q(
+    "q251_state_serving",
+    """WITH d AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      |  FROM events GROUP BY 1, 2),
+      |dd AS (
+      |  SELECT day, event_type, total,
+      |         CAST(total - coalesce(lag(total) OVER (PARTITION BY event_type ORDER BY day), 0) AS DECIMAL(18,2)) AS delta
+      |  FROM d),
+      |latest AS (SELECT event_type, max(day) AS day FROM d GROUP BY 1)
+      |SELECT dd.event_type, dd.day,
+      |       CAST(dd.total AS DOUBLE) AS total,
+      |       CAST(dd.delta AS DOUBLE) AS delta,
+      |       CASE WHEN dd.delta = 0 OR dd.total = 0 THEN 0
+      |            ELSE CAST(round(70.0 * CAST(dd.total AS DOUBLE) / (100.0 * CAST(dd.delta AS DOUBLE))) AS BIGINT)
+      |       END AS doubling_rate
+      |FROM dd JOIN latest ON dd.event_type = latest.event_type AND dd.day = latest.day""".stripMargin
+  ) { (s, dir) =>
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(sum(col("value").cast(dec)).cast(dec).as("total"))
+    graft.serve.LiveServing.servingRows(daily, "event_type")
+      // decimal math inside; DOUBLE representation out (driver hash)
+      .select(col("event_type"), col("day"),
+        col("total").cast("double").as("total"),
+        col("delta").cast("double").as("delta"),
+        col("doubling_rate"))
+  }
+
   val all: Seq[Q] = Seq(filterProject, runningDelta, dailyAgg, dailyAggUser,
     doublingRate, topnOrders, joinEnrich, joinComposite, asofLatest,
-    datedimJoin, dedupExact, jsonExtract)
+    datedimJoin, dedupExact, jsonExtract, stateServing)
 }

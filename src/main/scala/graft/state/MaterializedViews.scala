@@ -67,21 +67,65 @@ object MaterializedViews {
     latest.writeStream
       .outputMode("update")
       .foreachBatch { (changed: DataFrame, _: Long) =>
-        val spark = changed.sparkSession
-        val qualified = s"global_temp.$viewName"
-        val next =
-          if (spark.catalog.tableExists(qualified)) {
-            val prev = spark.table(qualified)
-            // null-safe key equality: a null-keyed group (e.g. from a
-            // malformed frame decoded to null fields) must UPSERT like
-            // any other key, not accumulate a duplicate per batch
-            // (plain left_anti never matches NULL = NULL).
-            val cond = keyCols.map(k => prev(k) <=> changed(k)).reduce(_ && _)
-            prev.join(changed, cond, "left_anti").unionByName(changed)
-          } else changed
-        next.localCheckpoint(eager = true) // cut lineage across batches
-          .createOrReplaceGlobalTempView(viewName)
-        ()
+        upsertIntoGlobalView(changed, keyCols, viewName)
+      }
+      .start()
+  }
+
+  /** The foreachBatch body shared by the view-maintaining streams:
+    * upsert `changed` (one row per key) into `global_temp.<viewName>`
+    * via anti-join + union. Same snapshot-rewrite caveat as
+    * [[serveAsView]] — test convenience; production routes through
+    * [[KeyedStore.serveToStore]]. */
+  private[graft] def upsertIntoGlobalView(changed: DataFrame,
+      keyCols: Seq[String], viewName: String): Unit = {
+    val spark = changed.sparkSession
+    val qualified = s"global_temp.$viewName"
+    val next =
+      if (spark.catalog.tableExists(qualified)) {
+        val prev = spark.table(qualified)
+        // null-safe key equality: a null-keyed group (e.g. from a
+        // malformed frame decoded to null fields) must UPSERT like
+        // any other key, not accumulate a duplicate per batch
+        // (plain left_anti never matches NULL = NULL).
+        val cond = keyCols.map(k => prev(k) <=> changed(k)).reduce(_ && _)
+        prev.join(changed, cond, "left_anti").unionByName(changed)
+      } else changed
+    next.localCheckpoint(eager = true) // cut lineage across batches
+      .createOrReplaceGlobalTempView(viewName)
+    ()
+  }
+
+  /** Continuously-maintained DAILY TOTALS view — the reference bot's
+    * per-day stats KTables (StateStoresManager.java:121-186 keeps
+    * daily/delta/doubling stores the request consumer probes), the
+    * aggregation analog of [[serveAsView]]'s latest-per-key: the 1-day
+    * tumbling `sum(value)` per (key, day) runs INSIDE the streaming
+    * engine (update mode, state-store-backed), so each micro-batch
+    * hands foreachBatch only the (key, day) rows whose total changed,
+    * and those upsert into `global_temp.<viewName>` with composite key
+    * (keyCol, day). [[graft.serve.LiveEndpoint]] serves point queries
+    * over the result while the stream runs.
+    *
+    * Unwatermarked by design here: the serving view must answer for ALL
+    * days (the reference's history endpoint), so day-grain state is
+    * kept indefinitely — at (keys × days) cardinality, which is
+    * serving-sized, not event-sized. A deployment that can bound
+    * re-statement lag would add `withWatermark` upstream to cap state.
+    * Checkpointed restart works exactly as [[serveAsView]]: pass the
+    * writeStream checkpoint via `checkpointLocation`. */
+  def serveDailyTotalsAsView(streaming: DataFrame, keyCol: String,
+      tsCol: String, valueCol: String, viewName: String,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val daily = streaming
+      .groupBy(window(col(tsCol), "1 day").as("w"), col(keyCol))
+      .agg(sum(col(valueCol)).as("total"))
+      .select(col(keyCol), to_date(col("w.start")).as("day"), col("total"))
+    val w = daily.writeStream.outputMode("update")
+    checkpointLocation.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (changed: DataFrame, _: Long) =>
+        upsertIntoGlobalView(changed, Seq(keyCol, "day"), viewName)
       }
       .start()
   }
