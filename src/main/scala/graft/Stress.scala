@@ -400,6 +400,56 @@ object Stress {
     upsertCurve(5, 16); upsertCurve(20, 16); upsertCurve(80, 16)
     // series (b): buckets scaled with the corpus
     upsertCurve(20, 64); upsertCurve(80, 256)
+    // ---- KeyedStore UPSERT locality curve (r10 verdict task 6) ----
+    // The text-index falsification (fixed buckets ⇒ rewrite linear in
+    // store size) applies STRUCTURALLY to the durable serving stores:
+    // KeyedStore.upsert rewrites every bucket a changed key hashes
+    // into, and with the 8-bucket default a realistic changed batch
+    // touches all 8, so per-batch IO grows with the table. A FIXED
+    // 32-key changed batch against 25k/100k/400k-row stores, two
+    // series:
+    //   (a) numBuckets PINNED at the DefaultBuckets=8 — 32 spread keys
+    //       touch every bucket; rewrite bytes grow with the store;
+    //   (b) numBuckets SCALED so a bucket stays ~400 rows (64@25k,
+    //       256@100k, 1024@400k) — touched buckets ≈ |batch| of FIXED
+    //       size, so rewrite bytes stay ~flat across 16× store growth.
+    // The knob itself already exists and is recorded in the table's
+    // _graft_buckets marker (bucketCountOf) — this curve MEASURES it,
+    // which is what the TextIndex episode taught: claim nothing about
+    // locality that a 5-point curve hasn't shown.
+    def storeCurve(nRows: Int, nb: Int): Unit = {
+      val name = s"kvupsert_${nRows / 1000}k_b$nb"
+      if (only.forall(_.contains(name))) {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_stress/" +
+          s"kvstore_${nRows}_b$nb"
+        // fresh store each run: the measured upsert must hit a
+        // deterministic layout, not residue from a prior run
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        listener.label = s"${name}_build"
+        val base = spark.range(nRows.toLong).select(
+          col("id").as("k"), (col("id") * 7).as("total"), lit(0L).as("ver"))
+        graft.state.KeyedStore.upsert(base, Seq("k"), root, numBuckets = nb)
+        listener.label = name
+        val t0 = System.nanoTime()
+        val batch = spark.range(32).select(
+          (col("id") * (nRows / 32) + 5).as("k"),
+          (col("id") * 7 + 1).as("total"), lit(1L).as("ver"))
+        graft.state.KeyedStore.upsert(batch, Seq("k"), root)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val m = listener.totals(name)
+        val storeBytes = fs.getContentSummary(p).getLength
+        println(f"""{"stage":"$name","sec":$sec%.2f,""" +
+          s""""store_rows":$nRows,"n_buckets":$nb,""" +
+          s""""out_bytes":${m.outBytes},"store_bytes":$storeBytes,""" +
+          s""""shuffle_write_b":${m.shufWrite},"tasks":${m.tasks}}""")
+      }
+    }
+    // series (a): pinned default buckets, growing store
+    storeCurve(25000, 8); storeCurve(100000, 8); storeCurve(400000, 8)
+    // series (b): buckets scaled with the store
+    storeCurve(25000, 64); storeCurve(100000, 256); storeCurve(400000, 1024)
     // ---- media codec curve (r10): the ImageIO class, measured ----
     // Encode / decode / perceptual-hash are pure per-row codec work on
     // mapPartitions — ZERO shuffle of media bytes by construction, so

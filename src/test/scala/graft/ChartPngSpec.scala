@@ -199,4 +199,43 @@ class ChartPngSpec extends SparkSpec {
     assert(ChartPng.parseColor("#1a2b3c") == new Color(26, 43, 60))
     assert(ChartPng.parseColor("nonsense") == new Color(201, 203, 207))
   }
+
+  test("golden pixels: fixed request renders the pinned text-free-region CRC") {
+    // r10 verdict task 7: dimensions/colors-present/segment-order gates
+    // would all PASS through a JDK font or antialiasing change that
+    // silently alters every served PNG. This pins the exact rasterized
+    // pixels of the PLOT INTERIOR — a region with geometry only (bars +
+    // line strokes, AA off): text renders outside it (y ticks at x=2,
+    // x labels below y=133, no title), so the CRC is font-independent
+    // and any geometry-rasterization change fails loudly. Golden values
+    // regenerate by printing crc/blue/red over the same region.
+    val json =
+      """{"width":"200","height":"160","chart":{"type":"line","data":""" +
+        """{"labels":["a","b","c","d"],"datasets":""" +
+        """[{"label":"s1","borderColor":"rgb(54, 162, 235)","data":[0,5,3,8]},""" +
+        """{"type":"bar","label":"s2","borderColor":"rgb(255, 99, 132)","data":[2,4,1,6]}]}}}"""
+    val img = decode(ChartPng.render(json))
+    // plot interior for a 200x160 no-title no-right-axis chart:
+    // left=46, top=12, bottom=26 → strictly inside the axis lines
+    val (rx0, ry0, rx1, ry1) = (47, 13, 187, 132)
+    val crc = new java.util.zip.CRC32
+    var blue = 0; var red = 0; var opaque = 0
+    for (y <- ry0 to ry1; x <- rx0 to rx1) {
+      val p = img.getRGB(x, y)
+      crc.update(p >>> 24); crc.update((p >> 16) & 0xff)
+      crc.update((p >> 8) & 0xff); crc.update(p & 0xff)
+      if ((p >>> 24) != 0) {
+        opaque += 1
+        if (((p >> 16) & 0xff) == 54 && ((p >> 8) & 0xff) == 162 && (p & 0xff) == 235) blue += 1
+        if (((p >> 16) & 0xff) == 255 && ((p >> 8) & 0xff) == 99 && (p & 0xff) == 132) red += 1
+      }
+    }
+    assert(crc.getValue == 56017592L,
+      s"plot-region pixels changed: crc=${crc.getValue} blue=$blue red=$red opaque=$opaque")
+    // per-band histogram: the line's stroke pixels, the bars' fill
+    // pixels, and NOTHING else in the region (blue+red == opaque means
+    // no stray color — axis grey and text stay outside)
+    assert(blue == 641 && red == 1030, s"per-series pixel counts moved: blue=$blue red=$red")
+    assert(opaque == blue + red, s"foreign pixels entered the plot region: ${opaque - blue - red}")
+  }
 }

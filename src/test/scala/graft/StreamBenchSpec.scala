@@ -36,6 +36,21 @@ class StreamBenchSpec extends SparkSpec {
     assert(dupTexts === 0L, s"$dupTexts duplicate texts escaped the dedup")
   }
 
+  test("incneardedup micro-bench: exactly the 7-in-10 novel rows land, once each") {
+    val dir = Files.createTempDirectory("sbspec-nd").toFile.getAbsolutePath
+    val r = StreamBench.runNearDedup(spark, batchRows = 400, batches = 3, dir)
+    assert(r.totalRows === 1200L)
+    // same decade structure as the exact harness: identical-copy groups
+    // collide in every band, so the LSH+verify path detects them with
+    // probability 1 and the accounting is exact
+    assert(r.storedRows === 840L,
+      s"expected 840 novel rows (0.7 x 1200), got ${r.storedRows}")
+    assert(r.rowsPerSec > 0.0)
+    val dupTexts = spark.read.parquet(s"$dir/novel")
+      .groupBy("text").count().filter("count > 1").count()
+    assert(dupTexts === 0L, s"$dupTexts duplicate texts escaped the near-dedup")
+  }
+
   test("entropy micro-bench: final per-day counts equal the fed deltas exactly") {
     // runEntropy REQUIRE-asserts the accounting internally (summed
     // final per-day n == total fed count incl. warmup); this drives it
