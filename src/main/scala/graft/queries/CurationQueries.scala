@@ -1053,9 +1053,59 @@ object CurationQueries {
         expr("(1000000 * w_raw) div w_tot").as("sampled_ppm"))
   }
 
+  /** q254: CALIBRATION BINS for a quality predictor — the reliability
+    * diagram behind every learned quality filter: bucket documents by
+    * PREDICTED quality, then compare each bin's mean prediction to the
+    * OBSERVED positive rate (a calibrated predictor's bins sit on the
+    * diagonal; a length-prior that over-promises shows observed ≪
+    * predicted in its top bins). Here the predictor is the standard
+    * length prior (p = min(1, n_tokens/200)) and the outcome is the
+    * stopword-density gate (≥ 5% stopwords — the q24/q47 signal
+    * family), so the query audits one heuristic against another —
+    * exactly what a curation pipeline does before trusting either.
+    *
+    * Exactness: the prediction quantizes per doc to EXACT ppm
+    * (n_tok × 5000, saturated) before any aggregation, the outcome is
+    * an integer comparison (n_stop·20 ≥ n_tok), bins are integer
+    * division of the ppm — the whole query is integer arithmetic end
+    * to end, no IEEE anywhere. One shuffle at bin grain (10 rows). */
+  val calibrationBins: Q = Q(
+    "q254_calibration_bins",
+    """WITH d AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |              w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
+      |           AS n_stop
+      |  FROM documents),
+      |b AS (SELECT least(n_tok * 5000, 1000000) AS pred_ppm,
+      |             CASE WHEN n_stop * 20 >= n_tok THEN 1 ELSE 0 END AS y
+      |      FROM d)
+      |SELECT least(pred_ppm // 100000, 9) AS bin,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(pred_ppm) AS BIGINT) // count(*) AS mean_pred_ppm,
+      |       (1000000 * CAST(sum(y) AS BIGINT)) // count(*) AS obs_rate_ppm
+      |FROM b GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"),
+        expr("CAST(size(filter(split(text, ' '), " +
+          "w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)")
+          .as("n_stop"))
+      .select(least(col("n_tok") * 5000, lit(1000000L)).as("pred_ppm"),
+        when(col("n_stop") * 20 >= col("n_tok"), 1L).otherwise(0L).as("y"))
+      .groupBy(least(expr("pred_ppm div 100000"), lit(9L)).as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pred_ppm")).as("sp"),
+        sum(col("y")).as("sy"))
+      .select(col("bin"), col("n"),
+        expr("sp div n").as("mean_pred_ppm"),
+        expr("(1000000 * sy) div n").as("obs_rate_ppm"))
+  }
+
   val all: Seq[Q] = Seq(rateAnomaly, recordLinkage, clusterSplit,
     qualityCanonical, simhashCalibration, eventQuota, readability,
     eventTransitions, dataValidation, hoppingCounts, ewmaTrend,
     holtTrend, compressionQuality, corpusPipelineV4, madAnomaly,
-    thresholdChurn, anomalyConsensus, forecastBacktest, mixtureWeights)
+    thresholdChurn, anomalyConsensus, forecastBacktest, mixtureWeights,
+    calibrationBins)
 }

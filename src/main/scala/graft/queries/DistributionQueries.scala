@@ -584,7 +584,64 @@ object DistributionQueries {
           .cast(LongType).as("slope_u6"))
   }
 
+  /** q252: MUTUAL INFORMATION between event type and value band —
+    * I(T;B) = Σ p(t,b)·ln(p(t,b)/(p(t)p(b))), the dependence number a
+    * mixture designer reads to decide whether a categorical column
+    * actually carries signal about a numeric one (0 = independent;
+    * the q194-entropy family's bivariate member: q194 profiles one
+    * margin, q234's JSD compares two distributions, this measures the
+    * JOINT against the product of margins).
+    *
+    * Value bands are exact integer deciles of the fixed [0, 500)
+    * range (`floor(value / 50)` clamped to 9 — one IEEE division by a
+    * power-of-2-free constant, identical on both engines). All three
+    * distributions are exact BIGINT counts over ONE cell-grain
+    * aggregate (types × 10 cells, dimension-sized); margins join back
+    * broadcast; each cell's term micro-quantizes to u6 before the
+    * order-immune sum (the q241 Theil technique). One keyed shuffle at
+    * cell grain; N rides a 1-row broadcast. */
+  val mutualInfo: Q = Q(
+    "q252_mutual_information",
+    """WITH c AS (SELECT event_type,
+      |             least(CAST(floor(value / 50) AS BIGINT), 9) AS band,
+      |             CAST(count(*) AS BIGINT) AS n_tb
+      |           FROM events GROUP BY 1, 2),
+      |mt AS (SELECT event_type, CAST(sum(n_tb) AS BIGINT) AS n_t
+      |       FROM c GROUP BY 1),
+      |mb AS (SELECT band, CAST(sum(n_tb) AS BIGINT) AS n_b
+      |       FROM c GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_tb) AS BIGINT) AS n FROM c)
+      |SELECT tot.n,
+      |       CAST(sum(CAST(round(1000000.0
+      |         * (CAST(c.n_tb AS DOUBLE) / tot.n)
+      |         * ln(CAST(c.n_tb AS DOUBLE) * tot.n
+      |              / (CAST(mt.n_t AS DOUBLE) * mb.n_b)))
+      |         AS BIGINT)) AS BIGINT) AS mi_u6
+      |FROM c
+      |JOIN mt USING (event_type) JOIN mb USING (band) CROSS JOIN tot
+      |GROUP BY tot.n""".stripMargin
+  ) { (s, dir) =>
+    val cells = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        least(floor(col("value") / 50).cast(LongType), lit(9L)).as("band"))
+      .agg(count(lit(1)).as("n_tb"))
+    val mt = cells.groupBy("event_type").agg(sum(col("n_tb")).as("n_t"))
+    val mb = cells.groupBy("band").agg(sum(col("n_tb")).as("n_b"))
+    val tot = cells.agg(sum(col("n_tb")).as("n"))
+    cells
+      .join(broadcast(mt), Seq("event_type"))
+      .join(broadcast(mb), Seq("band"))
+      .crossJoin(broadcast(tot))
+      .select(col("n"),
+        round(lit(1000000.0)
+          * (col("n_tb").cast("double") / col("n"))
+          * log(col("n_tb").cast("double") * col("n")
+            / (col("n_t").cast("double") * col("n_b"))))
+          .cast(LongType).as("term_u6"))
+      .groupBy("n").agg(sum(col("term_u6")).as("mi_u6"))
+  }
+
   val all: Seq[Q] =
     Seq(marketHhi, ksTest, kendallTau, eventEntropy, vocabJsd,
-      leadLag, theilIndex, fanoFactor, mannKendall, senSlope)
+      leadLag, theilIndex, fanoFactor, mannKendall, senSlope, mutualInfo)
 }

@@ -1439,6 +1439,56 @@ object LlmQueries {
     }
   }
 
+  /** q255: HILL TAIL-INDEX ESTIMATOR over term frequencies — the
+    * maximum-likelihood power-law exponent of the frequency tail,
+    * α̂ = k / Σ_{i≤k} ln(c_(i)/c_(k+1)) at k = 10 (the test corpus's
+    * 31-term vocabulary bounds k — q249's rank regime): the principled
+    * companion of q109's log-log regression slope (the Hill estimator
+    * uses only the top-k order statistics, so it reads the HEAD the
+    * tokenizer actually allocates to, where the regression fits the
+    * whole curve). Ranks ride [[graft.operators.Ranks.globalRowNumber]]
+    * at VOCAB grain (the q249 machinery — two-phase range partition,
+    * never a global window); c_(k+1) joins back as a broadcast 1-row
+    * frame; per-term ln terms micro-quantize to u6 before the
+    * order-immune sum; the final α̂ is an exact integer division of
+    * two BIGINTs (milli). */
+  val hillTail: Q = Q(
+    "q255_hill_tail",
+    """WITH tf AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+      |            FROM (SELECT unnest(string_split(text, ' ')) AS term
+      |                  FROM documents)
+      |            GROUP BY term),
+      |r AS (SELECT n, CAST(row_number() OVER (ORDER BY n DESC, term ASC)
+      |               AS BIGINT) AS rk
+      |      FROM tf),
+      |kth AS (SELECT n AS nk FROM r WHERE rk = 11),
+      |tail AS (SELECT CAST(sum(CAST(round(1000000.0
+      |             * ln(CAST(r.n AS DOUBLE) / kth.nk)) AS BIGINT)) AS BIGINT)
+      |             AS sum_u6
+      |         FROM r CROSS JOIN kth WHERE r.rk <= 10)
+      |SELECT CAST(10 AS BIGINT) AS k, kth.nk, tail.sum_u6,
+      |       10000000000 // tail.sum_u6 AS alpha_milli
+      |FROM tail CROSS JOIN kth""".stripMargin
+  ) { (s, dir) =>
+    val tf = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val ranked = graft.operators.Ranks.globalRowNumber(tf,
+      Seq(col("n").desc, col("term").asc), "rk")
+      .filter(col("rk") <= 11)
+      .select(col("n"), col("rk").cast(LongType).as("rk"))
+      .localCheckpoint(true) // 11 rows; feeds both kth and the tail
+    val kth = ranked.filter(col("rk") === 11).select(col("n").as("nk"))
+    ranked.filter(col("rk") <= 10)
+      .crossJoin(broadcast(kth))
+      .select(col("nk"),
+        round(lit(1000000.0) * log(col("n").cast("double") / col("nk")))
+          .cast(LongType).as("term_u6"))
+      .groupBy("nk").agg(sum(col("term_u6")).as("sum_u6"))
+      .select(lit(10L).as("k"), col("nk"), col("sum_u6"),
+        expr("10000000000 div sum_u6").as("alpha_milli"))
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, fingerprintQ, ngramJaccard,
     minhashLsh, minhashLshOracle, simhash, simhashOracle, embeddingNeardup,
     embeddingNeardupLsh, signLshOracle, knnCosine, annLsh, annIvf, binaryMeta,
@@ -1448,5 +1498,5 @@ object LlmQueries {
     annTopKOracle, embeddingDedupOracle, embeddingSplitLeakage,
     ngramNovelty, dupThresholdSweep, langIdConfusion, lenQualityCorr,
     dupByQuality, multimodalResize, multimodalPerceptual, heapsLaw,
-    vocabCoverage)
+    vocabCoverage, hillTail)
 }

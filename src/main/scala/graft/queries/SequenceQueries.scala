@@ -598,8 +598,110 @@ object SequenceQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** q253: INTER-ARRIVAL BURSTINESS per user — mean gap, coefficient
+    * of variation, and the Goh-Barabási burstiness index
+    * B = (σ−μ)/(σ+μ) (−1 = perfectly regular, 0 = Poisson, →1 =
+    * bursty) over the microsecond gaps between a user's consecutive
+    * events. q242's Fano factor reads burstiness at DAY-COUNT grain;
+    * this reads the raw inter-event process — the number that decides
+    * whether per-user rate limits or session timeouts make sense.
+    *
+    * Exactness: gaps are exact epoch-µs BIGINTs from a user-keyed lag
+    * window ordered by (ts, event_id) (total per user); n/Σg/Σg² are
+    * exact (DECIMAL(38,0)/HUGEINT for the squares); σ and the two
+    * ratios are ONE fixed IEEE expression over those integers per row
+    * (the q242 shape), reported in milli. Population σ (n
+    * denominator); users need ≥ 2 gaps. */
+  val interarrivalBurstiness: Q = Q(
+    "q253_interarrival_burstiness",
+    """WITH g AS (
+      |  SELECT user_id,
+      |         epoch_us(ts) - lag(epoch_us(ts))
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |  FROM events),
+      |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(gap) AS BIGINT) AS s,
+      |        sum(CAST(gap AS HUGEINT) * gap) AS ss
+      |      FROM g WHERE gap IS NOT NULL GROUP BY 1
+      |      HAVING count(*) >= 2)
+      |SELECT user_id, n, s // n AS mean_us,
+      |       CAST(round(1000.0
+      |         * sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+      |                - CAST(s AS DOUBLE) * s) / s) AS BIGINT) AS cv_milli,
+      |       CAST(round(1000.0
+      |         * (sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+      |                 - CAST(s AS DOUBLE) * s) - CAST(s AS DOUBLE))
+      |         / (sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+      |                 - CAST(s AS DOUBLE) * s) + CAST(s AS DOUBLE)))
+      |         AS BIGINT) AS burstiness_milli
+      |FROM m""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val nD = col("n").cast("double")
+    val sD = col("s").cast("double")
+    val x = nD * col("ss").cast("double") - sD * col("s")
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("gap")).as("s"),
+        sum(col("gap").cast("decimal(38,0)") * col("gap")).as("ss"))
+      .filter(col("n") >= 2)
+      .select(col("user_id"), col("n"), expr("s div n").as("mean_us"),
+        round(lit(1000.0) * sqrt(x) / col("s")).cast(LongType).as("cv_milli"),
+        round(lit(1000.0) * (sqrt(x) - sD) / (sqrt(x) + sD))
+          .cast(LongType).as("burstiness_milli"))
+  }
+
+  /** q256: TRANSITION ENTROPY per event type — H(next | cur = a) =
+    * −Σ_b p(b|a)·ln p(b|a) over the exact consecutive-pair counts, the
+    * predictability scalar on top of q186's transition matrix (a type
+    * whose successors are near-deterministic reads ≈ 0; one whose
+    * successors are uniform reads ln(#types)). Pairs come from a
+    * user-keyed lead window ordered by (ts, event_id) — per-user
+    * sorts, never global; cell counts are dimension-sized (types²);
+    * margins broadcast back; per-cell terms micro-quantize to u6
+    * before the order-immune sum (the q241/q252 technique). */
+  val transitionEntropy: Q = Q(
+    "q256_transition_entropy",
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS nxt
+      |  FROM events),
+      |c AS (SELECT event_type, nxt, CAST(count(*) AS BIGINT) AS n_ab
+      |      FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |m AS (SELECT event_type, CAST(sum(n_ab) AS BIGINT) AS n_a
+      |      FROM c GROUP BY 1)
+      |SELECT c.event_type, m.n_a,
+      |       CAST(sum(CAST(round(-1000000.0
+      |         * (CAST(n_ab AS DOUBLE) / m.n_a)
+      |         * ln(CAST(n_ab AS DOUBLE) / m.n_a)) AS BIGINT)) AS BIGINT)
+      |         AS h_u6
+      |FROM c JOIN m USING (event_type)
+      |GROUP BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cells = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy("event_type", "nxt").agg(count(lit(1)).as("n_ab"))
+    val margins = cells.groupBy("event_type").agg(sum(col("n_ab")).as("n_a"))
+    cells.join(broadcast(margins), Seq("event_type"))
+      .select(col("event_type"), col("n_a"),
+        round(lit(-1000000.0)
+          * (col("n_ab").cast("double") / col("n_a"))
+          * log(col("n_ab").cast("double") / col("n_a")))
+          .cast(LongType).as("term_u6"))
+      .groupBy("event_type", "n_a").agg(sum(col("term_u6")).as("h_u6"))
+  }
+
   val all: Seq[Q] =
     Seq(activityStreaks, eventFunnel, eventTransitions, cumulativeUsers,
       sessionPaths, funnelLatency, stickiness, bounceRate, weekdayProfile,
-      cohortRetention, seasonalAdjusted, setCompletion, purchaseCadence)
+      cohortRetention, seasonalAdjusted, setCompletion, purchaseCadence,
+      interarrivalBurstiness, transitionEntropy)
 }
