@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistri
 import org.apache.spark.sql.execution.{CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.LongType
 
-/** GLOBAL RUNNING SUM as a first-class Catalyst operator — the custom
+/** GLOBAL RUNNING SUMS as a first-class Catalyst operator — the custom
   * LogicalPlan + Strategy + SparkPlan tier of the extension stack
   * (expressions: `GraftExpressions`; optimizer rule:
   * [[RewriteDotProduct]]; this file: a whole-operator semantic Spark's
@@ -19,8 +19,8 @@ import org.apache.spark.sql.types.LongType
   * REQUIRES a single partition for a global order — every row funnels
   * through one task (the warning PlanSpec bans repo-wide). The
   * two-phase form — range-partition on the order key, per-partition
-  * subtotals (one Long each) become exclusive offsets, then one
-  * streaming accumulation pass — previously lived as an RDD drop in
+  * subtotals (k Longs each) become exclusive offsets, then one
+  * streaming accumulation pass — previously lived as RDD drops in
   * `operators/Ranks`; this operator expresses it INSIDE the planner:
   *
   *  - `requiredChildDistribution = OrderedDistribution(order)` and
@@ -30,28 +30,40 @@ import org.apache.spark.sql.types.LongType
   *    instead of an opaque `ExistingRDD` boundary;
   *  - rows stay `InternalRow`/UnsafeRow end to end (the RDD form paid
   *    a Row conversion each way across `df.rdd`);
-  *  - the subtotal job runs inside `doExecute` — at ACTION time, not
-  *    eagerly at construction (the RDD form's documented caveat);
-  *    both passes run over the SAME child RDD instance, so the range
-  *    exchange's shuffle files are written once and reused, and
-  *    `repartitionByRange`'s nondeterministic re-sampling cannot
-  *    split the passes (the q16 lesson, preserved).
+  *  - the subtotal job runs at ACTION time, not eagerly at
+  *    construction (the RDD form's documented caveat); the range
+  *    exchange's shuffle files are written once and reused by both
+  *    passes, and `repartitionByRange`'s nondeterministic re-sampling
+  *    cannot split the passes (the q16 lesson, preserved);
+  *  - N columns sum in ONE pass (r11 — the fused multi-column form,
+  *    previously a separate RDD drop): every extra column costs one
+  *    Long of subtotal per partition and one addition per row, never
+  *    a second exchange;
+  *  - `row_number() OVER (ORDER BY …)` is the `values = lit(1)` case,
+  *    so `Ranks.globalRowNumber` rides the same operator (r11 —
+  *    replacing the `zipWithIndex` RDD drop and its eager counting
+  *    job).
   *
   * Determinism contract unchanged: `order` must be a total order;
   * null values count as 0; sums must stay within Long
   * (`Math.addExact` fails loudly). */
-case class RunningSum(order: Seq[SortOrder], value: Expression,
-    outAttr: AttributeReference, child: LogicalPlan) extends UnaryNode {
-  require(value.dataType == LongType,
-    s"running-sum value must be LongType, got ${value.dataType}")
-  // the exec appends one non-null long column; an outAttr declaring any
+case class RunningSum(order: Seq[SortOrder], values: Seq[Expression],
+    outAttrs: Seq[AttributeReference], child: LogicalPlan) extends UnaryNode {
+  require(values.nonEmpty, "running sum needs at least one value column")
+  require(values.size == outAttrs.size,
+    s"${values.size} values but ${outAttrs.size} output attributes")
+  values.foreach(v => require(v.dataType == LongType,
+    s"running-sum value must be LongType, got ${v.dataType}"))
+  // the exec appends non-null long columns; an outAttr declaring any
   // other shape would make the UnsafeProjection silently misread it
-  require(outAttr.dataType == LongType,
-    s"running-sum output attribute must be LongType, got ${outAttr.dataType}")
-  require(!outAttr.nullable,
-    "running-sum output attribute must be non-nullable (nulls count as 0)")
-  override def output: Seq[Attribute] = child.output :+ outAttr
-  override def producedAttributes: AttributeSet = AttributeSet(outAttr)
+  outAttrs.foreach { a =>
+    require(a.dataType == LongType,
+      s"running-sum output attribute must be LongType, got ${a.dataType}")
+    require(!a.nullable,
+      "running-sum output attribute must be non-nullable (nulls count as 0)")
+  }
+  override def output: Seq[Attribute] = child.output ++ outAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): RunningSum =
     copy(child = newChild)
@@ -59,14 +71,15 @@ case class RunningSum(order: Seq[SortOrder], value: Expression,
 
 object RunningSumStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case RunningSum(order, value, outAttr, child) =>
-      RunningSumExec(order, value, outAttr, planLater(child)) :: Nil
+    case RunningSum(order, values, outAttrs, child) =>
+      RunningSumExec(order, values, outAttrs, planLater(child)) :: Nil
     case _ => Nil
   }
 }
 
 object RunningSumExec {
-  /** Driver-filled, executor-read carrier for the pass-1 offsets.
+  /** Driver-filled, executor-read carrier for the pass-1 offsets
+    * (`values(partition)(column)`).
     *
     * The offsets cannot be a plain codegen reference value: references
     * are captured at CODE-GENERATION time (`doCodeGen`, which also runs
@@ -78,24 +91,23 @@ object RunningSumExec {
     * stage's tasks (and therefore the box's contents) serialize for the
     * pass-2 job. */
   final class OffsetsBox extends Serializable {
-    @volatile var values: Array[Long] = _
-    def at(i: Int): Long = values(i)
+    @volatile var values: Array[Array[Long]] = _
+    def at(partition: Int, column: Int): Long = values(partition)(column)
   }
 }
 
-/** Physical running sum. Two codegen-era paths, same two-pass design:
+/** Physical running sums. Two codegen-era paths, same two-pass design:
   *
   *  - WHOLE-STAGE CODEGEN (the default): the node pipelines inside the
   *    stage — `doProduce` delegates to the child (the planner-inserted
   *    range-exchange + sort feed it), and `doConsume` compiles the
-  *    per-row work to three Java statements (evaluate value,
-  *    `Math.addExact` into a primitive long field initialized from this
-  *    partition's offset, emit). No interpreted `eval`, no per-row
-  *    `UnsafeProjection` — the r10 verdict's last non-codegen hot loop
-  *    joins the pipeline, and downstream operators keep consuming
+  *    per-row work to three Java statements per column (evaluate,
+  *    `Math.addExact` into a primitive long field initialized from
+  *    this partition's offset, emit). No interpreted `eval`, no
+  *    per-row `UnsafeProjection` — downstream operators keep consuming
   *    variables instead of materialized rows.
   *  - INTERPRETED FALLBACK (`doExecute`, codegen disabled): the
-  *    original bound-eval + JoinedRow + UnsafeProjection loop.
+  *    bound-eval + JoinedRow + UnsafeProjection loop.
   *
   * Pass 1 (per-partition subtotals → exclusive offsets) is shared: it
   * runs over `child.execute()` at action time — in the codegen path
@@ -103,14 +115,14 @@ object RunningSumExec {
   * compiling but before the stage RDD's tasks serialize, so the
   * range-exchange shuffle files are written once and reused by both
   * passes (the q16 lesson, preserved). Pass 1 stays interpreted by
-  * design: it touches one Long per partition, not one per row. */
-case class RunningSumExec(order: Seq[SortOrder], value: Expression,
-    outAttr: Attribute, child: SparkPlan)
+  * design: it touches k Longs per partition, not k per row. */
+case class RunningSumExec(order: Seq[SortOrder], values: Seq[Expression],
+    outAttrs: Seq[Attribute], child: SparkPlan)
     extends UnaryExecNode with CodegenSupport {
 
-  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def output: Seq[Attribute] = child.output ++ outAttrs
 
-  override def producedAttributes: AttributeSet = AttributeSet(outAttr)
+  override def producedAttributes: AttributeSet = AttributeSet(outAttrs)
 
   override def requiredChildDistribution: Seq[Distribution] =
     OrderedDistribution(order) :: Nil
@@ -125,18 +137,33 @@ case class RunningSumExec(order: Seq[SortOrder], value: Expression,
   override protected def withNewChildInternal(newChild: SparkPlan): RunningSumExec =
     copy(child = newChild)
 
-  /** Pass 1: one Long per partition; collect preserves partition order. */
-  private def computeOffsets(): Array[Long] = {
-    val bound = BindReferences.bindReference(value, child.output)
+  /** Pass 1: k Longs per partition; collect preserves partition order;
+    * exclusive scan per column yields each partition's start offsets. */
+  private def computeOffsets(): Array[Array[Long]] = {
+    val bound = values.map(BindReferences.bindReference(_, child.output))
+    val k = bound.size
     val subtotals = child.execute().mapPartitions { it =>
-      var s = 0L
+      val s = new Array[Long](k)
       it.foreach { r =>
-        val v = bound.eval(r)
-        if (v != null) s = Math.addExact(s, v.asInstanceOf[Long])
+        var i = 0
+        while (i < k) {
+          val v = bound(i).eval(r)
+          if (v != null) s(i) = Math.addExact(s(i), v.asInstanceOf[Long])
+          i += 1
+        }
       }
       Iterator.single(s)
     }.collect()
-    subtotals.scanLeft(0L)(Math.addExact).dropRight(1)
+    val offsets = new Array[Array[Long]](subtotals.length)
+    val run = new Array[Long](k)
+    var p = 0
+    while (p < subtotals.length) {
+      offsets(p) = run.clone()
+      var i = 0
+      while (i < k) { run(i) = Math.addExact(run(i), subtotals(p)(i)); i += 1 }
+      p += 1
+    }
+    offsets
   }
 
   // ---- whole-stage codegen path ----
@@ -157,42 +184,53 @@ case class RunningSumExec(order: Seq[SortOrder], value: Expression,
       row: ExprCode): String = {
     val boxTerm = ctx.addReferenceObj("offsetsBox", box,
       classOf[RunningSumExec.OffsetsBox].getName)
-    // partition offset into a primitive field; the generated init() sets
-    // partitionIndex before mutable-state init functions run
-    val acc = ctx.addMutableState(CodeGenerator.JAVA_LONG, "runningSumAcc",
-      v => s"$v = $boxTerm.at(partitionIndex);")
     ctx.currentVars = input
     ctx.INPUT_ROW = null
-    val v = BindReferences.bindReference(value, child.output).genCode(ctx)
-    val cum = ctx.freshName("cumulative")
-    val accCode = ExprCode.forNonNullValue(JavaCode.variable(cum, LongType))
-    s"""
-       |${v.code}
-       |if (!${v.isNull}) {
-       |  $acc = java.lang.Math.addExact($acc, ${v.value});
-       |}
-       |final long $cum = $acc;
-       |${consume(ctx, input :+ accCode)}
-     """.stripMargin
+    val bound = values.map(v =>
+      BindReferences.bindReference(v, child.output).genCode(ctx))
+    val cols = values.indices.map { i =>
+      // partition offset into a primitive field; the generated init()
+      // sets partitionIndex before mutable-state init functions run
+      val acc = ctx.addMutableState(CodeGenerator.JAVA_LONG, s"runningSumAcc$i",
+        v => s"$v = $boxTerm.at(partitionIndex, $i);")
+      val cum = ctx.freshName(s"cumulative$i")
+      val v = bound(i)
+      val code =
+        s"""
+           |${v.code}
+           |if (!${v.isNull}) {
+           |  $acc = java.lang.Math.addExact($acc, ${v.value});
+           |}
+           |final long $cum = $acc;
+         """.stripMargin
+      (code, ExprCode.forNonNullValue(JavaCode.variable(cum, LongType)))
+    }
+    cols.map(_._1).mkString("\n") + "\n" +
+      consume(ctx, input ++ cols.map(_._2))
   }
 
   // ---- interpreted fallback (spark.sql.codegen.wholeStage=false) ----
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val bound = BindReferences.bindReference(value, child.output)
+    val bound = values.map(BindReferences.bindReference(_, child.output))
+    val k = bound.size
     val childRDD = child.execute()
     val offsets = computeOffsets()
     val attrs = output
-    // pass 2: streaming accumulation from each partition's offset
-    childRDD.mapPartitionsWithIndex { (i, it) =>
-      var acc = offsets(i)
-      val cum = new GenericInternalRow(1)
+    // pass 2: streaming accumulation from each partition's offsets
+    childRDD.mapPartitionsWithIndex { (p, it) =>
+      val acc = offsets(p).clone()
+      val cum = new GenericInternalRow(k)
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(attrs, attrs)
       it.map { r =>
-        val v = bound.eval(r)
-        if (v != null) acc = Math.addExact(acc, v.asInstanceOf[Long])
-        cum.setLong(0, acc)
+        var i = 0
+        while (i < k) {
+          val v = bound(i).eval(r)
+          if (v != null) acc(i) = Math.addExact(acc(i), v.asInstanceOf[Long])
+          cum.setLong(i, acc(i))
+          i += 1
+        }
         proj(joined(r, cum))
       }
     }

@@ -25,12 +25,18 @@ class OpsSpec extends SparkSpec {
   }
 
   test("globalRowNumber never funnels rows through one task") {
-    // The zipWithIndex form returns a LogicalRDD, so a logical-plan
-    // Window scan cannot observe the ranking machinery (the registry-
-    // wide PlanSpec window assertion covers every query's visible
-    // plan). Assert the PHYSICAL property instead: the ranked output
-    // keeps the input's range partitioning — many non-empty partitions,
-    // each holding a contiguous, correctly-offset rank run.
+    // Assert the PHYSICAL property: the ranked output keeps the
+    // operator's range partitioning — many non-empty partitions, each
+    // holding a contiguous, correctly-offset rank run. The r11 native
+    // form runs under AQE, which (correctly) coalesces this 15k-row
+    // exchange to ONE partition by its byte-size targets — that is
+    // right-sizing, not funneling: the operator DECLARES
+    // OrderedDistribution, so at real scale AQE keeps it wide. Disable
+    // coalescing for the observation so the test sees the declared
+    // distribution, not the small-input collapse.
+    val prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
     val c = graft.sources.Tables.load(spark, "/root/testdata/sf0.1", "customer")
     val df = Ranks.globalRowNumber(c,
       Seq(col("c_acctbal").desc, col("c_custkey")), "rn")
@@ -47,6 +53,8 @@ class OpsSpec extends SparkSpec {
       case Array((_, hi, _), (lo2, _, _)) => lo2 == hi + 1
       case _ => true
     }, s"partition offsets disagree: $runs")
+    } finally
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
   }
 
   test("df-cap drops hot-shingle pairs but keeps true near-dups") {
