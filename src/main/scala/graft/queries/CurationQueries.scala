@@ -1102,10 +1102,69 @@ object CurationQueries {
         expr("(1000000 * sy) div n").as("obs_rate_ppm"))
   }
 
+  /** q257: CUMULATIVE GAINS at decile cuts — q254's companion from the
+    * other direction: rank all documents by the predictor DESCENDING
+    * and read how many true positives the top 10%/20%/…/100% capture
+    * (the lift-curve number that decides how much corpus a
+    * quality-ranked selection can skip). The global rank and the
+    * cumulative-positive count ride ONE fused pass of the native
+    * multi-column RunningSum (r11): values = (y, 1) over
+    * (pred DESC, doc_id) — one range exchange for both columns, never
+    * a global window. Decile cut ranks come from a broadcast 10-row
+    * frame derived from the 1-row total. All integers end to end. */
+  val cumulativeGains: Q = Q(
+    "q257_cumulative_gains",
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |              w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
+      |           AS n_stop
+      |  FROM documents),
+      |s AS (SELECT doc_id, least(n_tok * 5000, 1000000) AS pred_ppm,
+      |             CASE WHEN n_stop * 20 >= n_tok THEN 1 ELSE 0 END AS y
+      |      FROM d),
+      |r AS (SELECT
+      |        CAST(row_number() OVER (ORDER BY pred_ppm DESC, doc_id)
+      |          AS BIGINT) AS rk,
+      |        CAST(sum(y) OVER (ORDER BY pred_ppm DESC, doc_id)
+      |          AS BIGINT) AS cum_pos
+      |      FROM s),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |               CAST(sum(y) AS BIGINT) AS pos FROM s),
+      |cuts AS (SELECT CAST(g.k AS BIGINT) AS decile,
+      |                (tot.n * g.k) // 10 AS cut
+      |         FROM generate_series(1, 10) AS g(k) CROSS JOIN tot)
+      |SELECT cuts.decile, r.rk AS n_at_cut, r.cum_pos,
+      |       (1000000 * r.cum_pos) // tot.pos AS gain_ppm
+      |FROM r JOIN cuts ON r.rk = cuts.cut CROSS JOIN tot""".stripMargin
+  ) { (s, dir) =>
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"),
+        expr("CAST(size(filter(split(text, ' '), " +
+          "w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)")
+          .as("n_stop"))
+      .select(col("doc_id"),
+        least(col("n_tok") * 5000, lit(1000000L)).as("pred_ppm"),
+        when(col("n_stop") * 20 >= col("n_tok"), 1L).otherwise(0L).as("y"))
+    val ranked = graft.operators.Ranks.globalRunningSums(scored,
+      Seq(col("pred_ppm").desc, col("doc_id").asc),
+      Seq(col("y") -> "cum_pos", lit(1L) -> "rk"))
+    val tot = scored.agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val cuts = tot.select(explode(sequence(lit(1), lit(10))).as("decile"),
+        col("n"), col("pos"))
+      .select(col("decile").cast(LongType).as("decile"),
+        expr("(n * decile) div 10").as("rk"), col("pos"))
+    ranked.join(broadcast(cuts), Seq("rk"))
+      .select(col("decile"), col("rk").as("n_at_cut"), col("cum_pos"),
+        expr("(1000000 * cum_pos) div pos").as("gain_ppm"))
+  }
+
   val all: Seq[Q] = Seq(rateAnomaly, recordLinkage, clusterSplit,
     qualityCanonical, simhashCalibration, eventQuota, readability,
     eventTransitions, dataValidation, hoppingCounts, ewmaTrend,
     holtTrend, compressionQuality, corpusPipelineV4, madAnomaly,
     thresholdChurn, anomalyConsensus, forecastBacktest, mixtureWeights,
-    calibrationBins)
+    calibrationBins, cumulativeGains)
 }

@@ -530,8 +530,51 @@ object PipelineQueries {
       .groupBy("group_size").agg(count(lit(1)).as("n_templates"))
   }
 
+  /** q258: WEIGHTED SAMPLE WITHOUT REPLACEMENT (Efraimidis-Spirakis
+    * A-ES) — the principled "sample 100 docs proportional to length"
+    * primitive behind mixture construction: each row draws a
+    * deterministic uniform u from the portable md5 hash (the q57
+    * machinery, 48 bits → an EXACT dyadic rational in (0, 1]) and
+    * ranks by ln(u)/w (monotone in the classic u^(1/w) key, w =
+    * n_chars); the global top-k by key IS the weighted sample. One
+    * distributed TakeOrdered, no shuffle of the corpus, no window.
+    *
+    * Determinism across engines: the key micro-quantizes to u6 BEFORE
+    * the ranking (a 10⁻⁶ quantum is ~10 orders above cross-libm ln()
+    * ulp divergence) and ties break on doc_id, so both engines select
+    * the IDENTICAL 100 rows — the boundary of an unquantized
+    * double-keyed top-k would be one ulp flip away from a different
+    * sample. */
+  val weightedSample: Q = Q(
+    "q258_weighted_sample",
+    """WITH w AS (
+      |  SELECT doc_id, n_chars,
+      |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+      |              AS BIGINT) + 1 AS u48
+      |  FROM documents),
+      |k AS (SELECT doc_id, n_chars,
+      |        CAST(round(1000000.0
+      |          * ln(CAST(u48 AS DOUBLE) / 281474976710656.0)
+      |          / n_chars) AS BIGINT) AS key_u6
+      |      FROM w)
+      |SELECT doc_id, n_chars, key_u6 FROM k
+      |ORDER BY key_u6 DESC, doc_id LIMIT 100""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+          .cast(LongType) + 1).as("u48"))
+      .select(col("doc_id"), col("n_chars"),
+        round(lit(1000000.0)
+          * log(col("u48").cast("double") / lit(281474976710656.0))
+          / col("n_chars")).cast(LongType).as("key_u6"))
+      .orderBy(col("key_u6").desc, col("doc_id"))
+      .limit(100)
+  }
+
   val all: Seq[Q] =
     Seq(decontaminate, hashSplit, mixtureSample, shardPack, domainQuota,
       corpusPipeline, groupSample, seqPack, redact, vocabTop, corpusPipelineV2,
-      contaminationSpans, templateDedup, cmsHeavyHitters, frequentTerms)
+      contaminationSpans, templateDedup, cmsHeavyHitters, frequentTerms,
+      weightedSample)
 }

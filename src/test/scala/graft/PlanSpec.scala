@@ -1114,6 +1114,31 @@ class PlanSpec extends SparkSpec {
         finalPlan.take(1200))
   }
 
+  test("q16/q231/q248: every rank/prefix consumer plans the native operator, no RDD boundary") {
+    // r11: globalRowNumber (zipWithIndex RDD drop) and
+    // globalRunningSums (multi-column RDD drop) both route through the
+    // native RunningSum node now — no consumer may cross a
+    // Scan ExistingRDD boundary or fall back to a Window
+    // (q255 also rides the operator but pins its 11-row rank frame with
+    // an eager localCheckpoint, so ITS final plan shows the checkpoint
+    // scan — the operator ran inside it, the q222 situation)
+    Seq("q16_zip_join", "q231_ks_test", "q248_heaps_law",
+      "q249_vocab_coverage").foreach { n =>
+      val p = plan(n)
+      assert("(?m)^\\(\\d+\\) RunningSum\\b".r.findFirstIn(p).isDefined,
+        s"$n lost the native running-sum operator")
+      assert(!p.contains("Scan ExistingRDD"),
+        s"$n still crosses an RDD boundary")
+    }
+    // the fused multi-column form: q248 sums TWO columns through ONE
+    // RunningSum node (one range exchange), not one node per column
+    val p248 = plan("q248_heaps_law")
+    assert("(?m)^\\(\\d+\\) RunningSum\\b".r.findAllIn(p248).size == 1,
+      "q248's two prefix columns no longer fuse into one pass")
+    assert("(?m)rangepartitioning".r.findAllIn(p248.toLowerCase).size >= 1,
+      "q248 lost its range exchange")
+  }
+
   test("q235/q236: fuzzy matching is block-joined on the noun key") {
     // the matcher expressions are quadratic in NAME length, so the
     // candidate generator must be a hash EQUI-join on the blocking key
