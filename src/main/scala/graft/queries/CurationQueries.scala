@@ -1154,7 +1154,7 @@ object CurationQueries {
     val tot = scored.agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
     val cuts = tot.select(explode(sequence(lit(1), lit(10))).as("decile"),
         col("n"), col("pos"))
-      .select(col("decile").cast(LongType).as("decile"),
+      .select(col("decile").cast("long").as("decile"),
         expr("(n * decile) div 10").as("rk"), col("pos"))
     ranked.join(broadcast(cuts), Seq("rk"))
       .select(col("decile"), col("rk").as("n_at_cut"), col("cum_pos"),
