@@ -587,6 +587,93 @@ case class TopKByScore(scoreExpr: Expression, idExpr: Expression, k: Int,
     copy(scoreExpr = newChildren(0), idExpr = newChildren(1))
 }
 
+/** KMV (k-minimum-values) distinct-value sketch: keeps the k SMALLEST
+  * DISTINCT `bigint` values seen (Bar-Yossef et al. 2002; the Theta /
+  * KMV estimator family). Over uniform hashes in (0, 2^48] the k-th
+  * smallest kept value U_(k) yields the unbiased cardinality estimate
+  * (k-1)·2^48 / U_(k) with relative error ~1/sqrt(k), and the k
+  * smallest of a UNION of two sketches' values is exactly the sketch
+  * of the union — so intersections/Jaccard come from set algebra on
+  * kilobyte arrays instead of a shuffle of the raw keys.
+  *
+  * Unlike MinHash/HLL the sketch is fully DETERMINISTIC given the
+  * hash column — no RNG, no update-order sensitivity (a set of mins is
+  * order-immune) — so KMV estimates hash-oracle exactly against a SQL
+  * engine computing the same k mins (q259/q260), where the HLL rollup
+  * (q175) can only be rows-only twinned.
+  *
+  * Scale shape: TypedImperativeAggregate with map-side partials — each
+  * partition ships at most k longs per group, so a billion-row group
+  * costs the shuffle k·8 bytes, and pre-aggregated per-shard sketches
+  * re-merge losslessly (the datacube pattern). Buffer is a TreeSet:
+  * O(log k) insert, dedup for free, ascending iteration at eval. */
+case class KmvMins(child: Expression, k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k > 0, s"KMV needs k > 0, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def offer(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last()) {
+      if (buf.add(v)) { buf.pollLast(); () }
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) offer(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    other.forEach(v => offer(buf, v))
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Any](buf.size)
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(arr) // ascending: arr(k-1) IS U_(k)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    buf.forEach(v => { bb.putLong(v.longValue()); () })
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { offer(buf, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMins =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMins =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
 /** TRUE Damerau-Levenshtein edit distance (Lowrance-Wagner 1975: the
   * unrestricted variant with an alphabet table, where a transposed
   * pair may be edited again — distance("ca","abc") = 2 where the
@@ -800,6 +887,10 @@ object GraftExpressions {
   def topKByScore(score: Column, id: Column, k: Int): Column =
     ColumnBridge.column(TopKByScore(ColumnBridge.expression(score),
       ColumnBridge.expression(id), k).toAggregateExpression())
+
+  def kmvMins(hash: Column, k: Int): Column =
+    ColumnBridge.column(KmvMins(ColumnBridge.expression(hash), k)
+      .toAggregateExpression())
 
   def bpeEncode(words: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeEncode(ColumnBridge.expression(words), merges))

@@ -560,6 +560,160 @@ object WarehouseQueries {
           .as("jaccard_ppm"))
   }
 
+  /** q259: KMV distinct-user estimate per event type vs the exact
+    * count — the DETERMINISTIC member of the sketch family (q175 HLL
+    * is rows-only because register hashing is engine-private; the KMV
+    * k-mins over an md5-derived 48-bit hash are the same integers in
+    * any engine, so the ESTIMATE ITSELF hash-oracles). Estimator:
+    * with U_(k) the k-th smallest distinct hash in (0, 2^48],
+    * est = (k-1)·2^48 / U_(k) (Bar-Yossef et al. 2002), exact when the
+    * group holds < k distinct hashes (the sketch IS the set). k = 256
+    * ⇒ ~6% typical relative error, 2 KB per group.
+    *
+    * Scale shape: the sketch pass is ONE aggregation over raw events —
+    * no pre-distinct exchange; the native `KmvMins` buffer dedups and
+    * map-side partials ship ≤ 256 longs per (partition, type), so the
+    * shuffle is KB-scale at any row count. The exact branch (a
+    * count-distinct, one more exchange) exists as the in-query
+    * verification twin; a 100 TB deployment keeps only the sketch
+    * pass and re-merges persisted per-shard sketches (q175's datacube
+    * argument, but exactly reproducible). */
+  val kmvDistinct: Q = Q(
+    "q259_kmv_distinct",
+    """WITH h AS (SELECT event_type,
+      |             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+      |                  AS BIGINT) + 1 AS h
+      |           FROM events),
+      |d AS (SELECT DISTINCT event_type, h FROM h),
+      |r AS (SELECT event_type, h,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      |      FROM d),
+      |sk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_sk,
+      |         CAST(max(CASE WHEN rk = 256 THEN h END) AS BIGINT) AS h_k
+      |       FROM r WHERE rk <= 256 GROUP BY 1),
+      |e2 AS (SELECT event_type,
+      |         CASE WHEN n_sk < 256 THEN n_sk
+      |              ELSE 71776119061217280 // h_k END AS est
+      |       FROM sk),
+      |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+      |       FROM d GROUP BY 1)
+      |SELECT ex.event_type, ex.n_exact, e2.est,
+      |       1000000 * abs(e2.est - ex.n_exact) // ex.n_exact AS err_ppm
+      |FROM ex JOIN e2 USING (event_type)""".stripMargin
+  ) { (s, dir) =>
+    val E = graft.functions.expressions.GraftExpressions
+    val h = t(s, dir, "events").select(col("event_type"),
+      (conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast(LongType) + 1).as("h"))
+    val sk = h.groupBy("event_type").agg(E.kmvMins(col("h"), 256).as("sk"))
+      .select(col("event_type"),
+        expr("CASE WHEN size(sk) < 256 THEN cast(size(sk) AS BIGINT) " +
+          "ELSE 71776119061217280L div element_at(sk, 256) END").as("est"))
+    val ex = h.groupBy("event_type")
+      .agg(count_distinct(col("h")).as("n_exact"))
+    ex.join(broadcast(sk), Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("est"),
+        expr("1000000L * abs(est - n_exact) div n_exact").as("err_ppm"))
+  }
+
+  /** q260: KMV audience-overlap ESTIMATE vs q177's exact Jaccard, per
+    * unordered event-type pair — the sketch answer to the question
+    * exact counts can't re-aggregate and HLL can only union (KMV
+    * supports INTERSECTION): the k smallest of two sketches' merged
+    * values are exactly the union's sketch, and the fraction of those
+    * that sit in BOTH input sketches estimates |A∩B|/|A∪B| (the
+    * Theta-sketch a∩b/θ rule). Deterministic hash ⇒ both the estimate
+    * and its error against the exact twin hash-oracle.
+    *
+    * Scale shape: sketches build in ONE pass over raw events (no
+    * distinct exchange, ≤ 2 KB per type); the pair matrix is a
+    * broadcast self-join of a 37-row kilobyte table with per-pair set
+    * algebra on 256-long arrays — at 100 TB the all-pairs overlap
+    * matrix costs one scan plus driver-trivial array math, where the
+    * exact twin (kept here as the in-query verifier, the q177
+    * machinery on hashes) pays a user_id-keyed shuffle join. */
+  val kmvJaccard: Q = Q(
+    "q260_kmv_jaccard",
+    """WITH d AS (SELECT DISTINCT event_type,
+      |             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+      |                  AS BIGINT) + 1 AS h
+      |           FROM events),
+      |r AS (SELECT event_type, h,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      |      FROM d),
+      |sk AS (SELECT event_type, h FROM r WHERE rk <= 256),
+      |types AS (SELECT DISTINCT event_type FROM d),
+      |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+      |          FROM types a JOIN types b ON a.event_type < b.event_type),
+      |u AS (SELECT p.type_a, p.type_b, s.h,
+      |        max(CASE WHEN s.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+      |        max(CASE WHEN s.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+      |      FROM pairs p JOIN sk s ON s.event_type IN (p.type_a, p.type_b)
+      |      GROUP BY 1, 2, 3),
+      |ru AS (SELECT type_a, type_b, in_a, in_b,
+      |         row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rk
+      |       FROM u),
+      |est AS (SELECT type_a, type_b,
+      |          CAST(sum(in_a * in_b) AS BIGINT) AS shared,
+      |          CAST(count(*) AS BIGINT) AS n_u
+      |        FROM ru WHERE rk <= 256 GROUP BY 1, 2),
+      |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+      |      FROM d GROUP BY 1),
+      |inter AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |            CAST(count(*) AS BIGINT) AS both_u
+      |          FROM d a JOIN d b ON a.h = b.h
+      |            AND a.event_type < b.event_type
+      |          GROUP BY 1, 2),
+      |f AS (SELECT est.type_a, est.type_b,
+      |        1000000 * est.shared // est.n_u AS kmv_ppm,
+      |        1000000 * coalesce(inter.both_u, 0)
+      |          // (na.n_users + nb.n_users - coalesce(inter.both_u, 0))
+      |          AS exact_ppm
+      |      FROM est
+      |      LEFT JOIN inter
+      |        ON est.type_a = inter.type_a AND est.type_b = inter.type_b
+      |      JOIN n na ON est.type_a = na.event_type
+      |      JOIN n nb ON est.type_b = nb.event_type)
+      |SELECT type_a, type_b, kmv_ppm, exact_ppm,
+      |       abs(kmv_ppm - exact_ppm) AS err_ppm FROM f""".stripMargin
+  ) { (s, dir) =>
+    val E = graft.functions.expressions.GraftExpressions
+    val h = t(s, dir, "events").select(col("event_type"),
+      (conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast(LongType) + 1).as("h"))
+    val sk = h.groupBy("event_type").agg(E.kmvMins(col("h"), 256).as("sk"))
+    val estim = sk.as("a")
+      .join(broadcast(sk.as("b")),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        col("a.sk").as("ska"), col("b.sk").as("skb"))
+      .withColumn("ku", slice(array_sort(array_union(col("ska"), col("skb"))),
+        1, 256))
+      .select(col("type_a"), col("type_b"),
+        expr("1000000L * cast(size(array_intersect(" +
+          "array_intersect(ku, ska), skb)) AS BIGINT) " +
+          "div cast(size(ku) AS BIGINT)").as("kmv_ppm"))
+    val d = h.distinct().localCheckpoint(true)
+    val n = d.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    val inter = d.as("a")
+      .join(d.as("b"),
+        col("a.h") === col("b.h") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("both_u"))
+    estim.join(inter, Seq("type_a", "type_b"), "left")
+      .join(broadcast(n).withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("n_users", "users_a"), Seq("type_a"))
+      .join(broadcast(n).withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("n_users", "users_b"), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("kmv_ppm"),
+        expr("1000000L * coalesce(both_u, 0L) " +
+          "div (users_a + users_b - coalesce(both_u, 0L))").as("exact_ppm"))
+      .withColumn("err_ppm", abs(col("kmv_ppm") - col("exact_ppm")))
+  }
+
   /** q178: positional phrase search — the retrieval capability the
     * bag-of-words rankers (tf-idf q65, BM25 q50, RRF q171) cannot
     * express: EXACT consecutive-token phrase matches from a positional
@@ -1232,5 +1386,6 @@ object WarehouseQueries {
     rrfHybrid, quantileNorm, asofHistoryProbe, mmrDiversify, hllRollup,
     distinctRollup, audienceOverlap, phraseSearch, indexBm25, indexPhrase,
     indexBoolean, prfExpansion, indexSnippet, groupingSets, unpivotSeries,
-    lengthSummary, revenueDeciles, columnProfile, customerRfm)
+    lengthSummary, revenueDeciles, columnProfile, customerRfm,
+    kmvDistinct, kmvJaccard)
 }

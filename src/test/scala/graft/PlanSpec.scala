@@ -1156,4 +1156,23 @@ class PlanSpec extends SparkSpec {
         s"$n matcher fell out of codegen")
     }
   }
+
+  test("q259/q260: KMV sketches aggregate with a map-side partial, no pre-distinct") {
+    // the whole point of the sketch pass: ≤k longs per (partition, group)
+    // ship to the exchange — a partial ObjectHashAggregate phase — and
+    // the sketch branch never pays a distinct exchange of raw hashes
+    // (the exact twin's count_distinct is the only Expand/distinct)
+    Seq("q259_kmv_distinct", "q260_kmv_jaccard").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("ObjectHashAggregate"), s"$n: " + p.take(1500))
+      assert(p.contains("partial_kmvmins"),
+        s"$n: KmvMins aggregate lost its partial phase")
+      assert(!p.contains("Window"), s"$n: a window crept into the sketch path")
+    }
+    // q260's pair matrix is a broadcast self-join of the 37-row sketch
+    // table — the corpus is never shuffled for the estimate side
+    assert(plan("q260_kmv_jaccard").contains("BroadcastNestedLoopJoin") ||
+      plan("q260_kmv_jaccard").contains("BroadcastHashJoin"),
+      "q260 pair matrix no longer broadcasts the kilobyte sketch table")
+  }
 }

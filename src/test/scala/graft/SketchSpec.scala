@@ -91,4 +91,60 @@ class SketchSpec extends SparkSpec {
     // threshold N/(k+1) = 460/10 = 46 < 60: hot MUST survive
     assert(got.toSeq === Seq("hot"))
   }
+
+  // ---- KMV (q259/q260): the deterministic distinct sketch ----
+
+  private def kmv(df: org.apache.spark.sql.DataFrame, k: Int): Seq[Long] = {
+    val E = graft.functions.expressions.GraftExpressions
+    df.agg(E.kmvMins(col("h"), k).as("sk"))
+      .select("sk").as[Seq[Long]].collect().head
+  }
+
+  test("KMV: layout-independent and duplicate-immune (a set of mins)") {
+    val h = docs.select(explode(split(col("text"), " ")).as("term"))
+      .select((conv(substring(md5(col("term")), 1, 12), 16, 10)
+        .cast("long") + 1).as("h"))
+    val a = kmv(h, 64)
+    assert(a === kmv(h.repartition(17), 64),
+      "merge of per-partition sketches depends on layout")
+    assert(a === kmv(h.union(h), 64),
+      "feeding every value twice changed the sketch")
+    assert(a === a.sorted && a.distinct === a,
+      "eval must emit ascending distinct mins")
+  }
+
+  test("KMV: estimate within the 1/sqrt(k) error envelope on known cardinality") {
+    // 20k known-distinct hashed keys; k=256 => sigma ~ 6.25%, assert 4 sigma
+    val n = 20000
+    val h = spark.range(n.toLong).select(
+      (conv(substring(md5(col("id").cast("string")), 1, 12), 16, 10)
+        .cast("long") + 1).as("h"))
+    val sk = kmv(h, 256)
+    assert(sk.length === 256)
+    val est = 255L * 281474976710656L / sk.last
+    assert(math.abs(est - n) <= n / 4,
+      s"KMV estimate $est departs $n by > 4 sigma")
+  }
+
+  test("KMV: sketch equals the exact k smallest distinct hashes (the oracle contract)") {
+    val h = docs.select(explode(split(col("text"), " ")).as("term"))
+      .select((conv(substring(md5(col("term")), 1, 12), 16, 10)
+        .cast("long") + 1).as("h"))
+    val expected = h.distinct().orderBy("h").limit(100)
+      .as[Long].collect().toSeq
+    assert(kmv(h, 100) === expected)
+  }
+
+  test("q260: union-sketch Jaccard is exact when both sets fit inside k") {
+    // groups smaller than k make the sketch the set itself: estimate == exact
+    val rows = Registry.byName("q260_kmv_jaccard").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (est, exact) = (r.getAs[Long]("kmv_ppm"), r.getAs[Long]("exact_ppm"))
+      // at any sf the estimate must stay inside the coarse KMV envelope;
+      // the hash-oracle pins exactness, this pins sanity at other sfs
+      assert(math.abs(est - exact) <= 250000L,
+        s"${r.getString(0)}x${r.getString(1)}: est=$est exact=$exact")
+    }
+  }
 }
