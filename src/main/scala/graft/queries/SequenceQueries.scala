@@ -699,9 +699,81 @@ object SequenceQueries {
       .groupBy("event_type", "n_a").agg(sum(col("term_u6")).as("h_u6"))
   }
 
+  /** q261: STATIONARY DISTRIBUTION of the event-type Markov chain —
+    * where q256 reads the per-state uncertainty of the transition
+    * matrix and q138/q186 its hottest cells, this reads its long-run
+    * equilibrium ("what share of a steady session stream sits in each
+    * state"), the PageRank-without-teleport of the behavioral graph.
+    * Method: 12 synchronized power-iteration steps from the uniform
+    * vector, every quantity an exact integer — P in ppm by floor
+    * division (both engines floor), and each step
+    * v'(j) = ⌊Σ_i v(i)·P_ppm(i,j) / 10⁶⌋ with v ≤ 10⁶, P ≤ 10⁶,
+    * ≤ 37 terms ⇒ the accumulator tops out near 3.7·10¹³, far inside
+    * BIGINT; identical floors on both engines make 12 iterations
+    * bit-reproducible (the iteration-in-SQL oracle is UNROLLED — 12
+    * mechanically generated CTEs — because recursive CTEs cannot
+    * aggregate portably).
+    *
+    * Scale shape: the corpus is touched ONCE (the q256 lag-window
+    * pass) to build the type-grain matrix, which is localCheckpointed
+    * at ≤ |types|² rows; every iteration is then a broadcast join of
+    * kilobyte frames, so the iteration cost is independent of corpus
+    * size — the same reason q124's PageRank iterates on the
+    * aggregated edge table, never the raw events. */
+  val markovStationary: Q = {
+    val unrolled = (1 to 12).map { i =>
+      s"""v$i AS (SELECT p.dst AS t,
+         |  CAST(sum(v${i - 1}.v * p.p_ppm) // 1000000 AS BIGINT) AS v
+         |  FROM v${i - 1} JOIN p ON v${i - 1}.t = p.src GROUP BY 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    Q(
+      "q261_markov_stationary",
+      s"""WITH e AS (
+         |  SELECT user_id, event_type,
+         |         lead(event_type) OVER (PARTITION BY user_id
+         |                                ORDER BY ts, event_id) AS nxt
+         |  FROM events),
+         |c AS (SELECT event_type AS src, nxt AS dst,
+         |             CAST(count(*) AS BIGINT) AS n
+         |      FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |m AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+         |p AS (SELECT c.src, c.dst, 1000000 * c.n // m.tot AS p_ppm
+         |      FROM c JOIN m USING (src)),
+         |t0 AS (SELECT DISTINCT src AS t FROM p),
+         |v0 AS (SELECT t, 1000000 // (SELECT count(*) FROM t0) AS v FROM t0),
+         |$unrolled
+         |SELECT t AS event_type, v AS stationary_ppm FROM v12""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cells = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("n"))
+      val margins = cells.groupBy("src").agg(sum(col("n")).as("tot"))
+      // type-grain matrix, materialized once: iterations never re-scan events
+      val p = cells.join(broadcast(margins), Seq("src"))
+        .select(col("src"), col("dst"),
+          expr("1000000L * n div tot").as("p_ppm"))
+        .localCheckpoint(true)
+      val t0 = p.select(col("src").as("t")).distinct()
+      var v = t0.crossJoin(broadcast(t0.agg(count(lit(1)).as("nt"))))
+        .select(col("t"), expr("1000000L div nt").as("v"))
+      for (_ <- 1 to 12) {
+        v = v.join(broadcast(p), col("t") === col("src"))
+          .groupBy(col("dst"))
+          .agg(expr("CAST(sum(v * p_ppm) div 1000000 AS BIGINT)").as("v"))
+          .withColumnRenamed("dst", "t")
+      }
+      v.select(col("t").as("event_type"), col("v").as("stationary_ppm"))
+    }
+  }
+
   val all: Seq[Q] =
     Seq(activityStreaks, eventFunnel, eventTransitions, cumulativeUsers,
       sessionPaths, funnelLatency, stickiness, bounceRate, weekdayProfile,
       cohortRetention, seasonalAdjusted, setCompletion, purchaseCadence,
-      interarrivalBurstiness, transitionEntropy)
+      interarrivalBurstiness, transitionEntropy, markovStationary)
 }

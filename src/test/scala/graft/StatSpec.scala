@@ -129,4 +129,36 @@ class StatSpec extends SparkSpec {
     // the complementary test flips the sign
     assert(r("b").getAs[Long]("t_milli") === 7778L)
   }
+
+  test("q261: stationary vector conserves mass and is a near-fixed point") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.SequenceQueries.markovStationary
+      .fn(spark, sf).collect()
+    val v = rows.map(r => r.getString(0) -> r.getAs[Long]("stationary_ppm")).toMap
+    assert(v.nonEmpty && v.values.forall(_ >= 0L))
+    // each of the 12 floor-divided iterations loses < |types| ppm of mass
+    val mass = v.values.sum
+    assert(mass <= 1000000L && mass >= 1000000L - 13L * v.size,
+      s"mass $mass departed the floor-loss envelope")
+    // applying P once more must move the converged vector only epsilon:
+    // rebuild P exactly as the query does and take one more step
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cells = ev.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val p = cells.join(cells.groupBy("src").agg(sum("n").as("tot")), Seq("src"))
+      .select(col("src"), col("dst"), expr("1000000L * n div tot").as("p_ppm"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("p_ppm"))
+      .toMap
+    val next = v.keys.map { j =>
+      j -> v.toSeq.map { case (i, vi) => vi * p.getOrElse((i, j), 0L) }.sum / 1000000L
+    }.toMap
+    for ((t, x) <- next)
+      assert(math.abs(x - v(t)) <= 10000L,
+        s"$t moved ${math.abs(x - v(t))} ppm on iteration 13 — not converged")
+  }
 }
