@@ -937,7 +937,80 @@ object StatQueries {
           * 1000).cast(LongType).as("z_milli"))
   }
 
+  /** q262: ORDINARY LEAST SQUARES trend per event type over the daily
+    * count series — the regr_slope/regr_intercept/regr_r2 surface the
+    * smoothing family (EWMA q141, Holt q208) and the robust estimators
+    * (Sen q247, Mann-Kendall q246) sit beside: the parametric fit with
+    * its variance-explained number. All five moment sums (Σx, Σy, Σxy,
+    * Σx², Σy²) accumulate as exact BIGINTs (x = epoch day ≈ 2·10⁴,
+    * worst products ~10¹⁶, far inside int64), so slope, the fitted
+    * value AT the series' first day (reported instead of the silly
+    * epoch-0 intercept; still one closed form over the same sums:
+    * (ΣyΣx² − ΣxΣxy + num·x₀)/den), and R² = num²/(denₓ·den_y) are
+    * each ONE fixed-shape double expression over identical exact
+    * integers — the q112 discipline, so the ppm outputs hash-oracle.
+    *
+    * Scale shape: one map-side-combinable aggregation to day grain,
+    * one to type grain; no window, no sort, no join. The moment sums
+    * are the classic distributive-aggregate trick — this is how a
+    * 100 TB regression runs in one pass. */
+  val olsTrend: Q = Q(
+    "q262_ols_trend",
+    """WITH c AS (SELECT event_type,
+      |             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+      |               AS x,
+      |             CAST(count(*) AS BIGINT) AS y
+      |           FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |        CAST(sum(x * y) AS BIGINT) AS sxy,
+      |        CAST(sum(x * x) AS BIGINT) AS sxx,
+      |        CAST(sum(y * y) AS BIGINT) AS syy,
+      |        CAST(min(x) AS BIGINT) AS x0
+      |      FROM c GROUP BY 1)
+      |SELECT event_type, n,
+      |  CAST(round(1000000.0 * (n*sxy - sx*sy) / (n*sxx - sx*sx))
+      |    AS BIGINT) AS slope_ppm,
+      |  CAST(round(1000000.0 * ((sy*sxx - sx*sxy) + (n*sxy - sx*sy) * x0)
+      |    / (n*sxx - sx*sx)) AS BIGINT) AS fit0_ppm,
+      |  CAST(round(1000000.0
+      |    * (CAST(n*sxy - sx*sy AS DOUBLE) * (n*sxy - sx*sy))
+      |    / (CAST(n*sxx - sx*sx AS DOUBLE) * (n*syy - sy*sy)))
+      |    AS BIGINT) AS r2_ppm
+      |FROM s WHERE n >= 2""".stripMargin
+  ) { (s, dir) =>
+    val c = t(s, dir, "events")
+      .select(col("event_type"),
+        datediff(to_date(timestamp_millis(expr("ts_ns div 1000000"))),
+          lit(java.sql.Date.valueOf("1970-01-01"))).cast(LongType).as("x"))
+      .groupBy("event_type", "x").agg(count(lit(1)).as("y"))
+    olsReport(c)
+  }
+
+  /** The moment-sum → (slope, fit-at-x₀, R²) closed forms of q262 over
+    * any (event_type, x, y) frame of exact integers — factored for the
+    * hand-case spec. */
+  def olsReport(c: DataFrame): DataFrame =
+    c.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        min(col("x")).as("x0"))
+      .filter(col("n") >= 2)
+      .select(col("event_type"), col("n"),
+        expr("CAST(round(1000000.0 * (n*sxy - sx*sy) / (n*sxx - sx*sx)) " +
+          "AS BIGINT)").as("slope_ppm"),
+        expr("CAST(round(1000000.0 * ((sy*sxx - sx*sxy) " +
+          "+ (n*sxy - sx*sy) * x0) / (n*sxx - sx*sx)) AS BIGINT)")
+          .as("fit0_ppm"),
+        expr("CAST(round(1000000.0 " +
+          "* (CAST(n*sxy - sx*sy AS DOUBLE) * (n*sxy - sx*sy)) " +
+          "/ (CAST(n*sxx - sx*sx AS DOUBLE) * (n*syy - sy*sy))) AS BIGINT)")
+          .as("r2_ppm"))
+
   val all: Seq[Q] = Seq(chiSquare, cohensKappa, acfDaily,
     cusumChangepoint, fkOrphans, winsorizedMean, sourceDriftChi2,
-    mannWhitney, welchT, kaplanMeier, logRank)
+    mannWhitney, welchT, kaplanMeier, logRank, olsTrend)
 }

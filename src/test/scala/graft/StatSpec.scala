@@ -130,6 +130,32 @@ class StatSpec extends SparkSpec {
     assert(r("b").getAs[Long]("t_milli") === 7778L)
   }
 
+  test("OLS hand cases: perfect line and a known partial fit") {
+    import spark.implicits._
+    // y = 2x + 1 exactly: slope 2, fit at x0=0 is 1, R² = 1
+    val perfect = StatQueries.olsReport(
+      Seq(("a", 0L, 1L), ("a", 1L, 3L), ("a", 2L, 5L))
+        .toDF("event_type", "x", "y")).collect().head
+    assert(perfect.getAs[Long]("slope_ppm") === 2000000L)
+    assert(perfect.getAs[Long]("fit0_ppm") === 1000000L)
+    assert(perfect.getAs[Long]("r2_ppm") === 1000000L)
+    // (0,0),(1,2),(2,1): slope 1/2, fit0 1/2, R² = 9/36 = 1/4
+    val partial = StatQueries.olsReport(
+      Seq(("b", 0L, 0L), ("b", 1L, 2L), ("b", 2L, 1L))
+        .toDF("event_type", "x", "y")).collect().head
+    assert(partial.getAs[Long]("slope_ppm") === 500000L)
+    assert(partial.getAs[Long]("fit0_ppm") === 500000L)
+    assert(partial.getAs[Long]("r2_ppm") === 250000L)
+    // translation invariance of slope/R²: shifting x by 20000 (epoch
+    // days) must not move them; fit0 still reads the value at min x
+    val shifted = StatQueries.olsReport(
+      Seq(("c", 20000L, 0L), ("c", 20001L, 2L), ("c", 20002L, 1L))
+        .toDF("event_type", "x", "y")).collect().head
+    assert(shifted.getAs[Long]("slope_ppm") === 500000L)
+    assert(shifted.getAs[Long]("fit0_ppm") === 500000L)
+    assert(shifted.getAs[Long]("r2_ppm") === 250000L)
+  }
+
   test("q261: stationary vector conserves mass and is a near-fixed point") {
     import org.apache.spark.sql.functions._
     val rows = graft.queries.SequenceQueries.markovStationary
