@@ -265,6 +265,70 @@ object StreamBench {
     } finally q.stop()
   }
 
+  /** Deterministic splitmix64 — distinct g ⇒ distinct 48-bit hash with
+    * overwhelming probability, no RNG state. */
+  private def mix48(g: Long): Long = {
+    var z = g + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    ((z ^ (z >>> 31)) >>> 16) + 1 // (0, 2^48]
+  }
+
+  def kmvBatch(i: Int, rows: Int, keys: Int): Seq[graft.streaming.KeyedHash] =
+    (0 until rows).map { j =>
+      val g = i.toLong * rows + j
+      graft.streaming.KeyedHash("k" + (g % keys), mix48(g))
+    }
+
+  /** Feed `batches` micro-batches of keyed hashes through
+    * [[graft.streaming.KmvTracker]] (key-keyed FMGWS, ≤k longs of
+    * state per key, one sketch emission per touched key per batch) and
+    * time the processing, warmup excluded. The accounting assertion is
+    * the tracker family's strongest: the final streaming sketch per
+    * key must be BIT-IDENTICAL to the batch `KmvMins` aggregate over
+    * everything fed (a set of mins is order- and duplicate-immune). */
+  def runKmv(spark: SparkSession, batchRows: Int, batches: Int): Result = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val keys = 37
+    val ms = MemoryStream[graft.streaming.KeyedHash]
+    val name = s"sb_kmv_${batchRows}_$batches"
+    val q = graft.streaming.KmvTracker.track(ms.toDS(), 256)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      val warmupRows = math.max(10, math.min(batchRows, 1000))
+      val warmup = kmvBatch(0, warmupRows, keys)
+      ms.addData(warmup)
+      q.processAllAvailable()
+      val feeds = (1 to batches).map(i => kmvBatch(i, batchRows, keys))
+      val t0 = System.nanoTime()
+      feeds.foreach { f => ms.addData(f); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val total = batchRows.toLong * batches
+      // duality accounting: last emission per key == batch aggregate
+      val E = graft.functions.expressions.GraftExpressions
+      val batch = (warmup ++ feeds.flatten).toDF("key", "h")
+        .groupBy("key").agg(E.kmvMins(org.apache.spark.sql.functions.col("h"),
+          256).as("sk"))
+        .selectExpr("key", "size(sk) AS n_sk",
+          "CASE WHEN size(sk) < 256 THEN 0L ELSE element_at(sk, 256) END AS hk")
+        .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+      val emissions = spark.table(name)
+        .as[graft.streaming.KmvPoint].collect()
+      val last = emissions.zipWithIndex.groupBy(_._1.key)
+        .map { case (k, xs) => xs.maxBy(_._2)._1 }
+      require(last.size == keys, s"kmv: ${last.size} keys emitted, want $keys")
+      last.foreach { p =>
+        val (nSk, hk) = batch(p.key)
+        require(p.nSk == nSk && p.hK == hk,
+          s"kmv duality broke for ${p.key}: stream (${p.nSk},${p.hK}) " +
+            s"!= batch ($nSk,$hk)")
+      }
+      Result(batchRows, batches, keys, total, total, sec, total / sec)
+    } finally q.stop()
+  }
+
   private def runsJson(results: Seq[Result]): String = results.map { r =>
     s"""{"batch_rows":${r.batchRows},"batches":${r.batches},""" +
       s""""keys":${r.keys},"total_rows":${r.totalRows},""" +
@@ -307,6 +371,12 @@ object StreamBench {
       runEntropy(spark, rows, n)
     }
     println(s"""{"metric":"entropy_rows_per_sec","runs":${runsJson(entropyResults)}}""")
+    val kmvSizes = Seq((10000, 10), (100000, 5))
+    val kmvResults = kmvSizes.map { case (rows, n) =>
+      System.err.println(s"[streambench] kmv batchRows=$rows batches=$n")
+      runKmv(spark, rows, n)
+    }
+    println(s"""{"metric":"kmv_rows_per_sec","runs":${runsJson(kmvResults)}}""")
     spark.stop()
     if (results.exists(r => r.storedRows != r.totalRows) ||
       (dedupResults ++ nearResults)

@@ -60,4 +60,16 @@ class StreamBenchSpec extends SparkSpec {
     assert(r.keys === 365)
     assert(r.rowsPerSec > 0.0)
   }
+
+  test("kmv micro-bench: streaming sketch bit-identical to batch aggregate") {
+    // runKmv REQUIRE-asserts the duality internally (final per-key
+    // (n_sk, h_k) == batch KmvMins over everything fed, incl. the
+    // warmup and any replay); this drives it small enough to saturate
+    // some sketches (3*500/37 ≈ 40 < 256 stays unsaturated; the
+    // duality holds either way)
+    val r = StreamBench.runKmv(spark, batchRows = 500, batches = 3)
+    assert(r.totalRows === 1500L)
+    assert(r.keys === 37)
+    assert(r.rowsPerSec > 0.0)
+  }
 }
