@@ -163,5 +163,112 @@ object AttributionQueries {
         sum(col("w_u6")).as("decay_credit_u6"))
   }
 
-  val all: Seq[Q] = Seq(lastTouch, linear, timeDecay)
+  /** q263: SHAPLEY-VALUE attribution — the order-free, axiomatic
+    * credit split the positional models (q216-q218) approximate: each
+    * channel's value is its average marginal contribution to the
+    * conversion rate across every coalition of the other channels.
+    * The game: players = the three touch channels; v(S) = conversion
+    * rate (ppm, floor) among users whose EXACT exposure set is S, with
+    * v ≡ 0 on exposure sets no user exhibits (a total characteristic
+    * function, so the efficiency axiom Σᵢφᵢ = v(N) − v(∅) holds
+    * EXACTLY — AttributionSpec asserts it in integers). With n = 3
+    * fixed by the channel taxonomy, the subset lattice (8 masks) and
+    * the 12 (channel, S, S∪{i}) marginal pairs are LITERAL tables with
+    * integer weights w = |S|!·(n−1−|S|)!, denominator n! = 6 — so φ is
+    * an exact 6-scaled integer (`phi6`); the ppm view divides once in
+    * a fixed-shape double both engines round identically. No floor
+    * division ever sees a negative operand (Spark `div` truncates
+    * toward zero while DuckDB `//` floors — they only agree on
+    * nonnegatives, and marginal contributions CAN be negative, hence
+    * the 6-scaled-integer + round(x/6.0) design).
+    *
+    * Scale shape: one events scan → two user-grain distincts; the
+    * coalition table is ≤ 8 rows, the lattice literal, the Shapley
+    * sum a broadcast join over 12 rows — the combinatorics never
+    * touch row-count-proportional data, which is exactly why
+    * exact-exposure Shapley (unlike journey-permutation Shapley)
+    * survives 100 TB. */
+  val shapley: Q = Q(
+    "q263_shapley_attribution",
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |tch AS (SELECT DISTINCT user_id, event_type AS ch FROM events
+      |        WHERE event_type IN ('view', 'click', 'signup')),
+      |cv AS (SELECT DISTINCT user_id, CAST(1 AS BIGINT) AS conv
+      |       FROM events WHERE event_type = 'purchase'),
+      |mask AS (SELECT u.user_id,
+      |           coalesce(string_agg(t.ch, ',' ORDER BY t.ch), '') AS m
+      |         FROM u LEFT JOIN tch t ON u.user_id = t.user_id
+      |         GROUP BY 1),
+      |mu AS (SELECT mask.m, coalesce(cv.conv, 0) AS conv
+      |       FROM mask LEFT JOIN cv ON mask.user_id = cv.user_id),
+      |co AS (SELECT m,
+      |         1000000 * CAST(sum(conv) AS BIGINT)
+      |           // CAST(count(*) AS BIGINT) AS v_ppm
+      |       FROM mu GROUP BY 1),
+      |pairs(ch, s, su, w) AS (VALUES
+      |  ('view',   '',             'view',              2),
+      |  ('view',   'click',        'click,view',        1),
+      |  ('view',   'signup',       'signup,view',       1),
+      |  ('view',   'click,signup', 'click,signup,view', 2),
+      |  ('click',  '',             'click',             2),
+      |  ('click',  'signup',       'click,signup',      1),
+      |  ('click',  'view',         'click,view',        1),
+      |  ('click',  'signup,view',  'click,signup,view', 2),
+      |  ('signup', '',             'signup',            2),
+      |  ('signup', 'click',        'click,signup',      1),
+      |  ('signup', 'view',         'signup,view',       1),
+      |  ('signup', 'click,view',   'click,signup,view', 2)),
+      |phi AS (SELECT p.ch AS channel,
+      |          CAST(sum(p.w * (coalesce(vt.v_ppm, 0)
+      |            - coalesce(vs.v_ppm, 0))) AS BIGINT) AS phi6
+      |        FROM pairs p
+      |        LEFT JOIN co vt ON p.su = vt.m
+      |        LEFT JOIN co vs ON p.s = vs.m
+      |        GROUP BY 1)
+      |SELECT channel, phi6,
+      |       CAST(round(phi6 / 6.0) AS BIGINT) AS shapley_ppm
+      |FROM phi""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val e = t(s, dir, "events")
+    val tch = e.filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id"), col("event_type").as("ch")).distinct()
+    val cv = e.filter(col("event_type") === "purchase")
+      .select("user_id").distinct().withColumn("conv", lit(1L))
+    val mask = e.select("user_id").distinct()
+      .join(tch, Seq("user_id"), "left")
+      .groupBy("user_id")
+      .agg(concat_ws(",", sort_array(collect_set(col("ch")))).as("m"))
+      .join(cv, Seq("user_id"), "left")
+      .select(col("m"), coalesce(col("conv"), lit(0L)).as("conv"))
+    val co = mask.groupBy("m")
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+      .select(col("m"), expr("1000000L * n_conv div n_users").as("v_ppm"))
+    val pairs = Seq(
+      ("view", "", "view", 2L),
+      ("view", "click", "click,view", 1L),
+      ("view", "signup", "signup,view", 1L),
+      ("view", "click,signup", "click,signup,view", 2L),
+      ("click", "", "click", 2L),
+      ("click", "signup", "click,signup", 1L),
+      ("click", "view", "click,view", 1L),
+      ("click", "signup,view", "click,signup,view", 2L),
+      ("signup", "", "signup", 2L),
+      ("signup", "click", "click,signup", 1L),
+      ("signup", "view", "signup,view", 1L),
+      ("signup", "click,view", "click,signup,view", 2L))
+      .toDF("ch", "s", "su", "w")
+    pairs
+      .join(broadcast(co.withColumnRenamed("m", "su")
+        .withColumnRenamed("v_ppm", "v_t")), Seq("su"), "left")
+      .join(broadcast(co.withColumnRenamed("m", "s")
+        .withColumnRenamed("v_ppm", "v_s")), Seq("s"), "left")
+      .groupBy(col("ch").as("channel"))
+      .agg(sum(col("w") * (coalesce(col("v_t"), lit(0L))
+        - coalesce(col("v_s"), lit(0L)))).as("phi6"))
+      .select(col("channel"), col("phi6"),
+        expr("CAST(round(phi6 / 6.0) AS BIGINT)").as("shapley_ppm"))
+  }
+
+  val all: Seq[Q] = Seq(lastTouch, linear, timeDecay, shapley)
 }

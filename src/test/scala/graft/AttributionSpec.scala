@@ -76,4 +76,30 @@ class AttributionSpec extends SparkSpec {
     val chans216 = q216.map(_.getAs[String]("channel")).toSet
     assert((chans216 -- chans217) subsetOf Set("none"))
   }
+
+  test("q263: Shapley efficiency axiom — credits sum to v(N) - v(empty), exactly") {
+    val phi = AttributionQueries.shapley.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("phi6")).toMap
+    assert(phi.keySet === Set("view", "click", "signup"))
+    // rebuild v(N) and v(∅) from the query's own coalition definition
+    val e = graft.sources.Tables.load(spark, sf, "events")
+    val tch = e.filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id"), col("event_type").as("ch")).distinct()
+    val cv = e.filter(col("event_type") === "purchase")
+      .select("user_id").distinct().withColumn("conv", lit(1L))
+    val co = e.select("user_id").distinct()
+      .join(tch, Seq("user_id"), "left")
+      .groupBy("user_id")
+      .agg(concat_ws(",", sort_array(collect_set(col("ch")))).as("m"))
+      .join(cv, Seq("user_id"), "left")
+      .groupBy("m")
+      .agg(expr("1000000L * sum(coalesce(conv, 0L)) div count(1)").as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vN = co.getOrElse("click,signup,view", 0L)
+    val vE = co.getOrElse("", 0L)
+    // Σφ6 = n!·(v(N) − v(∅)) holds for ANY total v on the lattice —
+    // including the v≡0 fill-in for unobserved coalitions
+    assert(phi.values.sum === 6L * (vN - vE),
+      s"efficiency broke: ${phi.values.sum} != 6*(${vN} - ${vE})")
+  }
 }
