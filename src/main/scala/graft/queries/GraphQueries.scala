@@ -116,5 +116,70 @@ object GraphQueries {
         expr("(1000000 * n_items) div n_nodes").cast(LongType).as("share_ppm"))
   }
 
-  val all: Seq[Q] = Seq(graphDistances, hubProximity)
+  /** q265: DEGREE ASSORTATIVITY of the co-purchase graph — do hub
+    * products co-occur with other hubs (r > 0, a "core catalog") or
+    * with the long tail (r < 0, hub-and-spoke)? The number that says
+    * whether q126's neighbor lists concentrate or spread demand, and
+    * the edge-grain companion of q199/q206's triangle view. Newman's
+    * r = Pearson correlation of endpoint degrees over DIRECTED edges
+    * (each undirected edge counted in both orientations, the standard
+    * symmetrization), computed from six exact BIGINT moment sums (deg
+    * ≤ |items|, every product far inside int64) with ONE final
+    * fixed-shape double — the q262 discipline on a graph statistic.
+    *
+    * Scale shape: edges come from the df-capped q125 pair build (the
+    * adjudicated co-occurrence cost class); degrees are an item-grain
+    * aggregate joined back onto edges by item key — two hash joins at
+    * edge grain, one 6-sum reduce to a single row. No window, no
+    * iteration. */
+  val degreeAssortativity: Q = Q(
+    "q265_degree_assortativity",
+    """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+      |           FROM lineitem),
+      |p AS (SELECT a.item AS item_a, c.item AS item_b
+      |      FROM b a JOIN b c ON a.bk = c.bk AND a.item < c.item
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |s AS (SELECT item_a AS item, item_b AS partner FROM p
+      |      UNION ALL
+      |      SELECT item_b AS item, item_a AS partner FROM p),
+      |d AS (SELECT item, CAST(count(*) AS BIGINT) AS deg FROM s GROUP BY 1),
+      |e AS (SELECT da.deg AS x, db.deg AS y
+      |      FROM s JOIN d da ON s.item = da.item
+      |             JOIN d db ON s.partner = db.item),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS mm,
+      |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |        CAST(sum(x * y) AS BIGINT) AS sxy,
+      |        CAST(sum(x * x) AS BIGINT) AS sxx,
+      |        CAST(sum(y * y) AS BIGINT) AS syy
+      |      FROM e)
+      |SELECT mm AS n_directed_edges,
+      |  CAST(round(1000.0 * (mm*sxy - sx*sy)
+      |    / sqrt(CAST(mm*sxx - sx*sx AS DOUBLE) * (mm*syy - sy*sy)))
+      |    AS BIGINT) AS assortativity_milli
+      |FROM m""".stripMargin
+  ) { (s, dir) =>
+    val p = graft.operators.CoOccurrence.pairs(
+      t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
+      "l_orderkey", "l_partkey", minShared = 2)
+      .select("item_a", "item_b")
+    val sEdges = p.select(col("item_a").as("item"), col("item_b").as("partner"))
+      .union(p.select(col("item_b").as("item"), col("item_a").as("partner")))
+    val d = sEdges.groupBy("item").agg(count(lit(1)).as("deg"))
+    sEdges
+      .join(d, Seq("item"))
+      .join(d.withColumnRenamed("item", "partner")
+        .withColumnRenamed("deg", "deg_p"), Seq("partner"))
+      .select(col("deg").as("x"), col("deg_p").as("y"))
+      .agg(count(lit(1)).as("mm"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("mm").as("n_directed_edges"),
+        expr("CAST(round(1000.0 * (mm*sxy - sx*sy) " +
+          "/ sqrt(CAST(mm*sxx - sx*sx AS DOUBLE) * (mm*syy - sy*sy))) " +
+          "AS BIGINT)").as("assortativity_milli"))
+  }
+
+  val all: Seq[Q] = Seq(graphDistances, hubProximity, degreeAssortativity)
 }

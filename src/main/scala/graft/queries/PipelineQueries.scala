@@ -572,9 +572,55 @@ object PipelineQueries {
       .limit(100)
   }
 
+  /** q264: NEGATIVE-SAMPLING TABLE — the word2vec/unigram-LM sampling
+    * structure: the top-1000 vocabulary by the deterministic
+    * (cnt DESC, term) order, each term weighted cnt^0.75 (the
+    * smoothing exponent that lifts the tail), laid out as EXACT
+    * cumulative integer ranges [cum_lo, cum_hi) so a sampler draws a
+    * uniform integer below the final cum_hi and binary-searches its
+    * term — the alias-table alternative that stays a relation.
+    *
+    * Exactness: cnt^0.75 is written exp(0.75·ln(cnt)) with the SAME
+    * expression shape on both engines and milli-quantized (round to
+    * 10⁻³) — the result magnitude is ≤ ~10⁴ so the cross-libm
+    * divergence (~1 ulp of exp ≈ 10⁻¹²) sits ~9 orders below the
+    * rounding quantum; the cumulative ranges are then BIGINT sums of
+    * exact integers, computed by the native multi-column `RunningSum`
+    * (one range exchange, never a partition-less window — at full
+    * vocabulary scale this is the same plan, over however many
+    * buckets the range partitioner picks). */
+  val negSampleTable: Q = Q(
+    "q264_negative_sampling",
+    """WITH tc AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS term
+      |        FROM documents) t
+      |  GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 1000),
+      |k AS (SELECT term, cnt,
+      |        CAST(round(1000 * exp(0.75 * ln(cnt))) AS BIGINT) AS w_m
+      |      FROM tc)
+      |SELECT term, cnt, w_m,
+      |       CAST(sum(w_m) OVER (ORDER BY cnt DESC, term ASC)
+      |         AS BIGINT) - w_m AS cum_lo,
+      |       CAST(sum(w_m) OVER (ORDER BY cnt DESC, term ASC)
+      |         AS BIGINT) AS cum_hi
+      |FROM k""".stripMargin
+  ) { (s, dir) =>
+    val tc = t(s, dir, "documents")
+      .select(explode(T.words(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(1000)
+      .select(col("term"), col("cnt"),
+        expr("CAST(round(1000 * exp(0.75 * ln(cnt))) AS BIGINT)").as("w_m"))
+    graft.operators.Ranks.globalRunningSums(tc,
+      Seq(col("cnt").desc, col("term").asc), Seq(col("w_m") -> "cum_hi"))
+      .select(col("term"), col("cnt"), col("w_m"),
+        (col("cum_hi") - col("w_m")).as("cum_lo"), col("cum_hi"))
+  }
+
   val all: Seq[Q] =
     Seq(decontaminate, hashSplit, mixtureSample, shardPack, domainQuota,
       corpusPipeline, groupSample, seqPack, redact, vocabTop, corpusPipelineV2,
       contaminationSpans, templateDedup, cmsHeavyHitters, frequentTerms,
-      weightedSample)
+      weightedSample, negSampleTable)
 }
