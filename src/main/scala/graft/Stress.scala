@@ -198,6 +198,25 @@ object Stress {
         order, lit(1L), "rnk")
         .select("cum", "rnk")
     }
+    // the q259 contrast pair: distinct-token cardinality per source,
+    // exact vs KMV sketch. The salted amplified corpus grows the
+    // distinct-token set linearly with N, so the exact path's shuffle
+    // must grow with it while the sketch path ships ≤ k longs per
+    // (partition, source) REGARDLESS of N — the measured form of the
+    // KMV scale argument (curve recorded in ARCHITECTURE §4)
+    def tokenHashes = corpus
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .select(col("source"), xxhash64(col("w")).as("h"))
+    stage("exact_distinct") {
+      tokenHashes.groupBy("source")
+        .agg(count_distinct(col("h")).as("n_distinct"))
+    }
+    stage("kmv_sketch") {
+      tokenHashes.groupBy("source")
+        .agg(graft.functions.expressions.GraftExpressions
+          .kmvMins(col("h"), 256).as("sk"))
+        .select(col("source"), size(col("sk")).as("n_sk"))
+    }
     // the q27/q44/q92/q143 family: exact n-gram Jaccard candidates,
     // connected-component resolve, and the two query shapes stacked on
     // top of resolve — the r8 verdict's "argued, not measured" gap.
