@@ -1463,6 +1463,90 @@ object ExtensionQueries {
         sum(col("score")).as("score_sum"))
   }
 
+  /** q266: TEXTRANK keyword extraction (Mihalcea & Tarau 2004) — the
+    * graph-centrality ranker the frequency rankers (q73 top terms,
+    * q65 tf-idf) can't express: a word matters because IMPORTANT
+    * words co-occur with it, not because it is frequent. Composition
+    * of two proven machineries: q82's adjacent-bigram graph (distinct
+    * unordered co-occurrence edges, self-pairs dropped) feeds q124's
+    * exact INTEGER PageRank (3 iterations, damping 0.85 as the 8500
+    * basis-point integral form — FP PageRank cannot hash-oracle
+    * because inflow addition order moves ulps; the integer form is
+    * bit-stable on any layout and engine). Words key as the q109
+    * engine-portable polynomial hash (8-byte join keys, no string
+    * shuffles through the iteration), mapped back to terms only for
+    * the 10-row answer.
+    *
+    * Scale shape: the bigram explode is the corpus scan; everything
+    * after runs at VOCABULARY grain (edges ≤ distinct adjacent
+    * pairs), and each iteration is one equi-join + map-side-combined
+    * sum on the checkpointed edge list — the q261/q124 argument:
+    * iteration cost tracks the aggregated graph, never the corpus. */
+  val textrankKeywords: Q = Q(
+    "q266_textrank_keywords",
+    """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |b AS (SELECT unnest(list_transform(range(1, len(ws)), i ->
+      |        struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS bg
+      |      FROM w WHERE len(ws) >= 2),
+      |bg2 AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM b WHERE bg.w1 <> bg.w2),
+      |dict AS (SELECT w, list_reduce(
+      |           list_prepend(CAST(7 AS BIGINT),
+      |             list_transform(range(1, length(w) + 1),
+      |               i -> CAST(unicode(substr(w, i, 1)) AS BIGINT))),
+      |           (acc, c) -> (acc * 131 + c) % 35184372088777) AS tid
+      |         FROM (SELECT DISTINCT unnest(ws) AS w FROM w) t),
+      |e0 AS (SELECT DISTINCT a.tid AS src, c.tid AS dst
+      |       FROM bg2 JOIN dict a ON bg2.w1 = a.w
+      |                JOIN dict c ON bg2.w2 = c.w),
+      |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |od AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+      |nd AS (SELECT DISTINCT src AS id FROM e),
+      |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nd),
+      |p1 AS (SELECT nd.id, 150000 + coalesce(s.inflow, 0) AS pr
+      |       FROM nd LEFT JOIN (
+      |         SELECT e.dst AS id, sum((8500 * p0.pr) // (10000 * od.d)) AS inflow
+      |         FROM e JOIN od USING (src) JOIN p0 ON p0.id = e.src
+      |         GROUP BY e.dst) s USING (id)),
+      |p2 AS (SELECT nd.id, 150000 + coalesce(s.inflow, 0) AS pr
+      |       FROM nd LEFT JOIN (
+      |         SELECT e.dst AS id, sum((8500 * p1.pr) // (10000 * od.d)) AS inflow
+      |         FROM e JOIN od USING (src) JOIN p1 ON p1.id = e.src
+      |         GROUP BY e.dst) s USING (id)),
+      |p3 AS (SELECT nd.id, 150000 + coalesce(s.inflow, 0) AS pr
+      |       FROM nd LEFT JOIN (
+      |         SELECT e.dst AS id, sum((8500 * p2.pr) // (10000 * od.d)) AS inflow
+      |         FROM e JOIN od USING (src) JOIN p2 ON p2.id = e.src
+      |         GROUP BY e.dst) s USING (id))
+      |SELECT d.w AS term, CAST(p3.pr AS BIGINT) AS pr
+      |FROM p3 JOIN dict d ON p3.id = d.tid
+      |ORDER BY pr DESC, term ASC LIMIT 10""".stripMargin
+  ) { (s, dir) =>
+    val E = graft.functions.expressions.GraftExpressions
+    val ws = t(s, dir, "documents").select(split(col("text"), " ").as("ws"))
+    val bg = ws.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(slice(ws, 1, size(ws) - 1), " +
+          "(w, i) -> struct(w AS w1, element_at(ws, i + 2) AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val dict = ws.select(explode(col("ws")).as("w")).distinct()
+      .select(col("w"),
+        element_at(E.shingleHashes(array(col("w")), 1, ordered = false,
+          poly = true), 1).as("tid"))
+      .localCheckpoint(true)
+    val e0 = bg
+      .join(dict.select(col("w").as("w1"), col("tid").as("src")), Seq("w1"))
+      .join(dict.select(col("w").as("w2"), col("tid").as("dst")), Seq("w2"))
+      .select("src", "dst").distinct()
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    graft.operators.Centrality.integerPageRank(edges, iters = 3)
+      .join(dict.select(col("tid").as("id"), col("w").as("term")), Seq("id"))
+      .select(col("term"), col("pr").cast("long").as("pr"))
+      .orderBy(col("pr").desc, col("term").asc)
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(editDedup, corpusCube, tokenTruncate, funnel,
     collocations, containment, dupRateBySource, gapFilledSeries,
     lengthTrim, oovRate, splitLeakage, lmQualitySelect, boilerplate,
@@ -1471,5 +1555,5 @@ object ExtensionQueries {
     normDedup, epochPlan, sourceKl, crossSourceDupMatrix,
     tokenLengthHistogram, zipfSlope, splitBalance, budgetSweep,
     dupSpanStrip, spanRateBySource, bloomDecontaminate, contaminationAudit,
-    hashClassifier, corpusPipelineV3)
+    hashClassifier, corpusPipelineV3, textrankKeywords)
 }
