@@ -156,4 +156,64 @@ object LiveEndpoint {
     server.start()
     new Handle(server)
   }
+
+  private def sketchJson(r: Row): String =
+    s"""{"key":"${esc(r.getString(0))}","n_sk":${r.getInt(1)},""" +
+      s""""est":${r.getLong(2)}}"""
+
+  /** Live distinct-count dashboard over a view maintained by
+    * [[graft.state.MaterializedViews.serveKmvAsView]]:
+    *  - `GET /distinct/<key>` — the key's latest KMV reading
+    *    (saturation size + cardinality estimate), 404 unknown key,
+    *    503 before the first micro-batch;
+    *  - `GET /distinct` — every key by estimate descending.
+    * The view holds one ≤(k+3)-field row per key, so a GET collects
+    * kilobytes regardless of how many billions of rows the stream has
+    * folded — the sketch IS the serving artifact. */
+  def startDistinct(spark: SparkSession, viewName: String,
+      port: Int = 0): Handle = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type",
+        if (code == 200) "application/json" else "text/plain")
+      ex.sendResponseHeaders(code, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    def rows: DataFrame = spark.table(s"global_temp.$viewName")
+      .select(col("key"), col("nSk"), col("est"))
+    def handle(f: HttpExchange => Unit): HttpHandler = new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        try {
+          if (ex.getRequestMethod != "GET") respond(ex, 405, "GET only")
+          else if (!spark.catalog.tableExists(s"global_temp.$viewName"))
+            respond(ex, 503, "view not ready")
+          else f(ex)
+        } catch {
+          case e: Throwable => respond(ex, 500, String.valueOf(e.getMessage))
+        }
+    }
+    server.createContext("/distinct", handle { ex =>
+      val path = ex.getRequestURI.getPath
+      if (path == "/distinct")
+        respond(ex, 200, rows.orderBy(col("est").desc, col("key")).collect()
+          .map(sketchJson).mkString("[", ",", "]"))
+      else {
+        val key = path.stripPrefix("/distinct/")
+        if (key.isEmpty || key.contains('/')) respond(ex, 404, "not found")
+        else {
+          val got = rows.filter(col("key") === key).collect()
+          if (got.isEmpty) respond(ex, 404, "not found")
+          else respond(ex, 200, sketchJson(got.head))
+        }
+      }
+    })
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        respond(ex, 404, "not found")
+    })
+    server.start()
+    new Handle(server)
+  }
 }

@@ -96,6 +96,27 @@ object MaterializedViews {
     ()
   }
 
+  /** Continuously-maintained DISTINCT-COUNT SKETCH view — the KMV
+    * member of the serving family: [[graft.streaming.KmvTracker]]
+    * folds each micro-batch's (key, hash) rows into ≤ k longs of
+    * per-key state and re-emits one [[graft.streaming.KmvPoint]] per
+    * TOUCHED key (append mode), which upserts here by key — so the
+    * view always holds every key's latest sketch reading, and the
+    * reading is BIT-identical to the batch `KmvMins` aggregate over
+    * everything fed (the tracker's duality contract). Served live by
+    * [[graft.serve.LiveEndpoint.startDistinct]]. Same test-convenience
+    * caveat as [[serveAsView]]; production routes through
+    * [[KeyedStore.serveToStore]]. */
+  def serveKmvAsView(hashes: org.apache.spark.sql.Dataset[graft.streaming.KeyedHash],
+      k: Int, viewName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.KmvTracker.track(hashes, k).toDF()
+      .writeStream.outputMode("append")
+      .foreachBatch { (changed: DataFrame, _: Long) =>
+        upsertIntoGlobalView(changed.select("key", "nSk", "hK", "est"),
+          Seq("key"), viewName)
+      }
+      .start()
+
   /** Continuously-maintained DAILY TOTALS view — the reference bot's
     * per-day stats KTables (StateStoresManager.java:121-186 keeps
     * daily/delta/doubling stores the request consumer probes), the

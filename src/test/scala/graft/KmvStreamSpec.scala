@@ -57,6 +57,65 @@ class KmvStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("live /distinct endpoint serves the RUNNING stream's latest sketch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val client = java.net.http.HttpClient.newHttpClient()
+    def get(port: Int, path: String): java.net.http.HttpResponse[String] =
+      client.send(
+        java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(s"http://127.0.0.1:$port$path"))
+          .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+    val all = hashed.as[KeyedHash].collect()
+    val (a, b) = all.splitAt(all.length / 10)
+    // pick a key whose DISTINCT hash set provably grows in batch 2 —
+    // otherwise the unchanged body would be correct behavior
+    val distinctIn = (xs: Array[KeyedHash]) =>
+      xs.groupBy(_.key).view.mapValues(_.map(_.h).toSet).toMap
+    val dA = distinctIn(a)
+    val key = distinctIn(all).collectFirst {
+      case (k, s) if s.size > dA.getOrElse(k, Set.empty[Long]).size
+        && dA.contains(k) => k
+    }.getOrElse(fail("no key grows across the split — vacuous"))
+    val ms = MemoryStream[KeyedHash]
+    val q = graft.state.MaterializedViews
+      .serveKmvAsView(ms.toDS(), 256, "live_kmv_spec")
+    val handle = graft.serve.LiveEndpoint.startDistinct(spark, "live_kmv_spec")
+    try {
+      // before the first micro-batch: retryable 503, not a 404
+      assert(get(handle.port, s"/distinct/$key").statusCode() == 503)
+      ms.addData(a.toSeq); q.processAllAvailable()
+      val r1 = get(handle.port, s"/distinct/$key")
+      assert(r1.statusCode() == 200)
+      ms.addData(b.toSeq); q.processAllAvailable()
+      val r2 = get(handle.port, s"/distinct/$key")
+      assert(r2.statusCode() == 200)
+      assert(r2.body() != r1.body(),
+        "HTTP body did not change with the second micro-batch")
+      // the live body equals the batch aggregate over everything fed
+      val E = graft.functions.expressions.GraftExpressions
+      val exp = hashed.filter(col("key") === key)
+        .groupBy("key").agg(E.kmvMins(col("h"), 256).as("sk"))
+        .selectExpr("size(sk) AS n_sk",
+          "CASE WHEN size(sk) < 256 THEN cast(size(sk) AS BIGINT) " +
+            "ELSE 71776119061217280L div element_at(sk, 256) END AS est")
+        .collect().head
+      assert(r2.body() ==
+        s"""{"key":"$key","n_sk":${exp.getInt(0)},"est":${exp.getLong(1)}}""",
+        r2.body())
+      // the summary lists every key, estimate-descending
+      val body = get(handle.port, "/distinct").body()
+      val ests = """"est":(-?\d+)""".r.findAllMatchIn(body)
+        .map(_.group(1).toLong).toSeq
+      assert(ests.size == all.map(_.key).distinct.size)
+      assert(ests == ests.sortBy(-_))
+      // routing discipline: unknown key and nested paths are 404
+      assert(get(handle.port, "/distinct/nope").statusCode() == 404)
+      assert(get(handle.port, s"/distinct/$key/x").statusCode() == 404)
+    } finally { handle.stop(); q.stop() }
+  }
+
   test("estimator pin: exact below saturation, (k-1)*2^48/U_(k) at it") {
     assert(KmvTracker.estimate(Seq(10L, 20L, 30L), 256) === 3L)
     // saturated k=2: est = 1 * 2^48 / 1024
