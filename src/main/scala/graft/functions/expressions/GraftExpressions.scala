@@ -610,10 +610,12 @@ case class TopKByScore(scoreExpr: Expression, idExpr: Expression, k: Int,
 case class KmvMins(child: Expression, k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with ExpectsInputTypes {
 
   require(k > 0, s"KMV needs k > 0, got $k")
 
+  override def inputTypes: Seq[DataType] = Seq(LongType)
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
