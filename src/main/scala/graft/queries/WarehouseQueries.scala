@@ -714,6 +714,80 @@ object WarehouseQueries {
       .withColumn("err_ppm", abs(col("kmv_ppm") - col("exact_ppm")))
   }
 
+  /** q267: KMV DATACUBE — the q175 pre-aggregation pattern with a
+    * PROOF in the plan and a hash oracle: per-(type, day) KMV sketches
+    * re-aggregate to period grain by re-running `KmvMins` over the
+    * EXPLODED daily sketch arrays, and because the k smallest of a
+    * union are always among the union of each side's k smallest, the
+    * merge is LOSSLESS — the re-merged period sketch is bit-identical
+    * to a direct sketch of the raw rows, which is exactly what the
+    * DuckDB oracle computes (it never sees the daily sketches). HLL
+    * (q175) re-aggregates too but only spec-twins; KMV's determinism
+    * makes the same datacube claim ORACLE-CHECKED. Output keeps the
+    * per-day sketch volume (Σ n_sk — what a 100 TB deployment would
+    * PERSIST: KBs per (type, day)) next to the period estimate and the
+    * exact count.
+    *
+    * Scale shape: one raw pass builds day-grain sketches (map-side
+    * partials, ≤ k longs per group); the re-merge touches only
+    * sketch rows — days × types × k longs — so period-grain questions
+    * never rescan events; the exact branch is the verification twin. */
+  val kmvCube: Q = Q(
+    "q267_kmv_cube",
+    """WITH h AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+      |                  AS BIGINT) + 1 AS h
+      |           FROM events),
+      |d AS (SELECT DISTINCT event_type, h FROM h),
+      |r AS (SELECT event_type, h,
+      |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      |      FROM d),
+      |sk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_sk,
+      |         CAST(max(CASE WHEN rk = 256 THEN h END) AS BIGINT) AS h_k
+      |       FROM r WHERE rk <= 256 GROUP BY 1),
+      |dd AS (SELECT DISTINCT event_type, day, h FROM h),
+      |dr AS (SELECT event_type, day, h,
+      |         row_number() OVER (PARTITION BY event_type, day
+      |                            ORDER BY h) AS rk
+      |       FROM dd),
+      |vol AS (SELECT event_type,
+      |          CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+      |          CAST(count(*) AS BIGINT) AS stored_longs
+      |        FROM dr WHERE rk <= 256 GROUP BY 1),
+      |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+      |       FROM d GROUP BY 1)
+      |SELECT ex.event_type, vol.n_days, vol.stored_longs, ex.n_exact,
+      |       CASE WHEN sk.n_sk < 256 THEN sk.n_sk
+      |            ELSE 71776119061217280 // sk.h_k END AS est
+      |FROM ex JOIN sk USING (event_type) JOIN vol USING (event_type)""".stripMargin
+  ) { (s, dir) =>
+    val E = graft.functions.expressions.GraftExpressions
+    val h = t(s, dir, "events").select(col("event_type"),
+      to_date(timestamp_millis(expr("ts_ns div 1000000"))).as("day"),
+      (conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast(LongType) + 1).as("h"))
+    // the persisted layer: one sketch per (type, day) from ONE raw pass
+    val daily = h.groupBy("event_type", "day")
+      .agg(E.kmvMins(col("h"), 256).as("sk"))
+      .localCheckpoint(true) // the cube is materialized once
+    // lossless re-merge at period grain: KmvMins over exploded sketches
+    val period = daily
+      .select(col("event_type"), explode(col("sk")).as("h"))
+      .groupBy("event_type").agg(E.kmvMins(col("h"), 256).as("sk"))
+      .select(col("event_type"),
+        expr("CASE WHEN size(sk) < 256 THEN cast(size(sk) AS BIGINT) " +
+          "ELSE 71776119061217280L div element_at(sk, 256) END").as("est"))
+    val vol = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(size(col("sk"))).cast(LongType).as("stored_longs"))
+    val ex = h.groupBy("event_type")
+      .agg(count_distinct(col("h")).as("n_exact"))
+    ex.join(broadcast(period), Seq("event_type"))
+      .join(broadcast(vol), Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("stored_longs"),
+        col("n_exact"), col("est"))
+  }
+
   /** q178: positional phrase search — the retrieval capability the
     * bag-of-words rankers (tf-idf q65, BM25 q50, RRF q171) cannot
     * express: EXACT consecutive-token phrase matches from a positional
@@ -1387,5 +1461,5 @@ object WarehouseQueries {
     distinctRollup, audienceOverlap, phraseSearch, indexBm25, indexPhrase,
     indexBoolean, prfExpansion, indexSnippet, groupingSets, unpivotSeries,
     lengthSummary, revenueDeciles, columnProfile, customerRfm,
-    kmvDistinct, kmvJaccard)
+    kmvDistinct, kmvJaccard, kmvCube)
 }
