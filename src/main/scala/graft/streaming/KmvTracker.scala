@@ -6,12 +6,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** One hashed observation for a keyed distinct-count sketch. */
 final case class KeyedHash(key: String, h: Long)
 
-/** Persisted KMV state: the k smallest distinct hashes, ascending. */
-final case class KmvState(mins: Seq[Long])
+/** Persisted KMV state: the k smallest distinct hashes (ascending)
+  * plus a per-key monotone emission version — the "log offset" a
+  * latest-per-key consumer ([[graft.state.KeyedStore.serveToStore]])
+  * orders on. */
+final case class KmvState(mins: Seq[Long], ver: Long)
 
 /** One live sketch reading: kept mins, the k-th min (0 while the
-  * sketch is unsaturated), and the cardinality estimate. */
-final case class KmvPoint(key: String, nSk: Int, hK: Long, est: Long)
+  * sketch is unsaturated), the cardinality estimate, and the key's
+  * monotone emission version. */
+final case class KmvPoint(key: String, nSk: Int, hK: Long, est: Long,
+    ver: Long)
 
 /** Streaming twin of q259's KMV distinct sketch — the live
   * distinct-users-per-key dashboard: each micro-batch's (key, hash)
@@ -45,6 +50,7 @@ object KmvTracker extends Serializable {
     def advance(key: String, rows: Iterator[KeyedHash],
         gs: GroupState[KmvState]): Iterator[KmvPoint] = {
       val set = new java.util.TreeSet[java.lang.Long]()
+      val ver = gs.getOption.map(_.ver).getOrElse(0L) + 1
       gs.getOption.foreach(_.mins.foreach(v => set.add(v)))
       rows.foreach { r =>
         if (set.size < k) { set.add(r.h); () }
@@ -57,9 +63,9 @@ object KmvTracker extends Serializable {
         set.forEach(v => b += v.longValue())
         b.result()
       }
-      gs.update(KmvState(mins))
+      gs.update(KmvState(mins, ver))
       Iterator(KmvPoint(key, mins.size,
-        if (mins.size < k) 0L else mins.last, estimate(mins, k)))
+        if (mins.size < k) 0L else mins.last, estimate(mins, k), ver))
     }
     in.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append,

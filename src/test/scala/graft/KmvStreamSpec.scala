@@ -116,6 +116,58 @@ class KmvStreamSpec extends SparkSpec {
     } finally { handle.stop(); q.stop() }
   }
 
+  test("production path: sketches persist to KeyedStore and survive kill+resume") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("kmv_store")
+      .toFile.getAbsolutePath
+    val (inDir, ckpt, store) = (s"$base/in", s"$base/ckpt", s"$base/store")
+    new java.io.File(inDir).mkdirs()
+    val all = hashed.as[KeyedHash].collect()
+    // split by HASH VALUE (not row position — every user recurs, so a
+    // positional split would put every hash in both phases): the
+    // resume proof needs phase-1 hashes ABSENT from phase 2, so a
+    // state-lost restart could never reproduce the batch sketch
+    val (a, b) = all.partition(_.h % 3 != 0)
+    val aOnly = a.map(_.h).toSet -- b.map(_.h).toSet
+    assert(aOnly.nonEmpty, "split carries no phase-1-only hashes — vacuous")
+    def writeBatch(f: String, rows: Seq[KeyedHash]): Unit = {
+      val w = new java.io.PrintWriter(s"$inDir/$f")
+      rows.foreach(r => w.println(s"""{"key":"${r.key}","h":${r.h}}"""))
+      w.close()
+    }
+    def start() = {
+      val in = spark.readStream.schema("key STRING, h LONG")
+        .json(inDir).as[KeyedHash]
+      graft.state.KeyedStore.serveToStore(
+        graft.streaming.KmvTracker.track(in, 256).toDF(),
+        Seq("key"), "ver", store, Some(ckpt))
+    }
+    writeBatch("b0.json", a.toSeq)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // the kill
+    writeBatch("b1.json", b.toSeq)
+    val q2 = start() // resume from the same checkpoint
+    try q2.processAllAvailable() finally q2.stop()
+    val got = graft.state.KeyedStore.read(spark, store)
+      .select("key", "nSk", "hK", "ver").collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val E = graft.functions.expressions.GraftExpressions
+    val exp = hashed.groupBy("key").agg(E.kmvMins(col("h"), 256).as("sk"))
+      .selectExpr("key", "size(sk) AS n_sk",
+        "CASE WHEN size(sk) < 256 THEN 0L ELSE element_at(sk, 256) END AS hk")
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got.keySet === exp.keySet)
+    for ((k, (nSk, hk)) <- exp) {
+      assert(got(k)._1 == nSk && got(k)._2 == hk,
+        s"$k: store (${got(k)._1},${got(k)._2}) != batch ($nSk,$hk) — " +
+          "tracker state did not survive the restart")
+      // ver == 2 proves the second batch FOLDED into recovered state
+      // (a state-lost restart would re-emit ver 1)
+      assert(got(k)._3 == 2L, s"$k resumed with ver ${got(k)._3}")
+    }
+  }
+
   test("estimator pin: exact below saturation, (k-1)*2^48/U_(k) at it") {
     assert(KmvTracker.estimate(Seq(10L, 20L, 30L), 256) === 3L)
     // saturated k=2: est = 1 * 2^48 / 1024
