@@ -250,5 +250,70 @@ object RetrievalQueries {
           * 1000000).cast(LongType).as("spearman_ppm"))
   }
 
-  val all: Seq[Q] = Seq(retrievalNdcg, retrievalMrr, spearmanSignals)
+  /** q268: RANK-BIASED OVERLAP (Webber, Moffat & Zobel 2010) between
+    * two top-20 product rankings — revenue-ranked vs order-count-
+    * ranked — the TOP-WEIGHTED comparison Kendall/Spearman (whole-list,
+    * uniform weight) can't express: disagreement at rank 1 matters
+    * more than at rank 20, which is exactly how dashboards and
+    * retrieval stacks are consumed. With persistence p = 1/2 every
+    * depth-d term is an EXACT dyadic rational — (1−p)p^(d−1)·ov(d)/d =
+    * ov(d)/(d·2^d) — so the whole metric is integer floor division,
+    * no transcendentals at all (the shift-not-pow discipline of
+    * q218's decay weights). Output is the full depth profile (d,
+    * overlap-at-d, term) rather than one scalar — richer to hash and
+    * to read.
+    *
+    * Windowless ranking: both top-20 lists take the bounded
+    * TakeOrdered and get ranks from the native RunningSum over the
+    * 20-row frame (the q264 pattern); ov(d) = |{common keys with
+    * max(rank_a, rank_b) ≤ d}| comes from one 20×20-bounded join
+    * against the literal depth spine. Nothing here scales with the
+    * lineitem row count except the two map-side-combined rollups. */
+  val rankBiasedOverlap: Q = Q(
+    "q268_rank_biased_overlap",
+    """WITH a AS (SELECT l_partkey AS pk,
+      |             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |               AS BIGINT) AS rev
+      |           FROM lineitem GROUP BY 1 ORDER BY rev DESC, pk LIMIT 20),
+      |ra AS (SELECT pk, CAST(row_number() OVER (ORDER BY rev DESC, pk)
+      |         AS BIGINT) AS rk FROM a),
+      |b AS (SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS n
+      |      FROM lineitem GROUP BY 1 ORDER BY n DESC, pk LIMIT 20),
+      |rb AS (SELECT pk, CAST(row_number() OVER (ORDER BY n DESC, pk)
+      |         AS BIGINT) AS rk FROM b),
+      |c AS (SELECT ra.pk, greatest(ra.rk, rb.rk) AS md
+      |      FROM ra JOIN rb USING (pk)),
+      |dep AS (SELECT CAST(g.d AS BIGINT) AS d FROM generate_series(1, 20) g(d))
+      |SELECT dep.d, CAST(count(c.pk) AS BIGINT) AS ov,
+      |       (1000000 * CAST(count(c.pk) AS BIGINT))
+      |         // (dep.d * (CAST(1 AS BIGINT) << dep.d)) AS term_u6
+      |FROM dep LEFT JOIN c ON c.md <= dep.d
+      |GROUP BY dep.d""".stripMargin
+  ) { (s, dir) =>
+    import graft.operators.Ranks
+    val li = t(s, dir, "lineitem").select("l_partkey", "l_extendedprice")
+    def ranked(metric: DataFrame, m: String): DataFrame =
+      Ranks.globalRunningSums(
+        metric.orderBy(col(m).desc, col("pk").asc).limit(20),
+        Seq(col(m).desc, col("pk").asc), Seq(lit(1L) -> "rk"))
+        .select("pk", "rk")
+    val ra = ranked(li
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .cast(LongType).as("rev")), "rev")
+    val rb = ranked(li
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("n")), "n")
+    val c = ra.join(rb.withColumnRenamed("rk", "rk_b"), Seq("pk"))
+      .select(col("pk"), greatest(col("rk"), col("rk_b")).as("md"))
+    s.range(1, 21).toDF("d")
+      .join(broadcast(c), col("md") <= col("d"), "left")
+      .groupBy("d").agg(count(col("pk")).as("ov"))
+      .select(col("d"), col("ov"),
+        expr("(1000000 * ov) div (d * shiftleft(1L, cast(d AS int)))")
+          .as("term_u6"))
+  }
+
+  val all: Seq[Q] = Seq(retrievalNdcg, retrievalMrr, spearmanSignals,
+    rankBiasedOverlap)
 }

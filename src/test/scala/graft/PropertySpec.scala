@@ -308,4 +308,23 @@ class PropertySpec extends SparkSpec {
       heap.sorted.sameElements(win.sorted)
     }, runs = 8)
   }
+
+  test("KmvMins == sorted distinct take-k, under any layout and duplication") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val E = graft.functions.expressions.GraftExpressions
+    val gen = for {
+      k <- Gen.chooseNum(1, 40)
+      // duplicates likely (narrow value range) and a negative tail —
+      // the buffer must order on the SIGNED long like the reference
+      vs <- Gen.nonEmptyListOf(Gen.chooseNum(-50L, 200L))
+      parts <- Gen.chooseNum(1, 7)
+    } yield (k, vs, parts)
+    check(Prop.forAll(gen) { case (k, vs, parts) =>
+      val got = vs.toDF("h").repartition(parts)
+        .agg(E.kmvMins(col("h"), k).as("sk"))
+        .select("sk").as[Seq[Long]].collect().head
+      got == vs.distinct.sorted.take(k)
+    }, runs = 10)
+  }
 }
