@@ -618,9 +618,64 @@ object PipelineQueries {
         (col("cum_hi") - col("w_m")).as("cum_lo"), col("cum_hi"))
   }
 
+  /** q269: MULTINOMIAL DRAWS through q264's sampling table — the
+    * table in action: 1,000 deterministic 48-bit uniforms (the q57
+    * portable-md5 machinery, salted ':draw') reduce modulo the table's
+    * total mass and probe the half-open cumulative ranges
+    * (cum_lo, cum_hi], so draw frequencies approximate each term's
+    * w/Σw share. Everything is exact integers — the modulo bias is
+    * ≤ Σw/2⁴⁸ (irrelevant at any real vocabulary mass) and EXACTLY
+    * mirrored in the oracle, so the draws are the same 1,000 terms on
+    * both engines. Output: drawn terms with observed counts next to
+    * the expected ppm share.
+    *
+    * Scale shape: the draw frame is synthesized at whatever
+    * parallelism is asked of it; the probe is a broadcast range join
+    * against the kilobyte sampling table (interval containment on a
+    * dim — the q31-class broadcast, not a shuffle); a trainer drawing
+    * billions of negatives runs this exact plan with a bigger range. */
+  val multinomialDraws: Q = Q(
+    "q269_multinomial_draws",
+    """WITH tc AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS term
+      |        FROM documents) t
+      |  GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 1000),
+      |k AS (SELECT term, cnt,
+      |        CAST(round(1000 * exp(0.75 * ln(cnt))) AS BIGINT) AS w_m
+      |      FROM tc),
+      |cum AS (SELECT term, w_m,
+      |          CAST(sum(w_m) OVER (ORDER BY cnt DESC, term ASC)
+      |            AS BIGINT) - w_m AS cum_lo,
+      |          CAST(sum(w_m) OVER (ORDER BY cnt DESC, term ASC)
+      |            AS BIGINT) AS cum_hi
+      |        FROM k),
+      |tot AS (SELECT max(cum_hi) AS t FROM cum),
+      |u AS (SELECT (CAST('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':draw'),
+      |         1, 12) AS BIGINT) % tot.t) + 1 AS u, tot.t
+      |      FROM generate_series(1, 1000) g(i) CROSS JOIN tot)
+      |SELECT c.term, CAST(count(*) AS BIGINT) AS n_drawn,
+      |       1000000 * c.w_m // u.t AS expected_u6
+      |FROM u JOIN cum c ON u.u > c.cum_lo AND u.u <= c.cum_hi
+      |GROUP BY 1, 3""".stripMargin
+  ) { (s, dir) =>
+    val tab = negSampleTable.fn(s, dir)
+    val tot = tab.agg(max(col("cum_hi")).as("t"))
+    val draws = s.range(1, 1001).toDF("i")
+      .select(conv(substring(md5(concat(col("i").cast("string"),
+        lit(":draw"))), 1, 12), 16, 10).cast(LongType).as("h"))
+      .crossJoin(broadcast(tot))
+      .select(expr("h % t + 1").as("u"), col("t"))
+    draws
+      .join(broadcast(tab),
+        col("u") > col("cum_lo") && col("u") <= col("cum_hi"))
+      .groupBy(col("term"), expr("1000000 * w_m div t").as("expected_u6"))
+      .agg(count(lit(1)).as("n_drawn"))
+      .select(col("term"), col("n_drawn"), col("expected_u6"))
+  }
+
   val all: Seq[Q] =
     Seq(decontaminate, hashSplit, mixtureSample, shardPack, domainQuota,
       corpusPipeline, groupSample, seqPack, redact, vocabTop, corpusPipelineV2,
       contaminationSpans, templateDedup, cmsHeavyHitters, frequentTerms,
-      weightedSample, negSampleTable)
+      weightedSample, negSampleTable, multinomialDraws)
 }
