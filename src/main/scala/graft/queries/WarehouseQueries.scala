@@ -788,6 +788,73 @@ object WarehouseQueries {
         col("n_exact"), col("est"))
   }
 
+  /** q270: SUPPLY-SIDE MARKET SHARE (the TPC-H Q8 shape) — per order
+    * year, each supplier nation's share of revenue sold into one
+    * market region. The one star edge the enrichment joins (q07,
+    * q200) leave unexercised in combination: TWO independent nation
+    * paths in one query — customer→nation→region gates the market,
+    * supplier→nation labels the share — so the nation dim joins twice
+    * under different roles (aliased broadcast, the classic role-
+    * playing-dimension pattern). Revenue in exact integer cents;
+    * share as one ppm floor division of exact sums.
+    *
+    * Scale shape: lineitem⋈orders is the only fact-fact join (AQE
+    * decides strategy — the q230 argument); customer at 100 TB is
+    * fact-sized so it also stays a hash join; nation/region broadcast
+    * in both roles; supplier is dimension-shaped here but fact-sized
+    * at extreme scale, so it too is left to AQE rather than pinned
+    * broadcast. Aggregation rolls to (year × nation) grain with
+    * map-side combine; the share denominator is a year-grain broadcast
+    * back onto kilobyte rows. */
+  val marketShare: Q = Q(
+    "q270_market_share",
+    """WITH rev AS (
+      |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+      |         sn.n_name AS supp_nation,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN region r ON cn.n_regionkey = r.r_regionkey
+      |  JOIN supplier s ON l_suppkey = s.s_suppkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |  WHERE r.r_name = 'ASIA'),
+      |g AS (SELECT yr, supp_nation, CAST(sum(cents) AS BIGINT) AS rev
+      |      FROM rev GROUP BY 1, 2),
+      |t AS (SELECT yr, CAST(sum(rev) AS BIGINT) AS tot FROM g GROUP BY 1)
+      |SELECT g.yr, g.supp_nation, g.rev,
+      |       1000000 * g.rev // t.tot AS share_ppm
+      |FROM g JOIN t USING (yr)""".stripMargin
+  ) { (s, dir) =>
+    val nation = t(s, dir, "nation")
+    val custSide = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast(LongType).as("yr"))
+      .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("cnk"),
+        col("n_regionkey"))), col("c_nationkey") === col("cnk"))
+      .join(broadcast(t(s, dir, "region")
+        .filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey").as("n_regionkey"))),
+        Seq("n_regionkey"))
+    val g = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .join(custSide, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+      .groupBy("yr", "supp_nation")
+      .agg(sum(col("cents")).cast(LongType).as("rev"))
+    val tot = g.groupBy("yr").agg(sum(col("rev")).as("tot"))
+    g.join(broadcast(tot), Seq("yr"))
+      .select(col("yr"), col("supp_nation"), col("rev"),
+        expr("1000000 * rev div tot").as("share_ppm"))
+  }
+
   /** q178: positional phrase search — the retrieval capability the
     * bag-of-words rankers (tf-idf q65, BM25 q50, RRF q171) cannot
     * express: EXACT consecutive-token phrase matches from a positional
@@ -1461,5 +1528,5 @@ object WarehouseQueries {
     distinctRollup, audienceOverlap, phraseSearch, indexBm25, indexPhrase,
     indexBoolean, prfExpansion, indexSnippet, groupingSets, unpivotSeries,
     lengthSummary, revenueDeciles, columnProfile, customerRfm,
-    kmvDistinct, kmvJaccard, kmvCube)
+    kmvDistinct, kmvJaccard, kmvCube, marketShare)
 }
