@@ -908,5 +908,8 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("graft_minhash_sig",
       exprs => MinHashSig(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_kmv_mins",
+      exprs => KmvMins(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression(), "scala_udf")
   }
 }

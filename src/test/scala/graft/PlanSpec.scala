@@ -1157,6 +1157,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q270: role-playing nation dim broadcasts twice; no cartesian anywhere") {
+    val p = plan("q270_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "dimension joins lost their broadcasts: " + p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "a star edge degenerated to an unkeyed join")
+  }
+
   test("q259/q260: KMV sketches aggregate with a map-side partial, no pre-distinct") {
     // the whole point of the sketch pass: ≤k longs per (partition, group)
     // ship to the exchange — a partial ObjectHashAggregate phase — and

@@ -135,6 +135,17 @@ class SketchSpec extends SparkSpec {
     assert(kmv(h, 100) === expected)
   }
 
+  test("SQL surface: graft_kmv_mins(h, k) equals the bridge form") {
+    graft.functions.expressions.GraftExpressions.register(spark)
+    val h = docs.select(explode(split(col("text"), " ")).as("term"))
+      .select((conv(substring(md5(col("term")), 1, 12), 16, 10)
+        .cast("long") + 1).as("h"))
+    h.createOrReplaceTempView("kmv_sql_in")
+    val viaSql = spark.sql("SELECT graft_kmv_mins(h, 64) AS sk FROM kmv_sql_in")
+      .select("sk").as[Seq[Long]].collect().head
+    assert(viaSql === kmv(h, 64))
+  }
+
   test("q260: union-sketch Jaccard is exact when both sets fit inside k") {
     // groups smaller than k make the sketch the set itself: estimate == exact
     val rows = Registry.byName("q260_kmv_jaccard").fn(spark, sf).collect()
