@@ -1010,7 +1010,155 @@ object StatQueries {
           "/ (CAST(n*sxx - sx*sx AS DOUBLE) * (n*syy - sy*sy))) AS BIGINT)")
           .as("r2_ppm"))
 
+  /** q271: CLIFF'S DELTA — the nonparametric effect size the q222
+    * Mann-Whitney TEST needs as its companion (a p-value says "the
+    * weekend/weekday order-value distributions differ"; δ says by how
+    * much, robustly): δ = (#{a>b} − #{a<b}) / (n_a·n_b) over all
+    * cross-group pairs. Pairs count at DISTINCT-VALUE grain (the q222/
+    * q231 discipline): with per-value histograms, #{a>b} = Σ_v
+    * a(v)·cumB(<v) off ONE range-partitioned prefix sum — never a
+    * pair join, never a global window; ties close the count exactly
+    * (lt = n_a·n_b − gt − ties). δ can be NEGATIVE, so it quantizes
+    * via one fixed-shape round(x/y) of exact integers, not a floor
+    * division (the q263 Spark-div-vs-DuckDB-floor trap). */
+  val cliffsDelta: Q = Q(
+    "q271_cliffs_delta",
+    """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+      |             CASE WHEN dayofweek(o_orderdate) IN (0, 6)
+      |               THEN 1 ELSE 0 END AS wk
+      |           FROM orders),
+      |h AS (SELECT v, CAST(sum(wk) AS BIGINT) AS b_cnt,
+      |        CAST(sum(1 - wk) AS BIGINT) AS a_cnt
+      |      FROM o GROUP BY v),
+      |c AS (SELECT v, a_cnt, b_cnt,
+      |        CAST(sum(b_cnt) OVER (ORDER BY v) AS BIGINT) AS cum_b
+      |      FROM h),
+      |t AS (SELECT CAST(sum(a_cnt) AS BIGINT) AS n_a,
+      |             CAST(sum(b_cnt) AS BIGINT) AS n_b FROM h),
+      |agg AS (SELECT
+      |    CAST(sum(a_cnt * (cum_b - b_cnt)) AS BIGINT) AS gt,
+      |    CAST(sum(a_cnt * b_cnt) AS BIGINT) AS ties
+      |  FROM c)
+      |SELECT t.n_a, t.n_b, agg.gt,
+      |       t.n_a * t.n_b - agg.gt - agg.ties AS lt, agg.ties,
+      |       CAST(round(1000000.0
+      |         * (agg.gt - (t.n_a * t.n_b - agg.gt - agg.ties))
+      |         / (t.n_a * t.n_b)) AS BIGINT) AS cliffs_delta_ppm
+      |FROM agg CROSS JOIN t""".stripMargin
+  ) { (s, dir) =>
+    import graft.operators.Ranks
+    val o = t(s, dir, "orders")
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"),
+        when(dayofweek(col("o_orderdate")).isin(1, 7), 1L)
+          .otherwise(0L).as("wk"))
+    val h = o.groupBy("v")
+      .agg(sum(col("wk")).as("b_cnt"),
+        sum(lit(1L) - col("wk")).as("a_cnt"))
+    val c = Ranks.globalRunningSums(h, Seq(col("v").asc),
+      Seq(col("b_cnt") -> "cum_b"))
+    val tot = h.agg(sum(col("a_cnt")).as("n_a"), sum(col("b_cnt")).as("n_b"))
+    c.agg(sum(col("a_cnt") * (col("cum_b") - col("b_cnt"))).as("gt"),
+        sum(col("a_cnt") * col("b_cnt")).as("ties"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"), col("gt"),
+        expr("n_a * n_b - gt - ties").as("lt"), col("ties"),
+        expr("CAST(round(1000000.0 * (gt - (n_a * n_b - gt - ties)) " +
+          "/ (n_a * n_b)) AS BIGINT)").as("cliffs_delta_ppm"))
+  }
+
+  /** q272: NELSON-AALEN cumulative hazard — q228's estimator twin
+    * from the other direction (KM multiplies survival, NA sums
+    * hazard; −ln(KM) ≈ NA, and NA is the one that decomposes into
+    * per-day increments a dashboard plots): H(t) = Σ_{dur ≤ t} d/n
+    * over the SAME cohorted, horizon-censored duration frame
+    * (`survivalDurations`). Every increment is one exact integral
+    * floor division (10⁶·d // n — nonneg, so Spark div == DuckDB //)
+    * and the cumulative sum is exact integer addition inside the same
+    * ordered fold q228 uses, with the risk set decremented by d + c
+    * per step. Oracle = the identical recursive-CTE recurrence. */
+  val nelsonAalen: Q = Q(
+    "q272_nelson_aalen",
+    """WITH RECURSIVE s AS (SELECT user_id, min(ts) AS t0 FROM events
+      |           WHERE event_type = 'signup' GROUP BY user_id),
+      |wend AS (SELECT max(ts) AS tmax FROM events),
+      |p AS (SELECT e.user_id, min(e.ts) AS tp
+      |      FROM events e JOIN s ON e.user_id = s.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > s.t0
+      |      GROUP BY e.user_id),
+      |raw AS (SELECT s.user_id, CAST(dayofweek(s.t0) AS BIGINT) AS cohort,
+      |             CASE WHEN p.tp IS NULL THEN 0 ELSE 1 END AS ev0,
+      |             CAST((epoch_ns(coalesce(p.tp, wend.tmax)) - epoch_ns(s.t0))
+      |                  // 86400000000000 AS BIGINT) AS dur0
+      |      FROM s LEFT JOIN p USING (user_id) CROSS JOIN wend),
+      |h AS (SELECT cohort,
+      |             CASE WHEN ev0 = 1 AND dur0 <= 3 THEN 1 ELSE 0 END AS ev,
+      |             least(dur0, 3) AS dur
+      |      FROM raw),
+      |grid AS (SELECT cohort, dur, CAST(sum(ev) AS BIGINT) AS d,
+      |                CAST(sum(1 - ev) AS BIGINT) AS c,
+      |                row_number() OVER (PARTITION BY cohort ORDER BY dur)
+      |                  AS rn
+      |         FROM h GROUP BY cohort, dur),
+      |tot AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n0
+      |        FROM h GROUP BY cohort),
+      |r AS (
+      |  SELECT grid.cohort, grid.rn, grid.dur, grid.d,
+      |         tot.n0 AS n_at_risk,
+      |         (1000000 * grid.d) // tot.n0 AS h_u6,
+      |         tot.n0 - grid.d - grid.c AS n_next
+      |  FROM grid JOIN tot USING (cohort) WHERE grid.rn = 1
+      |  UNION ALL
+      |  SELECT grid.cohort, grid.rn, grid.dur, grid.d,
+      |         r.n_next AS n_at_risk,
+      |         r.h_u6 + (1000000 * grid.d) // r.n_next AS h_u6,
+      |         r.n_next - grid.d - grid.c AS n_next
+      |  FROM r JOIN grid ON grid.cohort = r.cohort AND grid.rn = r.rn + 1)
+      |SELECT cohort, dur, d, n_at_risk, CAST(h_u6 AS BIGINT) AS h_u6
+      |FROM r""".stripMargin
+  ) { (s, dir) =>
+    nelsonAalenReport(t(s, dir, "events"), horizonDays = 3)
+  }
+
+  /** The NA core behind q272 (spec hand-case entry): cumulative
+    * hazard over the same frame as [[kaplanMeierReport]]. */
+  private[graft] def nelsonAalenReport(events: DataFrame,
+      horizonDays: Int): DataFrame = {
+    val h = survivalDurations(events, horizonDays)
+      .select(col("dow").as("cohort"), col("ev"), col("dur"))
+    val grid = h.groupBy("cohort", "dur")
+      .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+    val stepT = "array<struct<dur:bigint,d:bigint," +
+      "n_at_risk:bigint,h_u6:bigint,n_next:bigint>>"
+    grid.groupBy("cohort")
+      .agg(sort_array(collect_list(struct(col("dur"), col("d"), col("c"))))
+          .as("sd"),
+        sum(col("d") + col("c")).as("n0"))
+      .withColumn("ks", aggregate(col("sd"), array().cast(stepT),
+        (acc, x) => {
+          val prev = element_at(acc, -1)
+          val n = when(size(acc) === 0, col("n0"))
+            .otherwise(prev.getField("n_next"))
+          val hPrev = when(size(acc) === 0, lit(0L))
+            .otherwise(prev.getField("h_u6"))
+          // exact integral quotient: subtract the remainder first, then
+          // the double division of exactly-divisible longs (quotient
+          // ≤ 10^6 ≪ 2^53) is exact — Column./ alone would round-to-
+          // nearest and a truncating cast could land one off the floor
+          val q = lit(1000000L) * x.getField("d")
+          val hNew = hPrev + ((q - pmod(q, n)) / n).cast(LongType)
+          concat(acc, array(struct(
+            x.getField("dur").as("dur"), x.getField("d").as("d"),
+            n.as("n_at_risk"),
+            hNew.cast(LongType).as("h_u6"),
+            (n - x.getField("d") - x.getField("c")).as("n_next"))))
+        }))
+      .select(col("cohort"), explode(col("ks")).as("k"))
+      .select(col("cohort"), col("k.dur").as("dur"), col("k.d").as("d"),
+        col("k.n_at_risk").as("n_at_risk"), col("k.h_u6").as("h_u6"))
+  }
+
   val all: Seq[Q] = Seq(chiSquare, cohensKappa, acfDaily,
     cusumChangepoint, fkOrphans, winsorizedMean, sourceDriftChi2,
-    mannWhitney, welchT, kaplanMeier, logRank, olsTrend)
+    mannWhitney, welchT, kaplanMeier, logRank, olsTrend, cliffsDelta,
+    nelsonAalen)
 }

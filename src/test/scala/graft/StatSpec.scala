@@ -96,6 +96,40 @@ class StatSpec extends SparkSpec {
     assert(got.size === 3)
   }
 
+  test("Nelson-Aalen hand case: same frame as KM, additive hazard") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val base = 1704067200L * 1000000L
+    val day = 86400L * 1000000L
+    val rows = Seq(
+      (1L, "signup", base), (2L, "signup", base),
+      (3L, "signup", base), (4L, "signup", base),
+      (1L, "purchase", base + day / 2),
+      (2L, "purchase", base + day + day / 5),
+      (3L, "purchase", base + 5 * day))
+    val ev = rows.toDF("user_id", "event_type", "us")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"),
+        (col("us") * 1000L).as("ts_ns"))
+    val got = StatQueries.nelsonAalenReport(ev, horizonDays = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("dur"),
+        (r.getAs[Long]("d"), r.getAs[Long]("n_at_risk"),
+          r.getAs[Long]("h_u6"))))
+      .toMap
+    // n0=4: day0 H=1/4; day1 H=250000+1/3=583333; day3 censor-only +0
+    assert(got(0L) === ((1L, 4L, 250000L)))
+    assert(got(1L) === ((1L, 3L, 583333L)))
+    assert(got(3L) === ((0L, 2L, 583333L)), "censor-only day moved H")
+    assert(got.size === 3)
+    // the KM/NA duality on the same frame: -ln(S) ≥ H always (the
+    // product bound ln(1/(1-x)) ≥ x per step), tight for small d/n
+    val km = StatQueries.kaplanMeierReport(ev, horizonDays = 3)
+      .collect().map(r => r.getAs[Long]("dur") -> r.getAs[Long]("s_ppm")).toMap
+    for ((dur, (_, _, h)) <- got)
+      assert(-math.log(km(dur) / 1e6) * 1e6 >= h - 1,
+        s"day $dur: -ln(KM) < NA")
+  }
+
   test("log-rank hand cases: identical curves z=0; total separation") {
     def report(rows: Seq[(Long, Long, Long)]) =
       StatQueries.logRankReport(rows.toDF("grp", "ev", "dur")).head()
