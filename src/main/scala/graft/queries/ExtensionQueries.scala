@@ -1547,6 +1547,46 @@ object ExtensionQueries {
       .limit(10)
   }
 
+  /** q273: VOCABULARY RICHNESS — Good-Turing unseen mass and the
+    * bias-corrected Chao1 richness estimate per source, the coverage
+    * numbers that answer "how much vocabulary has this source NOT
+    * shown yet" next to q248's growth curve and q150/q249's coverage
+    * of what HAS been seen. From the frequency-of-frequencies: unseen
+    * mass ≈ N₁/N (Good-Turing's leave-one-out argument) and
+    * Chao1 = V + N₁(N₁−1)/(2(N₂+1)) (the bias-corrected form, defined
+    * even at N₂ = 0). Everything is exact BIGINT counts and two
+    * nonnegative floor divisions — no estimator randomness, full
+    * hash oracle. One term-grain aggregation then a source-grain
+    * rollup of the counts-of-counts; map-side combine on both. */
+  val vocabRichness: Q = Q(
+    "q273_vocab_richness",
+    """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS term
+      |           FROM documents),
+      |tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+      |       FROM w GROUP BY 1, 2),
+      |s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tok,
+      |        CAST(count(*) AS BIGINT) AS v_obs,
+      |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |        CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |      FROM tc GROUP BY 1)
+      |SELECT source, n_tok, v_obs, n1, n2,
+      |       1000000 * n1 // n_tok AS unseen_ppm,
+      |       v_obs + (n1 * (n1 - 1)) // (2 * (n2 + 1)) AS chao1
+      |FROM s""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("v_obs"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("source"), col("n_tok"), col("v_obs"), col("n1"),
+        col("n2"),
+        expr("1000000 * n1 div n_tok").as("unseen_ppm"),
+        expr("v_obs + (n1 * (n1 - 1)) div (2 * (n2 + 1))").as("chao1"))
+  }
+
   val all: Seq[Q] = Seq(editDedup, corpusCube, tokenTruncate, funnel,
     collocations, containment, dupRateBySource, gapFilledSeries,
     lengthTrim, oovRate, splitLeakage, lmQualitySelect, boilerplate,
@@ -1555,5 +1595,5 @@ object ExtensionQueries {
     normDedup, epochPlan, sourceKl, crossSourceDupMatrix,
     tokenLengthHistogram, zipfSlope, splitBalance, budgetSweep,
     dupSpanStrip, spanRateBySource, bloomDecontaminate, contaminationAudit,
-    hashClassifier, corpusPipelineV3, textrankKeywords)
+    hashClassifier, corpusPipelineV3, textrankKeywords, vocabRichness)
 }

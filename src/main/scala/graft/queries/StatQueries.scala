@@ -1157,8 +1157,84 @@ object StatQueries {
         col("k.n_at_risk").as("n_at_risk"), col("k.h_u6").as("h_u6"))
   }
 
+  /** q274: CUPED variance reduction (Deng et al. 2013) — the
+    * experimentation-analytics staple the test family (q222/q223)
+    * leads into: adjust each user's post-period metric y by their
+    * PRE-period covariate x, ŷ = y − θ(x − x̄) with θ = cov(x,y)/var(x),
+    * so the group-mean comparison sheds the variance x explains. The
+    * harness: pre/post = the corpus' first/second half by time
+    * (mid = mn + (mx−mn)/2 in exact epoch-nanos — written that way
+    * because mn+mx overflows int64), "assignment" = user_id parity (a
+    * synthetic A/B split exercising the METHOD — the scaladoc makes no
+    * causal claim). All five moments are exact BIGINTs off one
+    * user-grain aggregation; θ and the adjusted means are fixed-shape
+    * doubles over identical integers on both engines (the q262
+    * discipline), reported in milli.
+    *
+    * Scale shape: one events scan → user grain (map-side combine),
+    * then a 2-row group frame × a 1-row moment frame — nothing after
+    * the first aggregation scales with events. */
+  val cuped: Q = Q(
+    "q274_cuped",
+    """WITH bnd AS (SELECT min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+      |             FROM events),
+      |u AS (SELECT user_id, user_id % 2 AS grp,
+      |        CAST(sum(CASE WHEN epoch_ns(ts) <
+      |              bnd.mn + (bnd.mx - bnd.mn) // 2
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |        CAST(sum(CASE WHEN epoch_ns(ts) >=
+      |              bnd.mn + (bnd.mx - bnd.mn) // 2
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |      FROM events CROSS JOIN bnd GROUP BY 1, 2),
+      |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS ng,
+      |        CAST(sum(x) AS BIGINT) AS sxg, CAST(sum(y) AS BIGINT) AS syg
+      |      FROM u GROUP BY 1),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |        CAST(sum(x * y) AS BIGINT) AS sxy,
+      |        CAST(sum(x * x) AS BIGINT) AS sxx
+      |      FROM u)
+      |SELECT g.grp, g.ng,
+      |  CAST(round(1000.0 * CAST(g.syg AS DOUBLE) / g.ng) AS BIGINT)
+      |    AS raw_mean_milli,
+      |  CAST(round(1000.0 * (CAST(g.syg AS DOUBLE) / g.ng
+      |    - (CAST(m.n*m.sxy - m.sx*m.sy AS DOUBLE) / (m.n*m.sxx - m.sx*m.sx))
+      |      * (CAST(g.sxg AS DOUBLE) / g.ng - CAST(m.sx AS DOUBLE) / m.n)))
+      |    AS BIGINT) AS cuped_mean_milli,
+      |  CAST(round(1000.0 * CAST(m.n*m.sxy - m.sx*m.sy AS DOUBLE)
+      |    / (m.n*m.sxx - m.sx*m.sx)) AS BIGINT) AS theta_milli
+      |FROM g CROSS JOIN m""".stripMargin
+  ) { (s, dir) =>
+    val u = t(s, dir, "events")
+      .select(col("user_id"), col("ts_ns"))
+      .crossJoin(broadcast(t(s, dir, "events")
+        .agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx"))))
+      .groupBy(col("user_id"), expr("user_id % 2").as("grp"))
+      .agg(
+        sum(when(col("ts_ns") < expr("mn + (mx - mn) div 2"), 1L)
+          .otherwise(0L)).as("x"),
+        sum(when(col("ts_ns") >= expr("mn + (mx - mn) div 2"), 1L)
+          .otherwise(0L)).as("y"))
+    val g = u.groupBy("grp").agg(count(lit(1)).as("ng"),
+      sum(col("x")).as("sxg"), sum(col("y")).as("syg"))
+    val m = u.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    g.crossJoin(broadcast(m))
+      .select(col("grp"), col("ng"),
+        expr("CAST(round(1000.0 * CAST(syg AS DOUBLE) / ng) AS BIGINT)")
+          .as("raw_mean_milli"),
+        expr("CAST(round(1000.0 * (CAST(syg AS DOUBLE) / ng " +
+          "- (CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx)) " +
+          "* (CAST(sxg AS DOUBLE) / ng - CAST(sx AS DOUBLE) / n))) " +
+          "AS BIGINT)").as("cuped_mean_milli"),
+        expr("CAST(round(1000.0 * CAST(n*sxy - sx*sy AS DOUBLE) " +
+          "/ (n*sxx - sx*sx)) AS BIGINT)").as("theta_milli"))
+  }
+
   val all: Seq[Q] = Seq(chiSquare, cohensKappa, acfDaily,
     cusumChangepoint, fkOrphans, winsorizedMean, sourceDriftChi2,
     mannWhitney, welchT, kaplanMeier, logRank, olsTrend, cliffsDelta,
-    nelsonAalen)
+    nelsonAalen, cuped)
 }
