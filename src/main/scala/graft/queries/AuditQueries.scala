@@ -1296,10 +1296,88 @@ object AuditQueries {
           .cast(LongType).as("chi2_contrib_u6"))
   }
 
+  /** q275: corpus pipeline v6 — the KMV SKETCH AS A PIPELINE STAGE
+    * (the q62/q74/q120/q143/q167 composition tradition, now with the
+    * r11 sketch tier inline): exact dedup (q11's min-id-per-digest
+    * keep rule) → per-source corpus accounting over the SURVIVORS
+    * where the distinct-vocabulary number comes from the KMV sketch
+    * (at 100 TB the audit column that would otherwise cost a second
+    * distinct shuffle per report ships ≤ k longs per source) →
+    * temperature-sampling mixture weights (q245's exact ⌊√n⌋ form) on
+    * the deduped token mass. Everything deterministic — the sketch
+    * included — so ONE hash check pins every stage contract
+    * end-to-end.
+    *
+    * Scale shape: dedup is one digest groupBy; the survivor join keys
+    * on doc_id; the token pass feeds BOTH the exact counts and the
+    * sketch in one aggregation pair at source grain; the weight
+    * normalizer is a 1-row broadcast. No stage shuffles text twice. */
+  val corpusPipelineV6: Q = Q(
+    "q275_corpus_pipeline_v6",
+    """WITH keep AS (SELECT min(doc_id) AS doc_id
+      |              FROM documents GROUP BY md5(text)),
+      |d AS (SELECT dd.doc_id, dd.source, dd.text
+      |      FROM documents dd JOIN keep USING (doc_id)),
+      |w AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM d),
+      |h AS (SELECT DISTINCT source,
+      |        CAST('0x' || substr(md5(term), 1, 12) AS BIGINT) + 1 AS h
+      |      FROM w),
+      |r AS (SELECT source, h,
+      |        row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+      |      FROM h),
+      |sk AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sk,
+      |         CAST(max(CASE WHEN rk = 256 THEN h END) AS BIGINT) AS h_k
+      |       FROM r WHERE rk <= 256 GROUP BY 1),
+      |est AS (SELECT source,
+      |          CASE WHEN n_sk < 256 THEN n_sk
+      |               ELSE 71776119061217280 // h_k END AS est_terms
+      |        FROM sk),
+      |tok AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tok
+      |        FROM w GROUP BY 1),
+      |docs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |         FROM d GROUP BY 1),
+      |wt AS (SELECT source,
+      |         CAST(floor(sqrt(CAST(n_tok AS DOUBLE))) AS BIGINT) AS w_raw
+      |       FROM tok),
+      |twt AS (SELECT CAST(sum(w_raw) AS BIGINT) AS tot FROM wt)
+      |SELECT docs.source, docs.n_docs, tok.n_tok, est.est_terms,
+      |       1000000 * wt.w_raw // twt.tot AS weight_ppm
+      |FROM docs JOIN tok USING (source) JOIN est USING (source)
+      |JOIN wt USING (source) CROSS JOIN twt""".stripMargin
+  ) { (s, dir) =>
+    val E = graft.functions.expressions.GraftExpressions
+    val keep = t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("th"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val d = t(s, dir, "documents").join(keep, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("text"))
+      .localCheckpoint(true) // survivors feed three source-grain reads
+    val w = d.select(col("source"),
+      explode(split(col("text"), " ")).as("term"))
+      .select(col("source"),
+        (conv(substring(md5(col("term")), 1, 12), 16, 10)
+          .cast(LongType) + 1).as("h"))
+    val est = w.groupBy("source").agg(E.kmvMins(col("h"), 256).as("sk"))
+      .select(col("source"),
+        expr("CASE WHEN size(sk) < 256 THEN cast(size(sk) AS BIGINT) " +
+          "ELSE 71776119061217280L div element_at(sk, 256) END")
+          .as("est_terms"))
+    val tok = w.groupBy("source").agg(count(lit(1)).as("n_tok"))
+      .withColumn("w_raw",
+        floor(sqrt(col("n_tok").cast("double"))).cast(LongType))
+    val docs = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val twt = tok.agg(sum(col("w_raw")).as("tot"))
+    docs.join(tok, Seq("source")).join(broadcast(est), Seq("source"))
+      .crossJoin(broadcast(twt))
+      .select(col("source"), col("n_docs"), col("n_tok"), col("est_terms"),
+        expr("1000000 * w_raw div tot").as("weight_ppm"))
+  }
+
   val all: Seq[Q] = Seq(embeddingAudit, hardNegatives, packingEfficiency,
     sentenceDedup, vocabCoverage, dedupLineage, mixedDomain, knnLabelPurity,
     hardNegativesAnn, semanticDupMatrix, embeddingCoverage, dedupAgreement,
     topBoilerplate, activityGini, curriculumPlan, zorderPlan, saltingPlan,
     minhashCalibration, sentenceStrip, lengthBatching, qualityBudgetFill,
-    corpusPipelineV5, benfordAudit)
+    corpusPipelineV5, benfordAudit, corpusPipelineV6)
 }
