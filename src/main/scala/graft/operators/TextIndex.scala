@@ -603,6 +603,37 @@ object TextIndex {
         col("score").cast("long").as("score_u6"), col("rn"))
   }
 
+  /** FUZZY retrieval FROM THE INDEX — the "did you mean" probe: each
+    * query term expands to every DICTIONARY term within `maxDist`
+    * plain Levenshtein (an exact-vocabulary term expands to itself
+    * plus its neighbors), and the expanded term set scores through
+    * [[bm25Micros]] with the usual bounded-heap top-k. The dictionary
+    * is the index's own term relation (column-pruned postings read —
+    * vocabulary grain, not corpus grain) and the expansion joins it
+    * against the BROADCAST query terms with the distance as the
+    * predicate: vocabulary × |query terms| comparisons, the q31-class
+    * broadcast shape, never a corpus scan. A production deployment
+    * with a large vocabulary would add a length/prefix blocking key
+    * exactly like [[graft.operators.Dedup]]'s edit-distance family;
+    * at dictionary grain the broadcast form is already the right
+    * plan. Returns (query_id, doc_id, score_u6, rn). */
+  def fuzzyBm25(spark: SparkSession, root: String, queries: DataFrame,
+      maxDist: Int, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(isBuilt(spark, root), s"no text index at $root (run ensure first)")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val dict = readPostings(spark, root).select("term").distinct()
+    val expanded = dict
+      .join(broadcast(queries.select(col("query_id"),
+        col("term").as("qterm")).distinct()),
+        levenshtein(col("term"), col("qterm")) <= maxDist)
+      .select("query_id", "term").distinct()
+    Sampling.quotaPerGroup(
+      bm25Micros(spark, root, expanded, k1, b),
+      Seq("query_id"), col("score_u6").cast("double"), col("doc_id"), k)
+      .select(col("query_id"), col("id").as("doc_id"),
+        col("score").cast("long").as("score_u6"), col("rn"))
+  }
+
   /** Phrase hits served FROM THE INDEX — same output contract as
     * q178's corpus-scan form (phrase, n_docs, n_occurrences), exact:
     * the (doc, phrase, pos − idx) grouping with count(DISTINCT idx)

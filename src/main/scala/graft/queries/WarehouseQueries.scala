@@ -714,6 +714,53 @@ object WarehouseQueries {
       .withColumn("err_ppm", abs(col("kmv_ppm") - col("exact_ppm")))
   }
 
+  /** q276: FUZZY retrieval from the persisted index — the "did you
+    * mean" capability the exact-term probes (q179 BM25, q198 boolean)
+    * can't answer: misspelled query terms expand to every dictionary
+    * term within Levenshtein 1 (an exact term keeps itself plus
+    * neighbors — 'sow' fans to BOTH 'slow' and 'row', 'key' to
+    * itself) and the expanded set scores through the micro-quantized
+    * BM25, top-10 per query on the bounded heap. The expansion joins
+    * the index's OWN term dictionary (vocabulary grain, column-pruned
+    * postings read) against broadcast query terms — never a corpus
+    * scan; scores stay exact BIGINT micros so the fuzzy path
+    * hash-oracles end-to-end like q179/q198. */
+  val indexFuzzy: Q = Q(
+    "q276_index_fuzzy",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |d AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+      |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM d GROUP BY 1, 2, 3),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                 CAST(sum(len(ws)) AS DOUBLE) / count(*) AS avgdl
+      |          FROM w),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |qs(query_id, qterm) AS (VALUES (1, 'spak'), (2, 'filtr'),
+      |  (3, 'window'), (4, 'haash'), (5, 'qury'), (6, 'sow'), (7, 'key')),
+      |ex AS (SELECT DISTINCT qs.query_id, df.term
+      |       FROM qs JOIN df ON levenshtein(qs.qterm, df.term) <= 1),
+      |sc AS (SELECT ex.query_id, tf.doc_id,
+      |         CAST(sum(CAST(round(
+      |           ln((n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      |             * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |             * 1000000.0) AS BIGINT)) AS BIGINT) AS score_u6
+      |       FROM ex JOIN tf ON ex.term = tf.term
+      |       JOIN df ON tf.term = df.term
+      |       CROSS JOIN stats
+      |       GROUP BY 1, 2),
+      |r AS (SELECT query_id, doc_id, score_u6,
+      |        CAST(row_number() OVER (PARTITION BY query_id
+      |             ORDER BY score_u6 DESC, doc_id) AS BIGINT) AS rn
+      |      FROM sc)
+      |SELECT query_id, doc_id, score_u6, rn FROM r WHERE rn <= 10""".stripMargin
+  ) { (s, dir) =>
+    import s.implicits._
+    val fq = Seq((1L, "spak"), (2L, "filtr"), (3L, "window"),
+      (4L, "haash"), (5L, "qury"), (6L, "sow"), (7L, "key"))
+      .toDF("query_id", "term")
+    TextIndex.fuzzyBm25(s, textIndex(s, dir), fq, maxDist = 1, k = 10)
+  }
+
   /** q267: KMV DATACUBE — the q175 pre-aggregation pattern with a
     * PROOF in the plan and a hash oracle: per-(type, day) KMV sketches
     * re-aggregate to period grain by re-running `KmvMins` over the
@@ -1528,5 +1575,5 @@ object WarehouseQueries {
     distinctRollup, audienceOverlap, phraseSearch, indexBm25, indexPhrase,
     indexBoolean, prfExpansion, indexSnippet, groupingSets, unpivotSeries,
     lengthSummary, revenueDeciles, columnProfile, customerRfm,
-    kmvDistinct, kmvJaccard, kmvCube, marketShare)
+    kmvDistinct, kmvJaccard, kmvCube, marketShare, indexFuzzy)
 }
