@@ -329,6 +329,92 @@ object StreamBench {
     } finally q.stop()
   }
 
+  /** One micro-batch of skewed windowed events: each batch is one
+    * 1-second event-time window; half the mass lands on 10 hot keys,
+    * the rest spreads over 997 cold ones — the Zipf-ish shape
+    * Misra-Gries exists for. */
+  def hhBatch(i: Int, rows: Int): Seq[(java.sql.Timestamp, String)] =
+    (0 until rows).map { j =>
+      val keyId = if (j % 2 == 0) j % 10 else 10 + (j % 997)
+      (new java.sql.Timestamp(i.toLong * 1000L + (j % 1000)), "k" + keyId)
+    }
+
+  /** Feed `batches` one-window micro-batches through
+    * [[graft.streaming.HeavyHitters.windowedTopK]] (two chained
+    * transformWithState stages: salted Misra-Gries shards → per-window
+    * merge, RocksDB state) plus a flush batch that closes every
+    * window, and time the processing, warmup excluded. Accounting:
+    * every emitted (window, key) estimate must satisfy the Misra-Gries
+    * bound est ≤ true ≤ est + maxErr against exact counts of the fed
+    * rows, and each window's 3 hottest true keys must be present in
+    * its emitted top-k (they sit far above the error bound by
+    * construction). */
+  def runHeavyHitters(spark: SparkSession, batchRows: Int,
+      batches: Int): Result = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val name = s"sb_hh_${batchRows}_$batches"
+    val q = graft.streaming.HeavyHitters.windowedTopK(
+      ms.toDS().toDF("ts", "key"), "ts", "key",
+      windowMillis = 1000L, graceMillis = 0L, capacity = 64, k = 10)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // warmup occupies window 0 — it must sit BELOW the measured
+      // windows: a warmup past them would advance the event-time
+      // watermark and turn every measured row into dropped late data
+      val warmupRows = math.max(10, math.min(batchRows, 1000))
+      ms.addData(hhBatch(0, warmupRows))
+      q.processAllAvailable()
+      val feeds = (1 to batches).map(i => hhBatch(i, batchRows))
+      val t0 = System.nanoTime()
+      feeds.foreach { f => ms.addData(f); q.processAllAvailable() }
+      // the flush closes every fed window (event time past all ends)
+      ms.addData(Seq((new java.sql.Timestamp(
+        (batches + 10).toLong * 1000L), "flush")))
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val total = batchRows.toLong * batches
+      val truth: Map[(Long, String), Long] = feeds.flatten
+        .groupBy(r => (r._1.getTime / 1000L * 1000L, r._2))
+        .map { case (k, xs) => k -> xs.size.toLong }
+      val emitted: Array[(Long, String, Long, Long)] = spark.table(name)
+        .filter(org.apache.spark.sql.functions.col("key").isNotNull)
+        .select("windowStart", "key", "estCount", "maxErr")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1),
+          r.getLong(2), r.getLong(3)))
+        .filter(t => t._1 / 1000L >= 1 && t._1 / 1000L <= batches)
+      require(emitted.nonEmpty, "heavy hitters: no windows emitted")
+      emitted.foreach { case (ws, k, est, err) =>
+        val tru = truth.getOrElse((ws, k), 0L)
+        require(est <= tru && tru <= est + err,
+          s"MG bound broke for window $ws key $k: est=$est err=$err true=$tru")
+      }
+      val byWindow = emitted.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      (1 to batches).foreach { i =>
+        val ws = i.toLong * 1000L
+        val top3 = truth.collect { case ((w, k), c) if w == ws => k -> c }
+          .toSeq.sortBy(-_._2).take(3).map(_._1)
+        val got = byWindow.getOrElse(ws, Set.empty)
+        top3.foreach(k => require(got.contains(k),
+          s"window $ws lost true heavy hitter $k (got $got)"))
+      }
+      Result(batchRows, batches, 1007, total, total, sec, total / sec)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   private def runsJson(results: Seq[Result]): String = results.map { r =>
     s"""{"batch_rows":${r.batchRows},"batches":${r.batches},""" +
       s""""keys":${r.keys},"total_rows":${r.totalRows},""" +
@@ -377,6 +463,12 @@ object StreamBench {
       runKmv(spark, rows, n)
     }
     println(s"""{"metric":"kmv_rows_per_sec","runs":${runsJson(kmvResults)}}""")
+    val hhSizes = Seq((10000, 10), (100000, 5))
+    val hhResults = hhSizes.map { case (rows, n) =>
+      System.err.println(s"[streambench] heavyhitters batchRows=$rows batches=$n")
+      runHeavyHitters(spark, rows, n)
+    }
+    println(s"""{"metric":"heavyhitters_rows_per_sec","runs":${runsJson(hhResults)}}""")
     spark.stop()
     if (results.exists(r => r.storedRows != r.totalRows) ||
       (dedupResults ++ nearResults)

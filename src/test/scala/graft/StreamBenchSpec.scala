@@ -72,4 +72,13 @@ class StreamBenchSpec extends SparkSpec {
     assert(r.keys === 37)
     assert(r.rowsPerSec > 0.0)
   }
+
+  test("heavy-hitters micro-bench: MG bounds hold and true hitters survive") {
+    // runHeavyHitters REQUIRE-asserts per emitted key est <= true <=
+    // est + maxErr against exact recounts, and that each window's 3
+    // hottest true keys appear in the emitted top-k
+    val r = StreamBench.runHeavyHitters(spark, batchRows = 2000, batches = 2)
+    assert(r.totalRows === 4000L)
+    assert(r.rowsPerSec > 0.0)
+  }
 }
