@@ -1233,8 +1233,135 @@ object StatQueries {
           "/ (n*sxx - sx*sx)) AS BIGINT)").as("theta_milli"))
   }
 
+  /** q277: DIFFERENCE-IN-DIFFERENCES on q274's frame — the other
+    * workhorse of observational experiment analytics: the treatment
+    * effect as (post − pre) in the treated group MINUS (post − pre) in
+    * the control, so any level difference between groups and any
+    * common time trend both cancel. Same synthetic-parity assignment
+    * and exact-nanos midpoint split as q274 (method harness, no causal
+    * claim); the estimate is one fixed-shape double over four exact
+    * BIGINT sums and two counts. Output also carries each group's own
+    * (post − pre) in milli — the two "trend" legs a DiD reader checks
+    * before trusting the difference. */
+  val diffInDiff: Q = Q(
+    "q277_diff_in_diff",
+    """WITH bnd AS (SELECT min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+      |             FROM events),
+      |u AS (SELECT user_id, user_id % 2 AS grp,
+      |        CAST(sum(CASE WHEN epoch_ns(ts) <
+      |              bnd.mn + (bnd.mx - bnd.mn) // 2
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS x,
+      |        CAST(sum(CASE WHEN epoch_ns(ts) >=
+      |              bnd.mn + (bnd.mx - bnd.mn) // 2
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS y
+      |      FROM events CROSS JOIN bnd GROUP BY 1, 2),
+      |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS ng,
+      |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+      |      FROM u GROUP BY 1),
+      |w AS (SELECT
+      |        max(CASE WHEN grp = 1 THEN ng END) AS nt,
+      |        max(CASE WHEN grp = 1 THEN sx END) AS sxt,
+      |        max(CASE WHEN grp = 1 THEN sy END) AS syt,
+      |        max(CASE WHEN grp = 0 THEN ng END) AS nc,
+      |        max(CASE WHEN grp = 0 THEN sx END) AS sxc,
+      |        max(CASE WHEN grp = 0 THEN sy END) AS syc
+      |      FROM g)
+      |SELECT nt, nc,
+      |  CAST(round(1000.0 * (CAST(syt AS DOUBLE) - sxt) / nt) AS BIGINT)
+      |    AS trend_t_milli,
+      |  CAST(round(1000.0 * (CAST(syc AS DOUBLE) - sxc) / nc) AS BIGINT)
+      |    AS trend_c_milli,
+      |  CAST(round(1000.0 * ((CAST(syt AS DOUBLE) - sxt) / nt
+      |    - (CAST(syc AS DOUBLE) - sxc) / nc)) AS BIGINT) AS did_milli
+      |FROM w""".stripMargin
+  ) { (s, dir) =>
+    val u = t(s, dir, "events")
+      .select(col("user_id"), col("ts_ns"))
+      .crossJoin(broadcast(t(s, dir, "events")
+        .agg(min(col("ts_ns")).as("mn"), max(col("ts_ns")).as("mx"))))
+      .groupBy(col("user_id"), expr("user_id % 2").as("grp"))
+      .agg(
+        sum(when(col("ts_ns") < expr("mn + (mx - mn) div 2"), 1L)
+          .otherwise(0L)).as("x"),
+        sum(when(col("ts_ns") >= expr("mn + (mx - mn) div 2"), 1L)
+          .otherwise(0L)).as("y"))
+    u.groupBy("grp").agg(count(lit(1)).as("ng"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+      .agg(
+        max(when(col("grp") === 1, col("ng"))).as("nt"),
+        max(when(col("grp") === 1, col("sx"))).as("sxt"),
+        max(when(col("grp") === 1, col("sy"))).as("syt"),
+        max(when(col("grp") === 0, col("ng"))).as("nc"),
+        max(when(col("grp") === 0, col("sx"))).as("sxc"),
+        max(when(col("grp") === 0, col("sy"))).as("syc"))
+      .select(col("nt"), col("nc"),
+        expr("CAST(round(1000.0 * (CAST(syt AS DOUBLE) - sxt) / nt) " +
+          "AS BIGINT)").as("trend_t_milli"),
+        expr("CAST(round(1000.0 * (CAST(syc AS DOUBLE) - sxc) / nc) " +
+          "AS BIGINT)").as("trend_c_milli"),
+        expr("CAST(round(1000.0 * ((CAST(syt AS DOUBLE) - sxt) / nt " +
+          "- (CAST(syc AS DOUBLE) - sxc) / nc)) AS BIGINT)").as("did_milli"))
+  }
+
+  /** q278: MEDIAN TIME-TO-CONVERT from the q228 KM curve — the single
+    * number a dashboard quotes from the whole curve: the first day the
+    * cohort's survival drops to ≤ 50% (exact ppm compare, so "median"
+    * is the standard KM-median read-off). Cohorts that never cross
+    * within the horizon drop out (their median is right-censored —
+    * reporting a number would be wrong, and the absence IS the
+    * answer). A 4-line composition over the registered KM machinery —
+    * the curve itself is already hash-oracled; this pins the read-off
+    * rule on both engines. */
+  val medianSurvival: Q = Q(
+    "q278_median_survival",
+    """WITH RECURSIVE s AS (SELECT user_id, min(ts) AS t0 FROM events
+      |           WHERE event_type = 'signup' GROUP BY user_id),
+      |wend AS (SELECT max(ts) AS tmax FROM events),
+      |p AS (SELECT e.user_id, min(e.ts) AS tp
+      |      FROM events e JOIN s ON e.user_id = s.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > s.t0
+      |      GROUP BY e.user_id),
+      |raw AS (SELECT s.user_id, CAST(dayofweek(s.t0) AS BIGINT) AS cohort,
+      |             CASE WHEN p.tp IS NULL THEN 0 ELSE 1 END AS ev0,
+      |             CAST((epoch_ns(coalesce(p.tp, wend.tmax)) - epoch_ns(s.t0))
+      |                  // 86400000000000 AS BIGINT) AS dur0
+      |      FROM s LEFT JOIN p USING (user_id) CROSS JOIN wend),
+      |h AS (SELECT cohort,
+      |             CASE WHEN ev0 = 1 AND dur0 <= 3 THEN 1 ELSE 0 END AS ev,
+      |             least(dur0, 3) AS dur
+      |      FROM raw),
+      |grid AS (SELECT cohort, dur, CAST(sum(ev) AS BIGINT) AS d,
+      |                CAST(sum(1 - ev) AS BIGINT) AS c,
+      |                row_number() OVER (PARTITION BY cohort ORDER BY dur)
+      |                  AS rn
+      |         FROM h GROUP BY cohort, dur),
+      |tot AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n0
+      |        FROM h GROUP BY cohort),
+      |r AS (
+      |  SELECT grid.cohort, grid.rn, grid.dur, grid.d, grid.c,
+      |         tot.n0 AS n_at_risk,
+      |         (1000000 * (tot.n0 - grid.d)) // tot.n0 AS s_ppm
+      |  FROM grid JOIN tot USING (cohort) WHERE grid.rn = 1
+      |  UNION ALL
+      |  SELECT grid.cohort, grid.rn, grid.dur, grid.d, grid.c,
+      |         r.n_at_risk - r.d - r.c AS n_at_risk,
+      |         (r.s_ppm * ((r.n_at_risk - r.d - r.c) - grid.d))
+      |            // (r.n_at_risk - r.d - r.c) AS s_ppm
+      |  FROM r JOIN grid ON grid.cohort = r.cohort AND grid.rn = r.rn + 1)
+      |SELECT cohort,
+      |       CAST(min(CASE WHEN s_ppm <= 500000 THEN dur END) AS BIGINT)
+      |         AS median_dur
+      |FROM r GROUP BY cohort
+      |HAVING min(CASE WHEN s_ppm <= 500000 THEN dur END) IS NOT NULL"""
+      .stripMargin
+  ) { (s, dir) =>
+    kaplanMeierReport(t(s, dir, "events"), horizonDays = 3)
+      .filter(col("s_ppm") <= 500000L)
+      .groupBy("cohort").agg(min(col("dur")).as("median_dur"))
+  }
+
   val all: Seq[Q] = Seq(chiSquare, cohensKappa, acfDaily,
     cusumChangepoint, fkOrphans, winsorizedMean, sourceDriftChi2,
     mannWhitney, welchT, kaplanMeier, logRank, olsTrend, cliffsDelta,
-    nelsonAalen, cuped)
+    nelsonAalen, cuped, diffInDiff, medianSurvival)
 }
