@@ -1547,6 +1547,85 @@ object ExtensionQueries {
       .limit(10)
   }
 
+  /** q279: DUNNING G² collocation significance (Dunning 1993) — the
+    * log-likelihood-ratio test q82's lift ranking lacks: lift says a
+    * bigram is surprising, G² says whether the evidence is SUFFICIENT
+    * (a 2-occurrence pair can have huge lift and no significance —
+    * exactly the sparse-count regime chi-square/lift mislead in, which
+    * is why collocation extraction standardized on G²). Per adjacent
+    * bigram: the 2×2 table (k11 = pair count against the
+    * first-word/second-word margins over all B bigram slots), G² =
+    * 2Σ k·ln(k·B/(row·col)) with empty cells contributing zero. Each
+    * cell's term micro-quantizes from exact BIGINT counts before the
+    * order-immune sum (the q194 chi-square discipline on the LLR
+    * statistic). Same ≥5-occurrence floor as q82. */
+  val dunningG2: Q = Q(
+    "q279_collocations_g2",
+    """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |b AS (SELECT unnest(list_transform(range(1, len(ws)), i ->
+      |        struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS bg
+      |      FROM w WHERE len(ws) >= 2),
+      |bg2 AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM b),
+      |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS k11
+      |       FROM bg2 GROUP BY 1, 2 HAVING count(*) >= 5),
+      |r1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS r FROM bg2 GROUP BY 1),
+      |c1 AS (SELECT w2, CAST(count(*) AS BIGINT) AS c FROM bg2 GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS bb FROM bg2),
+      |cells AS (SELECT c2.w1, c2.w2, c2.k11,
+      |            r1.r - c2.k11 AS k12, c1.c - c2.k11 AS k21,
+      |            tot.bb - r1.r - c1.c + c2.k11 AS k22,
+      |            r1.r AS r, c1.c AS c, tot.bb AS bb
+      |          FROM c2 JOIN r1 USING (w1) JOIN c1 USING (w2) CROSS JOIN tot)
+      |SELECT w1, w2, k11,
+      |  CAST(round(2000000.0 * k11
+      |      * ln(CAST(k11 AS DOUBLE) * bb / (CAST(r AS DOUBLE) * c)))
+      |      AS BIGINT)
+      |  + CASE WHEN k12 = 0 THEN 0 ELSE
+      |      CAST(round(2000000.0 * k12
+      |        * ln(CAST(k12 AS DOUBLE) * bb
+      |            / (CAST(r AS DOUBLE) * (bb - c)))) AS BIGINT) END
+      |  + CASE WHEN k21 = 0 THEN 0 ELSE
+      |      CAST(round(2000000.0 * k21
+      |        * ln(CAST(k21 AS DOUBLE) * bb
+      |            / (CAST(bb - r AS DOUBLE) * c))) AS BIGINT) END
+      |  + CASE WHEN k22 = 0 THEN 0 ELSE
+      |      CAST(round(2000000.0 * k22
+      |        * ln(CAST(k22 AS DOUBLE) * bb
+      |            / (CAST(bb - r AS DOUBLE) * (bb - c)))) AS BIGINT) END
+      |  AS g2_u6
+      |FROM cells""".stripMargin
+  ) { (s, dir) =>
+    val ws = t(s, dir, "documents").select(split(col("text"), " ").as("ws"))
+    val bg = ws.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(slice(ws, 1, size(ws) - 1), " +
+          "(w, i) -> struct(w AS w1, element_at(ws, i + 2) AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("k11"))
+      .filter(col("k11") >= 5)
+    val r1 = bg.groupBy("w1").agg(count(lit(1)).as("r"))
+    val c1 = bg.groupBy("w2").agg(count(lit(1)).as("c"))
+    val tot = bg.agg(count(lit(1)).as("bb"))
+    c2.join(r1, Seq("w1")).join(c1, Seq("w2")).crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("k11"),
+        (col("r") - col("k11")).as("k12"), (col("c") - col("k11")).as("k21"),
+        expr("bb - r - c + k11").as("k22"), col("r"), col("c"), col("bb"))
+      .select(col("w1"), col("w2"), col("k11"),
+        (expr("CAST(round(2000000.0 * k11 " +
+          "* ln(CAST(k11 AS DOUBLE) * bb / (CAST(r AS DOUBLE) * c))) " +
+          "AS BIGINT)")
+          + expr("CASE WHEN k12 = 0 THEN 0L ELSE " +
+            "CAST(round(2000000.0 * k12 * ln(CAST(k12 AS DOUBLE) * bb " +
+            "/ (CAST(r AS DOUBLE) * (bb - c)))) AS BIGINT) END")
+          + expr("CASE WHEN k21 = 0 THEN 0L ELSE " +
+            "CAST(round(2000000.0 * k21 * ln(CAST(k21 AS DOUBLE) * bb " +
+            "/ (CAST(bb - r AS DOUBLE) * c))) AS BIGINT) END")
+          + expr("CASE WHEN k22 = 0 THEN 0L ELSE " +
+            "CAST(round(2000000.0 * k22 * ln(CAST(k22 AS DOUBLE) * bb " +
+            "/ (CAST(bb - r AS DOUBLE) * (bb - c)))) AS BIGINT) END"))
+          .as("g2_u6"))
+  }
+
   /** q273: VOCABULARY RICHNESS — Good-Turing unseen mass and the
     * bias-corrected Chao1 richness estimate per source, the coverage
     * numbers that answer "how much vocabulary has this source NOT
@@ -1595,5 +1674,6 @@ object ExtensionQueries {
     normDedup, epochPlan, sourceKl, crossSourceDupMatrix,
     tokenLengthHistogram, zipfSlope, splitBalance, budgetSweep,
     dupSpanStrip, spanRateBySource, bloomDecontaminate, contaminationAudit,
-    hashClassifier, corpusPipelineV3, textrankKeywords, vocabRichness)
+    hashClassifier, corpusPipelineV3, textrankKeywords, vocabRichness,
+    dunningG2)
 }
