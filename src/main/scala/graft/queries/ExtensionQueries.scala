@@ -1626,6 +1626,68 @@ object ExtensionQueries {
           .as("g2_u6"))
   }
 
+  /** q280: WILSON SCORE INTERVALS for the per-source quality-pass
+    * rate — the proportion CI that stays honest at small n where the
+    * naive normal interval escapes [0, 1] (the reason ranking UIs
+    * standardized on Wilson's lower bound): with p̂ = k/n and
+    * z = 1.96, bounds = (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) /
+    * (1 + z²/n). The gate is q257's stopword flag (20·stops ≥
+    * tokens); k and n are exact BIGINTs from one source-grain pass,
+    * the point rate is an exact ppm floor, and each bound is ONE
+    * fixed-shape double expression with literal constants (3.8416 =
+    * z² etc. — identical decimal literals parse to identical doubles
+    * on both engines). A small-n source's lower bound visibly
+    * collapses toward 0 — the number a mixture designer ranks by
+    * instead of the raw rate. */
+  val wilsonIntervals: Q = Q(
+    "q280_wilson_intervals",
+    """WITH d AS (SELECT source,
+      |             CASE WHEN 20 * len(list_filter(string_split(text, ' '),
+      |                    w -> w IN ('the', 'a', 'of', 'and', 'to')))
+      |                  >= len(string_split(text, ' '))
+      |               THEN 1 ELSE 0 END AS y
+      |           FROM documents),
+      |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(y) AS BIGINT) AS k
+      |      FROM d GROUP BY 1)
+      |SELECT source, n, k, 1000000 * k // n AS rate_ppm,
+      |  CAST(round(1000000.0
+      |    * ((CAST(k AS DOUBLE) / n + 1.9208 / n
+      |        - 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+      |            * (1 - CAST(k AS DOUBLE) / n) / n
+      |            + 0.9604 / (CAST(n AS DOUBLE) * n)))
+      |       / (1 + 3.8416 / n))) AS BIGINT) AS wilson_lo_ppm,
+      |  CAST(round(1000000.0
+      |    * ((CAST(k AS DOUBLE) / n + 1.9208 / n
+      |        + 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+      |            * (1 - CAST(k AS DOUBLE) / n) / n
+      |            + 0.9604 / (CAST(n AS DOUBLE) * n)))
+      |       / (1 + 3.8416 / n))) AS BIGINT) AS wilson_hi_ppm
+      |FROM s""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("source"),
+        when(expr("20 * size(filter(split(text, ' '), " +
+          "w -> w IN ('the', 'a', 'of', 'and', 'to'))) " +
+          ">= size(split(text, ' '))"), 1L).otherwise(0L).as("y"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("k"))
+      .select(col("source"), col("n"), col("k"),
+        expr("1000000 * k div n").as("rate_ppm"),
+        expr("CAST(round(1000000.0 " +
+          "* ((CAST(k AS DOUBLE) / n + 1.9208 / n " +
+          "- 1.96 * sqrt((CAST(k AS DOUBLE) / n) " +
+          "* (1 - CAST(k AS DOUBLE) / n) / n " +
+          "+ 0.9604 / (CAST(n AS DOUBLE) * n))) " +
+          "/ (1 + 3.8416 / n))) AS BIGINT)").as("wilson_lo_ppm"),
+        expr("CAST(round(1000000.0 " +
+          "* ((CAST(k AS DOUBLE) / n + 1.9208 / n " +
+          "+ 1.96 * sqrt((CAST(k AS DOUBLE) / n) " +
+          "* (1 - CAST(k AS DOUBLE) / n) / n " +
+          "+ 0.9604 / (CAST(n AS DOUBLE) * n))) " +
+          "/ (1 + 3.8416 / n))) AS BIGINT)").as("wilson_hi_ppm"))
+  }
+
   /** q273: VOCABULARY RICHNESS — Good-Turing unseen mass and the
     * bias-corrected Chao1 richness estimate per source, the coverage
     * numbers that answer "how much vocabulary has this source NOT
@@ -1675,5 +1737,5 @@ object ExtensionQueries {
     tokenLengthHistogram, zipfSlope, splitBalance, budgetSweep,
     dupSpanStrip, spanRateBySource, bloomDecontaminate, contaminationAudit,
     hashClassifier, corpusPipelineV3, textrankKeywords, vocabRichness,
-    dunningG2)
+    dunningG2, wilsonIntervals)
 }
