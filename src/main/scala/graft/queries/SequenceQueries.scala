@@ -771,9 +771,97 @@ object SequenceQueries {
     }
   }
 
+  /** q281: ENTROPY RATE of the behavioral Markov chain — the one
+    * number summarizing how predictable a session stream is in the
+    * long run: H = Σᵢ π(i)·H(i), q261's stationary distribution
+    * weighting q256's per-state transition entropies. (Uniform
+    * weighting would overstate rare states; the entropy RATE weights
+    * each state by how often the chain actually sits there.) Pure
+    * composition: both inputs are already exact integers (π in ppm
+    * from the 12 floor-divided power iterations, H(i) in micro-nats
+    * from the micro-quantized terms), so the product sum is one more
+    * exact integer — Σ π_ppm·h_u6 // 10⁶ keeps micro-nat units, every
+    * floor identical on both engines. Output also carries the naive
+    * uniform average for contrast.
+    *
+    * Scale: one corpus pass builds the matrix (shared shape with
+    * q256/q261); everything after runs at type grain. */
+  val entropyRate: Q = {
+    val unrolled = (1 to 12).map { i =>
+      s"""v$i AS (SELECT p.dst AS t,
+         |  CAST(sum(v${i - 1}.v * p.p_ppm) // 1000000 AS BIGINT) AS v
+         |  FROM v${i - 1} JOIN p ON v${i - 1}.t = p.src GROUP BY 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    Q(
+      "q281_entropy_rate",
+      s"""WITH e AS (
+         |  SELECT user_id, event_type,
+         |         lead(event_type) OVER (PARTITION BY user_id
+         |                                ORDER BY ts, event_id) AS nxt
+         |  FROM events),
+         |c AS (SELECT event_type AS src, nxt AS dst,
+         |             CAST(count(*) AS BIGINT) AS n
+         |      FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |m AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+         |p AS (SELECT c.src, c.dst, 1000000 * c.n // m.tot AS p_ppm
+         |      FROM c JOIN m USING (src)),
+         |t0 AS (SELECT DISTINCT src AS t FROM p),
+         |v0 AS (SELECT t, 1000000 // (SELECT count(*) FROM t0) AS v FROM t0),
+         |$unrolled,
+         |h AS (SELECT c.src AS t,
+         |        CAST(sum(CAST(round(-1000000.0
+         |          * (CAST(c.n AS DOUBLE) / m.tot)
+         |          * ln(CAST(c.n AS DOUBLE) / m.tot)) AS BIGINT)) AS BIGINT)
+         |          AS h_u6
+         |      FROM c JOIN m USING (src) GROUP BY 1)
+         |SELECT CAST(sum(v12.v * h.h_u6) // 1000000 AS BIGINT)
+         |         AS entropy_rate_u6,
+         |       CAST(sum(h.h_u6) // count(*) AS BIGINT) AS uniform_avg_u6,
+         |       CAST(count(*) AS BIGINT) AS n_states
+         |FROM v12 JOIN h USING (t)""".stripMargin
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cells = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // one corpus pass feeds P, pi, and H
+      val margins = cells.groupBy("src").agg(sum(col("n")).as("tot"))
+      val p = cells.join(broadcast(margins), Seq("src"))
+        .select(col("src"), col("dst"),
+          expr("1000000L * n div tot").as("p_ppm"))
+        .localCheckpoint(true)
+      val t0 = p.select(col("src").as("t")).distinct()
+      var v = t0.crossJoin(broadcast(t0.agg(count(lit(1)).as("nt"))))
+        .select(col("t"), expr("1000000L div nt").as("v"))
+      for (_ <- 1 to 12) {
+        v = v.join(broadcast(p), col("t") === col("src"))
+          .groupBy(col("dst"))
+          .agg(expr("CAST(sum(v * p_ppm) div 1000000 AS BIGINT)").as("v"))
+          .withColumnRenamed("dst", "t")
+      }
+      val h = cells.join(broadcast(margins), Seq("src"))
+        .select(col("src").as("t"),
+          round(lit(-1000000.0)
+            * (col("n").cast("double") / col("tot"))
+            * log(col("n").cast("double") / col("tot")))
+            .cast(LongType).as("term_u6"))
+        .groupBy("t").agg(sum(col("term_u6")).as("h_u6"))
+      v.join(h, Seq("t"))
+        .agg(expr("CAST(sum(v * h_u6) div 1000000 AS BIGINT)")
+          .as("entropy_rate_u6"),
+          expr("CAST(sum(h_u6) div count(1) AS BIGINT)").as("uniform_avg_u6"),
+          count(lit(1)).as("n_states"))
+    }
+  }
+
   val all: Seq[Q] =
     Seq(activityStreaks, eventFunnel, eventTransitions, cumulativeUsers,
       sessionPaths, funnelLatency, stickiness, bounceRate, weekdayProfile,
       cohortRetention, seasonalAdjusted, setCompletion, purchaseCadence,
-      interarrivalBurstiness, transitionEntropy, markovStationary)
+      interarrivalBurstiness, transitionEntropy, markovStationary,
+      entropyRate)
 }

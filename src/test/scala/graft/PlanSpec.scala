@@ -1166,6 +1166,20 @@ class PlanSpec extends SparkSpec {
       "a star edge degenerated to an unkeyed join")
   }
 
+  test("q264/q269: sampling table rides the native RunningSum; draws broadcast-probe it") {
+    val p264 = plan("q264_negative_sampling")
+    assert("(?m)^\\(\\d+\\) RunningSum\\b".r.findAllIn(p264).nonEmpty,
+      "q264's cumulative ranges left the native operator: " + p264.take(1500))
+    assert(!p264.contains("Window"), "a window crept into the sampling table")
+    // the draw probe is a broadcast interval join against the kilobyte
+    // table — a nested-loop ONLY because the predicate is a range;
+    // the corpus-scan side must never shuffle for it
+    val p269 = plan("q269_multinomial_draws")
+    assert(p269.contains("BroadcastNestedLoopJoin"),
+      "q269's interval probe lost its broadcast: " + p269.take(1500))
+    assert(!p269.contains("CartesianProduct"), "q269 degenerated to a cartesian")
+  }
+
   test("q259/q260: KMV sketches aggregate with a map-side partial, no pre-distinct") {
     // the whole point of the sketch pass: ≤k longs per (partition, group)
     // ship to the exchange — a partial ObjectHashAggregate phase — and
