@@ -641,7 +641,60 @@ object DistributionQueries {
       .groupBy("n").agg(sum(col("term_u6")).as("mi_u6"))
   }
 
+  /** q282: HILL DIVERSITY NUMBERS of the source mix — the "effective
+    * number of sources" ladder ecology standardized (Hill 1973) and
+    * the intuitive unification of this file's concentration family:
+    * D₀ = richness, D₁ = exp(H) (the entropy q233 computes, as a
+    * COUNT — "this mix behaves like D₁ equally-sized sources"),
+    * D₂ = 1/Σp² (inverse Simpson, the reciprocal of q230's HHI) —
+    * with D₀ ≥ D₁ ≥ D₂ always, the gap measuring how top-heavy the
+    * mix is. Over source token shares: H's terms micro-quantize from
+    * exact BIGINTs (the q233 discipline), D₁ = exp(h/10⁶) is one more
+    * transcendental of an exact integer (identical double on both
+    * engines), D₂ is an exact rational N²/Σn² via one fixed-shape
+    * double. One source-grain rollup and a 1-row reduce. */
+  val hillDiversity: Q = Q(
+    "q282_hill_diversity",
+    """WITH n AS (SELECT source,
+      |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS nt
+      |           FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(nt) AS BIGINT) AS n FROM n),
+      |h AS (SELECT CAST(sum(CAST(round(-1000000.0
+      |          * (CAST(nt AS DOUBLE) / tot.n)
+      |          * ln(CAST(nt AS DOUBLE) / tot.n)) AS BIGINT)) AS BIGINT)
+      |          AS h_u6,
+      |        CAST(count(*) AS BIGINT) AS d0,
+      |        sum(CAST(nt AS HUGEINT) * nt) AS sq
+      |      FROM n CROSS JOIN tot)
+      |SELECT h.d0, h.h_u6,
+      |  CAST(round(1000.0 * exp(CAST(h.h_u6 AS DOUBLE) / 1000000.0))
+      |    AS BIGINT) AS d1_milli,
+      |  CAST(round(1000.0 * (CAST(tot.n AS DOUBLE) * tot.n)
+      |    / CAST(h.sq AS DOUBLE)) AS BIGINT) AS d2_milli
+      |FROM h CROSS JOIN tot""".stripMargin
+  ) { (s, dir) =>
+    val n = t(s, dir, "documents")
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " "))).cast(LongType).as("nt"))
+    val tot = n.agg(sum(col("nt")).as("n"))
+    n.crossJoin(broadcast(tot))
+      .agg(
+        sum(round(lit(-1000000.0)
+          * (col("nt").cast("double") / col("n"))
+          * log(col("nt").cast("double") / col("n"))).cast(LongType))
+          .as("h_u6"),
+        count(lit(1)).as("d0"),
+        sum(col("nt").cast(d38) * col("nt")).as("sq"),
+        max(col("n")).as("n"))
+      .select(col("d0"), col("h_u6"),
+        expr("CAST(round(1000.0 * exp(CAST(h_u6 AS DOUBLE) / 1000000.0)) " +
+          "AS BIGINT)").as("d1_milli"),
+        expr("CAST(round(1000.0 * (CAST(n AS DOUBLE) * n) " +
+          "/ CAST(sq AS DOUBLE)) AS BIGINT)").as("d2_milli"))
+  }
+
   val all: Seq[Q] =
     Seq(marketHhi, ksTest, kendallTau, eventEntropy, vocabJsd,
-      leadLag, theilIndex, fanoFactor, mannKendall, senSlope, mutualInfo)
+      leadLag, theilIndex, fanoFactor, mannKendall, senSlope, mutualInfo,
+      hillDiversity)
 }
