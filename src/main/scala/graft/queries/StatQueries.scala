@@ -1360,8 +1360,133 @@ object StatQueries {
       .groupBy("cohort").agg(min(col("dur")).as("median_dur"))
   }
 
+  /** q283: BRADLEY-TERRY strength ranking from pairwise comparisons —
+    * the preference-learning primitive (RLHF reward modeling ranks
+    * completions from exactly this model) run as 8 unrolled
+    * minorization-maximization iterations, the q261 integer-iteration
+    * technique on a FIXED-POINT system instead of a linear one:
+    * wᵢ ← Wᵢ / Σⱼ nᵢⱼ/(wᵢ+wⱼ), renormalized to 10⁶ each step. The
+    * games: within an order, the higher-quantity lineitem's brand
+    * beats the other's (ties and same-brand pairs skipped); players
+    * restricted to brands with ≥1 win AND ≥1 loss (the standard BT
+    * support condition). Every step is integer floor division with
+    * matched magnitudes (pair terms scale by 10¹², denominators stay
+    * ≥ 5·10⁵ because weights floor at 1 ppm via greatest — which also
+    * keeps zero-win players from zeroing a later denominator), so 8
+    * iterations are bit-reproducible on both engines.
+    *
+    * Scale shape: comparisons aggregate to brand-pair grain (≤ 25²
+    * rows) in one keyed self-join per order; the iteration is 8
+    * broadcast joins over kilobyte frames — the q261/q124 argument
+    * again. */
+  val bradleyTerry: Q = {
+    // AS MATERIALIZED everywhere a CTE is referenced twice: DuckDB
+    // inlines plain CTEs per reference, so the doubly-referencing
+    // iteration chain would otherwise expand ~4^8 plan copies (and
+    // re-open the parquet leaves each time) — the same blowup the
+    // Spark side's per-iteration localCheckpoint cuts
+    val unrolled = (1 to 8).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT pr.i AS t,
+         |  CAST(sum((1000000000000 * pr.n) // (wi.w + wj.w)) AS BIGINT)
+         |    AS den
+         |  FROM pr JOIN w${k - 1} wi ON pr.i = wi.t
+         |          JOIN w${k - 1} wj ON pr.j = wj.t
+         |  GROUP BY 1),
+         |r$k AS MATERIALIZED (SELECT d.t, (1000000000000 * wnp.wins) // d.den AS r
+         |        FROM d$k d JOIN wnp ON d.t = wnp.t),
+         |w$k AS MATERIALIZED (SELECT r.t,
+         |  greatest(CAST((1000000 * r.r) // (SELECT sum(r) FROM r$k)
+         |    AS BIGINT), 1) AS w
+         |  FROM r$k r)""".stripMargin
+    }.mkString(",\n")
+    Q(
+      "q283_bradley_terry",
+      s"""WITH li AS (SELECT l_orderkey AS ok, p.p_brand AS b, l_quantity AS q
+         |            FROM lineitem JOIN part p ON l_partkey = p_partkey),
+         |cmp AS MATERIALIZED (SELECT a.b AS wi, c.b AS lo FROM li a JOIN li c
+         |        ON a.ok = c.ok AND a.q > c.q AND a.b <> c.b),
+         |wn AS (SELECT wi AS t FROM cmp GROUP BY 1),
+         |ls AS (SELECT lo AS t FROM cmp GROUP BY 1),
+         |pl AS MATERIALIZED (SELECT wn.t FROM wn JOIN ls USING (t)),
+         |prd AS MATERIALIZED (SELECT cmp.wi AS i, cmp.lo AS j,
+         |          CAST(count(*) AS BIGINT) AS n
+         |        FROM cmp JOIN pl pi ON cmp.wi = pi.t
+         |                 JOIN pl pj ON cmp.lo = pj.t
+         |        GROUP BY 1, 2),
+         |wnp AS MATERIALIZED (SELECT i AS t, CAST(sum(n) AS BIGINT) AS wins
+         |        FROM prd GROUP BY 1),
+         |pr AS MATERIALIZED (SELECT i, j, CAST(sum(n) AS BIGINT) AS n FROM
+         |       (SELECT i, j, n FROM prd
+         |        UNION ALL SELECT j AS i, i AS j, n FROM prd) u
+         |       GROUP BY 1, 2),
+         |w0 AS MATERIALIZED (SELECT t,
+         |         CAST(1000000 AS BIGINT) // (SELECT count(*) FROM pl) AS w
+         |       FROM pl),
+         |$unrolled
+         |SELECT w8.t AS brand, coalesce(wnp.wins, 0) AS wins,
+         |       w8.w AS strength_ppm
+         |FROM w8 LEFT JOIN wnp ON w8.t = wnp.t""".stripMargin
+    ) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey"),
+          col("l_quantity").as("q"))
+        .join(t(s, dir, "part").select(col("p_partkey"),
+          col("p_brand").as("b")), col("l_partkey") === col("p_partkey"))
+        .select("ok", "b", "q")
+      val cmp = li.as("a")
+        .join(li.as("c"),
+          col("a.ok") === col("c.ok") && col("a.q") > col("c.q") &&
+            col("a.b") =!= col("c.b"))
+        .select(col("a.b").as("wi"), col("c.b").as("lo"))
+      val pl = cmp.select(col("wi").as("t")).distinct()
+        .join(cmp.select(col("lo").as("t")).distinct(), Seq("t"))
+        .localCheckpoint(true)
+      val prd = cmp
+        .join(pl.withColumnRenamed("t", "wi"), Seq("wi"))
+        .join(pl.withColumnRenamed("t", "lo"), Seq("lo"))
+        .groupBy(col("wi").as("i"), col("lo").as("j"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val wnp = prd.groupBy(col("i").as("t")).agg(sum(col("n")).as("wins"))
+        .localCheckpoint(true)
+      val pr = prd.select("i", "j", "n")
+        .union(prd.select(col("j").as("i"), col("i").as("j"), col("n")))
+        .groupBy("i", "j").agg(sum(col("n")).as("n"))
+        .localCheckpoint(true)
+      var w = pl.crossJoin(broadcast(pl.agg(count(lit(1)).as("np"))))
+        .select(col("t"), expr("CAST(1000000L div np AS BIGINT)").as("w"))
+      for (_ <- 1 to 8) {
+        val d = broadcast(pr)
+          .join(broadcast(w.select(col("t").as("i"), col("w").as("w_i"))),
+            Seq("i"))
+          .join(broadcast(w.select(col("t").as("j"), col("w").as("w_j"))),
+            Seq("j"))
+          .groupBy(col("i").as("t"))
+          .agg(expr("CAST(sum((1000000000000L * n) div (w_i + w_j)) " +
+            "AS BIGINT)").as("den"))
+        val r = d.join(broadcast(wnp), Seq("t"))
+          .select(col("t"),
+            expr("(1000000000000L * wins) div den").as("r"))
+        // each iteration references w TWICE (w_i, w_j) and r twice
+        // (the normalizer) — without cutting lineage the plan grows
+        // ~4x per iteration and analysis alone explodes by step 8
+        // (the q124 per-iteration checkpoint lesson, relearned)
+        val rc = r.localCheckpoint(true)
+        w = rc.crossJoin(broadcast(rc.agg(sum(col("r")).as("sr"))))
+          .select(col("t"),
+            expr("greatest(CAST((1000000 * r) div sr AS BIGINT), 1L)")
+              .as("w"))
+          .localCheckpoint(true)
+      }
+      w.join(broadcast(wnp), Seq("t"), "left")
+        .select(col("t").as("brand"),
+          coalesce(col("wins"), lit(0L)).as("wins"),
+          col("w").as("strength_ppm"))
+    }
+  }
+
   val all: Seq[Q] = Seq(chiSquare, cohensKappa, acfDaily,
     cusumChangepoint, fkOrphans, winsorizedMean, sourceDriftChi2,
     mannWhitney, welchT, kaplanMeier, logRank, olsTrend, cliffsDelta,
-    nelsonAalen, cuped, diffInDiff, medianSurvival)
+    nelsonAalen, cuped, diffInDiff, medianSurvival, bradleyTerry)
 }
