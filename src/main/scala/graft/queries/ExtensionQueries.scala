@@ -1688,6 +1688,95 @@ object ExtensionQueries {
           "/ (1 + 3.8416 / n))) AS BIGINT)").as("wilson_hi_ppm"))
   }
 
+  /** q284: RANKER DISAGREEMENT — q268's exact-dyadic RBO applied to
+    * the two keyword rankers: does graph centrality (q266 TextRank)
+    * actually order terms differently from raw frequency (q73), and
+    * at which depths? The answer calibrates whether the more
+    * expensive ranker earns its cost — identical top ranks mean
+    * frequency suffices, early divergence means centrality sees
+    * structure counting misses. Both rankings are deterministic total
+    * orders (pr desc / cnt desc, term tiebreak); every depth term is
+    * the exact dyadic ov(d)/(d·2^d) — integer floor division, no
+    * transcendentals. The TextRank leg reuses q266's unrolled
+    * integer-PageRank oracle verbatim; everything after the corpus
+    * scans runs at vocabulary grain. */
+  val rankerRbo: Q = Q(
+    "q284_keyword_ranker_rbo",
+    """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |b AS (SELECT unnest(list_transform(range(1, len(ws)), i ->
+      |        struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS bg
+      |      FROM w WHERE len(ws) >= 2),
+      |bg2 AS (SELECT bg.w1 AS w1, bg.w2 AS w2 FROM b WHERE bg.w1 <> bg.w2),
+      |dict AS (SELECT w, list_reduce(
+      |           list_prepend(CAST(7 AS BIGINT),
+      |             list_transform(range(1, length(w) + 1),
+      |               i -> CAST(unicode(substr(w, i, 1)) AS BIGINT))),
+      |           (acc, c) -> (acc * 131 + c) % 35184372088777) AS tid
+      |         FROM (SELECT DISTINCT unnest(ws) AS w FROM w) t),
+      |e0 AS (SELECT DISTINCT a.tid AS src, c.tid AS dst
+      |       FROM bg2 JOIN dict a ON bg2.w1 = a.w
+      |                JOIN dict c ON bg2.w2 = c.w),
+      |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |od AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+      |nd AS (SELECT DISTINCT src AS id FROM e),
+      |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nd),
+      |p1 AS (SELECT nd.id, 150000 + coalesce(s.inflow, 0) AS pr
+      |       FROM nd LEFT JOIN (
+      |         SELECT e.dst AS id, sum((8500 * p0.pr) // (10000 * od.d)) AS inflow
+      |         FROM e JOIN od USING (src) JOIN p0 ON p0.id = e.src
+      |         GROUP BY e.dst) s USING (id)),
+      |p2 AS (SELECT nd.id, 150000 + coalesce(s.inflow, 0) AS pr
+      |       FROM nd LEFT JOIN (
+      |         SELECT e.dst AS id, sum((8500 * p1.pr) // (10000 * od.d)) AS inflow
+      |         FROM e JOIN od USING (src) JOIN p1 ON p1.id = e.src
+      |         GROUP BY e.dst) s USING (id)),
+      |p3 AS (SELECT nd.id, 150000 + coalesce(s.inflow, 0) AS pr
+      |       FROM nd LEFT JOIN (
+      |         SELECT e.dst AS id, sum((8500 * p2.pr) // (10000 * od.d)) AS inflow
+      |         FROM e JOIN od USING (src) JOIN p2 ON p2.id = e.src
+      |         GROUP BY e.dst) s USING (id)),
+      |tr AS (SELECT d.w AS term, p3.pr FROM p3 JOIN dict d ON p3.id = d.tid
+      |       ORDER BY p3.pr DESC, term ASC LIMIT 10),
+      |ra AS (SELECT term, CAST(row_number() OVER (ORDER BY pr DESC, term)
+      |         AS BIGINT) AS rk FROM tr),
+      |fq AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM (SELECT unnest(ws) AS term FROM w) t
+      |       GROUP BY 1 ORDER BY cnt DESC, term ASC LIMIT 10),
+      |rb AS (SELECT term, CAST(row_number() OVER (ORDER BY cnt DESC, term)
+      |         AS BIGINT) AS rk FROM fq),
+      |c AS (SELECT ra.term, greatest(ra.rk, rb.rk) AS md
+      |      FROM ra JOIN rb USING (term)),
+      |dep AS (SELECT CAST(g.d AS BIGINT) AS d FROM generate_series(1, 10) g(d))
+      |SELECT dep.d, CAST(count(c.term) AS BIGINT) AS ov,
+      |       (1000000 * CAST(count(c.term) AS BIGINT))
+      |         // (dep.d * (CAST(1 AS BIGINT) << dep.d)) AS term_u6
+      |FROM dep LEFT JOIN c ON c.md <= dep.d
+      |GROUP BY dep.d""".stripMargin
+  ) { (s, dir) =>
+    import graft.operators.Ranks
+    // leg A: q266's TextRank top-10 (the registered machinery verbatim)
+    val tr = textrankKeywords.fn(s, dir)
+    val ra = Ranks.globalRunningSums(tr,
+      Seq(col("pr").desc, col("term").asc), Seq(lit(1L) -> "rk"))
+      .select("term", "rk")
+    // leg B: q73-shape frequency top-20
+    val fq = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(10)
+    val rb = Ranks.globalRunningSums(fq,
+      Seq(col("cnt").desc, col("term").asc), Seq(lit(1L) -> "rk"))
+      .select("term", "rk")
+    val c = ra.join(rb.withColumnRenamed("rk", "rk_b"), Seq("term"))
+      .select(col("term"), greatest(col("rk"), col("rk_b")).as("md"))
+    s.range(1, 11).toDF("d")
+      .join(broadcast(c), col("md") <= col("d"), "left")
+      .groupBy("d").agg(count(col("term")).as("ov"))
+      .select(col("d"), col("ov"),
+        expr("(1000000 * ov) div (d * shiftleft(1L, cast(d AS int)))")
+          .as("term_u6"))
+  }
+
   /** q273: VOCABULARY RICHNESS — Good-Turing unseen mass and the
     * bias-corrected Chao1 richness estimate per source, the coverage
     * numbers that answer "how much vocabulary has this source NOT
@@ -1737,5 +1826,5 @@ object ExtensionQueries {
     tokenLengthHistogram, zipfSlope, splitBalance, budgetSweep,
     dupSpanStrip, spanRateBySource, bloomDecontaminate, contaminationAudit,
     hashClassifier, corpusPipelineV3, textrankKeywords, vocabRichness,
-    dunningG2, wilsonIntervals)
+    dunningG2, wilsonIntervals, rankerRbo)
 }
