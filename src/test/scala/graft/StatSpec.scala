@@ -190,6 +190,33 @@ class StatSpec extends SparkSpec {
     assert(shifted.getAs[Long]("r2_ppm") === 250000L)
   }
 
+  test("q282: the Hill ladder orders D0 >= D1 >= D2 on real data") {
+    val r = graft.queries.DistributionQueries.hillDiversity
+      .fn(spark, sf).collect().head
+    val (d0, d1, d2) = (r.getAs[Long]("d0") * 1000L,
+      r.getAs[Long]("d1_milli"), r.getAs[Long]("d2_milli"))
+    // the Hill inequality chain (Jensen), with 1-milli rounding slack
+    assert(d0 + 1 >= d1 && d1 + 1 >= d2, s"Hill order broke: $d0 $d1 $d2")
+    assert(d2 >= 1000L, "effective source count below 1 — impossible")
+  }
+
+  test("q283: Bradley-Terry strengths normalize and respect dominance") {
+    val rows = graft.queries.StatQueries.bradleyTerry.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("wins"),
+        r.getAs[Long]("strength_ppm")))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._3).sum
+    // normalized to 1e6 each iteration; floors lose < n_players ppm,
+    // the greatest(...,1) floor can add back at most n_players
+    assert(math.abs(total - 1000000L) <= rows.length.toLong,
+      s"strengths sum $total departs 1e6")
+    // the most-winning player must not rank at the very bottom
+    val byWins = rows.maxBy(_._2)
+    val minStrength = rows.map(_._3).min
+    assert(byWins._3 > minStrength || rows.map(_._3).distinct.length == 1,
+      s"top winner ${byWins._1} carries the minimum strength")
+  }
+
   test("q261: stationary vector conserves mass and is a near-fixed point") {
     import org.apache.spark.sql.functions._
     val rows = graft.queries.SequenceQueries.markovStationary
