@@ -1161,10 +1161,74 @@ object CurationQueries {
         expr("(1000000 * cum_pos) div pos").as("gain_ppm"))
   }
 
+  /** q285: MASE — Mean Absolute Scaled Error (Hyndman & Koehler
+    * 2006), the forecast-accuracy number q211's WAPE can't give:
+    * WAPE says how big the Holt errors are relative to VOLUME; MASE
+    * says whether the model beats the free alternative, scaling mean
+    * |error| by the mean |seasonal-naive error| (x_t vs x_{t−7} — the
+    * honest baseline for a weekday-seasonal series, q227's finding).
+    * mase < 10⁶ ppm ⇒ Holt earns its keep; ≥ 10⁶ ⇒ ship the naive
+    * forecaster. Both legs are exact integer milli sums (the Holt leg
+    * is q211's recursive fold verbatim; the naive leg one keyed lag);
+    * the ratio is one integral floor of exact products — magnitudes
+    * top out near 10¹⁷, inside int64. Series with zero naive error
+    * (constant 7-day cycle) drop out: MASE is undefined there, and
+    * the absence is the answer. */
+  val maseBacktest: Q = Q(
+    "q285_mase_backtest",
+    """WITH RECURSIVE d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY CAST(ts AS DATE)) AS rn
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, rn, n,
+      |         CAST(n * 1000 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+      |         CAST(NULL AS BIGINT) AS f
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.event_type, d.rn, d.n,
+      |         CAST(floor((d.n * 1000 + 3 * (r.l + r.b)) / 4.0) AS BIGINT),
+      |         CAST(floor((CAST(floor((d.n * 1000 + 3 * (r.l + r.b)) / 4.0)
+      |                          AS BIGINT) - r.l + 3 * r.b) / 4.0) AS BIGINT),
+      |         r.l + r.b
+      |  FROM r JOIN d ON d.event_type = r.event_type AND d.rn = r.rn + 1),
+      |fe AS (SELECT event_type, CAST(count(f) AS BIGINT) AS nf,
+      |         CAST(sum(abs(n * 1000 - f)) AS BIGINT) AS ferr
+      |       FROM r GROUP BY 1),
+      |nv AS (SELECT event_type,
+      |         CAST(sum(abs(n - ln) * 1000) AS BIGINT) AS nerr,
+      |         CAST(count(ln) AS BIGINT) AS nn
+      |       FROM (SELECT event_type, n,
+      |               lag(n, 7) OVER (PARTITION BY event_type ORDER BY rn)
+      |                 AS ln
+      |             FROM d) t
+      |       GROUP BY 1)
+      |SELECT fe.event_type, fe.nf, nv.nn,
+      |       (1000000 * fe.ferr * nv.nn) // (fe.nf * nv.nerr) AS mase_ppm
+      |FROM fe JOIN nv USING (event_type)
+      |WHERE nv.nerr > 0""".stripMargin
+  ) { (s, dir) =>
+    val hs = holtSeries(s, dir)
+    val fe = hs.groupBy("event_type")
+      .agg(count(col("f")).as("nf"),
+        sum(abs(col("n") * 1000 - col("f"))).as("ferr"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val nv = hs.select(col("event_type"), col("day"), col("n"))
+      .withColumn("ln", lag(col("n"), 7).over(w))
+      .groupBy("event_type")
+      .agg(sum(abs(col("n") - col("ln")) * 1000).as("nerr"),
+        count(col("ln")).as("nn"))
+    fe.join(nv, Seq("event_type"))
+      .filter(col("nerr") > 0)
+      .select(col("event_type"), col("nf"), col("nn"),
+        expr("(1000000 * ferr * nn) div (nf * nerr)").as("mase_ppm"))
+  }
+
   val all: Seq[Q] = Seq(rateAnomaly, recordLinkage, clusterSplit,
     qualityCanonical, simhashCalibration, eventQuota, readability,
     eventTransitions, dataValidation, hoppingCounts, ewmaTrend,
     holtTrend, compressionQuality, corpusPipelineV4, madAnomaly,
     thresholdChurn, anomalyConsensus, forecastBacktest, mixtureWeights,
-    calibrationBins, cumulativeGains)
+    calibrationBins, cumulativeGains, maseBacktest)
 }
