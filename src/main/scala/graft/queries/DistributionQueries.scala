@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -693,8 +694,79 @@ object DistributionQueries {
           "/ CAST(sq AS DOUBLE)) AS BIGINT)").as("d2_milli"))
   }
 
+  /** q286: PERMUTATION ENTROPY (Bandt & Pompe 2002) of each type's
+    * daily series — the complexity measure the moment family (q242
+    * Fano, q253 burstiness) can't see: it reads the diversity of
+    * ORDINAL patterns (which of the 6 orderings consecutive triples
+    * take), so a perfectly periodic series scores near 0 and white
+    * noise near ln 6, independent of scale. Ordinal ranks break ties
+    * by POSITION (the standard convention, and the thing that keeps
+    * the pattern a pure integer function of exact counts): element
+    * i's rank = |{j : vⱼ < vᵢ ∨ (vⱼ = vᵢ ∧ j < i)}|, pattern id =
+    * 100·r₀ + 10·r₁ + r₂. Entropy terms micro-quantize from exact
+    * BIGINT pattern counts (the q233 discipline). Keyed lead windows
+    * only; calendar-bounded series. */
+  val permutationEntropy: Q = Q(
+    "q286_permutation_entropy",
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |             CAST(count(*) AS BIGINT) AS n
+      |           FROM events GROUP BY 1, 2),
+      |t3 AS (SELECT event_type, n AS a,
+      |         lead(n, 1) OVER w AS b, lead(n, 2) OVER w AS c
+      |       FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |pat AS (SELECT event_type,
+      |          100 * (CASE WHEN b < a THEN 1 ELSE 0 END
+      |               + CASE WHEN c < a THEN 1 ELSE 0 END)
+      |          + 10 * (CASE WHEN a <= b THEN 1 ELSE 0 END
+      |                + CASE WHEN c < b THEN 1 ELSE 0 END)
+      |          + (CASE WHEN a <= c THEN 1 ELSE 0 END
+      |           + CASE WHEN b <= c THEN 1 ELSE 0 END) AS pid
+      |        FROM t3 WHERE b IS NOT NULL AND c IS NOT NULL),
+      |pc AS (SELECT event_type, pid, CAST(count(*) AS BIGINT) AS k
+      |       FROM pat GROUP BY 1, 2),
+      |m AS (SELECT event_type, CAST(sum(k) AS BIGINT) AS nt,
+      |             CAST(count(*) AS BIGINT) AS n_patterns
+      |      FROM pc GROUP BY 1)
+      |SELECT pc.event_type, m.nt AS n_triples, m.n_patterns,
+      |       CAST(sum(CAST(round(-1000000.0
+      |         * (CAST(pc.k AS DOUBLE) / m.nt)
+      |         * ln(CAST(pc.k AS DOUBLE) / m.nt)) AS BIGINT)) AS BIGINT)
+      |         AS h_u6
+      |FROM pc JOIN m USING (event_type)
+      |GROUP BY 1, 2, 3""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val d = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        to_date(timestamp_millis(expr("ts_ns div 1000000"))).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val pat = d
+      .withColumn("b", lead(col("n"), 1).over(w))
+      .withColumn("c", lead(col("n"), 2).over(w))
+      .filter(col("b").isNotNull && col("c").isNotNull)
+      .select(col("event_type"),
+        (lit(100) * (when(col("b") < col("n"), 1).otherwise(0)
+          + when(col("c") < col("n"), 1).otherwise(0))
+          + lit(10) * (when(col("n") <= col("b"), 1).otherwise(0)
+            + when(col("c") < col("b"), 1).otherwise(0))
+          + (when(col("n") <= col("c"), 1).otherwise(0)
+            + when(col("b") <= col("c"), 1).otherwise(0))).as("pid"))
+    val pc = pat.groupBy("event_type", "pid").agg(count(lit(1)).as("k"))
+    val m = pc.groupBy("event_type")
+      .agg(sum(col("k")).as("nt"), count(lit(1)).as("n_patterns"))
+    pc.join(broadcast(m), Seq("event_type"))
+      .select(col("event_type"), col("nt").as("n_triples"),
+        col("n_patterns"),
+        round(lit(-1000000.0)
+          * (col("k").cast("double") / col("nt"))
+          * log(col("k").cast("double") / col("nt")))
+          .cast(LongType).as("term_u6"))
+      .groupBy("event_type", "n_triples", "n_patterns")
+      .agg(sum(col("term_u6")).as("h_u6"))
+  }
+
   val all: Seq[Q] =
     Seq(marketHhi, ksTest, kendallTau, eventEntropy, vocabJsd,
       leadLag, theilIndex, fanoFactor, mannKendall, senSlope, mutualInfo,
-      hillDiversity)
+      hillDiversity, permutationEntropy)
 }
