@@ -902,6 +902,65 @@ object WarehouseQueries {
         expr("1000000 * rev div tot").as("share_ppm"))
   }
 
+  /** q287: SHIPPING LEAD-TIME profile per order priority — the
+    * operational SLA readout (does URGENT actually ship faster?):
+    * days from order to line-item ship date, with exact integer
+    * median and p90 read from the per-priority day histogram (the
+    * q190 rank-threshold discipline: smallest day whose cumulative
+    * count clears ⌈n/2⌉ resp. ⌈9n/10⌉, stated as the integer
+    * inequalities 2·cum ≥ n and 10·cum ≥ 9n — no percentile
+    * interpolation semantics to match across engines) and the mean as
+    * one fixed-shape milli rounding. Cumulative counts ride a
+    * priority-KEYED window over the ≤(priorities × distinct days)
+    * histogram — day grain, not lineitem grain. */
+  val shipLatency: Q = Q(
+    "q287_ship_latency",
+    """WITH j AS (SELECT o.o_orderpriority AS pri,
+      |             date_diff('day', CAST(o.o_orderdate AS DATE),
+      |                       CAST(l.l_shipdate AS DATE)) AS d
+      |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |h AS (SELECT pri, d, CAST(count(*) AS BIGINT) AS c
+      |      FROM j GROUP BY 1, 2),
+      |cum AS (SELECT pri, d, c,
+      |          CAST(sum(c) OVER (PARTITION BY pri ORDER BY d) AS BIGINT)
+      |            AS cc
+      |        FROM h),
+      |n AS (SELECT pri, CAST(sum(c) AS BIGINT) AS n,
+      |             CAST(sum(d * c) AS BIGINT) AS sd
+      |      FROM h GROUP BY 1)
+      |SELECT n.pri, n.n,
+      |       CAST(round(1000.0 * CAST(n.sd AS DOUBLE) / n.n) AS BIGINT)
+      |         AS mean_milli,
+      |       CAST(min(CASE WHEN 2 * cum.cc >= n.n THEN cum.d END)
+      |         AS BIGINT) AS p50_days,
+      |       CAST(min(CASE WHEN 10 * cum.cc >= 9 * n.n THEN cum.d END)
+      |         AS BIGINT) AS p90_days
+      |FROM cum JOIN n USING (pri)
+      |GROUP BY 1, 2, 3""".stripMargin
+  ) { (s, dir) =>
+    val j = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+      .join(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority").as("pri"),
+          to_date(col("o_orderdate")).as("od")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("pri"), datediff(col("ship"), col("od")).cast(LongType)
+        .as("d"))
+    val h = j.groupBy("pri", "d").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("pri").orderBy("d")
+    val cum = h.withColumn("cc", sum(col("c")).over(w))
+    val n = h.groupBy("pri")
+      .agg(sum(col("c")).as("n"), sum(col("d") * col("c")).as("sd"))
+    cum.join(broadcast(n), Seq("pri"))
+      .groupBy(col("pri"), col("n"),
+        expr("CAST(round(1000.0 * CAST(sd AS DOUBLE) / n) AS BIGINT)")
+          .as("mean_milli"))
+      .agg(min(when(lit(2) * col("cc") >= col("n"), col("d")))
+          .as("p50_days"),
+        min(when(lit(10) * col("cc") >= lit(9) * col("n"), col("d")))
+          .as("p90_days"))
+  }
+
   /** q178: positional phrase search — the retrieval capability the
     * bag-of-words rankers (tf-idf q65, BM25 q50, RRF q171) cannot
     * express: EXACT consecutive-token phrase matches from a positional
@@ -1575,5 +1634,6 @@ object WarehouseQueries {
     distinctRollup, audienceOverlap, phraseSearch, indexBm25, indexPhrase,
     indexBoolean, prfExpansion, indexSnippet, groupingSets, unpivotSeries,
     lengthSummary, revenueDeciles, columnProfile, customerRfm,
-    kmvDistinct, kmvJaccard, kmvCube, marketShare, indexFuzzy)
+    kmvDistinct, kmvJaccard, kmvCube, marketShare, indexFuzzy,
+    shipLatency)
 }
