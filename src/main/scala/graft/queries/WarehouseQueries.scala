@@ -961,6 +961,45 @@ object WarehouseQueries {
           .as("p90_days"))
   }
 
+  /** q288: RETURN RATES by brand — the product-quality lens on
+    * `l_returnflag` (the column q01's cleaning filter touches but
+    * nothing aggregates BY): per brand, the returned share of line
+    * items and of revenue — the two diverge exactly when expensive
+    * items return disproportionately, which is the signal a catalog
+    * manager acts on. Exact integer cents and counts, two ppm floors;
+    * one fact-dimension hash join and a brand-grain rollup with
+    * map-side combine. */
+  val returnRates: Q = Q(
+    "q288_return_rates",
+    """WITH j AS (SELECT p.p_brand AS brand,
+      |             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r,
+      |             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+      |           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+      |SELECT brand, CAST(count(*) AS BIGINT) AS n_items,
+      |       CAST(sum(r) AS BIGINT) AS n_returned,
+      |       1000000 * CAST(sum(r) AS BIGINT) // count(*) AS return_ppm,
+      |       CAST(sum(r * cents) AS BIGINT) AS returned_cents,
+      |       1000000 * CAST(sum(r * cents) AS BIGINT)
+      |         // CAST(sum(cents) AS BIGINT) AS revenue_return_ppm
+      |FROM j GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .join(t(s, dir, "part").select(col("p_partkey"),
+        col("p_brand").as("brand")), col("l_partkey") === col("p_partkey"))
+      .groupBy("brand")
+      .agg(count(lit(1)).as("n_items"), sum(col("r")).as("n_returned"),
+        sum(col("r") * col("cents")).as("returned_cents"),
+        sum(col("cents")).as("tot_cents"))
+      .select(col("brand"), col("n_items"), col("n_returned"),
+        expr("1000000 * n_returned div n_items").as("return_ppm"),
+        col("returned_cents"),
+        expr("1000000 * returned_cents div tot_cents")
+          .as("revenue_return_ppm"))
+  }
+
   /** q178: positional phrase search — the retrieval capability the
     * bag-of-words rankers (tf-idf q65, BM25 q50, RRF q171) cannot
     * express: EXACT consecutive-token phrase matches from a positional
@@ -1635,5 +1674,5 @@ object WarehouseQueries {
     indexBoolean, prfExpansion, indexSnippet, groupingSets, unpivotSeries,
     lengthSummary, revenueDeciles, columnProfile, customerRfm,
     kmvDistinct, kmvJaccard, kmvCube, marketShare, indexFuzzy,
-    shipLatency)
+    shipLatency, returnRates)
 }
