@@ -316,8 +316,10 @@ object StreamBench {
         .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
       val emissions = spark.table(name)
         .as[graft.streaming.KmvPoint].collect()
-      val last = emissions.zipWithIndex.groupBy(_._1.key)
-        .map { case (k, xs) => xs.maxBy(_._2)._1 }
+      // latest per key by the tracker's monotone `ver`, not by row
+      // position in the memory sink (non-contractual order — ADVICE r11)
+      val last = emissions.groupBy(_.key)
+        .map { case (_, xs) => xs.maxBy(_.ver) }
       require(last.size == keys, s"kmv: ${last.size} keys emitted, want $keys")
       last.foreach { p =>
         val (nSk, hk) = batch(p.key)

@@ -614,6 +614,11 @@ case class KmvMins(child: Expression, k: Int,
     with ExpectsInputTypes {
 
   require(k > 0, s"KMV needs k > 0, got $k")
+  // the downstream estimator (k-1)·2^48/U_(k) computes (k-1)·2^48 as a
+  // Long product, which wraps for k > 2^15 — enforce the precondition
+  // at sketch construction so no caller can build an inestimable sketch
+  require(k <= 32768, s"KMV needs k <= 32768 " +
+    s"((k-1)*2^48 must fit int64), got $k")
 
   override def inputTypes: Seq[DataType] = Seq(LongType)
   override def children: Seq[Expression] = Seq(child)

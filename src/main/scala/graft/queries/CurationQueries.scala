@@ -1171,9 +1171,13 @@ object CurationQueries {
     * forecaster. Both legs are exact integer milli sums (the Holt leg
     * is q211's recursive fold verbatim; the naive leg one keyed lag);
     * the ratio is one integral floor of exact products — magnitudes
-    * top out near 10¹⁷, inside int64. Series with zero naive error
-    * (constant 7-day cycle) drop out: MASE is undefined there, and
-    * the absence is the answer. */
+    * top out near 10¹⁷ at tested scales, inside int64, and the bound
+    * is ENFORCED, not assumed (ADVICE r11): the 10⁶·ferr·nn product
+    * needs ferr·nn ≤ 2⁶³/10⁶ ≈ 9.2·10¹², guarded with assert_true so
+    * a larger scale factor dies loudly on BOTH engines (DuckDB errors
+    * on BIGINT overflow natively; Spark would wrap silently). Series
+    * with zero naive error (constant 7-day cycle) drop out: MASE is
+    * undefined there, and the absence is the answer. */
   val maseBacktest: Q = Q(
     "q285_mase_backtest",
     """WITH RECURSIVE d AS (
@@ -1221,6 +1225,11 @@ object CurationQueries {
         count(col("ln")).as("nn"))
     fe.join(nv, Seq("event_type"))
       .filter(col("nerr") > 0)
+      // overflow guard (scaladoc): ferr·nn must fit 2^63/1e6; nn is a
+      // day count so the inner 1e6·nn product cannot itself wrap
+      .filter(expr("assert_true(ferr <= " +
+        "(9223372036854775807 div 1000000) div nn, " +
+        "'q285: ferr*nn overflows the 1e6 ppm scaling') IS NULL"))
       .select(col("event_type"), col("nf"), col("nn"),
         expr("(1000000 * ferr * nn) div (nf * nerr)").as("mase_ppm"))
   }

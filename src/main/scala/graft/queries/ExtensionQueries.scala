@@ -1759,7 +1759,7 @@ object ExtensionQueries {
     val ra = Ranks.globalRunningSums(tr,
       Seq(col("pr").desc, col("term").asc), Seq(lit(1L) -> "rk"))
       .select("term", "rk")
-    // leg B: q73-shape frequency top-20
+    // leg B: q73-shape frequency top-10
     val fq = t(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))

@@ -1375,10 +1375,25 @@ object StatQueries {
     * keeps zero-win players from zeroing a later denominator), so 8
     * iterations are bit-reproducible on both engines.
     *
+    * Overflow bound (ADVICE r11): the 10¹²-scaled products need their
+    * count factors inside int64 — 2⁶³/10¹² ≈ 9.2·10⁶ for the wins and
+    * per-pair products, and per-brand TOTAL comparisons ≤ 4 611 686
+    * (2⁶²/10¹²·2) so the iteration's summed denominator stays inside
+    * int64 even at the weight floor w = 1. Spark wraps int64 silently
+    * where DuckDB errors, so the bound is ENFORCED (assert_true on the
+    * per-brand comparison total, which dominates both flagged
+    * products) — at a scale factor that exceeds it the query dies
+    * loudly on BOTH engines instead of silently diverging.
+    *
     * Scale shape: comparisons aggregate to brand-pair grain (≤ 25²
     * rows) in one keyed self-join per order; the iteration is 8
     * broadcast joins over kilobyte frames — the q261/q124 argument
-    * again. */
+    * again. ONE eager pin per iteration (the r11 adjudication): `r` is
+    * checkpointed, and the renormalized `w` derives from that pinned
+    * frame without a second pin — its lineage above the checkpoint
+    * leaf is two nodes (a 1-row broadcast sum + a crossJoin), bounded
+    * even when the next iteration references it twice, and Spark's
+    * exchange reuse dedups the twin broadcast subtrees. */
   val bradleyTerry: Q = {
     // AS MATERIALIZED everywhere a CTE is referenced twice: DuckDB
     // inlines plain CTEs per reference, so the doubly-referencing
@@ -1452,6 +1467,16 @@ object StatQueries {
       val pr = prd.select("i", "j", "n")
         .union(prd.select(col("j").as("i"), col("i").as("j"), col("n")))
         .groupBy("i", "j").agg(sum(col("n")).as("n"))
+        // overflow guard (scaladoc): per-brand total comparisons must
+        // stay ≤ 2^62/1e12; wins_i ≤ ct_i so this bounds every scaled
+        // product below. Keyed window over ≤625 rows, evaluated at the
+        // eager pin — tripping it kills the query loudly, matching
+        // DuckDB's native BIGINT-overflow error instead of wrapping
+        .withColumn("ct", sum(col("n")).over(Window.partitionBy("i")))
+        .filter(expr("assert_true(ct <= 4611686, 'q283: per-brand " +
+          "comparison count overflows the 1e12 iteration scaling') " +
+          "IS NULL"))
+        .drop("ct")
         .localCheckpoint(true)
       var w = pl.crossJoin(broadcast(pl.agg(count(lit(1)).as("np"))))
         .select(col("t"), expr("CAST(1000000L div np AS BIGINT)").as("w"))
@@ -1467,16 +1492,18 @@ object StatQueries {
         val r = d.join(broadcast(wnp), Seq("t"))
           .select(col("t"),
             expr("(1000000000000L * wins) div den").as("r"))
-        // each iteration references w TWICE (w_i, w_j) and r twice
-        // (the normalizer) — without cutting lineage the plan grows
-        // ~4x per iteration and analysis alone explodes by step 8
-        // (the q124 per-iteration checkpoint lesson, relearned)
+        // ONE pin per iteration (r11 adjudication — was two, ~20
+        // eager jobs for the whole query): checkpoint r, then derive
+        // the renormalized w WITHOUT a second pin. w's lineage above
+        // the rc checkpoint leaf is two nodes (1-row broadcast sum +
+        // crossJoin), so even referenced twice next iteration the plan
+        // stays bounded — the q124 lesson needs the pin where lineage
+        // COMPOUNDS (r's), not on every derived frame
         val rc = r.localCheckpoint(true)
         w = rc.crossJoin(broadcast(rc.agg(sum(col("r")).as("sr"))))
           .select(col("t"),
             expr("greatest(CAST((1000000 * r) div sr AS BIGINT), 1L)")
               .as("w"))
-          .localCheckpoint(true)
       }
       w.join(broadcast(wnp), Seq("t"), "left")
         .select(col("t").as("brand"),

@@ -38,13 +38,21 @@ final case class KmvPoint(key: String, nSk: Int, hK: Long, est: Long,
   * Partitioned by key; no global state, no driver loop. */
 object KmvTracker extends Serializable {
 
-  /** q259's estimator: exact below saturation, (k-1)·2^48/U_(k) at it. */
-  private[graft] def estimate(mins: Seq[Long], k: Int): Long =
+  /** q259's estimator: exact below saturation, (k-1)·2^48/U_(k) at it.
+    * (k-1)·2^48 is a Long product: k ≤ 32768 keeps it inside int64
+    * ((2^15)·2^48 = 2^63-ε) — enforced here, not assumed, so a large-k
+    * caller fails loudly instead of reading a wrapped estimate. */
+  private[graft] def estimate(mins: Seq[Long], k: Int): Long = {
+    require(k <= 32768, s"KMV estimator needs k <= 32768 " +
+      s"((k-1)*2^48 must fit int64), got $k")
     if (mins.size < k) mins.size.toLong
     else (k - 1).toLong * 281474976710656L / mins.last
+  }
 
   def track(in: Dataset[KeyedHash], k: Int): Dataset[KmvPoint] = {
     require(k > 0, s"KMV needs k > 0, got $k")
+    require(k <= 32768, s"KMV needs k <= 32768 " +
+      s"((k-1)*2^48 must fit int64), got $k")
     val spark = in.sparkSession
     import spark.implicits._
     def advance(key: String, rows: Iterator[KeyedHash],

@@ -40,8 +40,11 @@ class KmvStreamSpec extends SparkSpec {
       ms.addData(b.toSeq); q.processAllAvailable()
       ms.addData((c ++ a).toSeq); q.processAllAvailable()
       val emissions = spark.table("kmv_t").as[KmvPoint].collect()
-      val last = emissions.zipWithIndex.groupBy(_._1.key)
-        .map { case (k, xs) => k -> xs.maxBy(_._2)._1 }
+      // latest reading per key by `ver` — the tracker's monotone
+      // per-key version counter — not by collect() row position, whose
+      // order across batches/partitions is not contractual (ADVICE r11)
+      val last = emissions.groupBy(_.key)
+        .map { case (k, xs) => k -> xs.maxBy(_.ver) }
       assert(last.map { case (k, p) => k -> p.est } === q259Expected)
       // the batch k-th min must match the streaming one bit-for-bit
       val E = graft.functions.expressions.GraftExpressions
