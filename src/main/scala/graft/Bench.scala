@@ -33,7 +33,19 @@ import org.apache.spark.sql.SparkSession
   *  - the q27 control ([[ControlQuery]], datum ~1.9 s at sf0.1 since
   *    r5) runs FIRST and LAST, both readings embedded in the JSON —
   *    a record whose control readings sit at datum was taken on a
-  *    quiet box; elevated readings timestamp the contention.
+  *    quiet box; elevated readings timestamp the contention;
+  *  - (r12, the r11 verdict's task 3) every query records its
+  *    START-OFFSET from run start, so a cluster of slow queries at one
+  *    timeline region self-identifies as a contention window without a
+  *    judge re-run — the control bracket sees only the run's ENDS.
+  *    Full-precision seconds live in the first line / bench_out.json
+  *    (`offsets` map); the compact trailer carries `qoffm`, ONE
+  *    base-36 char per query (minutes since run start, 'z' = ≥35 min,
+  *    registry-name order — the same order as qmed/qmin), because
+  *    three full JSON number arrays at 287 queries (~600 chars each)
+  *    cannot fit the 1900-char tail budget next to the med+min arrays
+  *    (measured: 1501 chars used at r11), while minute-grain timeline
+  *    clustering answers the only question offsets exist to answer.
   *
   * Each query is driven through a `noop`-format write, not `count()`:
   * count lets Catalyst prune projection-only work (rendering columns,
@@ -100,16 +112,21 @@ object Bench {
       try measure(fn)
       catch { case e: Throwable => record(e, s"control_$tag"); (-1.0, -1.0) }
     }
+    // run-start datum for the per-query start offsets (task 3, r11
+    // verdict): taken BEFORE the first control so the control bracket
+    // and every query share one timeline origin
+    val runStart = System.nanoTime()
     val ctrlFirst = controlReading("first")
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
         System.err.println(s"[bench] $name")
+        val off = (System.nanoTime() - runStart) / 1e9
         val (med, min) =
           try measure(fn)
           catch { case e: Throwable => record(e, name); (-1.0, -1.0) }
-        (name, med, min)
+        (name, med, min, off)
       }
     val ctrlLast = controlReading("last")
     val ctrl = (ctrlFirst, ctrlLast) match {
@@ -119,8 +136,13 @@ object Bench {
 
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results.map { case (k, m, _) => k -> m })
-    val mins = jmap(results.map { case (k, _, m) => k -> m })
+    val qs = jmap(results.map { case (k, m, _, _) => k -> m })
+    val mins = jmap(results.map { case (k, _, m, _) => k -> m })
+    // full-precision start offsets (seconds since run start, 2 dp) —
+    // the trailer's qoffm is the minute-grain compression of this map
+    val offs = results
+      .map { case (k, _, _, o) => "\"" + k + "\":" + f"$o%.2f" }
+      .mkString("{", ",", "}")
     val ctrlJson = ctrl
       .map { case (fm, fn0, lm, ln) => s"""{"first":[$fm,$fn0],"last":[$lm,$ln]}""" }
       .getOrElse("null")
@@ -138,8 +160,8 @@ object Bench {
     } else ""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""mins":$mins,"control":$ctrlJson,"errors":$errJson$filteredTag,""" +
-        s""""sf":"$sfDir"}"""
+        s""""mins":$mins,"offsets":$offs,"control":$ctrlJson,""" +
+        s""""errors":$errJson$filteredTag,"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_out.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
     println(json)
@@ -151,6 +173,13 @@ object Bench {
   /** Budget for the compact trailer: the driver archives a 2000-char
     * tail; leave room for sbt's closing [success]/[error] line. */
   val TrailerBudget = 1900
+
+  /** One base-36 char for a query's start offset: whole minutes since
+    * run start, 'z' = ≥35 min (a run that long has coarser problems);
+    * negative/NaN defends to '0'. */
+  private[graft] def offsetChar(sec: Double): Char =
+    if (!(sec > 0)) '0'
+    else Character.forDigit(math.min((sec / 60.0).toInt, 35), 36)
 
   /** The compact trailer, printed LAST and SELF-CONTAINED: complete
     * per-query data inside the driver's 2000-char log-tail window,
@@ -177,12 +206,22 @@ object Bench {
     *
     * Every form carries `ctrl_cs` — the q27 control bracket as
     * [first_med, first_min, last_med, last_min] in centiseconds
-    * (-1 = unavailable) — so any record is self-normalizing. */
-  private[graft] def compactTrailer(results: Seq[(String, Double, Double)],
+    * (-1 = unavailable) — so any record is self-normalizing. Every
+    * PER-QUERY form also carries `qoffm` (r12): ONE base-36 char per query in
+    * the same registry-name order as the value arrays — the query's
+    * start offset in whole MINUTES since run start ('z' = ≥35 min) —
+    * so a contention window mid-run shows up as a CLUSTER of slow
+    * queries sharing a minute region. One char per query (~290 chars)
+    * is what fits: a third JSON number array (~600 chars even
+    * delta-encoded — the comma floor) would blow the tail budget next
+    * to qmed+qmin at the current registry size. Full-precision
+    * offsets: the `offsets` map in the first line / bench_out.json. */
+  private[graft] def compactTrailer(results: Seq[(String, Double, Double, Double)],
       errors: Map[String, String], total: Double, filteredTag: String,
       sfDir: String, ctrl: Option[(Double, Double, Double, Double)]): String = {
     def qnum(name: String): String = name.takeWhile(_ != '_').drop(1)
     def cs(v: Double): Long = if (v < 0) -1 else math.round(v * 100)
+    val qoffm = results.map(r => offsetChar(r._4)).mkString
     val errQs = errors.keys.toSeq.sorted
       .map("\"" + qnum(_) + "\"").mkString("[", ",", "]")
     val ctrlCs = ctrl
@@ -193,21 +232,30 @@ object Bench {
         s""""n_errors":${errors.size},"unit":"$unit",$payload,""" +
         s""""ctrl_cs":$ctrlCs,"errors":$errQs$filteredTag,""" +
         s""""sf":"${Paths.get(sfDir).getFileName}"}"""
+    // qoffm joins every rung that carries per-query data; the map-free
+    // floor stays free of it (at a registry so large even the min
+    // array overflows, n chars of offsets overflow too)
+    val offPart = s""","qoffm":"$qoffm""""
     def scaled(v: Double, scale: Int): Long =
       if (v < 0) -1 else math.round(v * scale)
     def mapsForm(scale: Int, unit: String): String = {
-      def m(sel: ((String, Double, Double)) => Double): String =
+      def m(sel: ((String, Double, Double, Double)) => Double): String =
         results.map(r => "\"" + qnum(r._1) + "\":" + scaled(sel(r), scale))
           .mkString("{", ",", "}")
-      trailer(unit, s""""queries":${m(_._2)},"qmins":${m(_._3)}""")
+      trailer(unit, s""""queries":${m(_._2)},"qmins":${m(_._3)}$offPart""")
     }
-    def arr(sel: ((String, Double, Double)) => Double): String =
+    def arr(sel: ((String, Double, Double, Double)) => Double): String =
       results.map(r => scaled(sel(r), 10)).mkString("[", ",", "]")
+    // degradation priority once the med+min+off form overflows: the
+    // MEDIAN goes first (the min is the adjudication floor, the
+    // offsets are what localize a contention window — r11 task 3);
+    // offsets go next; the map-free floor carries no per-query data
     val ladder = Seq(
       mapsForm(100, "centisec"), mapsForm(10, "decisec"), mapsForm(1, "sec"),
       trailer("ds-arrays",
-        s""""queries":{},"qmed":${arr(_._2)},"qmin":${arr(_._3)}"""),
-      trailer("ds-minarray", s""""queries":{},"qmin":${arr(_._3)}"""),
+        s""""queries":{},"qmed":${arr(_._2)},"qmin":${arr(_._3)}$offPart"""),
+      trailer("ds-minarray", s""""queries":{},"qmin":${arr(_._3)}$offPart"""),
+      trailer("ds-minarray-bare", s""""queries":{},"qmin":${arr(_._3)}"""),
       trailer("omitted", """"queries":{}"""))
     ladder.find(_.length <= TrailerBudget).getOrElse {
       // unreachable in practice (the map-free form is a few hundred

@@ -1380,20 +1380,25 @@ object StatQueries {
     * per-pair products, and per-brand TOTAL comparisons ≤ 4 611 686
     * (2⁶²/10¹²·2) so the iteration's summed denominator stays inside
     * int64 even at the weight floor w = 1. Spark wraps int64 silently
-    * where DuckDB errors, so the bound is ENFORCED (assert_true on the
-    * per-brand comparison total, which dominates both flagged
+    * where DuckDB errors, so the bound is ENFORCED (a loud require on
+    * the per-brand comparison total, which dominates both flagged
     * products) — at a scale factor that exceeds it the query dies
     * loudly on BOTH engines instead of silently diverging.
     *
-    * Scale shape: comparisons aggregate to brand-pair grain (≤ 25²
-    * rows) in one keyed self-join per order; the iteration is 8
-    * broadcast joins over kilobyte frames — the q261/q124 argument
-    * again. ONE eager pin per iteration (the r11 adjudication): `r` is
-    * checkpointed, and the renormalized `w` derives from that pinned
-    * frame without a second pin — its lineage above the checkpoint
-    * leaf is two nodes (a 1-row broadcast sum + a crossJoin), bounded
-    * even when the next iteration references it twice, and Spark's
-    * exchange reuse dedups the twin broadcast subtrees. */
+    * Scale shape (reworked for the r11 adjudication): the EXPENSIVE
+    * part — per-order comparisons — reduces to unfiltered brand-pair
+    * grain (≤ 25·24 rows) in ONE distributed job, and the fixed-point
+    * solve runs over that collected kilobyte table on the driver,
+    * exactly reproducing the oracle's unrolled integer chain (Long
+    * division on positives IS the SQL floor `//`; the membership
+    * checks replicate its inner joins). The r10-r11 form iterated via
+    * per-step localCheckpoint + broadcast joins and paid ~20
+    * eagerly-scheduled jobs of pure overhead — 4.3-7.6 s — for
+    * arithmetic on ≤ 625 rows; a 25-unknown solve is driver-sized by
+    * construction (the gram-matrix pattern from distributed GLM:
+    * reduce to the model grain in-cluster, solve the tiny system
+    * locally). At 100 TB only the comparison join grows; the
+    * collected grain is still ≤ |brands|². */
   val bradleyTerry: Q = {
     // AS MATERIALIZED everywhere a CTE is referenced twice: DuckDB
     // inlines plain CTEs per reference, so the doubly-referencing
@@ -1453,62 +1458,73 @@ object StatQueries {
           col("a.ok") === col("c.ok") && col("a.q") > col("c.q") &&
             col("a.b") =!= col("c.b"))
         .select(col("a.b").as("wi"), col("c.b").as("lo"))
-      val pl = cmp.select(col("wi").as("t")).distinct()
-        .join(cmp.select(col("lo").as("t")).distinct(), Seq("t"))
-        .localCheckpoint(true)
-      val prd = cmp
-        .join(pl.withColumnRenamed("t", "wi"), Seq("wi"))
-        .join(pl.withColumnRenamed("t", "lo"), Seq("lo"))
-        .groupBy(col("wi").as("i"), col("lo").as("j"))
+      // ONE distributed job: comparisons reduced to UNFILTERED
+      // brand-pair grain (≤ 25·24 rows) and collected. Everything the
+      // SQL derives from `cmp` (pl, prd, wnp, pr, the 8 iterations)
+      // is exact integer arithmetic over this tiny table, computed in
+      // one driver pass below — the r11 adjudication found the
+      // broadcast-join iteration paid ~20 eagerly-scheduled jobs of
+      // pure overhead for kilobyte frames. The collect is bounded by
+      // CONSTRUCTION (brand-pair grain), the same contract as the
+      // engine's other serving-sized collects.
+      val base = cmp.groupBy(col("wi").as("i"), col("lo").as("j"))
         .agg(count(lit(1)).as("n"))
-        .localCheckpoint(true)
-      val wnp = prd.groupBy(col("i").as("t")).agg(sum(col("n")).as("wins"))
-        .localCheckpoint(true)
-      val pr = prd.select("i", "j", "n")
-        .union(prd.select(col("j").as("i"), col("i").as("j"), col("n")))
-        .groupBy("i", "j").agg(sum(col("n")).as("n"))
-        // overflow guard (scaladoc): per-brand total comparisons must
-        // stay ≤ 2^62/1e12; wins_i ≤ ct_i so this bounds every scaled
-        // product below. Keyed window over ≤625 rows, evaluated at the
-        // eager pin — tripping it kills the query loudly, matching
-        // DuckDB's native BIGINT-overflow error instead of wrapping
-        .withColumn("ct", sum(col("n")).over(Window.partitionBy("i")))
-        .filter(expr("assert_true(ct <= 4611686, 'q283: per-brand " +
-          "comparison count overflows the 1e12 iteration scaling') " +
-          "IS NULL"))
-        .drop("ct")
-        .localCheckpoint(true)
-      var w = pl.crossJoin(broadcast(pl.agg(count(lit(1)).as("np"))))
-        .select(col("t"), expr("CAST(1000000L div np AS BIGINT)").as("w"))
-      for (_ <- 1 to 8) {
-        val d = broadcast(pr)
-          .join(broadcast(w.select(col("t").as("i"), col("w").as("w_i"))),
-            Seq("i"))
-          .join(broadcast(w.select(col("t").as("j"), col("w").as("w_j"))),
-            Seq("j"))
-          .groupBy(col("i").as("t"))
-          .agg(expr("CAST(sum((1000000000000L * n) div (w_i + w_j)) " +
-            "AS BIGINT)").as("den"))
-        val r = d.join(broadcast(wnp), Seq("t"))
-          .select(col("t"),
-            expr("(1000000000000L * wins) div den").as("r"))
-        // ONE pin per iteration (r11 adjudication — was two, ~20
-        // eager jobs for the whole query): checkpoint r, then derive
-        // the renormalized w WITHOUT a second pin. w's lineage above
-        // the rc checkpoint leaf is two nodes (1-row broadcast sum +
-        // crossJoin), so even referenced twice next iteration the plan
-        // stays bounded — the q124 lesson needs the pin where lineage
-        // COMPOUNDS (r's), not on every derived frame
-        val rc = r.localCheckpoint(true)
-        w = rc.crossJoin(broadcast(rc.agg(sum(col("r")).as("sr"))))
-          .select(col("t"),
-            expr("greatest(CAST((1000000 * r) div sr AS BIGINT), 1L)")
-              .as("w"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // pl: brands with ≥1 win AND ≥1 loss (the BT support condition)
+      val players =
+        (base.map(_._1).toSet & base.map(_._2).toSet).toSeq.sorted
+      val inPl = players.toSet
+      // prd restricted to pl on both sides; wnp and the symmetrized pr
+      val prd = base.filter { case (i, j, _) => inPl(i) && inPl(j) }
+      val wins = prd.groupBy(_._1).map { case (i, xs) =>
+        i -> xs.map(_._3).sum
       }
-      w.join(broadcast(wnp), Seq("t"), "left")
-        .select(col("t").as("brand"),
-          coalesce(col("wins"), lit(0L)).as("wins"),
-          col("w").as("strength_ppm"))
+      val pr = (prd ++ prd.map { case (i, j, n) => (j, i, n) })
+        .groupBy { case (i, j, _) => (i, j) }
+        .map { case ((i, j), xs) => (i, j, xs.map(_._3).sum) }.toSeq
+      val byI = pr.groupBy(_._1)
+      // overflow guard (scaladoc): per-brand total comparisons must
+      // stay ≤ 2^62/1e12 so every 10¹²-scaled product below fits
+      // int64 even at the weight floor w = 1 — enforced loudly, the
+      // analog of DuckDB's native BIGINT-overflow error
+      byI.foreach { case (i, xs) =>
+        val ct = xs.map(_._3).sum
+        require(ct <= 4611686L, s"q283: brand $i has $ct comparisons — " +
+          "overflows the 1e12 iteration scaling")
+      }
+      // 8 MM iterations, bit-identical to the SQL's unrolled chain:
+      // Long `/` on positives IS the SQL's integer floor `//`, and the
+      // membership checks replicate the SQL's inner joins exactly — a
+      // player with no in-support pair rows or no in-support wins
+      // drops out of d/r/w just as the join chain drops it, and its
+      // pair rows stop feeding opponents' denominators once it leaves
+      // the weight table
+      var w: Map[String, Long] =
+        players.map(_ -> 1000000L / math.max(players.size, 1)).toMap
+      for (_ <- 1 to 8) {
+        val den = byI.flatMap { case (i, xs) =>
+          if (!w.contains(i)) None
+          else {
+            val terms = xs.collect { case (_, j, n) if w.contains(j) =>
+              1000000000000L * n / (w(i) + w(j))
+            }
+            if (terms.isEmpty) None else Some(i -> terms.sum)
+          }
+        }
+        val r = den.flatMap { case (tt, d) =>
+          wins.get(tt).map(win => tt -> 1000000000000L * win / d)
+        }
+        val sr = r.values.sum
+        // sr = 0 (possible only if every scaled win floors to zero)
+        // would be a division-by-zero error in DuckDB too — loud on
+        // both engines, never silent
+        w = r.map { case (tt, v) => tt -> math.max(1000000L * v / sr, 1L) }
+      }
+      val out = w.keys.toSeq.sorted.map(tt => (tt, wins.getOrElse(tt, 0L), w(tt)))
+      import s.implicits._
+      s.createDataset(out)
+        .toDF("brand", "wins", "strength_ppm")
     }
   }
 

@@ -32,11 +32,14 @@ class BenchHygieneSpec extends SparkSpec {
   private val ctrl = Some((1.93, 1.88, 2.01, 1.90))
 
   test("compact trailer degrades maps → value arrays → min array → map-free, never over budget") {
-    def results(n: Int, sec: Double): Seq[(String, Double, Double)] =
-      (1 to n).map(i => (f"q$i%03d_name", sec, sec * 0.9))
+    // offsets: query i starts at 4·sec·(i−1) seconds (warmup + 3
+    // repeats back to back) — the realistic timeline shape
+    def results(n: Int, sec: Double): Seq[(String, Double, Double, Double)] =
+      (1 to n).map(i => (f"q$i%03d_name", sec, sec * 0.9, 4 * sec * (i - 1)))
     def unitOf(t: String): String =
       "\"unit\":\"([a-z-]+)\"".r.findFirstMatchIn(t).get.group(1)
-    val ranks = Seq("centisec", "decisec", "sec", "ds-arrays", "ds-minarray", "omitted")
+    val ranks = Seq("centisec", "decisec", "sec", "ds-arrays",
+      "ds-minarray", "ds-minarray-bare", "omitted")
     // small registry: full centisecond precision preserved, med + min maps
     val small = Bench.compactTrailer(results(50, 1.234), Map.empty, 61.7, "", "sf0.1", ctrl)
     assert(unitOf(small) == "centisec" && small.contains("\"001\":123"))
@@ -60,12 +63,22 @@ class BenchHygieneSpec extends SparkSpec {
     assert(sweep.contains(ranks.indexOf("ds-arrays")), "sweep never hit the array form")
     assert(sweep.last >= ranks.indexOf("ds-minarray"),
       "the largest registries must at least drop to the min array")
-    // the CURRENT registry size (~250) must keep FULL per-query data:
-    val current = Bench.compactTrailer(results(250, 4.04), Map.empty, 1010.0, "", "sf0.1", ctrl)
+    // the CURRENT registry size and value shape (287 queries, r11's
+    // 0.78 s/query median) must keep med+min+offsets — the real-record
+    // guarantee, measured against realistic digit widths, not the
+    // sweep's uniform-4s worst case
+    val current = Bench.compactTrailer(results(290, 0.85), Map.empty, 247.0, "", "sf0.1", ctrl)
     assert(ranks.indexOf(unitOf(current)) <= ranks.indexOf("ds-arrays"),
-      s"250 queries lost per-query data: ${unitOf(current)}")
+      s"290 queries lost per-query data: ${unitOf(current)}")
     assert(current.contains("\"qmin\":[") || current.contains("\"qmins\":"),
-      "250-query trailer lost the adjudication floor")
+      "290-query trailer lost the adjudication floor")
+    assert(current.contains("\"qoffm\":\""),
+      "290-query trailer lost the start offsets")
+    // a heavier box (every value 3 ds digits) may drop the median but
+    // NEVER the min or the offsets at this registry size
+    val heavy = Bench.compactTrailer(results(290, 4.04), Map.empty, 1172.0, "", "sf0.1", ctrl)
+    assert(heavy.contains("\"qmin\":[") && heavy.contains("\"qoffm\":\""),
+      s"heavy-valued 290-query trailer lost min or offsets: ${unitOf(heavy)}")
     // map-free floor: totals + failed query NUMBERS survive, map is {}
     val huge = Bench.compactTrailer(results(3000, 111.2),
       Map("q0007_x" -> "boom"), 333600.0, "", "sf0.1", ctrl)
@@ -74,14 +87,53 @@ class BenchHygieneSpec extends SparkSpec {
     assert(huge.length <= Bench.TrailerBudget)
     // failed queries mark -1 in the per-query map forms
     val withFail = Bench.compactTrailer(
-      results(5, 0.5) :+ (("q006_bad", -1.0, -1.0)), Map("q006_bad" -> "err"),
+      results(5, 0.5) :+ (("q006_bad", -1.0, -1.0, 10.0)), Map("q006_bad" -> "err"),
       2.5, "", "sf0.1", ctrl)
     assert(withFail.contains("\"006\":-1") && withFail.contains("\"errors\":[\"006\"]"))
   }
 
+  test("every trailer form carries qoffm: one base-36 minute char per query, registry order") {
+    def results(n: Int, sec: Double): Seq[(String, Double, Double, Double)] =
+      (1 to n).map(i => (f"q$i%03d_name", sec, sec * 0.9, 4 * sec * (i - 1)))
+    def qoffmOf(t: String): String =
+      "\"qoffm\":\"([0-9a-z]*)\"".r.findFirstMatchIn(t)
+        .getOrElse(fail(s"trailer lost qoffm: ${t.take(200)}")).group(1)
+    // every per-query ladder rung, small through large: exactly one
+    // char per query, never over budget
+    Seq((5, 1.0), (250, 4.04), (300, 4.04)).foreach {
+      case (n, sec) =>
+        val t = Bench.compactTrailer(results(n, sec), Map.empty, n * sec,
+          "", "sf0.1", ctrl)
+        assert(qoffmOf(t).length == n, s"n=$n: qoffm length ${qoffmOf(t).length}")
+        assert(t.length <= Bench.TrailerBudget, s"n=$n over budget with qoffm")
+    }
+    // the map-free floor drops qoffm with the rest of the per-query
+    // data (n offset chars overflow whenever the min array does)
+    val huge = Bench.compactTrailer(results(3000, 111.2), Map.empty,
+      333600.0, "", "sf0.1", ctrl)
+    assert(huge.contains("\"unit\":\"omitted\"") && !huge.contains("qoffm"))
+    assert(huge.length <= Bench.TrailerBudget)
+    // the encoding itself: minutes floor, base-36, 'z' cap, '0' defense
+    assert(Bench.offsetChar(0.0) == '0' && Bench.offsetChar(59.9) == '0')
+    assert(Bench.offsetChar(60.0) == '1' && Bench.offsetChar(605.0) == 'a')
+    assert(Bench.offsetChar(35 * 60.0) == 'z' && Bench.offsetChar(1e9) == 'z')
+    assert(Bench.offsetChar(-3.0) == '0' && Bench.offsetChar(Double.NaN) == '0')
+    // a 287-query run at the r11 timeline (~0.85 s/query median → ~16
+    // min wall) clusters by minute exactly as the adjudication needs:
+    // queries sharing a minute share a char
+    val t287 = Bench.compactTrailer(results(287, 0.85), Map.empty, 244.0,
+      "", "sf0.1", ctrl)
+    val q287 = qoffmOf(t287)
+    assert(q287.length == 287 && q287.head == '0' && q287.last > '9',
+      s"287-query timeline didn't span minutes: head=${q287.head} last=${q287.last}")
+    // and the current-registry form still keeps med+min value arrays
+    assert(t287.contains("\"qmed\":[") && t287.contains("\"qmin\":["),
+      "qoffm displaced the med/min arrays at the current registry size")
+  }
+
   test("every trailer form carries the q27 control bracket in centiseconds") {
-    def results(n: Int): Seq[(String, Double, Double)] =
-      (1 to n).map(i => (f"q$i%03d_name", 4.0, 3.6))
+    def results(n: Int): Seq[(String, Double, Double, Double)] =
+      (1 to n).map(i => (f"q$i%03d_name", 4.0, 3.6, 16.0 * (i - 1)))
     // present at every ladder rung, small and huge registries alike
     Seq(5, 250, 3000).foreach { n =>
       val t = Bench.compactTrailer(results(n), Map.empty, n * 4.0, "", "sf0.1", ctrl)
