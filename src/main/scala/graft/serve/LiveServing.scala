@@ -44,6 +44,28 @@ object LiveServing {
             / (lit(100.0) * col("delta").cast("double"))).cast(LongType)))
     MaterializedViews.latestPerKey(dd, Seq(keyCol), "day")
   }
+
+  /** The COMPOSITE-KEY (district) serving reduction: from a day-grain
+    * counts frame `(keyCols…, day, n)` to ONE row per composite key —
+    * the LATEST day's `(keyCols…, day, n)` plus the LIFETIME `total_n`
+    * (the reference's district response pairs today's count with the
+    * running total: DistrictAlertConsumer.java:96-101). Batch parity
+    * target: the ORACLED q08's rows reduced to their latest day per
+    * key — same daily/total machinery, one implementation serving
+    * both, so the live body cannot drift from what the driver
+    * verifies.
+    *
+    * Plan shape: ONE hash aggregate at composite-key grain (`max_by`
+    * picks the latest day's struct while `sum` folds the lifetime
+    * total in the same pass) — one shuffle over the serving-sized
+    * view, no window, no second scan. */
+  def districtRows(daily: DataFrame, keyCols: Seq[String]): DataFrame =
+    daily
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(col("day"), col("n")), col("day")).as("latest"),
+        sum(col("n")).as("total_n"))
+      .select(keyCols.map(col) ++ Seq(col("latest.day").as("day"),
+        col("latest.n").as("n"), col("total_n")): _*)
 }
 
 /** S7 over LIVE streaming state — the last composed reference loop:
@@ -148,6 +170,80 @@ object LiveEndpoint {
         respond(ex, 200,
           rows.map(rowJson(keyCol, _)).mkString("[", ",", "]"))
       }
+    })
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        respond(ex, 404, "not found")
+    })
+    server.start()
+    new Handle(server)
+  }
+
+  private def districtJson(r: Row): String =
+    s"""{"user_id":${r.getLong(0)},"event_type":"${esc(r.getString(1))}",""" +
+      s""""day":"${r.getDate(2)}","n":${r.getLong(3)},""" +
+      s""""total_n":${r.getLong(4)}}"""
+
+  /** Live COMPOSITE-KEY (district) point queries over a view
+    * maintained by [[MaterializedViews.serveDailyCountsAsView]] on
+    * (user_id, event_type) — the reference bot's district face
+    * (StateStoresManager.java:125-127 keyed district stores,
+    * DistrictAlertConsumer.java:96-101 probing (state, district)),
+    * closing the one reference query face the batch-oracled q08
+    * covered but nothing served live:
+    *  - `GET /district/<user_id>/<event_type>` — that key's serving
+    *    row ([[LiveServing.districtRows]]: latest day's count +
+    *    lifetime total), 404 unknown key or malformed id;
+    *  - `GET /district/<user_id>` — all of the key-1 group's rows,
+    *    event_type-ascending (the bot's per-state district listing);
+    *  - 503 before the first micro-batch, 405 non-GET, exact-path
+    *    404s elsewhere.
+    * Same scale posture as [[start]]: the view is (keys × days) —
+    * serving-sized — and each GET runs ONE aggregate over it,
+    * collecting only final serving rows. */
+  def startDistrict(spark: SparkSession, viewName: String,
+      port: Int = 0): Handle = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type",
+        if (code == 200) "application/json" else "text/plain")
+      ex.sendResponseHeaders(code, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    def rows: DataFrame =
+      LiveServing.districtRows(spark.table(s"global_temp.$viewName"),
+        Seq("user_id", "event_type"))
+        .select(col("user_id").cast("long"), col("event_type"),
+          col("day"), col("n").cast("long"), col("total_n").cast("long"))
+    server.createContext("/district/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        try {
+          if (ex.getRequestMethod != "GET") respond(ex, 405, "GET only")
+          else if (!spark.catalog.tableExists(s"global_temp.$viewName"))
+            respond(ex, 503, "view not ready")
+          else {
+            val parts = ex.getRequestURI.getPath.stripPrefix("/district/")
+              .split("/", -1).toSeq
+            (parts, parts.headOption.flatMap(_.toLongOption)) match {
+              case (Seq(_, district), Some(uid)) if district.nonEmpty =>
+                val got = rows.filter(col("user_id") === uid &&
+                  col("event_type") === district).collect()
+                if (got.isEmpty) respond(ex, 404, "not found")
+                else respond(ex, 200, districtJson(got.head))
+              case (Seq(_), Some(uid)) =>
+                val got = rows.filter(col("user_id") === uid)
+                  .orderBy("event_type").collect()
+                if (got.isEmpty) respond(ex, 404, "not found")
+                else respond(ex, 200,
+                  got.map(districtJson).mkString("[", ",", "]"))
+              case _ => respond(ex, 404, "not found")
+            }
+          }
+        } catch {
+          case e: Throwable => respond(ex, 500, String.valueOf(e.getMessage))
+        }
     })
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit =

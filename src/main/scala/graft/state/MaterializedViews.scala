@@ -150,4 +150,33 @@ object MaterializedViews {
       }
       .start()
   }
+
+  /** Continuously-maintained COMPOSITE-KEY daily counts view — the
+    * reference's district face (the bot's district stores key on
+    * (state, district): StateStoresManager.java:125-127,
+    * district/DistrictAlertConsumer.java:96-101): a 1-day tumbling
+    * `count(*)` per (keyCols…, day) in update mode, upserting into
+    * `global_temp.<viewName>` with composite key (keyCols…, day).
+    * [[graft.serve.LiveEndpoint.startDistrict]] serves point queries
+    * over it while the stream runs; the serving-row reduction over the
+    * view is [[graft.serve.LiveServing.districtRows]], whose batch
+    * parity target is the ORACLED q08 (same daily/total machinery).
+    * State-size posture is [[serveDailyTotalsAsView]]'s: (keys × days)
+    * is serving-sized, unwatermarked by design for full history. */
+  def serveDailyCountsAsView(streaming: DataFrame, keyCols: Seq[String],
+      tsCol: String, viewName: String,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val daily = streaming
+      .groupBy(window(col(tsCol), "1 day").as("w") +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(keyCols.map(col) ++
+        Seq(to_date(col("w.start")).as("day"), col("n")): _*)
+    val w = daily.writeStream.outputMode("update")
+    checkpointLocation.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (changed: DataFrame, _: Long) =>
+        upsertIntoGlobalView(changed, keyCols :+ "day", viewName)
+      }
+      .start()
+  }
 }
