@@ -220,6 +220,74 @@ object StreamBench {
     } finally q.stop()
   }
 
+  /** splitmix64 finalizer — deterministic pseudo-random 64-bit mix for
+    * the embedding feed (no RNG object, pure function of the seed). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic embedding micro-batch with [[nearDedupBatch]]'s
+    * decade structure — a 30% duplicate rate: row g's 64-dim vector is
+    * a pure splitmix64 function of its KEY (members 0-2 of each decade
+    * share member 3's key, hence its exact vector). Distinct keys give
+    * i.i.d.-uniform components → pairwise |cos| ~ 1/√64, nowhere near
+    * the 0.95 threshold, and the exact-cosine verify rejects any stray
+    * band collision — so `storedRows` must equal 0.7 × totalRows
+    * EXACTLY, same argument as the text feed's (exact copies collide
+    * in every band; sign-LSH detection of a cos < 1 near-pair is
+    * probabilistic, fine for recall, fatal for an exactly-once
+    * assertion). */
+  def embeddingBatch(i: Int, rows: Int, dims: Int = 64)
+      : Seq[(Long, Seq[Float], Long)] =
+    (0 until rows).map { j =>
+      val g = i.toLong * rows + j
+      val key = if (g % 10 < 3) g - g % 10 + 3 else g
+      val vec: Seq[Float] = (0 until dims).map { d =>
+        // uniform [-1, 1) from the top 53 bits
+        ((mix64(key * 131071L + d) >>> 11) / 4503599627370496.0 - 1.0).toFloat
+      }
+      (g, vec, 1586300000000000L + g)
+    }
+
+  /** Feed `batches` micro-batches through the incremental EMBEDDING
+    * near-dedup topology ([[graft.streaming.IncrementalEmbeddingNearDedup]]:
+    * in-batch sign-LSH first-wins → bucket-pruned band-store probe →
+    * exact integer-cosine verify against fetched quantized vectors →
+    * novel rows out + band/payload upsert) and time the processing,
+    * warmup excluded — the r11 verdict's task 6: the last Incremental*
+    * member without a throughput number. Feed: [[embeddingBatch]]'s
+    * 30%-exact-duplicate decades; accounting is exact by the same
+    * argument as [[runNearDedup]]'s. */
+  def runEmbeddingNearDedup(spark: SparkSession, batchRows: Int,
+      batches: Int, outDir: String): Result = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Float], Long)]
+    val novelDir = s"$outDir/novel"
+    val q = graft.streaming.IncrementalEmbeddingNearDedup.run(
+      ms.toDF().toDF("doc_id", "vec", "ts_us"),
+      "doc_id", "vec", "ts_us", s"$outDir/store",
+      checkpointLocation = Some(s"$outDir/ck")) {
+      (novel, _) => novel.write.mode("append").parquet(novelDir): Unit
+    }
+    try {
+      val warmupRows = math.max(10, math.min(batchRows, 1000) / 10 * 10)
+      ms.addData(embeddingBatch(0, warmupRows))
+      q.processAllAvailable()
+      val warmupNovel = spark.read.parquet(novelDir).count()
+      val feeds = (1 to batches).map(i => embeddingBatch(i, batchRows))
+      val t0 = System.nanoTime()
+      feeds.foreach { f => ms.addData(f); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val total = batchRows.toLong * batches
+      val stored = spark.read.parquet(novelDir).count() - warmupNovel
+      Result(batchRows, batches, 0, total, stored, sec, total / sec)
+    } finally q.stop()
+  }
+
   /** Deterministic (day, type, Δcount) delta rows: 365 day keys × 37
     * types, counts 1..5 — each global row index lands on a fixed cell,
     * so the total fed count per day is reproducible and the tracker's
@@ -429,51 +497,81 @@ object StreamBench {
       .configure(SparkSession.builder(), GraftSession.defaultCpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev-only harness filter (unset for driver runs = all harnesses),
+    // the Bench SPARK_GRAFT_ONLY convention: comma-separated names from
+    // {delta,incdedup,incneardedup,incembdedup,entropy,kmv,heavyhitters}
+    val only = sys.env.get("SPARK_STREAMBENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(name: String): Boolean = only.forall(_.contains(name))
+    if (only.isDefined)
+      System.err.println("[streambench] WARNING: SPARK_STREAMBENCH_ONLY " +
+        s"is set — running only ${only.get.mkString(",")}")
     val sizes = Seq((10000, 10), (100000, 5))
-    val results = sizes.map { case (rows, n) =>
+    val results = if (!want("delta")) Seq.empty else sizes.map { case (rows, n) =>
       val dir = Files.createTempDirectory("streambench").toFile.getAbsolutePath
       System.err.println(s"[streambench] delta batchRows=$rows batches=$n")
       run(spark, rows, n, 40, dir)
     }
-    println(s"""{"metric":"stream_rows_per_sec","runs":${runsJson(results)}}""")
+    if (results.nonEmpty)
+      println(s"""{"metric":"stream_rows_per_sec","runs":${runsJson(results)}}""")
     val dedupSizes = Seq((10000, 10), (100000, 3))
-    val dedupResults = dedupSizes.map { case (rows, n) =>
+    val dedupResults = if (!want("incdedup")) Seq.empty else dedupSizes.map { case (rows, n) =>
       val dir = Files.createTempDirectory("streambench-dd").toFile.getAbsolutePath
       System.err.println(s"[streambench] incdedup batchRows=$rows batches=$n")
       runDedup(spark, rows, n, dir)
     }
-    println(s"""{"metric":"incdedup_rows_per_sec","runs":${runsJson(dedupResults)}}""")
+    if (dedupResults.nonEmpty)
+      println(s"""{"metric":"incdedup_rows_per_sec","runs":${runsJson(dedupResults)}}""")
     // near-dedup pays ~16 band rows + a payload row per doc where exact
     // dedup pays one fingerprint — fewer batches at the large size keep
     // the harness bounded while still measuring a store 3 batches deep
     val nearSizes = Seq((10000, 5), (100000, 2))
-    val nearResults = nearSizes.map { case (rows, n) =>
+    val nearResults = if (!want("incneardedup")) Seq.empty else nearSizes.map { case (rows, n) =>
       val dir = Files.createTempDirectory("streambench-nd").toFile.getAbsolutePath
       System.err.println(s"[streambench] incneardedup batchRows=$rows batches=$n")
       runNearDedup(spark, rows, n, dir)
     }
-    println(s"""{"metric":"incneardedup_rows_per_sec","runs":${runsJson(nearResults)}}""")
+    if (nearResults.nonEmpty)
+      println(s"""{"metric":"incneardedup_rows_per_sec","runs":${runsJson(nearResults)}}""")
+    // embedding near-dedup: 8 band rows + one quantized-vector payload
+    // row per admitted doc, 64 float components quantized per row —
+    // the heaviest per-row Incremental* member, so the large size runs
+    // 2 batches like the text near-dup harness
+    val embSizes = Seq((10000, 5), (100000, 2))
+    val embResults = if (!want("incembdedup")) Seq.empty else embSizes.map { case (rows, n) =>
+      val dir = Files.createTempDirectory("streambench-emb").toFile.getAbsolutePath
+      System.err.println(s"[streambench] incembdedup batchRows=$rows batches=$n")
+      runEmbeddingNearDedup(spark, rows, n, dir)
+    }
+    if (embResults.nonEmpty)
+      println(s"""{"metric":"incembdedup_rows_per_sec","runs":${runsJson(embResults)}}""")
     val entropySizes = Seq((10000, 10), (100000, 5))
-    val entropyResults = entropySizes.map { case (rows, n) =>
-      System.err.println(s"[streambench] entropy batchRows=$rows batches=$n")
-      runEntropy(spark, rows, n)
+    if (want("entropy")) {
+      val entropyResults = entropySizes.map { case (rows, n) =>
+        System.err.println(s"[streambench] entropy batchRows=$rows batches=$n")
+        runEntropy(spark, rows, n)
+      }
+      println(s"""{"metric":"entropy_rows_per_sec","runs":${runsJson(entropyResults)}}""")
     }
-    println(s"""{"metric":"entropy_rows_per_sec","runs":${runsJson(entropyResults)}}""")
     val kmvSizes = Seq((10000, 10), (100000, 5))
-    val kmvResults = kmvSizes.map { case (rows, n) =>
-      System.err.println(s"[streambench] kmv batchRows=$rows batches=$n")
-      runKmv(spark, rows, n)
+    if (want("kmv")) {
+      val kmvResults = kmvSizes.map { case (rows, n) =>
+        System.err.println(s"[streambench] kmv batchRows=$rows batches=$n")
+        runKmv(spark, rows, n)
+      }
+      println(s"""{"metric":"kmv_rows_per_sec","runs":${runsJson(kmvResults)}}""")
     }
-    println(s"""{"metric":"kmv_rows_per_sec","runs":${runsJson(kmvResults)}}""")
     val hhSizes = Seq((10000, 10), (100000, 5))
-    val hhResults = hhSizes.map { case (rows, n) =>
-      System.err.println(s"[streambench] heavyhitters batchRows=$rows batches=$n")
-      runHeavyHitters(spark, rows, n)
+    if (want("heavyhitters")) {
+      val hhResults = hhSizes.map { case (rows, n) =>
+        System.err.println(s"[streambench] heavyhitters batchRows=$rows batches=$n")
+        runHeavyHitters(spark, rows, n)
+      }
+      println(s"""{"metric":"heavyhitters_rows_per_sec","runs":${runsJson(hhResults)}}""")
     }
-    println(s"""{"metric":"heavyhitters_rows_per_sec","runs":${runsJson(hhResults)}}""")
     spark.stop()
     if (results.exists(r => r.storedRows != r.totalRows) ||
-      (dedupResults ++ nearResults)
+      (dedupResults ++ nearResults ++ embResults)
         .exists(r => r.storedRows * 10 != r.totalRows * 7)) {
       System.err.println("[streambench] row accounting mismatch")
       sys.exit(1)

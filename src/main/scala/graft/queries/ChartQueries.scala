@@ -313,6 +313,74 @@ object ChartQueries {
         col("event_type"), col("n"))
   }
 
+  /** q289: the SHIP-SLA dashboard chart — q287's lead-time profile
+    * (exact integer p50/p90 shipping days per order priority) as one
+    * byte-exact ChartRequest: grouped bars, priorities on the x-axis,
+    * P50 and P90 series (the operational "does URGENT actually ship
+    * faster" readout as the reference's visualizer would POST it).
+    * This is the r11 verdict's task 7: the inference wave gets a chart
+    * face, wired as an [[graft.serve.HttpEndpoint]] route (`/sla`)
+    * over THIS registered, hash-oracled query. The q42 technique: the
+    * priority grain is ≤ 5 rows by construction, so only chart-sized
+    * label/data arrays are collected into the one-row request; the
+    * oracle rebuilds the identical Gson bytes by string concatenation
+    * over q287's own CTE chain. */
+  val slaChart: Q = Q(
+    "q289_sla_chart",
+    """WITH j AS (SELECT o.o_orderpriority AS pri,
+      |             date_diff('day', CAST(o.o_orderdate AS DATE),
+      |                       CAST(l.l_shipdate AS DATE)) AS d
+      |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |h AS (SELECT pri, d, CAST(count(*) AS BIGINT) AS c
+      |      FROM j GROUP BY 1, 2),
+      |cum AS (SELECT pri, d, c,
+      |          CAST(sum(c) OVER (PARTITION BY pri ORDER BY d) AS BIGINT)
+      |            AS cc
+      |        FROM h),
+      |n AS (SELECT pri, CAST(sum(c) AS BIGINT) AS n
+      |      FROM h GROUP BY 1),
+      |prof AS (SELECT n.pri,
+      |           CAST(min(CASE WHEN 2 * cum.cc >= n.n THEN cum.d END)
+      |             AS BIGINT) AS p50_days,
+      |           CAST(min(CASE WHEN 10 * cum.cc >= 9 * n.n THEN cum.d END)
+      |             AS BIGINT) AS p90_days
+      |         FROM cum JOIN n USING (pri)
+      |         GROUP BY 1),
+      |s AS (SELECT string_agg('"' || pri || '"', ',' ORDER BY pri) AS labels,
+      |             string_agg(p50_days || '.0', ',' ORDER BY pri) AS d50,
+      |             string_agg(p90_days || '.0', ',' ORDER BY pri) AS d90
+      |      FROM prof)
+      |SELECT '{"backgroundColor":"transparent","width":"750","height":"450","format":"png","chart":{"type":"bar","data":{"labels":['
+      |  || labels || '],"datasets":[{"type":"bar","label":"P50 Ship Days","data":['
+      |  || d50
+      |  || '],"fill":false,"borderColor":"rgb(54, 162, 235)","backgroundColor":"rgb(54, 162, 235)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"},{"type":"bar","label":"P90 Ship Days","data":['
+      |  || d90
+      |  || '],"fill":false,"borderColor":"rgb(255, 99, 132)","backgroundColor":"rgb(255, 99, 132)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"}]},"options":{"plugins":{"datalabels":{"display":true,"anchor":"end","backgroundColor":"#ccc","borderRadius":"3","align":"end"}},"scales":{"xAxes":[{"id":"bottom-x-axis","position":"bottom","stacked":false,"ticks":{"beginAtZero":true}}],"yAxes":[{"id":"left-y-axis","position":"left","stacked":false,"ticks":{"beginAtZero":true}}]},"title":{"display":false,"text":""}}}}' AS chart_json
+      |FROM s""".stripMargin
+  ) { (s, dir) =>
+    // the registered q287 machinery verbatim, reduced to the chart's
+    // two series; priorities are ≤ 5 by construction
+    val prof = WarehouseQueries.shipLatency.fn(s, dir)
+      .select(col("pri"), col("p50_days").cast("double").as("p50"),
+        col("p90_days").cast("double").as("p90"))
+    val rows = prof
+      .agg(array_sort(collect_list(struct(
+        col("pri"), col("p50"), col("p90")))).as("rows"))
+      .select(
+        expr("transform(rows, r -> r.pri)").as("labels"),
+        expr("transform(rows, r -> r.p50)").as("d50"),
+        expr("transform(rows, r -> r.p90)").as("d90"))
+    val ds = array(
+      ChartJson.dataset(lit(ChartJson.Bar), lit("P50 Ship Days"),
+        col("d50"), lit(ChartJson.Blue)),
+      ChartJson.dataset(lit(ChartJson.Bar), lit("P90 Ship Days"),
+        col("d90"), lit(ChartJson.Red)))
+    rows.select(
+      ChartJson.requestJson(
+        ChartJson.chart(ChartJson.Bar, col("labels"), ds,
+          displayLabels = true)).as("chart_json"))
+  }
+
   val all: Seq[Q] = Seq(chartSeries, chartJson, chartFanout, historyChart,
-    testingSeries, denseChartSeries)
+    testingSeries, denseChartSeries, slaChart)
 }

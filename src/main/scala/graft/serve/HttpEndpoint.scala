@@ -77,7 +77,10 @@ object HttpEndpoint {
         .testingTrendChart(testingDaily(spark, dir), "testing")
         .collect().head.getString(1)),
       // the since-origin cumulative history trend
-      "history" -> (() => q("q53_history_chart").collect().head.getString(1)))
+      "history" -> (() => q("q53_history_chart").collect().head.getString(1)),
+      // the ship-SLA p50/p90 profile (r12: the inference wave's chart
+      // face — q287's machinery through the oracled q289 assembly)
+      "sla" -> (() => q("q289_sla_chart").collect().head.getString(0)))
   }
 
   /** Start the endpoint on `port` (0 = ephemeral). Blocking handlers

@@ -32,8 +32,20 @@ class HttpEndpointSpec extends SparkSpec {
     assert(new String(r.body(), "UTF-8") == expected)
   }
 
+  test("/sla serves exactly the registered q289 ship-SLA chart JSON") {
+    val r = get("/sla")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").orElse("") == "application/json")
+    val expected = graft.queries.Registry.byName("q289_sla_chart")
+      .fn(spark, sf).collect().head.getString(0)
+    assert(new String(r.body(), "UTF-8") == expected)
+    // the body is the grouped-bar profile with both series present
+    assert(expected.contains("\"label\":\"P50 Ship Days\"") &&
+      expected.contains("\"label\":\"P90 Ship Days\""))
+  }
+
   test("every chart route returns a parseable ChartRequest body") {
-    Seq("/today", "/yesterday", "/testing", "/history").foreach { p =>
+    Seq("/today", "/yesterday", "/testing", "/history", "/sla").foreach { p =>
       val r = get(p)
       assert(r.statusCode() == 200, s"$p -> ${r.statusCode()}")
       val body = new String(r.body(), "UTF-8")
@@ -55,7 +67,7 @@ class HttpEndpointSpec extends SparkSpec {
   test("/refresh recomputes every chart family and reports the count") {
     val r = get("/refresh")
     assert(r.statusCode() == 200)
-    assert(new String(r.body(), "UTF-8") == """{"recomputed":4}""")
+    assert(new String(r.body(), "UTF-8") == """{"recomputed":5}""")
   }
 
   test("unknown paths 404, non-GET 405") {

@@ -51,6 +51,23 @@ class StreamBenchSpec extends SparkSpec {
     assert(dupTexts === 0L, s"$dupTexts duplicate texts escaped the near-dedup")
   }
 
+  test("incembdedup micro-bench: exactly the 7-in-10 novel vectors land, once each") {
+    val dir = Files.createTempDirectory("sbspec-emb").toFile.getAbsolutePath
+    val r = StreamBench.runEmbeddingNearDedup(spark, batchRows = 400,
+      batches = 3, dir)
+    assert(r.totalRows === 1200L)
+    // exact-copy decades: identical vectors collide in every sign-LSH
+    // band and the integer-cosine verify confirms them with
+    // probability 1, so the accounting is exact; distinct splitmix64
+    // vectors sit at |cos| ~ 1/8, nowhere near the 0.95 threshold
+    assert(r.storedRows === 840L,
+      s"expected 840 novel rows (0.7 x 1200), got ${r.storedRows}")
+    assert(r.rowsPerSec > 0.0)
+    val dupIds = spark.read.parquet(s"$dir/novel")
+      .groupBy("doc_id").count().filter("count > 1").count()
+    assert(dupIds === 0L, s"$dupIds duplicate ids escaped the near-dedup")
+  }
+
   test("entropy micro-bench: final per-day counts equal the fed deltas exactly") {
     // runEntropy REQUIRE-asserts the accounting internally (summed
     // final per-day n == total fed count incl. warmup); this drives it
