@@ -241,13 +241,20 @@ object StreamBench {
     * probabilistic, fine for recall, fatal for an exactly-once
     * assertion). */
   def embeddingBatch(i: Int, rows: Int, dims: Int = 64)
-      : Seq[(Long, Seq[Float], Long)] =
+      : Seq[(Long, Array[Float], Long)] =
     (0 until rows).map { j =>
       val g = i.toLong * rows + j
       val key = if (g % 10 < 3) g - g % 10 + 3 else g
-      val vec: Seq[Float] = (0 until dims).map { d =>
+      // primitive array, not Seq: a boxed-Float 64-vector costs ~1.5 KB
+      // against the array's ~300 B, and the pre-materialized feeds plus
+      // MemoryStream's retained batches multiply that by every row fed
+      val vec = new Array[Float](dims)
+      var d = 0
+      while (d < dims) {
         // uniform [-1, 1) from the top 53 bits
-        ((mix64(key * 131071L + d) >>> 11) / 4503599627370496.0 - 1.0).toFloat
+        vec(d) =
+          ((mix64(key * 131071L + d) >>> 11) / 4503599627370496.0 - 1.0).toFloat
+        d += 1
       }
       (g, vec, 1586300000000000L + g)
     }
@@ -265,7 +272,7 @@ object StreamBench {
       batches: Int, outDir: String): Result = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val ms = MemoryStream[(Long, Seq[Float], Long)]
+    val ms = MemoryStream[(Long, Array[Float], Long)]
     val novelDir = s"$outDir/novel"
     val q = graft.streaming.IncrementalEmbeddingNearDedup.run(
       ms.toDF().toDF("doc_id", "vec", "ts_us"),
@@ -536,8 +543,12 @@ object StreamBench {
     // embedding near-dedup: 8 band rows + one quantized-vector payload
     // row per admitted doc, 64 float components quantized per row —
     // the heaviest per-row Incremental* member, so the large size runs
-    // 2 batches like the text near-dup harness
-    val embSizes = Seq((10000, 5), (100000, 2))
+    // 2 batches like the text near-dup harness and caps at 50k rows:
+    // the first 100k attempt died with Spark's OOM exit (52) inside
+    // the default 8g driver envelope (a 64-wide vector row is ~6× a
+    // text row through quantize+band+verify), and a harness that only
+    // runs with a bigger -Xmx is not a record others can reproduce
+    val embSizes = Seq((10000, 5), (50000, 2))
     val embResults = if (!want("incembdedup")) Seq.empty else embSizes.map { case (rows, n) =>
       val dir = Files.createTempDirectory("streambench-emb").toFile.getAbsolutePath
       System.err.println(s"[streambench] incembdedup batchRows=$rows batches=$n")

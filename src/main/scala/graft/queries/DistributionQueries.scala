@@ -765,8 +765,83 @@ object DistributionQueries {
       .agg(sum(col("term_u6")).as("h_u6"))
   }
 
+  /** q292: POPULATION STABILITY INDEX of the value distribution,
+    * first calendar half vs second — the ML-monitoring drift number
+    * this family still lacked: q105's KL is directional and
+    * zero-unsafe, q207's chi² says "significant?" (any drift is, at
+    * scale), q231's KS sees only the worst single quantile; PSI is
+    * the industry's symmetric, per-bin-attributable drift score with
+    * fixed action thresholds (< 0.1 stable, > 0.25 act — 100 000 /
+    * 250 000 in the u6 scale here). Split: the day span's integer
+    * midpoint (a pure date function — both engines derive the same
+    * cut). Bins: q252's fixed 10-band value grid, add-one smoothed on
+    * BOTH sides over the FULL grid so an empty band contributes a
+    * finite, attributable term instead of ±∞ (the standard PSI
+    * practice; smoothing is part of the statistic's definition here
+    * and applied identically on both engines). Each band's term
+    * micro-quantizes from exact counts before the order-immune sum
+    * (the q241/q252 discipline); output is band grain — the
+    * actionable "WHICH bins moved" view, Σterm_u6 = the headline
+    * PSI. */
+  val psiDrift: Q = Q(
+    "q292_psi_drift",
+    """WITH b AS (SELECT least(CAST(floor(value / 50) AS BIGINT), 9) AS band,
+      |             CAST(ts AS DATE) AS day
+      |           FROM events),
+      |cut AS (SELECT min(day)
+      |          + CAST(date_diff('day', min(day), max(day)) // 2 AS INTEGER)
+      |          AS cutday FROM b),
+      |c AS (SELECT band,
+      |        CAST(sum(CASE WHEN day <= cutday THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS ca,
+      |        CAST(sum(CASE WHEN day > cutday THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS cb
+      |      FROM b CROSS JOIN cut GROUP BY 1),
+      |g AS (SELECT r.range AS band, coalesce(c.ca, 0) + 1 AS sa,
+      |             coalesce(c.cb, 0) + 1 AS sb
+      |      FROM range(0, 10) r LEFT JOIN c ON c.band = r.range),
+      |tot AS (SELECT CAST(sum(sa) AS BIGINT) AS na,
+      |               CAST(sum(sb) AS BIGINT) AS nb FROM g)
+      |SELECT CAST(g.band AS BIGINT) AS band,
+      |       CAST(g.sa - 1 AS BIGINT) AS n_first,
+      |       CAST(g.sb - 1 AS BIGINT) AS n_second,
+      |       CAST(round(1000000.0
+      |         * (CAST(g.sa AS DOUBLE) / tot.na
+      |            - CAST(g.sb AS DOUBLE) / tot.nb)
+      |         * ln(CAST(g.sa AS DOUBLE) * tot.nb
+      |              / (CAST(g.sb AS DOUBLE) * tot.na)))
+      |         AS BIGINT) AS term_u6
+      |FROM g CROSS JOIN tot""".stripMargin
+  ) { (s, dir) =>
+    val b = t(s, dir, "events")
+      .select(least(floor(col("value") / 50).cast(LongType), lit(9L))
+        .as("band"), to_date(col("ts")).as("day"))
+    val cut = b.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+      .select(expr("date_add(dmin, CAST(datediff(dmax, dmin) div 2 AS INT))")
+        .as("cutday"))
+    val c = b.crossJoin(broadcast(cut))
+      .groupBy("band")
+      .agg(sum(when(col("day") <= col("cutday"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("day") > col("cutday"), 1L).otherwise(0L)).as("cb"))
+    val g = s.range(0, 10).toDF("band")
+      .join(broadcast(c), Seq("band"), "left")
+      .select(col("band"),
+        (coalesce(col("ca"), lit(0L)) + 1L).as("sa"),
+        (coalesce(col("cb"), lit(0L)) + 1L).as("sb"))
+    val tot = g.agg(sum(col("sa")).as("na"), sum(col("sb")).as("nb"))
+    g.crossJoin(broadcast(tot))
+      .select(col("band"),
+        (col("sa") - 1L).as("n_first"), (col("sb") - 1L).as("n_second"),
+        round(lit(1000000.0)
+          * (col("sa").cast("double") / col("na")
+            - col("sb").cast("double") / col("nb"))
+          * log(col("sa").cast("double") * col("nb")
+            / (col("sb").cast("double") * col("na"))))
+          .cast(LongType).as("term_u6"))
+  }
+
   val all: Seq[Q] =
     Seq(marketHhi, ksTest, kendallTau, eventEntropy, vocabJsd,
       leadLag, theilIndex, fanoFactor, mannKendall, senSlope, mutualInfo,
-      hillDiversity, permutationEntropy)
+      hillDiversity, permutationEntropy, psiDrift)
 }

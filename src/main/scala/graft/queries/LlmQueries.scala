@@ -1489,6 +1489,57 @@ object LlmQueries {
         expr("10000000000 div sum_u6").as("alpha_milli"))
   }
 
+  /** q295: SELF-BLEU-2 per source — the corpus-diversity number the
+    * dedup family can't see: q84/q99 count documents that DUPLICATE,
+    * self-BLEU measures how much of a source's PHRASING exists
+    * elsewhere even when no document matches (Zhu et al. 2018's
+    * text-generation diversity metric, here at source grain — the
+    * data-mixing readout "does adding this source add new language or
+    * more of the same"). Corpus-level modified bigram precision
+    * against the rest: Σ_g min(c_s(g), c_rest(g)) / Σ_g c_s(g), one
+    * exact ppm floor per source — BLEU's clipping, no brevity penalty
+    * (corpus-level, not sentence-level). High = the source's bigrams
+    * are mostly available elsewhere; low = it contributes novel
+    * phrasing.
+    *
+    * Scale shape: one explode to bigram occurrences, a (bigram,
+    * source)-grain count with map-side combine, the bigram-grain
+    * total derived FROM that reduced table (never a second corpus
+    * scan), and one equi-join at vocabulary grain — the q65/q234
+    * vocab-grain discipline; rest-counts come from total − own, so no
+    * per-source anti-join fanout. */
+  val selfBleu: Q = Q(
+    "q295_self_bleu",
+    """WITH w AS (SELECT source, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |b AS (SELECT source, unnest(list_transform(range(1, len(ws)),
+      |               i -> ws[i] || ' ' || ws[i+1])) AS g
+      |      FROM w WHERE len(ws) >= 2),
+      |c AS (SELECT g, source, CAST(count(*) AS BIGINT) AS c
+      |      FROM b GROUP BY 1, 2),
+      |tg AS (SELECT g, CAST(sum(c) AS BIGINT) AS ct FROM c GROUP BY 1)
+      |SELECT c.source, CAST(sum(c.c) AS BIGINT) AS n_bigrams,
+      |       CAST(sum(least(c.c, tg.ct - c.c)) AS BIGINT) AS n_clipped,
+      |       (1000000 * CAST(sum(least(c.c, tg.ct - c.c)) AS BIGINT))
+      |         // CAST(sum(c.c) AS BIGINT) AS selfbleu2_ppm
+      |FROM c JOIN tg USING (g) GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    val b = t(s, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(slice(ws, 1, size(ws) - 1), " +
+          "(w, i) -> concat(w, ' ', element_at(ws, i + 2)))")).as("g"))
+    val c = b.groupBy("g", "source").agg(count(lit(1)).as("c"))
+    val tg = c.groupBy("g").agg(sum(col("c")).as("ct"))
+    c.join(tg, Seq("g"))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(least(col("c"), col("ct") - col("c"))).as("n_clipped"))
+      .select(col("source"), col("n_bigrams"), col("n_clipped"),
+        expr("(1000000 * n_clipped) div n_bigrams").as("selfbleu2_ppm"))
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, fingerprintQ, ngramJaccard,
     minhashLsh, minhashLshOracle, simhash, simhashOracle, embeddingNeardup,
     embeddingNeardupLsh, signLshOracle, knnCosine, annLsh, annIvf, binaryMeta,
@@ -1498,5 +1549,5 @@ object LlmQueries {
     annTopKOracle, embeddingDedupOracle, embeddingSplitLeakage,
     ngramNovelty, dupThresholdSweep, langIdConfusion, lenQualityCorr,
     dupByQuality, multimodalResize, multimodalPerceptual, heapsLaw,
-    vocabCoverage, hillTail)
+    vocabCoverage, hillTail, selfBleu)
 }

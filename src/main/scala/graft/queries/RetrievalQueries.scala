@@ -200,6 +200,61 @@ object RetrievalQueries {
           .cast(LongType).as("recall10_ppm"))
   }
 
+  /** q290: MAP@10 of the same ranker — the eval trio's third leg
+    * (nDCG grades positions, MRR sees only the first hit, AP averages
+    * precision at EVERY relevant position, so it punishes a ranker
+    * that buries half the relevant set where the other two can't).
+    * Binary labels as q220. Exactness: precision@i = cumrel_i / i has
+    * denominator i ≤ 10, so scaling by lcm(1..10) = 2520 makes every
+    * contribution an exact integer ((2520 div i)·cumrel_i); the final
+    * ap_ppm divides once by 2520·min(R,10) — no per-term floats at
+    * all, the only transcendental-free member of the trio. Same
+    * keyed-window shape as q219/q220 (partition by eval term). */
+  val retrievalMap: Q = Q(
+    "q290_retrieval_map",
+    s"""$sqlPrefix
+      |rel AS (SELECT term, doc_id, tf,
+      |               CASE WHEN pos <= 20 THEN 1 ELSE 0 END AS is_rel
+      |        FROM cand),
+      |rk AS (SELECT term, is_rel,
+      |              row_number() OVER (PARTITION BY term
+      |                ORDER BY tf DESC, doc_id ASC) AS i
+      |       FROM rel),
+      |cr AS (SELECT term, is_rel, i,
+      |              sum(is_rel) OVER (PARTITION BY term ORDER BY i)
+      |                AS cumrel
+      |       FROM rk),
+      |m AS (SELECT term,
+      |        sum(CASE WHEN i <= 10 AND is_rel = 1
+      |            THEN (2520 // i) * cumrel ELSE 0 END) AS s2520,
+      |        sum(is_rel) AS n_relevant
+      |      FROM cr GROUP BY term)
+      |SELECT term, CAST(n_relevant AS BIGINT) AS n_relevant,
+      |       CAST(CASE WHEN n_relevant = 0 THEN NULL
+      |            ELSE (1000000 * s2520)
+      |                 // (2520 * least(n_relevant, 10)) END
+      |         AS BIGINT) AS ap_ppm
+      |FROM m""".stripMargin
+  ) { (s, dir) =>
+    val rel = candidates(s, dir)
+      .withColumn("is_rel", when(col("pos") <= 20, 1L).otherwise(0L))
+    val byTf = Window.partitionBy("term")
+      .orderBy(col("tf").desc, col("doc_id").asc)
+    val byI = Window.partitionBy("term").orderBy("i")
+    rel
+      .withColumn("i", row_number().over(byTf).cast(LongType))
+      .withColumn("cumrel", sum(col("is_rel")).over(byI))
+      .groupBy("term")
+      .agg(sum(when(col("i") <= 10 && col("is_rel") === 1,
+          expr("(2520 div i) * cumrel")).otherwise(0L)).as("s2520"),
+        sum(col("is_rel")).as("n_relevant"))
+      .select(col("term"), col("n_relevant"),
+        when(col("n_relevant") === 0, lit(null).cast(LongType))
+          .otherwise(expr(
+            "(1000000 * s2520) div (2520 * least(n_relevant, 10))"))
+          .cast(LongType).as("ap_ppm"))
+  }
+
   /** q221: SPEARMAN rank correlation per source between two document
     * signals — char length vs distinct-word count (vocabulary
     * breadth): "are a source's longer docs actually richer, or just
@@ -315,5 +370,5 @@ object RetrievalQueries {
   }
 
   val all: Seq[Q] = Seq(retrievalNdcg, retrievalMrr, spearmanSignals,
-    rankBiasedOverlap)
+    rankBiasedOverlap, retrievalMap)
 }

@@ -858,10 +858,53 @@ object SequenceQueries {
     }
   }
 
+  /** q291: MAXIMUM DRAWDOWN of each type's daily-volume series — the
+    * peak-to-trough collapse depth (how far below its historical best
+    * day a stream has fallen, at the worst point so far), the
+    * risk-style reading the level family (q141 EWMA, q144 MAD, q197
+    * CUSUM) doesn't give: CUSUM finds WHERE the level shifted, max
+    * drawdown says HOW DEEP the worst sustained drop cut relative to
+    * the running peak. Exact integer cents end to end: daily revenue
+    * in cents (the DECIMAL-internally / BIGINT-out discipline), a
+    * type-KEYED running max (day order), dd_d = runmax_d − x_d, and
+    * one max per type. One shuffle at (type, day) grain, one keyed
+    * window over the day-grain series — never a partition-less
+    * window. */
+  val maxDrawdown: Q = Q(
+    "q291_max_drawdown",
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |             CAST(sum(CAST(round(value * 100) AS BIGINT))
+      |               AS BIGINT) AS cents
+      |           FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, day, cents,
+      |        CAST(max(cents) OVER (PARTITION BY event_type
+      |          ORDER BY day) AS BIGINT) AS runpeak
+      |      FROM d)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |       CAST(max(runpeak) AS BIGINT) AS peak_cents,
+      |       CAST(max(runpeak - cents) AS BIGINT) AS max_dd_cents,
+      |       CAST((1000 * max(runpeak - cents)) // max(runpeak)
+      |         AS BIGINT) AS max_dd_milli
+      |FROM r GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    val d = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    d.withColumn("runpeak", max(col("cents")).over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        max(col("runpeak")).as("peak_cents"),
+        max(col("runpeak") - col("cents")).as("max_dd_cents"))
+      .select(col("event_type"), col("n_days"), col("peak_cents"),
+        col("max_dd_cents"),
+        expr("(1000 * max_dd_cents) div peak_cents").as("max_dd_milli"))
+  }
+
   val all: Seq[Q] =
     Seq(activityStreaks, eventFunnel, eventTransitions, cumulativeUsers,
       sessionPaths, funnelLatency, stickiness, bounceRate, weekdayProfile,
       cohortRetention, seasonalAdjusted, setCompletion, purchaseCadence,
       interarrivalBurstiness, transitionEntropy, markovStationary,
-      entropyRate)
+      entropyRate, maxDrawdown)
 }

@@ -1528,8 +1528,161 @@ object StatQueries {
     }
   }
 
+  /** q293: KRUSKAL-WALLIS H across ALL sources at once — the k-group
+    * completion of q222's one-vs-rest pairs: twenty separate MW tests
+    * answer "is source k shifted against the rest" with twenty
+    * uncorrected p-values; KW asks the single omnibus question "do
+    * these k length distributions share a location AT ALL", which is
+    * the first gate an analyst needs before drilling into per-source
+    * contrasts. Same machinery as q222 (ONE global tie-averaged
+    * ranking at distinct-value grain — doubled ranks, two-phase
+    * range-partitioned prefix sum, never a partition-less row
+    * window), then per-group rank sums. With doubled rank sums R2ₖ,
+    * H = 3·Σ R2ₖ²/nₖ / (N(N+1)) − 3(N+1) in milli; each group's term
+    * floors from exact integers BEFORE the order-immune sum (products
+    * in DECIMAL(38,0)/HUGEINT — R2ₖ² tops ~10¹⁷ at sf0.1), so h_milli
+    * is DEFINED as that sum of per-group milli floors, identical on
+    * both engines by construction (bias < k milli, documented, not
+    * drift). Tie-corrected H/C scales by (N³−N)/(N³−N−Σ(t³−t)) with
+    * the nonneg guard (greatest(h,0): the floors can graze −k milli
+    * at H ≈ 0, and int floor-vs-truncate semantics diverge on
+    * negatives between the engines). */
+  val kruskalWallis: Q = Q(
+    "q293_kruskal_wallis",
+    """WITH f AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS x
+      |           FROM documents),
+      |rk AS (SELECT g,
+      |         2 * rank() OVER (ORDER BY x)
+      |           + count(*) OVER (PARTITION BY x) - 1 AS r2
+      |       FROM f),
+      |tt AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+      |              sum(CAST(t*t*t - t AS HUGEINT)) AS tie3
+      |       FROM (SELECT count(*) AS t FROM f GROUP BY x)),
+      |gg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_k,
+      |              CAST(sum(r2) AS BIGINT) AS r2sum
+      |       FROM rk GROUP BY g),
+      |agg AS (SELECT tt.n AS n, tt.tie3 AS tie3,
+      |          CAST(count(*) AS BIGINT) AS k_groups,
+      |          CAST(sum(CAST((3000 * CAST(r2sum AS HUGEINT) * r2sum)
+      |            // (CAST(n_k AS HUGEINT) * tt.n * (tt.n + 1))
+      |            AS BIGINT)) AS BIGINT) AS s_terms
+      |        FROM gg CROSS JOIN tt GROUP BY 1, 2)
+      |SELECT n, k_groups,
+      |       CAST(s_terms - 3000 * (n + 1) AS BIGINT) AS h_milli,
+      |       CAST(CASE WHEN CAST(n AS HUGEINT)*n*n - n - tie3 <= 0
+      |            THEN NULL
+      |            ELSE (greatest(CAST(s_terms - 3000 * (n + 1) AS HUGEINT),
+      |                           CAST(0 AS HUGEINT))
+      |                  * (CAST(n AS HUGEINT)*n*n - n))
+      |                 // (CAST(n AS HUGEINT)*n*n - n - tie3) END
+      |         AS BIGINT) AS hc_milli
+      |FROM agg""".stripMargin
+  ) { (s, dir) =>
+    val f = t(s, dir, "documents")
+      .select(col("source").as("g"), col("n_chars").cast(LongType).as("x"))
+    val byVal = f.groupBy("x").agg(count(lit(1)).as("tc"))
+    val withCum = graft.operators.Ranks.globalRunningSum(
+      byVal, Seq(col("x")), col("tc"), "cum")
+    val r2tab = withCum.select(col("x"),
+      (lit(2) * col("cum") - col("tc") + 1).cast(LongType).as("r2"))
+      .localCheckpoint(true)
+    val tt = byVal.agg(sum(col("tc")).cast(LongType).as("n"),
+      sum((col("tc") * col("tc") * col("tc") - col("tc")).cast(d38))
+        .as("tie3"))
+    f.groupBy("g", "x").agg(count(lit(1)).as("c"))
+      .join(r2tab, Seq("x"))
+      .groupBy("g")
+      .agg(sum(col("c")).as("n_k"), sum(col("c") * col("r2")).as("r2sum"))
+      .crossJoin(broadcast(tt))
+      .select(col("n"), col("tie3"),
+        expr("CAST((CAST(3000 AS DECIMAL(38,0)) * r2sum * r2sum) div " +
+          "(CAST(n_k AS DECIMAL(38,0)) * n * (n + 1)) AS BIGINT)")
+          .as("tm"))
+      .groupBy("n", "tie3")
+      .agg(count(lit(1)).as("k_groups"), sum(col("tm")).as("s_terms"))
+      .select(col("n"), col("k_groups"),
+        expr("CAST(s_terms - 3000 * (n + 1) AS BIGINT)").as("h_milli"),
+        expr("CAST(CASE WHEN CAST(n AS DECIMAL(38,0))*n*n - n - tie3 <= 0 " +
+          "THEN NULL ELSE " +
+          "(greatest(CAST(s_terms - 3000 * (n + 1) AS DECIMAL(38,0)), " +
+          "CAST(0 AS DECIMAL(38,0))) * (CAST(n AS DECIMAL(38,0))*n*n - n)) " +
+          "div (CAST(n AS DECIMAL(38,0))*n*n - n - tie3) END AS BIGINT)")
+          .as("hc_milli"))
+  }
+
+  /** q294: McNEMAR'S TEST on paired halves — did individual USERS
+    * change their high-value behavior between the calendar's first
+    * and second half? The chi²/kappa family sees only the two margins
+    * ("12% high-value then, 14% now" — which a complete turnover of
+    * WHO is high-value leaves unchanged); McNemar pairs each user
+    * with themself and tests only the DISCORDANT cells:
+    * χ² = (b−c)²/(b+c) on switched-on b vs switched-off c, with the
+    * continuity-corrected (|b−c|−1)² variant alongside (the small-
+    * sample standard). Pairing key = user, outcome = any value ≥ 250
+    * event in the half, split = the q292 integer-midpoint day cut.
+    * Everything is exact BIGINT cell counts and two milli floors —
+    * full hash oracle, no transcendental at all. ONE user-grain
+    * aggregate (two conditional counts per user), then a 4-cell
+    * reduce. */
+  val mcnemar: Q = Q(
+    "q294_mcnemar",
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
+      |             CASE WHEN value >= 250 THEN 1 ELSE 0 END AS hi
+      |           FROM events),
+      |cut AS (SELECT min(day)
+      |          + CAST(date_diff('day', min(day), max(day)) // 2 AS INTEGER)
+      |          AS cutday FROM e),
+      |u AS (SELECT user_id,
+      |        max(CASE WHEN day <= cutday THEN hi ELSE 0 END) AS a,
+      |        max(CASE WHEN day > cutday THEN hi ELSE 0 END) AS b
+      |      FROM e CROSS JOIN cut GROUP BY 1),
+      |cells AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |            CAST(sum(a * b) AS BIGINT) AS n11,
+      |            CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+      |            CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+      |            CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+      |          FROM u)
+      |SELECT n_pairs, n11, n10, n01, n00,
+      |       CAST(CASE WHEN n10 + n01 = 0 THEN NULL
+      |            ELSE (1000 * (n10 - n01) * (n10 - n01)) // (n10 + n01)
+      |            END AS BIGINT) AS chi2_milli,
+      |       CAST(CASE WHEN n10 + n01 = 0 THEN NULL
+      |            ELSE (1000 * greatest(abs(n10 - n01) - 1, 0)
+      |                       * greatest(abs(n10 - n01) - 1, 0))
+      |                 // (n10 + n01) END AS BIGINT) AS chi2_cc_milli
+      |FROM cells""".stripMargin
+  ) { (s, dir) =>
+    val e = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        when(col("value") >= 250, 1L).otherwise(0L).as("hi"))
+    val cut = e.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+      .select(expr("date_add(dmin, CAST(datediff(dmax, dmin) div 2 AS INT))")
+        .as("cutday"))
+    e.crossJoin(broadcast(cut))
+      .groupBy("user_id")
+      .agg(max(when(col("day") <= col("cutday"), col("hi")).otherwise(0L))
+          .as("a"),
+        max(when(col("day") > col("cutday"), col("hi")).otherwise(0L))
+          .as("b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).as("n01"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+      .select(col("n_pairs"), col("n11"), col("n10"), col("n01"),
+        col("n00"),
+        expr("CAST(CASE WHEN n10 + n01 = 0 THEN NULL ELSE " +
+          "(1000 * (n10 - n01) * (n10 - n01)) div (n10 + n01) END " +
+          "AS BIGINT)").as("chi2_milli"),
+        expr("CAST(CASE WHEN n10 + n01 = 0 THEN NULL ELSE " +
+          "(1000 * greatest(abs(n10 - n01) - 1, 0) " +
+          "* greatest(abs(n10 - n01) - 1, 0)) div (n10 + n01) END " +
+          "AS BIGINT)").as("chi2_cc_milli"))
+  }
+
   val all: Seq[Q] = Seq(chiSquare, cohensKappa, acfDaily,
     cusumChangepoint, fkOrphans, winsorizedMean, sourceDriftChi2,
     mannWhitney, welchT, kaplanMeier, logRank, olsTrend, cliffsDelta,
-    nelsonAalen, cuped, diffInDiff, medianSurvival, bradleyTerry)
+    nelsonAalen, cuped, diffInDiff, medianSurvival, bradleyTerry,
+    kruskalWallis, mcnemar)
 }
