@@ -1234,10 +1234,119 @@ object CurationQueries {
         expr("(1000000 * ferr * nn) div (nf * nerr)").as("mase_ppm"))
   }
 
+  /** q296: BRIER SCORE + MURPHY DECOMPOSITION of the q254 calibration
+    * frame — the headline forecast-verification number and WHERE it
+    * comes from: q254 shows the reliability diagram, this query scores
+    * it. Brier = mean (p−y)²; over the q254 bins it splits into
+    * RELIABILITY (calibration error: bins off the diagonal — the part
+    * recalibration can remove), RESOLUTION (how far bin outcomes
+    * spread from the base rate — the part that is actual skill),
+    * UNCERTAINTY ō(1−ō) (the no-skill floor), plus the WITHIN-BIN
+    * VARIANCE term the textbook identity needs when predictions vary
+    * inside a bin (Brier = REL − RES + UNC + WBV, here up to the
+    * per-bin floors).
+    *
+    * Exactness: predictions are q254's exact per-doc ppm, so every
+    * sum (Σp, Σp², Σpy, Σy) is an exact integer; each bin's REL term
+    * is (Σp − 10⁶Σy)²/n_b with an integer numerator, RES clears
+    * denominators the same way, and Brier itself expands to
+    * Σp² − 2·10⁶Σpy + 10¹²·Y with NO second pass over documents.
+    * Squares run in DECIMAL(38,0)/HUGEINT (ppm² × corpus rows passes
+    * int64); every per-bin term floors from exact integers before the
+    * order-immune sum (the q241/q293 discipline). Output unit u9
+    * (10⁻⁹ of the 0-1 Brier scale). One bin-grain aggregate (10 rows)
+    * and a 1-row broadcast — no window, no sort. */
+  val brierDecomposition: Q = Q(
+    "q296_brier_decomposition",
+    """WITH d AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |              w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
+      |           AS n_stop
+      |  FROM documents),
+      |b AS (SELECT least(n_tok * 5000, 1000000) AS p,
+      |             CASE WHEN n_stop * 20 >= n_tok THEN 1 ELSE 0 END AS y
+      |      FROM d),
+      |bins AS (SELECT least(p // 100000, 9) AS bin,
+      |           CAST(count(*) AS BIGINT) AS nb,
+      |           CAST(sum(p) AS BIGINT) AS sp,
+      |           sum(CAST(p AS HUGEINT) * p) AS sp2,
+      |           CAST(sum(y) AS BIGINT) AS sy,
+      |           CAST(sum(p * y) AS BIGINT) AS spy
+      |         FROM b GROUP BY 1),
+      |tot AS (SELECT CAST(sum(nb) AS BIGINT) AS n,
+      |               CAST(sum(sy) AS BIGINT) AS yy,
+      |               sum(sp2) AS sp2t,
+      |               CAST(sum(spy) AS BIGINT) AS spyt
+      |        FROM bins),
+      |terms AS (SELECT tot.n AS n, tot.yy AS yy, tot.sp2t AS sp2t,
+      |            tot.spyt AS spyt,
+      |            sum((CAST(sp - 1000000 * sy AS HUGEINT)
+      |                 * (sp - 1000000 * sy)) // nb) AS rel2,
+      |            sum((CAST(1000000000000 AS HUGEINT)
+      |                 * (sy * tot.n - tot.yy * nb)
+      |                 * (sy * tot.n - tot.yy * nb))
+      |                // (CAST(nb AS HUGEINT) * tot.n * tot.n)) AS res2,
+      |            sum((CAST(nb AS HUGEINT) * sp2
+      |                 - CAST(sp AS HUGEINT) * sp) // nb) AS wbv2
+      |          FROM bins CROSS JOIN tot GROUP BY 1, 2, 3, 4)
+      |SELECT n,
+      |       CAST((sp2t - 2000000 * CAST(spyt AS HUGEINT)
+      |             + CAST(1000000000000 AS HUGEINT) * yy)
+      |            // (CAST(n AS HUGEINT) * 1000) AS BIGINT) AS brier_u9,
+      |       CAST(rel2 // (CAST(n AS HUGEINT) * 1000) AS BIGINT) AS rel_u9,
+      |       CAST(res2 // (CAST(n AS HUGEINT) * 1000) AS BIGINT) AS res_u9,
+      |       CAST((CAST(1000000000 AS HUGEINT) * yy * (n - yy))
+      |            // (CAST(n AS HUGEINT) * n) AS BIGINT) AS unc_u9,
+      |       CAST(wbv2 // (CAST(n AS HUGEINT) * 1000) AS BIGINT) AS wbv_u9
+      |FROM terms""".stripMargin
+  ) { (s, dir) =>
+    val d38c = "DECIMAL(38,0)"
+    val b = t(s, dir, "documents")
+      .select(
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"),
+        expr("CAST(size(filter(split(text, ' '), " +
+          "w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)")
+          .as("n_stop"))
+      .select(least(col("n_tok") * 5000, lit(1000000L)).as("p"),
+        when(col("n_stop") * 20 >= col("n_tok"), 1L).otherwise(0L).as("y"))
+    val bins = b
+      .groupBy(least(expr("p div 100000"), lit(9L)).as("bin"))
+      .agg(count(lit(1)).as("nb"), sum(col("p")).as("sp"),
+        sum(expr(s"CAST(p AS $d38c) * p")).as("sp2"),
+        sum(col("y")).as("sy"), sum(col("p") * col("y")).as("spy"))
+    val tot = bins.agg(sum(col("nb")).as("n"), sum(col("sy")).as("yy"),
+      sum(col("sp2")).as("sp2t"), sum(col("spy")).as("spyt"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("n"), col("yy"), col("sp2t"), col("spyt"),
+        expr(s"(CAST(sp - 1000000 * sy AS $d38c) * (sp - 1000000 * sy)) " +
+          "div nb").as("rel_t"),
+        expr(s"(CAST(1000000000000 AS $d38c) * (sy * n - yy * nb) " +
+          s"* (sy * n - yy * nb)) div (CAST(nb AS $d38c) * n * n)")
+          .as("res_t"),
+        expr(s"(CAST(nb AS $d38c) * sp2 - CAST(sp AS $d38c) * sp) div nb")
+          .as("wbv_t"))
+      .groupBy("n", "yy", "sp2t", "spyt")
+      .agg(sum(col("rel_t")).as("rel2"), sum(col("res_t")).as("res2"),
+        sum(col("wbv_t")).as("wbv2"))
+      .select(col("n"),
+        expr(s"CAST((sp2t - 2000000 * CAST(spyt AS $d38c) " +
+          s"+ CAST(1000000000000 AS $d38c) * yy) " +
+          s"div (CAST(n AS $d38c) * 1000) AS BIGINT)").as("brier_u9"),
+        expr(s"CAST(rel2 div (CAST(n AS $d38c) * 1000) AS BIGINT)")
+          .as("rel_u9"),
+        expr(s"CAST(res2 div (CAST(n AS $d38c) * 1000) AS BIGINT)")
+          .as("res_u9"),
+        expr(s"CAST((CAST(1000000000 AS $d38c) * yy * (n - yy)) " +
+          s"div (CAST(n AS $d38c) * n) AS BIGINT)").as("unc_u9"),
+        expr(s"CAST(wbv2 div (CAST(n AS $d38c) * 1000) AS BIGINT)")
+          .as("wbv_u9"))
+  }
+
   val all: Seq[Q] = Seq(rateAnomaly, recordLinkage, clusterSplit,
     qualityCanonical, simhashCalibration, eventQuota, readability,
     eventTransitions, dataValidation, hoppingCounts, ewmaTrend,
     holtTrend, compressionQuality, corpusPipelineV4, madAnomaly,
     thresholdChurn, anomalyConsensus, forecastBacktest, mixtureWeights,
-    calibrationBins, cumulativeGains, maseBacktest)
+    calibrationBins, cumulativeGains, maseBacktest, brierDecomposition)
 }
