@@ -267,7 +267,21 @@ object StreamBench {
     * warmup excluded — the r11 verdict's task 6: the last Incremental*
     * member without a throughput number. Feed: [[embeddingBatch]]'s
     * 30%-exact-duplicate decades; accounting is exact by the same
-    * argument as [[runNearDedup]]'s. */
+    * argument as [[runNearDedup]]'s.
+    *
+    * Band sizing is the load-bearing knob at these batch sizes (the
+    * q29 structural-cap lesson in streaming form): a 4-bit band has
+    * 16 possible keys REGARDLESS of batch size, so at 10k rows every
+    * bucket holds ~625 docs and the in-batch candidate join
+    * materializes tens of millions of verify pairs per micro-batch —
+    * the first two harness attempts spent minutes per batch and the
+    * 100k size died on Spark's OOM exit (52) exactly there. 16-bit
+    * bands (65 536 keys) keep expected bucket occupancy ≤ ~2 at the
+    * 100k size; exact copies still collide in EVERY band, so the
+    * 7-in-10 accounting stays exact, and stray random collisions
+    * (~2⁻¹⁶ per band-pair) are verify-rejected. A production 0.95-
+    * cosine deployment sizing for recall would raise nBands with the
+    * same band width rather than shrink the key space. */
   def runEmbeddingNearDedup(spark: SparkSession, batchRows: Int,
       batches: Int, outDir: String): Result = {
     import spark.implicits._
@@ -277,7 +291,8 @@ object StreamBench {
     val q = graft.streaming.IncrementalEmbeddingNearDedup.run(
       ms.toDF().toDF("doc_id", "vec", "ts_us"),
       "doc_id", "vec", "ts_us", s"$outDir/store",
-      checkpointLocation = Some(s"$outDir/ck")) {
+      checkpointLocation = Some(s"$outDir/ck"),
+      nBands = 8, bandBits = 16) {
       (novel, _) => novel.write.mode("append").parquet(novelDir): Unit
     }
     try {
@@ -543,12 +558,9 @@ object StreamBench {
     // embedding near-dedup: 8 band rows + one quantized-vector payload
     // row per admitted doc, 64 float components quantized per row —
     // the heaviest per-row Incremental* member, so the large size runs
-    // 2 batches like the text near-dup harness and caps at 50k rows:
-    // the first 100k attempt died with Spark's OOM exit (52) inside
-    // the default 8g driver envelope (a 64-wide vector row is ~6× a
-    // text row through quantize+band+verify), and a harness that only
-    // runs with a bigger -Xmx is not a record others can reproduce
-    val embSizes = Seq((10000, 5), (50000, 2))
+    // 2 batches like the text near-dup harness; band bits sized to the
+    // batch (see runEmbeddingNearDedup's scaladoc)
+    val embSizes = Seq((10000, 5), (100000, 2))
     val embResults = if (!want("incembdedup")) Seq.empty else embSizes.map { case (rows, n) =>
       val dir = Files.createTempDirectory("streambench-emb").toFile.getAbsolutePath
       System.err.println(s"[streambench] incembdedup batchRows=$rows batches=$n")

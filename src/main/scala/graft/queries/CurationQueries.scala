@@ -1343,10 +1343,78 @@ object CurationQueries {
           .as("wbv_u9"))
   }
 
+  /** q297: ROC AUC of the q254 predictor — the DISCRIMINATION third
+    * of the classifier-evaluation triptych (q254 reliability diagram:
+    * is it calibrated; q296 Brier: how big are the errors; AUC: does
+    * it RANK positives above negatives at all — a predictor can ace
+    * any two and fail the third). AUC is exactly the Mann-Whitney
+    * probability P(p₊ > p₋) + ½P(=), so it reads off q222's doubled
+    * tie-averaged ranks with no curve integration:
+    * AUC = (R2₊ − n₊(n₊+1)) / (2 n₊ n₋), one exact ppm floor.
+    * Ranking runs at DISTINCT-VALUE grain (the prediction takes ≤ 201
+    * distinct ppm values by construction) through the range-
+    * partitioned prefix sum — never a row window; products clear
+    * int64 via DECIMAL(38,0)/HUGEINT at corpus scale. */
+  val rocAuc: Q = Q(
+    "q297_roc_auc",
+    """WITH d AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |              w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
+      |           AS n_stop
+      |  FROM documents),
+      |b AS (SELECT least(n_tok * 5000, 1000000) AS p,
+      |             CASE WHEN n_stop * 20 >= n_tok THEN 1 ELSE 0 END AS y
+      |      FROM d),
+      |rk AS (SELECT y,
+      |         2 * rank() OVER (ORDER BY p)
+      |           + count(*) OVER (PARTITION BY p) - 1 AS r2
+      |       FROM b),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(y) AS BIGINT) AS n_pos,
+      |        CAST(sum(CASE WHEN y = 1 THEN r2 ELSE 0 END) AS BIGINT)
+      |          AS r2pos
+      |      FROM rk)
+      |SELECT n, n_pos, n - n_pos AS n_neg,
+      |       CAST(CASE WHEN n_pos = 0 OR n = n_pos THEN NULL
+      |            ELSE (CAST(1000000 AS HUGEINT)
+      |                  * (r2pos - n_pos * (n_pos + 1)))
+      |                 // (CAST(2 AS HUGEINT) * n_pos * (n - n_pos)) END
+      |         AS BIGINT) AS auc_ppm
+      |FROM m""".stripMargin
+  ) { (s, dir) =>
+    val d38c = "DECIMAL(38,0)"
+    val b = t(s, dir, "documents")
+      .select(
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"),
+        expr("CAST(size(filter(split(text, ' '), " +
+          "w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)")
+          .as("n_stop"))
+      .select(least(col("n_tok") * 5000, lit(1000000L)).as("p"),
+        when(col("n_stop") * 20 >= col("n_tok"), 1L).otherwise(0L).as("y"))
+    val byVal = b.groupBy("p").agg(count(lit(1)).as("tc"))
+    val withCum = graft.operators.Ranks.globalRunningSum(
+      byVal, Seq(col("p")), col("tc"), "cum")
+    val r2tab = withCum.select(col("p"),
+      (lit(2) * col("cum") - col("tc") + 1).cast("long").as("r2"))
+    b.groupBy("p", "y").agg(count(lit(1)).as("c"))
+      .join(r2tab, Seq("p"))
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("y") === 1, col("c")).otherwise(0L)).as("n_pos"),
+        sum(when(col("y") === 1, col("c") * col("r2")).otherwise(0L))
+          .as("r2pos"))
+      .select(col("n"), col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
+        expr(s"CAST(CASE WHEN n_pos = 0 OR n = n_pos THEN NULL ELSE " +
+          s"(CAST(1000000 AS $d38c) * (r2pos - n_pos * (n_pos + 1))) " +
+          s"div (CAST(2 AS $d38c) * n_pos * (n - n_pos)) END AS BIGINT)")
+          .as("auc_ppm"))
+  }
+
   val all: Seq[Q] = Seq(rateAnomaly, recordLinkage, clusterSplit,
     qualityCanonical, simhashCalibration, eventQuota, readability,
     eventTransitions, dataValidation, hoppingCounts, ewmaTrend,
     holtTrend, compressionQuality, corpusPipelineV4, madAnomaly,
     thresholdChurn, anomalyConsensus, forecastBacktest, mixtureWeights,
-    calibrationBins, cumulativeGains, maseBacktest, brierDecomposition)
+    calibrationBins, cumulativeGains, maseBacktest, brierDecomposition,
+    rocAuc)
 }

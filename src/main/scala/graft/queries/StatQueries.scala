@@ -1680,9 +1680,151 @@ object StatQueries {
           "AS BIGINT)").as("chi2_cc_milli"))
   }
 
+  /** q298: WALD-WOLFOWITZ RUNS TEST on each type's daily series — the
+    * nonparametric randomness check the correlation family can't
+    * substitute for: q196's ACF measures LINEAR lag dependence, the
+    * runs test catches ANY tendency to cluster above/below the median
+    * (regime-switching, slow drift, alternation), sign-only. Split:
+    * above the type's exact integer median daily count (the q190
+    * rank-threshold discipline: smallest count whose cumulative day
+    * tally clears ⌈n/2⌉) — equals-median days count as "below" (a
+    * DEFINED dichotomy, identical on both engines, stated rather than
+    * the drop-ties variant so day counts stay exact). R = 1 + number
+    * of sign changes along the day order (a keyed lag); z is the one
+    * final double from exact (R, n₁, n₀) — NULL when either side is
+    * empty (σ = 0). Day-grain everything: histogram, cumulative
+    * window, lag — all keyed by type. */
+  val runsTest: Q = Q(
+    "q298_runs_test",
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |             CAST(count(*) AS BIGINT) AS c
+      |           FROM events GROUP BY 1, 2),
+      |h AS (SELECT event_type, c, CAST(count(*) AS BIGINT) AS dc
+      |      FROM d GROUP BY 1, 2),
+      |cum AS (SELECT event_type, c, dc,
+      |          CAST(sum(dc) OVER (PARTITION BY event_type ORDER BY c)
+      |            AS BIGINT) AS cc,
+      |          CAST(sum(dc) OVER (PARTITION BY event_type)
+      |            AS BIGINT) AS nd
+      |        FROM h),
+      |med AS (SELECT event_type,
+      |          CAST(min(CASE WHEN 2 * cc >= nd THEN c END) AS BIGINT)
+      |            AS med
+      |        FROM cum GROUP BY 1),
+      |sgn AS (SELECT d.event_type, d.day,
+      |          CASE WHEN d.c > med.med THEN 1 ELSE 0 END AS s
+      |        FROM d JOIN med USING (event_type)),
+      |tr AS (SELECT event_type, s,
+      |         lag(s) OVER (PARTITION BY event_type ORDER BY day) AS ps
+      |       FROM sgn),
+      |m AS (SELECT event_type,
+      |        CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(s) AS BIGINT) AS n1,
+      |        CAST(1 + sum(CASE WHEN ps IS NOT NULL AND s <> ps
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS runs
+      |      FROM tr GROUP BY 1)
+      |SELECT event_type, n, n1, n - n1 AS n0, runs,
+      |       CAST(CASE WHEN n1 = 0 OR n1 = n THEN NULL ELSE
+      |         round((runs - (2.0 * n1 * (n - n1) / n + 1))
+      |           / sqrt(2.0 * n1 * (n - n1)
+      |               * (2.0 * n1 * (n - n1) - n)
+      |               / (CAST(n AS DOUBLE) * n * (n - 1))) * 1000) END
+      |         AS BIGINT) AS z_milli
+      |FROM m""".stripMargin
+  ) { (s, dir) =>
+    val d = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val h = d.groupBy("event_type", "c").agg(count(lit(1)).as("dc"))
+    val wc = Window.partitionBy("event_type").orderBy("c")
+    val cum = h
+      .withColumn("cc", sum(col("dc")).over(wc))
+      .withColumn("nd",
+        sum(col("dc")).over(Window.partitionBy("event_type")))
+    val med = cum.groupBy("event_type")
+      .agg(min(when(lit(2) * col("cc") >= col("nd"), col("c"))).as("med"))
+    val wd = Window.partitionBy("event_type").orderBy("day")
+    val m = d.join(med, Seq("event_type"))
+      .select(col("event_type"), col("day"),
+        when(col("c") > col("med"), 1L).otherwise(0L).as("s"))
+      .withColumn("ps", lag(col("s"), 1).over(wd))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("n1"),
+        (lit(1L) + sum(when(col("ps").isNotNull && col("s") =!= col("ps"),
+          1L).otherwise(0L))).as("runs"))
+    val nD = col("n").cast("double")
+    val p = col("n1").cast("double") * (col("n") - col("n1"))
+    m.select(col("event_type"), col("n"), col("n1"),
+      (col("n") - col("n1")).as("n0"), col("runs"),
+      when(col("n1") === 0 || col("n1") === col("n"),
+        lit(null).cast("long"))
+        .otherwise(round((col("runs") - (lit(2.0) * p / nD + 1))
+          / sqrt(lit(2.0) * p * (lit(2.0) * p - col("n"))
+            / (nD * col("n") * (col("n") - 1))) * 1000).cast("long"))
+        .as("z_milli"))
+  }
+
+  /** q299: COCHRAN-ARMITAGE TREND TEST — does the high-value share
+    * TREND monotonically across ordered time-of-day bands? q194's
+    * chi² treats the 8 bands as unordered categories (8 − 1 df spent
+    * on any pattern); CA spends ONE df on the linear-in-score
+    * alternative, which is what "later shifts skew high-value" means
+    * — the standard dose-response test with integer scores w = hour
+    * div 3. Fully integer: T = Σ wᵢ(yᵢN − nᵢY) and the variance
+    * denominator Y(N−Y)(NΣw²n − (Σwn)²) clear every fraction, so
+    * chi2_milli is ONE floor of exact DECIMAL(38,0)/HUGEINT products
+    * (T² tops ~10²¹ at sf0.1) — no transcendental, full hash oracle.
+    * One band-grain aggregate (8 rows), one 1-row reduce. */
+  val cochranArmitage: Q = Q(
+    "q299_cochran_armitage",
+    """WITH e AS (SELECT CAST(hour(ts) // 3 AS BIGINT) AS w,
+      |             CASE WHEN value >= 250 THEN 1 ELSE 0 END AS y
+      |           FROM events),
+      |g AS (SELECT w, CAST(count(*) AS BIGINT) AS n_i,
+      |        CAST(sum(y) AS BIGINT) AS y_i
+      |      FROM e GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
+      |               CAST(sum(y_i) AS BIGINT) AS yy,
+      |               CAST(sum(w * n_i) AS BIGINT) AS swn,
+      |               CAST(sum(w * w * n_i) AS BIGINT) AS sw2n
+      |        FROM g),
+      |tstat AS (SELECT tot.n, tot.yy, tot.swn, tot.sw2n,
+      |            CAST(sum(w * (y_i * tot.n - n_i * tot.yy)) AS BIGINT)
+      |              AS t_stat
+      |          FROM g CROSS JOIN tot GROUP BY 1, 2, 3, 4)
+      |SELECT n, yy AS y_total, t_stat,
+      |       CAST(CASE WHEN yy = 0 OR yy = n
+      |                   OR n * sw2n - swn * swn = 0 THEN NULL
+      |            ELSE (CAST(1000 AS HUGEINT) * n * t_stat * t_stat)
+      |                 // (CAST(yy AS HUGEINT) * (n - yy)
+      |                     * (n * sw2n - swn * swn)) END
+      |         AS BIGINT) AS chi2_milli
+      |FROM tstat""".stripMargin
+  ) { (s, dir) =>
+    val d38c = "DECIMAL(38,0)"
+    val g = t(s, dir, "events")
+      .select(expr("CAST(hour(ts) div 3 AS BIGINT)").as("w"),
+        when(col("value") >= 250, 1L).otherwise(0L).as("y"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n_i"), sum(col("y")).as("y_i"))
+    val tot = g.agg(sum(col("n_i")).as("n"), sum(col("y_i")).as("yy"),
+      sum(col("w") * col("n_i")).as("swn"),
+      sum(col("w") * col("w") * col("n_i")).as("sw2n"))
+    g.crossJoin(broadcast(tot))
+      .groupBy("n", "yy", "swn", "sw2n")
+      .agg(sum(col("w") * (col("y_i") * col("n") - col("n_i") * col("yy")))
+        .as("t_stat"))
+      .select(col("n"), col("yy").as("y_total"), col("t_stat"),
+        expr(s"CAST(CASE WHEN yy = 0 OR yy = n " +
+          s"OR n * sw2n - swn * swn = 0 THEN NULL ELSE " +
+          s"(CAST(1000 AS $d38c) * n * t_stat * t_stat) " +
+          s"div (CAST(yy AS $d38c) * (n - yy) " +
+          s"* (n * sw2n - swn * swn)) END AS BIGINT)").as("chi2_milli"))
+  }
+
   val all: Seq[Q] = Seq(chiSquare, cohensKappa, acfDaily,
     cusumChangepoint, fkOrphans, winsorizedMean, sourceDriftChi2,
     mannWhitney, welchT, kaplanMeier, logRank, olsTrend, cliffsDelta,
     nelsonAalen, cuped, diffInDiff, medianSurvival, bradleyTerry,
-    kruskalWallis, mcnemar)
+    kruskalWallis, mcnemar, runsTest, cochranArmitage)
 }
