@@ -901,10 +901,111 @@ object SequenceQueries {
         expr("(1000 * max_dd_cents) div peak_cents").as("max_dd_milli"))
   }
 
+  /** q300: WEEK-OVER-WEEK TOP-10 RANK CHURN of the user leaderboard —
+    * the TEMPORAL stability reading q268's RBO (two rankers, one
+    * moment) doesn't give: how much of this week's top-10 was in last
+    * week's (dashboard turnover, anomaly smell when it spikes).
+    * Per week: top-10 users by event count ((count desc, user asc)
+    * total order — deterministic); consecutive weeks join on the
+    * 7-day step; overlap and Jaccard are exact set integers off ONE
+    * aggregated week×user frame. The rank window is week-KEYED over
+    * week×user grain; week pairs join broadcast-small (weeks × 10
+    * rows). */
+  val rankChurn: Q = Q(
+    "q300_rank_churn",
+    """WITH wu AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+      |             user_id, CAST(count(*) AS BIGINT) AS n
+      |           FROM events GROUP BY 1, 2),
+      |rk AS (SELECT wk, user_id,
+      |         row_number() OVER (PARTITION BY wk
+      |           ORDER BY n DESC, user_id ASC) AS r
+      |       FROM wu),
+      |top AS (SELECT wk, user_id FROM rk WHERE r <= 10),
+      |sz AS (SELECT wk, CAST(count(*) AS BIGINT) AS sz
+      |       FROM top GROUP BY 1),
+      |ov AS (SELECT b.wk AS week,
+      |         CAST(count(*) AS BIGINT) AS overlap
+      |       FROM top a JOIN top b
+      |         ON b.wk = a.wk + 7 AND b.user_id = a.user_id
+      |       GROUP BY 1)
+      |SELECT cur.wk AS week, coalesce(ov.overlap, 0) AS overlap,
+      |       (1000000 * coalesce(ov.overlap, 0))
+      |         // (prev.sz + cur.sz - coalesce(ov.overlap, 0))
+      |         AS jaccard_ppm
+      |FROM sz cur JOIN sz prev ON cur.wk = prev.wk + 7
+      |LEFT JOIN ov ON ov.week = cur.wk""".stripMargin
+  ) { (s, dir) =>
+    val wu = t(s, dir, "events")
+      .groupBy(expr("CAST(date_trunc('week', ts) AS DATE)").as("wk"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("wk").orderBy(col("n").desc, col("user_id"))
+    val top = wu.withColumn("r", row_number().over(w))
+      .filter(col("r") <= 10).select("wk", "user_id")
+      .localCheckpoint(true) // weeks × 10 rows; reused on three sides
+    val ov = top.as("a")
+      .join(top.as("b"),
+        expr("b.wk = date_add(a.wk, 7) AND b.user_id = a.user_id"))
+      .groupBy(col("b.wk").as("week"))
+      .agg(count(lit(1)).as("overlap"))
+    val sz = top.groupBy("wk").agg(count(lit(1)).as("sz"))
+    // Jaccard over the ACTUAL set sizes (top-10 sets shrink when a
+    // week has fewer than 10 active users at small scale factors)
+    sz.as("cur")
+      .join(sz.select(col("wk").as("pw"), col("sz").as("psz")).as("prev"),
+        expr("cur.wk = date_add(pw, 7)"))
+      .join(ov, col("cur.wk") === col("week"), "left")
+      .select(col("cur.wk").as("week"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        expr("(1000000 * coalesce(overlap, 0L)) " +
+          "div (psz + sz - coalesce(overlap, 0L))").as("jaccard_ppm"))
+  }
+
+  /** q301: CALENDAR COVERAGE + GAP PROFILE per type — the ingest
+    * data-quality readout q85's gap-fill silently repairs but nothing
+    * REPORTS: how much of each type's active span actually has data,
+    * and how long the worst outage ran. Exact day arithmetic: span =
+    * last−first+1, coverage = observed/span ppm, max gap from a
+    * type-keyed lag over the observed-day sequence (0 when the span
+    * is dense). Day grain end to end. */
+  val coverageGaps: Q = Q(
+    "q301_coverage_gaps",
+    """WITH d AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day
+      |           FROM events),
+      |g AS (SELECT event_type, day,
+      |        date_diff('day',
+      |          lag(day) OVER (PARTITION BY event_type ORDER BY day),
+      |          day) - 1 AS gap
+      |      FROM d)
+      |SELECT event_type,
+      |       CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT)
+      |         AS span_days,
+      |       CAST(count(*) AS BIGINT) AS observed_days,
+      |       (1000000 * CAST(count(*) AS BIGINT))
+      |         // CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT)
+      |         AS coverage_ppm,
+      |       CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_days
+      |FROM g GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    val d = t(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("event_type").orderBy("day")
+    d.withColumn("gap",
+        (datediff(col("day"), lag(col("day"), 1).over(w)) - 1).cast("long"))
+      .groupBy("event_type")
+      .agg((datediff(max(col("day")), min(col("day"))) + 1).cast("long")
+          .as("span_days"),
+        count(lit(1)).as("observed_days"),
+        coalesce(max(col("gap")), lit(0L)).as("max_gap_days"))
+      .select(col("event_type"), col("span_days"), col("observed_days"),
+        expr("(1000000 * observed_days) div span_days").as("coverage_ppm"),
+        col("max_gap_days"))
+  }
+
   val all: Seq[Q] =
     Seq(activityStreaks, eventFunnel, eventTransitions, cumulativeUsers,
       sessionPaths, funnelLatency, stickiness, bounceRate, weekdayProfile,
       cohortRetention, seasonalAdjusted, setCompletion, purchaseCadence,
       interarrivalBurstiness, transitionEntropy, markovStationary,
-      entropyRate, maxDrawdown)
+      entropyRate, maxDrawdown, rankChurn, coverageGaps)
 }

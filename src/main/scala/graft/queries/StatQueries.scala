@@ -1822,9 +1822,107 @@ object StatQueries {
           s"* (n * sw2n - swn * swn)) END AS BIGINT)").as("chi2_milli"))
   }
 
+  /** q302: LAG-2 PARTIAL AUTOCORRELATION per type — the AR-order
+    * identification number q196's ACF can't give by itself: an AR(1)
+    * series shows geometric ACF decay at EVERY lag (r₂ ≈ r₁²), so a
+    * large r₂ alone says nothing new; PACF(2) = (r₂ − r₁²)/(1 − r₁²)
+    * (Durbin-Levinson at order 2) isolates what lag 2 adds BEYOND the
+    * lag-1 propagation — near 0 ⇒ AR(1) is enough, materially nonzero
+    * ⇒ the series carries genuine second-order memory. Defined over
+    * q196's registered per-lag readings (the same lagged-pair Pearson
+    * machinery at lags 1-2, verbatim), so the inputs are the already-
+    * quantized exact ppm integers and the PACF is ONE final rounded
+    * double of them — no new transcendental, and integer `div` is
+    * deliberately NOT used here: the numerator is signed, and floor
+    * (DuckDB) vs truncate (Spark) diverge on negatives. */
+  val pacfLag2: Q = Q(
+    "q302_pacf_lag2",
+    """WITH dc AS (SELECT event_type,
+      |                   CAST(date_trunc('day', ts) AS DATE) AS day,
+      |                   CAST(count(*) AS BIGINT) AS x
+      |            FROM events GROUP BY 1, 2),
+      |rk AS (SELECT event_type, x,
+      |              CAST(row_number() OVER (PARTITION BY event_type
+      |                ORDER BY day) AS BIGINT) AS rn
+      |       FROM dc),
+      |l AS (SELECT unnest(range(1, 3)) AS lag_k),
+      |p AS (SELECT a.event_type, l.lag_k, a.x AS x, b.x AS y
+      |      FROM rk a CROSS JOIN l
+      |      JOIN rk b ON b.event_type = a.event_type
+      |        AND b.rn = a.rn + l.lag_k),
+      |m AS (SELECT event_type, lag_k,
+      |        CAST(count(*) AS DECIMAL(38,0)) AS n,
+      |        sum(CAST(x AS DECIMAL(38,0))) AS sx,
+      |        sum(CAST(y AS DECIMAL(38,0))) AS sy,
+      |        sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+      |        sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
+      |        sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy
+      |      FROM p GROUP BY 1, 2),
+      |acf AS (SELECT event_type, lag_k,
+      |          CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+      |               * 1000000) AS BIGINT) AS r
+      |        FROM m
+      |        WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0),
+      |pv AS (SELECT event_type,
+      |         max(CASE WHEN lag_k = 1 THEN r END) AS r1,
+      |         max(CASE WHEN lag_k = 2 THEN r END) AS r2
+      |       FROM acf GROUP BY 1)
+      |SELECT event_type, r1 AS r1_ppm, r2 AS r2_ppm,
+      |       CAST(CASE WHEN r1 IS NULL OR r2 IS NULL
+      |                   OR 1000000000000 - r1 * r1 <= 0 THEN NULL
+      |            ELSE round(1000000.0 * (1000000 * r2 - r1 * r1)
+      |                 / (1000000000000 - r1 * r1)) END
+      |         AS BIGINT) AS pacf2_ppm
+      |FROM pv""".stripMargin
+  ) { (s, dir) =>
+    val dc = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val rk = dc.select(col("event_type"), col("x"),
+      row_number().over(
+        Window.partitionBy("event_type").orderBy("day")).cast(LongType)
+        .as("rn"))
+      .localCheckpoint(true) // tiny (days × types); reused on both sides
+    val lags = s.range(1, 3).select(col("id").as("lag_k"))
+    val d19 = "decimal(19,0)"
+    val m = rk.crossJoin(broadcast(lags))
+      .withColumn("rn_b", col("rn") + col("lag_k"))
+      .join(rk.select(col("event_type"), col("rn").as("rn_b"),
+        col("x").as("y")), Seq("event_type", "rn_b"))
+      .groupBy("event_type", "lag_k")
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+        sum(col("x").cast(d19) * col("x").cast(d19)).as("sxx"),
+        sum(col("y").cast(d19) * col("y").cast(d19)).as("syy"),
+        sum(col("x").cast(d19) * col("y").cast(d19)).as("sxy"))
+    val acf = m
+      .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+        col("n") * col("syy") - col("sy") * col("sy") > 0)
+      .select(col("event_type"), col("lag_k"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+               * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+            * 1000000).cast(LongType).as("r"))
+    acf.groupBy("event_type")
+      .agg(max(when(col("lag_k") === 1, col("r"))).as("r1"),
+        max(when(col("lag_k") === 2, col("r"))).as("r2"))
+      .select(col("event_type"), col("r1").as("r1_ppm"),
+        col("r2").as("r2_ppm"),
+        when(col("r1").isNull || col("r2").isNull ||
+          lit(1000000000000L) - col("r1") * col("r1") <= 0,
+          lit(null).cast(LongType))
+          .otherwise(round(lit(1000000.0)
+            * (lit(1000000L) * col("r2") - col("r1") * col("r1"))
+            / (lit(1000000000000L) - col("r1") * col("r1")))
+            .cast(LongType))
+          .as("pacf2_ppm"))
+  }
+
   val all: Seq[Q] = Seq(chiSquare, cohensKappa, acfDaily,
     cusumChangepoint, fkOrphans, winsorizedMean, sourceDriftChi2,
     mannWhitney, welchT, kaplanMeier, logRank, olsTrend, cliffsDelta,
     nelsonAalen, cuped, diffInDiff, medianSurvival, bradleyTerry,
-    kruskalWallis, mcnemar, runsTest, cochranArmitage)
+    kruskalWallis, mcnemar, runsTest, cochranArmitage, pacfLag2)
 }
