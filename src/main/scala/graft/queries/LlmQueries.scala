@@ -1502,12 +1502,15 @@ object LlmQueries {
     * are mostly available elsewhere; low = it contributes novel
     * phrasing.
     *
-    * Scale shape: one explode to bigram occurrences, a (bigram,
-    * source)-grain count with map-side combine, the bigram-grain
-    * total derived FROM that reduced table (never a second corpus
-    * scan), and one equi-join at vocabulary grain — the q65/q234
-    * vocab-grain discipline; rest-counts come from total − own, so no
-    * per-source anti-join fanout. */
+    * Scale shape: ONE explode to bigram occurrences, a (bigram,
+    * source)-grain count with map-side combine, then the bigram-grain
+    * total as a g-KEYED window over that reduced table — not a
+    * groupBy+self-join, which Spark plans as a SECOND full corpus
+    * scan+tokenize (measured: executedPlan carried two parquet scans
+    * and zero ReusedExchanges; at 100 TB the re-tokenize would double
+    * the dominant cost). Rest-counts come from total − own, so no
+    * per-source anti-join fanout; the window partitions by bigram —
+    * vocabulary-grain parallelism, never a global sort. */
   val selfBleu: Q = Q(
     "q295_self_bleu",
     """WITH w AS (SELECT source, string_split(text, ' ') AS ws
@@ -1531,8 +1534,7 @@ object LlmQueries {
         "transform(slice(ws, 1, size(ws) - 1), " +
           "(w, i) -> concat(w, ' ', element_at(ws, i + 2)))")).as("g"))
     val c = b.groupBy("g", "source").agg(count(lit(1)).as("c"))
-    val tg = c.groupBy("g").agg(sum(col("c")).as("ct"))
-    c.join(tg, Seq("g"))
+    c.withColumn("ct", sum(col("c")).over(Window.partitionBy("g")))
       .groupBy("source")
       .agg(sum(col("c")).as("n_bigrams"),
         sum(least(col("c"), col("ct") - col("c"))).as("n_clipped"))
