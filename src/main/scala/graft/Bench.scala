@@ -45,7 +45,22 @@ import org.apache.spark.sql.SparkSession
   *    three full JSON number arrays at 287 queries (~600 chars each)
   *    cannot fit the 1900-char tail budget next to the med+min arrays
   *    (measured: 1501 chars used at r11), while minute-grain timeline
-  *    clustering answers the only question offsets exist to answer.
+  *    clustering answers the only question offsets exist to answer;
+  *  - (r13, the r12 verdict's task 2) the record's one remaining blind
+  *    spot was the run TAIL: the LAST query in the name-sorted order
+  *    has no downstream neighbors to corroborate a contention window,
+  *    so BENCH_r12's q99 (med 18.7 s, min 2.27 s, run's final entry)
+  *    was unadjudicable from the record alone. Fix: after the closing
+  *    control, any query whose med/min ratio exceeds
+  *    [[RerunRatio]] is RE-RUN once (no warmup — the code is JIT-warm
+  *    from its own mid-run repeats) and the re-reading lands in the
+  *    record — full precision in the first line / bench_out.json
+  *    (`reruns` map), deciseconds in the trailer (`qre` map, query
+  *    numbers as keys). A spiky query whose re-reading sits back in
+  *    class self-exonerates; a re-reading that repeats the spike is a
+  *    real regression. The map is capped at [[MaxReruns]] entries
+  *    (worst ratios first) so a pathological run cannot blow the tail
+  *    budget; an empty run emits `"qre":{}`.
   *
   * Each query is driven through a `noop`-format write, not `count()`:
   * count lets Catalyst prune projection-only work (rendering columns,
@@ -58,6 +73,24 @@ object Bench {
   /** The control query: small, stable, plan-audited since r5 — its two
     * readings bracket the run and calibrate every other number. */
   val ControlQuery = "q27_ngram_jaccard"
+
+  /** A query is re-run after the closing control when its median
+    * exceeds its min by this ratio — the med≫min shape that is either
+    * a contention window (re-reading lands near the min) or a real
+    * bimodal regression (re-reading repeats the spike). 3× sits far
+    * above this box's ±25% scheduler noise. */
+  val RerunRatio = 3.0
+
+  /** Tail-budget bound on the rerun map: worst med/min ratios first.
+    * 8 entries ≈ 90 trailer chars; a run with more than 8 queries
+    * spiking 3× is a poisoned record no per-query re-run can save. */
+  val MaxReruns = 8
+
+  /** Locale-pinned 2-dp rendering — `f"$v%.2f"` uses the JVM default
+    * locale, which on a comma-decimal locale (de_DE) would emit "1,23"
+    * and corrupt the JSON record (ADVICE r12). */
+  private[graft] def f2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -133,15 +166,38 @@ object Bench {
       case (Some((fm, fn0)), Some((lm, ln))) => Some((fm, fn0, lm, ln))
       case _ => None
     }
+    // run-tail re-reading pass (r12 verdict task 2): one extra timed
+    // run for every med≫min query, AFTER the closing control so the
+    // re-readings are themselves control-bracketed
+    val reruns: Seq[(String, Double)] = results
+      .filter { case (_, med, min, _) =>
+        med > 0 && min > 0 && med / min > RerunRatio }
+      .sortBy { case (_, med, min, _) => -(med / min) }
+      .take(MaxReruns)
+      .map { case (name, med, min, _) =>
+        System.err.println(f"[bench] rerun $name (med $med%.2f / min $min%.2f)")
+        val t =
+          try {
+            val t0 = System.nanoTime()
+            runOnce(SparkEntry.queries(name))
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable => record(e, s"${name}__rerun"); -1.0 }
+          finally GraftSession.releaseCaches(spark)
+        (name, t)
+      }
 
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jmap(results.map { case (k, m, _, _) => k -> m })
     val mins = jmap(results.map { case (k, _, m, _) => k -> m })
-    // full-precision start offsets (seconds since run start, 2 dp) —
-    // the trailer's qoffm is the minute-grain compression of this map
+    // full-precision start offsets (seconds since run start, 2 dp,
+    // locale-pinned — ADVICE r12) — the trailer's qoffm is the
+    // minute-grain compression of this map
     val offs = results
-      .map { case (k, _, _, o) => "\"" + k + "\":" + f"$o%.2f" }
+      .map { case (k, _, _, o) => "\"" + k + "\":" + f2(o) }
+      .mkString("{", ",", "}")
+    val rerunsJson = reruns
+      .map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val ctrlJson = ctrl
       .map { case (fm, fn0, lm, ln) => s"""{"first":[$fm,$fn0],"last":[$lm,$ln]}""" }
@@ -160,12 +216,14 @@ object Bench {
     } else ""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""mins":$mins,"offsets":$offs,"control":$ctrlJson,""" +
+        s""""mins":$mins,"offsets":$offs,"reruns":$rerunsJson,""" +
+        s""""control":$ctrlJson,""" +
         s""""errors":$errJson$filteredTag,"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_out.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
     println(json)
-    println(compactTrailer(results, errors, total, filteredTag, sfDir, ctrl))
+    println(compactTrailer(results, errors, total, filteredTag, sfDir, ctrl,
+      reruns))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
@@ -215,22 +273,34 @@ object Bench {
     * is what fits: a third JSON number array (~600 chars even
     * delta-encoded — the comma floor) would blow the tail budget next
     * to qmed+qmin at the current registry size. Full-precision
-    * offsets: the `offsets` map in the first line / bench_out.json. */
+    * offsets: the `offsets` map in the first line / bench_out.json.
+    *
+    * Every form ALSO carries `qre` (r13): the post-control re-readings
+    * of the run's med/min>[[RerunRatio]] queries as a {query number →
+    * deciseconds} map (-1 = the re-run failed), ≤ [[MaxReruns]]
+    * entries by construction — the run-tail adjudication data. Empty
+    * map = no query spiked. Full precision: the `reruns` map in the
+    * first line / bench_out.json. */
   private[graft] def compactTrailer(results: Seq[(String, Double, Double, Double)],
       errors: Map[String, String], total: Double, filteredTag: String,
-      sfDir: String, ctrl: Option[(Double, Double, Double, Double)]): String = {
+      sfDir: String, ctrl: Option[(Double, Double, Double, Double)],
+      reruns: Seq[(String, Double)] = Seq.empty): String = {
     def qnum(name: String): String = name.takeWhile(_ != '_').drop(1)
     def cs(v: Double): Long = if (v < 0) -1 else math.round(v * 100)
+    def ds(v: Double): Long = if (v < 0) -1 else math.round(v * 10)
     val qoffm = results.map(r => offsetChar(r._4)).mkString
     val errQs = errors.keys.toSeq.sorted
       .map("\"" + qnum(_) + "\"").mkString("[", ",", "]")
     val ctrlCs = ctrl
       .map { case (a, b, c, d) => Seq(a, b, c, d).map(cs).mkString("[", ",", "]") }
       .getOrElse("[-1,-1,-1,-1]")
+    val qre = reruns.take(MaxReruns)
+      .map { case (k, v) => "\"" + qnum(k) + "\":" + ds(v) }
+      .mkString("{", ",", "}")
     def trailer(unit: String, payload: String): String =
-      f"""{"total":$total%.2f,"n_queries":${results.size},""" +
+      s"""{"total":${f2(total)},"n_queries":${results.size},""" +
         s""""n_errors":${errors.size},"unit":"$unit",$payload,""" +
-        s""""ctrl_cs":$ctrlCs,"errors":$errQs$filteredTag,""" +
+        s""""ctrl_cs":$ctrlCs,"qre":$qre,"errors":$errQs$filteredTag,""" +
         s""""sf":"${Paths.get(sfDir).getFileName}"}"""
     // qoffm joins every rung that carries per-query data; the map-free
     // floor stays free of it (at a registry so large even the min

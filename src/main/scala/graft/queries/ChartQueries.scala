@@ -381,6 +381,79 @@ object ChartQueries {
           displayLabels = true)).as("chart_json"))
   }
 
+  /** q303: the CLASSIFIER-EVALUATION chart face (r12 verdict task 5) —
+    * q254's reliability diagram + q296's Brier/Murphy decomposition +
+    * q297's AUC served as ONE byte-exact ChartRequest: grouped bars
+    * (mean predicted ppm vs observed rate ppm per calibration bin —
+    * the reliability diagram in the reference visualizer's bar idiom)
+    * with the scalar triptych (Brier = REL − RES + UNC + WBV, AUC)
+    * stamped into the chart TITLE, the reference's own pattern of
+    * deriving title text from the data window just assembled
+    * (covid19-visualizer/.../Visualizer.java:288-319's combo rate
+    * chart). Wired as the `/calibration` [[graft.serve.HttpEndpoint]]
+    * route over THIS registered, hash-oracled query.
+    *
+    * No fourth implementation to drift: the Spark side calls the three
+    * REGISTERED query fns verbatim (bin/1-row grains — only chart-
+    * sized arrays are collected into the one-row request), and the
+    * oracle is assembled from the same shared CTE chains q254/q296/
+    * q297's own oracles use ([[CurationQueries.predictorCte]] /
+    * brierCtes / aucCtes — the ADVICE r12 no-drift rule). All title
+    * and data numbers are exact BIGINTs rendered to strings, so the
+    * byte equality is integer-exact end to end. */
+  val calibrationChart: Q = Q(
+    "q303_calibration_chart",
+    CurationQueries.predictorCte + CurationQueries.brierCtes +
+      CurationQueries.aucCtes + """,
+      |s AS (SELECT string_agg('"' || bin || '"', ',' ORDER BY bin) AS labels,
+      |             string_agg((sp // nb) || '.0', ',' ORDER BY bin) AS dmean,
+      |             string_agg(((1000000 * sy) // nb) || '.0', ',' ORDER BY bin)
+      |               AS dobs
+      |      FROM bins),
+      |ttl AS (SELECT 'Brier ' || bs.brier_u9 || ' u9 = REL ' || bs.rel_u9
+      |          || ' - RES ' || bs.res_u9 || ' + UNC ' || bs.unc_u9
+      |          || ' + WBV ' || bs.wbv_u9 || ' | AUC '
+      |          || COALESCE(CAST(aucv.auc_ppm AS VARCHAR), 'na') || ' ppm'
+      |            AS title
+      |        FROM bs CROSS JOIN aucv)
+      |SELECT '{"backgroundColor":"transparent","width":"750","height":"450","format":"png","chart":{"type":"bar","data":{"labels":['
+      |  || s.labels || '],"datasets":[{"type":"bar","label":"Mean Predicted ppm","data":['
+      |  || s.dmean
+      |  || '],"fill":false,"borderColor":"rgb(54, 162, 235)","backgroundColor":"rgb(54, 162, 235)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"},{"type":"bar","label":"Observed Rate ppm","data":['
+      |  || s.dobs
+      |  || '],"fill":false,"borderColor":"rgb(255, 99, 132)","backgroundColor":"rgb(255, 99, 132)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"}]},"options":{"plugins":{"datalabels":{"display":true,"anchor":"end","backgroundColor":"#ccc","borderRadius":"3","align":"end"}},"scales":{"xAxes":[{"id":"bottom-x-axis","position":"bottom","stacked":false,"ticks":{"beginAtZero":true}}],"yAxes":[{"id":"left-y-axis","position":"left","stacked":false,"ticks":{"beginAtZero":true}}]},"title":{"display":true,"text":"'
+      |  || ttl.title || '"}}}}' AS chart_json
+      |FROM s CROSS JOIN ttl""".stripMargin
+  ) { (s, dir) =>
+    val rows = CurationQueries.calibrationBins.fn(s, dir)
+      .agg(array_sort(collect_list(struct(col("bin"),
+        col("mean_pred_ppm").cast("double").as("mp"),
+        col("obs_rate_ppm").cast("double").as("ob")))).as("rs"))
+      .select(
+        expr("transform(rs, r -> CAST(r.bin AS STRING))").as("labels"),
+        expr("transform(rs, r -> r.mp)").as("dmean"),
+        expr("transform(rs, r -> r.ob)").as("dobs"))
+    val brier = CurationQueries.brierDecomposition.fn(s, dir)
+      .select("brier_u9", "rel_u9", "res_u9", "unc_u9", "wbv_u9")
+    val auc = CurationQueries.rocAuc.fn(s, dir).select("auc_ppm")
+    val title = concat(lit("Brier "), col("brier_u9").cast("string"),
+      lit(" u9 = REL "), col("rel_u9").cast("string"),
+      lit(" - RES "), col("res_u9").cast("string"),
+      lit(" + UNC "), col("unc_u9").cast("string"),
+      lit(" + WBV "), col("wbv_u9").cast("string"),
+      lit(" | AUC "), coalesce(col("auc_ppm").cast("string"), lit("na")),
+      lit(" ppm"))
+    val ds = array(
+      ChartJson.dataset(lit(ChartJson.Bar), lit("Mean Predicted ppm"),
+        col("dmean"), lit(ChartJson.Blue)),
+      ChartJson.dataset(lit(ChartJson.Bar), lit("Observed Rate ppm"),
+        col("dobs"), lit(ChartJson.Red)))
+    rows.crossJoin(broadcast(brier)).crossJoin(broadcast(auc))
+      .select(ChartJson.requestJson(
+        ChartJson.chartTitled(ChartJson.Bar, col("labels"), ds,
+          displayLabels = true, title)).as("chart_json"))
+  }
+
   val all: Seq[Q] = Seq(chartSeries, chartJson, chartFanout, historyChart,
-    testingSeries, denseChartSeries, slaChart)
+    testingSeries, denseChartSeries, slaChart, calibrationChart)
 }

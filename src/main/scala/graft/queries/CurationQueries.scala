@@ -1053,6 +1053,44 @@ object CurationQueries {
         expr("(1000000 * w_raw) div w_tot").as("sampled_ppm"))
   }
 
+  /** The shared length-prior-vs-stopword-gate predictor frame behind
+    * the classifier-evaluation family (q254 reliability bins, q257
+    * cumulative gains, q296 Brier decomposition, q297 ROC AUC, and the
+    * q303 chart face): per document, the exact-ppm prediction
+    * p = min(10⁶, n_tok × 5000) — the length prior quantized BEFORE
+    * any aggregation — and the binary outcome y = [n_stop·20 ≥ n_tok]
+    * (the ≥5%-stopword gate, q24/q47's signal family). ONE definition
+    * on each side (ADVICE r12: q296/q297 had drifted-prone copies):
+    * [[predictorCte]] is the DuckDB `WITH d AS …, b AS …` prefix every
+    * family oracle starts from, [[predictor]] the equivalent Spark
+    * frame. doc_id rides along for the doc-grain members (q257);
+    * bin-grain members never select it, so Catalyst prunes it out of
+    * their scans. All integer arithmetic — the family's exactness
+    * rests on this frame being IEEE-free. */
+  private[queries] val predictorCte: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |              w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
+      |           AS n_stop
+      |  FROM documents),
+      |b AS (SELECT doc_id, least(n_tok * 5000, 1000000) AS p,
+      |             CASE WHEN n_stop * 20 >= n_tok THEN 1 ELSE 0 END AS y
+      |      FROM d)""".stripMargin
+
+  /** Spark twin of [[predictorCte]]: (doc_id, p, y). */
+  private[queries] def predictor(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"),
+        expr("CAST(size(filter(split(text, ' '), " +
+          "w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)")
+          .as("n_stop"))
+      .select(col("doc_id"),
+        least(col("n_tok") * 5000, lit(1000000L)).as("p"),
+        when(col("n_stop") * 20 >= col("n_tok"), 1L).otherwise(0L).as("y"))
+
   /** q254: CALIBRATION BINS for a quality predictor — the reliability
     * diagram behind every learned quality filter: bucket documents by
     * PREDICTED quality, then compare each bin's mean prediction to the
@@ -1071,31 +1109,16 @@ object CurationQueries {
     * to end, no IEEE anywhere. One shuffle at bin grain (10 rows). */
   val calibrationBins: Q = Q(
     "q254_calibration_bins",
-    """WITH d AS (
-      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-      |         CAST(len(list_filter(string_split(text, ' '),
-      |              w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
-      |           AS n_stop
-      |  FROM documents),
-      |b AS (SELECT least(n_tok * 5000, 1000000) AS pred_ppm,
-      |             CASE WHEN n_stop * 20 >= n_tok THEN 1 ELSE 0 END AS y
-      |      FROM d)
-      |SELECT least(pred_ppm // 100000, 9) AS bin,
+    predictorCte + """
+      |SELECT least(p // 100000, 9) AS bin,
       |       CAST(count(*) AS BIGINT) AS n,
-      |       CAST(sum(pred_ppm) AS BIGINT) // count(*) AS mean_pred_ppm,
+      |       CAST(sum(p) AS BIGINT) // count(*) AS mean_pred_ppm,
       |       (1000000 * CAST(sum(y) AS BIGINT)) // count(*) AS obs_rate_ppm
       |FROM b GROUP BY 1""".stripMargin
   ) { (s, dir) =>
-    t(s, dir, "documents")
-      .select(
-        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"),
-        expr("CAST(size(filter(split(text, ' '), " +
-          "w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)")
-          .as("n_stop"))
-      .select(least(col("n_tok") * 5000, lit(1000000L)).as("pred_ppm"),
-        when(col("n_stop") * 20 >= col("n_tok"), 1L).otherwise(0L).as("y"))
-      .groupBy(least(expr("pred_ppm div 100000"), lit(9L)).as("bin"))
-      .agg(count(lit(1)).as("n"), sum(col("pred_ppm")).as("sp"),
+    predictor(s, dir)
+      .groupBy(least(expr("p div 100000"), lit(9L)).as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"),
         sum(col("y")).as("sy"))
       .select(col("bin"), col("n"),
         expr("sp div n").as("mean_pred_ppm"),
@@ -1114,24 +1137,15 @@ object CurationQueries {
     * frame derived from the 1-row total. All integers end to end. */
   val cumulativeGains: Q = Q(
     "q257_cumulative_gains",
-    """WITH d AS (
-      |  SELECT doc_id,
-      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-      |         CAST(len(list_filter(string_split(text, ' '),
-      |              w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
-      |           AS n_stop
-      |  FROM documents),
-      |s AS (SELECT doc_id, least(n_tok * 5000, 1000000) AS pred_ppm,
-      |             CASE WHEN n_stop * 20 >= n_tok THEN 1 ELSE 0 END AS y
-      |      FROM d),
+    predictorCte + """,
       |r AS (SELECT
-      |        CAST(row_number() OVER (ORDER BY pred_ppm DESC, doc_id)
+      |        CAST(row_number() OVER (ORDER BY p DESC, doc_id)
       |          AS BIGINT) AS rk,
-      |        CAST(sum(y) OVER (ORDER BY pred_ppm DESC, doc_id)
+      |        CAST(sum(y) OVER (ORDER BY p DESC, doc_id)
       |          AS BIGINT) AS cum_pos
-      |      FROM s),
+      |      FROM b),
       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
-      |               CAST(sum(y) AS BIGINT) AS pos FROM s),
+      |               CAST(sum(y) AS BIGINT) AS pos FROM b),
       |cuts AS (SELECT CAST(g.k AS BIGINT) AS decile,
       |                (tot.n * g.k) // 10 AS cut
       |         FROM generate_series(1, 10) AS g(k) CROSS JOIN tot)
@@ -1139,17 +1153,9 @@ object CurationQueries {
       |       (1000000 * r.cum_pos) // tot.pos AS gain_ppm
       |FROM r JOIN cuts ON r.rk = cuts.cut CROSS JOIN tot""".stripMargin
   ) { (s, dir) =>
-    val scored = t(s, dir, "documents")
-      .select(col("doc_id"),
-        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"),
-        expr("CAST(size(filter(split(text, ' '), " +
-          "w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)")
-          .as("n_stop"))
-      .select(col("doc_id"),
-        least(col("n_tok") * 5000, lit(1000000L)).as("pred_ppm"),
-        when(col("n_stop") * 20 >= col("n_tok"), 1L).otherwise(0L).as("y"))
+    val scored = predictor(s, dir)
     val ranked = graft.operators.Ranks.globalRunningSums(scored,
-      Seq(col("pred_ppm").desc, col("doc_id").asc),
+      Seq(col("p").desc, col("doc_id").asc),
       Seq(col("y") -> "cum_pos", lit(1L) -> "rk"))
     val tot = scored.agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
     val cuts = tot.select(explode(sequence(lit(1), lit(10))).as("decile"),
@@ -1256,17 +1262,13 @@ object CurationQueries {
     * order-immune sum (the q241/q293 discipline). Output unit u9
     * (10⁻⁹ of the 0-1 Brier scale). One bin-grain aggregate (10 rows)
     * and a 1-row broadcast — no window, no sort. */
-  val brierDecomposition: Q = Q(
-    "q296_brier_decomposition",
-    """WITH d AS (
-      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-      |         CAST(len(list_filter(string_split(text, ' '),
-      |              w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
-      |           AS n_stop
-      |  FROM documents),
-      |b AS (SELECT least(n_tok * 5000, 1000000) AS p,
-      |             CASE WHEN n_stop * 20 >= n_tok THEN 1 ELSE 0 END AS y
-      |      FROM d),
+  /** The Murphy-decomposition CTE chain shared by q296's oracle and
+    * the q303 chart oracle (one definition — the same no-drift rule as
+    * [[predictorCte]], ADVICE r12): appends `bins`/`tot`/`terms`/`bs`
+    * to the predictor prefix; `bs` carries (n, brier_u9, rel_u9,
+    * res_u9, unc_u9, wbv_u9). Exactness arguments in q296's scaladoc. */
+  private[queries] val brierCtes: String =
+    """,
       |bins AS (SELECT least(p // 100000, 9) AS bin,
       |           CAST(count(*) AS BIGINT) AS nb,
       |           CAST(sum(p) AS BIGINT) AS sp,
@@ -1289,28 +1291,25 @@ object CurationQueries {
       |                // (CAST(nb AS HUGEINT) * tot.n * tot.n)) AS res2,
       |            sum((CAST(nb AS HUGEINT) * sp2
       |                 - CAST(sp AS HUGEINT) * sp) // nb) AS wbv2
-      |          FROM bins CROSS JOIN tot GROUP BY 1, 2, 3, 4)
-      |SELECT n,
-      |       CAST((sp2t - 2000000 * CAST(spyt AS HUGEINT)
-      |             + CAST(1000000000000 AS HUGEINT) * yy)
-      |            // (CAST(n AS HUGEINT) * 1000) AS BIGINT) AS brier_u9,
-      |       CAST(rel2 // (CAST(n AS HUGEINT) * 1000) AS BIGINT) AS rel_u9,
-      |       CAST(res2 // (CAST(n AS HUGEINT) * 1000) AS BIGINT) AS res_u9,
-      |       CAST((CAST(1000000000 AS HUGEINT) * yy * (n - yy))
-      |            // (CAST(n AS HUGEINT) * n) AS BIGINT) AS unc_u9,
-      |       CAST(wbv2 // (CAST(n AS HUGEINT) * 1000) AS BIGINT) AS wbv_u9
-      |FROM terms""".stripMargin
+      |          FROM bins CROSS JOIN tot GROUP BY 1, 2, 3, 4),
+      |bs AS (SELECT n,
+      |         CAST((sp2t - 2000000 * CAST(spyt AS HUGEINT)
+      |               + CAST(1000000000000 AS HUGEINT) * yy)
+      |              // (CAST(n AS HUGEINT) * 1000) AS BIGINT) AS brier_u9,
+      |         CAST(rel2 // (CAST(n AS HUGEINT) * 1000) AS BIGINT) AS rel_u9,
+      |         CAST(res2 // (CAST(n AS HUGEINT) * 1000) AS BIGINT) AS res_u9,
+      |         CAST((CAST(1000000000 AS HUGEINT) * yy * (n - yy))
+      |              // (CAST(n AS HUGEINT) * n) AS BIGINT) AS unc_u9,
+      |         CAST(wbv2 // (CAST(n AS HUGEINT) * 1000) AS BIGINT) AS wbv_u9
+      |       FROM terms)""".stripMargin
+
+  val brierDecomposition: Q = Q(
+    "q296_brier_decomposition",
+    predictorCte + brierCtes + """
+      |SELECT n, brier_u9, rel_u9, res_u9, unc_u9, wbv_u9 FROM bs""".stripMargin
   ) { (s, dir) =>
     val d38c = "DECIMAL(38,0)"
-    val b = t(s, dir, "documents")
-      .select(
-        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"),
-        expr("CAST(size(filter(split(text, ' '), " +
-          "w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)")
-          .as("n_stop"))
-      .select(least(col("n_tok") * 5000, lit(1000000L)).as("p"),
-        when(col("n_stop") * 20 >= col("n_tok"), 1L).otherwise(0L).as("y"))
-    val bins = b
+    val bins = predictor(s, dir)
       .groupBy(least(expr("p div 100000"), lit(9L)).as("bin"))
       .agg(count(lit(1)).as("nb"), sum(col("p")).as("sp"),
         sum(expr(s"CAST(p AS $d38c) * p")).as("sp2"),
@@ -1355,17 +1354,12 @@ object CurationQueries {
     * distinct ppm values by construction) through the range-
     * partitioned prefix sum — never a row window; products clear
     * int64 via DECIMAL(38,0)/HUGEINT at corpus scale. */
-  val rocAuc: Q = Q(
-    "q297_roc_auc",
-    """WITH d AS (
-      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-      |         CAST(len(list_filter(string_split(text, ' '),
-      |              w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
-      |           AS n_stop
-      |  FROM documents),
-      |b AS (SELECT least(n_tok * 5000, 1000000) AS p,
-      |             CASE WHEN n_stop * 20 >= n_tok THEN 1 ELSE 0 END AS y
-      |      FROM d),
+  /** The Mann-Whitney-AUC CTE chain shared by q297's oracle and the
+    * q303 chart oracle: appends `rk`/`m`/`aucv` to the predictor
+    * prefix; `aucv` carries (n, n_pos, n_neg, auc_ppm — NULL when the
+    * outcome is degenerate). Exactness arguments in q297's scaladoc. */
+  private[queries] val aucCtes: String =
+    """,
       |rk AS (SELECT y,
       |         2 * rank() OVER (ORDER BY p)
       |           + count(*) OVER (PARTITION BY p) - 1 AS r2
@@ -1374,24 +1368,22 @@ object CurationQueries {
       |        CAST(sum(y) AS BIGINT) AS n_pos,
       |        CAST(sum(CASE WHEN y = 1 THEN r2 ELSE 0 END) AS BIGINT)
       |          AS r2pos
-      |      FROM rk)
-      |SELECT n, n_pos, n - n_pos AS n_neg,
-      |       CAST(CASE WHEN n_pos = 0 OR n = n_pos THEN NULL
-      |            ELSE (CAST(1000000 AS HUGEINT)
-      |                  * (r2pos - n_pos * (n_pos + 1)))
-      |                 // (CAST(2 AS HUGEINT) * n_pos * (n - n_pos)) END
-      |         AS BIGINT) AS auc_ppm
-      |FROM m""".stripMargin
+      |      FROM rk),
+      |aucv AS (SELECT n, n_pos, n - n_pos AS n_neg,
+      |           CAST(CASE WHEN n_pos = 0 OR n = n_pos THEN NULL
+      |                ELSE (CAST(1000000 AS HUGEINT)
+      |                      * (r2pos - n_pos * (n_pos + 1)))
+      |                     // (CAST(2 AS HUGEINT) * n_pos * (n - n_pos)) END
+      |             AS BIGINT) AS auc_ppm
+      |         FROM m)""".stripMargin
+
+  val rocAuc: Q = Q(
+    "q297_roc_auc",
+    predictorCte + aucCtes + """
+      |SELECT n, n_pos, n_neg, auc_ppm FROM aucv""".stripMargin
   ) { (s, dir) =>
     val d38c = "DECIMAL(38,0)"
-    val b = t(s, dir, "documents")
-      .select(
-        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"),
-        expr("CAST(size(filter(split(text, ' '), " +
-          "w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)")
-          .as("n_stop"))
-      .select(least(col("n_tok") * 5000, lit(1000000L)).as("p"),
-        when(col("n_stop") * 20 >= col("n_tok"), 1L).otherwise(0L).as("y"))
+    val b = predictor(s, dir)
     val byVal = b.groupBy("p").agg(count(lit(1)).as("tc"))
     val withCum = graft.operators.Ranks.globalRunningSum(
       byVal, Seq(col("p")), col("tc"), "cum")

@@ -93,6 +93,29 @@ object ChartJson {
       xAxes: Column = defaultXAxes,
       yAxes: Column = defaultYAxes,
       title: Option[String] = None): Column =
+    chartNode(chartType, labels, datasets, displayLabels, xAxes, yAxes,
+      lit(title.isDefined), lit(title.getOrElse("")))
+
+  /** [[chart]] with a DATA-DEPENDENT title (display=true) — the
+    * calibration face (q303) embeds the Brier/AUC readout computed by
+    * the query itself in the title text, the same way the reference's
+    * visualizer stamps "last 7 days" date ranges into chart titles
+    * (covid19-visualizer/.../Visualizer.java:288-319 builds the title
+    * from the data window it just assembled). */
+  def chartTitled(
+      chartType: String,
+      labels: Column,
+      datasets: Column,
+      displayLabels: Boolean,
+      titleText: Column,
+      xAxes: Column = defaultXAxes,
+      yAxes: Column = defaultYAxes): Column =
+    chartNode(chartType, labels, datasets, displayLabels, xAxes, yAxes,
+      lit(true), titleText)
+
+  private def chartNode(chartType: String, labels: Column, datasets: Column,
+      displayLabels: Boolean, xAxes: Column, yAxes: Column,
+      titleDisplay: Column, titleText: Column): Column =
     struct(
       lit(chartType).as("type"),
       struct(labels.as("labels"), datasets.as("datasets")).as("data"),
@@ -106,8 +129,8 @@ object ChartJson {
             lit("end").as("align")).as("datalabels")).as("plugins"),
         struct(xAxes.as("xAxes"), yAxes.as("yAxes")).as("scales"),
         struct(
-          lit(title.isDefined).as("display"),
-          lit(title.getOrElse("")).as("text")).as("title")).as("options"))
+          titleDisplay.as("display"),
+          titleText.as("text")).as("title")).as("options"))
 
   /** Request envelope — ChartRequest.java:12-17 with the defaults from
     * ChartRequest.java:19-26; the today/yesterday bar charts pass an

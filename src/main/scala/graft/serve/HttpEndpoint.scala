@@ -80,7 +80,11 @@ object HttpEndpoint {
       "history" -> (() => q("q53_history_chart").collect().head.getString(1)),
       // the ship-SLA p50/p90 profile (r12: the inference wave's chart
       // face — q287's machinery through the oracled q289 assembly)
-      "sla" -> (() => q("q289_sla_chart").collect().head.getString(0)))
+      "sla" -> (() => q("q289_sla_chart").collect().head.getString(0)),
+      // the classifier-evaluation triptych (r13: q254 reliability bars
+      // + q296 Brier/Murphy + q297 AUC in the title, via oracled q303)
+      "calibration" -> (() =>
+        q("q303_calibration_chart").collect().head.getString(0)))
   }
 
   /** Start the endpoint on `port` (0 = ephemeral). Blocking handlers

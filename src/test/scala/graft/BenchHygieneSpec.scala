@@ -131,6 +131,33 @@ class BenchHygieneSpec extends SparkSpec {
       "qoffm displaced the med/min arrays at the current registry size")
   }
 
+  test("every trailer form carries qre: post-control re-readings, deciseconds, capped") {
+    def results(n: Int): Seq[(String, Double, Double, Double)] =
+      (1 to n).map(i => (f"q$i%03d_name", 4.0, 3.6, 16.0 * (i - 1)))
+    // no spiky queries → the empty map is still present (the record
+    // must distinguish "nothing spiked" from "pre-r13 record")
+    Seq(5, 250, 3000).foreach { n =>
+      val t = Bench.compactTrailer(results(n), Map.empty, n * 4.0, "", "sf0.1", ctrl)
+      assert(t.contains("\"qre\":{}"),
+        s"n=$n trailer lost the empty rerun map: ${t.take(200)}")
+    }
+    // re-readings render as {query number → deciseconds}, -1 = failed
+    val re = Seq("q099_chunk" -> 2.13, "q167_pipeline" -> 1.48,
+      "q042_chart" -> -1.0)
+    val t = Bench.compactTrailer(results(250), Map.empty, 1000.0, "",
+      "sf0.1", ctrl, re)
+    assert(t.contains("\"qre\":{\"099\":21,\"167\":15,\"042\":-1}"),
+      s"rerun map misrendered: $t")
+    assert(t.length <= Bench.TrailerBudget)
+    // the cap: a pathological run cannot blow the tail budget
+    val many = (1 to 40).map(i => (f"q$i%03d_name", 9.9))
+    val capped = Bench.compactTrailer(results(250), Map.empty, 1000.0, "",
+      "sf0.1", ctrl, many)
+    assert("\"\\d+\":99".r.findAllIn(capped).size == Bench.MaxReruns,
+      s"rerun map not capped at ${Bench.MaxReruns}: $capped")
+    assert(capped.length <= Bench.TrailerBudget)
+  }
+
   test("every trailer form carries the q27 control bracket in centiseconds") {
     def results(n: Int): Seq[(String, Double, Double, Double)] =
       (1 to n).map(i => (f"q$i%03d_name", 4.0, 3.6, 16.0 * (i - 1)))

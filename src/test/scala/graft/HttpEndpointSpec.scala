@@ -44,8 +44,37 @@ class HttpEndpointSpec extends SparkSpec {
       expected.contains("\"label\":\"P90 Ship Days\""))
   }
 
+  test("/calibration serves the registered q303 triptych chart JSON") {
+    val r = get("/calibration")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").orElse("") == "application/json")
+    val body = new String(r.body(), "UTF-8")
+    val expected = graft.queries.Registry.byName("q303_calibration_chart")
+      .fn(spark, sf).collect().head.getString(0)
+    assert(body == expected)
+    // parity with the three registered queries the face is pinned to:
+    // q296's Brier and q297's AUC are stamped in the title, q254's
+    // per-bin mean predictions are the first data series
+    val brier = graft.queries.CurationQueries.brierDecomposition
+      .fn(spark, sf).collect().head
+    val auc = graft.queries.CurationQueries.rocAuc
+      .fn(spark, sf).collect().head
+    assert(body.contains(s"Brier ${brier.getAs[Long]("brier_u9")} u9"),
+      s"title lost q296's Brier: ${body.takeRight(220)}")
+    assert(body.contains(s"AUC ${auc.getAs[Long]("auc_ppm")} ppm"),
+      s"title lost q297's AUC: ${body.takeRight(220)}")
+    val means = graft.queries.CurationQueries.calibrationBins.fn(spark, sf)
+      .orderBy("bin").collect().map(_.getAs[Long]("mean_pred_ppm"))
+    val series = means.map(_.toString + ".0").mkString(",")
+    assert(body.contains(s""""data":[$series]"""),
+      "first series is not q254's per-bin mean predictions")
+    assert(body.contains("\"label\":\"Mean Predicted ppm\"") &&
+      body.contains("\"label\":\"Observed Rate ppm\""))
+  }
+
   test("every chart route returns a parseable ChartRequest body") {
-    Seq("/today", "/yesterday", "/testing", "/history", "/sla").foreach { p =>
+    Seq("/today", "/yesterday", "/testing", "/history", "/sla",
+      "/calibration").foreach { p =>
       val r = get(p)
       assert(r.statusCode() == 200, s"$p -> ${r.statusCode()}")
       val body = new String(r.body(), "UTF-8")
@@ -67,7 +96,7 @@ class HttpEndpointSpec extends SparkSpec {
   test("/refresh recomputes every chart family and reports the count") {
     val r = get("/refresh")
     assert(r.statusCode() == 200)
-    assert(new String(r.body(), "UTF-8") == """{"recomputed":5}""")
+    assert(new String(r.body(), "UTF-8") == """{"recomputed":6}""")
   }
 
   test("unknown paths 404, non-GET 405") {
