@@ -220,6 +220,165 @@ object StreamBench {
     } finally q.stop()
   }
 
+  /** One micro-batch for the CHUNK-dedup harness: 5 chunks of exactly
+    * 8 key-salted words per document, with [[dedupBatch]]'s decade
+    * structure applied at CHUNK grain — global chunk index h = 5·g + c
+    * takes chunk-key (h − h%10 + 3) when h%10 < 3, so each decade of
+    * chunks carries one 4-copy chunk group + 6 unique chunks and
+    * exactly 7 of every 10 fed chunks are DISTINCT. Key-salting every
+    * token makes non-copy chunks byte-disjoint (the [[nearDedupBatch]]
+    * lesson), so the accounting is provable at any scale: after any
+    * run, `stored chunk digests == 0.7 × chunks fed`. Documents are
+    * all distinct (each doc mixes its own chunk keys), so every doc
+    * produces an output row. `rows` must be even so batches own whole
+    * chunk decades. */
+  def chunkBatch(i: Int, rows: Int): Seq[(Long, String, Long)] = {
+    require(rows % 2 == 0, s"rows must cover whole chunk decades, got $rows")
+    (0 until rows).map { j =>
+      val g = i.toLong * rows + j
+      val text = (0 until 5).map { c =>
+        val h = g * 5 + c
+        val key = if (h % 10 < 3) h - h % 10 + 3 else h
+        s"c$key " + (1 to 7).map(t => s"c${key}_$t").mkString(" ")
+      }.mkString(" ")
+      (g, text, 1586300000000000L + g)
+    }
+  }
+
+  /** Feed `batches` micro-batches through the incremental CHUNK-dedup
+    * topology ([[graft.streaming.IncrementalChunkDedup]]: in-batch
+    * first-wins per digest → bloom gate → bucket-pruned store probe →
+    * reassembly + novel digest upsert) and time the processing, warmup
+    * excluded — the r12 verdict's task 3: one of the two remaining
+    * durable-store streaming members with duality specs but no
+    * throughput number. Exact accounting REQUIREs (warmup included —
+    * the store is global): stored digests == 0.7 × chunks fed ==
+    * Σ kept_chunks, and Σ total_chunks == 5 × docs fed. `storedRows`
+    * reports the measured batches' kept chunks. */
+  def runChunkDedup(spark: SparkSession, batchRows: Int, batches: Int,
+      outDir: String): Result = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long)]
+    val outParquet = s"$outDir/deduped"
+    val store = s"$outDir/store"
+    val q = graft.streaming.IncrementalChunkDedup.run(
+      ms.toDF().toDF("doc_id", "text", "ts_us"),
+      "doc_id", "text", "ts_us", store, chunkWords = 8,
+      checkpointLocation = Some(s"$outDir/ck"),
+      bloomExpectedItems = Some(5L * batchRows * (batches + 1))) {
+      (deduped, _) =>
+        deduped.select("doc_id", "total_chunks", "kept_chunks")
+          .write.mode("append").parquet(outParquet): Unit
+    }
+    try {
+      val warmupRows = math.max(10, math.min(batchRows, 1000) / 10 * 10)
+      ms.addData(chunkBatch(0, warmupRows))
+      q.processAllAvailable()
+      val warmupKept = spark.read.parquet(outParquet)
+        .agg(org.apache.spark.sql.functions.sum("kept_chunks"))
+        .collect().head.getLong(0)
+      val feeds = (1 to batches).map(i => chunkBatch(i, batchRows))
+      val t0 = System.nanoTime()
+      feeds.foreach { f => ms.addData(f); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val total = batchRows.toLong * batches
+      val fedChunks = 5L * (warmupRows + total)
+      val out = spark.read.parquet(outParquet)
+        .agg(org.apache.spark.sql.functions.sum("total_chunks"),
+          org.apache.spark.sql.functions.sum("kept_chunks"))
+        .collect().head
+      val (sumTotal, sumKept) = (out.getLong(0), out.getLong(1))
+      val storedDigests = graft.state.KeyedStore.read(spark, store).count()
+      require(storedDigests * 10 == fedChunks * 7,
+        s"chunk accounting: $storedDigests stored digests != " +
+          s"0.7 x $fedChunks fed chunks")
+      require(sumKept == storedDigests,
+        s"chunk accounting: kept $sumKept != stored $storedDigests")
+      require(sumTotal == fedChunks,
+        s"chunk accounting: total_chunks $sumTotal != fed $fedChunks")
+      Result(batchRows, batches, 0, total, sumKept - warmupKept, sec,
+        total / sec)
+    } finally q.stop()
+  }
+
+  /** One micro-batch for the SCD2 harness: `keys` entity keys ×
+    * `changes` state changes each, every change a REAL transition
+    * (states are per-key strictly increasing version tags, so no
+    * consecutive-duplicate collapse hides work). Per-key timestamps
+    * are globally monotone across batches (ts = changes·i + c), ties
+    * are the global row index. After any run every fed event is a
+    * distinct version: closed intervals == events fed − keys. */
+  def scdChangeBatch(i: Int, keys: Int, changes: Int)
+      : Seq[(Long, String, Long, Long)] =
+    (0 until keys * changes).map { j =>
+      val k = j / changes
+      val c = j % changes
+      val ts = i.toLong * changes + c
+      (k.toLong, s"v$ts", ts, i.toLong * keys * changes + j)
+    }
+
+  /** Feed `batches` micro-batches through the incremental SCD2
+    * topology ([[graft.streaming.IncrementalScd]]: store probe →
+    * pseudo-event collapse → closed intervals out + open-run upsert)
+    * and time the processing, warmup excluded — the r12 verdict's
+    * task 3's second member. Exact accounting (warmup included):
+    * emitted closed intervals == events fed − keys, and the closed
+    * SET plus the store's open runs equal the BATCH REBUILD
+    * ([[graft.operators.Scd.buildHistory]] over everything fed)
+    * exactly — the duality claim, asserted at bench scale, not just
+    * spec scale. `storedRows` reports the emitted closed intervals. */
+  def runScd(spark: SparkSession, batchRows: Int, batches: Int,
+      outDir: String): Result = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val changes = 10
+    val keys = batchRows / changes
+    val ms = MemoryStream[(Long, String, Long, Long)]
+    val closedDir = s"$outDir/closed"
+    val store = s"$outDir/store"
+    val q = graft.streaming.IncrementalScd.run(
+      ms.toDF().toDF("user_id", "state", "ts_us", "event_id"),
+      "user_id", "state", "ts_us", "event_id", store,
+      checkpointLocation = Some(s"$outDir/ck")) {
+      (closed, _) => closed.write.mode("append").parquet(closedDir): Unit
+    }
+    try {
+      // warmup: one change per key — initializes every key's open run
+      val warmup = scdChangeBatch(0, keys, 1)
+      ms.addData(warmup)
+      q.processAllAvailable()
+      val feeds = (1 to batches).map(i => scdChangeBatch(i, keys, changes))
+      val t0 = System.nanoTime()
+      feeds.foreach { f => ms.addData(f); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val total = batchRows.toLong * batches
+      val fedEvents = warmup.size + total
+      val closed = spark.read.parquet(closedDir)
+        .select("user_id", "state", "version", "valid_from", "valid_to")
+      val closedN = closed.count()
+      require(closedN == fedEvents - keys,
+        s"scd accounting: $closedN closed intervals != " +
+          s"fed $fedEvents - $keys keys")
+      // duality at bench scale: stream closed+open == batch rebuild
+      val rebuild = graft.operators.Scd.buildHistory(
+        (warmup ++ feeds.flatten).toDF("user_id", "state", "ts_us", "event_id"),
+        "user_id", "state", "ts_us", "event_id").localCheckpoint(true)
+      val rbClosed = rebuild.filter(!org.apache.spark.sql.functions.col("is_current"))
+        .select("user_id", "state", "version", "valid_from", "valid_to")
+      require(closed.except(rbClosed).isEmpty && rbClosed.except(closed).isEmpty,
+        "scd duality: streamed closed intervals != batch rebuild")
+      val open = graft.streaming.IncrementalScd
+        .openRuns(spark, store, "user_id", "state")
+        .select("user_id", "state", "version", "valid_from")
+      val rbOpen = rebuild.filter(org.apache.spark.sql.functions.col("is_current"))
+        .select("user_id", "state", "version", "valid_from")
+      require(open.except(rbOpen).isEmpty && rbOpen.except(open).isEmpty,
+        "scd duality: store open runs != batch rebuild current rows")
+      Result(batchRows, batches, keys, total, closedN, sec, total / sec)
+    } finally q.stop()
+  }
+
   /** splitmix64 finalizer — deterministic pseudo-random 64-bit mix for
     * the embedding feed (no RNG object, pure function of the seed). */
   private def mix64(z0: Long): Long = {
@@ -521,7 +680,8 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     // dev-only harness filter (unset for driver runs = all harnesses),
     // the Bench SPARK_GRAFT_ONLY convention: comma-separated names from
-    // {delta,incdedup,incneardedup,incembdedup,entropy,kmv,heavyhitters}
+    // {delta,incdedup,incchunkdedup,incscd,incneardedup,incembdedup,
+    //  entropy,kmv,heavyhitters}
     val only = sys.env.get("SPARK_STREAMBENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     def want(name: String): Boolean = only.forall(_.contains(name))
@@ -544,6 +704,26 @@ object StreamBench {
     }
     if (dedupResults.nonEmpty)
       println(s"""{"metric":"incdedup_rows_per_sec","runs":${runsJson(dedupResults)}}""")
+    // chunk dedup pays 5 chunk-digest rows per doc where exact dedup
+    // pays one fingerprint — near-dedup's batch sizing applies
+    val chunkSizes = Seq((10000, 5), (100000, 2))
+    val chunkResults = if (!want("incchunkdedup")) Seq.empty else chunkSizes.map { case (rows, n) =>
+      val dir = Files.createTempDirectory("streambench-cd").toFile.getAbsolutePath
+      System.err.println(s"[streambench] incchunkdedup batchRows=$rows batches=$n")
+      runChunkDedup(spark, rows, n, dir)
+    }
+    if (chunkResults.nonEmpty)
+      println(s"""{"metric":"incchunkdedup_rows_per_sec","runs":${runsJson(chunkResults)}}""")
+    // SCD2: per-batch cost is the batch window + a keys-sized store
+    // round-trip, so it sustains the exact-dedup batch counts
+    val scdSizes = Seq((10000, 10), (100000, 3))
+    val scdResults = if (!want("incscd")) Seq.empty else scdSizes.map { case (rows, n) =>
+      val dir = Files.createTempDirectory("streambench-scd").toFile.getAbsolutePath
+      System.err.println(s"[streambench] incscd batchRows=$rows batches=$n")
+      runScd(spark, rows, n, dir)
+    }
+    if (scdResults.nonEmpty)
+      println(s"""{"metric":"incscd_rows_per_sec","runs":${runsJson(scdResults)}}""")
     // near-dedup pays ~16 band rows + a payload row per doc where exact
     // dedup pays one fingerprint — fewer batches at the large size keep
     // the harness bounded while still measuring a store 3 batches deep

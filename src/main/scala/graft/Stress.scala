@@ -469,6 +469,60 @@ object Stress {
     storeCurve(25000, 8); storeCurve(100000, 8); storeCurve(400000, 8)
     // series (b): buckets scaled with the store
     storeCurve(25000, 64); storeCurve(100000, 256); storeCurve(400000, 1024)
+    // ---- doubled tie-rank machinery curve (r12 verdict task 4) ----
+    // q222's distinct-value-grain tie-averaged doubled-rank prefix sum
+    // (one grouped count -> Ranks.globalRunningSum over the VALUE
+    // table -> value-grain joins, mannWhitneyReport) now underpins
+    // five oracled queries (q222 Mann-Whitney, q290 MAP@10's rank
+    // reads, q293 Kruskal-Wallis, q297 ROC AUC, the q219-q221 family).
+    // Its scaling CLAIM: cost rides DISTINCT-VALUE grain, not row
+    // grain — the only row-grain work is one map-side-combined
+    // groupBy, so shuffle bytes ~ distinct x partitions, and the
+    // prefix sum / joins never see rows. Falsify-then-measure, the
+    // text-index/KeyedStore curve discipline:
+    //   (a) rows 2M -> 8M -> 32M at FIXED 200 distinct values: shuffle
+    //       bytes must stay ~flat (partial agg compresses to value
+    //       grain before the exchange); wall time may grow with the
+    //       scan but per-row cost must not bend upward;
+    //   (b) distinct 100 -> 10k -> 1M at FIXED 8M rows: shuffle and
+    //       the value-table stages grow with distinct — that growth is
+    //       the machinery working as designed, not a failure.
+    // FALLBACK if (a) bends super-linear in shuffle: salt the value
+    // key for a two-level combine before the grouped count (the q29
+    // band-width move, aggregation-shaped). The generator (range +
+    // xxhash64 + pmod, pure codegen, no IO) is identical per row
+    // across all six points, so cross-point comparisons measure the
+    // machinery, not the feed.
+    def rankStage(rows: Long, distinct: Long): Unit = {
+      val name = s"rank_r${rows / 1000000}m_d$distinct"
+      if (only.forall(_.contains(name))) {
+        listener.label = name
+        val t0 = System.nanoTime()
+        graft.queries.StatQueries.mannWhitneyReport(
+          spark.range(rows).select(
+            concat(lit("s"), pmod(col("id"), lit(20L)).cast("string"))
+              .as("source"),
+            pmod(xxhash64(col("id")), lit(distinct)).as("x")))
+          .write.mode("overwrite").format("noop").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // the report pins its value table (localCheckpoint); release so
+        // the next point measures itself
+        GraftSession.releaseCaches(spark)
+        val m = listener.totals(name)
+        println(f"""{"stage":"$name","sec":$sec%.2f,""" +
+          s""""rows":$rows,"distinct":$distinct,""" +
+          f""""rows_per_sec":${rows / sec}%.0f,""" +
+          s""""shuffle_read_b":${m.shufRead},"shuffle_write_b":${m.shufWrite},""" +
+          s""""spill_mem_b":${m.spillMem},"spill_disk_b":${m.spillDisk},""" +
+          s""""tasks":${m.tasks}}""")
+      }
+    }
+    // series (a): rows grow, distinct pinned
+    rankStage(2000000L, 200L); rankStage(8000000L, 200L)
+    rankStage(32000000L, 200L)
+    // series (b): distinct grows, rows pinned
+    rankStage(8000000L, 100L); rankStage(8000000L, 10000L)
+    rankStage(8000000L, 1000000L)
     // ---- media codec curve (r10): the ImageIO class, measured ----
     // Encode / decode / perceptual-hash are pure per-row codec work on
     // mapPartitions — ZERO shuffle of media bytes by construction, so

@@ -36,6 +36,42 @@ class StreamBenchSpec extends SparkSpec {
     assert(dupTexts === 0L, s"$dupTexts duplicate texts escaped the dedup")
   }
 
+  test("incchunkdedup micro-bench: exactly the 7-in-10 distinct chunks stored, once each") {
+    val dir = Files.createTempDirectory("sbspec-cd").toFile.getAbsolutePath
+    // runChunkDedup REQUIRE-asserts the global accounting internally
+    // (stored digests == 0.7 x fed chunks == Σ kept, Σ total == 5 x
+    // docs, warmup included); this drives it small and checks the
+    // measured-batch numbers surfaced in the Result
+    val r = StreamBench.runChunkDedup(spark, batchRows = 400, batches = 3, dir)
+    assert(r.totalRows === 1200L)
+    // measured batches feed 1200 docs x 5 chunks, decade structure at
+    // chunk grain: 7 of every 10 fed chunks are distinct and admitted
+    assert(r.storedRows === 4200L,
+      s"expected 4200 kept chunks (0.7 x 6000), got ${r.storedRows}")
+    assert(r.rowsPerSec > 0.0)
+    // reassembly really dropped the copy-group chunks: every output
+    // doc keeps <= its 5 chunks and the corpus-wide kept ratio is 7/10
+    val bad = spark.read.parquet(s"$dir/deduped")
+      .filter("kept_chunks > total_chunks OR total_chunks <> 5").count()
+    assert(bad === 0L, s"$bad docs with impossible chunk counts")
+  }
+
+  test("incscd micro-bench: closed+open runs equal the batch rebuild exactly") {
+    val dir = Files.createTempDirectory("sbspec-scd").toFile.getAbsolutePath
+    // runScd REQUIRE-asserts the duality internally (closed set ==
+    // rebuild's closed set, store open runs == rebuild's current rows,
+    // closed count == events - keys); this drives it small and checks
+    // the surfaced numbers
+    val r = StreamBench.runScd(spark, batchRows = 400, batches = 3, dir)
+    assert(r.totalRows === 1200L)
+    assert(r.keys === 40)
+    // 40 keys x (1 warmup + 30 measured changes) = 1240 events, all
+    // real transitions; every event but each key's last closes a run
+    assert(r.storedRows === 1200L,
+      s"expected 1200 closed intervals (1240 - 40 open), got ${r.storedRows}")
+    assert(r.rowsPerSec > 0.0)
+  }
+
   test("incneardedup micro-bench: exactly the 7-in-10 novel rows land, once each") {
     val dir = Files.createTempDirectory("sbspec-nd").toFile.getAbsolutePath
     val r = StreamBench.runNearDedup(spark, batchRows = 400, batches = 3, dir)
