@@ -1069,27 +1069,40 @@ object CurationQueries {
     * rests on this frame being IEEE-free. */
   private[queries] val predictorCte: String =
     """WITH d AS (
-      |  SELECT doc_id,
+      |  SELECT doc_id, source,
       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
       |         CAST(len(list_filter(string_split(text, ' '),
       |              w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
       |           AS n_stop
       |  FROM documents),
-      |b AS (SELECT doc_id, least(n_tok * 5000, 1000000) AS p,
+      |b AS (SELECT doc_id, source, least(n_tok * 5000, 1000000) AS p,
       |             CASE WHEN n_stop * 20 >= n_tok THEN 1 ELSE 0 END AS y
       |      FROM d)""".stripMargin
 
-  /** Spark twin of [[predictorCte]]: (doc_id, p, y). */
+  /** Spark twin of [[predictorCte]]: (doc_id, source, p, y). Members
+    * that need neither doc_id nor source never select them, so
+    * Catalyst prunes them out of those scans. */
   private[queries] def predictor(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"),
         expr("CAST(size(filter(split(text, ' '), " +
           "w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)")
           .as("n_stop"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         least(col("n_tok") * 5000, lit(1000000L)).as("p"),
         when(col("n_stop") * 20 >= col("n_tok"), 1L).otherwise(0L).as("y"))
+
+  /** Spark twin of [[brierCtes]]'s `bins` CTE — the calibration-bin
+    * frame (bin, nb, sp, sp2, sy, spy) shared by q296 and the
+    * bin-grain calibration metrics (q304 Hosmer-Lemeshow, q305
+    * ECE/MCE). One shuffle at bin grain (≤ 10 rows). */
+  private[queries] def predictorBins(s: SparkSession, dir: String): DataFrame =
+    predictor(s, dir)
+      .groupBy(least(expr("p div 100000"), lit(9L)).as("bin"))
+      .agg(count(lit(1)).as("nb"), sum(col("p")).as("sp"),
+        sum(expr("CAST(p AS DECIMAL(38,0)) * p")).as("sp2"),
+        sum(col("y")).as("sy"), sum(col("p") * col("y")).as("spy"))
 
   /** q254: CALIBRATION BINS for a quality predictor — the reliability
     * diagram behind every learned quality filter: bucket documents by
