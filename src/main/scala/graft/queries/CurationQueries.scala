@@ -1415,11 +1415,81 @@ object CurationQueries {
           .as("auc_ppm"))
   }
 
+  /** q304: HOSMER-LEMESHOW goodness-of-fit over the q254 calibration
+    * bins — the formal test behind the reliability diagram: per bin,
+    * (observed − expected)² / (expected · (1 − π̂)) with expected
+    * positives E_b = Σp/10⁶ and π̂ = Σp/(n_b·10⁶), summed into the
+    * HL χ² (df ≈ usable bins − 2). q254 SHOWS the bins, q296 scores
+    * the squared error, this tests whether the miscalibration is
+    * statistically real — the fourth face of the same shared frame.
+    *
+    * Exactness: the textbook term clears to pure integers —
+    * (O−E)²/(E(1−π̂)) = (10⁶·sy − sp)²·n_b / (sp·(n_b·10⁶ − sp)) —
+    * so each bin's term micro-quantizes (×10⁶) by ONE integral floor
+    * of exact products (DECIMAL(38,0)/HUGEINT: the squared numerator
+    * passes int64 at corpus scale) before the order-immune sum.
+    * Degenerate bins (sp = 0 or sp = n_b·10⁶ — expected-count zero or
+    * variance zero, e.g. the saturated top bin where every p = 10⁶)
+    * are excluded on BOTH sides, the standard HL practice of merging/
+    * dropping zero-variance cells; n_bins reports the usable count.
+    * Rides [[predictorBins]] / [[brierCtes]] — no fifth predictor
+    * definition to drift (ADVICE r12 rule). One bin-grain aggregate. */
+  val hosmerLemeshow: Q = Q(
+    "q304_hosmer_lemeshow",
+    predictorCte + brierCtes + """
+      |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+      |       CAST(sum((CAST(1000000 AS HUGEINT)
+      |                 * (1000000 * sy - sp) * (1000000 * sy - sp) * nb)
+      |             // (CAST(sp AS HUGEINT) * (nb * 1000000 - sp)))
+      |         AS BIGINT) AS hl_u6
+      |FROM bins WHERE sp > 0 AND sp < nb * 1000000""".stripMargin
+  ) { (s, dir) =>
+    val d38c = "DECIMAL(38,0)"
+    predictorBins(s, dir)
+      .filter(col("sp") > 0 && col("sp") < col("nb") * 1000000L)
+      .agg(count(lit(1)).as("n_bins"),
+        sum(expr(s"(CAST(1000000 AS $d38c) " +
+          "* (1000000 * sy - sp) * (1000000 * sy - sp) * nb) " +
+          s"div (CAST(sp AS $d38c) * (nb * 1000000 - sp))")).as("hl"))
+      .select(col("n_bins"), col("hl").cast("long").as("hl_u6"))
+  }
+
+  /** q305: EXPECTED + MAXIMUM CALIBRATION ERROR over the q254 bins —
+    * the single-number calibration summaries every model card quotes:
+    * ECE = Σ_b (n_b/N)·|acc_b − conf_b| (bin errors weighted by mass)
+    * and MCE = max_b |acc_b − conf_b| (the worst bin). Closes the
+    * calibration family: q254 diagram, q296 decomposition, q304
+    * significance, q305 the headline numbers.
+    *
+    * Exactness: |acc_b − conf_b| = |10⁶·sy − sp|/(n_b·10⁶) exactly,
+    * so ECE_ppm = Σ|10⁶·sy − sp| // N (the n_b·10⁶ denominators
+    * cancel against the weights — ZERO per-bin floors, one final
+    * integral floor of exact integers) and MCE_ppm = max of one
+    * per-bin floor. Integer arithmetic end to end; rides
+    * [[predictorBins]] / [[brierCtes]]. One bin-grain aggregate. */
+  val calibrationError: Q = Q(
+    "q305_calibration_error",
+    predictorCte + brierCtes + """
+      |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+      |       CAST(CAST(sum(abs(1000000 * sy - sp)) AS HUGEINT)
+      |            // CAST(sum(nb) AS HUGEINT) AS BIGINT) AS ece_ppm,
+      |       CAST(max(abs(1000000 * sy - sp) // nb) AS BIGINT) AS mce_ppm
+      |FROM bins""".stripMargin
+  ) { (s, dir) =>
+    predictorBins(s, dir)
+      .agg(count(lit(1)).as("n_bins"),
+        sum(expr("abs(1000000 * sy - sp)")).as("sae"),
+        sum(col("nb")).as("nn"),
+        max(expr("abs(1000000 * sy - sp) div nb")).as("mce_ppm"))
+      .select(col("n_bins"), expr("sae div nn").cast("long").as("ece_ppm"),
+        col("mce_ppm"))
+  }
+
   val all: Seq[Q] = Seq(rateAnomaly, recordLinkage, clusterSplit,
     qualityCanonical, simhashCalibration, eventQuota, readability,
     eventTransitions, dataValidation, hoppingCounts, ewmaTrend,
     holtTrend, compressionQuality, corpusPipelineV4, madAnomaly,
     thresholdChurn, anomalyConsensus, forecastBacktest, mixtureWeights,
     calibrationBins, cumulativeGains, maseBacktest, brierDecomposition,
-    rocAuc)
+    rocAuc, hosmerLemeshow, calibrationError)
 }
