@@ -1920,9 +1920,446 @@ object StatQueries {
           .as("pacf2_ppm"))
   }
 
+  /** q306: MANTEL-HAENSZEL pooled odds ratio across strata — the
+    * confounder-adjusted association test q207's chi² can't give:
+    * does document LENGTH (the saturated length prior, n_tok ≥ 200 ⇔
+    * p = 10⁶) associate with the stopword-quality outcome y AFTER
+    * stratifying by source? A raw 2×2 over the pooled corpus is
+    * Simpson's-paradox bait when sources differ in both length mix
+    * and quality base rate; MH pools the per-stratum 2×2s:
+    * OR_MH = Σᵢ(aᵢdᵢ/nᵢ) / Σᵢ(bᵢcᵢ/nᵢ). Exposure and outcome are the
+    * REGISTERED shared predictor frame's columns
+    * ([[CurationQueries.predictor]] — no fifth definition, the ADVICE
+    * r12 rule).
+    *
+    * Exactness: each stratum's ad/n and bc/n micro-quantize (×10⁶) by
+    * one integral floor of exact int64 products (a·d ≤ n²/4 passes
+    * int64 at any per-source scale that fits a cluster, and the bound
+    * is stated here); the pooled ratio is one more integral floor.
+    * One source-grain aggregate (20 rows) → one 1-row reduce. */
+  val mantelHaenszel: Q = Q(
+    "q306_mantel_haenszel",
+    CurationQueries.predictorCte + """,
+      |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(CASE WHEN p = 1000000 AND y = 1 THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS a,
+      |        CAST(sum(CASE WHEN p = 1000000 AND y = 0 THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS bb,
+      |        CAST(sum(CASE WHEN p < 1000000 AND y = 1 THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS c
+      |      FROM b GROUP BY source),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+      |        CAST(sum((1000000 * a * (n - a - bb - c)) // n) AS BIGINT)
+      |          AS num_u6,
+      |        CAST(sum((1000000 * bb * c) // n) AS BIGINT) AS den_u6
+      |      FROM s)
+      |SELECT n_strata, num_u6, den_u6,
+      |       CAST(CASE WHEN den_u6 = 0 THEN NULL
+      |            ELSE (1000 * num_u6) // den_u6 END AS BIGINT) AS or_milli
+      |FROM t""".stripMargin
+  ) { (s, dir) =>
+    CurationQueries.predictor(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p") === 1000000L && col("y") === 1L, 1L).otherwise(0L))
+          .as("a"),
+        sum(when(col("p") === 1000000L && col("y") === 0L, 1L).otherwise(0L))
+          .as("bb"),
+        sum(when(col("p") < 1000000L && col("y") === 1L, 1L).otherwise(0L))
+          .as("c"))
+      .agg(count(lit(1)).as("n_strata"),
+        sum(expr("(1000000 * a * (n - a - bb - c)) div n")).as("num_u6"),
+        sum(expr("(1000000 * bb * c) div n")).as("den_u6"))
+      .select(col("n_strata"), col("num_u6"), col("den_u6"),
+        expr("CAST(CASE WHEN den_u6 = 0 THEN NULL " +
+          "ELSE (1000 * num_u6) div den_u6 END AS BIGINT)").as("or_milli"))
+  }
+
+  /** q307: FRIEDMAN test across event types blocked by day — the
+    * repeated-measures companion of q293's Kruskal-Wallis: KW asks
+    * whether the types' DAILY-COUNT distributions differ treating
+    * every (day, type) cell as independent; Friedman blocks by DAY
+    * (each day ranks its own k type counts), so day-level traffic
+    * swings — the dominant nuisance in event streams — cancel instead
+    * of inflating the between-group spread. Blocks are gap-filled
+    * (absent (day, type) = 0 count) so every block is complete.
+    *
+    * Exactness: within-day tie-averaged ranks kept exact as DOUBLED
+    * integers (the q221/q222 discipline — keyed windows only, k rows
+    * per day); with u = 2r the tie-general statistic clears to pure
+    * integers: χ² = (k−1)(ΣⱼR'ⱼ² − n²k(k+1)²)/(Σu² − nk(k+1)²), both
+    * parenthesized terms ≥ 0 (Cauchy-Schwarz), one integral milli
+    * floor in DECIMAL(38,0)/HUGEINT. All-tied degenerate data → NULL
+    * on both engines. The day×type grid is calendar-bounded (the
+    * q131 argument), so every window is structurally tiny. */
+  val friedman: Q = Q(
+    "q307_friedman",
+    """WITH dc AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |                   event_type, CAST(count(*) AS BIGINT) AS x
+      |            FROM events GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT day FROM dc),
+      |types AS (SELECT DISTINCT event_type FROM dc),
+      |grid AS (SELECT d.day, t.event_type, COALESCE(dc.x, 0) AS x
+      |         FROM days d CROSS JOIN types t
+      |         LEFT JOIN dc ON dc.day = d.day AND dc.event_type = t.event_type),
+      |r AS (SELECT day, event_type,
+      |        2 * rank() OVER (PARTITION BY day ORDER BY x)
+      |          + count(*) OVER (PARTITION BY day, x) - 1 AS u
+      |      FROM grid),
+      |rj AS (SELECT event_type, CAST(sum(u) AS BIGINT) AS rsum
+      |       FROM r GROUP BY 1),
+      |m AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM days) AS n,
+      |             (SELECT CAST(count(*) AS BIGINT) FROM types) AS k,
+      |             (SELECT sum(CAST(rsum AS HUGEINT) * rsum) FROM rj) AS a,
+      |             (SELECT sum(CAST(u AS HUGEINT) * u) FROM r) AS bq)
+      |SELECT n AS n_blocks, k AS k_treatments,
+      |       CAST(CASE WHEN bq - CAST(n AS HUGEINT) * k * (k+1) * (k+1) <= 0
+      |            THEN NULL
+      |            ELSE (CAST(1000 AS HUGEINT) * (k - 1)
+      |                  * (a - CAST(n AS HUGEINT) * n * k * (k+1) * (k+1)))
+      |                 // (bq - CAST(n AS HUGEINT) * k * (k+1) * (k+1)) END
+      |         AS BIGINT) AS chi2_milli
+      |FROM m""".stripMargin
+  ) { (s, dir) =>
+    val d38c = "DECIMAL(38,0)"
+    // tiny (days × types ≤ calendar × type-count); three consumers
+    val dc = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true)
+    val days = dc.select("day").distinct()
+    val types = dc.select("event_type").distinct()
+    val grid = days.crossJoin(broadcast(types))
+      .join(dc, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val u = (lit(2) * rank().over(Window.partitionBy("day").orderBy("x"))
+      + count(lit(1)).over(Window.partitionBy("day", "x")) - 1)
+      .cast(LongType)
+    val r = grid.select(col("event_type"), u.as("u")).localCheckpoint(true)
+    val a = r.groupBy("event_type")
+      .agg(sum(col("u")).as("rsum"))
+      .agg(sum(expr(s"CAST(rsum AS $d38c) * rsum")).as("a"))
+    val bq = r.agg(sum(expr(s"CAST(u AS $d38c) * u")).as("bq"))
+    val nk = days.agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(types.agg(count(lit(1)).as("k"))))
+    nk.crossJoin(broadcast(a)).crossJoin(broadcast(bq))
+      .select(col("n").as("n_blocks"), col("k").as("k_treatments"),
+        expr(s"CAST(CASE WHEN bq - CAST(n AS $d38c) * k * (k+1) * (k+1) <= 0 " +
+          "THEN NULL " +
+          s"ELSE (CAST(1000 AS $d38c) * (k - 1) " +
+          s"* (a - CAST(n AS $d38c) * n * k * (k+1) * (k+1))) " +
+          s"div (bq - CAST(n AS $d38c) * k * (k+1) * (k+1)) END AS BIGINT)")
+          .as("chi2_milli"))
+  }
+
+  /** q308: JONCKHEERE-TERPSTRA ordered trend across order priorities —
+    * the question q289's SLA chart eyeballs, tested: do shipping days
+    * TREND with priority (URGENT < HIGH < … < LOW is a meaningful
+    * ordering, so the ordered alternative beats KW's any-difference)?
+    * J = Σᵢ<ⱼ U(Gᵢ, Gⱼ) over priority-ordered group pairs.
+    *
+    * Scale shape: runs entirely at the (priority × distinct ship-day)
+    * HISTOGRAM grain — the q287 machinery's first reduce — then a
+    * ≤ (5 × days)² self-join of the 650-row grid; rows are never
+    * pairwise-joined. Exactness: doubled U (2U = Σ_d c_j(d)·(2·cumlt_i(d)
+    * + c_i(d)) — ties counted once each way) keeps everything integer;
+    * the null expectation E[2J] = (N² − Σnᵢ²)/2 and the trend ratio
+    * 10⁶·2J/E[2J] are integral floors of exact int64 values (N² at
+    * sf-scale ≤ 10¹², stated bound; DECIMAL(38,0)/HUGEINT above).
+    * Significance under ties belongs to q293's machinery; this query
+    * reports the exact statistic and its null center. */
+  val jonckheere: Q = Q(
+    "q308_jonckheere_trend",
+    """WITH j AS (SELECT o.o_orderpriority AS pri,
+      |             date_diff('day', CAST(o.o_orderdate AS DATE),
+      |                       CAST(l.l_shipdate AS DATE)) AS d
+      |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |h AS (SELECT pri, d, CAST(count(*) AS BIGINT) AS c FROM j GROUP BY 1, 2),
+      |ds AS (SELECT DISTINCT d FROM h),
+      |ps AS (SELECT DISTINCT pri FROM h),
+      |grid AS (SELECT p.pri, ds.d, COALESCE(h.c, 0) AS c
+      |         FROM ps p CROSS JOIN ds
+      |         LEFT JOIN h ON h.pri = p.pri AND h.d = ds.d),
+      |g AS (SELECT pri, d, c,
+      |        CAST(sum(c) OVER (PARTITION BY pri ORDER BY d) - c AS BIGINT)
+      |          AS cumlt
+      |      FROM grid),
+      |pj AS (SELECT CAST(sum(gj.c * (2 * gi.cumlt + gi.c)) AS BIGINT) AS j2
+      |       FROM g gi JOIN g gj ON gi.d = gj.d AND gi.pri < gj.pri),
+      |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+      |              CAST(sum(cnt * cnt) AS BIGINT) AS sn2
+      |       FROM (SELECT CAST(sum(c) AS BIGINT) AS cnt FROM h GROUP BY pri))
+      |SELECT nn.n, pj.j2,
+      |       (nn.n * nn.n - nn.sn2) // 2 AS ej2,
+      |       CAST(CASE WHEN nn.n * nn.n - nn.sn2 = 0 THEN NULL
+      |            ELSE (CAST(1000000 AS HUGEINT) * 2 * pj.j2)
+      |                 // (nn.n * nn.n - nn.sn2) END AS BIGINT) AS jt_ppm
+      |FROM pj CROSS JOIN nn""".stripMargin
+  ) { (s, dir) =>
+    val d38c = "DECIMAL(38,0)"
+    val h = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("pri"),
+        datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")).cast(LongType).as("d"))
+      .groupBy("pri", "d").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // ≤ priorities × distinct days, 3 consumers
+    val grid = h.select("d").distinct()
+      .crossJoin(broadcast(h.select("pri").distinct()))
+      .join(h, Seq("pri", "d"), "left")
+      .select(col("pri"), col("d"), coalesce(col("c"), lit(0L)).as("c"))
+    val g = grid.withColumn("cumlt",
+      sum(col("c")).over(Window.partitionBy("pri").orderBy("d")) - col("c"))
+      .localCheckpoint(true)
+    val j2 = g.as("gi")
+      .join(g.as("gj"),
+        col("gi.d") === col("gj.d") && col("gi.pri") < col("gj.pri"))
+      .agg(sum(col("gj.c") * (lit(2) * col("gi.cumlt") + col("gi.c")))
+        .as("j2"))
+    val nn = h.groupBy("pri").agg(sum(col("c")).as("cnt"))
+      .agg(sum(col("cnt")).as("n"), sum(col("cnt") * col("cnt")).as("sn2"))
+    j2.crossJoin(broadcast(nn))
+      .select(col("n"), col("j2"),
+        expr("(n * n - sn2) div 2").as("ej2"),
+        expr(s"CAST(CASE WHEN n * n - sn2 = 0 THEN NULL " +
+          s"ELSE (CAST(1000000 AS $d38c) * 2 * j2) div (n * n - sn2) END " +
+          "AS BIGINT)").as("jt_ppm"))
+  }
+
+  /** q309: WILCOXON SIGNED-RANK per type on week-over-week daily
+    * counts — the PAIRED location test the MW/Welch family can't do:
+    * each day pairs with the same weekday one week back (q285's
+    * seasonal-naive lag), differences d = x_t − x_{t−7}, zero
+    * differences dropped (the standard convention), |d| ranked WITHIN
+    * type, W⁺ = rank-sum of the positive side. Detects a sustained
+    * weekly drift direction that day-level noise hides.
+    *
+    * Exactness: tie-averaged ranks as DOUBLED integers over keyed
+    * windows (per type × |d| value — calendar-bounded). With
+    * W₂⁺ = 2W⁺: E[W₂⁺] = n(n+1)/2 and Var[W₂⁺] =
+    * (2n(n+1)(2n+1) − Σ(t³−t))/12, so doubling the z-numerator clears
+    * every fraction: z = (2W₂⁺ − n(n+1)) / √((2n(n+1)(2n+1) −
+    * Σ(t³−t))/3) — ONE final rounded double of the exact integers
+    * (W₂⁺, n, Σ(t³−t), all < 2⁵³ at any per-type calendar scale, so
+    * the double conversions are exact). The variance expression is
+    * strictly positive for n ≥ 1 (at full ties it is 3n³+6n²+3n), so
+    * no guard beyond nonzero pairs, which the group's existence
+    * implies. The signed numerator never meets integer `div` (the
+    * q302 floor-vs-truncate rule). */
+  val wilcoxonSignedRank: Q = Q(
+    "q309_wilcoxon_signed_rank",
+    """WITH dc AS (SELECT event_type,
+      |                   CAST(date_trunc('day', ts) AS DATE) AS day,
+      |                   CAST(count(*) AS BIGINT) AS x
+      |            FROM events GROUP BY 1, 2),
+      |p AS (SELECT a.event_type, a.x - b.x AS d
+      |      FROM dc a JOIN dc b ON b.event_type = a.event_type
+      |        AND b.day = a.day - 7
+      |      WHERE a.x <> b.x),
+      |r AS (SELECT event_type, d, abs(d) AS ad,
+      |        2 * rank() OVER (PARTITION BY event_type ORDER BY abs(d))
+      |          + count(*) OVER (PARTITION BY event_type, abs(d)) - 1 AS u
+      |      FROM p),
+      |tc AS (SELECT event_type,
+      |         CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS DOUBLE) AS t3
+      |       FROM (SELECT event_type, abs(d) AS ad, count(*) AS t
+      |             FROM p GROUP BY 1, 2) GROUP BY 1),
+      |w AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(CASE WHEN d > 0 THEN u ELSE 0 END) AS BIGINT) AS w2pos
+      |      FROM r GROUP BY 1)
+      |SELECT w.event_type, w.n AS n_pairs, w.w2pos,
+      |       CAST(round(1000.0
+      |            * (2.0 * w.w2pos - CAST(w.n AS DOUBLE) * (w.n + 1))
+      |            / sqrt((2.0 * w.n * (w.n + 1) * (2 * w.n + 1) - tc.t3) / 3.0))
+      |         AS BIGINT) AS z_milli
+      |FROM w JOIN tc ON tc.event_type = w.event_type""".stripMargin
+  ) { (s, dir) =>
+    val dc = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true) // calendar-bounded; self-joined
+    val p = dc.as("a")
+      .join(dc.as("b"),
+        col("b.event_type") === col("a.event_type") &&
+          col("b.day") === date_sub(col("a.day"), 7))
+      .select(col("a.event_type").as("event_type"),
+        (col("a.x") - col("b.x")).as("d"))
+      .filter(col("d") =!= 0L)
+      .localCheckpoint(true) // two consumers (ranks + tie groups)
+    val u = (lit(2) * rank().over(
+      Window.partitionBy("event_type").orderBy(abs(col("d"))))
+      + count(lit(1)).over(Window.partitionBy(col("event_type"), abs(col("d"))))
+      - 1).cast(LongType)
+    val w = p.select(col("event_type"), col("d"), u.as("u"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("d") > 0, col("u")).otherwise(0L)).as("w2pos"))
+    val tc = p.groupBy(col("event_type"), abs(col("d")).as("ad"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(expr(s"CAST(t AS $d38) * t * t - t")).cast("double").as("t3"))
+    w.join(tc, Seq("event_type"))
+      .select(col("event_type"), col("n").as("n_pairs"), col("w2pos"),
+        round(lit(1000.0)
+          * (lit(2.0) * col("w2pos") - col("n").cast("double") * (col("n") + 1))
+          / sqrt((lit(2.0) * col("n") * (col("n") + 1) * (lit(2) * col("n") + 1)
+            - col("t3")) / 3.0))
+          .cast(LongType).as("z_milli"))
+  }
+
+  /** q310: DURBIN-WATSON serial-correlation statistic per type — the
+    * residual-autocorrelation diagnostic behind every daily-series
+    * model this registry fits (q211 Holt, q243 seasonal, q247 Sen):
+    * DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² over mean residuals, ≈2 when residuals are
+    * independent, →0 under positive serial correlation (the common
+    * failure: un-modeled weekly cycle), →4 under negative. Mean
+    * residuals clear denominators exactly: eₜ = k·xₜ − S (k = days,
+    * S = Σx) scales both sums by k², which cancels in the ratio.
+    *
+    * Exactness: pure integers end to end — one keyed lag window over
+    * the calendar-bounded per-type series, squared sums in
+    * DECIMAL(38,0)/HUGEINT (e² ≈ (k·x)² passes int64 only at small
+    * scale; the cast is the stated guard), one integral milli floor
+    * (both terms ≥ 0). Constant series (all e = 0) → NULL. */
+  val durbinWatson: Q = Q(
+    "q310_durbin_watson",
+    """WITH dc AS (SELECT event_type,
+      |                   CAST(date_trunc('day', ts) AS DATE) AS day,
+      |                   CAST(count(*) AS BIGINT) AS x
+      |            FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+      |             CAST(sum(x) AS BIGINT) AS sx
+      |      FROM dc GROUP BY 1),
+      |e AS (SELECT dc.event_type, dc.day, m.k * dc.x - m.sx AS e
+      |      FROM dc JOIN m USING (event_type)),
+      |l AS (SELECT event_type, e,
+      |        lag(e) OVER (PARTITION BY event_type ORDER BY day) AS pe
+      |      FROM e),
+      |f AS (SELECT event_type,
+      |        sum(CAST(e AS HUGEINT) * e) AS den,
+      |        sum(CASE WHEN pe IS NULL THEN 0
+      |            ELSE CAST(e - pe AS HUGEINT) * (e - pe) END) AS num
+      |      FROM l GROUP BY 1)
+      |SELECT f.event_type, m.k AS n_days,
+      |       CAST(CASE WHEN f.den = 0 THEN NULL
+      |            ELSE (1000 * f.num) // f.den END AS BIGINT) AS dw_milli
+      |FROM f JOIN m ON m.event_type = f.event_type""".stripMargin
+  ) { (s, dir) =>
+    val dc = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val m = dc.groupBy("event_type")
+      .agg(count(lit(1)).as("k"), sum(col("x")).as("sx"))
+    val e = dc.join(m, Seq("event_type"))
+      .select(col("event_type"), col("day"),
+        (col("k") * col("x") - col("sx")).as("e"))
+    val l = e.withColumn("pe",
+      lag(col("e"), 1).over(Window.partitionBy("event_type").orderBy("day")))
+    val f = l.groupBy("event_type")
+      .agg(sum(expr(s"CAST(e AS $d38) * e")).as("den"),
+        sum(expr(s"CASE WHEN pe IS NULL THEN 0 " +
+          s"ELSE CAST(e - pe AS $d38) * (e - pe) END")).as("num"))
+    f.join(m.select("event_type", "k"), Seq("event_type"))
+      .select(col("event_type"), col("k").as("n_days"),
+        expr("CAST(CASE WHEN den = 0 THEN NULL " +
+          "ELSE (1000 * num) div den END AS BIGINT)").as("dw_milli"))
+  }
+
+  /** q311: BROWN-FORSYTHE spread test across sources — the VARIANCE
+    * counterpart of q222/q223's location tests: do sources differ in
+    * length DISPERSION (a homogenizing scraper shows as collapsed
+    * spread long before the mean moves)? One-way ANOVA F on
+    * zᵢ = |xᵢ − median(group)| — the median-centered Levene variant,
+    * robust to the heavy right tail document lengths always have.
+    *
+    * Scale shape: group medians come from the (source, value)
+    * HISTOGRAM via keyed cumulative counts (the q287 p50 pattern —
+    * distinct-value grain, never a row sort); z joins back by
+    * (source, value) histogram row, so the row-grain work is two
+    * grouped aggregates. Exactness: A = Σz and Q = Σz² are exact
+    * integers (Q in DECIMAL(38,0)/HUGEINT); SSB/SSW micro-quantize
+    * per group by one integral floor each — SSB term
+    * (N·A_g − n_g·A)²/(n_g·N²), SSW term (n_g·Q_g − A_g²)/n_g, both
+    * numerators ≥ 0 (Cauchy-Schwarz) — before order-immune sums; F is
+    * one final integral milli floor. Degenerate spread (SSW = 0) →
+    * NULL. */
+  val brownForsythe: Q = Q(
+    "q311_brown_forsythe",
+    """WITH f AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+      |h AS (SELECT source, x, CAST(count(*) AS BIGINT) AS c
+      |      FROM f GROUP BY 1, 2),
+      |cum AS (SELECT source, x, c,
+      |          CAST(sum(c) OVER (PARTITION BY source ORDER BY x) AS BIGINT)
+      |            AS cc,
+      |          CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS ng
+      |        FROM h),
+      |med AS (SELECT source, CAST(min(CASE WHEN 2 * cc >= ng THEN x END)
+      |                 AS BIGINT) AS med
+      |        FROM cum GROUP BY 1),
+      |g AS (SELECT h.source,
+      |        CAST(sum(h.c) AS BIGINT) AS ng,
+      |        CAST(sum(h.c * abs(h.x - med.med)) AS BIGINT) AS a,
+      |        sum(CAST(h.c AS HUGEINT) * abs(h.x - med.med)
+      |            * abs(h.x - med.med)) AS q
+      |      FROM h JOIN med ON med.source = h.source GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+      |               CAST(sum(ng) AS BIGINT) AS n,
+      |               CAST(sum(a) AS BIGINT) AS asum
+      |        FROM g),
+      |terms AS (SELECT tot.k AS k, tot.n AS n,
+      |            CAST(sum((CAST(1000000 AS HUGEINT)
+      |                      * (tot.n * g.a - g.ng * tot.asum)
+      |                      * (tot.n * g.a - g.ng * tot.asum))
+      |                 // (CAST(g.ng AS HUGEINT) * tot.n * tot.n))
+      |              AS HUGEINT) AS ssb_u6,
+      |            CAST(sum((CAST(1000000 AS HUGEINT)
+      |                      * (g.ng * g.q - CAST(g.a AS HUGEINT) * g.a))
+      |                 // g.ng) AS HUGEINT) AS ssw_u6
+      |          FROM g CROSS JOIN tot GROUP BY 1, 2)
+      |SELECT n, k,
+      |       CAST(CASE WHEN ssw_u6 = 0 OR k < 2 THEN NULL
+      |            ELSE (CAST(1000 AS HUGEINT) * (n - k) * ssb_u6)
+      |                 // ((k - 1) * ssw_u6) END AS BIGINT) AS f_milli
+      |FROM terms""".stripMargin
+  ) { (s, dir) =>
+    val d38c = "DECIMAL(38,0)"
+    val h = t(s, dir, "documents")
+      .select(col("source"), col("n_chars").cast(LongType).as("x"))
+      .groupBy("source", "x").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // (source × distinct length), 2 consumers
+    val cum = h.withColumn("cc",
+        sum(col("c")).over(Window.partitionBy("source").orderBy("x")))
+      .withColumn("ng", sum(col("c")).over(Window.partitionBy("source")))
+    val med = cum.groupBy("source")
+      .agg(min(when(lit(2) * col("cc") >= col("ng"), col("x")))
+        .cast(LongType).as("med"))
+    val g = h.join(med, Seq("source"))
+      .groupBy("source")
+      .agg(sum(col("c")).as("ng"),
+        sum(col("c") * abs(col("x") - col("med"))).as("a"),
+        sum(expr(s"CAST(c AS $d38c) * abs(x - med) * abs(x - med)")).as("q"))
+    val tot = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("a")).as("asum"))
+    g.crossJoin(broadcast(tot))
+      .groupBy("k", "n")
+      .agg(sum(expr(s"(CAST(1000000 AS $d38c) " +
+          "* (n * a - ng * asum) * (n * a - ng * asum)) " +
+          s"div (CAST(ng AS $d38c) * n * n)")).as("ssb_u6"),
+        sum(expr(s"(CAST(1000000 AS $d38c) " +
+          s"* (ng * q - CAST(a AS $d38c) * a)) div ng")).as("ssw_u6"))
+      .select(col("n"), col("k"),
+        expr(s"CAST(CASE WHEN ssw_u6 = 0 OR k < 2 THEN NULL " +
+          s"ELSE (CAST(1000 AS $d38c) * (n - k) * ssb_u6) " +
+          s"div ((k - 1) * ssw_u6) END AS BIGINT)").as("f_milli"))
+  }
+
   val all: Seq[Q] = Seq(chiSquare, cohensKappa, acfDaily,
     cusumChangepoint, fkOrphans, winsorizedMean, sourceDriftChi2,
     mannWhitney, welchT, kaplanMeier, logRank, olsTrend, cliffsDelta,
     nelsonAalen, cuped, diffInDiff, medianSurvival, bradleyTerry,
-    kruskalWallis, mcnemar, runsTest, cochranArmitage, pacfLag2)
+    kruskalWallis, mcnemar, runsTest, cochranArmitage, pacfLag2,
+    mantelHaenszel, friedman, jonckheere, wilcoxonSignedRank,
+    durbinWatson, brownForsythe)
 }
