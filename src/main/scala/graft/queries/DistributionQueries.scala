@@ -840,8 +840,84 @@ object DistributionQueries {
           .cast(LongType).as("term_u6"))
   }
 
+  /** q313: Q-Q DECILE table, each source vs the rest of the corpus —
+    * the distribution-drift face the scalar tests compress away: q226
+    * KS gives one max-gap number and q222 MW one shift z; this emits
+    * the nine decile pairs (x_src(q), x_rest(q)) per source, i.e. the
+    * Q-Q plot a reviewer actually reads to see WHERE a source's
+    * length distribution departs (head, body, or tail). qq_gap > 0 at
+    * high deciles with ≈0 elsewhere = a long-tail source; uniform
+    * offset = a shifted one.
+    *
+    * Scale shape: everything runs at (source × distinct value) GRID
+    * grain — the global cumulative rides the range-partitioned prefix
+    * sum over the value table (never a partition-less window on the
+    * Spark side), per-source cumulatives are keyed windows on the
+    * grid, and the rest-of-corpus cumulative is cc_all − cc_s by
+    * complement, so no second histogram pass. Deciles are exact lower
+    * quantiles via integer comparisons (10·cc ≥ d·n) — pure integer
+    * arithmetic end to end, the q287 p50 pattern generalized. */
+  val qqDeciles: Q = Q(
+    "q313_qq_deciles",
+    """WITH f AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+      |hs AS (SELECT source, x, CAST(count(*) AS BIGINT) AS cs
+      |       FROM f GROUP BY 1, 2),
+      |hall AS (SELECT x, CAST(sum(cs) AS BIGINT) AS call FROM hs GROUP BY 1),
+      |ca AS (SELECT x, CAST(sum(call) OVER (ORDER BY x) AS BIGINT) AS cc_all
+      |       FROM hall),
+      |srcs AS (SELECT source, CAST(sum(cs) AS BIGINT) AS n_s
+      |         FROM hs GROUP BY 1),
+      |tot AS (SELECT CAST(sum(call) AS BIGINT) AS n FROM hall),
+      |grid AS (SELECT s.source, ca.x, COALESCE(hs.cs, 0) AS cs,
+      |                ca.cc_all, s.n_s, tot.n
+      |         FROM srcs s CROSS JOIN ca CROSS JOIN tot
+      |         LEFT JOIN hs ON hs.source = s.source AND hs.x = ca.x),
+      |cum AS (SELECT source, x, cc_all, n_s, n,
+      |          CAST(sum(cs) OVER (PARTITION BY source ORDER BY x) AS BIGINT)
+      |            AS cc_s
+      |        FROM grid),
+      |dec AS (SELECT unnest(range(1, 10)) AS decile)
+      |SELECT c.source, CAST(d.decile AS BIGINT) AS decile,
+      |       CAST(min(CASE WHEN 10 * c.cc_s >= d.decile * c.n_s
+      |                THEN c.x END) AS BIGINT) AS x_src,
+      |       CAST(min(CASE WHEN 10 * (c.cc_all - c.cc_s)
+      |                     >= d.decile * (c.n - c.n_s)
+      |                THEN c.x END) AS BIGINT) AS x_rest,
+      |       CAST(min(CASE WHEN 10 * c.cc_s >= d.decile * c.n_s
+      |                THEN c.x END)
+      |            - min(CASE WHEN 10 * (c.cc_all - c.cc_s)
+      |                       >= d.decile * (c.n - c.n_s)
+      |                  THEN c.x END) AS BIGINT) AS qq_gap
+      |FROM cum c CROSS JOIN dec d GROUP BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    val hs = t(s, dir, "documents")
+      .select(col("source"), col("n_chars").cast(LongType).as("x"))
+      .groupBy("source", "x").agg(count(lit(1)).as("cs"))
+      .localCheckpoint(true) // (source × distinct value), 3 consumers
+    val hall = hs.groupBy("x").agg(sum(col("cs")).as("call"))
+    val ca = graft.operators.Ranks.globalRunningSum(
+      hall, Seq(col("x")), col("call"), "cc_all").drop("call")
+    val srcs = hs.groupBy("source").agg(sum(col("cs")).as("n_s"))
+    val tot = hall.agg(sum(col("call")).as("n"))
+    val grid = ca.crossJoin(broadcast(srcs)).crossJoin(broadcast(tot))
+      .join(hs, Seq("source", "x"), "left")
+      .select(col("source"), col("x"), coalesce(col("cs"), lit(0L)).as("cs"),
+        col("cc_all"), col("n_s"), col("n"))
+    val cum = grid.withColumn("cc_s",
+      sum(col("cs")).over(Window.partitionBy("source").orderBy("x")))
+    cum.crossJoin(broadcast(s.range(1, 10).select(col("id").as("decile"))))
+      .groupBy("source", "decile")
+      .agg(
+        min(when(lit(10) * col("cc_s") >= col("decile") * col("n_s"),
+          col("x"))).as("x_src"),
+        min(when(lit(10) * (col("cc_all") - col("cc_s"))
+          >= col("decile") * (col("n") - col("n_s")), col("x"))).as("x_rest"))
+      .select(col("source"), col("decile"), col("x_src"), col("x_rest"),
+        (col("x_src") - col("x_rest")).as("qq_gap"))
+  }
+
   val all: Seq[Q] =
     Seq(marketHhi, ksTest, kendallTau, eventEntropy, vocabJsd,
       leadLag, theilIndex, fanoFactor, mannKendall, senSlope, mutualInfo,
-      hillDiversity, permutationEntropy, psiDrift)
+      hillDiversity, permutationEntropy, psiDrift, qqDeciles)
 }

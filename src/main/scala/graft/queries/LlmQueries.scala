@@ -1542,6 +1542,47 @@ object LlmQueries {
         expr("(1000000 * n_clipped) div n_bigrams").as("selfbleu2_ppm"))
   }
 
+  /** q312: YULE'S K per source — the classic vocabulary-concentration
+    * characteristic (Yule 1944): K = 10⁴·(Σ_w c_w² − N)/N², invariant
+    * to text LENGTH in a way q139's TTR family is not (TTR falls with
+    * N by Heaps' law even for a fixed author; K estimates the
+    * repeat-rate of the underlying word distribution, so a K shift
+    * between sources or snapshots signals template/boilerplate
+    * infiltration rather than just more text). Complements q255's
+    * Hill tail exponent (K weights the HEAD's repetition, Hill the
+    * tail's decay).
+    *
+    * Exactness: one (source, word) count, then per-source exact N and
+    * Σc² (DECIMAL(38,0)/HUGEINT — Σc² passes int64 only at small
+    * corpus scale) and ONE integral milli floor; Σc² ≥ N always, so
+    * the numerator is nonnegative. Shuffle rides the distinct-vocab
+    * grain (map-side combined), the q150 class. */
+  val yuleK: Q = Q(
+    "q312_yule_k",
+    """WITH tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+      |            FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+      |                  FROM documents)
+      |            GROUP BY 1, 2),
+      |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+      |             sum(CAST(c AS HUGEINT) * c) AS s2
+      |      FROM tf GROUP BY 1)
+      |SELECT source, n,
+      |       CAST((CAST(10000000 AS HUGEINT) * (s2 - n))
+      |            // (CAST(n AS HUGEINT) * n) AS BIGINT) AS yule_k_milli
+      |FROM g""".stripMargin
+  ) { (s, dir) =>
+    val d38c = "DECIMAL(38,0)"
+    t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n"),
+        sum(expr(s"CAST(c AS $d38c) * c")).as("s2"))
+      .select(col("source"), col("n"),
+        expr(s"CAST((CAST(10000000 AS $d38c) * (s2 - n)) " +
+          s"div (CAST(n AS $d38c) * n) AS BIGINT)").as("yule_k_milli"))
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, fingerprintQ, ngramJaccard,
     minhashLsh, minhashLshOracle, simhash, simhashOracle, embeddingNeardup,
     embeddingNeardupLsh, signLshOracle, knnCosine, annLsh, annIvf, binaryMeta,
@@ -1551,5 +1592,5 @@ object LlmQueries {
     annTopKOracle, embeddingDedupOracle, embeddingSplitLeakage,
     ngramNovelty, dupThresholdSweep, langIdConfusion, lenQualityCorr,
     dupByQuality, multimodalResize, multimodalPerceptual, heapsLaw,
-    vocabCoverage, hillTail, selfBleu)
+    vocabCoverage, hillTail, selfBleu, yuleK)
 }

@@ -705,8 +705,11 @@ object StatQueries {
     * after it) joined on user_id, one grouped grid, one fold over
     * ≤ 4 rows per cohort — no window wider than a cohort, nothing
     * collected beyond the 7×4 grid. */
-  val kaplanMeier: Q = Q(
-    "q228_kaplan_meier",
+  /** The cohorted KM CTE chain shared by q228's oracle and the q314
+    * RMST oracle (one definition — the [[CurationQueries.predictorCte]]
+    * no-drift rule): the recursive product-limit fold ends in `r`
+    * carrying (cohort, rn, dur, d, c, n_at_risk, s_ppm). */
+  private[graft] val kmCtes: String =
     """WITH RECURSIVE s AS (SELECT user_id, min(ts) AS t0 FROM events
       |           WHERE event_type = 'signup' GROUP BY user_id),
       |wend AS (SELECT max(ts) AS tmax FROM events),
@@ -740,7 +743,11 @@ object StatQueries {
       |         r.n_at_risk - r.d - r.c AS n_at_risk,
       |         (r.s_ppm * ((r.n_at_risk - r.d - r.c) - grid.d))
       |            // (r.n_at_risk - r.d - r.c) AS s_ppm
-      |  FROM r JOIN grid ON grid.cohort = r.cohort AND grid.rn = r.rn + 1)
+      |  FROM r JOIN grid ON grid.cohort = r.cohort AND grid.rn = r.rn + 1)""".stripMargin
+
+  val kaplanMeier: Q = Q(
+    "q228_kaplan_meier",
+    kmCtes + """
       |SELECT cohort, dur, d, c, n_at_risk, CAST(s_ppm AS BIGINT) AS s_ppm
       |FROM r""".stripMargin
   ) { (s, dir) =>
@@ -2355,11 +2362,49 @@ object StatQueries {
           s"div ((k - 1) * ssw_u6) END AS BIGINT)").as("f_milli"))
   }
 
+  /** q314: RESTRICTED MEAN SURVIVAL TIME per signup cohort — the
+    * survival family's missing summary: q228 emits the KM curve, q246
+    * its median, q229 the log-rank comparison; RMST(τ) = ∫₀^τ S(t)dt
+    * is the expected conversion-FREE days within the q228 horizon
+    * (τ = 3), the number an experimenter quotes when medians are
+    * undefined (fast-converting cohorts never reach S = ½ the other
+    * way). Integrates the REGISTERED q228 step curve exactly: the KM
+    * estimate is piecewise constant, so the integral is
+    * 10⁶·d₁ + Σᵢ s_ppmᵢ·(dᵢ₊₁ − dᵢ) + s_ppm_k·(τ − d_k) — pure
+    * integer sums over the ≤ (τ+1)-row-per-cohort step table (one
+    * keyed lead window on a calendar-bounded frame). The oracle rides
+    * [[kmCtes]] verbatim — no second KM to drift. Unit: ppm·days. */
+  val rmst: Q = Q(
+    "q314_rmst",
+    kmCtes + """,
+      |st AS (SELECT cohort, dur, CAST(s_ppm AS BIGINT) AS s_ppm,
+      |         lead(dur) OVER (PARTITION BY cohort ORDER BY dur) AS nxt,
+      |         row_number() OVER (PARTITION BY cohort ORDER BY dur) AS rn2
+      |       FROM r)
+      |SELECT cohort,
+      |       CAST(sum(CASE WHEN rn2 = 1 THEN 1000000 * dur ELSE 0 END)
+      |            + sum(s_ppm * (COALESCE(nxt, 3) - dur)) AS BIGINT)
+      |         AS rmst_ppm_days
+      |FROM st GROUP BY cohort""".stripMargin
+  ) { (s, dir) =>
+    val horizon = 3L
+    val km = kaplanMeierReport(t(s, dir, "events"), horizonDays = 3)
+    val w = Window.partitionBy("cohort").orderBy("dur")
+    km.select(col("cohort"), col("dur"), col("s_ppm"),
+        lead(col("dur"), 1).over(w).as("nxt"),
+        row_number().over(w).as("rn2"))
+      .groupBy("cohort")
+      .agg((sum(when(col("rn2") === 1, lit(1000000L) * col("dur"))
+          .otherwise(0L))
+        + sum(col("s_ppm") * (coalesce(col("nxt"), lit(horizon)) - col("dur"))))
+        .cast(LongType).as("rmst_ppm_days"))
+  }
+
   val all: Seq[Q] = Seq(chiSquare, cohensKappa, acfDaily,
     cusumChangepoint, fkOrphans, winsorizedMean, sourceDriftChi2,
     mannWhitney, welchT, kaplanMeier, logRank, olsTrend, cliffsDelta,
     nelsonAalen, cuped, diffInDiff, medianSurvival, bradleyTerry,
     kruskalWallis, mcnemar, runsTest, cochranArmitage, pacfLag2,
     mantelHaenszel, friedman, jonckheere, wilcoxonSignedRank,
-    durbinWatson, brownForsythe)
+    durbinWatson, brownForsythe, rmst)
 }
