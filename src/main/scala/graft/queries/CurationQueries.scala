@@ -1053,6 +1053,122 @@ object CurationQueries {
         expr("(1000000 * w_raw) div w_tot").as("sampled_ppm"))
   }
 
+  /** q316: HOLT-WINTERS additive seasonal smoothing (period 7) — the
+    * forecaster q227's finding demands: q208's Holt tracks level +
+    * trend but re-learns the weekday cycle as trend error every week;
+    * HW carries seven additive seasonal states (α = β = γ = 1/4, the
+    * q208 discipline) so the one-step forecast l + b + s_w stands on
+    * the cycle instead of fighting it. Emits the full state series
+    * per (type, day): level, trend, the just-updated weekday
+    * seasonal, and the honest PRE-observation forecast (NULL on each
+    * series' first day). Init: l₁ = 10³·x₁, b = 0, s ≡ 0 — the first
+    * cycle degrades exactly to Holt, then the seasonals absorb the
+    * weekday pattern; weekday slot w = (rn−1) mod 7 counts SERIES
+    * position, so gaps in the calendar do not shear the cycle
+    * assignment between engines.
+    *
+    * Exactness: the q208 recurrence discipline extended — every state
+    * is an exact BIGINT milli, every update ONE floor((…)/4.0) of an
+    * exact integer (floor, not integer div: deseasonalized residuals
+    * go negative, the q302 floor-vs-truncate trap; all magnitudes
+    * < 2⁵³ so the double round-trip is exact). Spark folds per type
+    * with `aggregate` over the sorted day array (the q208/q211
+    * shape — state is 9 longs, series length is calendar-bounded);
+    * the oracle is the same recurrence as a recursive CTE carrying
+    * s0..s6 columns. */
+  val holtWinters: Q = Q(
+    "q316_holt_winters",
+    """WITH RECURSIVE d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS n,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY CAST(ts AS DATE)) AS rn
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, rn, day, n,
+      |         CAST(n * 1000 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+      |         CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,
+      |         CAST(0 AS BIGINT) AS s2, CAST(0 AS BIGINT) AS s3,
+      |         CAST(0 AS BIGINT) AS s4, CAST(0 AS BIGINT) AS s5,
+      |         CAST(0 AS BIGINT) AS s6,
+      |         CAST(NULL AS BIGINT) AS f, CAST(0 AS BIGINT) AS sea
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT event_type, rn, day, n, l_new,
+      |         CAST(floor((l_new - l + 3 * b) / 4.0) AS BIGINT),
+      |         CASE WHEN w = 0 THEN CAST(floor((n * 1000 - l_new + 3 * sw)
+      |           / 4.0) AS BIGINT) ELSE s0 END,
+      |         CASE WHEN w = 1 THEN CAST(floor((n * 1000 - l_new + 3 * sw)
+      |           / 4.0) AS BIGINT) ELSE s1 END,
+      |         CASE WHEN w = 2 THEN CAST(floor((n * 1000 - l_new + 3 * sw)
+      |           / 4.0) AS BIGINT) ELSE s2 END,
+      |         CASE WHEN w = 3 THEN CAST(floor((n * 1000 - l_new + 3 * sw)
+      |           / 4.0) AS BIGINT) ELSE s3 END,
+      |         CASE WHEN w = 4 THEN CAST(floor((n * 1000 - l_new + 3 * sw)
+      |           / 4.0) AS BIGINT) ELSE s4 END,
+      |         CASE WHEN w = 5 THEN CAST(floor((n * 1000 - l_new + 3 * sw)
+      |           / 4.0) AS BIGINT) ELSE s5 END,
+      |         CASE WHEN w = 6 THEN CAST(floor((n * 1000 - l_new + 3 * sw)
+      |           / 4.0) AS BIGINT) ELSE s6 END,
+      |         f,
+      |         CAST(floor((n * 1000 - l_new + 3 * sw) / 4.0) AS BIGINT)
+      |  FROM (
+      |    SELECT p.*, l + b + sw AS f,
+      |           CAST(floor((n * 1000 - sw + 3 * (l + b)) / 4.0) AS BIGINT)
+      |             AS l_new
+      |    FROM (
+      |      SELECT d.event_type, d.rn, d.day, d.n, r.l, r.b,
+      |             r.s0, r.s1, r.s2, r.s3, r.s4, r.s5, r.s6,
+      |             (d.rn - 1) % 7 AS w,
+      |             CASE (d.rn - 1) % 7 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1
+      |               WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4
+      |               WHEN 5 THEN r.s5 ELSE r.s6 END AS sw
+      |      FROM r JOIN d ON d.event_type = r.event_type
+      |        AND d.rn = r.rn + 1) p) q)
+      |SELECT event_type, day, n, l AS level_milli, b AS trend_milli,
+      |       sea AS seasonal_milli, f AS forecast_milli
+      |FROM r""".stripMargin
+  ) { (s, dir) =>
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val empty = array().cast(
+      "array<struct<l:bigint,b:bigint,s:array<bigint>,f:bigint,sea:bigint>>")
+    def floorDiv4(x: org.apache.spark.sql.Column) =
+      floor(x.cast("double") / lit(4.0)).cast("long")
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("sd"))
+      .withColumn("ds", transform(col("sd"), x => x.getField("day")))
+      .withColumn("ns", transform(col("sd"), x => x.getField("n")))
+      .withColumn("hs", aggregate(col("ns"), empty, (acc, x) => {
+        val prev = element_at(acc, -1)
+        val w = pmod(size(acc), lit(7))
+        val sw = element_at(prev.getField("s"), w + 1)
+        val f = prev.getField("l") + prev.getField("b") + sw
+        val lNew = floorDiv4(x * 1000 - sw
+          + lit(3L) * (prev.getField("l") + prev.getField("b")))
+        val bNew = floorDiv4(lNew - prev.getField("l")
+          + lit(3L) * prev.getField("b"))
+        val sNew = floorDiv4(x * 1000 - lNew + lit(3L) * sw)
+        val sArr = transform(prev.getField("s"),
+          (v, i) => when(i === w, sNew).otherwise(v))
+        concat(acc, array(
+          when(size(acc) === 0,
+            struct((x * 1000).cast("long").as("l"), lit(0L).as("b"),
+              array_repeat(lit(0L), 7).as("s"),
+              lit(null).cast("long").as("f"), lit(0L).as("sea")))
+            .otherwise(struct(lNew.as("l"), bNew.as("b"), sArr.as("s"),
+              f.as("f"), sNew.as("sea")))))
+      }))
+      .select(col("event_type"), col("ds"), col("ns"),
+        posexplode(col("hs")).as(Seq("pos", "h")))
+      .select(col("event_type"),
+        element_at(col("ds"), col("pos") + 1).as("day"),
+        element_at(col("ns"), col("pos") + 1).as("n"),
+        col("h.l").as("level_milli"), col("h.b").as("trend_milli"),
+        col("h.sea").as("seasonal_milli"), col("h.f").as("forecast_milli"))
+  }
+
   /** The shared length-prior-vs-stopword-gate predictor frame behind
     * the classifier-evaluation family (q254 reliability bins, q257
     * cumulative gains, q296 Brier decomposition, q297 ROC AUC, and the
@@ -1491,5 +1607,5 @@ object CurationQueries {
     holtTrend, compressionQuality, corpusPipelineV4, madAnomaly,
     thresholdChurn, anomalyConsensus, forecastBacktest, mixtureWeights,
     calibrationBins, cumulativeGains, maseBacktest, brierDecomposition,
-    rocAuc, hosmerLemeshow, calibrationError)
+    rocAuc, hosmerLemeshow, calibrationError, holtWinters)
 }

@@ -1668,11 +1668,66 @@ object WarehouseQueries {
       .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("total_cents"))
   }
 
+  /** q315: ABC / PARETO inventory classification — the assortment
+    * rollup every ops dashboard opens with: rank parts by revenue,
+    * class A = the head up to 80% of cumulative revenue, B = to 95%,
+    * C = the tail, then profile each class (how many parts, how much
+    * revenue, what share). The "20% of parts carry 80% of revenue"
+    * readout, as data rather than folklore — and the sibling of
+    * q159's Gini (same Lorenz curve, read as a 3-bucket business
+    * rule).
+    *
+    * Scale shape: one part-grain revenue rollup (map-side combined),
+    * then the cumulative revenue rides the native range-partitioned
+    * RunningSum over (revenue DESC, partkey) — never a partition-less
+    * window — and a broadcast 1-row total classifies by integer
+    * comparison (5·cum ≤ 4·tot etc., no percent floats). Exact cents
+    * end to end; share as one integral ppm floor. */
+  val abcClasses: Q = Q(
+    "q315_abc_classes",
+    """WITH pr AS (SELECT l_partkey,
+      |             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |               AS BIGINT) AS cents
+      |            FROM lineitem GROUP BY 1),
+      |c AS (SELECT l_partkey, cents,
+      |        CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey)
+      |          AS BIGINT) AS cum
+      |      FROM pr),
+      |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM pr),
+      |cl AS (SELECT CASE WHEN 5 * c.cum <= 4 * tot.t THEN 'A'
+      |              WHEN 20 * c.cum <= 19 * tot.t THEN 'B'
+      |              ELSE 'C' END AS abc_class,
+      |             c.cents, tot.t
+      |       FROM c CROSS JOIN tot)
+      |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+      |       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+      |       (1000000 * CAST(sum(cents) AS BIGINT)) // max(t) AS share_ppm
+      |FROM cl GROUP BY 1""".stripMargin
+  ) { (s, dir) =>
+    val pr = t(s, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val c = graft.operators.Ranks.globalRunningSum(pr,
+      Seq(col("cents").desc, col("l_partkey").asc), col("cents"), "cum")
+    val tot = pr.agg(sum(col("cents")).as("t"))
+    c.crossJoin(broadcast(tot))
+      .select(
+        when(lit(5) * col("cum") <= lit(4) * col("t"), "A")
+          .when(lit(20) * col("cum") <= lit(19) * col("t"), "B")
+          .otherwise("C").as("abc_class"),
+        col("cents"), col("t"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("revenue_cents"),
+        expr("(1000000 * CAST(sum(cents) AS BIGINT)) div max(t)")
+          .as("share_ppm"))
+  }
+
   val all: Seq[Q] = Seq(prefixFilterJoin, scd2History, rangeJoinWindows,
     rrfHybrid, quantileNorm, asofHistoryProbe, mmrDiversify, hllRollup,
     distinctRollup, audienceOverlap, phraseSearch, indexBm25, indexPhrase,
     indexBoolean, prfExpansion, indexSnippet, groupingSets, unpivotSeries,
     lengthSummary, revenueDeciles, columnProfile, customerRfm,
     kmvDistinct, kmvJaccard, kmvCube, marketShare, indexFuzzy,
-    shipLatency, returnRates)
+    shipLatency, returnRates, abcClasses)
 }
