@@ -24,11 +24,21 @@ import sys
 
 
 def load_prior(path):
-    """The archived driver file may hold several JSON lines / a log tail;
+    """The archived driver file may hold several JSON lines / a log
+    tail, or the driver's wrapper object ({"tail": ..., "parsed": ...});
     take the LAST parseable object that carries qmin."""
     best = None
     with open(path) as f:
         raw = f.read()
+    try:
+        whole = json.loads(raw)
+        if isinstance(whole, dict) and "parsed" in whole:
+            if any(k in whole["parsed"] for k in ("qmin", "qmins", "mins")):
+                return whole["parsed"]
+        if isinstance(whole, dict) and "tail" in whole:
+            raw = whole["tail"]
+    except json.JSONDecodeError:
+        pass
     for line in raw.splitlines():
         line = line.strip()
         if not line.startswith("{"):
