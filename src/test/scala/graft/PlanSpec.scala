@@ -1198,4 +1198,40 @@ class PlanSpec extends SparkSpec {
       plan("q260_kmv_jaccard").contains("BroadcastHashJoin"),
       "q260 pair matrix no longer broadcasts the kilobyte sketch table")
   }
+
+  test("q313/q315: the new cumulative consumers ride the native RunningSum") {
+    // r13: the Q-Q global cumulative and the Pareto revenue cumulative
+    // both route through the operator — a regression to a global
+    // window here is the exact single-partition funnel the ban test
+    // exists for
+    Seq("q313_qq_deciles", "q315_abc_classes").foreach { n =>
+      val p = plan(n)
+      assert("(?m)^\\(\\d+\\) RunningSum\\b".r.findFirstIn(p).isDefined,
+        s"$n lost the native running-sum operator: " + p.take(1200))
+      assert(!p.contains("CartesianProduct"),
+        s"$n grew a cartesian product")
+    }
+  }
+
+  test("q308: the trend pair join is a histogram-grain equi-join, never a cross product") {
+    // the (priority x day) grids join on the day value with the
+    // priority inequality as a post-filter — row-grain data never
+    // meets itself
+    val p = plan("q308_jonckheere_trend")
+    assert(!p.contains("CartesianProduct"), "q308 planned a cartesian:\n"
+      + p.take(1200))
+    assert(p.contains("BroadcastExchange"),
+      "q308 lost its broadcast dimensions")
+  }
+
+  test("q316: the Holt-Winters fold plans with no window at all") {
+    // state rides the per-type aggregate fold over the sorted day
+    // array (calendar-bounded), so the optimized plan must carry ZERO
+    // Window nodes — the recurrence never touches row-grain windows
+    val df = Registry.byName("q316_holt_winters").fn(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.isEmpty, s"q316 grew ${wins.size} window node(s)")
+  }
 }
