@@ -60,7 +60,29 @@ import org.apache.spark.sql.SparkSession
   *    class self-exonerates; a re-reading that repeats the spike is a
   *    real regression. The map is capped at [[MaxReruns]] entries
   *    (worst ratios first) so a pathological run cannot blow the tail
-  *    budget; an empty run emits `"qre":{}`.
+  *    budget; an empty run emits `"qre":{}`;
+  *  - (r14, the r13 verdict's task 1) the `qre` spike trigger is
+  *    provably blind to a SUSTAINED contention window: a multi-minute
+  *    slow region inflates the median AND the min together (BENCH_r13's
+  *    q219 read 16.95 med / 16.86 min vs 0.60/0.59 judge-isolated —
+  *    med/min 1.005, so the 3× trigger never fires), and the
+  *    first/last control bracket sees only the run's ENDS. Two
+  *    additions close it: (a) a **mid-run control heartbeat** — a
+  *    single timed q27 reading every [[HeartbeatEvery]] queries (the
+  *    control is JIT-warm from the opening bracket), plus one more
+  *    AFTER the rerun pass so the re-readings are followed, not just
+  *    preceded, by a control reading — carried full-precision as
+  *    `ctrl_hb` [[offset, sec], …] pairs in the first line /
+  *    bench_out.json and as a compact centisecond array in every
+  *    trailer rung (~10 entries ≈ 60 chars at the current registry),
+  *    timestamping a window INSIDE the record; (b) a **band-file
+  *    trigger** — the adjudicated per-query min-bands (ARCHITECTURE's
+  *    bench-history table, committed as the
+  *    `graft/bench_bands.json` classpath resource) extend the
+  *    post-control rerun to any query whose MIN exceeds its band
+  *    ceiling ≥ [[BandTriggerRatio]]× — exactly the reading shape the
+  *    spike trigger cannot see. Both triggers share the [[MaxReruns]]
+  *    cap, worst severity first.
   *
   * Each query is driven through a `noop`-format write, not `count()`:
   * count lets Catalyst prune projection-only work (rendering columns,
@@ -81,10 +103,85 @@ object Bench {
     * above this box's ±25% scheduler noise. */
   val RerunRatio = 3.0
 
-  /** Tail-budget bound on the rerun map: worst med/min ratios first.
+  /** Tail-budget bound on the rerun map: worst severities first.
     * 8 entries ≈ 90 trailer chars; a run with more than 8 queries
-    * spiking 3× is a poisoned record no per-query re-run can save. */
+    * spiking 3× (or departing their bands 2×) is a poisoned record no
+    * per-query re-run can save. */
   val MaxReruns = 8
+
+  /** A single q27 control reading is taken after every this-many
+    * measured queries (~10 heartbeats at the current registry, ~20 s
+    * of a ~25 min run) — a sustained contention window lands ON a
+    * heartbeat and is timestamped inside the record, where the
+    * first/last bracket sees only the ends. */
+  val HeartbeatEvery = 30
+
+  /** A query is re-run after the closing control when its MIN exceeds
+    * its adjudicated band ceiling by this ratio — the sustained-window
+    * shape (med AND min inflated together) the med/min spike trigger
+    * cannot fire on. 2× a box-datum ceiling sits above this box's
+    * ±25% scheduler noise and the ~1.5× slow-session drift the
+    * control readings calibrate out. */
+  val BandTriggerRatio = 2.0
+
+  /** The committed adjudicated min-band file (r13 verdict task 1):
+    * {"bands": {name: [floor, ceiling]}} in seconds at sf0.1. */
+  val BandsResource = "/graft/bench_bands.json"
+
+  /** Adjudicated [floor, ceiling] min-bands by query name, loaded from
+    * [[BandsResource]]. A missing or unparseable resource degrades to
+    * an empty map with a loud stderr warning — the band trigger is an
+    * adjudication aid, never a reason a bench record fails to exist. */
+  def loadBands(): Map[String, (Double, Double)] =
+    try {
+      val in = getClass.getResourceAsStream(BandsResource)
+      if (in == null) {
+        System.err.println(s"[bench] WARNING: $BandsResource missing — band trigger disabled")
+        Map.empty
+      } else
+        try {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val bands = om.readTree(in).get("bands")
+          val it = bands.properties().iterator()
+          val b = Map.newBuilder[String, (Double, Double)]
+          while (it.hasNext) {
+            val e = it.next()
+            b += e.getKey -> (e.getValue.get(0).asDouble, e.getValue.get(1).asDouble)
+          }
+          b.result()
+        } finally in.close()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] WARNING: $BandsResource unparseable " +
+          s"(${e.toString.take(120)}) — band trigger disabled")
+        Map.empty
+    }
+
+  /** The post-control rerun set (both triggers, r13+r14): every query
+    * whose med/min exceeds [[RerunRatio]] (the SPIKE shape) or whose
+    * MIN exceeds [[BandTriggerRatio]]× its adjudicated band ceiling
+    * (the SUSTAINED-window shape), ordered worst severity first and
+    * capped at [[MaxReruns]]. Severity is the trigger ratio normalized
+    * to its own threshold, so a 28× band departure (BENCH_r13's q219)
+    * outranks a 3.5× spike. Pure — pinned by BenchHygieneSpec. */
+  private[graft] def rerunCandidates(
+      results: Seq[(String, Double, Double, Double)],
+      bands: Map[String, (Double, Double)]): Seq[String] =
+    results
+      .flatMap { case (name, med, min, _) =>
+        if (med <= 0 || min <= 0) None
+        else {
+          val spike = med / min / RerunRatio
+          val band = bands.get(name)
+            .map { case (_, ceil) => min / (BandTriggerRatio * ceil) }
+            .getOrElse(0.0)
+          val severity = math.max(spike, band)
+          if (severity > 1.0) Some((name, severity)) else None
+        }
+      }
+      .sortBy { case (n, s) => (-s, n) }
+      .take(MaxReruns)
+      .map(_._1)
 
   /** Locale-pinned 2-dp rendering — `f"$v%.2f"` uses the JVM default
     * locale, which on a comma-decimal locale (de_DE) would emit "1,23"
@@ -151,9 +248,34 @@ object Bench {
     val runStart = System.nanoTime()
     val ctrlFirst = controlReading("first")
 
+    // mid-run control heartbeat (r13 verdict task 1a): ONE timed q27
+    // run — no warmup, the control is JIT-warm from the opening
+    // bracket's measure — every HeartbeatEvery queries, plus one after
+    // the rerun pass below. A heartbeat failure records -1 and never
+    // fails the run (same philosophy as a rerun failure).
+    val ctrlHb = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    def heartbeat(tag: String): Unit = controlFn.foreach { fn =>
+      val off = (System.nanoTime() - runStart) / 1e9
+      System.err.println(s"[bench] heartbeat($tag) $ControlQuery")
+      val t =
+        try {
+          val t0 = System.nanoTime()
+          runOnce(fn)
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] WARNING: heartbeat failed: " +
+              e.toString.take(200))
+            -1.0
+        } finally GraftSession.releaseCaches(spark)
+      ctrlHb += ((off, t))
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
+      .zipWithIndex
+      .map { case ((name, fn), i) =>
+        if (i > 0 && i % HeartbeatEvery == 0) heartbeat(s"q$i")
         System.err.println(s"[bench] $name")
         val off = (System.nanoTime() - runStart) / 1e9
         val (med, min) =
@@ -166,15 +288,17 @@ object Bench {
       case (Some((fm, fn0)), Some((lm, ln))) => Some((fm, fn0, lm, ln))
       case _ => None
     }
-    // run-tail re-reading pass (r12 verdict task 2): one extra timed
-    // run for every med≫min query, AFTER the closing control so the
-    // re-readings are themselves control-bracketed
-    val reruns: Seq[(String, Double)] = results
-      .filter { case (_, med, min, _) =>
-        med > 0 && min > 0 && med / min > RerunRatio }
-      .sortBy { case (_, med, min, _) => -(med / min) }
-      .take(MaxReruns)
-      .map { case (name, med, min, _) =>
+    // re-reading pass (r12 verdict task 2 + r13 verdict task 1b): one
+    // extra timed run for every med≫min SPIKE query and every
+    // band-ceiling-departed MIN (the sustained-window shape), AFTER
+    // the closing control so each re-reading is PRECEDED by a control
+    // reading — and FOLLOWED by the post-rerun heartbeat taken below,
+    // which completes the bracket the r13 comment wrongly claimed
+    // (ADVICE r13)
+    val bands = loadBands()
+    val reruns: Seq[(String, Double)] = rerunCandidates(results, bands)
+      .map { name =>
+        val (_, med, min, _) = results.find(_._1 == name).get
         System.err.println(f"[bench] rerun $name (med $med%.2f / min $min%.2f)")
         // a rerun failure records -1 in the rerun maps but does NOT
         // join the errors map: the query already succeeded warmup + 3
@@ -195,6 +319,10 @@ object Bench {
           } finally GraftSession.releaseCaches(spark)
         (name, t)
       }
+    // the control reading AFTER the rerun pass (ADVICE r13): without
+    // it no control follows the re-readings and a late-tail window
+    // could inflate them unexamined
+    heartbeat("post-rerun")
 
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -212,6 +340,12 @@ object Bench {
     val ctrlJson = ctrl
       .map { case (fm, fn0, lm, ln) => s"""{"first":[$fm,$fn0],"last":[$lm,$ln]}""" }
       .getOrElse("null")
+    // full-precision heartbeat pairs [offset_sec, reading_sec]; the
+    // trailer carries the readings alone as centiseconds (the offsets
+    // are recoverable to HeartbeatEvery-query grain from qoffm)
+    val ctrlHbJson = ctrlHb
+      .map { case (off, t) => s"[${f2(off)},$t]" }
+      .mkString("[", ",", "]")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
@@ -227,13 +361,13 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""mins":$mins,"offsets":$offs,"reruns":$rerunsJson,""" +
-        s""""control":$ctrlJson,""" +
+        s""""control":$ctrlJson,"ctrl_hb":$ctrlHbJson,""" +
         s""""errors":$errJson$filteredTag,"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_out.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
     println(json)
     println(compactTrailer(results, errors, total, filteredTag, sfDir, ctrl,
-      reruns))
+      reruns, ctrlHb.map(_._2).toSeq))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
@@ -268,9 +402,17 @@ object Bench {
     *     sorting `SparkEntry.queries.keys`; -1 = failed) — ~4 chars
     *     per value instead of ~10 per map entry, which keeps FULL
     *     per-query data in the record at 250+ queries;
-    *  5. ds-minarray — `qmin` only (the adjudication floor outranks
+    *  5. ds-mindelta (r14) — `qmin` array + `qmedd`, the med−min gap
+    *     as ONE base-36 char per query in deciseconds ('z' = ≥35 ds,
+    *     '0' for failed entries; med_ds = qmin + decode(qmedd)) — the
+    *     gap is near-zero for all but spiky queries (measured at r13:
+    *     215 of 315 zeros, 68 ones), so the char string costs ~1/2 the
+    *     full med array and keeps BOTH med and min past the registry
+    *     size where ds-arrays overflows (the r14 registry + the
+    *     ctrl_hb column crossed it);
+    *  6. ds-minarray — `qmin` only (the adjudication floor outranks
     *     the median when only one fits);
-    *  6. omitted — totals + failed numbers only.
+    *  7. omitted — totals + failed numbers only.
     *
     * Every form carries `ctrl_cs` — the q27 control bracket as
     * [first_med, first_min, last_med, last_min] in centiseconds
@@ -289,12 +431,21 @@ object Bench {
     * of the run's med/min>[[RerunRatio]] queries as a {query number →
     * deciseconds} map (-1 = the re-run failed), ≤ [[MaxReruns]]
     * entries by construction — the run-tail adjudication data. Empty
-    * map = no query spiked. Full precision: the `reruns` map in the
-    * first line / bench_out.json. */
+    * map = no query spiked (r14: nor departed its band). Full
+    * precision: the `reruns` map in the first line / bench_out.json.
+    *
+    * Every form ALSO carries `ctrl_hb` (r14): the mid-run control
+    * heartbeat readings as a centisecond array (-1 = a heartbeat
+    * failed), one per [[HeartbeatEvery]] queries plus the post-rerun
+    * reading — ~10 entries ≈ 60 chars at the current registry, the
+    * in-record timestamping of a sustained contention window. Full
+    * precision [offset, sec] pairs: the `ctrl_hb` array in the first
+    * line / bench_out.json. */
   private[graft] def compactTrailer(results: Seq[(String, Double, Double, Double)],
       errors: Map[String, String], total: Double, filteredTag: String,
       sfDir: String, ctrl: Option[(Double, Double, Double, Double)],
-      reruns: Seq[(String, Double)] = Seq.empty): String = {
+      reruns: Seq[(String, Double)] = Seq.empty,
+      ctrlHb: Seq[Double] = Seq.empty): String = {
     def qnum(name: String): String = name.takeWhile(_ != '_').drop(1)
     def cs(v: Double): Long = if (v < 0) -1 else math.round(v * 100)
     def ds(v: Double): Long = if (v < 0) -1 else math.round(v * 10)
@@ -307,10 +458,12 @@ object Bench {
     val qre = reruns.take(MaxReruns)
       .map { case (k, v) => "\"" + qnum(k) + "\":" + ds(v) }
       .mkString("{", ",", "}")
+    val hbCs = ctrlHb.map(cs).mkString("[", ",", "]")
     def trailer(unit: String, payload: String): String =
       s"""{"total":${f2(total)},"n_queries":${results.size},""" +
         s""""n_errors":${errors.size},"unit":"$unit",$payload,""" +
-        s""""ctrl_cs":$ctrlCs,"qre":$qre,"errors":$errQs$filteredTag,""" +
+        s""""ctrl_cs":$ctrlCs,"ctrl_hb":$hbCs,"qre":$qre,""" +
+        s""""errors":$errQs$filteredTag,""" +
         s""""sf":"${Paths.get(sfDir).getFileName}"}"""
     // qoffm joins every rung that carries per-query data; the map-free
     // floor stays free of it (at a registry so large even the min
@@ -326,14 +479,25 @@ object Bench {
     }
     def arr(sel: ((String, Double, Double, Double)) => Double): String =
       results.map(r => scaled(sel(r), 10)).mkString("[", ",", "]")
+    // the ds-mindelta rung's med−min gap chars: base-36 deciseconds,
+    // 'z' saturating at ≥35 ds, '0' for failed entries (qmin carries
+    // the -1); med_ds = qmin + Character.digit(c, 36)
+    val qmedd = results.map { r =>
+      val d = if (r._2 < 0 || r._3 < 0) 0L
+        else math.min(math.max(ds(r._2) - ds(r._3), 0L), 35L)
+      Character.forDigit(d.toInt, 36)
+    }.mkString
     // degradation priority once the med+min+off form overflows: the
-    // MEDIAN goes first (the min is the adjudication floor, the
-    // offsets are what localize a contention window — r11 task 3);
-    // offsets go next; the map-free floor carries no per-query data
+    // median COARSENS first (ds-mindelta keeps it as a gap char), then
+    // drops (the min is the adjudication floor, the offsets are what
+    // localize a contention window — r11 task 3); offsets go next;
+    // the map-free floor carries no per-query data
     val ladder = Seq(
       mapsForm(100, "centisec"), mapsForm(10, "decisec"), mapsForm(1, "sec"),
       trailer("ds-arrays",
         s""""queries":{},"qmed":${arr(_._2)},"qmin":${arr(_._3)}$offPart"""),
+      trailer("ds-mindelta",
+        s""""queries":{},"qmedd":"$qmedd","qmin":${arr(_._3)}$offPart"""),
       trailer("ds-minarray", s""""queries":{},"qmin":${arr(_._3)}$offPart"""),
       trailer("ds-minarray-bare", s""""queries":{},"qmin":${arr(_._3)}"""),
       trailer("omitted", """"queries":{}"""))

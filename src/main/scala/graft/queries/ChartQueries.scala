@@ -454,6 +454,99 @@ object ChartQueries {
           displayLabels = true, title)).as("chart_json"))
   }
 
+  /** q317: the FORECAST chart face (r13 verdict task 4) — q316's
+    * Holt-Winters state series for the lexicographically-first event
+    * type served as ONE byte-exact line ChartRequest: observed daily
+    * count (milli), the smoothed LEVEL, and the honest pre-observation
+    * one-step FORECAST (null on day 1 — rendered as a JSON null point,
+    * which the chart idiom treats as a gap), with the NEXT-day
+    * forecast l + b + s_next stamped into the data-dependent title —
+    * the reference visualizer's own scheduled-extract pattern
+    * (covid19-visualizer/.../Visualizer.java:288-319 builds exactly
+    * this daily-vs-smoothed combo with a derived title window). Wired
+    * as the `/forecast` [[graft.serve.HttpEndpoint]] route over THIS
+    * registered, hash-oracled query. Makes the forecaster family
+    * (q208/q211/q227/q285/q316) externally visible.
+    *
+    * No second recurrence to drift: the Spark side calls the
+    * REGISTERED q316 fn verbatim and the oracle concatenates
+    * [[CurationQueries.hwCtes]] (the ADVICE r12 shared-CTE rule).
+    * s_next is the seasonal of the slot the NEXT day lands on,
+    * w_next = m mod 7 (m = series length): slot w_next was last
+    * written at series row m−6 (rows rn ≡ w_next+1 (mod 7) write it;
+    * the init row's seasonal is 0, which is also the slot's true
+    * pre-first-write value, so the m−6 lookup is exact for every m;
+    * m−6 < 1 → 0). All numbers exact BIGINT millis rendered to
+    * strings — byte equality is integer-exact end to end. One fold at
+    * type grain + a chart-sized collect; nothing about the plan grows
+    * with corpus size beyond q316 itself. */
+  val forecastChart: Q = Q(
+    "q317_forecast_chart",
+    CurationQueries.hwCtes + """,
+      |ty AS (SELECT min(event_type) AS ty FROM r),
+      |h AS (SELECT r.*,
+      |        row_number() OVER (ORDER BY r.day) AS rn2,
+      |        count(*) OVER () AS m
+      |      FROM r JOIN ty ON r.event_type = ty.ty),
+      |s AS (SELECT string_agg('"' || strftime(day, '%b %d') || '"', ','
+      |               ORDER BY day) AS labels,
+      |             string_agg((n * 1000) || '.0', ',' ORDER BY day) AS obs,
+      |             string_agg(l || '.0', ',' ORDER BY day) AS lev,
+      |             string_agg(COALESCE(f || '.0', 'null'), ','
+      |               ORDER BY day) AS fc
+      |      FROM h),
+      |nx AS (SELECT ty.ty,
+      |         a.l + a.b + COALESCE(b6.sea, 0) AS fnext
+      |       FROM h a CROSS JOIN ty
+      |         LEFT JOIN h b6 ON b6.rn2 = a.m - 6
+      |       WHERE a.rn2 = a.m)
+      |SELECT '{"backgroundColor":"transparent","width":"750","height":"450","format":"png","chart":{"type":"line","data":{"labels":['
+      |  || s.labels || '],"datasets":[{"type":"line","label":"Observed milli","data":['
+      |  || s.obs
+      |  || '],"fill":false,"borderColor":"rgb(201, 203, 207)","backgroundColor":"rgb(201, 203, 207)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"},{"type":"line","label":"Level milli","data":['
+      |  || s.lev
+      |  || '],"fill":false,"borderColor":"rgb(54, 162, 235)","backgroundColor":"rgb(54, 162, 235)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"},{"type":"line","label":"Forecast milli","data":['
+      |  || s.fc
+      |  || '],"fill":false,"borderColor":"rgb(255, 99, 132)","backgroundColor":"rgb(255, 99, 132)","borderWidth":"3","barThickness":"10","pointRadius":"0","yAxisID":"left-y-axis"}]},"options":{"plugins":{"datalabels":{"display":false,"anchor":"end","backgroundColor":"#ccc","borderRadius":"3","align":"end"}},"scales":{"xAxes":[{"id":"bottom-x-axis","position":"bottom","stacked":false,"ticks":{"beginAtZero":true}}],"yAxes":[{"id":"left-y-axis","position":"left","stacked":false,"ticks":{"beginAtZero":true}}]},"title":{"display":true,"text":"HW '
+      |  || nx.ty || ' | next ' || nx.fnext || ' milli"}}}}' AS chart_json
+      |FROM s CROSS JOIN nx""".stripMargin
+  ) { (s, dir) =>
+    val hw = CurationQueries.holtWinters.fn(s, dir)
+    val ty = hw.agg(min(col("event_type")).as("ty"))
+    val rows = hw.crossJoin(broadcast(ty))
+      .filter(col("event_type") === col("ty"))
+      .groupBy(col("ty"))
+      .agg(array_sort(collect_list(struct(col("day"),
+        date_format(col("day"), "MMM dd").as("label"),
+        (col("n") * 1000).cast("double").as("obs"),
+        col("level_milli").as("l"), col("trend_milli").as("b"),
+        col("seasonal_milli").as("sea"),
+        col("forecast_milli").cast("double").as("f")))).as("rs"))
+      .select(col("ty"),
+        expr("transform(rs, r -> r.label)").as("labels"),
+        expr("transform(rs, r -> r.obs)").as("obs"),
+        expr("transform(rs, r -> CAST(r.l AS DOUBLE))").as("lev"),
+        expr("transform(rs, r -> r.f)").as("fc"),
+        (element_at(col("rs"), size(col("rs"))).getField("l")
+          + element_at(col("rs"), size(col("rs"))).getField("b")
+          + when(size(col("rs")) >= 7,
+              element_at(col("rs"), size(col("rs")) - 6).getField("sea"))
+            .otherwise(lit(0L))).as("fnext"))
+    val title = concat(lit("HW "), col("ty"), lit(" | next "),
+      col("fnext").cast("string"), lit(" milli"))
+    val ds = array(
+      ChartJson.dataset(lit(ChartJson.Line), lit("Observed milli"),
+        col("obs"), lit(ChartJson.Grey)),
+      ChartJson.dataset(lit(ChartJson.Line), lit("Level milli"),
+        col("lev"), lit(ChartJson.Blue)),
+      ChartJson.dataset(lit(ChartJson.Line), lit("Forecast milli"),
+        col("fc"), lit(ChartJson.Red)))
+    rows.select(ChartJson.requestJson(
+      ChartJson.chartTitled(ChartJson.Line, col("labels"), ds,
+        displayLabels = false, title)).as("chart_json"))
+  }
+
   val all: Seq[Q] = Seq(chartSeries, chartJson, chartFanout, historyChart,
-    testingSeries, denseChartSeries, slaChart, calibrationChart)
+    testingSeries, denseChartSeries, slaChart, calibrationChart,
+    forecastChart)
 }

@@ -1076,8 +1076,12 @@ object CurationQueries {
     * shape — state is 9 longs, series length is calendar-bounded);
     * the oracle is the same recurrence as a recursive CTE carrying
     * s0..s6 columns. */
-  val holtWinters: Q = Q(
-    "q316_holt_winters",
+  /** The q316 Holt-Winters recurrence as a shared DuckDB CTE chain
+    * (`WITH RECURSIVE d, r`) — the q317 forecast chart face's oracle
+    * concatenates this instead of copying the recurrence (the shared-
+    * CTE no-drift rule, ADVICE r12; same pattern as [[predictorCte]]).
+    * `r` carries (event_type, rn, day, n, l, b, s0..s6, f, sea). */
+  private[queries] val hwCtes: String =
     """WITH RECURSIVE d AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day,
       |         CAST(count(*) AS BIGINT) AS n,
@@ -1124,7 +1128,11 @@ object CurationQueries {
       |               WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4
       |               WHEN 5 THEN r.s5 ELSE r.s6 END AS sw
       |      FROM r JOIN d ON d.event_type = r.event_type
-      |        AND d.rn = r.rn + 1) p) q)
+      |        AND d.rn = r.rn + 1) p) q)""".stripMargin
+
+  val holtWinters: Q = Q(
+    "q316_holt_winters",
+    hwCtes + """
       |SELECT event_type, day, n, l AS level_milli, b AS trend_milli,
       |       sea AS seasonal_milli, f AS forecast_milli
       |FROM r""".stripMargin

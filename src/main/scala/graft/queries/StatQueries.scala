@@ -1940,10 +1940,15 @@ object StatQueries {
     * r12 rule).
     *
     * Exactness: each stratum's ad/n and bc/n micro-quantize (×10⁶) by
-    * one integral floor of exact int64 products (a·d ≤ n²/4 passes
-    * int64 at any per-source scale that fits a cluster, and the bound
-    * is stated here); the pooled ratio is one more integral floor.
-    * One source-grain aggregate (20 rows) → one 1-row reduce. */
+    * one integral floor of exact WIDE products — 10⁶·a·d computed in
+    * DECIMAL(38,0) on the Spark side and HUGEINT on the oracle (the
+    * q311/q304 pattern; ADVICE r13: raw int64 wraps silently past
+    * ~6M-row strata where DuckDB would error loudly), so the product
+    * is exact to ~10¹⁶ rows per stratum — beyond any single stratum a
+    * cluster materializes. The per-stratum QUOTIENT ≤ 10⁶·n/4 stays
+    * int64 to n ≈ 3.7·10¹³, and `div` on decimals returns LONG on
+    * both engines. The pooled ratio is one more integral floor. One
+    * source-grain aggregate (20 rows) → one 1-row reduce. */
   val mantelHaenszel: Q = Q(
     "q306_mantel_haenszel",
     CurationQueries.predictorCte + """,
@@ -1956,9 +1961,9 @@ object StatQueries {
       |          AS BIGINT) AS c
       |      FROM b GROUP BY source),
       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
-      |        CAST(sum((1000000 * a * (n - a - bb - c)) // n) AS BIGINT)
-      |          AS num_u6,
-      |        CAST(sum((1000000 * bb * c) // n) AS BIGINT) AS den_u6
+      |        CAST(sum((1000000::HUGEINT * a * (n - a - bb - c)) // n)
+      |          AS BIGINT) AS num_u6,
+      |        CAST(sum((1000000::HUGEINT * bb * c) // n) AS BIGINT) AS den_u6
       |      FROM s)
       |SELECT n_strata, num_u6, den_u6,
       |       CAST(CASE WHEN den_u6 = 0 THEN NULL
@@ -1975,8 +1980,9 @@ object StatQueries {
         sum(when(col("p") < 1000000L && col("y") === 1L, 1L).otherwise(0L))
           .as("c"))
       .agg(count(lit(1)).as("n_strata"),
-        sum(expr("(1000000 * a * (n - a - bb - c)) div n")).as("num_u6"),
-        sum(expr("(1000000 * bb * c) div n")).as("den_u6"))
+        sum(expr("(CAST(1000000 AS DECIMAL(38,0)) * a * (n - a - bb - c)) div n"))
+          .as("num_u6"),
+        sum(expr("(CAST(1000000 AS DECIMAL(38,0)) * bb * c) div n")).as("den_u6"))
       .select(col("n_strata"), col("num_u6"), col("den_u6"),
         expr("CAST(CASE WHEN den_u6 = 0 THEN NULL " +
           "ELSE (1000 * num_u6) div den_u6 END AS BIGINT)").as("or_milli"))

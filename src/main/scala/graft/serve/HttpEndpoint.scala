@@ -84,7 +84,13 @@ object HttpEndpoint {
       // the classifier-evaluation triptych (r13: q254 reliability bars
       // + q296 Brier/Murphy + q297 AUC in the title, via oracled q303)
       "calibration" -> (() =>
-        q("q303_calibration_chart").collect().head.getString(0)))
+        q("q303_calibration_chart").collect().head.getString(0)),
+      // the Holt-Winters forecast face (r14: q316's level/forecast
+      // series + next-day forecast in the title, via oracled q317 —
+      // the reference Visualizer's scheduled daily-vs-smoothed combo,
+      // Visualizer.java:288-319)
+      "forecast" -> (() =>
+        q("q317_forecast_chart").collect().head.getString(0)))
   }
 
   /** Start the endpoint on `port` (0 = ephemeral). Blocking handlers

@@ -39,7 +39,7 @@ class BenchHygieneSpec extends SparkSpec {
     def unitOf(t: String): String =
       "\"unit\":\"([a-z-]+)\"".r.findFirstMatchIn(t).get.group(1)
     val ranks = Seq("centisec", "decisec", "sec", "ds-arrays",
-      "ds-minarray", "ds-minarray-bare", "omitted")
+      "ds-mindelta", "ds-minarray", "ds-minarray-bare", "omitted")
     // small registry: full centisecond precision preserved, med + min maps
     val small = Bench.compactTrailer(results(50, 1.234), Map.empty, 61.7, "", "sf0.1", ctrl)
     assert(unitOf(small) == "centisec" && small.contains("\"001\":123"))
@@ -63,6 +63,41 @@ class BenchHygieneSpec extends SparkSpec {
     assert(sweep.contains(ranks.indexOf("ds-arrays")), "sweep never hit the array form")
     assert(sweep.last >= ranks.indexOf("ds-minarray"),
       "the largest registries must at least drop to the min array")
+    // the r14 rung: where ds-arrays overflows, the med survives as the
+    // base-36 gap string before dropping entirely — find a size the
+    // sweep routes through ds-mindelta and decode a known gap. With a
+    // 10-entry heartbeat column (the realistic record shape).
+    val hb = Seq.fill(10)(1.93)
+    val atDelta = (1 to 300).map(_ * 10).flatMap { n =>
+      val r = (1 to n).map(i => (f"q$i%03d_name", 4.21, 4.04, 16.0 * (i - 1)))
+      val t = Bench.compactTrailer(r, Map.empty, n * 4.21, "", "sf0.1",
+        ctrl, Seq.empty, hb)
+      assert(t.length <= Bench.TrailerBudget, s"n=$n over budget with ctrl_hb")
+      if (unitOf(t) == "ds-mindelta") Some((n, t)) else None
+    }
+    assert(atDelta.nonEmpty, "no registry size routed through ds-mindelta")
+    val (_, tDelta) = atDelta.head
+    // med 4.21 → 42 ds, min 4.04 → 40 ds, gap 2 ds → every char '2'
+    val qmedd = "\"qmedd\":\"([0-9a-z]*)\"".r.findFirstMatchIn(tDelta)
+      .getOrElse(fail("ds-mindelta lost qmedd")).group(1)
+    assert(qmedd.nonEmpty && qmedd.forall(_ == '2'),
+      s"gap chars wrong: ${qmedd.take(20)}")
+    assert(tDelta.contains("\"qmin\":[40,") && tDelta.contains("\"qoffm\":\""),
+      "ds-mindelta lost the min array or offsets")
+    // gap saturation + failed-entry defense at the same rung: a ≥3.5 s
+    // gap renders 'z', a failed query renders '0' with -1 in the min
+    // array — splice both shapes into the head of the ds-mindelta run
+    val (nDelta, _) = atDelta.head
+    val spliced =
+      Seq(("q000_a", 9.99, 0.5, 0.0), ("q000_b", -1.0, -1.0, 4.0)) ++
+        (1 to nDelta).map(i => (f"q$i%03d_name", 4.21, 4.04, 16.0 * (i - 1)))
+    val tSpiky = Bench.compactTrailer(spliced, Map("q000_b" -> "err"),
+      nDelta * 4.21, "", "sf0.1", ctrl, Seq.empty, hb)
+    assert(unitOf(tSpiky) == "ds-mindelta", s"splice moved rung: ${unitOf(tSpiky)}")
+    assert(tSpiky.contains("\"qmedd\":\"z02"), // 95 ds gap → 'z'; fail → '0'
+      s"saturation/defense chars wrong: ${tSpiky.take(200)}")
+    assert(tSpiky.contains("\"qmin\":[5,-1,40,"),
+      "min array lost the -1 failed marker")
     // the CURRENT registry size and value shape (287 queries, r11's
     // 0.78 s/query median) must keep med+min+offsets — the real-record
     // guarantee, measured against realistic digit widths, not the
@@ -170,5 +205,71 @@ class BenchHygieneSpec extends SparkSpec {
     // a run without the control query still emits a parseable marker
     val noCtrl = Bench.compactTrailer(results(5), Map.empty, 20.0, "", "sf0.1", None)
     assert(noCtrl.contains("\"ctrl_cs\":[-1,-1,-1,-1]"))
+  }
+
+  test("every trailer form carries ctrl_hb: mid-run heartbeat centiseconds (r14)") {
+    def results(n: Int): Seq[(String, Double, Double, Double)] =
+      (1 to n).map(i => (f"q$i%03d_name", 4.0, 3.6, 16.0 * (i - 1)))
+    // absent heartbeats → the empty array is still present (a record
+    // must distinguish "no heartbeats" from "pre-r14 record")
+    Seq(5, 250, 3000).foreach { n =>
+      val t = Bench.compactTrailer(results(n), Map.empty, n * 4.0, "", "sf0.1", ctrl)
+      assert(t.contains("\"ctrl_hb\":[]"),
+        s"n=$n trailer lost the empty heartbeat array: ${t.take(200)}")
+    }
+    // readings render as centiseconds, -1 = a heartbeat failed; the
+    // realistic shape is ~10 entries of a ~2 s control
+    val hb = Seq(1.93, 2.01, 16.42, -1.0, 1.88)
+    val t = Bench.compactTrailer(results(250), Map.empty, 1000.0, "",
+      "sf0.1", ctrl, Seq.empty, hb)
+    assert(t.contains("\"ctrl_hb\":[193,201,1642,-1,188]"),
+      s"heartbeat array misrendered: ${t.take(300)}")
+    assert(t.length <= Bench.TrailerBudget)
+  }
+
+  test("committed band file: parses, covers the adjudicated set, names resolve (r14)") {
+    val bands = Bench.loadBands()
+    // the r13 verdict's minimum coverage list, task 1
+    val adjudicated = Seq("q21_set_ops", "q28_minhash_lsh", "q68_semdedup",
+      "q77_embedding_dedup_oracle", "q99_chunk_dup_by_source",
+      "q124_copurchase_rank", "q134_quality_canonical",
+      "q135_simhash_calibration", "q143_corpus_pipeline_v4",
+      "q167_corpus_pipeline_v5", "q168_prefix_filter_join",
+      "q209_index_snippet", "q212_multimodal_resize", "q214_graph_distances",
+      "q215_hub_proximity", "q219_retrieval_ndcg", "q220_retrieval_mrr",
+      "q283_bradley_terry")
+    adjudicated.foreach { q =>
+      assert(bands.contains(q), s"band file missing adjudicated query $q")
+    }
+    bands.foreach { case (name, (floor, ceil)) =>
+      assert(SparkEntry.queries.contains(name),
+        s"band file names unregistered query $name — a rename drifted")
+      assert(floor > 0 && floor <= ceil, s"$name band [$floor,$ceil] malformed")
+    }
+  }
+
+  test("rerun triggers: med/min spike OR band-ceiling departure, severity-ordered, capped (r14)") {
+    val bands = Map(
+      "q219_x" -> (0.59, 1.3), "q021_y" -> (0.29, 0.32), "q777_z" -> (1.0, 2.0))
+    // the BENCH_r13 shape the spike trigger provably misses: med≈min,
+    // both far above the band ceiling → band trigger fires
+    val sustained = Seq(
+      ("q219_x", 16.95, 16.86, 700.0),  // 6.5× its 2×ceiling — worst
+      ("q021_y", 8.23, 7.71, 800.0),    // 12.0× its 2×ceiling — worse still
+      ("q100_n", 0.50, 0.45, 10.0),     // no band, no spike → quiet
+      ("q101_s", 9.00, 1.00, 20.0),     // med/min 9 = 3× the spike bar
+      ("q777_z", 3.90, 3.90, 30.0))     // 0.975× its 2×ceiling → quiet
+    val picked = Bench.rerunCandidates(sustained, bands)
+    assert(picked == Seq("q021_y", "q219_x", "q101_s"),
+      s"trigger selection/order wrong: $picked")
+    // a failed query never re-runs; an in-band query never re-runs
+    assert(Bench.rerunCandidates(
+      Seq(("q219_x", -1.0, -1.0, 0.0), ("q777_z", 1.9, 1.8, 5.0)), bands).isEmpty)
+    // the shared cap: 20 departures still emit MaxReruns entries
+    val many = (1 to 20).map(i => (f"q$i%03d_m", 10.0 + i, 10.0 + i, i * 5.0))
+    val capBands = many.map { case (n, _, _, _) => n -> (0.5, 1.0) }.toMap
+    assert(Bench.rerunCandidates(many, capBands).size == Bench.MaxReruns)
+    // no bands at all → pure spike behavior (the pre-r14 contract)
+    assert(Bench.rerunCandidates(sustained, Map.empty) == Seq("q101_s"))
   }
 }

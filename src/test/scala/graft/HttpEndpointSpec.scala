@@ -72,9 +72,42 @@ class HttpEndpointSpec extends SparkSpec {
       body.contains("\"label\":\"Observed Rate ppm\""))
   }
 
+  test("/forecast serves the registered q317 Holt-Winters chart JSON") {
+    val r = get("/forecast")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").orElse("") == "application/json")
+    val body = new String(r.body(), "UTF-8")
+    val expected = graft.queries.Registry.byName("q317_forecast_chart")
+      .fn(spark, sf).collect().head.getString(0)
+    assert(body == expected)
+    // parity with the registered q316 recurrence the face is pinned
+    // to: the level series IS q316's level_milli for the first type,
+    // day-ordered, and the title's next-day forecast is l + b + s_next
+    // computed from the same rows
+    val hw = graft.queries.CurationQueries.holtWinters.fn(spark, sf)
+      .collect()
+    val ty = hw.map(_.getAs[String]("event_type")).min
+    val rows = hw.filter(_.getAs[String]("event_type") == ty)
+      .sortBy(_.getAs[java.sql.Date]("day").toString)
+    val lev = rows.map(_.getAs[Long]("level_milli").toString + ".0")
+      .mkString(",")
+    assert(body.contains(s""""data":[$lev]"""),
+      "level series is not q316's level_milli")
+    val m = rows.length
+    val sNext = if (m >= 7) rows(m - 7).getAs[Long]("seasonal_milli") else 0L
+    val fNext = rows.last.getAs[Long]("level_milli") +
+      rows.last.getAs[Long]("trend_milli") + sNext
+    assert(body.contains(s"HW $ty | next $fNext milli"),
+      s"title lost the next-day forecast: ${body.takeRight(120)}")
+    // day 1 has no honest forecast: the forecast series leads with a
+    // JSON null gap
+    assert(body.contains(s""""label":"Forecast milli","data":[null,"""),
+      "forecast series must lead with the day-1 null gap")
+  }
+
   test("every chart route returns a parseable ChartRequest body") {
     Seq("/today", "/yesterday", "/testing", "/history", "/sla",
-      "/calibration").foreach { p =>
+      "/calibration", "/forecast").foreach { p =>
       val r = get(p)
       assert(r.statusCode() == 200, s"$p -> ${r.statusCode()}")
       val body = new String(r.body(), "UTF-8")
@@ -96,7 +129,7 @@ class HttpEndpointSpec extends SparkSpec {
   test("/refresh recomputes every chart family and reports the count") {
     val r = get("/refresh")
     assert(r.statusCode() == 200)
-    assert(new String(r.body(), "UTF-8") == """{"recomputed":6}""")
+    assert(new String(r.body(), "UTF-8") == """{"recomputed":7}""")
   }
 
   test("unknown paths 404, non-GET 405") {
