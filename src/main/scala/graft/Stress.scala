@@ -523,6 +523,94 @@ object Stress {
     // series (b): distinct grows, rows pinned
     rankStage(8000000L, 100L); rankStage(8000000L, 10000L)
     rankStage(8000000L, 1000000L)
+    // ---- bounded-hop BFS curve (r13 verdict task 3) ----
+    // q214/q215 are the largest honest bench cost class (3-4 s)
+    // whose scaling claim ("each iteration's join is proportional to
+    // the NEW layer, not the accumulated reach" — Paths.scala:33-35)
+    // was argued, not measured. The claim to falsify: per-hop cost
+    // rides FRONTIER × mean degree, not graph size. Synthetic layered
+    // graph, pure codegen (range + floor/pmod, no IO): H layers of
+    // width W, every node in layer l has `deg` out-edges into layer
+    // l+1 (src = l·W+i → dst = (l+1)·W + (i+k) mod W), seeds = layer
+    // 0 — so the frontier is EXACTLY W at every hop and the layer
+    // count is EXACTLY the hop count; nothing about the duplicate
+    // structure drifts between points. Distractor axis: xMul−1 extra
+    // copies of the edge volume between nodes in a disjoint id space
+    // (offset 2⁴⁰, pmod-hashed) — reachable structure IDENTICAL,
+    // total edge table xMul× bigger.
+    //   (a) hops 4 → 8 → 16 at fixed W=20k: marginal sec/hop flat
+    //       (each layer does the same join + distinct + anti-join);
+    //   (b) frontier 5k → 20k → 80k at fixed 8 hops: per-hop cost
+    //       grows ~linearly with W×deg — that is the machinery
+    //       working, not a failure;
+    //   (c) edges ×1 → ×4 → ×16 at fixed W=20k, 8 hops: per-hop
+    //       SHUFFLE must stay flat (the frontier side broadcasts or
+    //       exchanges ~W rows; distinct and anti-join traffic ride
+    //       the layer) — the graph-size falsification axis. The known
+    //       honest residual: each hop re-SCANS the pinned edge table
+    //       (a cached columnar read, no shuffle), so wall time may
+    //       grow mildly with xMul even when shuffle stays flat.
+    // FALLBACK if (c) bends in SHUFFLE (the anti-join re-shuffling
+    // accumulated reach, or the edge side exchanging per hop):
+    // pre-hash-partition the pinned edge table on src so the per-hop
+    // join only exchanges the frontier side. FALLBACK if (c) bends in
+    // WALL beyond the scan share: bucket edges by src at rest and
+    // semi-join-prune scanned buckets against the frontier's bucket
+    // set (frontier-bitmap pruning) — at 100 TB the edge table is a
+    // bucketed parquet table, so the prune is partition elimination,
+    // not an in-memory filter.
+    // Each point times the FULL boundedDistances call (pin included,
+    // as the bench does) and a hops=2 run on the SAME pinned-input
+    // graph under label <name>_h2 — (sec − sec_h2)/(hops − 2) is the
+    // marginal per-hop cost with the one-time edge pin subtracted
+    // out, which is what series (c) needs (the pin itself grows with
+    // xMul by construction; the CLAIM is about the per-hop loop).
+    def bfsStage(w: Long, hops: Int, deg: Long, xMul: Long): Unit = {
+      val name = s"bfs_w${w / 1000}k_h${hops}_x$xMul"
+      if (only.forall(_.contains(name))) {
+        val layerEdges = w * deg
+        val base = spark.range(hops.toLong * layerEdges).select(
+          (floor(col("id") / layerEdges) * w +
+            pmod(floor(col("id") / deg), lit(w))).as("src"),
+          ((floor(col("id") / layerEdges) + 1L) * w +
+            pmod(floor(col("id") / deg) + pmod(col("id"), lit(deg)),
+              lit(w))).as("dst"))
+        val off = 1L << 40
+        val edges = if (xMul <= 1L) base else base.unionByName(
+          spark.range((xMul - 1L) * hops * layerEdges).select(
+            (lit(off) + pmod(xxhash64(col("id")), lit(w * hops))).as("src"),
+            (lit(off) + pmod(xxhash64(col("id") + 777L), lit(w * hops)))
+              .as("dst")))
+        val seeds = spark.range(w).select(col("id"))
+        def run(label: String, mh: Int): Double = {
+          listener.label = label
+          val t0 = System.nanoTime()
+          graft.operators.Paths.boundedDistances(edges, seeds, maxHops = mh)
+            .groupBy("dist").agg(count(lit(1)).as("n"))
+            .write.mode("overwrite").format("noop").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          GraftSession.releaseCaches(spark)
+          sec
+        }
+        val sec2 = run(s"${name}_h2", 2)
+        val sec = run(name, hops)
+        val m = listener.totals(name)
+        println(f"""{"stage":"$name","sec":$sec%.2f,"sec_h2":$sec2%.2f,""" +
+          f""""sec_per_hop":${(sec - sec2) / (hops - 2)}%.3f,""" +
+          s""""frontier":$w,"hops":$hops,"deg":$deg,""" +
+          s""""edges":${xMul * hops * layerEdges},""" +
+          s""""shuffle_read_b":${m.shufRead},"shuffle_write_b":${m.shufWrite},""" +
+          s""""spill_mem_b":${m.spillMem},"spill_disk_b":${m.spillDisk},""" +
+          s""""tasks":${m.tasks}}""")
+      }
+    }
+    // series (a): hops grow, frontier pinned
+    bfsStage(20000L, 4, 4L, 1L); bfsStage(20000L, 8, 4L, 1L)
+    bfsStage(20000L, 16, 4L, 1L)
+    // series (b): frontier grows, hops pinned (20k point shared with (a))
+    bfsStage(5000L, 8, 4L, 1L); bfsStage(80000L, 8, 4L, 1L)
+    // series (c): graph size grows, frontier AND hops pinned
+    bfsStage(20000L, 8, 4L, 4L); bfsStage(20000L, 8, 4L, 16L)
     // ---- media codec curve (r10): the ImageIO class, measured ----
     // Encode / decode / perceptual-hash are pure per-row codec work on
     // mapPartitions — ZERO shuffle of media bytes by construction, so

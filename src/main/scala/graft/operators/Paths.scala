@@ -38,15 +38,38 @@ object Paths {
     * loop against DuckDB's unrolled form.
     *
     * Scale shape: the edge list pins once ([[Centrality]]'s
-    * discipline) and every iteration is one equi-join frontier⋈edges
-    * on src (both hash-partitioned on the join key), one map-side-
-    * combining DISTINCT on dst, and one left-anti against the
-    * accumulated distance table keyed on id. A mega-hub in the
-    * frontier replicates its one row across the edge partitions —
-    * the AQE skew-join shape, never a crossJoin. The distance table
-    * `localCheckpoint`s per layer (lineage cut; also what makes the
-    * anti-join read a materialized table instead of recomputing h−1
-    * layers).
+    * discipline) — and the pin is `repartition(src)` + sorted +
+    * CACHED (not localCheckpoint'ed): an InMemoryRelation preserves
+    * the cached plan's outputPartitioning/outputOrdering, so every
+    * per-hop join sees the edge side already hash-distributed and
+    * sorted on the join key and exchanges ONLY the layer-sized
+    * frontier. A localCheckpoint does NOT — its LogicalRDD reports
+    * UnknownPartitioning (measured on this Spark), so the bare-pin
+    * version re-exchanged the FULL edge table every hop once it
+    * outgrew the broadcast threshold: the r14 Stress curve caught it
+    * (bfs_w20k_h8 series: 5 MB total shuffle at 640k edges where the
+    * edge side still broadcast, 734 MB ≈ edges × hops at 10.2M
+    * edges — growth on the graph-size axis the frontier claim
+    * forbids; flat after this fix, ARCHITECTURE §4). The cache is
+    * released (async) before returning — every layer is eagerly
+    * checkpointed inside the loop, so the returned distance table
+    * holds no lazy reference to it. Each iteration is that frontier⋈edges
+    * equi-join, one map-side-combining DISTINCT on dst, and one
+    * left-anti against the accumulated distance table keyed on id.
+    * A mega-hub in the frontier replicates its one row across the
+    * edge partitions — the AQE skew-join shape, never a crossJoin.
+    * The distance table `localCheckpoint`s per layer (lineage cut;
+    * also what makes the anti-join read a materialized table instead
+    * of recomputing h−1 layers). The honest residual: the anti-join's
+    * right side is the accumulated reach, re-exchanged (or
+    * re-broadcast) each hop — required for DIRECTED edge tables,
+    * where a fresh candidate may have been discovered at ANY earlier
+    * layer. Callers with symmetric (undirected) edges could anti-join
+    * against layers h−1 and h−2 only (a neighbor of a distance-(h−1)
+    * node has distance ≥ h−2), shrinking that term to two layers —
+    * not done here because q214/q215 pass direction-explicit edge
+    * tables and the reach term measured ~MB-scale against the
+    * edge-side term's hundreds.
     *
     * The loop stops early once a layer comes back empty: BFS
     * frontiers shrink to nothing exactly once, so every later layer
@@ -61,7 +84,9 @@ object Paths {
       maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 64,
       s"maxHops must be in [1, 64], got $maxHops")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).sortWithinPartitions("src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var dist = seeds.select(col("id")).distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint(true)
@@ -83,6 +108,7 @@ object Paths {
       }
       h += 1
     }
+    e.unpersist(false)
     dist
   }
 }
