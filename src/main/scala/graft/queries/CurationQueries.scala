@@ -1177,6 +1177,110 @@ object CurationQueries {
         col("h.sea").as("seasonal_milli"), col("h.f").as("forecast_milli"))
   }
 
+  /** q325: CROSTON'S METHOD for intermittent demand — the forecaster
+    * the q208/q316 family lacks: exponential smoothing collapses on a
+    * mostly-zero series (each zero drags the level toward zero, then
+    * a demand spike whipsaws it); Croston smooths demand SIZE and
+    * demand INTERVAL separately, updating both only on demand days,
+    * and forecasts their ratio. The series here is the daily count of
+    * high-value events (value ≥ 250 — q299's threshold) per type:
+    * genuinely intermittent at low volume, dense at high volume
+    * (where Croston degrades gracefully to a ratio of EWMAs).
+    *
+    * Recurrence (α = 1/4, the q208/q316 discipline), state exact
+    * BIGINT milli with NULL until the first demand day: on demand x
+    * after interval c+1 days, z += ⌊(10³x − z)/4.0⌋ and
+    * p += ⌊(10³(c+1) − p)/4.0⌋ (floor of an exact-integer double —
+    * the q316 rule: residuals go negative, so never integer div),
+    * first demand initializes z = 10³x, p = 10³(c+1); zero days only
+    * advance c. The emitted forecast is the honest PRE-observation
+    * one, (10³·z) div p (nonneg, so div == //). Spark folds per type
+    * over the sorted day array (the q316 shape — no window); the
+    * oracle is the identical recurrence as a recursive CTE. */
+  val croston: Q = Q(
+    "q325_croston",
+    """WITH RECURSIVE d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(sum(CASE WHEN value >= 250 THEN 1 ELSE 0 END)
+      |           AS BIGINT) AS x,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY CAST(ts AS DATE)) AS rn
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, rn, day, x,
+      |         CASE WHEN x > 0 THEN 1000 * x END AS z,
+      |         CASE WHEN x > 0 THEN CAST(1000 AS BIGINT) END AS p,
+      |         CASE WHEN x > 0 THEN CAST(0 AS BIGINT)
+      |              ELSE CAST(1 AS BIGINT) END AS c,
+      |         CAST(NULL AS BIGINT) AS f
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.event_type, d.rn, d.day, d.x,
+      |         CASE WHEN d.x = 0 THEN r.z
+      |              WHEN r.z IS NULL THEN 1000 * d.x
+      |              ELSE r.z + CAST(floor((1000 * d.x - r.z) / 4.0)
+      |                AS BIGINT) END,
+      |         CASE WHEN d.x = 0 THEN r.p
+      |              WHEN r.z IS NULL THEN 1000 * (r.c + 1)
+      |              ELSE r.p + CAST(floor((1000 * (r.c + 1) - r.p) / 4.0)
+      |                AS BIGINT) END,
+      |         CASE WHEN d.x = 0 THEN r.c + 1 ELSE CAST(0 AS BIGINT) END,
+      |         CASE WHEN r.z IS NULL THEN NULL
+      |              ELSE (1000 * r.z) // r.p END
+      |  FROM r JOIN d ON d.event_type = r.event_type AND d.rn = r.rn + 1)
+      |SELECT event_type, day, x AS demand, z AS size_milli,
+      |       p AS interval_milli, f AS forecast_milli
+      |FROM r""".stripMargin
+  ) { (s, dir) =>
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(when(col("value") >= 250, 1L).otherwise(0L)).as("x"))
+    val empty = array().cast(
+      "array<struct<z:bigint,p:bigint,c:bigint,f:bigint>>")
+    def floorDiv4(e: org.apache.spark.sql.Column) =
+      floor(e.cast("double") / lit(4.0)).cast("long")
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("sd"))
+      .withColumn("ds", transform(col("sd"), r => r.getField("day")))
+      .withColumn("xs", transform(col("sd"), r => r.getField("x")))
+      .withColumn("hs", aggregate(col("xs"), empty, (acc, x) => {
+        val prev = element_at(acc, -1)
+        val interval = prev.getField("c") + 1L
+        // exact nonneg integer quotient: (a − a mod b)/b round-trips
+        // through double exactly below 2^53 (the kaplanMeierReport
+        // divQ pattern, long-ranged here)
+        val fNum = lit(1000L) * prev.getField("z")
+        val f = when(prev.getField("z").isNull, lit(null).cast("long"))
+          .otherwise(((fNum - pmod(fNum, prev.getField("p"))).cast("double")
+            / prev.getField("p").cast("double")).cast("long"))
+        val zNew = when(x === 0, prev.getField("z"))
+          .when(prev.getField("z").isNull, (x * 1000L).cast("long"))
+          .otherwise(prev.getField("z")
+            + floorDiv4(x * 1000L - prev.getField("z")))
+        val pNew = when(x === 0, prev.getField("p"))
+          .when(prev.getField("z").isNull, (interval * 1000L).cast("long"))
+          .otherwise(prev.getField("p")
+            + floorDiv4(interval * 1000L - prev.getField("p")))
+        val cNew = when(x === 0, prev.getField("c") + 1L).otherwise(lit(0L))
+        concat(acc, array(
+          when(size(acc) === 0,
+            struct(
+              when(x > 0, x * 1000L).cast("long").as("z"),
+              when(x > 0, lit(1000L)).cast("long").as("p"),
+              when(x > 0, lit(0L)).otherwise(lit(1L)).as("c"),
+              lit(null).cast("long").as("f")))
+            .otherwise(struct(zNew.cast("long").as("z"),
+              pNew.cast("long").as("p"), cNew.as("c"), f.as("f")))))
+      }))
+      .select(col("event_type"), col("ds"), col("xs"),
+        posexplode(col("hs")).as(Seq("pos", "h")))
+      .select(col("event_type"),
+        element_at(col("ds"), col("pos") + 1).as("day"),
+        element_at(col("xs"), col("pos") + 1).as("demand"),
+        col("h.z").as("size_milli"), col("h.p").as("interval_milli"),
+        col("h.f").as("forecast_milli"))
+  }
+
   /** The shared length-prior-vs-stopword-gate predictor frame behind
     * the classifier-evaluation family (q254 reliability bins, q257
     * cumulative gains, q296 Brier decomposition, q297 ROC AUC, and the
@@ -1615,5 +1719,5 @@ object CurationQueries {
     holtTrend, compressionQuality, corpusPipelineV4, madAnomaly,
     thresholdChurn, anomalyConsensus, forecastBacktest, mixtureWeights,
     calibrationBins, cumulativeGains, maseBacktest, brierDecomposition,
-    rocAuc, hosmerLemeshow, calibrationError, holtWinters)
+    rocAuc, hosmerLemeshow, calibrationError, holtWinters, croston)
 }

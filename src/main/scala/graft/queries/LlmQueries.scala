@@ -1583,6 +1583,58 @@ object LlmQueries {
           s"div (CAST(n AS $d38c) * n) AS BIGINT)").as("yule_k_milli"))
   }
 
+  /** q322: CHAO1 richness + GOOD-TURING coverage per source — the two
+    * unseen-mass estimates a corpus audit wants next to q291's Heaps
+    * exponent: Heaps says how vocabulary GROWS with more text; Chao1
+    * says how much vocabulary the source already HAS but we haven't
+    * seen (S + f1(f1−1)/(2(f2+1)), the bias-corrected form driven by
+    * hapax/dis-legomena counts), and Good's coverage 1 − f1/N says
+    * what fraction of the source's token mass the seen vocabulary
+    * already explains — the "is this source mined out" number.
+    *
+    * Exactness: hapax (f1), dis-legomena (f2), distinct (S), and
+    * token (N) counts are exact BIGINTs off ONE (source, term) count;
+    * both estimates are single nonneg integer floors with products in
+    * DECIMAL(38,0)/HUGEINT (f1² and 10⁶·f1 pass int64 at cluster
+    * scale). Same whitespace tokenization as the family (q291/q312).
+    *
+    * Scale shape: one map-side-combined (source, term) count — the
+    * q291 plan — then source-grain arithmetic. Reference analogue:
+    * none (LLM-pipeline extension, SURVEY.md §2). */
+  val chao1Coverage: Q = Q(
+    "q322_chao1_coverage",
+    """WITH tf AS (SELECT source, t.term, CAST(count(*) AS BIGINT) AS tf
+      |            FROM documents,
+      |                 unnest(string_split(text, ' ')) AS t(term)
+      |            GROUP BY 1, 2),
+      |a AS (SELECT source, CAST(count(*) AS BIGINT) AS s_distinct,
+      |        CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |        CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |        CAST(sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      |      FROM tf GROUP BY 1)
+      |SELECT source, s_distinct, f1, f2,
+      |       CAST(1000 * s_distinct
+      |            + (CAST(1000 AS HUGEINT) * f1 * (f1 - 1))
+      |              // (2 * (f2 + 1)) AS BIGINT) AS chao1_milli,
+      |       CAST(1000000 - (CAST(1000000 AS HUGEINT) * f1) // n_tokens
+      |         AS BIGINT) AS coverage_ppm
+      |FROM a""".stripMargin
+  ) { (s, dir) =>
+    val d38c = "DECIMAL(38,0)"
+    val a = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("s_distinct"), sum(col("tf")).as("n_tokens"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("tf") === 2, 1L).otherwise(0L)).as("f2"))
+    a.select(col("source"), col("s_distinct"), col("f1"), col("f2"),
+      expr(s"CAST(1000 * s_distinct + (CAST(1000 AS $d38c) * f1 * (f1 - 1))" +
+        " div (2 * (f2 + 1)) AS BIGINT)").as("chao1_milli"),
+      expr(s"CAST(1000000 - (CAST(1000000 AS $d38c) * f1) div n_tokens" +
+        " AS BIGINT)").as("coverage_ppm"))
+  }
+
   val all: Seq[Q] = Seq(textStats, langId, fingerprintQ, ngramJaccard,
     minhashLsh, minhashLshOracle, simhash, simhashOracle, embeddingNeardup,
     embeddingNeardupLsh, signLshOracle, knnCosine, annLsh, annIvf, binaryMeta,
@@ -1592,5 +1644,5 @@ object LlmQueries {
     annTopKOracle, embeddingDedupOracle, embeddingSplitLeakage,
     ngramNovelty, dupThresholdSweep, langIdConfusion, lenQualityCorr,
     dupByQuality, multimodalResize, multimodalPerceptual, heapsLaw,
-    vocabCoverage, hillTail, selfBleu, yuleK)
+    vocabCoverage, hillTail, selfBleu, yuleK, chao1Coverage)
 }

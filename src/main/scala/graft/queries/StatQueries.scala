@@ -217,8 +217,12 @@ object StatQueries {
     * key-partitioned, so nothing goes quadratic or global. PlanSpec
     * asserts the join keys keep event_type first and the only
     * nested-loop join is the 7-row lag spine broadcast. */
-  val acfDaily: Q = Q(
-    "q196_acf_daily",
+  /** The daily-ACF CTE chain shared by q196's oracle and the q323
+    * Ljung-Box oracle (one definition — the
+    * [[CurationQueries.predictorCte]] no-drift rule): ends in `acf`
+    * carrying (event_type, lag_k, n_pairs, acf_ppm) for lags 1..7
+    * with degenerate (zero-variance) lags filtered. */
+  private[graft] val acfCtes: String =
     """WITH dc AS (SELECT event_type,
       |                   CAST(date_trunc('day', ts) AS DATE) AS day,
       |                   CAST(count(*) AS BIGINT) AS x
@@ -239,16 +243,20 @@ object StatQueries {
       |        sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
       |        sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
       |        sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy
-      |      FROM p GROUP BY 1, 2)
-      |SELECT event_type, CAST(lag_k AS BIGINT) AS lag_k,
-      |       CAST(n AS BIGINT) AS n_pairs,
-      |       CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
-      |            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-      |               * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
-      |            * 1000000) AS BIGINT) AS acf_ppm
-      |FROM m
-      |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin
-  ) { (s, dir) =>
+      |      FROM p GROUP BY 1, 2),
+      |acf AS (SELECT event_type, CAST(lag_k AS BIGINT) AS lag_k,
+      |          CAST(n AS BIGINT) AS n_pairs,
+      |          CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+      |               * 1000000) AS BIGINT) AS acf_ppm
+      |        FROM m
+      |        WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0)""".stripMargin
+
+  /** The ACF frame behind q196 (and q323's portmanteau sum): per
+    * (event_type, lag 1..7), the exact-moment Pearson autocorrelation
+    * of the daily count series in ppm. See q196's scaladoc. */
+  private def acfFrame(s: SparkSession, dir: String): DataFrame = {
     val dc = t(s, dir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("x"))
@@ -281,6 +289,12 @@ object StatQueries {
                * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
             * 1000000).cast(LongType).as("acf_ppm"))
   }
+
+  val acfDaily: Q = Q(
+    "q196_acf_daily",
+    acfCtes + """
+      |SELECT event_type, lag_k, n_pairs, acf_ppm FROM acf""".stripMargin
+  ) { (s, dir) => acfFrame(s, dir) }
 
   /** q197: CUSUM changepoint per event type — the day where the
     * cumulative deviation from the series mean peaks, i.e. where the
@@ -823,20 +837,12 @@ object StatQueries {
         col("k.s_ppm").as("s_ppm"))
   }
 
-  /** q229: LOG-RANK test between the weekend-signup and
-    * weekday-signup survival curves (7-day horizon) — the hypothesis
-    * test that belongs with q228's estimate: "are those two KM curves
-    * actually different?" At each event day, group 1's observed
-    * deaths compare against the hypergeometric expectation
-    * d·n₁/n given the pooled risk set, with variance
-    * d·(n₁/n)·(1−n₁/n)·(n−d)/(n−1); z = Σ(O−E)/√ΣV. The day grid is
-    * horizon-bounded, so the risk-set suffix sums ride the SAME
-    * aggregate-HOF fold as q228 — ascending with n(t) = N − prefix of
-    * removals, never a window (the oracle may window its 8-row grid
-    * freely). Per-day O−E and V micro-quantize from exact integers;
-    * the two sums are order-immune BIGINTs; z is one final double. */
-  val logRank: Q = Q(
-    "q229_logrank_test",
+  /** The pooled-risk-set CTE chain shared by q229's oracle and the
+    * q321 Gehan-Breslow oracle (one definition — the
+    * [[CurationQueries.predictorCte]] no-drift rule): ends in `ns`
+    * carrying (dur, d1, d, n1, n) — per event day, group-1 deaths,
+    * pooled deaths, and the two suffix-sum risk sets. */
+  private[graft] val logRankCtes: String =
     """WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
       |           WHERE event_type = 'signup' GROUP BY user_id),
       |wend AS (SELECT max(ts) AS tmax FROM events),
@@ -866,7 +872,23 @@ object StatQueries {
       |              PRECEDING AND CURRENT ROW) AS BIGINT) AS n1,
       |         CAST(sum(r) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED
       |              PRECEDING AND CURRENT ROW) AS BIGINT) AS n
-      |       FROM g),
+      |       FROM g)""".stripMargin
+
+  /** q229: LOG-RANK test between the weekend-signup and
+    * weekday-signup survival curves (7-day horizon) — the hypothesis
+    * test that belongs with q228's estimate: "are those two KM curves
+    * actually different?" At each event day, group 1's observed
+    * deaths compare against the hypergeometric expectation
+    * d·n₁/n given the pooled risk set, with variance
+    * d·(n₁/n)·(1−n₁/n)·(n−d)/(n−1); z = Σ(O−E)/√ΣV. The day grid is
+    * horizon-bounded, so the risk-set suffix sums ride the SAME
+    * aggregate-HOF fold as q228 — ascending with n(t) = N − prefix of
+    * removals, never a window (the oracle may window its 8-row grid
+    * freely). Per-day O−E and V micro-quantize from exact integers;
+    * the two sums are order-immune BIGINTs; z is one final double. */
+  val logRank: Q = Q(
+    "q229_logrank_test",
+    logRankCtes + """,
       |x AS (SELECT dur, d1, d, n1, n,
       |        d1 - CAST(d AS DOUBLE) * n1 / n AS ome,
       |        CASE WHEN n <= 1 THEN 0.0
@@ -893,7 +915,8 @@ object StatQueries {
   /** The log-rank core behind q229 (also the spec's hand-case entry):
     * `h` is the per-subject (grp ∈ {0,1}, ev ∈ {0,1}, dur) table.
     * See q229's scaladoc. */
-  private[graft] def logRankReport(h: DataFrame): DataFrame = {
+  private[graft] def logRankReport(h: DataFrame,
+      gehan: Boolean = false): DataFrame = {
     val g = h.groupBy("dur").agg(
       sum(when(col("grp") === 1, col("ev")).otherwise(0L)).as("d1"),
       sum(col("ev")).as("d"),
@@ -919,10 +942,14 @@ object StatQueries {
           val n = col("tot") - cumR
           val d = x.getField("d")
           val d1 = x.getField("d1")
-          val ome = d1 - d.cast("double") * n1 / n
+          // Gehan-Breslow weights each day by the NORMALIZED pooled
+          // risk set n/N (the N-divide keeps the micro-quantized sums
+          // at q229's int64 headroom; z is invariant to it)
+          val wgt = if (gehan) n.cast("double") / col("tot") else lit(1.0)
+          val ome = (d1 - d.cast("double") * n1 / n) * wgt
           val v = when(n <= 1, lit(0.0))
             .otherwise(d.cast("double") * n1 / n * (n - n1) / n
-              * (n - d) / (n - 1))
+              * (n - d) / (n - 1)) * wgt * wgt
           concat(acc, array(struct(
             when(d > 0, round(ome * 1000000).cast(LongType))
               .otherwise(0L).as("ome_u6"),
@@ -2406,11 +2433,740 @@ object StatQueries {
         .cast(LongType).as("rmst_ppm_days"))
   }
 
+  /** q321: GEHAN-BRESLOW-WILCOXON test — q229's log-rank with each
+    * event day weighted by its pooled risk set n(t), the standard
+    * EARLY-difference-sensitive alternative (log-rank weights all
+    * days equally, so late-horizon noise can drown a first-day gap;
+    * Gehan's weight decays with the risk set, which is what "did the
+    * weekend cohort convert differently UP FRONT" asks). Same
+    * weekend-vs-weekday grouping, horizon, and pooled-risk-set fold
+    * as q229 — the weight is NORMALIZED to n(t)/N so the
+    * micro-quantized sums keep q229's int64 headroom (z is invariant
+    * to the normalization: it cancels between numerator and √var).
+    * Per-day weighted O−E and V micro-quantize from the same exact
+    * integers; oracle rides [[logRankCtes]] verbatim. */
+  val gehanBreslow: Q = Q(
+    "q321_gehan_breslow",
+    logRankCtes + """,
+      |nt AS (SELECT max(n) AS ntot FROM ns),
+      |x AS (SELECT dur, d1, d, n1, n, nt.ntot,
+      |        (d1 - CAST(d AS DOUBLE) * n1 / n)
+      |          * (CAST(n AS DOUBLE) / nt.ntot) AS ome,
+      |        CASE WHEN n <= 1 THEN 0.0
+      |             ELSE CAST(d AS DOUBLE) * n1 / n * (n - n1) / n
+      |                  * (n - d) / (n - 1) END
+      |          * (CAST(n AS DOUBLE) / nt.ntot)
+      |          * (CAST(n AS DOUBLE) / nt.ntot) AS v
+      |      FROM ns CROSS JOIN nt WHERE d > 0),
+      |agg AS (SELECT
+      |          CAST(sum(CAST(round(ome * 1000000) AS BIGINT)) AS BIGINT)
+      |            AS ome_u6,
+      |          CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT)
+      |            AS var_u6,
+      |          CAST(sum(d) AS BIGINT) AS n_events
+      |        FROM x)
+      |SELECT n_events, ome_u6, var_u6,
+      |       CAST(round(ome_u6 / sqrt(CAST(var_u6 AS DOUBLE) * 1000000)
+      |           * 1000) AS BIGINT) AS z_milli
+      |FROM agg""".stripMargin
+  ) { (s, dir) =>
+    logRankReport(survivalDurations(t(s, dir, "events"), horizonDays = 7)
+      .select(when(col("dow").isin(0L, 6L), 1L).otherwise(0L).as("grp"),
+        col("ev"), col("dur")), gehan = true)
+  }
+
+  /** q323: LJUNG-BOX portmanteau test per event type — "is this
+    * daily series white noise AT ALL", the one-number gate an analyst
+    * runs before reading q196's per-lag ACF bars (a single lag-7
+    * spike and seven mild correlations can carry the same story; Q
+    * pools them): Q = n(n+2)·Σ_{k≤7} r_k²/(n−k). Rides [[acfCtes]] /
+    * [[acfFrame]] verbatim — no second ACF definition to drift. The
+    * per-lag ratio r_k²/(n−k) uses n−k = n_pairs EXACTLY (rn is a
+    * dense row_number, so the lag-k join has n−k pairs), taken from
+    * the acf frame itself; degenerate (zero-variance) lags are absent
+    * there and contribute nothing — stated so the statistic is
+    * reproducible. Exactness: acf_ppm is already an exact BIGINT on
+    * both engines; term_k = acf_ppm² div n_pairs and the final
+    * q_milli = n(n+2)·Σterm div 10⁹ are nonneg integer floors in
+    * DECIMAL(38,0)/HUGEINT. One calendar-bounded aggregate beyond
+    * q196's plan. */
+  val ljungBox: Q = Q(
+    "q323_ljung_box",
+    acfCtes + """,
+      |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      |       FROM dc GROUP BY 1),
+      |tm AS (SELECT a.event_type,
+      |         CAST(count(*) AS BIGINT) AS n_lags,
+      |         CAST(sum((CAST(acf_ppm AS HUGEINT) * acf_ppm) // n_pairs)
+      |           AS BIGINT) AS s
+      |       FROM acf a GROUP BY 1)
+      |SELECT nd.event_type, nd.n AS n_days, tm.n_lags,
+      |       CAST((CAST(nd.n AS HUGEINT) * (nd.n + 2) * tm.s)
+      |            // 1000000000 AS BIGINT) AS q_milli
+      |FROM nd JOIN tm ON tm.event_type = nd.event_type""".stripMargin
+  ) { (s, dir) =>
+    val nd = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val tm = acfFrame(s, dir).groupBy("event_type")
+      .agg(count(lit(1)).as("n_lags"),
+        sum(expr(s"(CAST(acf_ppm AS $d38) * acf_ppm) div n_pairs")).as("s"))
+    nd.join(tm, Seq("event_type"))
+      .select(col("event_type"), col("n").as("n_days"), col("n_lags"),
+        expr(s"CAST((CAST(n AS $d38) * (n + 2) * s)" +
+          " div 1000000000 AS BIGINT)").as("q_milli"))
+  }
+
+  /** q324: CRAMÉR-VON MISES two-sample criterion, weekend vs weekday
+    * event values — the whole-distribution companion of q226's KS:
+    * KS reads only the single largest CDF gap (one crossing point
+    * decides it); CvM integrates the SQUARED gap over the pooled
+    * distribution, T = nm/N² · Σ_z (w_z/N)(F_n(z) − G_m(z))², so a
+    * broad mild shift that never produces one big gap still
+    * registers. Stated in the tie-ready pooled-histogram form (the
+    * grid is distinct VALUES, weighted by pooled counts).
+    *
+    * Scale shape: one cents-grain histogram, then the two cumulative
+    * counts ride [[graft.operators.Ranks.globalRunningSum]] over the
+    * distinct-value table — the q313 machinery, never a global window
+    * on the Spark side — and one value-grain reduce.
+    *
+    * Exactness: per grid value, the CDF gap d = (m·CA − n·CB)/(nm)
+    * and its weighted square quantize to nano units in ONE double
+    * expression from exact BIGINTs (the q229 per-term pattern;
+    * m·CA ≤ nm stays double-exact to 2⁵³ and beyond that both engines
+    * round identically), then an order-immune BIGINT sum. */
+  val cramerVonMises: Q = Q(
+    "q324_cramer_von_mises",
+    """WITH f AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+      |             CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS g
+      |           FROM events),
+      |h AS (SELECT x, CAST(sum(g) AS BIGINT) AS a,
+      |             CAST(sum(1 - g) AS BIGINT) AS b
+      |      FROM f GROUP BY 1),
+      |cum AS (SELECT x, a + b AS w,
+      |          CAST(sum(a) OVER (ORDER BY x) AS BIGINT) AS ca,
+      |          CAST(sum(b) OVER (ORDER BY x) AS BIGINT) AS cb
+      |        FROM h),
+      |tot AS (SELECT CAST(sum(a) AS BIGINT) AS n,
+      |               CAST(sum(b) AS BIGINT) AS m FROM h)
+      |SELECT tot.n AS n_a, tot.m AS n_b,
+      |       CAST(sum(CAST(round(1000000000.0 * w
+      |           * ((CAST(tot.m AS DOUBLE) * ca - CAST(tot.n AS DOUBLE) * cb)
+      |              / (CAST(tot.n AS DOUBLE) * tot.m))
+      |           * ((CAST(tot.m AS DOUBLE) * ca - CAST(tot.n AS DOUBLE) * cb)
+      |              / (CAST(tot.n AS DOUBLE) * tot.m))
+      |           * tot.n * tot.m
+      |           / (CAST(tot.n + tot.m AS DOUBLE) * (tot.n + tot.m)
+      |              * (tot.n + tot.m))) AS BIGINT)) AS BIGINT) AS t_u9
+      |FROM cum CROSS JOIN tot GROUP BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    val f = t(s, dir, "events")
+      .select(round(col("value") * 100).cast(LongType).as("x"),
+        when((dayofweek(col("ts")) - 1).isin(0, 6), 1L).otherwise(0L)
+          .as("g"))
+    val h = f.groupBy("x")
+      .agg(sum(col("g")).as("a"), sum(lit(1L) - col("g")).as("b"))
+    val cum = graft.operators.Ranks.globalRunningSum(
+      graft.operators.Ranks.globalRunningSum(
+        h, Seq(col("x")), col("a"), "ca"),
+      Seq(col("x")), col("b"), "cb")
+      .select(col("x"), (col("a") + col("b")).as("w"), col("ca"), col("cb"))
+    val tot = h.agg(sum(col("a")).as("n"), sum(col("b")).as("m"))
+    val gap = ((col("m").cast("double") * col("ca")
+      - col("n").cast("double") * col("cb"))
+      / (col("n").cast("double") * col("m")))
+    cum.crossJoin(broadcast(tot))
+      .groupBy(col("n").as("n_a"), col("m").as("n_b"))
+      .agg(sum(round(lit(1000000000.0) * col("w") * gap * gap
+          * col("n") * col("m")
+          / ((col("n") + col("m")).cast("double") * (col("n") + col("m"))
+            * (col("n") + col("m")))).cast(LongType)).as("t_u9"))
+  }
+
+  /** q328: PAGE'S L TREND TEST — the ordered-alternative sibling of
+    * q307's Friedman on the (day × hour-band) activity grid: Friedman
+    * spends k−1 df asking "do the 8 three-hour bands differ AT ALL";
+    * Page's L spends one df on the MONOTONE alternative "activity
+    * ranks rise across the day" (the within-day analogue of q299's
+    * Cochran-Armitage move on the same 8 bands). L = Σ_j c_j·R_j with
+    * c_j = band order 1..8 over per-day ranks of the band counts.
+    *
+    * Exactness: the grid is days × EXACTLY 8 fixed bands (hour div 3,
+    * zero-filled — no data-dependent band set), doubled midranks make
+    * Ld = Σ(j+1)·Rd_j an exact BIGINT with E[Ld] = m·k(k+1)²/2 an
+    * exact integer (k(k+1)² is always even); z uses the standard
+    * no-ties variance 4·Var[L] = m·k²(k+1)(k²−1)/36 — an
+    * approximation under heavy ties, stated — as ONE final rounded
+    * double from exact integers (signed numerator, the q302 rule).
+    *
+    * Scale shape: one map-side-combined (day, band) aggregate, then
+    * calendar-bounded grid arithmetic with keyed rank windows. */
+  val pageTrend: Q = Q(
+    "q328_page_trend",
+    """WITH dc AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |                   CAST(hour(ts) // 3 AS BIGINT) AS band,
+      |                   CAST(count(*) AS BIGINT) AS x
+      |            FROM events GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT day FROM dc),
+      |bands AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS band),
+      |grid AS (SELECT d.day, b.band, COALESCE(dc.x, 0) AS x
+      |         FROM days d CROSS JOIN bands b
+      |         LEFT JOIN dc ON dc.day = d.day AND dc.band = b.band),
+      |r AS (SELECT day, band,
+      |        2 * rank() OVER (PARTITION BY day ORDER BY x)
+      |          + count(*) OVER (PARTITION BY day, x) - 1 AS u
+      |      FROM grid),
+      |rj AS (SELECT band, CAST(sum(u) AS BIGINT) AS rd FROM r GROUP BY 1),
+      |m AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM days) AS n,
+      |             CAST(8 AS BIGINT) AS k),
+      |agg AS (SELECT m.n, m.k,
+      |          (SELECT CAST(sum((band + 1) * rd) AS BIGINT) FROM rj)
+      |            AS ld
+      |        FROM m)
+      |SELECT n AS n_blocks, k AS k_bands, ld AS l_doubled,
+      |       CAST(round((ld - CAST(n AS DOUBLE) * k * (k + 1) * (k + 1) / 2)
+      |            / sqrt(CAST(n AS DOUBLE) * k * k * (k + 1)
+      |                   * (k * k - 1) / 36.0) * 1000) AS BIGINT)
+      |         AS z_milli
+      |FROM agg""".stripMargin
+  ) { (s, dir) =>
+    val dc = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"),
+        expr("CAST(hour(ts) div 3 AS BIGINT)").as("band"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true) // calendar-bounded (days × 8)
+    val days = dc.select("day").distinct()
+    val bands = s.range(0, 8).select(col("id").as("band"))
+    val grid = days.crossJoin(broadcast(bands))
+      .join(dc, Seq("day", "band"), "left")
+      .select(col("day"), col("band"), coalesce(col("x"), lit(0L)).as("x"))
+    val u = (lit(2) * rank().over(Window.partitionBy("day").orderBy("x"))
+      + count(lit(1)).over(Window.partitionBy("day", "x")) - 1)
+      .cast(LongType)
+    val ld = grid.select(col("band"), u.as("u"))
+      .groupBy("band").agg(sum(col("u")).as("rd"))
+      .agg(sum((col("band") + 1) * col("rd")).as("ld"))
+    days.agg(count(lit(1)).as("n"))
+      .select(col("n"), lit(8L).as("k"))
+      .crossJoin(broadcast(ld))
+      .select(col("n").as("n_blocks"), col("k").as("k_bands"),
+        col("ld").as("l_doubled"),
+        round((col("ld") - col("n").cast("double") * col("k")
+            * (col("k") + 1) * (col("k") + 1) / 2)
+          / sqrt(col("n").cast("double") * col("k") * col("k")
+            * (col("k") + 1) * (col("k") * col("k") - 1) / 36.0) * 1000)
+          .cast(LongType).as("z_milli"))
+  }
+
+  /** q326: MOOD'S MEDIAN TEST across event types — do the k types
+    * differ in MEDIAN event value? The robust k-sample location test
+    * that, unlike q293's Kruskal-Wallis, only asks about the median
+    * crossing (immune to tail shape entirely) — the right test when
+    * `value` is a heavy-tailed money-like column. The grand lower
+    * median is EXACT: cents histogram →
+    * [[graft.operators.Ranks.globalRunningSum]] cumulative over the
+    * distinct-value table (the q313/q287 machinery — never a global
+    * window on the Spark side) → min x with 2·cc ≥ N; each group's
+    * above/at-or-below split then chi²s against the margins with the
+    * q194 per-cell micro-quantization (round((O−E)²/E·10⁶) from
+    * identical exact integers, order-immune BIGINT sum). Degenerate
+    * splits (everything on one side) report NULL on both engines.
+    * One cents-grain histogram + prefix sum, one k×2 aggregate. */
+  val moodMedian: Q = Q(
+    "q326_mood_median",
+    """WITH f AS (SELECT event_type AS g,
+      |                  CAST(round(value * 100) AS BIGINT) AS x
+      |           FROM events),
+      |h AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY 1),
+      |cum AS (SELECT x, CAST(sum(c) OVER (ORDER BY x) AS BIGINT) AS cc
+      |        FROM h),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+      |med AS (SELECT min(x) AS m FROM cum, tot WHERE 2 * cc >= n),
+      |cells AS (SELECT g,
+      |            CAST(sum(CASE WHEN x <= med.m THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS a,
+      |            CAST(sum(CASE WHEN x > med.m THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS b
+      |          FROM f CROSS JOIN med GROUP BY 1),
+      |tots AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+      |                CAST(sum(b) AS BIGINT) AS tb,
+      |                CAST(count(*) AS BIGINT) AS k FROM cells),
+      |chi AS (SELECT sum(
+      |          CAST(round((a - CAST(a + b AS DOUBLE) * ta / (ta + tb))
+      |                     * (a - CAST(a + b AS DOUBLE) * ta / (ta + tb))
+      |                     / (CAST(a + b AS DOUBLE) * ta / (ta + tb))
+      |                     * 1000000) AS BIGINT)
+      |          + CAST(round((b - CAST(a + b AS DOUBLE) * tb / (ta + tb))
+      |                       * (b - CAST(a + b AS DOUBLE) * tb / (ta + tb))
+      |                       / (CAST(a + b AS DOUBLE) * tb / (ta + tb))
+      |                       * 1000000) AS BIGINT)) AS chi2raw
+      |        FROM cells CROSS JOIN tots)
+      |SELECT tots.k AS k_groups, med.m AS median_cents,
+      |       tots.ta + tots.tb AS n,
+      |       CAST(CASE WHEN tots.ta = 0 OR tots.tb = 0 THEN NULL
+      |            ELSE chi.chi2raw END AS BIGINT) AS chi2_u6
+      |FROM tots CROSS JOIN med CROSS JOIN chi""".stripMargin
+  ) { (s, dir) =>
+    val f = t(s, dir, "events")
+      .select(col("event_type").as("g"),
+        round(col("value") * 100).cast(LongType).as("x"))
+      .localCheckpoint(true) // histogram + split read it twice
+    val h = f.groupBy("x").agg(count(lit(1)).as("c"))
+    val cum = graft.operators.Ranks.globalRunningSum(
+      h, Seq(col("x")), col("c"), "cc")
+    val tot = h.agg(sum(col("c")).as("n"))
+    val med = cum.crossJoin(broadcast(tot))
+      .filter(lit(2) * col("cc") >= col("n"))
+      .agg(min(col("x")).as("m"))
+    val cells = f.crossJoin(broadcast(med))
+      .groupBy("g")
+      .agg(sum(when(col("x") <= col("m"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("x") > col("m"), 1L).otherwise(0L)).as("b"))
+      .localCheckpoint(true) // k rows; margins + cells
+    val tots = cells.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"),
+      count(lit(1)).as("k"))
+    val ea = ((col("a") + col("b")).cast("double") * col("ta")
+      / (col("ta") + col("tb")))
+    val eb = ((col("a") + col("b")).cast("double") * col("tb")
+      / (col("ta") + col("tb")))
+    val chi = cells.crossJoin(broadcast(tots))
+      .agg(sum(round((col("a") - ea) * (col("a") - ea) / ea * 1000000)
+          .cast(LongType)
+        + round((col("b") - eb) * (col("b") - eb) / eb * 1000000)
+          .cast(LongType)).as("chi2raw"))
+    tots.crossJoin(broadcast(med)).crossJoin(broadcast(chi))
+      .select(col("k").as("k_groups"), col("m").as("median_cents"),
+        (col("ta") + col("tb")).as("n"),
+        when(col("ta") === 0 || col("tb") === 0,
+          lit(null).cast(LongType))
+          .otherwise(col("chi2raw")).as("chi2_u6"))
+  }
+
+  /** q329: WOOLF'S TEST of odds-ratio homogeneity across sources —
+    * the companion q306's Mantel-Haenszel POOLED odds ratio needs
+    * before anyone quotes it: pooling is only honest if the
+    * per-stratum ORs agree, and Woolf's χ² = Σw(lnOR_i − lnŌR)² is
+    * the standard heterogeneity check (with Haldane-Anscombe +½ in
+    * every cell so empty cells stay finite). Same strata, same 2×2,
+    * same shared predictor frame
+    * ([[CurationQueries.predictor]]/predictorCte) — no second gate
+    * definition to drift.
+    *
+    * Exactness: per stratum, lnOR and the inverse-variance weight are
+    * each ONE double expression from exact integer cells, quantized
+    * to BIGINT (u6 / milli) — the q241 discipline; the three moment
+    * sums accumulate exactly (DECIMAL(38,0) for the signed products),
+    * and χ² = (Σwx² − (Σwx)²/Σw)/10¹⁵·scale collapses to one final
+    * rounded double from those identical exact sums (signed
+    * numerator — the q302 rule, no integer div). */
+  val woolfHomogeneity: Q = Q(
+    "q329_woolf_homogeneity",
+    CurationQueries.predictorCte + """,
+      |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(CASE WHEN p = 1000000 AND y = 1 THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS a,
+      |        CAST(sum(CASE WHEN p = 1000000 AND y = 0 THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS bb,
+      |        CAST(sum(CASE WHEN p < 1000000 AND y = 1 THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS c
+      |      FROM b GROUP BY source),
+      |w AS (SELECT source,
+      |        CAST(round(ln(CAST(2 * a + 1 AS DOUBLE)
+      |                      * (2 * (n - a - bb - c) + 1)
+      |                      / (CAST(2 * bb + 1 AS DOUBLE) * (2 * c + 1)))
+      |             * 1000000) AS BIGINT) AS x_u6,
+      |        CAST(round(1000.0 / (1.0 / (a + 0.5) + 1.0 / (bb + 0.5)
+      |                   + 1.0 / (c + 0.5)
+      |                   + 1.0 / ((n - a - bb - c) + 0.5)))
+      |             AS BIGINT) AS w_m
+      |      FROM s),
+      |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+      |          CAST(sum(w_m) AS BIGINT) AS sw,
+      |          sum(CAST(w_m AS HUGEINT) * x_u6) AS swx,
+      |          sum(CAST(w_m AS HUGEINT) * x_u6 * x_u6) AS swx2
+      |        FROM w)
+      |SELECT n_strata,
+      |       CAST(round(CAST(swx AS DOUBLE) / sw) AS BIGINT)
+      |         AS lnor_pooled_u6,
+      |       CAST(CASE WHEN n_strata < 2 THEN NULL
+      |            ELSE round((CAST(swx2 AS DOUBLE)
+      |                        - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE)
+      |                          / sw) / 1000000000000.0) END AS BIGINT)
+      |         AS chi2_milli
+      |FROM agg""".stripMargin
+  ) { (s, dir) =>
+    val st = CurationQueries.predictor(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p") === 1000000L && col("y") === 1L, 1L).otherwise(0L))
+          .as("a"),
+        sum(when(col("p") === 1000000L && col("y") === 0L, 1L).otherwise(0L))
+          .as("bb"),
+        sum(when(col("p") < 1000000L && col("y") === 1L, 1L).otherwise(0L))
+          .as("c"))
+    val w = st.select(
+      round(log((lit(2) * col("a") + 1).cast("double")
+          * (lit(2) * (col("n") - col("a") - col("bb") - col("c")) + 1)
+          / ((lit(2) * col("bb") + 1).cast("double")
+            * (lit(2) * col("c") + 1)))
+        * 1000000).cast(LongType).as("x_u6"),
+      round(lit(1000.0) / (lit(1.0) / (col("a") + 0.5)
+          + lit(1.0) / (col("bb") + 0.5) + lit(1.0) / (col("c") + 0.5)
+          + lit(1.0) / ((col("n") - col("a") - col("bb") - col("c")) + 0.5)))
+        .cast(LongType).as("w_m"))
+    w.agg(count(lit(1)).as("n_strata"), sum(col("w_m")).as("sw"),
+        sum(expr(s"CAST(w_m AS $d38) * x_u6")).as("swx"),
+        sum(expr(s"CAST(w_m AS $d38) * x_u6 * x_u6")).as("swx2"))
+      .select(col("n_strata"),
+        round(col("swx").cast("double") / col("sw")).cast(LongType)
+          .as("lnor_pooled_u6"),
+        when(col("n_strata") < 2, lit(null).cast(LongType))
+          .otherwise(round((col("swx2").cast("double")
+            - col("swx").cast("double") * col("swx").cast("double")
+              / col("sw")) / 1000000000000.0).cast(LongType))
+          .as("chi2_milli"))
+  }
+
+  /** q318: KENDALL'S W coefficient of concordance — do the days agree
+    * on how the event types rank by REVENUE? q307's Friedman asks the
+    * same grid "do the types differ" on daily COUNTS; W answers the
+    * complementary question on daily revenue (sum of exact cents) and
+    * reports agreement strength on [0,1] rather than a chi² — the
+    * number a reviewer quotes ("days concord at W=0.8"). W relates to
+    * Friedman's chi² by W = χ²/(m(k−1)); it is computed here in its
+    * own tie-corrected form with the per-block tie term Σ(t³−t)
+    * explicit (and emitted — the term q307's denominator folds away),
+    * over a DIFFERENT measurement, so neither query derives from the
+    * other's output.
+    *
+    * Exactness: doubled midranks u = 2·rank + |ties| − 1 (the q222
+    * discipline) make the doubled rank sums Rd_j exact BIGINTs with
+    * Σ Rd_j = m·k(k+1), so the doubled mean m(k+1) is an exact
+    * integer and SSd = Σ(Rd_j − m(k+1))² = 4·Σ(R_j − R̄)² needs no
+    * fraction; W = 12·SS/denom = 3·SSd/denom with denom =
+    * m²(k³−k) − m·Σ(t³−t), all products in DECIMAL(38,0)/HUGEINT,
+    * one ppm floor (nonneg, so Spark div == DuckDB //). Fully-tied
+    * grids (denom 0) report NULL on both engines.
+    *
+    * Scale shape: one map-side-combined (day × type) aggregate, then
+    * everything at calendar-bounded grid grain — keyed rank windows
+    * (never global), a (day, x)-grain tie count, three 1-row reduces
+    * broadcast together. Reference analogue: none — inferential layer
+    * over Covid19Stats.java's daily sums (SURVEY.md §2). */
+  val kendallW: Q = Q(
+    "q318_kendall_w",
+    """WITH dc AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |                   event_type,
+      |                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+      |                     AS BIGINT) AS x
+      |            FROM events GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT day FROM dc),
+      |types AS (SELECT DISTINCT event_type FROM dc),
+      |grid AS (SELECT d.day, t.event_type, COALESCE(dc.x, 0) AS x
+      |         FROM days d CROSS JOIN types t
+      |         LEFT JOIN dc ON dc.day = d.day AND dc.event_type = t.event_type),
+      |r AS (SELECT day, event_type,
+      |        2 * rank() OVER (PARTITION BY day ORDER BY x)
+      |          + count(*) OVER (PARTITION BY day, x) - 1 AS u
+      |      FROM grid),
+      |rj AS (SELECT event_type, CAST(sum(u) AS BIGINT) AS rd
+      |       FROM r GROUP BY 1),
+      |tie AS (SELECT CAST(sum(tc * tc * tc - tc) AS BIGINT) AS tt
+      |        FROM (SELECT CAST(count(*) AS HUGEINT) AS tc
+      |              FROM grid GROUP BY day, x)),
+      |m AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM days) AS n,
+      |             (SELECT CAST(count(*) AS BIGINT) FROM types) AS k),
+      |agg AS (SELECT m.n, m.k, tie.tt,
+      |          (SELECT sum((CAST(rd AS HUGEINT) - CAST(m.n AS HUGEINT) * (m.k + 1))
+      |                      * (CAST(rd AS HUGEINT) - CAST(m.n AS HUGEINT) * (m.k + 1)))
+      |           FROM rj) AS ssd
+      |        FROM m CROSS JOIN tie)
+      |SELECT n AS n_blocks, k AS k_items, tt AS tie_term,
+      |       CAST(CASE WHEN CAST(n AS HUGEINT) * n * (k * k * k - k)
+      |                      - CAST(n AS HUGEINT) * tt <= 0 THEN NULL
+      |            ELSE (CAST(1000000 AS HUGEINT) * 3 * ssd)
+      |                 // (CAST(n AS HUGEINT) * n * (k * k * k - k)
+      |                     - CAST(n AS HUGEINT) * tt) END
+      |         AS BIGINT) AS w_ppm
+      |FROM agg""".stripMargin
+  ) { (s, dir) =>
+    val dc = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(sum(round(col("value") * 100).cast(LongType)).as("x"))
+      .localCheckpoint(true) // calendar-bounded (days × types)
+    val days = dc.select("day").distinct()
+    val types = dc.select("event_type").distinct()
+    val grid = days.crossJoin(broadcast(types))
+      .join(dc, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint(true) // two consumers: ranks + tie groups
+    val u = (lit(2) * rank().over(Window.partitionBy("day").orderBy("x"))
+      + count(lit(1)).over(Window.partitionBy("day", "x")) - 1)
+      .cast(LongType)
+    val rj = grid.select(col("event_type"), u.as("u"))
+      .groupBy("event_type").agg(sum(col("u")).as("rd"))
+    val tie = grid.groupBy("day", "x").agg(count(lit(1)).as("tc"))
+      .agg(sum(expr(s"CAST(tc AS $d38) * tc * tc - tc")).as("tt"))
+    val nk = days.agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(types.agg(count(lit(1)).as("k"))))
+    val ssd = rj.crossJoin(broadcast(nk))
+      .agg(sum(expr(s"(CAST(rd AS $d38) - CAST(n AS $d38) * (k + 1))" +
+        s" * (CAST(rd AS $d38) - CAST(n AS $d38) * (k + 1))")).as("ssd"))
+    nk.crossJoin(broadcast(tie)).crossJoin(broadcast(ssd))
+      .select(col("n").as("n_blocks"), col("k").as("k_items"),
+        col("tt").cast(LongType).as("tie_term"),
+        expr(s"CAST(CASE WHEN CAST(n AS $d38) * n * (k * k * k - k)" +
+          s" - CAST(n AS $d38) * tt <= 0 THEN NULL" +
+          s" ELSE (CAST(1000000 AS $d38) * 3 * ssd)" +
+          s" div (CAST(n AS $d38) * n * (k * k * k - k)" +
+          s" - CAST(n AS $d38) * tt) END AS BIGINT)").as("w_ppm"))
+  }
+
+  /** q319: COCHRAN'S Q — binary repeated-measures companion of q307:
+    * across users (blocks), do the k event types differ in how often
+    * they appear in a user's FIRST-DAY session? The per-user binary
+    * profile x_uj = "user u did type j on their first active day" is
+    * the onboarding-mix question (which actions belong to day one),
+    * and Q is McNemar's k-treatment generalization — q268's 2×2 test
+    * widened to the full type set.
+    *
+    * Exactness: Q = (k−1)(k·ΣC_j² − N²) / (kN − ΣR_u²) clears every
+    * fraction — column totals C_j, row totals R_u, N = ΣR exact
+    * BIGINTs, squares in DECIMAL(38,0)/HUGEINT (user counts square
+    * past int64 at cluster scale), numerator nonneg by
+    * Cauchy-Schwarz, one milli floor. All-uniform profiles (every
+    * R_u ∈ {0, k}, denominator 0) report NULL on both engines.
+    * Non-informative rows are NOT dropped (the statsmodels/scipy
+    * convention), stated here so the statistic is reproducible.
+    *
+    * Scale shape: one user-grain min, one semi-join-shaped equi-join
+    * back to events on user_id (day-equality filtered), one DISTINCT
+    * at (user, type) grain, then k-row and user-grain aggregates —
+    * no window at all, nothing beyond (users × k) rows after the
+    * first aggregate. */
+  val cochranQ: Q = Q(
+    "q319_cochran_q",
+    """WITH fd AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY 1),
+      |x AS (SELECT DISTINCT e.user_id, e.event_type
+      |      FROM events e JOIN fd ON fd.user_id = e.user_id
+      |      WHERE CAST(date_trunc('day', e.ts) AS DATE)
+      |            = CAST(date_trunc('day', fd.t0) AS DATE)),
+      |kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+      |       FROM events),
+      |cj AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c
+      |       FROM x GROUP BY 1),
+      |ru AS (SELECT user_id, CAST(count(*) AS BIGINT) AS r
+      |       FROM x GROUP BY 1),
+      |agg AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ru) AS m,
+      |          (SELECT CAST(sum(r) AS BIGINT) FROM ru) AS nn,
+      |          (SELECT sum(CAST(r AS HUGEINT) * r) FROM ru) AS sr2,
+      |          (SELECT sum(CAST(c AS HUGEINT) * c) FROM cj) AS sc2,
+      |          kk.k
+      |        FROM kk)
+      |SELECT m AS n_users, k AS k_types,
+      |       CAST(CASE WHEN k * CAST(nn AS HUGEINT) - sr2 <= 0 THEN NULL
+      |            ELSE (CAST(1000 AS HUGEINT) * (k - 1)
+      |                  * (k * sc2 - CAST(nn AS HUGEINT) * nn))
+      |                 // (k * CAST(nn AS HUGEINT) - sr2) END
+      |         AS BIGINT) AS q_milli
+      |FROM agg""".stripMargin
+  ) { (s, dir) =>
+    val events = t(s, dir, "events")
+    val fd = events.groupBy("user_id").agg(min(col("ts")).as("t0"))
+    val x = events.join(fd, Seq("user_id"))
+      .filter(to_date(col("ts")) === to_date(col("t0")))
+      .select("user_id", "event_type").distinct()
+      .localCheckpoint(true) // (users × k) grain; two consumers
+    val kk = events.agg(countDistinct(col("event_type")).as("k"))
+    val ru = x.groupBy("user_id").agg(count(lit(1)).as("r"))
+    val sc2 = x.groupBy("event_type").agg(count(lit(1)).as("c"))
+      .agg(sum(expr(s"CAST(c AS $d38) * c")).as("sc2"))
+    ru.agg(count(lit(1)).as("m"), sum(col("r")).as("nn"),
+        sum(expr(s"CAST(r AS $d38) * r")).as("sr2"))
+      .crossJoin(broadcast(sc2)).crossJoin(broadcast(kk))
+      .select(col("m").as("n_users"), col("k").as("k_types"),
+        expr(s"CAST(CASE WHEN k * CAST(nn AS $d38) - sr2 <= 0 THEN NULL" +
+          s" ELSE (CAST(1000 AS $d38) * (k - 1)" +
+          s" * (k * sc2 - CAST(nn AS $d38) * nn))" +
+          s" div (k * CAST(nn AS $d38) - sr2) END AS BIGINT)").as("q_milli"))
+  }
+
+  /** q320: BOWKER'S TEST OF SYMMETRY on the first-touch → last-touch
+    * event-type table — is the journey direction-symmetric? Each user
+    * contributes one (first type, last type) pair (by ts, event_id —
+    * total order, both engines); Bowker tests H₀: n_ij = n_ji for all
+    * i<j, McNemar's k×k generalization (and q268's exact complement:
+    * McNemar IS Bowker at k=2). An asymmetric pair (many view→purchase,
+    * few purchase→view) is the funnel's direction, quantified.
+    *
+    * Exactness: B = Σ_{i<j} (n_ij − n_ji)²/(n_ij + n_ji) quantizes
+    * PER PAIR — (10⁶·diff²) // (n_ij+n_ji) in DECIMAL(38,0)/HUGEINT
+    * (diff² squares past int64 at cluster scale), nonneg, then an
+    * order-immune BIGINT sum; df = populated off-diagonal pairs. The
+    * symmetrization least/greatest + conditional sums folds (i,j) and
+    * (j,i) cells into one row without a self-join.
+    *
+    * Scale shape: two row_number windows keyed by user (never
+    * global), one (k × k) aggregate, then k²-grain arithmetic. */
+  val bowkerSymmetry: Q = Q(
+    "q320_bowker_symmetry",
+    """WITH o AS (SELECT user_id, event_type,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ts, event_id) AS rf,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ts DESC, event_id DESC) AS rl
+      |      FROM events),
+      |fl AS (SELECT f.user_id, f.event_type AS a, l.event_type AS b
+      |       FROM (SELECT user_id, event_type FROM o WHERE rf = 1) f
+      |       JOIN (SELECT user_id, event_type FROM o WHERE rl = 1) l
+      |         USING (user_id)),
+      |n AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n
+      |      FROM fl GROUP BY 1, 2),
+      |p AS (SELECT least(a, b) AS i, greatest(a, b) AS j,
+      |        CAST(sum(CASE WHEN a < b THEN n ELSE 0 END) AS BIGINT) AS nij,
+      |        CAST(sum(CASE WHEN a > b THEN n ELSE 0 END) AS BIGINT) AS nji
+      |      FROM n WHERE a <> b GROUP BY 1, 2)
+      |SELECT CAST(count(*) AS BIGINT) AS df,
+      |       CAST(sum(nij + nji) AS BIGINT) AS n_offdiag,
+      |       CAST(sum((CAST(1000000 AS HUGEINT) * (nij - nji) * (nij - nji))
+      |                // (nij + nji)) AS BIGINT) AS b_u6
+      |FROM p""".stripMargin
+  ) { (s, dir) =>
+    val events = t(s, dir, "events")
+    val wf = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wl = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val o = events.select(col("user_id"), col("event_type"),
+      row_number().over(wf).as("rf"), row_number().over(wl).as("rl"))
+      .localCheckpoint(true) // first/last read the same windowed pass
+    val fl = o.filter(col("rf") === 1)
+      .select(col("user_id"), col("event_type").as("a"))
+      .join(o.filter(col("rl") === 1)
+        .select(col("user_id"), col("event_type").as("b")), Seq("user_id"))
+    val n = fl.groupBy("a", "b").agg(count(lit(1)).as("n"))
+    val p = n.filter(col("a") =!= col("b"))
+      .groupBy(least(col("a"), col("b")).as("i"),
+        greatest(col("a"), col("b")).as("j"))
+      .agg(sum(when(col("a") < col("b"), col("n")).otherwise(0L)).as("nij"),
+        sum(when(col("a") > col("b"), col("n")).otherwise(0L)).as("nji"))
+    p.agg(count(lit(1)).as("df"),
+      sum(col("nij") + col("nji")).as("n_offdiag"),
+      sum(expr(s"(CAST(1000000 AS $d38) * (nij - nji) * (nij - nji))" +
+        " div (nij + nji)")).cast(LongType).as("b_u6"))
+  }
+
+  /** q327: QUADRATIC WEIGHTED KAPPA between order priority (ordinal
+    * 1-URGENT..5-LOW) and the order's exact total-price QUINTILE —
+    * does urgency track basket size beyond chance, penalizing
+    * disagreements by squared distance? q195's Cohen kappa treats
+    * categories as nominal (one step off = four steps off); the
+    * weighted
+    * form is the ordinal-rater standard (Cohen 1968).
+    *
+    * The quintile is EXACT, not approximate: cents histogram →
+    * [[graft.operators.Ranks.globalRunningSum]] cumulative over the
+    * distinct-value table (the q313 decile machinery, never a global
+    * window on the Spark side) → lower-quantile thresholds via
+    * integer comparison 5·cc ≥ q·N → each order buckets against the
+    * broadcast 1-row threshold frame.
+    *
+    * Exactness: κ_w = 1 − (N·Σw_ij O_ij)/(Σw_ij r_i c_j) with
+    * w_ij = (i−j)²; both sums are exact DECIMAL(38,0)/HUGEINT
+    * products (r·c reaches N²), and κ is ONE final rounded double
+    * from identical exact integers (the signed-numerator rule —
+    * 1 − a/b may go negative, so no integer div). Degenerate margins
+    * (den 0) report NULL on both engines.
+    *
+    * Scale shape: one cents-grain histogram + range-partitioned
+    * prefix sum, one broadcast threshold row, one 5×5 aggregate. */
+  val weightedKappa: Q = Q(
+    "q327_weighted_kappa",
+    """WITH o AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS i,
+      |                  CAST(round(o_totalprice * 100) AS BIGINT) AS x
+      |           FROM orders),
+      |h AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM o GROUP BY 1),
+      |cum AS (SELECT x, CAST(sum(c) OVER (ORDER BY x) AS BIGINT) AS cc
+      |        FROM h),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+      |thr AS (SELECT qs.q, min(cum.x) AS xq
+      |        FROM (SELECT unnest(range(1, 5)) AS q) qs, cum, tot
+      |        WHERE 5 * cum.cc >= qs.q * tot.n GROUP BY 1),
+      |tr AS (SELECT max(CASE WHEN q = 1 THEN xq END) AS t1,
+      |              max(CASE WHEN q = 2 THEN xq END) AS t2,
+      |              max(CASE WHEN q = 3 THEN xq END) AS t3,
+      |              max(CASE WHEN q = 4 THEN xq END) AS t4 FROM thr),
+      |b AS (SELECT i, 1 + CASE WHEN x > t1 THEN 1 ELSE 0 END
+      |               + CASE WHEN x > t2 THEN 1 ELSE 0 END
+      |               + CASE WHEN x > t3 THEN 1 ELSE 0 END
+      |               + CASE WHEN x > t4 THEN 1 ELSE 0 END AS j
+      |      FROM o CROSS JOIN tr),
+      |oij AS (SELECT i, j, CAST(count(*) AS BIGINT) AS o FROM b GROUP BY 1, 2),
+      |ri AS (SELECT i, CAST(sum(o) AS BIGINT) AS r FROM oij GROUP BY 1),
+      |cj AS (SELECT j, CAST(sum(o) AS BIGINT) AS c FROM oij GROUP BY 1),
+      |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM oij),
+      |num AS (SELECT sum((i - j) * (i - j) * CAST(o AS HUGEINT)) AS wo
+      |        FROM oij),
+      |den AS (SELECT sum((ri.i - cj.j) * (ri.i - cj.j)
+      |                   * CAST(ri.r AS HUGEINT) * cj.c) AS we
+      |        FROM ri CROSS JOIN cj)
+      |SELECT nn.n AS n_orders,
+      |       CAST(CASE WHEN den.we = 0 THEN NULL
+      |            ELSE round((1.0 - CAST(CAST(nn.n AS HUGEINT) * num.wo
+      |                                   AS DOUBLE)
+      |                              / CAST(den.we AS DOUBLE)) * 1000000)
+      |            END AS BIGINT) AS wkappa_ppm
+      |FROM nn CROSS JOIN num CROSS JOIN den""".stripMargin
+  ) { (s, dir) =>
+    val o = t(s, dir, "orders")
+      .select(substring(col("o_orderpriority"), 1, 1).cast(LongType).as("i"),
+        round(col("o_totalprice") * 100).cast(LongType).as("x"))
+      .localCheckpoint(true) // histogram + bucketing read it twice
+    val h = o.groupBy("x").agg(count(lit(1)).as("c"))
+    val cum = graft.operators.Ranks.globalRunningSum(
+      h, Seq(col("x")), col("c"), "cc")
+    val tot = h.agg(sum(col("c")).as("n"))
+    val thr = cum.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(s.range(1, 5).select(col("id").as("q"))))
+      .filter(lit(5) * col("cc") >= col("q") * col("n"))
+      .groupBy("q").agg(min(col("x")).as("xq"))
+    val tr = thr.agg(
+      max(when(col("q") === 1, col("xq"))).as("t1"),
+      max(when(col("q") === 2, col("xq"))).as("t2"),
+      max(when(col("q") === 3, col("xq"))).as("t3"),
+      max(when(col("q") === 4, col("xq"))).as("t4"))
+    val b = o.crossJoin(broadcast(tr))
+      .select(col("i"), (lit(1)
+        + when(col("x") > col("t1"), 1).otherwise(0)
+        + when(col("x") > col("t2"), 1).otherwise(0)
+        + when(col("x") > col("t3"), 1).otherwise(0)
+        + when(col("x") > col("t4"), 1).otherwise(0)).cast(LongType).as("j"))
+    val oij = b.groupBy("i", "j").agg(count(lit(1)).as("o"))
+      .localCheckpoint(true) // 25 rows; margins + moments
+    val ri = oij.groupBy("i").agg(sum(col("o")).as("r"))
+    val cj = oij.groupBy("j").agg(sum(col("o")).as("c"))
+    val nn = oij.agg(sum(col("o")).as("n"))
+    val num = oij.agg(sum(expr(s"(i - j) * (i - j) * CAST(o AS $d38)"))
+      .as("wo"))
+    val den = ri.crossJoin(broadcast(cj))
+      .agg(sum(expr(s"(i - j) * (i - j) * CAST(r AS $d38) * c")).as("we"))
+    nn.crossJoin(broadcast(num)).crossJoin(broadcast(den))
+      .select(col("n").as("n_orders"),
+        expr("CAST(CASE WHEN we = 0 THEN NULL" +
+          s" ELSE round((1.0 - CAST(CAST(n AS $d38) * wo AS DOUBLE)" +
+          " / CAST(we AS DOUBLE)) * 1000000) END AS BIGINT)")
+          .as("wkappa_ppm"))
+  }
+
   val all: Seq[Q] = Seq(chiSquare, cohensKappa, acfDaily,
     cusumChangepoint, fkOrphans, winsorizedMean, sourceDriftChi2,
     mannWhitney, welchT, kaplanMeier, logRank, olsTrend, cliffsDelta,
     nelsonAalen, cuped, diffInDiff, medianSurvival, bradleyTerry,
     kruskalWallis, mcnemar, runsTest, cochranArmitage, pacfLag2,
     mantelHaenszel, friedman, jonckheere, wilcoxonSignedRank,
-    durbinWatson, brownForsythe, rmst)
+    durbinWatson, brownForsythe, rmst, kendallW, cochranQ,
+    bowkerSymmetry, gehanBreslow, ljungBox, cramerVonMises, moodMedian,
+    weightedKappa, pageTrend, woolfHomogeneity)
 }

@@ -1224,6 +1224,38 @@ class PlanSpec extends SparkSpec {
       "q308 lost its broadcast dimensions")
   }
 
+  test("r14 wave: q324/q326/q327 cumulatives ride the native RunningSum") {
+    // the CvM pooled CDFs, the Mood grand median, and the weighted-
+    // kappa quintile thresholds all route their global cumulative
+    // through the operator — a regression to a global window here is
+    // the single-partition funnel the ban test exists for
+    Seq("q324_cramer_von_mises", "q326_mood_median").foreach { n =>
+      val p = plan(n)
+      assert("(?m)^\\(\\d+\\) RunningSum\\b".r.findFirstIn(p).isDefined,
+        s"$n lost the native running-sum operator: " + p.take(1200))
+      assert(!p.contains("CartesianProduct"),
+        s"$n grew a cartesian product")
+    }
+    // q327's RunningSum runs INSIDE the eager 25-row oij pin (the
+    // margins/moments read the pinned grid, so the final lazy plan
+    // starts at the LogicalRDD); it shares the exact quantile
+    // machinery asserted above, so here only the no-cartesian
+    // invariant is checkable on the final plan
+    assert(!plan("q327_weighted_kappa").contains("CartesianProduct"),
+      "q327 grew a cartesian product")
+  }
+
+  test("q325: the Croston fold plans with no window at all") {
+    // the q316 discipline: state rides the per-type aggregate fold
+    // over the sorted day array — zero Window nodes in the optimized
+    // plan (the day aggregate itself is a grouped count, not a rank)
+    val df = Registry.byName("q325_croston").fn(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.isEmpty, s"q325 grew ${wins.size} window node(s)")
+  }
+
   test("q316: the Holt-Winters fold plans with no window at all") {
     // state rides the per-type aggregate fold over the sorted day
     // array (calendar-bounded), so the optimized plan must carry ZERO
