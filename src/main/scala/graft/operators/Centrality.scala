@@ -51,9 +51,18 @@ object Centrality {
         s"got scaleUnit=$scaleUnit dampBp=$dampBp")
     val teleport = scaleUnit * (10000 - dampBp) / 10000
     val e = edges.select(col("src"), col("dst"))
-    // weighted edge list, built once: (src, dst, outdeg)
+    // weighted edge list, built once: (src, dst, outdeg) — pinned
+    // repartition(src) + sorted + CACHED, not localCheckpoint'ed: an
+    // InMemoryRelation preserves outputPartitioning/outputOrdering
+    // into every iteration's join, so only the rank side exchanges; a
+    // LogicalRDD reports UnknownPartitioning and the r14 BFS Stress
+    // curve measured the consequence — the FULL pinned table
+    // re-exchanges every round once past the broadcast threshold
+    // (Paths.boundedDistances, same fix; ARCHITECTURE §4). Released
+    // before return: pr is eagerly checkpointed per iteration.
     val ew = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
-      .localCheckpoint(true)
+      .repartition(col("src")).sortWithinPartitions("src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct()
@@ -71,6 +80,7 @@ object Centrality {
           (lit(teleport) + coalesce(col("inflow"), lit(0L))).as("pr"))
         .localCheckpoint(true)
     }
+    ew.unpersist(false)
     pr
   }
 

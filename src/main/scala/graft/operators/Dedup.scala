@@ -779,10 +779,18 @@ object Dedup {
   def resolveWithStats(pairs: DataFrame, maxIters: Int = 20): (DataFrame, Int) = {
     // materialize the edge list once: every propagation round joins it,
     // and without this each round would re-execute the full upstream
-    // candidate-pair pipeline (measured 3-4× on q44)
+    // candidate-pair pipeline (measured 3-4× on q44). Pinned
+    // repartition(src) + sorted + CACHED, not localCheckpoint'ed: an
+    // InMemoryRelation keeps outputPartitioning/outputOrdering visible
+    // to every round's propagation join, so only the label side
+    // exchanges; a LogicalRDD reports UnknownPartitioning and the r14
+    // BFS Stress curve measured the full-table re-exchange that causes
+    // past the broadcast threshold (Paths.boundedDistances, same fix).
+    // Released before return: labels is eagerly checkpointed per round.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+      .repartition(col("src")).sortWithinPartitions("src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // initialization fuses the first propagation round: label(v) =
     // min(v, min neighbor) straight off the edge aggregation (the
     // identity-label round it replaces cost a full join+agg pass and
@@ -818,6 +826,7 @@ object Dedup {
       labels = next.select("id", "label")
       iter += 1
     }
+    edges.unpersist(false)
     (labels.select(col("id").as("doc_id"), col("label").as("canonical_id")), iter)
   }
 
