@@ -1232,9 +1232,15 @@ object CurationQueries {
       |       p AS interval_milli, f AS forecast_milli
       |FROM r""".stripMargin
   ) { (s, dir) =>
-    val daily = t(s, dir, "events")
+    crostonReport(t(s, dir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(when(col("value") >= 250, 1L).otherwise(0L)).as("x"))
+      .agg(sum(when(col("value") >= 250, 1L).otherwise(0L)).as("x")))
+  }
+
+  /** The Croston fold behind q325 (also the spec's hand-case entry):
+    * `daily` is the per-(event_type, day) demand frame (x ≥ 0). See
+    * q325's scaladoc for the recurrence. */
+  private[graft] def crostonReport(daily: DataFrame): DataFrame = {
     val empty = array().cast(
       "array<struct<z:bigint,p:bigint,c:bigint,f:bigint>>")
     def floorDiv4(e: org.apache.spark.sql.Column) =

@@ -142,6 +142,32 @@ class CurationSpec extends SparkSpec {
     assert(sizes() === s1)
   }
 
+  test("Croston hand case: NULL state until first demand, separate size/interval EWMAs") {
+    import spark.implicits._
+    // demands 0,3,0,0,6,0: first demand (day 2, interval 2) seeds
+    // z=3000, p=2000; second (day 5, interval 3) moves them one α=1/4
+    // step: z = 3000+⌊3000/4⌋ = 3750, p = 2000+⌊1000/4⌋ = 2250; the
+    // pre-observation forecast is (1000·z) div p of the PRIOR state
+    val daily = Seq(0L, 3L, 0L, 0L, 6L, 0L).zipWithIndex.map { case (x, i) =>
+      ("a", Date.valueOf(f"2024-01-${i + 1}%02d"), x)
+    }.toDF("event_type", "day", "x")
+    val rows = CurationQueries.crostonReport(daily)
+      .orderBy("day").collect()
+    def zpf(i: Int) = (
+      Option(rows(i).getAs[java.lang.Long]("size_milli")).map(_.toLong),
+      Option(rows(i).getAs[java.lang.Long]("interval_milli")).map(_.toLong),
+      Option(rows(i).getAs[java.lang.Long]("forecast_milli")).map(_.toLong))
+    assert(zpf(0) === ((None, None, None)))
+    assert(zpf(1) === ((Some(3000L), Some(2000L), None)))
+    assert(zpf(2) === ((Some(3000L), Some(2000L), Some(1500L))))
+    assert(zpf(3) === ((Some(3000L), Some(2000L), Some(1500L))))
+    assert(zpf(4) === ((Some(3750L), Some(2250L), Some(1500L))))
+    // 3750000 div 2250 = 1666 (floor)
+    assert(zpf(5) === ((Some(3750L), Some(2250L), Some(1666L))))
+    assert(rows.map(_.getAs[Long]("demand")).toSeq
+      === Seq(0L, 3L, 0L, 0L, 6L, 0L))
+  }
+
   test("curation queries run on sf0.001 and return sane shapes") {
     for (q <- CurationQueries.all) {
       val df = q.fn(spark, sf)

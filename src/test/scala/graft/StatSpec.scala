@@ -148,6 +148,39 @@ class StatSpec extends SparkSpec {
     assert(sep.getAs[Long]("z_milli") === 1732L)
   }
 
+  test("Gehan-Breslow hand cases: mirrored curves z=0; weights shrink late days") {
+    import spark.implicits._
+    def report(rows: Seq[(Long, Long, Long)], gehan: Boolean) =
+      StatQueries.logRankReport(rows.toDF("grp", "ev", "dur"),
+        gehan = gehan).head()
+    // mirrored groups: every weighted O1 − E is exactly 0 too
+    val same = report(Seq(
+      (0L, 1L, 0L), (0L, 1L, 1L), (0L, 0L, 2L),
+      (1L, 1L, 0L), (1L, 1L, 1L), (1L, 0L, 2L)), gehan = true)
+    assert(same.getAs[Long]("ome_u6") === 0L)
+    assert(same.getAs[Long]("z_milli") === 0L)
+    // total-separation frame from the log-rank case: one event day at
+    // dur 0 with the FULL risk set, so w = n/N = 1 there and the
+    // weighted statistic equals the unweighted one exactly
+    val sep = report(Seq(
+      (1L, 1L, 0L), (1L, 1L, 0L), (0L, 0L, 2L), (0L, 0L, 2L)),
+      gehan = true)
+    assert(sep.getAs[Long]("ome_u6") === 1000000L)
+    assert(sep.getAs[Long]("var_u6") === 333333L)
+    // the weight's signature: two identical O−E = +1/2 days, one at
+    // the full risk set (w = 6/6) and one after a third of it is gone
+    // (w = 4/6) — unweighted both count 1/2, Gehan shrinks the late
+    // one to 1/3
+    val late = Seq(
+      (1L, 1L, 0L), (0L, 0L, 0L),              // day 0: n=6,n1=3,d=1
+      (1L, 1L, 2L), (0L, 0L, 2L),              // day 2: n=4,n1=2,d=1
+      (1L, 0L, 3L), (0L, 0L, 3L))
+    val lr = report(late, gehan = false)
+    val gb = report(late, gehan = true)
+    assert(lr.getAs[Long]("ome_u6") === 1000000L)
+    assert(gb.getAs[Long]("ome_u6") === 833333L)
+  }
+
   test("Welch hand case: unequal variances and Satterthwaite df") {
     // A = (1,2,3): m=2, v=1. B = (10,12,14,16): m=13, v=20/3.
     // se2 = 1/3 + 5/3 = 2 -> t = -11/sqrt(2) = -7.77817
