@@ -611,6 +611,63 @@ object Stress {
     bfsStage(5000L, 8, 4L, 1L); bfsStage(80000L, 8, 4L, 1L)
     // series (c): graph size grows, frontier AND hops pinned
     bfsStage(20000L, 8, 4L, 4L); bfsStage(20000L, 8, 4L, 16L)
+    // ---- PageRank iteration curve (r14, rides the BFS finding) ----
+    // integerPageRank got the same cache-partitioned edge pin as the
+    // BFS fix (Centrality.scala); this curve measures ITS OWN claim:
+    // per-iteration SHUFFLE rides NODE grain (the inflow partial-
+    // aggregates to dst before its exchange and the rank table is
+    // node-grain), while the edge table — scanned in full every
+    // iteration, that IS the algorithm — contributes no per-iteration
+    // exchange after the one-time pin. Synthetic graph, pure codegen:
+    // N nodes, N·deg edges with xxhash64-spread endpoints (skew-free
+    // by construction — hub behavior is q261/q266's concern; this
+    // isolates the iteration machinery).
+    //   (a) iters 4 → 8 at fixed (200k, deg 4): marginal sec/iter
+    //       flat, shuffle linear in iters at NODE grain;
+    //   (b) deg 4 → 16 → 64 at fixed 200k nodes, 4 iters: total
+    //       edges grow 16× — per-iteration shuffle must stay ~flat
+    //       (node-grain), wall grows only with the cached scan.
+    // Each point also runs iters=2 on the same graph (label <name>_i2)
+    // so sec_per_iter = (sec − sec_i2)/(iters − 2) excludes the pin.
+    // FALLBACK if (b) bends in shuffle: the inflow's partial agg is
+    // not combining (check spark.sql.aggregate partial-merge in the
+    // plan) — force a two-level combine by salting dst.
+    def prStage(nNodes: Long, deg: Long, iters: Int): Unit = {
+      val name = s"pagerank_n${nNodes / 1000}k_d${deg}_i$iters"
+      if (only.forall(_.contains(name))) {
+        val edges = spark.range(nNodes * deg).select(
+          pmod(xxhash64(col("id")), lit(nNodes)).as("src"),
+          pmod(xxhash64(col("id") + 1234567L), lit(nNodes)).as("dst"))
+        def run(label: String, it: Int): Double = {
+          listener.label = label
+          val t0 = System.nanoTime()
+          graft.operators.Centrality.integerPageRank(edges, iters = it)
+            .agg(sum(col("pr")).as("s"))
+            .write.mode("overwrite").format("noop").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          GraftSession.releaseCaches(spark)
+          sec
+        }
+        val sec2 = run(s"${name}_i2", 2)
+        val sec = run(name, iters)
+        val m = listener.totals(name)
+        println(f"""{"stage":"$name","sec":$sec%.2f,"sec_i2":$sec2%.2f,""" +
+          f""""sec_per_iter":${(sec - sec2) / (iters - 2)}%.3f,""" +
+          s""""nodes":$nNodes,"deg":$deg,"iters":$iters,""" +
+          s""""edges":${nNodes * deg},""" +
+          s""""shuffle_read_b":${m.shufRead},"shuffle_write_b":${m.shufWrite},""" +
+          s""""spill_mem_b":${m.spillMem},"spill_disk_b":${m.spillDisk},""" +
+          s""""tasks":${m.tasks}}""")
+      }
+    }
+    // series (a): iterations grow, graph pinned
+    prStage(200000L, 4L, 4); prStage(200000L, 4L, 8)
+    // series (b): edge volume grows 16×, nodes and iterations pinned
+    prStage(200000L, 16L, 4); prStage(200000L, 64L, 4)
+    // the node-grain proof point: (i8 − i4) shuffle at d64 vs at d4
+    // reads the PER-ITERATION exchange with the one-time pin
+    // subtracted out on both sides
+    prStage(200000L, 64L, 8)
     // ---- media codec curve (r10): the ImageIO class, measured ----
     // Encode / decode / perceptual-hash are pure per-row codec work on
     // mapPartitions — ZERO shuffle of media bytes by construction, so
