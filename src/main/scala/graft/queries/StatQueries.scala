@@ -2660,6 +2660,301 @@ object StatQueries {
           .cast(LongType).as("z_milli"))
   }
 
+  /** q330: KUIPER TWO-SAMPLE STATISTIC, weekend vs weekday event
+    * values — V = D⁺ + D⁻ on the same pooled distinct-value grid as
+    * q324's CvM: q226's KS reads the single largest |gap| and goes
+    * blind when the two CDFs cross (a shift-up early and shift-down
+    * late cancel to two half-sized gaps); Kuiper adds the largest
+    * gap in EACH direction, the classic crossing-sensitive variant.
+    *
+    * Exactness: the directional gaps clear to integers — D⁺ scales
+    * to max_z(m·CA − n·CB) and D⁻ to max_z(n·CB − m·CA), exact
+    * DECIMAL(38,0)/HUGEINT products at grid grain (max is
+    * order-immune, nothing to quantize), and v_u6 is one nonneg
+    * floor of 10⁶(D⁺ + D⁻)/(nm). Same RunningSum cumulatives as
+    * q324 — the grid builds once per engine, no new machinery. */
+  val kuiperTest: Q = Q(
+    "q330_kuiper_test",
+    """WITH f AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+      |             CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS g
+      |           FROM events),
+      |h AS (SELECT x, CAST(sum(g) AS BIGINT) AS a,
+      |             CAST(sum(1 - g) AS BIGINT) AS b
+      |      FROM f GROUP BY 1),
+      |cum AS (SELECT x,
+      |          CAST(sum(a) OVER (ORDER BY x) AS BIGINT) AS ca,
+      |          CAST(sum(b) OVER (ORDER BY x) AS BIGINT) AS cb
+      |        FROM h),
+      |tot AS (SELECT CAST(sum(a) AS BIGINT) AS n,
+      |               CAST(sum(b) AS BIGINT) AS m FROM h),
+      |d AS (SELECT greatest(max(CAST(tot.m AS HUGEINT) * ca
+      |                          - CAST(tot.n AS HUGEINT) * cb), 0) AS dp,
+      |             greatest(max(CAST(tot.n AS HUGEINT) * cb
+      |                          - CAST(tot.m AS HUGEINT) * ca), 0) AS dm
+      |      FROM cum CROSS JOIN tot)
+      |SELECT tot.n AS n_a, tot.m AS n_b,
+      |       CAST((1000000 * (d.dp + d.dm))
+      |            // (CAST(tot.n AS HUGEINT) * tot.m) AS BIGINT) AS v_u6
+      |FROM d CROSS JOIN tot""".stripMargin
+  ) { (s, dir) =>
+    val f = t(s, dir, "events")
+      .select(round(col("value") * 100).cast(LongType).as("x"),
+        when((dayofweek(col("ts")) - 1).isin(0, 6), 1L).otherwise(0L)
+          .as("g"))
+    val h = f.groupBy("x")
+      .agg(sum(col("g")).as("a"), sum(lit(1L) - col("g")).as("b"))
+      .localCheckpoint(true) // value grid; cumulatives + totals
+    val cum = graft.operators.Ranks.globalRunningSum(
+      graft.operators.Ranks.globalRunningSum(
+        h, Seq(col("x")), col("a"), "ca"),
+      Seq(col("x")), col("b"), "cb")
+    val tot = h.agg(sum(col("a")).as("n"), sum(col("b")).as("m"))
+    val d = cum.crossJoin(broadcast(tot))
+      .agg(
+        greatest(max(expr(s"CAST(m AS $d38) * ca - CAST(n AS $d38) * cb")),
+          lit(0).cast(d38)).as("dp"),
+        greatest(max(expr(s"CAST(n AS $d38) * cb - CAST(m AS $d38) * ca")),
+          lit(0).cast(d38)).as("dm"))
+    d.crossJoin(broadcast(tot))
+      .select(col("n").as("n_a"), col("m").as("n_b"),
+        expr(s"CAST((1000000 * (dp + dm)) div (CAST(n AS $d38) * m)" +
+          " AS BIGINT)").as("v_u6"))
+  }
+
+  /** q331: TURNING-POINT TEST of the daily count series per event
+    * type — the local-extremum randomness check that complements
+    * q298's runs test: runs counts sign streaks around the median
+    * (level-sensitive); turning points count STRICT local peaks and
+    * troughs, which an i.i.d. series produces at a known exact rate
+    * E[T] = 2(n−2)/3 regardless of distribution — autocorrelation
+    * shows as too few, oscillation as too many. Strict inequalities
+    * only (a tie with a neighbor is not an extremum — stated so the
+    * count is reproducible); E and Var[T] = (16n−29)/90 are exact
+    * rationals cleared to one final rounded double (signed numerator,
+    * the q302 rule). One keyed lag/lead window over the
+    * calendar-bounded daily series — the q196 grain. */
+  val turningPoints: Q = Q(
+    "q331_turning_points",
+    """WITH dc AS (SELECT event_type,
+      |                   CAST(date_trunc('day', ts) AS DATE) AS day,
+      |                   CAST(count(*) AS BIGINT) AS x
+      |            FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, x,
+      |        lag(x) OVER (PARTITION BY event_type ORDER BY day) AS xp,
+      |        lead(x) OVER (PARTITION BY event_type ORDER BY day) AS xn
+      |      FROM dc),
+      |a AS (SELECT event_type, CAST(count(*) AS BIGINT) + 2 AS n,
+      |        CAST(sum(CASE WHEN (x > xp AND x > xn)
+      |                        OR (x < xp AND x < xn) THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS tp
+      |      FROM w WHERE xp IS NOT NULL AND xn IS NOT NULL
+      |      GROUP BY 1)
+      |SELECT event_type, n AS n_days, tp AS turning_points,
+      |       CAST(round((tp - 2.0 * (n - 2) / 3)
+      |            / sqrt((16.0 * n - 29) / 90) * 1000) AS BIGINT)
+      |         AS z_milli
+      |FROM a""".stripMargin
+  ) { (s, dir) =>
+    val dc = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val a = dc.select(col("event_type"), col("x"),
+        lag(col("x"), 1).over(w).as("xp"), lead(col("x"), 1).over(w).as("xn"))
+      .filter(col("xp").isNotNull && col("xn").isNotNull)
+      .groupBy("event_type")
+      .agg((count(lit(1)) + 2).as("n"),
+        sum(when((col("x") > col("xp") && col("x") > col("xn"))
+          || (col("x") < col("xp") && col("x") < col("xn")), 1L)
+          .otherwise(0L)).as("tp"))
+    a.select(col("event_type"), col("n").as("n_days"),
+      col("tp").as("turning_points"),
+      round((col("tp") - lit(2.0) * (col("n") - 2) / 3)
+        / sqrt((lit(16.0) * col("n") - 29) / 90) * 1000)
+        .cast(LongType).as("z_milli"))
+  }
+
+  /** q332: ANSARI-BRADLEY SCALE TEST, weekend vs weekday event
+    * values — the RANK-based dispersion test beside q311's
+    * Brown-Forsythe: BF needs group medians and absolute deviations
+    * (moment-ish); AB ranks the pooled sample from BOTH ENDS toward
+    * the middle (score = min(rank, N+1−rank)), so a group whose
+    * values crowd the extremes scores LOW and a tight group scores
+    * HIGH — pure ordinal evidence of unequal spread, immune to any
+    * monotone transform of value.
+    *
+    * Exactness: everything at the pooled distinct-value grid.
+    * Doubled midranks come straight off the cumulative counts
+    * (u2 = 2·cc − w + 1), doubled scores s2 = min(u2, 2(N+1) − u2),
+    * the statistic T2 = Σ a_z·s2_z and the tie-conditional moment
+    * sums S1 = Σ w·s2, S2 = Σ w·s2² are exact
+    * DECIMAL(38,0)/HUGEINT; z = (T2 − n·S1/N)/√(nm(N·S2 − S1²)/
+    * (N²(N−1))) is ONE final rounded double from those identical
+    * exact sums (signed numerator, the q302 rule). Same RunningSum
+    * grid as q324/q330 — no new machinery, plan-asserted family. */
+  val ansariBradley: Q = Q(
+    "q332_ansari_bradley",
+    """WITH f AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+      |             CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS g
+      |           FROM events),
+      |h AS (SELECT x, CAST(sum(g) AS BIGINT) AS a,
+      |             CAST(sum(1 - g) AS BIGINT) AS b
+      |      FROM f GROUP BY 1),
+      |cum AS (SELECT x, a, a + b AS w,
+      |          CAST(sum(a + b) OVER (ORDER BY x) AS BIGINT) AS cc
+      |        FROM h),
+      |tot AS (SELECT CAST(sum(a) AS BIGINT) AS n,
+      |               CAST(sum(b) AS BIGINT) AS m,
+      |               CAST(sum(a) + sum(b) AS BIGINT) AS nn FROM h),
+      |sc AS (SELECT c.a, c.w,
+      |         least(2 * c.cc - c.w + 1,
+      |               2 * (tot.nn + 1) - (2 * c.cc - c.w + 1)) AS s2
+      |       FROM cum c CROSS JOIN tot),
+      |agg AS (SELECT CAST(sum(CAST(a AS HUGEINT) * s2) AS HUGEINT) AS t2,
+      |          CAST(sum(CAST(w AS HUGEINT) * s2) AS HUGEINT) AS s1,
+      |          CAST(sum(CAST(w AS HUGEINT) * s2 * s2) AS HUGEINT) AS ss2
+      |        FROM sc)
+      |SELECT tot.n AS n_a, tot.m AS n_b, CAST(agg.t2 AS BIGINT) AS t_doubled,
+      |       CAST(CASE WHEN tot.nn < 2
+      |              OR CAST(tot.nn AS HUGEINT) * agg.ss2 - agg.s1 * agg.s1 <= 0
+      |            THEN NULL
+      |            ELSE round((CAST(agg.t2 AS DOUBLE)
+      |                        - CAST(tot.n AS DOUBLE) * agg.s1 / tot.nn)
+      |              / sqrt(CAST(tot.n AS DOUBLE) * tot.m
+      |                     * CAST(CAST(tot.nn AS HUGEINT) * agg.ss2
+      |                            - agg.s1 * agg.s1 AS DOUBLE)
+      |                     / (CAST(tot.nn AS DOUBLE) * tot.nn * (tot.nn - 1)))
+      |              * 1000) END AS BIGINT) AS z_milli
+      |FROM agg CROSS JOIN tot""".stripMargin
+  ) { (s, dir) =>
+    val f = t(s, dir, "events")
+      .select(round(col("value") * 100).cast(LongType).as("x"),
+        when((dayofweek(col("ts")) - 1).isin(0, 6), 1L).otherwise(0L)
+          .as("g"))
+    val h = f.groupBy("x")
+      .agg(sum(col("g")).as("a"), sum(lit(1L) - col("g")).as("b"))
+      .localCheckpoint(true) // value grid; cumulative + totals
+    val cum = graft.operators.Ranks.globalRunningSum(
+      h.select(col("x"), col("a"), (col("a") + col("b")).as("w")),
+      Seq(col("x")), col("w"), "cc")
+    val tot = h.agg(sum(col("a")).as("n"), sum(col("b")).as("m"),
+      (sum(col("a")) + sum(col("b"))).as("nn"))
+    val sc = cum.crossJoin(broadcast(tot))
+      .select(col("a"), col("w"),
+        least(lit(2) * col("cc") - col("w") + 1,
+          lit(2) * (col("nn") + 1) - (lit(2) * col("cc") - col("w") + 1))
+          .as("s2"))
+    val agg = sc.agg(
+      sum(expr(s"CAST(a AS $d38) * s2")).as("t2"),
+      sum(expr(s"CAST(w AS $d38) * s2")).as("s1"),
+      sum(expr(s"CAST(w AS $d38) * s2 * s2")).as("ss2"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("n").as("n_a"), col("m").as("n_b"),
+        col("t2").cast(LongType).as("t_doubled"),
+        expr(s"CAST(CASE WHEN nn < 2" +
+          s" OR CAST(nn AS $d38) * ss2 - s1 * s1 <= 0 THEN NULL" +
+          " ELSE round((CAST(t2 AS DOUBLE)" +
+          " - CAST(n AS DOUBLE) * s1 / nn)" +
+          " / sqrt(CAST(n AS DOUBLE) * m" +
+          s" * CAST(CAST(nn AS $d38) * ss2 - s1 * s1 AS DOUBLE)" +
+          " / (CAST(nn AS DOUBLE) * nn * (nn - 1)))" +
+          " * 1000) END AS BIGINT)").as("z_milli"))
+  }
+
+  /** q333: QUADE TEST — q307's Friedman with blocks WEIGHTED by their
+    * observed spread: Friedman gives every day one vote on the
+    * revenue ranking of event types; Quade ranks the days by their
+    * within-day RANGE and weights each day's centered ranks by that
+    * range-rank, so high-swing days (where the ordering is actually
+    * informative) dominate and near-flat days fade — the standard
+    * higher-power alternative at small k.
+    *
+    * Exactness: doubled midranks within blocks (u2, centered at the
+    * exact integer k+1), block-range ranks via the SAME
+    * distinct-value machinery as the group tests — a (range-value)
+    * histogram + RunningSum cumulative gives q2 = 2·cc − w + 1, NO
+    * global window on the Spark side — then S = q2·(u2 − (k+1))
+    * exact signed integers, A = ΣS², Bm = Σ_j(Σ_i S)², and
+    * F = (m−1)·Bm/(m·A − Bm) one nonneg milli floor (denominator ≥ 0
+    * by Cauchy-Schwarz, 0 → NULL). Calendar-bounded grid grain end
+    * to end. */
+  val quadeTest: Q = Q(
+    "q333_quade_test",
+    """WITH dc AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |                   event_type,
+      |                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+      |                     AS BIGINT) AS x
+      |            FROM events GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT day FROM dc),
+      |types AS (SELECT DISTINCT event_type FROM dc),
+      |grid AS (SELECT d.day, t.event_type, COALESCE(dc.x, 0) AS x
+      |         FROM days d CROSS JOIN types t
+      |         LEFT JOIN dc ON dc.day = d.day AND dc.event_type = t.event_type),
+      |r AS (SELECT day, event_type,
+      |        2 * rank() OVER (PARTITION BY day ORDER BY x)
+      |          + count(*) OVER (PARTITION BY day, x) - 1 AS u2
+      |      FROM grid),
+      |rg AS (SELECT day, max(x) - min(x) AS d FROM grid GROUP BY 1),
+      |hd AS (SELECT d, CAST(count(*) AS BIGINT) AS w FROM rg GROUP BY 1),
+      |cd AS (SELECT d, w, CAST(sum(w) OVER (ORDER BY d) AS BIGINT) AS cc
+      |       FROM hd),
+      |q AS (SELECT rg.day, 2 * cd.cc - cd.w + 1 AS q2
+      |      FROM rg JOIN cd ON cd.d = rg.d),
+      |m AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM days) AS n,
+      |             (SELECT CAST(count(*) AS BIGINT) FROM types) AS k),
+      |sv AS (SELECT r.event_type,
+      |         CAST(q.q2 AS HUGEINT) * (r.u2 - (m.k + 1)) AS sij
+      |       FROM r JOIN q ON q.day = r.day CROSS JOIN m),
+      |ag AS (SELECT (SELECT sum(sij * sij) FROM sv) AS a,
+      |          (SELECT sum(CAST(sj AS HUGEINT) * sj) FROM
+      |             (SELECT event_type, CAST(sum(sij) AS HUGEINT) AS sj
+      |              FROM sv GROUP BY 1)) AS bm,
+      |          m.n, m.k
+      |        FROM m)
+      |SELECT n AS n_blocks, k AS k_items,
+      |       CAST(CASE WHEN CAST(n AS HUGEINT) * a - bm <= 0 THEN NULL
+      |            ELSE (1000 * (n - 1) * bm)
+      |                 // (CAST(n AS HUGEINT) * a - bm) END
+      |         AS BIGINT) AS f_milli
+      |FROM ag""".stripMargin
+  ) { (s, dir) =>
+    val dc = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(sum(round(col("value") * 100).cast(LongType)).as("x"))
+      .localCheckpoint(true) // calendar-bounded (days × types)
+    val days = dc.select("day").distinct()
+    val types = dc.select("event_type").distinct()
+    val grid = days.crossJoin(broadcast(types))
+      .join(dc, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint(true) // ranks + ranges
+    val u2 = (lit(2) * rank().over(Window.partitionBy("day").orderBy("x"))
+      + count(lit(1)).over(Window.partitionBy("day", "x")) - 1)
+      .cast(LongType)
+    val r = grid.select(col("day"), col("event_type"), u2.as("u2"))
+    val rg = grid.groupBy("day").agg((max(col("x")) - min(col("x"))).as("d"))
+    val hd = rg.groupBy("d").agg(count(lit(1)).as("w"))
+    val cd = graft.operators.Ranks.globalRunningSum(
+      hd, Seq(col("d")), col("w"), "cc")
+    val q = rg.join(cd, Seq("d"))
+      .select(col("day"), (lit(2) * col("cc") - col("w") + 1).as("q2"))
+    val nk = days.agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(types.agg(count(lit(1)).as("k"))))
+    val sv = r.join(q, Seq("day")).crossJoin(broadcast(nk))
+      .select(col("event_type"),
+        expr(s"CAST(q2 AS $d38) * (u2 - (k + 1))").as("sij"))
+      .localCheckpoint(true) // grid-sized; two moment consumers
+    val a = sv.agg(sum(col("sij") * col("sij")).as("a"))
+    val bm = sv.groupBy("event_type").agg(sum(col("sij")).as("sj"))
+      .agg(sum(col("sj") * col("sj")).as("bm"))
+    nk.crossJoin(broadcast(a)).crossJoin(broadcast(bm))
+      .select(col("n").as("n_blocks"), col("k").as("k_items"),
+        expr(s"CAST(CASE WHEN CAST(n AS $d38) * a - bm <= 0 THEN NULL" +
+          s" ELSE (1000 * (n - 1) * bm) div (CAST(n AS $d38) * a - bm) END" +
+          " AS BIGINT)").as("f_milli"))
+  }
+
   /** q326: MOOD'S MEDIAN TEST across event types — do the k types
     * differ in MEDIAN event value? The robust k-sample location test
     * that, unlike q293's Kruskal-Wallis, only asks about the median
@@ -3168,5 +3463,6 @@ object StatQueries {
     mantelHaenszel, friedman, jonckheere, wilcoxonSignedRank,
     durbinWatson, brownForsythe, rmst, kendallW, cochranQ,
     bowkerSymmetry, gehanBreslow, ljungBox, cramerVonMises, moodMedian,
-    weightedKappa, pageTrend, woolfHomogeneity)
+    weightedKappa, pageTrend, woolfHomogeneity, kuiperTest, turningPoints,
+    ansariBradley, quadeTest)
 }

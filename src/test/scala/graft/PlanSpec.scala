@@ -1229,20 +1229,23 @@ class PlanSpec extends SparkSpec {
     // kappa quintile thresholds all route their global cumulative
     // through the operator — a regression to a global window here is
     // the single-partition funnel the ban test exists for
-    Seq("q324_cramer_von_mises", "q326_mood_median").foreach { n =>
+    Seq("q324_cramer_von_mises", "q326_mood_median", "q330_kuiper_test",
+        "q332_ansari_bradley").foreach { n =>
       val p = plan(n)
       assert("(?m)^\\(\\d+\\) RunningSum\\b".r.findFirstIn(p).isDefined,
         s"$n lost the native running-sum operator: " + p.take(1200))
       assert(!p.contains("CartesianProduct"),
         s"$n grew a cartesian product")
     }
-    // q327's RunningSum runs INSIDE the eager 25-row oij pin (the
-    // margins/moments read the pinned grid, so the final lazy plan
-    // starts at the LogicalRDD); it shares the exact quantile
-    // machinery asserted above, so here only the no-cartesian
-    // invariant is checkable on the final plan
-    assert(!plan("q327_weighted_kappa").contains("CartesianProduct"),
-      "q327 grew a cartesian product")
+    // q327's and q333's RunningSums run INSIDE eager pins (the 25-row
+    // oij grid / the grid-sized sv moment frame), so their final lazy
+    // plans start at a LogicalRDD; both share the exact machinery
+    // asserted above, so here only the no-cartesian invariant is
+    // checkable on the final plan
+    Seq("q327_weighted_kappa", "q333_quade_test").foreach { n =>
+      assert(!plan(n).contains("CartesianProduct"),
+        s"$n grew a cartesian product")
+    }
   }
 
   test("q325: the Croston fold plans with no window at all") {
