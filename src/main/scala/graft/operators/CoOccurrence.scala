@@ -99,10 +99,17 @@ object CoOccurrence {
     * integer division over [[pairs]]' output, no new pass over the
     * interactions. */
   def rules(pairsDf: DataFrame, minConfPpm: Long = 0L): DataFrame = {
-    val fwd = pairsDf.select(col("item_a").as("antecedent"),
+    // deliberately NOT pinned: both union branches reference the pair
+    // table, but within ONE plan AQE reuses the identical shuffle
+    // stages at runtime, so the upstream pair build executes once
+    // anyway — an r14 optimization A/B measured an eager pin here as a
+    // 1.3× LOSS (materialization cost + lost runtime stats). Pins pay
+    // only across separate ACTIONS (iterative loops, eager counts).
+    val pairsP = pairsDf
+    val fwd = pairsP.select(col("item_a").as("antecedent"),
       col("item_b").as("consequent"), col("n_shared"),
       col("n_a").as("n_ant"), col("lift_ppm"))
-    val bwd = pairsDf.select(col("item_b").as("antecedent"),
+    val bwd = pairsP.select(col("item_b").as("antecedent"),
       col("item_a").as("consequent"), col("n_shared"),
       col("n_b").as("n_ant"), col("lift_ppm"))
     fwd.unionByName(bwd)
@@ -115,10 +122,13 @@ object CoOccurrence {
     * Symmetrizes [[pairs]] output and ranks on the bounded heap
     * aggregate: k rows per item per task cross the shuffle. */
   def topNeighbors(pairsDf: DataFrame, k: Int): DataFrame = {
-    val sym = pairsDf
+    // not pinned — same single-plan AQE stage-reuse reasoning as
+    // [[rules]] (measured)
+    val pairsP = pairsDf
+    val sym = pairsP
       .select(col("item_a").as("item"), col("item_b").as("partner"),
         col("n_shared"))
-      .unionByName(pairsDf.select(col("item_b").as("item"),
+      .unionByName(pairsP.select(col("item_b").as("item"),
         col("item_a").as("partner"), col("n_shared")))
     Sampling.quotaPerGroup(sym, Seq("item"),
       col("n_shared").cast("double"), col("partner"), k)

@@ -360,6 +360,23 @@ object Dedup {
     * cheap native pass, so recomputing beats cache materialization +
     * eviction variance (measured in r1; at cluster scale persist a
     * shingle table instead). */
+  /** Join-strategy choice for the shared-shingle SELF-JOIN: a
+    * shuffle_hash hint on the build side skips both sides' sorts —
+    * measured 1.2-1.6× on every one-shot jaccardPairs rider
+    * (q133/q134/q135/q92/q84 in the r14 optimization A/B; the same
+    * rewrite applied GLOBALLY regressed iterative classes, so it is a
+    * targeted hint, not a session config). 100 TB posture: the build
+    * side is one hash partition of the digest-thin (8-byte hash +
+    * 8-byte id) survivor table — per-key fanout is df-capped (maxDf),
+    * so no single key can blow a partition, and partition count scales
+    * with the cluster's shuffle parallelism; deployments that would
+    * rather trade the sorts back for sort-merge's graceful spill set
+    * SPARK_GRAFT_JACCARD_SHJ=0. */
+  private def shjHint(df: DataFrame): DataFrame =
+    if (sys.env.getOrElse("SPARK_GRAFT_JACCARD_SHJ", "1") != "0")
+      df.hint("shuffle_hash")
+    else df
+
   def jaccardPairs(shingled: DataFrame, threshold: Double,
       maxDf: Int = 0): DataFrame = {
     // Uncapped, the per-doc set size comes straight off the array
@@ -381,7 +398,7 @@ object Dedup {
         .localCheckpoint(true)
       val sizes = surv.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = surv.as("a")
-        .join(surv.as("b"),
+        .join(shjHint(surv.as("b")),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("inter"))
@@ -400,7 +417,7 @@ object Dedup {
       val sized = shingled.select(col("doc_id"),
         size(col("shs")).cast("long").as("n"), explode(col("shs")).as("h"))
       sized.as("a")
-        .join(sized.as("b"),
+        .join(shjHint(sized.as("b")),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.n").as("na"), col("b.n").as("nb"))
@@ -787,8 +804,14 @@ object Dedup {
     // BFS Stress curve measured the full-table re-exchange that causes
     // past the broadcast threshold (Paths.boundedDistances, same fix).
     // Released before return: labels is eagerly checkpointed per round.
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // pin the pair frame first: the symmetric union scans it twice,
+    // and plan-duplicated subtrees get no exchange reuse across a
+    // union — unpinned, the whole upstream candidate-pair pipeline
+    // (e.g. q92's shared-shingle self-join) executed twice inside the
+    // single edge materialization job (r14 optimization, measured)
+    val pairsP = pairs.select("doc_a", "doc_b").localCheckpoint(true)
+    val edges = pairsP.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairsP.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .repartition(col("src")).sortWithinPartitions("src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // initialization fuses the first propagation round: label(v) =

@@ -1534,12 +1534,18 @@ object ExtensionQueries {
         element_at(E.shingleHashes(array(col("w")), 1, ordered = false,
           poly = true), 1).as("tid"))
       .localCheckpoint(true)
+    // pin e0 (the corpus-scale bigram⋈dict⋈dict distinct): the
+    // symmetric union scans it twice; pin edges too — integerPageRank
+    // scans its input twice (weighted-edge build + node set), which
+    // would re-run the union+distinct (r14 optimization: q266 profile)
     val e0 = bg
       .join(dict.select(col("w").as("w1"), col("tid").as("src")), Seq("w1"))
       .join(dict.select(col("w").as("w2"), col("tid").as("dst")), Seq("w2"))
       .select("src", "dst").distinct()
+      .localCheckpoint(true)
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .localCheckpoint(true)
     graft.operators.Centrality.integerPageRank(edges, iters = 3)
       .join(dict.select(col("tid").as("id"), col("w").as("term")), Seq("id"))
       .select(col("term"), col("pr").cast("long").as("pr"))

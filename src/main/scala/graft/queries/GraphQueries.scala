@@ -31,10 +31,16 @@ object GraphQueries {
     * the oracle picks the identical seed set. */
   private def edgesAndSeeds(s: SparkSession, dir: String,
       k: Int): (DataFrame, DataFrame) = {
+    // pin the pair table: it is scanned by BOTH union branches of the
+    // symmetric edge list, and the edge list is in turn scanned by the
+    // seed rollup AND re-materialized by boundedDistances' edge pin —
+    // unpinned, the basket self-join re-executed 4× (r14 optimization:
+    // q214 profile)
     val pairs = CoOccurrence.pairCounts(
       t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
       "l_orderkey", "l_partkey", minShared = 2)
       .select(col("item_a"), col("item_b"))
+      .localCheckpoint(true)
     val edges = pairs.select(col("item_a").as("src"), col("item_b").as("dst"))
       .unionByName(pairs.select(col("item_b").as("src"), col("item_a").as("dst")))
     val seeds = edges.groupBy(col("src").as("id"))
@@ -158,6 +164,10 @@ object GraphQueries {
       |    AS BIGINT) AS assortativity_milli
       |FROM m""".stripMargin
   ) { (s, dir) =>
+    // deliberately NOT pinned despite the 41-Exchange before-plan: the
+    // duplicated pair-build subtrees are deduped by AQE's runtime
+    // stage reuse within this single plan, and an eager pin here
+    // measured 1.28× SLOWER (r14 optimization A/B)
     val p = graft.operators.CoOccurrence.pairs(
       t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
       "l_orderkey", "l_partkey", minShared = 2)

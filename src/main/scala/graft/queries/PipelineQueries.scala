@@ -423,10 +423,17 @@ object PipelineQueries {
     * eagerly-built RDD and hides this subtree). */
   private[graft] def corpusV2Train(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Dedup, LangModel}
+    // pin the dedup survivors: the LM leg scans them four times
+    // internally (bigram counts, history counts, vocab, score rejoin)
+    // and the quality join scans them again — unpinned, the whole
+    // chunk-dedup subtree re-executed per scan (r14 optimization,
+    // measured ~2x on q74). Doc-grain rows only; the token-grain
+    // explodes stay unpinned (the scale-safe side of the trade).
     val kept = Dedup.chunkDedup(t(s, dir, "documents"), "text", "doc_id")
       .filter(col("kept_chunks") * 2 >= col("total_chunks") &&
         length(col("dedup_text")) > 0)
       .withColumn("n_tok", size(T.words(col("dedup_text"))).cast(LongType))
+      .localCheckpoint(true)
     val qualityIds = LangModel
       .bigramNll(kept.select(col("doc_id"), col("dedup_text").as("text")))
       .filter(col("avg_nll") <= 3.45)

@@ -141,11 +141,17 @@ object VersioningQueries {
       |       id // 2 AS key, CAST(pr AS BIGINT) AS pr
       |FROM p3""".stripMargin
   ) { (s, dir) =>
+    // pin the distinct customer–part pairs: the symmetric union scans
+    // them twice, and integerPageRank scans the edge frame twice more
+    // (weighted-edge build + node set) — unpinned, the orders⋈lineitem
+    // distinct re-executed 4× before the first iteration (r14
+    // optimization: q124 profile)
     val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
       .join(t(s, dir, "lineitem").select("l_orderkey", "l_partkey"),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_partkey") * 2 + 1).as("p"))
       .distinct()
+      .localCheckpoint(true)
     val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
       .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
     Centrality.integerPageRank(edges, iters = 3)
