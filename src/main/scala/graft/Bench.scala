@@ -93,7 +93,14 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** The control query: small, stable, plan-audited since r5 — its two
-    * readings bracket the run and calibrate every other number. */
+    * readings bracket the run and calibrate every other number.
+    * DATUM SHIFT (r14 optimization round): q27 rides the shared-shingle
+    * self-join that gained the shuffle_hash hint, so its quiet-box
+    * datum moved from ~1.9 s to ~1.0-1.3 s at sf0.1. Control readings
+    * are only ever compared WITHIN a record (first/last/heartbeats) or
+    * against a same-tree datum, so historical records stay
+    * interpretable — but do not compare r14+ control centiseconds to
+    * pre-optimization rounds without this note. */
   val ControlQuery = "q27_ngram_jaccard"
 
   /** A query is re-run after the closing control when its median

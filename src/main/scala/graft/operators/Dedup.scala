@@ -626,12 +626,22 @@ object Dedup {
     * back into the two full array shuffles. At ordinary near-dup
     * rates (≲10%) the restriction removes the stage's dominant
     * exchanges. */
-  private def candidateArrays(docs: DataFrame, candIds: DataFrame): DataFrame =
-    docs.join(
+  private def candidateArrays(docs: DataFrame, candIds: DataFrame): DataFrame = {
+    val semi = docs.join(
       candIds.select(col("doc_a").as("doc_id"))
         .unionByName(candIds.select(col("doc_b").as("doc_id")))
         .distinct(),
       Seq("doc_id"), "left_semi")
+    // Deliberately NOT repartitioned (r14 optimization, measured both
+    // ways): the verify stage's array intersects run at row-group
+    // parallelism here (3 tasks at sf0.1), but adding a spread
+    // exchange measured WORSE on every rider — q168 3.0→3.8, q28
+    // 1.05→1.35 — because the exchange's materialization and the lost
+    // broadcast-probe locality cost more than the extra width buys at
+    // candidate-table sizes. At cluster scale the array table arrives
+    // already wide from its own upstream exchanges.
+    semi
+  }
 
   /** Winnowing document sketch (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
     * the standard rolling-hash fingerprint): position-ordered shingle
@@ -810,6 +820,28 @@ object Dedup {
     // (e.g. q92's shared-shingle self-join) executed twice inside the
     // single edge materialization job (r14 optimization, measured)
     val pairsP = pairs.select("doc_a", "doc_b").localCheckpoint(true)
+    // SIZE-DERIVED loop width (guide §2: derive partitioning from the
+    // input, never a constant): every frame the propagation loop
+    // touches — edges, labels, per-round join/aggregate outputs — is
+    // pair/vertex-grain, and with the session's shuffle.partitions
+    // (one per core) each round materialized 3 near-empty union legs
+    // of 32 partitions apiece: 96 map tasks for 61 KB of output,
+    // ~7 s of pure task scheduling per q77 run (measured). The pinned
+    // pair count is already on hand, so the loop plans at
+    // ceil(edge_bytes / 64 MB) partitions, capped at the session
+    // width: 1 at test scale, growing with the graph — a billion-edge
+    // corpus component graph still gets the session's full width.
+    // Conf flip is loop-scoped and restored in finally; everything it
+    // covers (init aggregate through the last round) is label-grain
+    // by construction.
+    val sess = pairsP.sparkSession
+    val nPairs = pairsP.count()
+    val spKey = "spark.sql.shuffle.partitions"
+    val spPrev = sess.conf.get(spKey)
+    val loopParts = math.max(1L, math.min(spPrev.toLong,
+      2L * nPairs * 48L / (64L << 20) + 1L)).toInt
+    sess.conf.set(spKey, loopParts.toString)
+    try {
     val edges = pairsP.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairsP.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .repartition(col("src")).sortWithinPartitions("src")
@@ -850,7 +882,15 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(false)
-    (labels.select(col("id").as("doc_id"), col("label").as("canonical_id")), iter)
+    // re-spread the result: consumers that join/elect over the label
+    // table (q143's winner election, q151's lineage joins) would
+    // otherwise inherit the loop's narrow width for their own map
+    // stages — measured 1.0-1.1 s regressions before this line. The
+    // exchange is label-grain and only planned when a consumer
+    // actually executes.
+    (labels.repartition(spPrev.toInt, col("id"))
+      .select(col("id").as("doc_id"), col("label").as("canonical_id")), iter)
+    } finally sess.conf.set(spKey, spPrev)
   }
 
   /** The full MinHash-LSH pipeline on the engine-portable polynomial

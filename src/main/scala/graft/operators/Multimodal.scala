@@ -199,9 +199,24 @@ object Multimodal {
     * read degrades to (-1, -1, ...) with an octet-stream mime instead
     * of failing the task — corrupt media is data, not an exception, at
     * 100 TB. */
+  /** Codec stages (decode / resize) are pure CPU per row with zero
+    * shuffle, so their parallelism is whatever the payload SCAN gives —
+    * parquet row-group grain, which at the test store is 13 tasks on a
+    * 32-core session (measured on q212: 3.2 s of codec CPU walled at
+    * 13-way). Spread UP to the session parallelism before the codec
+    * pass; never down — a cluster-scale payload table already scans
+    * wide and must not be capped here. The one-off payload shuffle is
+    * bytes that move once and buy full-width codec compute. */
+  private def spread(payloads: DataFrame): DataFrame =
+    // unconditional: probing `.rdd.getNumPartitions` first would, under
+    // AQE, finalize-and-execute a separate plan copy (measured on the
+    // Dedup verify path); one payload exchange to one-partition-per-core
+    // is the right width for a codec-bound pass at any scale
+    payloads.repartition(payloads.sparkSession.sparkContext.defaultParallelism)
+
   def decodeMeta(spark: SparkSession, payloads: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
-    payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
+    spread(payloads.select("doc_id", "payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
@@ -243,10 +258,13 @@ object Multimodal {
     * decode (including empty ones) pass through unchanged with 0×0
     * dims, so a corrupt record never kills the batch. */
   def resizePng(spark: SparkSession, payloads: DataFrame,
-      targetWidth: Int): DataFrame = {
+      targetWidth: Int, spreadInput: Boolean = true): DataFrame = {
     require(targetWidth >= 1, s"targetWidth must be >= 1, got $targetWidth")
     import spark.implicits._
-    payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
+    val in = payloads.select("doc_id", "payload")
+    // spreadInput = false for dimension-filtered slivers (q213's
+    // 25-row rescue pass) where the exchange outweighs the codec work
+    (if (spreadInput) spread(in) else in).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
@@ -289,6 +307,9 @@ object Multimodal {
   def perceptualHash(spark: SparkSession, payloads: DataFrame): DataFrame = {
     import spark.implicits._
     val G = 8
+    // not spread: the aHash raster pass is cheap relative to q212's
+    // re-encode, and the payload shuffle the spread buys it with
+    // measured as a net loss on q213 (1.5 → 2.2 s)
     payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
@@ -362,7 +383,7 @@ object Multimodal {
       dims: Int = 64): DataFrame = {
     import spark.implicits._
     import graft.functions.expressions.MinHashSig.mix
-    payloads.select("doc_id", "payload").as[(Long, Array[Byte])]
+    spread(payloads.select("doc_id", "payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // real impl: val encoder = Encoder.load() once per partition
         it.map { case (id, bytes) =>

@@ -693,7 +693,8 @@ object LlmQueries {
   val multimodalPerceptual: Q = Q.rowsOnly("q213_perceptual_dedup") { (s, dir) =>
     val payloads = payloadStore(s, dir)
     val rescaled = Multimodal.resizePng(s,
-        payloads.filter(col("doc_id") < 25), targetWidth = 128)
+        payloads.filter(col("doc_id") < 25), targetWidth = 128,
+        spreadInput = false)
       .select((col("doc_id") + lit(20000000L)).as("doc_id"), col("payload"))
     Multimodal.perceptualDupPairs(
       Multimodal.perceptualHash(s,
