@@ -372,6 +372,16 @@ object Bench {
         s""""errors":$errJson$filteredTag,"sf":"$sfDir"}"""
     Files.write(Paths.get("bench_out.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
+    // ALSO write a core-count-stamped copy (r15, the r14 verdict's
+    // task 2): the driver benches at two core counts and the archived
+    // log tail carries only the compact trailer, so the full-precision
+    // per-query record of the FIRST run was lost when the second
+    // overwrote bench_out.json. With the stamp both runs survive in
+    // the workspace for the round record / judge, restoring
+    // per-query and scaling data that PERF_r14 could not see. The
+    // write is outside the timed region and changes no printed line.
+    Files.write(Paths.get(s"bench_out_c$cpus.json"),
+      (json + "\n").getBytes(StandardCharsets.UTF_8))
     println(json)
     println(compactTrailer(results, errors, total, filteredTag, sfDir, ctrl,
       reruns, ctrlHb.map(_._2).toSeq))

@@ -24,17 +24,22 @@ object Profile {
     case class St(name: String, ms: Long, cpuMs: Long, tasks: Int,
         shRead: Long, shWrite: Long, input: Long, spill: Long,
         fetchWaitMs: Long)
+    // appended from the listener-bus thread while the main thread only
+    // reads it AFTER waitUntilEmpty below — the synchronized block plus
+    // the drain is what makes that safe (ADVICE r14)
     val stages = mutable.ArrayBuffer.empty[St]
     val listener = new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val m = si.taskMetrics
-        stages += St(si.name.takeWhile(_ != '\n').take(90),
-          m.executorRunTime, m.executorCpuTime / 1000000,
-          si.numTasks, m.shuffleReadMetrics.totalBytesRead,
-          m.shuffleWriteMetrics.bytesWritten, m.inputMetrics.bytesRead,
-          m.memoryBytesSpilled,
-          m.shuffleReadMetrics.fetchWaitTime)
+        stages.synchronized {
+          stages += St(si.name.takeWhile(_ != '\n').take(90),
+            m.executorRunTime, m.executorCpuTime / 1000000,
+            si.numTasks, m.shuffleReadMetrics.totalBytesRead,
+            m.shuffleWriteMetrics.bytesWritten, m.inputMetrics.bytesRead,
+            m.memoryBytesSpilled,
+            m.shuffleReadMetrics.fetchWaitTime)
+        }
       }
     }
 
@@ -45,16 +50,23 @@ object Profile {
         GraftSession.releaseCaches(spark)
       }
       once() // warmup
-      stages.clear()
+      stages.synchronized(stages.clear())
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       once()
       val wall = (System.nanoTime() - t0) / 1e9
+      // drain the bus before detaching: tail StageCompleted events are
+      // posted asynchronously and would otherwise be missed (ADVICE
+      // r14; listenerBus.waitUntilEmpty is private[spark], so a short
+      // sleep is the accessible drain — this is a dev-only measurement
+      // tool, never in a query or bench path)
+      Thread.sleep(500)
       spark.sparkContext.removeSparkListener(listener)
-      println(f"== $name wall=$wall%.2fs stages=${stages.size} " +
-        f"sumRun=${stages.map(_.ms).sum / 1000.0}%.2fs " +
-        f"sumCpu=${stages.map(_.cpuMs).sum / 1000.0}%.2fs")
-      stages.sortBy(-_.ms).take(14).foreach { s =>
+      val snap = stages.synchronized(stages.toVector)
+      println(f"== $name wall=$wall%.2fs stages=${snap.size} " +
+        f"sumRun=${snap.map(_.ms).sum / 1000.0}%.2fs " +
+        f"sumCpu=${snap.map(_.cpuMs).sum / 1000.0}%.2fs")
+      snap.sortBy(-_.ms).take(14).foreach { s =>
         println(f"   run=${s.ms / 1000.0}%6.2fs cpu=${s.cpuMs / 1000.0}%6.2fs " +
           f"tasks=${s.tasks}%4d shR=${s.shRead / 1024}%8dK shW=${s.shWrite / 1024}%8dK " +
           f"in=${s.input / 1024 / 1024}%5dM spill=${s.spill / 1024 / 1024}%4dM " +

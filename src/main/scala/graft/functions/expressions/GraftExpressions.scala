@@ -534,6 +534,20 @@ case class TopKByScore(scoreExpr: Expression, idExpr: Expression, k: Int,
 
   private def offer(buf: java.util.PriorityQueue[(Double, Long)],
       s: Double, id: Long): Unit = {
+    // fast reject (r15, guide §1.2 per-task work): once the heap holds
+    // k entries, a candidate that does not beat the current WORST can
+    // be dropped with one field comparison — no tuple allocation, no
+    // add+poll heap churn. At full k this is the steady state for all
+    // but ~k·ln(n/k) of a group's n rows, and the kept set is
+    // provably identical: add-then-poll of a worse-or-equal candidate
+    // polls the candidate itself right back out.
+    // worseFirst order: lower score = worse; on score ties LARGER id =
+    // worse (kept order is id asc). Skip iff candidate ⊑ current worst.
+    if (buf.size >= k) {
+      val head = buf.peek()
+      val sc = java.lang.Double.compare(s, head._1)
+      if (sc < 0 || (sc == 0 && head._2 <= id)) return
+    }
     buf.add((s, id))
     if (buf.size > k) buf.poll()
     ()

@@ -50,7 +50,27 @@ object Centrality {
       s"teleport share scaleUnit*(10000-dampBp)/10000 must be exact; " +
         s"got scaleUnit=$scaleUnit dampBp=$dampBp")
     val teleport = scaleUnit * (10000 - dampBp) / 10000
+    // NOT pinned (r15, measured): four pre-iteration consumers scan
+    // this projection (sizing count, outdegree rollup, weighted-edge
+    // join, node set), but every registered caller already pins the
+    // pair table one level up, so each scan is a cheap checkpoint read
+    // — an explicit localCheckpoint here re-materialized ~1.5M rows as
+    // deserialized blocks and measured a 0.3-0.4 s LOSS on q124.
     val e = edges.select(col("src"), col("dst"))
+    // SIZE-DERIVED loop width (guide §2; the r14 Dedup.resolve pattern,
+    // ported per the r14 verdict): the weighted edge cache pinned at
+    // the session's shuffle.partitions made every iteration scan 32
+    // near-empty cache partitions — q124 measured 3.2 s at 32 cores vs
+    // 1.9 s at 8 on the r14 driver box (ratio 0.59). One cheap count
+    // (callers pin the upstream pair table) sizes the cache at
+    // ceil(edge_bytes / 64 MB) partitions capped at the session width.
+    // Per-frame repartition, never a session-conf flip, so concurrent
+    // queries on the shared session are unaffected.
+    val sessWidth = e.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val nEdges = e.count()
+    val loopParts = math.max(1L, math.min(sessWidth.toLong,
+      nEdges * 48L / (64L << 20) + 1L)).toInt
     // weighted edge list, built once: (src, dst, outdeg) — pinned
     // repartition(src) + sorted + CACHED, not localCheckpoint'ed: an
     // InMemoryRelation preserves outputPartitioning/outputOrdering
@@ -61,10 +81,12 @@ object Centrality {
     // (Paths.boundedDistances, same fix; ARCHITECTURE §4). Released
     // before return: pr is eagerly checkpointed per iteration.
     val ew = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src"))
-      .repartition(col("src")).sortWithinPartitions("src")
+      .repartition(loopParts, col("src")).sortWithinPartitions("src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id")))
+    // ONE explode pass instead of a two-leg union (r15, guide §2.3):
+    // the union form scanned the caller's edge frame once per leg;
+    // identical distinct-endpoint set either way
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("id"))
       .distinct()
       .localCheckpoint(true)
     var pr = nodes.withColumn("pr", lit(scaleUnit))
@@ -81,7 +103,11 @@ object Centrality {
         .localCheckpoint(true)
     }
     ew.unpersist(false)
-    pr
+    // re-spread the rank table for consumers (q124's kind/key
+    // projection, q266's top-k) — same discipline as
+    // Dedup.resolveWithStats' returned label table; the exchange is
+    // (id, pr)-grain and only planned when a consumer executes.
+    pr.repartition(sessWidth, col("id"))
   }
 
   /** Per-node TRIANGLE counts of an undirected graph, by degree-ordered

